@@ -1,0 +1,215 @@
+"""NLP cleaning functions (reference parity: F1-F9, A3).
+
+The reference applies a per-word pipeline (``nlp_preprocessing.py:42-70``):
+remove_whitespaces -> expand_word_contractions -> replace_special_chars ->
+convert_number_to_word -> make_lowercase -> get_root_word, driven word-wise
+over ``label.split()`` (``main.py:82,139``), plus an ordered-distinct /
+stopword-filtered variant feeding the encoder
+(``nlp_preprocessing.py:88-99``).
+
+Engine design (SURVEY §2.6):
+
+- ``clean_word_expr`` / ``clean_text_expr`` — the native-expression subset
+  (F1 remove spaces, F3 strip non-alphanumerics, F5 lowercase) fused into a
+  single Catalyst expression. Stays inside whole-stage codegen; this is the
+  hot path used by the oracle-checked queries.
+- ``clean_text_full_udf`` — the full six-step pipeline as an Arrow-vectorized
+  pandas UDF. ``contractions`` / ``num2words`` / ``nltk`` are not available
+  in every runtime, so each step degrades to a deterministic pure-Python
+  fallback (documented below). Heavy objects are built once per Python
+  worker, never per word (fixes the reference's per-word
+  ``WordNetLemmatizer()`` / ``stopwords.words()`` cost,
+  ``nlp_preprocessing.py:34-39``).
+- ``embedding_text_expr`` — A3 ordered-distinct words with the reference's
+  quirk preserved: the stopword test runs on the RAW word while the CLEANED
+  word is appended (``nlp_preprocessing.py:96-97``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Standard NLTK english stopword list (public corpus, 179 words) embedded so
+# the engine needs no download; matches stopwords.words('english').
+STOPWORDS: frozenset[str] = frozenset(
+    """i me my myself we our ours ourselves you you're you've you'll you'd
+    your yours yourself yourselves he him his himself she she's her hers
+    herself it it's its itself they them their theirs themselves what which
+    who whom this that that'll these those am is are was were be been being
+    have has had having do does did doing a an the and but if or because as
+    until while of at by for with about against between into through during
+    before after above below to from up down in out on off over under again
+    further then once here there when where why how all any both each few
+    more most other some such no nor not only own same so than too very s t
+    can will just don don't should should've now d ll m o re ve y ain aren
+    aren't couldn couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't
+    haven haven't isn isn't ma mightn mightn't mustn mustn't needn needn't
+    shan shan't shouldn shouldn't wasn wasn't weren weren't won won't wouldn
+    wouldn't""".split()
+)
+
+_STOPWORDS_SORTED = sorted(STOPWORDS)
+
+# SQL-side predicate for "w is not an english stopword and w != 'NaN'"
+# (reference is_not_stopword, nlp_preprocessing.py:38-39).
+_SQL_STOPWORD_LIST = ", ".join("'" + w.replace("'", "''") + "'" for w in _STOPWORDS_SORTED)
+
+
+def clean_word_expr(word: Column) -> Column:
+    """Native F1+F3+F5: strip spaces, strip non-alphanumerics, lowercase.
+
+    Reference: nlp_preprocessing.py:19-20 (F1), :25-26 (F3), :31-32 (F5).
+    F1's space removal is subsumed by F3's character class; kept explicit in
+    one regex for clarity. Pure Catalyst expression — codegen-friendly.
+    """
+    return F.lower(F.regexp_replace(word, "[^a-zA-Z0-9]", ""))
+
+
+def clean_text_expr(text: Column) -> Column:
+    """Word-wise native cleaning pipeline (F8 composition, main.py:82).
+
+    split(' ') -> clean each word -> join(' '). Equivalent to the reference's
+    ``' '.join(execute_nlp_pipeline(w) for w in label.split())`` restricted
+    to the native steps F1/F3/F5.
+    """
+    return F.array_join(F.transform(F.split(text, " "), clean_word_expr), " ")
+
+
+def embedding_text_expr(text: Column, max_text_length: int = 150) -> Column:
+    """A3: truncate, clean word-wise, ordered-distinct, stopword-filter.
+
+    Faithful to nlp_preprocessing.py:88-99 including both quirks:
+    - the RAW word is tested against the stopword set while the CLEANED word
+      is appended (``is_not_stopword(word)`` at :96);
+    - first-seen order of the CLEANED word is preserved (``unique_words``
+      set at :91-99) — ``array_distinct`` keeps first occurrence.
+    """
+    truncated = F.substring(text, 1, max_text_length)
+    words = F.split(truncated, " ")
+    kept = F.filter(
+        words,
+        lambda w: (~w.isin(*_STOPWORDS_SORTED)) & (w != F.lit("NaN")),
+    )
+    cleaned = F.transform(kept, clean_word_expr)
+    return F.array_join(F.array_distinct(cleaned), " ")
+
+
+# --- full-pipeline pandas UDF (F2/F4/F6 need Python) ------------------------
+
+_SMALL_NUMBERS = (
+    "zero one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+).split()
+_TENS = "zero ten twenty thirty forty fifty sixty seventy eighty ninety".split()
+
+# Deterministic fallback table for the most common english contractions
+# (used only when the `contractions` package is unavailable).
+_CONTRACTIONS_FALLBACK = {
+    "don't": "do not", "doesn't": "does not", "didn't": "did not",
+    "can't": "cannot", "won't": "will not", "isn't": "is not",
+    "aren't": "are not", "wasn't": "was not", "weren't": "were not",
+    "it's": "it is", "that's": "that is", "i'm": "i am", "i've": "i have",
+    "you're": "you are", "they're": "they are", "we're": "we are",
+    "couldn't": "could not", "shouldn't": "should not",
+    "wouldn't": "would not", "hasn't": "has not", "haven't": "have not",
+}
+
+
+def _num_to_words(n: int) -> str:
+    """Deterministic integer->english words (fallback for num2words, F4)."""
+    if n < 20:
+        return _SMALL_NUMBERS[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + ("-" + _SMALL_NUMBERS[rem] if rem else "")
+    if n < 1000:
+        hundreds, rem = divmod(n, 100)
+        out = _SMALL_NUMBERS[hundreds] + " hundred"
+        return out + (" and " + _num_to_words(rem) if rem else "")
+    for unit, name in ((10**9, "billion"), (10**6, "million"), (10**3, "thousand")):
+        if n >= unit:
+            major, rem = divmod(n, unit)
+            out = _num_to_words(major) + " " + name
+            return out + (" " + _num_to_words(rem) if rem else "")
+    return str(n)
+
+
+class _FullPipeline:
+    """Per-worker cached implementation of the six-step word pipeline.
+
+    Expensive resources (lemmatizer, contraction table) are constructed once
+    per Python worker process — the reference re-creates them per word
+    (nlp_preprocessing.py:34-39), an O(rows*words) cost this amortizes away.
+    """
+
+    _instance = None
+
+    def __init__(self) -> None:
+        try:  # optional dependency: contractions
+            import contractions  # type: ignore
+
+            self._fix_contraction = contractions.fix
+        except Exception:
+            self._fix_contraction = lambda w: _CONTRACTIONS_FALLBACK.get(w.lower(), w)
+        try:  # optional dependency: num2words
+            from num2words import num2words  # type: ignore
+
+            self._num2words = num2words
+        except Exception:
+            self._num2words = lambda w: _num_to_words(int(w))
+        try:  # optional dependency: nltk WordNet lemmatizer
+            from nltk.stem import WordNetLemmatizer  # type: ignore
+
+            lemmatizer = WordNetLemmatizer()
+            lemmatizer.lemmatize("cells")  # force corpus load; raises if absent
+            self._lemmatize = lemmatizer.lemmatize
+        except Exception:
+            self._lemmatize = lambda w: w
+
+    @classmethod
+    def get(cls) -> "_FullPipeline":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def clean_word(self, word: str) -> str:
+        word = word.replace(" ", "")  # F1
+        word = self._fix_contraction(word)  # F2
+        word = re.sub("[^a-zA-Z0-9]*", "", word)  # F3 (reference regex verbatim)
+        if word.isdigit():  # F4
+            word = str(self._num2words(word if self._num2words is not _num_to_words else int(word)))
+        word = word.lower()  # F5
+        return self._lemmatize(word).rstrip("s")  # F6 incl. rstrip quirk
+
+    def clean_text(self, text: str) -> str:
+        return " ".join(self.clean_word(w) for w in text.split())
+
+
+@F.pandas_udf(T.StringType())
+def clean_text_full_udf(texts: pd.Series) -> pd.Series:
+    """Full F1-F6 pipeline over whole labels (split/clean/join, F8).
+
+    Arrow-vectorized; one `_FullPipeline` per worker. Null-safe (null->null).
+    """
+    pipe = _FullPipeline.get()
+    return texts.map(lambda t: None if t is None else pipe.clean_text(t))
+
+
+def sql_clean_text(col_sql: str) -> str:
+    """ANSI-SQL (DuckDB) equivalent of ``clean_text_expr`` for oracles.
+
+    Removing every char outside [a-zA-Z0-9 ] then lowercasing is equivalent
+    to the per-word native pipeline because the word splitter is a single
+    literal space: words never gain or lose their separating spaces.
+    """
+    return f"lower(regexp_replace({col_sql}, '[^a-zA-Z0-9 ]', '', 'g'))"
+
+
+def sql_not_stopword(word_sql: str) -> str:
+    """DuckDB predicate mirroring ``is_not_stopword`` (raw word test)."""
+    return f"({word_sql} NOT IN ({_SQL_STOPWORD_LIST}) AND {word_sql} <> 'NaN')"

@@ -22,9 +22,12 @@ def get_spark(app_name: str = "asctb-spark", cpus: int | None = None) -> SparkSe
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
 
+    # Cluster deploys inject their master (yarn / k8s / spark://) via env or
+    # spark-submit; local[N] is only the sandbox default.
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         # --- determinism / correctness ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle & adaptivity: sized for the box, re-planned at runtime ---
