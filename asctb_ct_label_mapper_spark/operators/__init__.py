@@ -1,0 +1,67 @@
+from asctb_ct_label_mapper_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dedup_flags,
+    jaccard_expr,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signature_expr,
+    ngram_jaccard_pairs,
+    simhash_expr,
+    simhash_near_dup_pairs,
+    word_shingles_expr,
+)
+from asctb_ct_label_mapper_spark.operators.enrich import (
+    enrich_with_definitions,
+    normalize_ct_id_expr,
+)
+from asctb_ct_label_mapper_spark.operators.mapping import (
+    map_labels_to_reference,
+    overwrite_exact_matches,
+)
+from asctb_ct_label_mapper_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    synthesize_media,
+)
+from asctb_ct_label_mapper_spark.operators.setops import venn_regions
+from asctb_ct_label_mapper_spark.operators.similarity import (
+    lsh_bucketed_topk,
+    top_k_similarity_blocked,
+    top_k_similarity_join,
+)
+from asctb_ct_label_mapper_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    text_stats,
+)
+from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
+
+__all__ = [
+    "ct_triplet_unpivot",
+    "decode_features",
+    "enrich_with_definitions",
+    "frame_sample",
+    "normalize_ct_id_expr",
+    "synthesize_media",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "exact_dedup_flags",
+    "fingerprint",
+    "jaccard_expr",
+    "lang_id",
+    "lsh_bucketed_topk",
+    "map_labels_to_reference",
+    "minhash_dedup_pairs",
+    "minhash_lsh_candidates",
+    "minhash_signature_expr",
+    "ngram_jaccard_pairs",
+    "overwrite_exact_matches",
+    "simhash_expr",
+    "simhash_near_dup_pairs",
+    "text_stats",
+    "top_k_similarity_blocked",
+    "top_k_similarity_join",
+    "venn_regions",
+    "word_shingles_expr",
+]

@@ -1,0 +1,296 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+Not in the reference (it never dedups documents) — required by the engine
+brief as first-class components. All four families are implemented with
+native expressions only (no Python in the hot path):
+
+- exact:      content hash -> per-hash window (one shuffle on the hash)
+- MinHash:    shingle -> minhash signature -> banded LSH -> bucket equi-join
+              (NEVER all-pairs: candidate generation shuffles on
+              (band, band_hash), verification is exact Jaccard on the pairs)
+- SimHash:    64 sign-bits of token-hash sums, as one aggregate over a
+              bit-count array; near-dups = small hamming distance
+- n-gram Jaccard: exact pairwise Jaccard within a blocking key (the oracle
+              path; quadratic within block, use blocks that fit)
+
+At 100 TB: the only shuffles are hash-partitioned group-bys / equi-joins on
+uniformly-distributed hash keys (no skew by construction); signatures are
+fixed-width (n_hashes ints) regardless of document size; banded LSH bounds
+candidate pairs to colliding buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Annotate every row with its content hash, duplicate-group size, and
+    canonical flag (min id per hash wins). Keeps all rows so callers choose
+    keep-first / drop / audit semantics downstream."""
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy(F.asc(id_col))
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.row_number().over(wo) == 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text: groupBy-hash, one shuffle."""
+    flags = exact_dedup_flags(df, text_col, id_col)
+    return flags.filter("is_canonical").drop("content_hash", "dup_count", "is_canonical")
+
+
+# --- shingling ---------------------------------------------------------------
+
+
+def word_shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text, as one
+    native expression: tokens -> sliding windows of n -> join -> distinct."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+# --- MinHash + banded LSH ----------------------------------------------------
+
+
+def minhash_signature_expr(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function j, min over shingles of
+    murmur3(shingle, salt_j). Seeds are baked literals so the signature is
+    deterministic across runs and executors. Empty shingle sets get
+    int-max sentinels (they collide only with other empties)."""
+    sigs = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda s, j=j: F.hash(s, F.lit(j)))),
+            F.lit(2147483647),
+        )
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows-per-band r = n_hashes/bands; two docs collide if ANY band of their
+    signatures matches exactly (prob ~ 1-(1-j^r)^b for Jaccard j). The
+    pair generation is a self-equi-join on (band, band_hash) — a hash
+    shuffle, never a cross join. Returns (id_a, id_b) with id_a < id_b,
+    distinct across bands.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_expr(word_shingles_expr(F.col(text_col), shingle_n), n_hashes).alias(
+            "_sig"
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.hash(F.slice("_sig", b * r + 1, r)).alias("bhash")
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= threshold.
+
+    Verification joins the shingle sets back by id (two broadcast-able
+    joins against the candidate set, which is small relative to the corpus
+    whenever the threshold is meaningful).
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+    )
+    return (
+        cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shingles", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_shingles", "_sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.0,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard WITHIN a blocking key (oracle-checkable).
+
+    Quadratic in block size by design — the caller picks a block column
+    whose groups are bounded (source, language, length bucket ...). The
+    join is a shuffle equi-join on the block key, not a global cross join.
+    """
+    sh = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("a._sh"), F.col("b._sh")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_blk").alias(block_col),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_expr(text: Column, bits: int = 32) -> Column:
+    """SimHash of a whitespace-tokenized text as one native aggregate.
+
+    Per token, murmur3 hash; bit i contributes +1/-1 to counter i; the
+    final hash sets bit i where the counter is positive. Implemented as a
+    single ``aggregate`` whose accumulator is the int array of counters —
+    O(tokens*bits) inside codegen, no Python.
+    """
+    toks = F.split(text, " ")
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: (F.shiftright(F.hash(t), i).bitwiseAND(F.lit(1)) * 2 - 1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhashes: popcount(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on the top ``block_bits`` bits
+    (docs differing only in low bits still collide), verify hamming
+    distance within block. Blocking keeps the join an equi-join."""
+    h = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_expr(F.col(text_col), bits).alias("_sim"),
+    ).withColumn("_blk", F.shiftright(F.col("_sim"), bits - block_bits))
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("hamming", hamming_expr(F.col("a._sim"), F.col("b._sim")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "hamming")
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket (sign hyperplanes) then exact
+    cosine within bucket. Same bucketing as similarity.lsh_bucketed_topk."""
+    from asctb_ct_label_mapper_spark.functions.vector import cosine_expr
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        lsh_signature_expr,
+        random_hyperplanes,
+    )
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    h = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_bucket", lsh_signature_expr(F.col("_v"), planes)
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,145 @@
+"""The flagship mapping pipeline: raw labels -> ASCT+B translation report.
+
+Reference: ``map_raw_labels_to_asctb`` (main.py:171-221) — a per-label Python
+loop calling ``get_top_k_asctb_label_matches`` (main.py:67-100), scattering
+results with masked writes (main.py:206-211), then
+``overwrite_exact_asctb_matches`` (main.py:126-166).
+
+Engine: ONE lazy DataFrame plan (SURVEY §3.2):
+
+    seed -> clean (F8) -> encode (F12) -> broadcast cross join + cosine (J3/F13)
+         -> window top-k (A1) -> pivot rank->columns (A2)
+         -> exact-overwrite left join (J1) + rank>1 null-out (J2)
+
+Divergences from the reference, both deliberate (SURVEY §4 item 3):
+- tie-breaking is deterministic (ORDER BY score DESC, CT_ID ASC) where the
+  reference inherits argsort order (main.py:91);
+- when several reference rows share a cleaned name, the exact-overwrite
+  picks the minimum CT_ID, where the reference takes ``.values[0]`` —
+  an arbitrary row (main.py:119; collisions are real in the golden CSV).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
+from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
+from asctb_ct_label_mapper_spark.operators.similarity import top_k_similarity_join
+
+Encoder = Callable[[Column], Column]
+
+
+def map_labels_to_reference(
+    labels: DataFrame,
+    reference: DataFrame,
+    k: int = 2,
+    encoder: Encoder = stub_encode_udf,
+    clean: Callable[[Column], Column] = clean_text_expr,
+) -> DataFrame:
+    """Translate ``labels(source, raw_input_label)`` against
+    ``reference(CT_ID, CT_NAME, definition, all_text, ct_name_cleaned,
+    embedding)`` producing the reference's report schema
+    (FIXTURES §1.5): one row per input label with ``match_score_i``,
+    ``matched_asctb_id_i``, ``matched_asctb_label_i``,
+    ``matched_asctb_text_i`` for i=1..k.
+
+    ``encoder`` defaults to the deterministic stub (tests / oracle); a real
+    SentenceTransformer slots in as an iterator pandas UDF loading the model
+    once per worker — same plan, different F12 expression.
+    """
+    seed = labels.select("source", "raw_input_label").dropDuplicates()
+    cleaned = seed.withColumn("cleaned_input_label", clean(F.col("raw_input_label")))
+    encoded = cleaned.withColumn("embedding", encoder(F.col("cleaned_input_label")))
+
+    topk = top_k_similarity_join(
+        encoded,
+        reference,
+        k=k,
+        query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
+        ref_id_col="CT_ID",
+        ref_payload_cols=["CT_NAME", "all_text"],
+    )
+
+    # A2: rank -> columns. first() per (group, rank) is deterministic because
+    # row_number makes (group, rank) unique.
+    wide = (
+        topk.groupBy("source", "raw_input_label", "cleaned_input_label")
+        .pivot("rank", list(range(1, k + 1)))
+        .agg(
+            F.first("score").alias("match_score"),
+            F.first("ref_id").alias("matched_asctb_id"),
+            F.first("CT_NAME").alias("matched_asctb_label"),
+            F.first("all_text").alias("matched_asctb_text"),
+        )
+    )
+    # pivot names columns "1_match_score" etc; normalize to reference names.
+    for i in range(1, k + 1):
+        for src, tgt in (
+            ("match_score", f"match_score_{i}"),
+            ("matched_asctb_id", f"matched_asctb_id_{i}"),
+            ("matched_asctb_label", f"matched_asctb_label_{i}"),
+            ("matched_asctb_text", f"matched_asctb_text_{i}"),
+        ):
+            wide = wide.withColumnRenamed(f"{i}_{src}", tgt)
+
+    return overwrite_exact_matches(wide, reference, k=k)
+
+
+def overwrite_exact_matches(report: DataFrame, reference: DataFrame, k: int) -> DataFrame:
+    """J1+J2 as one broadcast left join (replaces main.py:126-166's
+    4x isin-mask + per-row lookup).
+
+    Exact rows get rank-1 columns overwritten with the reference's values
+    and score 1.0; ranks >= 2 are nulled. Collisions on ``ct_name_cleaned``
+    resolve to the min CT_ID row (deterministic; see module docstring).
+    """
+    exact = (
+        reference.groupBy("ct_name_cleaned")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("CT_ID").alias("x_id"),
+                    F.col("CT_NAME").alias("x_label"),
+                    F.col("definition").alias("x_text"),
+                ),
+                F.col("CT_ID"),
+            ).alias("x")
+        )
+        .select("ct_name_cleaned", "x.x_id", "x.x_label", "x.x_text")
+    )
+
+    joined = report.join(
+        F.broadcast(exact),
+        report["cleaned_input_label"] == exact["ct_name_cleaned"],
+        "left",
+    )
+    matched = F.col("x_id").isNotNull()
+    out = (
+        joined.withColumn(
+            "match_score_1", F.when(matched, F.lit(1.0)).otherwise(F.col("match_score_1"))
+        )
+        .withColumn(
+            "matched_asctb_id_1", F.when(matched, F.col("x_id")).otherwise(F.col("matched_asctb_id_1"))
+        )
+        .withColumn(
+            "matched_asctb_label_1",
+            F.when(matched, F.col("x_label")).otherwise(F.col("matched_asctb_label_1")),
+        )
+        .withColumn(
+            "matched_asctb_text_1",
+            F.when(matched, F.col("x_text")).otherwise(F.col("matched_asctb_text_1")),
+        )
+    )
+    for i in range(2, k + 1):
+        for c in (
+            f"match_score_{i}",
+            f"matched_asctb_id_{i}",
+            f"matched_asctb_label_{i}",
+            f"matched_asctb_text_{i}",
+        ):
+            out = out.withColumn(c, F.when(matched, F.lit(None)).otherwise(F.col(c)))
+    return out.drop("ct_name_cleaned", "x_id", "x_label", "x_text")

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table (engine brief):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All native expressions (regexp/array functions) — whole-stage codegen, no
+Python workers. Every operator has a matching DuckDB-SQL formulation (the
+``sql_*`` helpers) so the driver's oracle can hash-compare values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.functions.nlp import STOPWORDS, clean_text_expr
+
+# Small function-word lists per language for the n-gram/stopword-hit
+# heuristic. Deterministic and tiny by design; real corpora would broadcast
+# bigger dictionaries — the plan shape is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "en": ("the", "a", "and", "is", "not", "of", "to", "in", "with", "for"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "un", "una", "con"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "une", "avec", "dans"),
+    "zh": ("de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you"),
+}
+
+_STOPWORDS_SORTED = sorted(STOPWORDS)
+
+# Word-or-punctuation tokenizer, BPE-ish in that punctuation splits off as
+# its own tokens. Same pattern string works in Spark and DuckDB (RE2/PCRE
+# common subset).
+TOKEN_REGEX = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, regex tokens, distinct
+    tokens, mean token length, punctuation ratio, stopword ratio, and a
+    composite quality score in [0,1]."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*_STOPWORDS_SORTED)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.regexp_count(text, F.lit(TOKEN_REGEX)).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens), 6
+        ).alias("mean_token_len"),
+        F.round(F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6)
+        .alias("punct_ratio"),
+        F.round(
+            F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def sql_text_stats(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for ``text_stats``."""
+    stop_list = ", ".join("'" + w.replace("'", "''") + "'" for w in _STOPWORDS_SORTED)
+    t = text_col
+    return f"""
+    SELECT {id_col},
+        length({t}) AS n_chars,
+        len(string_split({t}, ' ')) AS n_tokens,
+        len(regexp_extract_all({t}, '{TOKEN_REGEX}')) AS n_regex_tokens,
+        len(list_distinct(string_split({t}, ' '))) AS n_distinct_tokens,
+        round(CASE WHEN len(string_split({t}, ' ')) > 0
+            THEN CAST(length({t}) - len(string_split({t}, ' ')) + 1 AS DOUBLE)
+                 / len(string_split({t}, ' ')) END, 6) AS mean_token_len,
+        round(CASE WHEN length({t}) > 0
+            THEN CAST(length({t}) - length(regexp_replace({t}, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length({t}) ELSE 0.0 END, 6) AS punct_ratio,
+        round(CASE WHEN len(string_split({t}, ' ')) > 0
+            THEN CAST(len(list_filter(string_split({t}, ' '), w -> lower(w) IN ({stop_list})))
+                      AS DOUBLE) / len(string_split({t}, ' ')) ELSE 0.0 END, 6)
+            AS stopword_ratio
+    FROM {table}
+    """
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, pick the
+    max (ties -> lexicographically smallest language code; 'und' when no
+    marker hits at all). Deterministic, hence oracle-checkable."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    hit_cols = [
+        F.size(F.filter(toks, lambda w, ws=words: w.isin(*ws))).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply in reverse
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(F.col(id_col), *[F.col(f"hits_{l}") for l in langs], pred.alias("lang_pred"))
+
+
+def sql_lang_id(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for ``lang_id`` (same tie-break order)."""
+    langs = sorted(LANG_MARKERS)
+    hits = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hits.append(
+            f"len(list_filter(string_split(lower({text_col}), ' '), w -> w IN ({words}))) AS hits_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT {id_col}, {', '.join('hits_' + l for l in langs)}, {case} AS lang_pred
+    FROM (SELECT {id_col}, {', '.join(hits)} FROM {table})
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct cleaned tokens
+    (classic 'fingerprint' key collapsing word order / duplication /
+    punctuation), plus the raw-content md5."""
+    cleaned_tokens = F.array_sort(F.array_distinct(F.split(clean_text_expr(F.col(text_col)), " ")))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.md5(F.array_join(cleaned_tokens, " ")).alias("fingerprint"),
+    )
+
+
+def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    from asctb_ct_label_mapper_spark.functions.nlp import sql_clean_text
+
+    cleaned = sql_clean_text(text_col)
+    return f"""
+    SELECT {id_col},
+        md5({text_col}) AS content_hash,
+        md5(array_to_string(list_sort(list_distinct(string_split({cleaned}, ' '))), ' '))
+            AS fingerprint
+    FROM {table}
+    """

@@ -1,0 +1,13 @@
+from asctb_ct_label_mapper_spark.streaming.events import (
+    dedup_events,
+    sliding_user_activity,
+    stream_static_topk,
+    tumbling_counts,
+)
+
+__all__ = [
+    "dedup_events",
+    "sliding_user_activity",
+    "stream_static_topk",
+    "tumbling_counts",
+]

