@@ -66,9 +66,13 @@ def minhash_signature_expr(shingles: Column, n_hashes: int = 32) -> Column:
     murmur3(shingle, salt_j). Seeds are baked literals so the signature is
     deterministic across runs and executors. Empty shingle sets get
     int-max sentinels (they collide only with other empties)."""
+    def hash_with_salt(salt: int):
+        # single-arg lambda: a 2-arg lambda would be (element, index) to Spark
+        return lambda s: F.hash(s, F.lit(salt))
+
     sigs = [
         F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, j=j: F.hash(s, F.lit(j)))),
+            F.array_min(F.transform(shingles, hash_with_salt(j))),
             F.lit(2147483647),
         )
         for j in range(n_hashes)
@@ -205,29 +209,29 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
     O(tokens*bits) inside codegen, no Python.
     """
     toks = F.split(text, " ")
+    # Bit positions are Python ints (shiftright/shiftleft take int numBits),
+    # so the per-bit array is built with a driver-side comprehension; the
+    # whole thing is still one Catalyst aggregate over the token array.
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: (F.shiftright(F.hash(t), i).bitwiseAND(F.lit(1)) * 2 - 1),
+            F.array(
+                *[
+                    F.shiftright(F.hash(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+                    for i in range(bits)
+                ]
             ),
             lambda x, y: x + y,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(counters, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
 
 
 def hamming_expr(a: Column, b: Column) -> Column:

@@ -92,8 +92,13 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     max (ties -> lexicographically smallest language code; 'und' when no
     marker hits at all). Deterministic, hence oracle-checkable."""
     toks = tokens_expr(F.lower(F.col(text_col)))
+
+    def marker_hit(words: tuple[str, ...]):
+        # single-arg lambda: a 2-arg lambda would be (element, index) to Spark
+        return lambda w: w.isin(*words)
+
     hit_cols = [
-        F.size(F.filter(toks, lambda w, ws=words: w.isin(*ws))).alias(f"hits_{lang}")
+        F.size(F.filter(toks, marker_hit(words))).alias(f"hits_{lang}")
         for lang, words in sorted(LANG_MARKERS.items())
     ]
     scored = df.select(F.col(id_col), *hit_cols)

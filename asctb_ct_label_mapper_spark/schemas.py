@@ -57,9 +57,21 @@ TESTDATA_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one driver table. Parquet carries its own schema;
-    reading it directly keeps predicate pushdown + column pruning intact."""
+    reading it directly keeps predicate pushdown + column pruning intact.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read as a raw long (legacy nanosAsLong conf) and
+    converted with integer division — micros stay exact where a double
+    roundtrip of an int64 would not (DuckDB truncates nanos the same way).
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
