@@ -52,10 +52,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles_expr(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a whitespace-tokenized text, as one
-    native expression: tokens -> sliding windows of n -> join -> distinct."""
+    native expression: tokens -> sliding windows of n -> join -> distinct.
+    Texts shorter than n tokens yield an empty array (Spark's ``sequence``
+    would otherwise count DOWN from 1 to 0, so the guard is required)."""
     toks = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )).otherwise(F.array().cast("array<string>"))
 
 
 # --- MinHash + banded LSH ----------------------------------------------------

@@ -185,29 +185,55 @@ def lsh_bucketed_topk(
     ref_id_col: str,
     query_vec_col: str = "embedding",
     ref_vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, cosine + window inside
-    the bucket. Candidate generation is a shuffle-on-bucket equi-join (a
-    broadcast-hash join when the reference side is small) instead of a
-    cross join — the 100x-scale ANN path. Recall < 1 by construction."""
+    """Approximate top-k via MULTI-TABLE sign-LSH (OR-amplification).
+
+    Each of ``n_tables`` hash tables buckets vectors by ``n_planes`` sign
+    bits from its own hyperplane set; a (query, ref) pair is a candidate if
+    they collide in ANY table — P[miss] = (1 - (1-theta/pi)^b)^L drops
+    geometrically in L while candidate volume stays bounded by bucket
+    collisions. Candidate generation is an equi-join on (table, bucket) —
+    the 100x-scale ANN path; never a cross join. Pairs colliding in several
+    tables are deduped before scoring. Recall < 1 by construction."""
     if dim is None:
         dim = len(reference.select(ref_vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
 
-    q = queries.withColumn("_bucket", lsh_signature_expr(F.col(query_vec_col), planes))
+    def bucket_array(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_signature_expr(vec, random_hyperplanes(dim, n_planes, seed + t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    q = queries.select(
+        *query_id_cols, query_vec_col, F.explode(bucket_array(F.col(query_vec_col))).alias("_b")
+    ).select(*query_id_cols, query_vec_col, "_b.table", "_b.bucket")
     r = reference.select(
         F.col(ref_id_col).alias("ref_id"),
         F.col(ref_vec_col).alias("_ref_vec"),
-    ).withColumn("_bucket", lsh_signature_expr(F.col("_ref_vec"), planes))
-
-    scored = (
-        q.join(F.broadcast(r), "_bucket")
-        .withColumn("score", cosine_expr(F.col(query_vec_col), F.col("_ref_vec")))
-        .drop("_ref_vec", "_bucket")
     )
+    r = r.select(
+        "ref_id", "_ref_vec", F.explode(bucket_array(F.col("_ref_vec"))).alias("_b")
+    ).select("ref_id", "_ref_vec", "_b.table", "_b.bucket")
+
+    candidates = (
+        q.join(F.broadcast(r), ["table", "bucket"])
+        .drop("table", "bucket")
+        .dropDuplicates([*query_id_cols, "ref_id"])
+    )
+    scored = candidates.withColumn(
+        "score", cosine_expr(F.col(query_vec_col), F.col("_ref_vec"))
+    ).drop("_ref_vec")
     w = Window.partitionBy(*query_id_cols).orderBy(F.desc("score"), F.asc("ref_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

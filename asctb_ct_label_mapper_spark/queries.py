@@ -340,8 +340,10 @@ def r4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r5_venn_regions",
     """
-    WITH a AS (SELECT DISTINCT c_nationkey AS label FROM customer),
-         b AS (SELECT DISTINCT s_nationkey AS label FROM supplier WHERE s_acctbal > 0),
+    WITH a AS (SELECT DISTINCT c_nationkey AS label FROM customer
+               WHERE c_acctbal > 9900),
+         b AS (SELECT DISTINCT s_nationkey AS label FROM supplier
+               WHERE s_acctbal > 9000),
          f AS (SELECT coalesce(a.label, b.label) AS label,
                       CASE WHEN a.label IS NULL THEN 0 ELSE 1 END AS in_a,
                       CASE WHEN b.label IS NULL THEN 0 ELSE 1 END AS in_b
@@ -355,10 +357,14 @@ def r5_venn_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4/R5 venn-region counts in ONE pass (full-outer presence flags +
     groupBy) instead of the reference's 7 set expressions
     (plotting.py:22-54)."""
-    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("label"))
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("label"))
+    )
     b = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 0)
+        .filter(F.col("s_acctbal") > 9000)
         .select(F.col("s_nationkey").alias("label"))
     )
     return venn_regions(a, b)

@@ -1,0 +1,93 @@
+"""Dedup family: planted exact and near duplicates (engine brief)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_flags,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_expr,
+    simhash_near_dup_pairs,
+    word_shingles_expr,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different words appear in this sentence about spark engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "s1"),
+        (2, BASE, "s1"),      # exact dup of 1
+        (3, NEAR, "s1"),      # near dup of 1/2
+        (4, OTHER, "s1"),
+        (5, "tiny", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_flags(docs):
+    flags = {r["doc_id"]: r for r in exact_dedup_flags(docs, "text", "doc_id").collect()}
+    assert flags[1]["dup_count"] == 2 and flags[2]["dup_count"] == 2
+    assert flags[1]["is_canonical"] and not flags[2]["is_canonical"]
+    assert flags[1]["content_hash"] == flags[2]["content_hash"]
+    assert flags[3]["dup_count"] == 1
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(word_shingles_expr(F.col("t"), 3).alias("sh")).first()["sh"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_shingles_shorter_than_n(spark):
+    df = spark.createDataFrame([("a b",)], "t string")
+    assert df.select(word_shingles_expr(F.col("t"), 3).alias("sh")).first()["sh"] == []
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    assert not any(4 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_minhash_candidates_never_cross_all_pairs(docs):
+    # candidate count is bounded by bucket collisions, and ids are ordered
+    cands = minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    assert all(r["id_a"] < r["id_b"] for r in cands)
+
+
+def test_ngram_jaccard_exact_pair_scores_one(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", "source").collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 4)] == 0.0
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame([(BASE,), (BASE,)], "t string")
+    vals = [r["h"] for r in df.select(simhash_expr(F.col("t")).alias("h")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0  # identical -> distance 0
+    if (1, 3) in pairs:  # near dup, small distance when blocked together
+        assert pairs[(1, 3)] <= 8

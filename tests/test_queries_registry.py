@@ -1,0 +1,82 @@
+"""Registry-level invariants: every query runs at sf0.001 with a stable
+schema; oracle SQL exists for everything SQL-expressible; plans keep their
+performance contracts (broadcasts, pushed filters)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    formatted_plan,
+)
+from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries
+
+EXPECTED_ROWS_ONLY = {
+    # non-SQL-expressible by nature (stub encoder / hash-seed dependent /
+    # binary payloads); everything else must carry an oracle
+    "cos_topk_lsh",
+    "mapping_report",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "multimodal_features",
+}
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    missing = set(all_queries()) - set(all_oracles())
+    assert missing == EXPECTED_ROWS_ONLY
+
+
+def test_oracles_reference_only_registered_queries():
+    assert set(all_oracles()) <= set(all_queries())
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_runs_and_returns_rows(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0  # executes the plan end-to-end
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "match_score_1" in df.columns
+
+
+def test_q3_plan_pushes_segment_filter(spark, sf_dir):
+    df = all_queries()["q3_revenue_topn"](spark, sf_dir)
+    assert_pushed_filter(df, "c_mktsegment")
+
+
+def test_p4_plan_pushes_size_filter_and_prunes(spark, sf_dir):
+    df = all_queries()["p4_projection_filter"](spark, sf_dir)
+    assert_pushed_filter(df, "p_size")
+    plan = formatted_plan(df)
+    assert "p_retailprice" in plan and "p_brand" not in plan  # column pruning
+
+
+def test_q5_plan_broadcasts_dims(spark, sf_dir):
+    assert_broadcast_join(all_queries()["q5_region_revenue"](spark, sf_dir))
+
+
+def test_cos_topk_blocked_plan_has_no_shuffle(spark, sf_dir):
+    plan = formatted_plan(all_queries()["cos_topk_blocked"](spark, sf_dir))
+    assert "Exchange" not in plan  # zero-shuffle scale path
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan; codegen markers only show then
+    plan = formatted_plan(df)
+    # formatted mode marks codegen stages with a '*' prefix
+    assert "* HashAggregate" in plan or "WholeStageCodegen" in plan

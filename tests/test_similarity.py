@@ -1,0 +1,88 @@
+"""Top-k similarity join: strategy equivalence, determinism, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.similarity import (
+    lsh_bucketed_topk,
+    top_k_similarity_blocked,
+    top_k_similarity_join,
+)
+from asctb_ct_label_mapper_spark.plans.audit import assert_broadcast_join
+
+
+def _vec_tables(spark, n_q=20, n_r=50, dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    q = [(i, rng.standard_normal(dim).astype(np.float32).tolist()) for i in range(n_q)]
+    r = [(1000 + i, rng.standard_normal(dim).astype(np.float32).tolist()) for i in range(n_r)]
+    qdf = spark.createDataFrame(q, "vec_id long, embedding array<float>")
+    rdf = spark.createDataFrame(r, "vec_id long, embedding array<float>")
+    return qdf, rdf
+
+
+def _collect_ranked(df):
+    return sorted(
+        (r["vec_id"], r["rank"], r["ref_id"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+def test_join_and_blocked_strategies_agree(spark):
+    qdf, rdf = _vec_tables(spark)
+    a = top_k_similarity_join(qdf, rdf, 3, ["vec_id"], "vec_id")
+    b = top_k_similarity_blocked(qdf, rdf, 3, ["vec_id"], "vec_id")
+    assert _collect_ranked(a) == _collect_ranked(b)
+
+
+def test_topk_counts_and_rank_range(spark):
+    qdf, rdf = _vec_tables(spark, n_q=5, n_r=10)
+    out = top_k_similarity_join(qdf, rdf, 4, ["vec_id"], "vec_id").collect()
+    assert len(out) == 5 * 4
+    assert {r["rank"] for r in out} == {1, 2, 3, 4}
+
+
+def test_tie_break_is_min_ref_id(spark):
+    # two identical reference vectors -> equal scores -> lower id wins rank 1
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    r = spark.createDataFrame(
+        [(20, [2.0, 0.0]), (10, [4.0, 0.0]), (30, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = top_k_similarity_join(q, r, 2, ["vec_id"], "vec_id").orderBy("rank").collect()
+    assert [row["ref_id"] for row in out] == [10, 20]
+
+
+def test_k_larger_than_reference(spark):
+    qdf, rdf = _vec_tables(spark, n_q=3, n_r=2)
+    a = top_k_similarity_join(qdf, rdf, 5, ["vec_id"], "vec_id")
+    b = top_k_similarity_blocked(qdf, rdf, 5, ["vec_id"], "vec_id")
+    assert a.count() == 3 * 2
+    assert _collect_ranked(a) == _collect_ranked(b)
+
+
+def test_join_strategy_broadcasts_reference(spark):
+    qdf, rdf = _vec_tables(spark)
+    out = top_k_similarity_join(qdf, rdf, 3, ["vec_id"], "vec_id")
+    assert_broadcast_join(out)
+
+
+def test_lsh_recall_reasonable(spark):
+    qdf, rdf = _vec_tables(spark, n_q=30, n_r=60, dim=8, seed=1)
+    exact = top_k_similarity_join(qdf, rdf, 1, ["vec_id"], "vec_id")
+    approx = lsh_bucketed_topk(qdf, rdf, 1, ["vec_id"], "vec_id", n_planes=4)
+    exact_best = {(r["vec_id"], r["ref_id"]) for r in exact.collect()}
+    approx_best = {(r["vec_id"], r["ref_id"]) for r in approx.collect()}
+    recall = len(exact_best & approx_best) / len(exact_best)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_ref_payload_columns_ride_along(spark):
+    qdf, rdf = _vec_tables(spark, n_q=2, n_r=3)
+    rdf = rdf.withColumn("payload", F.concat(F.lit("p"), F.col("vec_id")))
+    out = top_k_similarity_join(
+        qdf, rdf, 1, ["vec_id"], "vec_id", ref_payload_cols=["payload"]
+    )
+    rows = out.collect()
+    assert all(r["payload"] == f"p{r['ref_id']}" for r in rows)

@@ -1,0 +1,121 @@
+"""Sources: S1/S2 config lookup, S3 skiprows CSV, S4 offline enrichment,
+S6 BOM CSV sink, S7 parquet round-trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.enrich import (
+    NAN_SENTINEL,
+    enrich_with_definitions,
+    normalize_ct_id_expr,
+)
+from asctb_ct_label_mapper_spark.sources.config import (
+    encode_config_fixture,
+    lookup_sheet_ref,
+    sheet_config_df,
+)
+from asctb_ct_label_mapper_spark.sources.csv_skip import read_csv_skiprows
+from asctb_ct_label_mapper_spark.sources.sinks import write_csv_utf8_sig, write_parquet
+
+ORGANS = [
+    {
+        "name": "Lung",
+        "display": "Lung",
+        "version": [
+            {"value": "lung-v1.1", "viewValue": "v1.1", "sheetId": "S1", "gid": "11",
+             "csvUrl": "http://example/lung11"},
+            {"value": "lung-v1.2", "viewValue": "v1.2", "sheetId": "S2", "gid": "12",
+             "csvUrl": "http://example/lung12"},
+        ],
+    },
+    {
+        "name": "Kidney",
+        "display": "Kidney",
+        "version": [
+            {"value": "kid-v1.0", "viewValue": "v1.0", "sheetId": "K1", "gid": "21",
+             "csvUrl": "http://example/kid10"},
+        ],
+    },
+]
+
+
+def test_sheet_config_parse_and_lookup(spark):
+    cfg = sheet_config_df(spark, encode_config_fixture(ORGANS))
+    assert cfg.count() == 2
+    ref = lookup_sheet_ref(cfg, "lung", "v1.2")  # case-insensitive organ
+    assert ref is not None and ref.sheet_id == "S2" and ref.gid == "12"
+    assert lookup_sheet_ref(cfg, "Lung", "v9.9") is None
+
+
+def test_csv_skiprows(spark, tmp_path):
+    p = tmp_path / "sheet.csv"
+    lines = ["meta1", "meta2", "meta3", "a,b", "1,x", "2,y"]
+    p.write_text("\n".join(lines))
+    df = read_csv_skiprows(spark, str(p), skiprows=3)
+    assert df.columns == ["a", "b"]
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [("1", "x"), ("2", "y")]
+
+
+def test_normalize_ct_id(spark):
+    df = spark.createDataFrame([("CL:0002062",)], "id string")
+    assert df.select(normalize_ct_id_expr(F.col("id")).alias("o")).first()["o"] == "CL_0002062"
+
+
+def test_enrich_with_fixture(spark):
+    ct = spark.createDataFrame(
+        [("CL:1", "alpha", "lbl-a"), ("CL:2", "beta", None), ("CL:3", "gamma", "lbl-g")],
+        "CT_ID string, CT_NAME string, CT_LABEL string",
+    )
+    fixture = spark.createDataFrame(
+        [("CL_1", "alpha label", "alpha definition"), ("CL_3", "gamma label", None)],
+        "ct_id_normalized string, label string, definition string",
+    )
+    out = {r["CT_ID"]: r for r in enrich_with_definitions(ct, fixture=fixture).collect()}
+    assert out["CL:1"]["definition"] == "alpha definition"
+    assert out["CL:1"]["all_text"] == "alpha lbl-a alpha definition"
+    # missing fixture row -> sentinel; null CT_LABEL -> null-propagating
+    # concat collapses to CT_NAME fallback (F11+P6 parity)
+    assert out["CL:2"]["definition"] == NAN_SENTINEL
+    assert out["CL:2"]["all_text"] == "beta"
+    # null definition inside the fixture also maps to the sentinel
+    assert out["CL:3"]["definition"] == NAN_SENTINEL
+    assert out["CL:3"]["all_text"] == "gamma lbl-g NaN"
+
+
+def test_enrich_with_fetcher_batches(spark):
+    ct = spark.createDataFrame(
+        [("CL:1", "alpha", "x"), ("CL:1", "alpha", "x"), ("CL:2", "beta", "y")],
+        "CT_ID string, CT_NAME string, CT_LABEL string",
+    )
+    calls = {}
+
+    def fake_fetch(cid: str) -> tuple[str, str]:
+        calls[cid] = calls.get(cid, 0) + 1
+        return "lbl", f"def-{cid}"
+
+    out = enrich_with_definitions(ct, fetcher=fake_fetch).collect()
+    assert {r["definition"] for r in out} == {"def-CL_1", "def-CL_2"}
+
+
+def test_write_csv_utf8_sig(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "name string, n int")
+    out = str(tmp_path / "csvout")
+    write_csv_utf8_sig(df, out)
+    part = glob.glob(os.path.join(out, "part-*.csv"))[0]
+    data = open(part, "rb").read()
+    assert data.startswith(b"\xef\xbb\xbf")  # BOM
+    assert b"name,n" in data
+
+
+def test_parquet_roundtrip_array_float(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1.5, 2.5])], "id long, embedding array<float>")
+    out = str(tmp_path / "pq")
+    write_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert back.schema == df.schema
+    assert back.first()["embedding"] == [1.5, 2.5]

@@ -1,0 +1,59 @@
+"""Structured Streaming slice: the same builders run as availableNow
+streams over the events fixture and agree with their batch flavor."""
+
+from __future__ import annotations
+
+import pytest
+
+from asctb_ct_label_mapper_spark.schemas import load_table
+from asctb_ct_label_mapper_spark.streaming.events import (
+    dedup_events,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, events_batch, tmp_path_factory):
+    # stream from a micros-normalized copy (the raw fixture's NANOS
+    # timestamps are not stream-readable either); schema matches batch.
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    events_batch.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(events_batch.schema).parquet(path)
+
+
+def _run_stream(spark, sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_batch, events_stream):
+    batch = tumbling_counts(events_batch, "1 hour", streaming=False)
+    stream = _run_stream(
+        spark, tumbling_counts(events_stream, "1 hour", streaming=True), "tumbling"
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s
+
+
+def test_dedup_events_stream(spark, events_batch, events_stream):
+    n_batch = dedup_events(events_batch).count()
+    out = _run_stream(spark, dedup_events(events_stream, streaming=True), "dedup")
+    assert out.count() == n_batch  # fixture has unique event_ids
+
+
+def test_batch_dedup_drops_planted_dupe(spark, events_batch):
+    doubled = events_batch.unionByName(events_batch.limit(10))
+    assert dedup_events(doubled).count() == events_batch.count()
