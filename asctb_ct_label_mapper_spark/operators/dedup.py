@@ -102,11 +102,16 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     r = n_hashes // bands
-    sig = df.select(
+    # Materialize the shingle array in its OWN projection first: the
+    # signature references it n_hashes times, and inlining the
+    # split/slice/join pipeline into each of the 32 array_min terms
+    # multiplies the per-row cost ~32x (measured 96s -> ~3s at sf0.1).
+    shingled = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature_expr(word_shingles_expr(F.col(text_col), shingle_n), n_hashes).alias(
-            "_sig"
-        ),
+        word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+    )
+    sig = shingled.select(
+        "_id", minhash_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id",
@@ -131,9 +136,13 @@ def minhash_lsh_candidates(
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays.
+
+    |union| is derived as |a|+|b|-|intersect| (inputs are distinct), saving
+    the second array materialization — intersect is the only O(|a|+|b|)
+    set op per pair."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -174,30 +183,75 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard WITHIN a blocking key (oracle-checkable).
+    """Exact Jaccard pairs WITHIN a blocking key (oracle-checkable).
 
-    Quadratic in block size by design — the caller picks a block column
-    whose groups are bounded (source, language, length bucket ...). The
-    join is a shuffle equi-join on the block key, not a global cross join.
+    Two physical strategies with identical output:
+
+    - threshold > 0: set-similarity join — explode shingles, equi-join on
+      (block, shingle), count common shingles per pair, derive jaccard from
+      |a|+|b|-|common|. Work is proportional to actual shingle collisions,
+      never |block|^2 set materializations; all shuffles are equi-joins.
+      (Pairs with no common shingle have jaccard 0 < threshold, so the
+      join's inner semantics lose nothing.)
+    - threshold <= 0: genuine all-pairs within the block (must include
+      zero-overlap pairs), per-pair array intersection.
     """
     sh = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         word_shingles_expr(F.col(text_col), shingle_n).alias("_sh"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, "_blk")
+    if threshold <= 0:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        return (
+            a.join(b, "_blk")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .withColumn("jaccard", F.round(jaccard_expr(F.col("a._sh"), F.col("b._sh")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("_blk").alias(block_col),
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                "jaccard",
+            )
+        )
+
+    sizes = sh.select("_blk", "_id", F.size("_sh").alias("_sz"))
+    tok = sh.select("_blk", "_id", F.explode("_sh").alias("_s"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._s") == F.col("b._s")))
         .filter(F.col("a._id") < F.col("b._id"))
-        .withColumn("jaccard", F.round(jaccard_expr(F.col("a._sh"), F.col("b._sh")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("_blk").alias(block_col),
+        .groupBy(
+            F.col("a._blk").alias("_blk"),
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            "jaccard",
         )
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a")
+    )
+    sb = sizes.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b")
+    )
+    union_sz = F.col("_sz_a") + F.col("_sz_b") - F.col("_common")
+    return (
+        common.join(sa, ["_blk", "id_a"])
+        .join(sb, ["_blk", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union_sz > 0, F.col("_common").cast("double") / union_sz).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("_blk").alias(block_col), "id_a", "id_b", "jaccard")
     )
 
 
