@@ -36,6 +36,12 @@ from asctb_ct_label_mapper_spark.operators.textstats import (
     text_stats,
 )
 from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
+from asctb_ct_label_mapper_spark.operators.viz import (
+    embedding_projection_2d,
+    prepare_projection_input,
+    save_scatter_png,
+    save_venn_png,
+)
 
 __all__ = [
     "ct_triplet_unpivot",
@@ -44,6 +50,10 @@ __all__ = [
     "frame_sample",
     "normalize_ct_id_expr",
     "synthesize_media",
+    "embedding_projection_2d",
+    "prepare_projection_input",
+    "save_scatter_png",
+    "save_venn_png",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "exact_dedup_flags",

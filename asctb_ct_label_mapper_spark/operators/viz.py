@@ -1,0 +1,121 @@
+"""Embedding-visualization support (F14-F16, S8) and the driver-side plot
+edge.
+
+Reference: ``visualize_embeddings`` (plotting.py:72-119) — pickle read, P6
+imputations, np.vstack (F14), UMAP 2-d (F15), hover-text assembly (F16),
+plotly scatter (S8); ``make_venn_diagram`` saves a matplotlib PNG (S8).
+
+Engine split (SURVEY §3.3): everything up to the projection INPUT is a
+DataFrame plan (imputations, truncation, column assembly); the projection
+itself runs driver-side on the collected (small — reference scale is 83
+rows) matrix. UMAP is not in this container, so the scalable stand-in is a
+deterministic PCA via numpy SVD (SURVEY F15 names MLlib PCA / PCA fallback).
+Plot rendering is import-guarded: with matplotlib/plotly absent the data
+path still works and returns the plot-ready table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hover_text_expr(definition, max_len: int = 150):
+    """F16: first ``max_len`` chars of the definition (plotting.py:99)."""
+    return F.substring(definition, 1, max_len)
+
+
+def prepare_projection_input(
+    reference: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """P6 imputations + F16 assembly as one plan (plotting.py:89-103):
+    CT_LABEL falls back to CT_NAME then 'Unknown CT-Label'; 'NaN'
+    definitions fall back to CT_LABEL; hover text truncated."""
+    ct_label = F.coalesce(F.col("CT_LABEL"), F.col("CT_NAME"), F.lit("Unknown CT-Label"))
+    definition = F.when(F.col("definition") == "NaN", ct_label).otherwise(F.col("definition"))
+    return reference.select(
+        "CT_ID",
+        F.col("CT_NAME"),
+        ct_label.alias("CT_LABEL"),
+        hover_text_expr(definition).alias("hover_text"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def pca_2d(matrix: np.ndarray) -> np.ndarray:
+    """Deterministic 2-component PCA via SVD (F15 stand-in for UMAP).
+    Signs are fixed by forcing the largest-|loading| of each component
+    positive so results are reproducible across BLAS builds."""
+    centered = matrix - matrix.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    comps = vt[:2]
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return centered @ comps.T
+
+
+def embedding_projection_2d(reference: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """F14+F15: collect the (small) prepared reference table, stack the
+    embedding matrix, project to 2-d, and return a plot-ready DataFrame
+    (x, y, CT_ID, CT_LABEL, hover_text). The collect is the deliberate
+    driver boundary — projection inputs are reference-sized (10^2..10^4
+    rows), never the fact table."""
+    prepared = prepare_projection_input(reference, vec_col)
+    rows = prepared.collect()
+    if not rows:
+        return prepared.sparkSession.createDataFrame(
+            [], "CT_ID string, CT_NAME string, CT_LABEL string, hover_text string, x double, y double"
+        )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xy = pca_2d(mat)
+    out = [
+        (r["CT_ID"], r["CT_NAME"], r["CT_LABEL"], r["hover_text"], float(x), float(y))
+        for r, (x, y) in zip(rows, xy)
+    ]
+    return prepared.sparkSession.createDataFrame(
+        out, "CT_ID string, CT_NAME string, CT_LABEL string, hover_text string, x double, y double"
+    )
+
+
+def save_scatter_png(projection: DataFrame, path: str) -> bool:
+    """S8 scatter sink. Returns False (no-op) when matplotlib is absent —
+    the projection table itself is the tested artifact."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    rows = projection.collect()
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.scatter([r["x"] for r in rows], [r["y"] for r in rows], s=12)
+    fig.savefig(path)
+    plt.close(fig)
+    return True
+
+
+def save_venn_png(regions: DataFrame, path: str, labels=("A", "B", "C")) -> bool:
+    """S8 venn sink over ``operators.setops.venn_regions`` output. No-op
+    False without matplotlib_venn (not in this container)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib_venn import venn2, venn3  # type: ignore
+    except ImportError:
+        return False
+    counts = {r["region"]: r["n_labels"] for r in regions.collect()}
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if any(len(k) == 3 for k in counts):
+        venn3(subsets=counts, set_labels=labels, ax=ax)
+    else:
+        venn2(subsets=counts, set_labels=labels[:2], ax=ax)
+    fig.savefig(path)
+    plt.close(fig)
+    return True

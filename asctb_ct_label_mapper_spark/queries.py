@@ -532,6 +532,29 @@ def dt_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(_t(spark, sf_dir, "events"), "1 hour", streaming=False)
 
 
+@query(
+    "f18_json_extract",
+    """
+    SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+        count(*) OVER (PARTITION BY CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS k_freq
+    FROM events
+    """,
+)
+def f18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 nested-JSON path extraction (reference navigates
+    ['_embedded']['terms'][0]... at asctb_data_wrangling.py:155,178) over
+    the events.props JSON column, plus a frequency window."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    w = Window.partitionBy("k_value")
+    return (
+        ev.select("event_id", k.alias("k_value"))
+        .withColumn("k_freq", F.count(F.lit(1)).over(w))
+    )
+
+
 # =============================================================================
 # Domain pipeline: NLP cleaning, similarity join, exact overwrite, unpivot
 # =============================================================================
@@ -873,6 +896,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_features(synthesize_media(docs, "doc_id", "text"))
+
+
+@query("viz_projection")
+def viz_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14-F16: plot-ready 2-d PCA projection of a reference table built
+    from embeddings+part (driver-side SVD on the collected small table —
+    rows-only by nature; determinism is pinned in tests)."""
+    from asctb_ct_label_mapper_spark.operators.viz import embedding_projection_2d
+
+    emb = _t(spark, sf_dir, "embeddings").limit(200)
+    ref = emb.select(
+        F.concat(F.lit("V"), F.col("vec_id")).alias("CT_ID"),
+        F.concat(F.lit("vec "), F.col("vec_id")).alias("CT_NAME"),
+        F.lit(None).cast("string").alias("CT_LABEL"),
+        F.lit("NaN").alias("definition"),
+        F.col("embedding"),
+    )
+    return embedding_projection_2d(ref)
 
 
 def all_queries() -> dict[str, QueryFn]:

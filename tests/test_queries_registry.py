@@ -23,6 +23,7 @@ EXPECTED_ROWS_ONLY = {
     "dedup_simhash",
     "dedup_embedding",
     "multimodal_features",
+    "viz_projection",
 }
 
 

@@ -1,0 +1,66 @@
+"""F14-F16/S8: projection-input plan + deterministic PCA projection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.viz import (
+    embedding_projection_2d,
+    pca_2d,
+    prepare_projection_input,
+    save_scatter_png,
+)
+
+
+@pytest.fixture(scope="module")
+def reference(spark):
+    rows = [
+        ("CL:1", "alpha", "lbl-a", "def-a", [1.0, 0.0, 0.0]),
+        ("CL:2", "beta", None, "NaN", [0.0, 1.0, 0.0]),      # null label, NaN def
+        ("CL:3", "gamma", "lbl-g", "def-g" * 100, [0.0, 0.0, 1.0]),  # long def
+    ]
+    return spark.createDataFrame(
+        rows,
+        "CT_ID string, CT_NAME string, CT_LABEL string, definition string,"
+        " embedding array<float>",
+    )
+
+
+def test_prepare_projection_imputations(reference):
+    rows = {r["CT_ID"]: r for r in prepare_projection_input(reference).collect()}
+    assert rows["CL:2"]["CT_LABEL"] == "beta"  # null label -> CT_NAME
+    assert rows["CL:2"]["hover_text"] == "beta"  # NaN def -> imputed label
+    assert len(rows["CL:3"]["hover_text"]) == 150  # F16 truncation
+
+
+def test_pca_2d_deterministic_shape():
+    rng = np.random.RandomState(0)
+    m = rng.standard_normal((20, 8))
+    a, b = pca_2d(m), pca_2d(m)
+    assert a.shape == (20, 2)
+    assert np.array_equal(a, b)
+
+
+def test_projection_dataframe(reference):
+    out = embedding_projection_2d(reference)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert set(out.columns) == {"CT_ID", "CT_NAME", "CT_LABEL", "hover_text", "x", "y"}
+    assert all(isinstance(r["x"], float) for r in rows)
+
+
+def test_empty_projection(spark):
+    empty = spark.createDataFrame(
+        [],
+        "CT_ID string, CT_NAME string, CT_LABEL string, definition string,"
+        " embedding array<float>",
+    )
+    assert embedding_projection_2d(empty).count() == 0
+
+
+def test_save_scatter_png_degrades_without_matplotlib(reference, tmp_path):
+    out = embedding_projection_2d(reference)
+    # container has no matplotlib: must return False, never raise
+    assert save_scatter_png(out, str(tmp_path / "p.png")) in (True, False)
