@@ -15,8 +15,17 @@ Design rules (see SURVEY.md §4):
 - Explicit schemas everywhere; Parquet as the native format.
 """
 
+from asctb_ct_label_mapper_spark.pipeline import (
+    build_reference_embeddings,
+    map_raw_labels,
+)
 from asctb_ct_label_mapper_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "build_reference_embeddings",
+    "get_spark",
+    "map_raw_labels",
+    "__version__",
+]
