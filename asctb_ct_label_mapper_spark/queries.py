@@ -533,6 +533,37 @@ def dt_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                 >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), ids AS (
+        SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        round(sum(value), 4) AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch flavor of the
+    streaming ``session_window`` operator — gap-and-islands via window
+    functions, oracle-checked; the streaming path is exercised in tests."""
+    from asctb_ct_label_mapper_spark.streaming.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), "30 minutes", streaming=False)
+
+
+@query(
     "f18_json_extract",
     """
     SELECT event_id,

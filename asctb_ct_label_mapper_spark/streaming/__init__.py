@@ -1,5 +1,6 @@
 from asctb_ct_label_mapper_spark.streaming.events import (
     dedup_events,
+    sessionize,
     sliding_user_activity,
     stream_static_topk,
     tumbling_counts,
@@ -7,6 +8,7 @@ from asctb_ct_label_mapper_spark.streaming.events import (
 
 __all__ = [
     "dedup_events",
+    "sessionize",
     "sliding_user_activity",
     "stream_static_topk",
     "tumbling_counts",

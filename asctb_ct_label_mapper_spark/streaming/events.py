@@ -61,6 +61,71 @@ def sliding_user_activity(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-user sessions with a fixed inactivity gap.
+
+    Streaming: native ``session_window`` (state bounded by the watermark).
+    Batch: the classic gap-and-islands formulation (lag -> new-session flag
+    -> running session id), which is oracle-expressible in ANSI SQL — the
+    two paths produce the same (user_id, session_start, n_events, total)
+    rows on finite input.
+    """
+    if streaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+    from pyspark.sql import Window
+
+    gap_seconds = {"30 minutes": 1800, "1 hour": 3600}.get(gap)
+    if gap_seconds is None:
+        raise ValueError(f"unsupported batch gap {gap!r}")
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    # micros, not seconds: sub-second gaps matter; >= matches
+    # session_window's exclusive end (an event at exactly last+gap opens a
+    # new session)
+    gap_micros = gap_seconds * 1_000_000
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_user)
+            >= gap_micros,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "_session_id",
+        F.sum("_new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "_session_id")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour", streaming: bool = False) -> DataFrame:
     """Stateful exact dedup on event_id. Streaming uses
     ``dropDuplicatesWithinWatermark`` so state is bounded by the watermark;

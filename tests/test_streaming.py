@@ -8,6 +8,8 @@ import pytest
 from asctb_ct_label_mapper_spark.schemas import load_table
 from asctb_ct_label_mapper_spark.streaming.events import (
     dedup_events,
+    sessionize,
+    stream_static_topk,
     tumbling_counts,
 )
 
@@ -57,3 +59,37 @@ def test_dedup_events_stream(spark, events_batch, events_stream):
 def test_batch_dedup_drops_planted_dupe(spark, events_batch):
     doubled = events_batch.unionByName(events_batch.limit(10))
     assert dedup_events(doubled).count() == events_batch.count()
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch, events_stream):
+    batch = sessionize(events_batch, "30 minutes", streaming=False)
+    stream = _run_stream(
+        spark, sessionize(events_stream, "30 minutes", streaming=True), "sessions"
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s
+
+
+def test_stream_static_topk(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
+    from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").limit(50)
+    reference = (
+        part.select(
+            F.col("p_partkey").cast("string").alias("CT_ID"),
+            F.col("p_name").alias("CT_NAME"),
+        )
+        .withColumn("ct_name_cleaned", clean_text_expr(F.col("CT_NAME")))
+        .withColumn("embedding", stub_encode_udf(F.col("CT_NAME")))
+    )
+    labels = spark.createDataFrame(
+        [("s", "green widget"), ("s", "blue gear")], "source string, raw_input_label string"
+    )
+    # batch flavor of the stream-static plan: same builder, finite input
+    best = stream_static_topk(labels, reference, k=1)
+    rows = best.collect()
+    assert len(rows) == 2
+    assert all(r["best_ref_id"] is not None and r["best_score"] is not None for r in rows)
