@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "a1_topk_window",
     "w_running_total",
     "dt_events_hourly",
+    "e_sessionize",
+    "f18_json_extract",
     "nlp_clean_docs",
     "nlp_embed_text",
     "cos_topk_join",
