@@ -26,9 +26,14 @@ from asctb_ct_label_mapper_spark.operators.multimodal import (
 )
 from asctb_ct_label_mapper_spark.operators.setops import venn_regions
 from asctb_ct_label_mapper_spark.operators.similarity import (
+    ivf_topk,
     lsh_bucketed_topk,
     top_k_similarity_blocked,
     top_k_similarity_join,
+)
+from asctb_ct_label_mapper_spark.operators.skew import (
+    salted_join,
+    two_phase_distinct_count,
 )
 from asctb_ct_label_mapper_spark.operators.textstats import (
     fingerprint,
@@ -58,9 +63,12 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_flags",
     "fingerprint",
+    "ivf_topk",
     "jaccard_expr",
     "lang_id",
     "lsh_bucketed_topk",
+    "salted_join",
+    "two_phase_distinct_count",
     "map_labels_to_reference",
     "minhash_dedup_pairs",
     "minhash_lsh_candidates",

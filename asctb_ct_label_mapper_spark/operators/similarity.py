@@ -157,6 +157,80 @@ def top_k_similarity_blocked(
     return narrowed.mapInPandas(score_batches, schema=out_schema)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    reference: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    ref_id_col: str,
+    query_vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Train k-means centroids on the reference (MLlib, fixed seed), assign
+    every reference vector to its nearest list, and have each query probe
+    its ``n_probe`` nearest centroids — candidate generation becomes an
+    equi-join on the list id (broadcast when the reference is small, hash
+    shuffle otherwise). Classic IVF recall/cost trade: work per query drops
+    from O(c) to O(c * n_probe / n_lists) plus the centroid scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ref = reference.select(
+        F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
+    )
+    train = ref.select(array_to_vector(F.col("_ref_vec")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """ids of the n nearest centroids (squared L2), as an array —
+        a native expression over the broadcast centroid literals."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.lit([float(x) for x in cent]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n).getField("list_id")
+
+    ref_assigned = ref.withColumn("_list", nearest_lists(F.col("_ref_vec"), 1)[0])
+    q_assigned = queries.withColumn(
+        "_list", F.explode(nearest_lists(F.col(query_vec_col), n_probe))
+    )
+    candidates = q_assigned.join(F.broadcast(ref_assigned), "_list").drop("_list")
+    candidates = candidates.withColumn("_qnorm", norm_expr(F.col(query_vec_col))).withColumn(
+        "_rnorm", norm_expr(F.col("_ref_vec"))
+    )
+    denom = F.col("_qnorm") * F.col("_rnorm")
+    scored = candidates.withColumn(
+        "score",
+        F.when(denom != 0, dot_expr(F.col(query_vec_col), F.col("_ref_vec")) / denom),
+    ).drop("_ref_vec", "_qnorm", "_rnorm")
+    w = Window.partitionBy(*query_id_cols).orderBy(F.desc("score"), F.asc("ref_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec_col)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     return np.random.RandomState(seed).standard_normal((n_planes, dim))

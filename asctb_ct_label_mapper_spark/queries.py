@@ -37,6 +37,7 @@ from asctb_ct_label_mapper_spark.operators.mapping import (
 )
 from asctb_ct_label_mapper_spark.operators.setops import venn_regions
 from asctb_ct_label_mapper_spark.operators.similarity import (
+    ivf_topk,
     lsh_bucketed_topk,
     top_k_similarity_blocked,
     top_k_similarity_join,
@@ -687,6 +688,21 @@ def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
     out = lsh_bucketed_topk(
         queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id", n_planes=6
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
+@query("cos_topk_ivf")
+def cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-quantized ANN path (k-means lists + n_probe). Centroids depend
+    on MLlib's k-means internals -> rows-only; recall vs the exact operator
+    is pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    out = ivf_topk(
+        queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+        n_lists=8, n_probe=2,
     )
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 

@@ -25,6 +25,26 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    target_files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Partition-tuned parquet write (SURVEY §7 'partition-tuned writes'):
+    repartition on the partition columns first so each hive partition is
+    written by ``target_files_per_partition`` tasks instead of one file per
+    upstream task per partition — the difference between 10^2 and 10^5
+    files at fact-table scale. Partition pruning then serves point reads."""
+    writer = (
+        df.repartition(target_files_per_partition * max(1, len(partition_cols) * 8), *partition_cols)
+        if target_files_per_partition > 1
+        else df.repartition(*partition_cols)
+    )
+    writer.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_csv_utf8_sig(df: DataFrame, path: str, single_file: bool = True) -> None:
     """S6: header CSV export; optionally coalesced to one file with a BOM
     prepended (reference's utf-8-sig). coalesce(1) is an export-edge

@@ -18,6 +18,7 @@ EXPECTED_ROWS_ONLY = {
     # non-SQL-expressible by nature (stub encoder / hash-seed dependent /
     # binary payloads); everything else must carry an oracle
     "cos_topk_lsh",
+    "cos_topk_ivf",
     "mapping_report",
     "dedup_minhash",
     "dedup_simhash",

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.operators.similarity import (
+    ivf_topk,
     lsh_bucketed_topk,
     top_k_similarity_blocked,
     top_k_similarity_join,
@@ -76,6 +77,16 @@ def test_lsh_recall_reasonable(spark):
     approx_best = {(r["vec_id"], r["ref_id"]) for r in approx.collect()}
     recall = len(exact_best & approx_best) / len(exact_best)
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_recall_reasonable(spark):
+    qdf, rdf = _vec_tables(spark, n_q=30, n_r=60, dim=8, seed=2)
+    exact = top_k_similarity_join(qdf, rdf, 1, ["vec_id"], "vec_id")
+    approx = ivf_topk(qdf, rdf, 1, ["vec_id"], "vec_id", n_lists=6, n_probe=2)
+    exact_best = {(r["vec_id"], r["ref_id"]) for r in exact.collect()}
+    approx_best = {(r["vec_id"], r["ref_id"]) for r in approx.collect()}
+    recall = len(exact_best & approx_best) / len(exact_best)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
 def test_ref_payload_columns_ride_along(spark):

@@ -112,6 +112,24 @@ def test_write_csv_utf8_sig(spark, tmp_path):
     assert b"name,n" in data
 
 
+def test_write_partitioned_layout(spark, tmp_path):
+    from asctb_ct_label_mapper_spark.sources.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(100)], "id long, part string, v double"
+    )
+    out = str(tmp_path / "partitioned")
+    write_partitioned(df, out, ["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert sorted(r["part"] for r in back.select("part").distinct().collect()) == ["a", "b"]
+    # hive layout on disk, one file per partition (repartitioned first)
+    import glob
+
+    a_files = glob.glob(os.path.join(out, "part=a", "*.parquet"))
+    assert len(a_files) == 1
+
+
 def test_parquet_roundtrip_array_float(spark, tmp_path):
     df = spark.createDataFrame([(1, [1.5, 2.5])], "id long, embedding array<float>")
     out = str(tmp_path / "pq")
