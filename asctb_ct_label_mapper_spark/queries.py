@@ -520,6 +520,62 @@ def f_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_math_pack",
+    """
+    SELECT p_partkey,
+        round(sqrt(p_retailprice), 6) AS sqrt_price,
+        round(ln(p_retailprice + 1), 6) AS log_price,
+        round(pow(p_size, 2), 1) AS size_sq,
+        abs(p_size - 25) AS size_dev,
+        CAST(p_size % 7 AS INTEGER) AS size_mod
+    FROM part
+    """,
+)
+def f_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface (engine-inherited, exercised per SURVEY §2.6
+    'Date/math functions' note)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("log_price"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@query(
+    "dt_date_pack",
+    """
+    SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INTEGER)
+            AS days_since_2024
+    FROM orders
+    """,
+)
+def dt_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: extraction, arithmetic, formatting."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+    )
+
+
+@query(
     "dt_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
