@@ -987,6 +987,32 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_len_quantiles",
+    """
+    SELECT lang,
+        count(*) AS n_docs,
+        round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution stats per language (training-data curation:
+    exact percentiles; both engines interpolate linearly). The scale
+    variant swaps in ``approx_percentile`` for one-pass sketching."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary media rows from documents,
