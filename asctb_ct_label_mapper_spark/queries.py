@@ -576,6 +576,32 @@ def dt_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_string_pack2",
+    """
+    SELECT c_custkey,
+        regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+        reverse(c_mktsegment) AS segment_rev,
+        CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        upper(substring(c_mktsegment, 1, 3)) AS seg3
+    FROM customer
+    """,
+)
+def f_string_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function surface (regexp groups, padding, reverse,
+    position) — engine-inherited breadth beyond the reference's F-ops."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+    )
+
+
+@query(
     "dt_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
