@@ -283,29 +283,36 @@ def lsh_bucketed_topk(
     if dim is None:
         dim = len(reference.select(ref_vec_col).first()[0])
 
-    def bucket_array(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_signature_expr(vec, random_hyperplanes(dim, n_planes, seed + t)).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
+    # All T*P hyperplanes as ONE numpy tensor inside ONE Arrow-vectorized
+    # UDF per side. The equivalent native formulation (T*P aggregate
+    # expressions over 64-literal arrays) is correct but its expression
+    # tree is ~3k nodes — measured 3.4s of DRIVER-side analysis per query
+    # at T=4,P=6,d=64. Signature math is a (batch x d) @ (d x T*P) matmul.
+    planes = np.stack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (T, P, D)
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (D, T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.to_list(), dtype=np.float64)  # (n, D)
+        bits = (mat @ flat) > 0  # (n, T*P)
+        per_table = bits.reshape(len(mat), n_tables, n_planes)  # (n, T, P)
+        ids = (per_table * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(ids))
+
+    def with_buckets(df: DataFrame, vec: str, keep: Sequence[str]) -> DataFrame:
+        # posexplode: position = table index, value = bucket id
+        return df.select(
+            *keep, vec, F.posexplode(bucket_ids(F.col(vec))).alias("table", "bucket")
         )
 
-    q = queries.select(
-        *query_id_cols, query_vec_col, F.explode(bucket_array(F.col(query_vec_col))).alias("_b")
-    ).select(*query_id_cols, query_vec_col, "_b.table", "_b.bucket")
-    r = reference.select(
-        F.col(ref_id_col).alias("ref_id"),
-        F.col(ref_vec_col).alias("_ref_vec"),
+    q = with_buckets(queries, query_vec_col, query_id_cols)
+    r0 = reference.select(
+        F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )
-    r = r.select(
-        "ref_id", "_ref_vec", F.explode(bucket_array(F.col("_ref_vec"))).alias("_b")
-    ).select("ref_id", "_ref_vec", "_b.table", "_b.bucket")
+    r = with_buckets(r0, "_ref_vec", ["ref_id"])
 
     candidates = (
         q.join(F.broadcast(r), ["table", "bucket"])

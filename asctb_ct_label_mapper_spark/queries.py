@@ -769,7 +769,8 @@ def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
     out = lsh_bucketed_topk(
-        queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id", n_planes=6
+        queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+        n_planes=6, dim=64,
     )
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
