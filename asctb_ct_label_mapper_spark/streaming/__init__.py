@@ -2,6 +2,7 @@ from asctb_ct_label_mapper_spark.streaming.events import (
     dedup_events,
     sessionize,
     sliding_user_activity,
+    stateful_user_totals,
     stream_static_topk,
     tumbling_counts,
 )
@@ -9,6 +10,7 @@ from asctb_ct_label_mapper_spark.streaming.events import (
 __all__ = [
     "dedup_events",
     "sessionize",
+    "stateful_user_totals",
     "sliding_user_activity",
     "stream_static_topk",
     "tumbling_counts",

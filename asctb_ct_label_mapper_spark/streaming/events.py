@@ -135,6 +135,66 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour", streaming: bool =
     return events.dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    streaming: bool = False,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value total, carried across micro-batches in
+    explicit group state (the 'custom stateful operators' surface of the
+    engine brief; nothing in the reference needs it, SURVEY §2.8).
+
+    Batch flavor = plain groupBy (same totals on finite input), used as the
+    equivalence oracle in tests.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if not streaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_topk(
     label_stream: DataFrame,
     reference: DataFrame,

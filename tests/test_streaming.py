@@ -71,6 +71,33 @@ def test_sessionize_stream_matches_batch(spark, events_batch, events_stream):
     assert b == s
 
 
+def test_stateful_user_totals_matches_batch(spark, events_batch, events_stream):
+    from asctb_ct_label_mapper_spark.streaming.events import stateful_user_totals
+
+    batch = {r["user_id"]: r for r in stateful_user_totals(events_batch).collect()}
+    q = (
+        stateful_user_totals(events_stream, streaming=True)
+        .writeStream.format("memory")
+        .queryName("usertotals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per micro-batch per user; the LAST row per
+    # user carries the final state
+    stream_rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM usertotals"
+    ).collect()
+    final = {}
+    for r in stream_rows:  # memory sink appends in batch order
+        final[r["user_id"]] = r
+    assert set(final) == set(batch)
+    for uid, row in batch.items():
+        assert final[uid]["n_events"] == row["n_events"]
+        assert abs(final[uid]["total_value"] - row["total_value"]) < 1e-6
+
+
 def test_stream_static_topk(spark, sf_dir):
     from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
     from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
