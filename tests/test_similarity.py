@@ -89,6 +89,21 @@ def test_ivf_recall_reasonable(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_null_query_vector_ranks_last(spark):
+    # null embedding -> null score; desc ordering puts nulls last, so real
+    # matches still occupy ranks 1..k and the query row never crashes
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    r = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = top_k_similarity_join(q, r, 1, ["vec_id"], "vec_id").collect()
+    by_q = {row["vec_id"]: row for row in out}
+    assert by_q[1]["ref_id"] == 10 and by_q[1]["score"] is not None
+    assert by_q[2]["score"] is None  # null query still yields a row, ranked over nulls
+
+
 def test_ref_payload_columns_ride_along(spark):
     qdf, rdf = _vec_tables(spark, n_q=2, n_r=3)
     rdf = rdf.withColumn("payload", F.concat(F.lit("p"), F.col("vec_id")))
