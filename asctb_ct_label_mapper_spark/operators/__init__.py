@@ -39,6 +39,7 @@ from asctb_ct_label_mapper_spark.operators.textstats import (
     fingerprint,
     lang_id,
     text_stats,
+    winnowing_fingerprints,
 )
 from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
 from asctb_ct_label_mapper_spark.operators.viz import (
@@ -81,5 +82,6 @@ __all__ = [
     "top_k_similarity_blocked",
     "top_k_similarity_join",
     "venn_regions",
+    "winnowing_fingerprints",
     "word_shingles_expr",
 ]

@@ -142,6 +142,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al.): hash every
+    word n-gram, slide a window of ``window`` hashes, keep each window's
+    minimum — the classic near-dup/plagiarism fingerprint set, guaranteed
+    to share entries for any sufficiently long common substring.
+
+    One native expression chain: shingle -> hash (rolling over tokens) ->
+    windowed min -> distinct. Hash values are murmur3 (engine-internal, so
+    no cross-engine oracle; tests pin the overlap property).
+    """
+    from asctb_ct_label_mapper_spark.operators.dedup import word_shingles_expr
+
+    # ordered (non-distinct) shingles: windows must follow document order
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1))
+    shingles = F.when(
+        F.size(toks) >= shingle_n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle_n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(shingles, lambda s: F.hash(s))
+    widx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
+    mins = F.when(
+        F.size(hashes) >= window,
+        F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window))),
+    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(hashes))
+    return df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
+
+
 def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     from asctb_ct_label_mapper_spark.functions.nlp import sql_clean_text
 

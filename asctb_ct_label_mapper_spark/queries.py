@@ -1040,6 +1040,18 @@ def text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("winnowing_docs")
+def winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint sets per document (murmur3 is
+    engine-internal -> rows-only; the substring-overlap property is pinned
+    in tests)."""
+    from asctb_ct_label_mapper_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnowing_fingerprints(docs)
+    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints")
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary media rows from documents,

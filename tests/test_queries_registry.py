@@ -25,6 +25,7 @@ EXPECTED_ROWS_ONLY = {
     "dedup_embedding",
     "multimodal_features",
     "viz_projection",
+    "winnowing_docs",
 }
 
 

@@ -61,6 +61,32 @@ def test_fingerprint_order_insensitive(spark):
     assert rows[1]["content_hash"] != rows[2]["content_hash"]
 
 
+def test_winnowing_shares_fingerprints_on_common_substring(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import winnowing_fingerprints
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {common} closing remark one"),
+            (2, f"other prefix {common} different ending here"),
+            (3, "totally unrelated text with no shared phrases at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "docs sharing a long substring must share fingerprints"
+    assert not (fps[1] & fps[3])
+
+
+def test_winnowing_short_doc(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["fingerprints"] for r in winnowing_fingerprints(df).collect()}
+    assert rows[1] == []  # shorter than one shingle
+    assert len(rows[2]) == 1  # fewer hashes than window -> single min
+
+
 def test_fingerprint_punctuation_insensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta"), (2, "Alpha! beta.")], "doc_id long, text string"
