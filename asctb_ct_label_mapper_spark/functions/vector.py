@@ -46,7 +46,10 @@ def norm_expr(a: Column) -> Column:
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity, the reference's F13 (main.py:86-89) as a single
     native expression. Null/zero-norm safe: returns NULL on zero vectors
-    (the reference would produce NaN; NULL is the relational equivalent)."""
+    (the reference would produce NaN; NULL is the relational equivalent).
+    Mismatched dimensions also yield NULL (``zip_with`` pads with nulls) —
+    callers joining differently-encoded columns see null scores, not wrong
+    ones."""
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom != 0, dot_expr(a, b) / denom)
 
