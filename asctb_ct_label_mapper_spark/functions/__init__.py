@@ -11,6 +11,7 @@ from asctb_ct_label_mapper_spark.functions.vector import (
     cosine_expr,
     dot_expr,
     norm_expr,
+    sentence_encoder_udf,
     sql_cosine,
     stub_encode_udf,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "cosine_expr",
     "dot_expr",
     "norm_expr",
+    "sentence_encoder_udf",
     "sql_cosine",
     "stub_encode_udf",
 ]

@@ -15,6 +15,7 @@ correctness tests in place of a downloaded SentenceTransformer
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -78,6 +79,43 @@ def _stub_encode_one(text: str, dim: int) -> np.ndarray:
         vals[0] = 1.0
         n = 1.0
     return (vals / n).astype(np.float32)
+
+
+def sentence_encoder_udf(
+    model_name: str = "sentence-transformers/all-mpnet-base-v2",
+    batch_size: int = 64,
+):
+    """F12 REAL-model seam: iterator pandas UDF loading a SentenceTransformer
+    ONCE per Python worker and encoding in batches — the production
+    replacement for ``stub_encode_udf`` (same signature: Column -> Column).
+    The reference encodes row-at-a-time via ``df.apply`` (main.py:50-56);
+    the iterator form amortizes the model load across the whole partition.
+
+    ``sentence_transformers`` is not in this container: the returned UDF
+    raises ImportError AT EXECUTION with a clear message, and tests pin
+    that behavior. The Spark-side plumbing (schema, batching, plan shape)
+    is identical to the stub path, which is what the correctness suite
+    exercises.
+    """
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise ImportError(
+                "sentence_transformers is required for the real encoder; "
+                "use stub_encode_udf for deterministic offline runs"
+            ) from e
+        model = SentenceTransformer(model_name)  # once per worker
+        for series in batches:
+            texts = series.fillna("").tolist()
+            vecs = model.encode(texts, batch_size=batch_size)
+            yield pd.Series([v.astype(np.float32) for v in vecs])
+
+    def encoder(texts: Column) -> Column:
+        return _encode(texts)
+
+    return encoder
 
 
 def stub_encode_udf(texts: Column, dim: int = DEFAULT_STUB_DIM) -> Column:

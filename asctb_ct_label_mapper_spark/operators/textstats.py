@@ -60,6 +60,31 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(
             F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)), 6
         ).alias("stopword_ratio"),
+        # composite quality in [0,1]: length band (20..2000 chars), lexical
+        # diversity, low punctuation. Weights are heuristic; the point is a
+        # single filterable scalar computed entirely in codegen.
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(1.0),
+                    0.4 * F.when((n_chars >= 20) & (n_chars <= 2000), 1.0).otherwise(0.2)
+                    + 0.3
+                    * F.when(
+                        n_tokens > 0,
+                        F.size(F.array_distinct(toks)).cast("double") / n_tokens,
+                    ).otherwise(F.lit(0.0))
+                    + 0.3
+                    * (
+                        1.0
+                        - F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                ),
+            ),
+            6,
+        ).alias("quality_score"),
     )
 
 
@@ -82,7 +107,16 @@ def sql_text_stats(table: str = "documents", text_col: str = "text", id_col: str
         round(CASE WHEN len(string_split({t}, ' ')) > 0
             THEN CAST(len(list_filter(string_split({t}, ' '), w -> lower(w) IN ({stop_list})))
                       AS DOUBLE) / len(string_split({t}, ' ')) ELSE 0.0 END, 6)
-            AS stopword_ratio
+            AS stopword_ratio,
+        round(greatest(0.0, least(1.0,
+            0.4 * CASE WHEN length({t}) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.2 END
+            + 0.3 * CASE WHEN len(string_split({t}, ' ')) > 0
+                THEN CAST(len(list_distinct(string_split({t}, ' '))) AS DOUBLE)
+                     / len(string_split({t}, ' ')) ELSE 0.0 END
+            + 0.3 * (1.0 - CASE WHEN length({t}) > 0
+                THEN CAST(length({t}) - length(regexp_replace({t}, '[^a-zA-Z0-9 ]', '', 'g'))
+                          AS DOUBLE) / length({t}) ELSE 0.0 END)
+        )), 6) AS quality_score
     FROM {table}
     """
 

@@ -36,6 +36,10 @@ def test_text_stats_hand_computed(docs):
     r4 = rows[4]
     assert r4["punct_ratio"] > 0  # ',' and '!'
     assert r4["n_regex_tokens"] == 4  # hello , world !
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    # diverse short text beats degenerate repetition
+    assert rows[1]["quality_score"] > rows[3]["quality_score"]
 
 
 def test_lang_id_markers(docs):

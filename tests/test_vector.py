@@ -50,6 +50,22 @@ def test_cosine_float32_inputs_match_double_math(spark):
     assert math.isclose(got, expected, rel_tol=1e-12)
 
 
+def test_real_encoder_seam_errors_cleanly_without_lib(spark):
+    from asctb_ct_label_mapper_spark.functions.vector import sentence_encoder_udf
+    from pyspark.sql.utils import PythonException
+
+    encoder = sentence_encoder_udf()
+    df = spark.createDataFrame([("x",)], "t string").select(
+        encoder(F.col("t")).alias("v")
+    )
+    # the container has no sentence_transformers: the worker must raise the
+    # guiding ImportError (not a cryptic pickle/attr failure)
+    import pytest as _pytest
+
+    with _pytest.raises(PythonException, match="sentence_transformers is required"):
+        df.collect()
+
+
 def test_stub_encoder_deterministic_unit_vectors(spark):
     df = spark.createDataFrame([("basal cell",), ("basal cell",), ("tuft cell",)], "t string")
     rows = df.select(stub_encode_udf(F.col("t")).alias("v")).collect()
