@@ -494,6 +494,61 @@ def g_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_below_avg_qty",
+    """
+    SELECT l.l_partkey,
+        count(*) AS n_small_lines,
+        round(sum(l.l_extendedprice), 2) AS small_revenue
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.pk
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def q17_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern (TPC-H Q17 shape): each line compared
+    to its part's average quantity — decorrelated into a self-join against
+    the per-part aggregate, the plan Catalyst produces for the subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li["l_partkey"] == avg_qty["pk"])
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
+@query(
+    "a_having_filter",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def a_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
     "f_scalar_pack",
     """
     SELECT p_partkey,
