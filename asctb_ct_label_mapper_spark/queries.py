@@ -372,6 +372,84 @@ def r5_venn_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_array_pack",
+    """
+    SELECT vec_id,
+        len(embedding) AS dim,
+        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+        round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+        round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_smallest,
+        len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def f_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the vector column: indexing, min/max,
+    sort, filter — all native higher-order expressions."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("min_val"),
+        F.round(F.element_at(F.array_sort(emb), 2).cast("double"), 6).alias(
+            "second_smallest"
+        ),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "venn3_regions",
+    """
+    WITH a AS (SELECT DISTINCT c_nationkey AS label FROM customer
+               WHERE c_acctbal > 9900),
+         b AS (SELECT DISTINCT s_nationkey AS label FROM supplier
+               WHERE s_acctbal > 9000),
+         c AS (SELECT DISTINCT c_nationkey AS label
+               FROM customer JOIN orders ON o_custkey = c_custkey
+               WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000),
+         ab AS (SELECT coalesce(a.label, b.label) AS label,
+                       CASE WHEN a.label IS NULL THEN 0 ELSE 1 END AS in_a,
+                       CASE WHEN b.label IS NULL THEN 0 ELSE 1 END AS in_b
+                FROM a FULL OUTER JOIN b ON a.label = b.label),
+         f AS (SELECT coalesce(ab.label, c.label) AS label,
+                      coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b,
+                      CASE WHEN c.label IS NULL THEN 0 ELSE 1 END AS in_c
+               FROM ab FULL OUTER JOIN c ON ab.label = c.label)
+    SELECT concat(CAST(in_a AS VARCHAR), CAST(in_b AS VARCHAR),
+                  CAST(in_c AS VARCHAR)) AS region,
+           count(*) AS n_labels
+    FROM f GROUP BY 1
+    """,
+)
+def venn3_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way venn regions (reference plotting.py:46-53 Counter keys) in one
+    pass: chained full-outer presence flags + a single groupBy."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("label"))
+    )
+    b = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("label"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
+    c = cust.join(orders, cust["c_custkey"] == orders["o_custkey"]).select(
+        F.col("c_nationkey").alias("label")
+    )
+    return venn_regions(a, b, c)
+
+
+@query(
     "a1_topk_window",
     """
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn AS rank

@@ -1,0 +1,38 @@
+"""Venn-region operator: hand-computable 2-set and 3-set fixtures
+(reference plotting.py:22-54 semantics, Counter-key region masks)."""
+
+from __future__ import annotations
+
+from asctb_ct_label_mapper_spark.operators.setops import venn_regions
+
+
+def _df(spark, labels):
+    return spark.createDataFrame([(x,) for x in labels], "label string")
+
+
+def test_two_set_regions(spark):
+    a = _df(spark, ["x", "y", "z"])
+    b = _df(spark, ["y", "z", "w"])
+    regions = {r["region"]: r["n_labels"] for r in venn_regions(a, b).collect()}
+    assert regions == {"10": 1, "01": 1, "11": 2}
+
+
+def test_three_set_regions(spark):
+    a = _df(spark, ["1", "2", "3", "4"])
+    b = _df(spark, ["3", "4", "5"])
+    c = _df(spark, ["4", "5", "6"])
+    regions = {r["region"]: r["n_labels"] for r in venn_regions(a, b, c).collect()}
+    assert regions == {
+        "100": 2,  # 1, 2
+        "110": 1,  # 3
+        "111": 1,  # 4
+        "011": 1,  # 5
+        "001": 1,  # 6
+    }
+
+
+def test_duplicates_in_input_do_not_inflate_counts(spark):
+    a = _df(spark, ["x", "x", "y"])
+    b = _df(spark, ["y", "y"])
+    regions = {r["region"]: r["n_labels"] for r in venn_regions(a, b).collect()}
+    assert regions == {"10": 1, "11": 1}
