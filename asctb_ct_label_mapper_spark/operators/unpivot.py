@@ -9,6 +9,11 @@ so the regex prune is plain Python over ``df.columns``; the data path is
 per-triplet ``select`` + ``unionByName`` (UNION ALL, one shuffle-free scan
 each) -> ``dropDuplicates`` (one shuffle) -> sentinel ``coalesce``.
 
+R6 (the reference's ``reset_index(drop=True)``,
+asctb_data_wrangling.py:208) is a no-op here: Spark rows carry no
+positional index, and the downstream positional ``.loc`` gathers are
+replaced by explicit join keys (SURVEY §2.3 R6, §2.4 J3/J4).
+
 The reference's LABEL regex is single-digit only (``^CT/[0-9]/LABEL$``,
 asctb_data_wrangling.py:96) — levels >= 10 lose their LABEL column. We
 preserve that quirk behind ``strict_label_regex`` (default True for parity;
