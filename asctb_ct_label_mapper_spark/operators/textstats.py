@@ -176,12 +176,20 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def md5_prefix_hash(col):
+    """Cross-engine 32-bit string hash: first 8 hex chars of md5 as a
+    bigint. Slower than murmur3 (``F.hash``) but reproducible in any engine
+    with an md5 function, so winnowing output can be oracle-checked."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     window: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Rolling-hash winnowing fingerprints (Schleimer et al.): hash every
     word n-gram, slide a window of ``window`` hashes, keep each window's
@@ -189,11 +197,14 @@ def winnowing_fingerprints(
     to share entries for any sufficiently long common substring.
 
     One native expression chain: shingle -> hash (rolling over tokens) ->
-    windowed min -> distinct. Hash values are murmur3 (engine-internal, so
-    no cross-engine oracle; tests pin the overlap property).
+    windowed min -> distinct. The default hash is murmur3 (``F.hash``,
+    engine-internal — fastest, no cross-engine oracle); pass
+    ``hash_fn=md5_prefix_hash`` for an oracle-reproducible variant.
     """
-    from asctb_ct_label_mapper_spark.operators.dedup import word_shingles_expr
-
+    if hash_fn is None:
+        # wrapped: F.hash is variadic, which transform() can't introspect
+        def hash_fn(s):
+            return F.hash(s)
     # ordered (non-distinct) shingles: windows must follow document order
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1))
@@ -201,7 +212,7 @@ def winnowing_fingerprints(
         F.size(toks) >= shingle_n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle_n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(shingles, lambda s: F.hash(s))
+    hashes = F.transform(shingles, hash_fn)
     widx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
     mins = F.when(
         F.size(hashes) >= window,

@@ -335,7 +335,10 @@ def r4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("keyval"))
     )
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT (set) semantics: a value present in b at ALL is
+    # dropped regardless of its multiplicity in a. exceptAll().distinct()
+    # would keep values whose multiplicity in a exceeds that in b.
+    return a.subtract(b)
 
 
 @query(
@@ -1177,12 +1180,88 @@ def text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprint sets per document (murmur3 is
     engine-internal -> rows-only; the substring-overlap property is pinned
-    in tests)."""
+    in tests). Fingerprints are serialized to a comma-joined string so the
+    driver's canonicalizer can sort/hash the column (raw arrays stay
+    available through the operator itself)."""
     from asctb_ct_label_mapper_spark.operators.textstats import winnowing_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
     out = winnowing_fingerprints(docs)
-    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints")
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_join(
+            F.transform("fingerprints", lambda x: x.cast("string")), ","
+        ).alias("fingerprints"),
+    )
+
+
+@query(
+    "winnowing_md5",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+            unnest(CASE WHEN len(toks) >= 3
+                THEN [array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, len(toks) - 2 + 1)]
+                ELSE [] END) AS shingle,
+            unnest(CASE WHEN len(toks) >= 3
+                THEN range(1, len(toks) - 2 + 1) ELSE [] END) AS pos
+        FROM t
+    ),
+    h AS (
+        SELECT doc_id, pos,
+            CAST(list_sum([(strpos('0123456789abcdef',
+                                   substring(md5(shingle), j, 1)) - 1)
+                           * power(16, 8 - j) for j in range(1, 9)])
+                 AS BIGINT) AS hv
+        FROM sh
+    ),
+    w AS (
+        SELECT doc_id, pos,
+            min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+            count(*) OVER (PARTITION BY doc_id) AS n
+        FROM h
+    ),
+    sel AS (
+        SELECT doc_id, wmin FROM w WHERE n >= 4 AND pos <= n - 3
+        UNION ALL
+        SELECT doc_id, min(hv) AS wmin FROM h GROUP BY doc_id
+        HAVING count(*) < 4
+    ),
+    agg AS (
+        SELECT doc_id,
+            list_transform(list_sort(list_distinct(list(wmin))),
+                           x -> CAST(x AS VARCHAR)) AS fps
+        FROM sel GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+        coalesce(len(a.fps), 0) AS n_fingerprints,
+        coalesce(array_to_string(a.fps, ','), '') AS fingerprints
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable winnowing: same rolling window-min structure but
+    hashed with the cross-engine md5-prefix hash, so DuckDB reproduces the
+    exact fingerprint values (rolling min expressed as a window function
+    over unnested shingle positions in the oracle)."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        md5_prefix_hash,
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnowing_fingerprints(docs, hash_fn=md5_prefix_hash)
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_join(
+            F.transform("fingerprints", lambda x: x.cast("string")), ","
+        ).alias("fingerprints"),
+    )
 
 
 @query("multimodal_features")
@@ -1196,7 +1275,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_features(synthesize_media(docs, "doc_id", "text"))
+    out = decode_features(synthesize_media(docs, "doc_id", "text"))
+    # serialize the feature vector for the driver's canonicalizer (raw
+    # array<float> stays available through decode_features itself)
+    return out.select(
+        "media_id",
+        "kind",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("features"),
+        "payload_bytes",
+    )
 
 
 @query("viz_projection")
