@@ -356,3 +356,87 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )
+
+
+# --- duplicate-group formation (connected components) -------------------------
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Turn near-duplicate PAIR lists into canonical duplicate GROUPS via
+    iterative min-label propagation (connected components; SURVEY §7 step 7
+    "connected components via union-find over edges") — no GraphFrames.
+
+    Each node's label starts as its own id; every iteration joins the edge
+    list against current labels and takes the min over {self} ∪ neighbors,
+    until a fixpoint (or ``max_iter``). The component label is therefore the
+    MIN id in the component, which doubles as the deterministic canonical
+    pick.
+
+    Returns one row per id (every id in ``all_ids`` if given, else every id
+    appearing in a pair): (id_col, group_id, group_size, is_canonical).
+    Singletons form their own group of size 1.
+
+    Scale design (100 TB): convergence is O(graph diameter) iterations, and
+    near-dup graphs are near-cliques (diameter 2-3 in practice), so the
+    fixed cap is generous. Each iteration is ONE hash-shuffle equi-join on
+    node id plus a groupBy-min — no skew beyond what the dup groups
+    themselves carry (a pathological mega-cluster would warrant the
+    large-star/small-star variant, which bounds iterations at O(log^2 n)).
+    ``localCheckpoint`` truncates lineage every iteration so the plan does
+    not grow with the iteration count; the convergence probe is a
+    ``limit(1)`` existence check, not a full count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if all_ids is not None:
+        out = (
+            all_ids.select(F.col(id_col).alias("node"))
+            .join(labels, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("label", "node").alias("group_id"),
+            )
+        )
+    else:
+        out = labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    w = Window.partitionBy("group_id")
+    return out.withColumn("group_size", F.count(F.lit(1)).over(w)).withColumn(
+        "is_canonical", F.col(id_col) == F.col("group_id")
+    )

@@ -1105,6 +1105,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_groups",
+    """
+    WITH RECURSIVE
+    sh AS (
+        SELECT lang AS blk, doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 0) + 1)])
+                AS shingles
+        FROM (SELECT lang, doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+              THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              ELSE 0.0 END, 6) >= 0.05
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, group_id,
+        count(*) OVER (PARTITION BY group_id) AS group_size,
+        (doc_id = group_id) AS is_canonical
+    FROM assigned
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP formation (SURVEY §7 step 7): deterministic exact
+    n-gram-Jaccard pairs (lang-blocked) -> connected components via
+    iterative min-label propagation -> (doc_id, group_id, group_size,
+    is_canonical) for every document incl. singletons. Oracle = the same
+    pairs fed through a DuckDB recursive CTE computing min reachable id."""
+    from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+    return duplicate_groups(pairs, all_ids=docs, id_col="doc_id").select(
+        "doc_id", "group_id", "group_size", "is_canonical"
+    )
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (banded; candidate pairs via bucket equi-join,

@@ -91,3 +91,38 @@ def test_simhash_near_dup_pairs(docs):
     assert pairs[(1, 2)] == 0  # identical -> distance 0
     if (1, 3) in pairs:  # near dup, small distance when blocked together
         assert pairs[(1, 3)] <= 8
+
+
+def test_duplicate_groups_transitive_chain(spark):
+    """A~B and B~C (but A not directly ~C) must collapse into ONE group
+    with the min id canonical; D~E forms its own; F stays a singleton."""
+    from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a int, id_b int"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in (10, 20, 30, 40, 50, 60)], "doc_id int")
+    rows = {
+        r["doc_id"]: (r["group_id"], r["group_size"], r["is_canonical"])
+        for r in duplicate_groups(pairs, all_ids=all_ids, id_col="doc_id").collect()
+    }
+    assert rows[10] == (10, 3, True)
+    assert rows[20] == (10, 3, False)
+    assert rows[30] == (10, 3, False)
+    assert rows[40] == (40, 2, True)
+    assert rows[50] == (40, 2, False)
+    assert rows[60] == (60, 1, True)
+
+
+def test_duplicate_groups_long_path_converges(spark):
+    """A path graph 1-2-3-...-8 (diameter 7) exercises multiple propagation
+    iterations; everything must land in group 1."""
+    from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a int, id_b int"
+    )
+    rows = duplicate_groups(pairs).collect()
+    assert {r["group_id"] for r in rows} == {1}
+    assert all(r["group_size"] == 8 for r in rows)
+    assert [r["doc_id"] for r in rows if r["is_canonical"]] == [1]
