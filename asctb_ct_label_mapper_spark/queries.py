@@ -1361,6 +1361,153 @@ def viz_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_projection_2d(ref)
 
 
+# =============================================================================
+# Source/sink operators S1-S7 as self-contained registry queries
+# =============================================================================
+
+_SHEET_CONFIG_ORGANS = [
+    {
+        "name": "Lung",
+        "version": [
+            {"viewValue": "v1.1", "sheetId": "SID-LUNG-11", "gid": "101"},
+            {"viewValue": "v1.2", "sheetId": "SID-LUNG-12", "gid": "102"},
+        ],
+    },
+    {
+        "name": "Kidney",
+        "version": [{"viewValue": "v1.0", "sheetId": "SID-KID-10", "gid": "201"}],
+    },
+    {
+        "name": "Heart",
+        "version": [
+            {"viewValue": "v1.2", "sheetId": "SID-HEART-12", "gid": "301"},
+        ],
+    },
+]
+
+
+def _sheet_config_b64() -> str:
+    from asctb_ct_label_mapper_spark.sources.config import encode_config_fixture
+
+    return encode_config_fixture(_SHEET_CONFIG_ORGANS)
+
+
+_SHEET_STRUCTURE = (
+    '[{"name":"VARCHAR","version":'
+    '[{"viewValue":"VARCHAR","sheetId":"VARCHAR","gid":"VARCHAR"}]}]'
+)
+
+
+@query(
+    "sheet_config_lookup",
+    f"""
+    WITH org AS (
+        SELECT unnest(json_transform(decode(from_base64('{_sheet_config_b64()}')),
+                      '{_SHEET_STRUCTURE}')) AS o
+    ), ver AS (
+        SELECT o.name AS name, unnest(o.version) AS v FROM org
+    )
+    SELECT name, v.viewValue AS view_value, v.sheetId AS sheet_id, v.gid AS gid
+    FROM ver WHERE lower(name) = 'lung' AND v.viewValue = 'v1.2'
+    """,
+)
+def sheet_config_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F17+S2: base64 GitHub-contents payload -> unbase64 -> from_json
+    (explicit schema) -> explode versions -> case-insensitive organ +
+    exact viewValue lookup (asctb_data_wrangling.py:9-66). The payload is a
+    deterministic fixture literal, decoded by BOTH engines from the same
+    base64 string."""
+    from asctb_ct_label_mapper_spark.sources.config import sheet_config_df
+
+    cfg = sheet_config_df(spark, _sheet_config_b64())
+    return (
+        cfg.select("name", F.explode("version").alias("v"))
+        .filter((F.lower(F.col("name")) == "lung") & (F.col("v.viewValue") == "v1.2"))
+        .select(
+            "name",
+            F.col("v.viewValue").alias("view_value"),
+            F.col("v.sheetId").alias("sheet_id"),
+            F.col("v.gid").alias("gid"),
+        )
+    )
+
+
+@query(
+    "csv_skiprows_scan",
+    "SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey % 7 = 0",
+)
+def csv_skiprows_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S6 round-trip: export a part subset through the utf-8-sig CSV sink,
+    prepend the 10-row Google-Sheets-style metadata prologue (BOM first, as
+    in a real Sheets export), then scan it back with the skiprows reader.
+    Oracle reads the same subset straight from parquet — any sink/scan
+    corruption (BOM leakage into the header, prologue rows surviving, type
+    mangling) breaks the hash."""
+    import glob
+    import os
+
+    from asctb_ct_label_mapper_spark.sources.csv_skip import read_csv_skiprows
+    from asctb_ct_label_mapper_spark.sources.sinks import write_csv_utf8_sig
+
+    base = "/tmp/spark_graft_fixtures/csv_skip"
+    src = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    write_csv_utf8_sig(src, base)  # S6: BOM + header, single file
+    part_file = glob.glob(os.path.join(base, "part-*.csv"))[0]
+    with open(part_file, "rb") as fh:
+        data = fh.read()
+    body = data[3:] if data.startswith(b"\xef\xbb\xbf") else data
+    prologue = "".join(f"sheet metadata row {i},, \n" for i in range(10)).encode()
+    # fresh filename: rewriting Spark's own part file in place would break
+    # its .crc sidecar and fail the subsequent read
+    export = os.path.join(base, "sheet_export.csv")
+    with open(export, "wb") as fh:
+        fh.write(b"\xef\xbb\xbf" + prologue + body)
+    back = read_csv_skiprows(spark, export, skiprows=10)
+    return back.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+
+
+@query(
+    "parquet_roundtrip",
+    """
+    SELECT vec_id, label, len(embedding) AS dim,
+        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+            AS checksum
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S5: write an embeddings subset (incl. the array<float> column the
+    reference's CSV sink corrupts, main.py:12,29-30) through the parquet
+    sink, read it back, and emit per-row checksums over the vector. Oracle
+    computes the same checksums from the ORIGINAL table — proving the
+    columnar round-trip is lossless."""
+    from asctb_ct_label_mapper_spark.sources.sinks import write_parquet
+
+    path = "/tmp/spark_graft_fixtures/emb_roundtrip"
+    src = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    write_parquet(src, path)  # S7
+    back = spark.read.parquet(path)  # S5
+    emb = F.col("embedding")
+    return back.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("checksum"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
