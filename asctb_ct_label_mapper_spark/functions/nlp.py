@@ -73,11 +73,19 @@ def clean_word_expr(word: Column) -> Column:
 def clean_text_expr(text: Column) -> Column:
     """Word-wise native cleaning pipeline (F8 composition, main.py:82).
 
-    split(' ') -> clean each word -> join(' '). Equivalent to the reference's
-    ``' '.join(execute_nlp_pipeline(w) for w in label.split())`` restricted
-    to the native steps F1/F3/F5.
+    split on any whitespace run, drop empty tokens, clean each word,
+    join(' ') — faithful to the reference's no-argument ``label.split()``
+    (main.py:82,139), which splits on arbitrary whitespace and drops
+    empties (so tabs / consecutive spaces collapse). Cleaned-to-empty words
+    are KEPT (the reference joins them too), only raw empties are dropped.
+    Restricted to the native steps F1/F3/F5.
+
+    Whitespace class is ASCII (Java ``\\s``); Python's split() additionally
+    treats \\x1c-\\x1f / NEL / NBSP / Unicode Zs as whitespace — documented
+    divergence on exotic inputs (label corpora are ASCII).
     """
-    return F.array_join(F.transform(F.split(text, " "), clean_word_expr), " ")
+    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return F.array_join(F.transform(toks, clean_word_expr), " ")
 
 
 def embedding_text_expr(text: Column, max_text_length: int = 150) -> Column:
@@ -90,10 +98,10 @@ def embedding_text_expr(text: Column, max_text_length: int = 150) -> Column:
       set at :91-99) — ``array_distinct`` keeps first occurrence.
     """
     truncated = F.substring(text, 1, max_text_length)
-    words = F.split(truncated, " ")
+    words = F.split(truncated, r"\s+")
     kept = F.filter(
         words,
-        lambda w: (~w.isin(*_STOPWORDS_SORTED)) & (w != F.lit("NaN")),
+        lambda w: (w != "") & (~w.isin(*_STOPWORDS_SORTED)) & (w != F.lit("NaN")),
     )
     cleaned = F.transform(kept, clean_word_expr)
     return F.array_join(F.array_distinct(cleaned), " ")
@@ -201,15 +209,90 @@ def clean_text_full_udf(texts: pd.Series) -> pd.Series:
 
 
 def sql_clean_text(col_sql: str) -> str:
-    """ANSI-SQL (DuckDB) equivalent of ``clean_text_expr`` for oracles.
-
-    Removing every char outside [a-zA-Z0-9 ] then lowercasing is equivalent
-    to the per-word native pipeline because the word splitter is a single
-    literal space: words never gain or lose their separating spaces.
-    """
-    return f"lower(regexp_replace({col_sql}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    """ANSI-SQL (DuckDB) equivalent of ``clean_text_expr`` for oracles:
+    the same split-on-whitespace-runs / drop-empties / per-word clean /
+    single-space join, mirrored structurally (not a flat regexp_replace,
+    which would diverge on consecutive-whitespace inputs)."""
+    word = "lower(regexp_replace(x, '[^a-zA-Z0-9]', '', 'g'))"
+    return (
+        f"array_to_string(list_transform(list_filter("
+        f"string_split_regex({col_sql}, '\\s+'), x -> x <> ''), x -> {word}), ' ')"
+    )
 
 
 def sql_not_stopword(word_sql: str) -> str:
     """DuckDB predicate mirroring ``is_not_stopword`` (raw word test)."""
     return f"({word_sql} NOT IN ({_SQL_STOPWORD_LIST}) AND {word_sql} <> 'NaN')"
+
+
+# --- DuckDB oracle for the FULL pipeline's deterministic fallback path -------
+#
+# When contractions/num2words/nltk are absent (this container),
+# clean_text_full_udf runs a fully deterministic path: contraction table ->
+# strip non-alnum -> digit->words (<1000 needed by the registry fixture) ->
+# lower -> identity-lemmatize + rstrip('s'). That path is SQL-expressible, so
+# F2/F4/F6 get a real cross-engine oracle (VERDICT r4 next-steps #5).
+
+
+def _sql_small(n_sql: str) -> str:
+    branches = " ".join(f"WHEN {i} THEN '{w}'" for i, w in enumerate(_SMALL_NUMBERS))
+    return f"(CASE {n_sql} {branches} END)"
+
+
+def _sql_tens(n_sql: str) -> str:
+    branches = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(_TENS) if i >= 2
+    )
+    return f"(CASE {n_sql} {branches} END)"
+
+
+def _sql_under_100(n_sql: str) -> str:
+    return (
+        f"(CASE WHEN {n_sql} < 20 THEN {_sql_small(n_sql)} "
+        f"ELSE {_sql_tens(f'(({n_sql})//10)')} || "
+        f"(CASE WHEN ({n_sql})%10 > 0 THEN '-' || {_sql_small(f'(({n_sql})%10)')} "
+        f"ELSE '' END) END)"
+    )
+
+
+def _sql_num_words(n_sql: str) -> str:
+    """integer (0..999) -> english words, mirroring ``_num_to_words``."""
+    return (
+        f"(CASE WHEN {n_sql} < 100 THEN {_sql_under_100(n_sql)} "
+        f"ELSE {_sql_small(f'(({n_sql})//100)')} || ' hundred' || "
+        f"(CASE WHEN ({n_sql})%100 > 0 THEN "
+        f"' and ' || {_sql_under_100(f'(({n_sql})%100)')} ELSE '' END) END)"
+    )
+
+
+def sql_clean_word_full(w_sql: str) -> str:
+    """DuckDB mirror of ``_FullPipeline.clean_word`` on the fallback path.
+
+    Order preserved from the reference pipeline (nlp_preprocessing.py:60-70):
+    F2 contraction (case-insensitive table, expansion may contain a space
+    which F3 then strips — quirk kept), F3 strip non-alnum, F4 digits->words
+    (AFTER F3, so only pure-digit tokens fire), F5 lower, F6 rstrip('s')
+    (strips ALL trailing s chars: 'glass' -> 'gla', as in Python rstrip).
+    """
+    branches = " ".join(
+        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN '{v}'"
+        for k, v in sorted(_CONTRACTIONS_FALLBACK.items())
+    )
+    w2 = f"(CASE lower({w_sql}) {branches} ELSE {w_sql} END)"
+    w3 = f"regexp_replace({w2}, '[^a-zA-Z0-9]', '', 'g')"
+    w4 = (
+        f"(CASE WHEN {w3} ~ '^[0-9]+$' "
+        f"THEN {_sql_num_words(f'CAST({w3} AS INTEGER)')} ELSE {w3} END)"
+    )
+    return f"regexp_replace(lower({w4}), 's+$', '')"
+
+
+def sql_clean_text_full(col_sql: str) -> str:
+    """DuckDB mirror of ``clean_text_full_udf`` (fallback path): no-arg
+    split semantics (whitespace runs, drop empties) -> full per-word clean
+    -> single-space join."""
+    return (
+        f"array_to_string(list_transform(list_filter("
+        f"string_split_regex({col_sql}, '\\s+'), x -> x <> ''), "
+        f"x -> {sql_clean_word_full('x')}), ' ')"
+    )

@@ -17,6 +17,13 @@ Divergences from the reference, both deliberate (SURVEY §4 item 3):
 - when several reference rows share a cleaned name, the exact-overwrite
   picks the minimum CT_ID, where the reference takes ``.values[0]`` —
   an arbitrary row (main.py:119; collisions are real in the golden CSV).
+
+The DEFAULT cleaner is the full six-step pipeline (``clean_text_full_udf``)
+matching the reference's ``execute_nlp_pipeline`` (nlp_preprocessing.py:
+42-70) — plural labels ('basal cells') exact-match singular CT_NAMEs
+('basal cell') via the rstrip('s') step, as the reference does (ADVICE r4).
+Pass ``clean=clean_text_expr`` for the codegen-only fast path when the
+corpus has no contractions/numerics/plural variance.
 """
 
 from __future__ import annotations
@@ -26,9 +33,12 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
+from asctb_ct_label_mapper_spark.functions.nlp import clean_text_full_udf
 from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
-from asctb_ct_label_mapper_spark.operators.similarity import top_k_similarity_join
+from asctb_ct_label_mapper_spark.operators.similarity import (
+    top_k_similarity_blocked,
+    top_k_similarity_join,
+)
 
 Encoder = Callable[[Column], Column]
 
@@ -38,7 +48,8 @@ def map_labels_to_reference(
     reference: DataFrame,
     k: int = 2,
     encoder: Encoder = stub_encode_udf,
-    clean: Callable[[Column], Column] = clean_text_expr,
+    clean: Callable[[Column], Column] = clean_text_full_udf,
+    strategy: str = "blocked",
 ) -> DataFrame:
     """Translate ``labels(source, raw_input_label)`` against
     ``reference(CT_ID, CT_NAME, definition, all_text, ct_name_cleaned,
@@ -50,19 +61,51 @@ def map_labels_to_reference(
     ``encoder`` defaults to the deterministic stub (tests / oracle); a real
     SentenceTransformer slots in as an iterator pandas UDF loading the model
     once per worker — same plan, different F12 expression.
+
+    ``strategy`` picks the physical top-k: "blocked" (default) streams
+    queries through the blocked-matmul ``mapInPandas`` with the reference
+    matrix broadcast once — zero shuffle, linear in query count, the 100 TB
+    shape — then broadcast-joins CT_NAME/all_text back by CT_ID (the
+    reference is broadcast-sized by construction here). "join" keeps the
+    cross-join + window plan (payload fused, no collect; use it when the
+    reference must stay distributed). Both are hash-identical (proven by
+    cos_topk_join / cos_topk_blocked sharing one oracle).
     """
     seed = labels.select("source", "raw_input_label").dropDuplicates()
     cleaned = seed.withColumn("cleaned_input_label", clean(F.col("raw_input_label")))
     encoded = cleaned.withColumn("embedding", encoder(F.col("cleaned_input_label")))
 
-    topk = top_k_similarity_join(
-        encoded,
-        reference,
-        k=k,
-        query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
-        ref_id_col="CT_ID",
-        ref_payload_cols=["CT_NAME", "all_text"],
-    )
+    # The reference feeds THREE consumers (top-k matrix/collect, payload
+    # join, exact-overwrite aggregate); it is broadcast-sized by
+    # construction (10^2-10^4 rows, SURVEY §1.3), so persist the narrowed
+    # projection once instead of re-running its encode/clean UDF chain per
+    # consumer (measured 1.55s -> 0.88s at sf0.1). LRU-evictable; callers
+    # looping over many organs may unpersist via their own handle.
+    reference = reference.select(
+        "CT_ID", "CT_NAME", "definition", "all_text", "ct_name_cleaned", "embedding"
+    ).persist()
+
+    if strategy == "blocked":
+        topk = top_k_similarity_blocked(
+            encoded,
+            reference,
+            k=k,
+            query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
+            ref_id_col="CT_ID",
+        )
+        payload = reference.select("CT_ID", "CT_NAME", "all_text")
+        topk = topk.join(
+            F.broadcast(payload), topk["ref_id"] == payload["CT_ID"], "left"
+        ).drop("CT_ID")
+    else:
+        topk = top_k_similarity_join(
+            encoded,
+            reference,
+            k=k,
+            query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
+            ref_id_col="CT_ID",
+            ref_payload_cols=["CT_NAME", "all_text"],
+        )
 
     # A2: rank -> columns. first() per (group, rank) is deterministic because
     # row_number makes (group, rank) unique.

@@ -17,7 +17,10 @@ from typing import Callable, Iterable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr, embedding_text_expr
+from asctb_ct_label_mapper_spark.functions.nlp import (
+    clean_text_full_udf,
+    embedding_text_expr,
+)
 from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
 from asctb_ct_label_mapper_spark.operators.enrich import enrich_with_definitions
 from asctb_ct_label_mapper_spark.operators.mapping import map_labels_to_reference
@@ -35,9 +38,14 @@ def build_reference_embeddings(
     encoder: Encoder = stub_encode_udf,
     max_text_length: int = 150,
     csv_export_path: str | None = None,
+    clean: Encoder = clean_text_full_udf,
 ) -> DataFrame:
     """Entry point 3.1 (reference main.py:9-60): wide sheet -> wrangled ->
     ontology-enriched -> embedding-text -> encoded reference table.
+
+    ``ct_name_cleaned`` uses the full six-step cleaner by default — the
+    reference cleans CT_NAME with ``execute_nlp_pipeline`` (main.py:139),
+    and the mapping side's default must agree or exact-overwrite misses.
 
     S5 cache probe: when ``cache_path`` exists it is read back directly
     (parquet replaces the reference's pickle, main.py:24-31) — the probe is
@@ -50,7 +58,7 @@ def build_reference_embeddings(
     ct = ct_triplet_unpivot(raw_sheet)  # P1-P5, R1-R3
     enriched = enrich_with_definitions(ct, fixture=ontology_fixture)  # S4, F10, F11, P6
     encoded = (
-        enriched.withColumn("ct_name_cleaned", clean_text_expr(F.col("CT_NAME")))
+        enriched.withColumn("ct_name_cleaned", clean(F.col("CT_NAME")))
         .withColumn("_embed_text", embedding_text_expr(F.col("all_text"), max_text_length))
         .withColumn("embedding", encoder(F.col("_embed_text")))
         .drop("_embed_text")

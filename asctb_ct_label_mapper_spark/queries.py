@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.functions.nlp import (
     clean_text_expr,
+    clean_text_full_udf,
     embedding_text_expr,
     sql_clean_text,
     sql_not_stopword,
@@ -828,14 +829,15 @@ def nlp_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
         SELECT doc_id,
-            unnest(string_split(substring(text, 1, 150), ' ')) AS raw,
-            unnest(range(1, len(string_split(substring(text, 1, 150), ' ')) + 1)) AS pos
+            unnest(string_split_regex(substring(text, 1, 150), '\\s+')) AS raw,
+            unnest(range(1, len(string_split_regex(substring(text, 1, 150), '\\s+')) + 1))
+                AS pos
         FROM documents
     ), cleaned AS (
         SELECT doc_id,
             lower(regexp_replace(raw, '[^a-zA-Z0-9]', '', 'g')) AS tok,
             pos
-        FROM toks WHERE {sql_not_stopword('raw')}
+        FROM toks WHERE raw <> '' AND {sql_not_stopword('raw')}
     ), firsts AS (
         SELECT doc_id, tok, min(pos) AS first_pos FROM cleaned GROUP BY doc_id, tok
     )
@@ -850,6 +852,53 @@ def nlp_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", embedding_text_expr(F.col("text"), 150).alias("embed_text")
     )
+
+
+def _nlp_full_label_sql() -> str:
+    return (
+        "concat_ws(' ', 'Don''t', p_name, CAST(p_partkey % 1000 AS VARCHAR), "
+        "'25', 'cells', 'glass')"
+    )
+
+
+def _register_nlp_clean_full() -> None:
+    from asctb_ct_label_mapper_spark.functions.nlp import sql_clean_text_full
+
+    label_sql = _nlp_full_label_sql()
+    oracle = f"""
+    SELECT p_partkey, {label_sql} AS raw_label,
+        {sql_clean_text_full(label_sql)} AS cleaned
+    FROM part
+    """
+
+    @query("nlp_clean_full", oracle)
+    def nlp_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FULL F1-F6 pipeline (F2 contractions, F4 digits->words, F6
+        rstrip-lemmatize) oracle-checked on its deterministic fallback path
+        (VERDICT r4 #5). The label column synthesizes contractions and
+        numeric tokens around p_name, since the driver tables contain
+        neither; the DuckDB oracle replays the same contraction table,
+        <1000 number-to-words CASE tree, and rstrip('s') per word."""
+        from asctb_ct_label_mapper_spark.functions.nlp import clean_text_full_udf
+
+        p = _t(spark, sf_dir, "part")
+        label = F.concat_ws(
+            " ",
+            F.lit("Don't"),
+            F.col("p_name"),
+            (F.col("p_partkey") % 1000).cast("string"),
+            F.lit("25"),
+            F.lit("cells"),
+            F.lit("glass"),
+        )
+        return p.select(
+            "p_partkey",
+            label.alias("raw_label"),
+            clean_text_full_udf(label).alias("cleaned"),
+        )
+
+
+_register_nlp_clean_full()
 
 
 _COS_TOPK_ORACLE = """
@@ -1046,7 +1095,10 @@ def mapping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_type").alias("definition"),
         )
         .withColumn("all_text", F.concat_ws(" ", "CT_NAME", "definition"))
-        .withColumn("ct_name_cleaned", clean_text_expr(F.col("CT_NAME")))
+        # full cleaner on BOTH sides (reference cleans CT_NAME with
+        # execute_nlp_pipeline at main.py:139; must agree with the mapping
+        # side's default or exact-overwrite misses)
+        .withColumn("ct_name_cleaned", clean_text_full_udf(F.col("CT_NAME")))
         .withColumn("embedding", stub_encode_udf(F.col("all_text")))
     )
     return map_labels_to_reference(labels, reference, k=2)

@@ -98,3 +98,35 @@ def test_inexact_label_keeps_cosine_ranks(report):
 
 def test_cleaned_label_column(report):
     assert report["Basal cell"]["cleaned_input_label"] == "basal cell"
+
+
+def test_plural_label_exact_matches_singular_reference(spark):
+    """ADVICE r4 (medium): with the full default cleaner, a plural input
+    label ('basal cells') must exact-match the singular reference CT_NAME
+    ('basal cell') via rstrip('s'), overwriting rank-1 with score 1.0 —
+    the reference's execute_nlp_pipeline behavior the native-subset cleaner
+    missed."""
+    from asctb_ct_label_mapper_spark.functions.nlp import clean_text_full_udf
+    from asctb_ct_label_mapper_spark.operators.mapping import map_labels_to_reference
+
+    labels = spark.createDataFrame(
+        [("test", "Basal Cells"), ("test", "unrelated thing")],
+        "source string, raw_input_label string",
+    )
+    reference = (
+        spark.createDataFrame(
+            [("CL:1", "basal cell", "def one"), ("CL:2", "tuft cell", "def two")],
+            "CT_ID string, CT_NAME string, definition string",
+        )
+        .withColumn("all_text", F.concat_ws(" ", "CT_NAME", "definition"))
+        .withColumn("ct_name_cleaned", clean_text_full_udf(F.col("CT_NAME")))
+        .withColumn("embedding", stub_encode_udf(F.col("all_text")))
+    )
+    out = {r["raw_input_label"]: r for r in map_labels_to_reference(labels, reference, k=2).collect()}
+    basal = out["Basal Cells"]
+    assert basal["cleaned_input_label"] == "basal cell"
+    assert basal["match_score_1"] == 1.0
+    assert basal["matched_asctb_id_1"] == "CL:1"
+    assert basal["match_score_2"] is None  # J2 null-out on exact rows
+    other = out["unrelated thing"]
+    assert other["match_score_1"] != 1.0

@@ -24,13 +24,18 @@ def _clean_one(spark, expr_builder, text):
 
 def test_clean_text_native_subset(spark):
     # F1 (spaces), F3 (special chars), F5 (lowercase), F8 (word-wise join);
-    # double space survives (split/join on single space, like the reference)
+    # whitespace RUNS collapse: the reference's no-argument label.split()
+    # (main.py:82,139) splits on any whitespace and drops empties, so
+    # consecutive spaces / tabs / newlines yield single-space joins
+    # (ADVICE r4: the old single-space splitter diverged here).
     assert (
         _clean_one(spark, clean_text_expr, "Adventitial  Fibroblasts!")
-        == "adventitial  fibroblasts"
+        == "adventitial fibroblasts"
     )
     assert _clean_one(spark, clean_text_expr, "AT-2 cell") == "at2 cell"
     assert _clean_one(spark, clean_text_expr, "CD8+ T cell") == "cd8 t cell"
+    assert _clean_one(spark, clean_text_expr, "a\t b\n\nc") == "a b c"
+    assert _clean_one(spark, clean_text_expr, "  edge  ") == "edge"
 
 
 def test_clean_text_null_safe(spark):
@@ -88,3 +93,51 @@ def test_embedding_text_truncates_at_150(spark):
     # only words inside the first 150 chars survive
     assert all(len(w) <= 30 for w in out.split())
     assert len(out.split()) <= 5
+
+
+def test_full_pipeline_fallback_quirks(spark):
+    """F2/F4/F6 deterministic fallback path (oracle-checked in
+    nlp_clean_full): contraction expansion loses its space to F3 ('donot'),
+    digits verbalize AFTER special-char strip, rstrip('s') strips ALL
+    trailing s chars."""
+    from asctb_ct_label_mapper_spark.functions.nlp import clean_text_full_udf
+
+    cases = {
+        "Don't": "donot",              # F2 then F3 strips the space
+        "25": "twenty-five",           # F4 (after F3), hyphen survives
+        "117": "one hundred and seventeen",
+        "cells": "cell",               # F6 rstrip('s')
+        "glass": "gla",                # rstrip strips ALL trailing s
+        "2x": "2x",                    # not pure digits -> F4 skipped
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "t string")
+    out = {r["t"]: r["o"] for r in df.select("t", clean_text_full_udf(F.col("t")).alias("o")).collect()}
+    assert out == cases
+
+
+def test_sql_clean_text_full_matches_python(spark):
+    """The DuckDB mirror of the fallback pipeline must agree with the UDF
+    on a stress fixture (contractions, numbers, runs of whitespace)."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.functions.nlp import (
+        clean_text_full_udf,
+        sql_clean_text_full,
+    )
+
+    texts = [
+        "Don't  count 25 cells",
+        "isn't\t999 glass beads",
+        "it's 0 or 100 and 515",
+        "plain label",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_out = {
+        r["t"]: r["o"]
+        for r in df.select("t", clean_text_full_udf(F.col("t")).alias("o")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture(t VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?)", [(t,) for t in texts])
+    duck_out = dict(con.sql(f"SELECT t, {sql_clean_text_full('t')} FROM fixture").fetchall())
+    assert spark_out == duck_out

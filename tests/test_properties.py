@@ -20,9 +20,17 @@ TEXT = st.text(
 
 
 def python_model(text: str) -> str:
-    """Reference semantics of the native subset: split on single space,
-    per word strip non-alphanumerics (F1+F3) and lowercase (F5), rejoin."""
-    return " ".join(re.sub("[^a-zA-Z0-9]", "", w).lower() for w in text.split(" "))
+    """Reference semantics of the native subset: no-argument split()
+    (whitespace runs, empties dropped — ADVICE r4 fidelity fix), per word
+    strip non-alphanumerics (F1+F3) and lowercase (F5), rejoin.
+
+    The engine's splitter class is ASCII whitespace (Java/RE2 ``\\s``);
+    Python's str.split() additionally treats \\x1c-\\x1f, NEL, NBSP and
+    Unicode Zs as whitespace — a documented divergence on exotic inputs
+    (label data is ASCII), so the model splits on the engine's class.
+    """
+    words = [w for w in re.split(r"[ \t\n\x0b\x0c\r]+", text) if w]
+    return " ".join(re.sub("[^a-zA-Z0-9]", "", w).lower() for w in words)
 
 
 @settings(max_examples=30, deadline=None)
