@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_gap_seconds(gap: str) -> int:
+    """Parse a Spark-style interval string ('30 minutes', '1 hour',
+    '45 seconds', '2 days') into seconds, so the batch gap-and-islands
+    flavor accepts any gap the streaming ``session_window`` accepts
+    (VERDICT r4 #7: the old two-entry lookup raised on everything else)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*", gap)
+    if m is None:
+        raise ValueError(f"cannot parse gap interval {gap!r}")
+    unit = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    return int(m.group(1)) * unit
+
+
 def tumbling_counts(
     events: DataFrame,
     window_len: str = "1 hour",
@@ -89,9 +103,7 @@ def sessionize(
         )
     from pyspark.sql import Window
 
-    gap_seconds = {"30 minutes": 1800, "1 hour": 3600}.get(gap)
-    if gap_seconds is None:
-        raise ValueError(f"unsupported batch gap {gap!r}")
+    gap_seconds = _parse_gap_seconds(gap)
     w_user = Window.partitionBy("user_id").orderBy("ts")
     # micros, not seconds: sub-second gaps matter; >= matches
     # session_window's exclusive end (an event at exactly last+gap opens a
@@ -202,7 +214,18 @@ def stream_static_topk(
 ) -> DataFrame:
     """Incremental mapping: a stream of raw labels joined against the static
     broadcast reference — stream-static joins need no state at all, so the
-    mapping pipeline is streaming-ready as-is (SURVEY §2.8)."""
+    mapping pipeline is streaming-ready as-is (SURVEY §2.8).
+
+    Window functions are unsupported on streams, so the per-label top-k is a
+    streaming-legal aggregation: ``collect_list(struct(score, ref_id))`` per
+    label, then one ``array_sort`` (score DESC, ref_id ASC — the SAME
+    deterministic tie-break as the batch operators, per ADVICE r4; the old
+    k=1 ``max_by`` broke ties toward the MAX ref_id in string collation) and
+    a ``slice`` to k, exploded with 1-based ranks. The collected list is
+    bounded by the reference cardinality (broadcast-sized), so state stays
+    small. Output: (raw_input_label, cleaned_input_label, ref_id, score,
+    rank), identical to the batch top-k contract.
+    """
     from asctb_ct_label_mapper_spark.functions.nlp import clean_text_expr
     from asctb_ct_label_mapper_spark.functions.vector import cosine_expr, stub_encode_udf
 
@@ -215,13 +238,30 @@ def stream_static_topk(
     scored = cleaned.crossJoin(F.broadcast(ref)).withColumn(
         "score", cosine_expr(F.col("embedding"), F.col("_ref_vec"))
     )
-    # Window functions are unsupported on streams; per-row top-1 via
-    # max_by-style aggregation per label would need output-mode complete.
-    # For k=1 the stream-safe formulation filters on the per-label max.
-    best = scored.groupBy("raw_input_label", "cleaned_input_label").agg(
-        F.max_by("ref_id", F.struct(F.col("score"), F.col("ref_id").cast("string"))).alias(
-            "best_ref_id"
-        ),
-        F.max("score").alias("best_score"),
+
+    def cmp(a, b):
+        return (
+            F.when(a["score"] > b["score"], -1)
+            .when(a["score"] < b["score"], 1)
+            .otherwise(
+                F.when(a["ref_id"] < b["ref_id"], -1)
+                .when(a["ref_id"] > b["ref_id"], 1)
+                .otherwise(0)
+            )
+        )
+
+    agg = scored.groupBy("raw_input_label", "cleaned_input_label").agg(
+        F.collect_list(F.struct("score", "ref_id")).alias("_cands")
     )
-    return best
+    top = agg.withColumn("_top", F.slice(F.array_sort("_cands", cmp), 1, k)).drop("_cands")
+    return top.select(
+        "raw_input_label",
+        "cleaned_input_label",
+        F.posexplode("_top").alias("_pos", "_cand"),
+    ).select(
+        "raw_input_label",
+        "cleaned_input_label",
+        F.col("_cand.ref_id").alias("ref_id"),
+        F.col("_cand.score").alias("score"),
+        (F.col("_pos") + 1).alias("rank"),
+    )
