@@ -1,8 +1,7 @@
 """Deduplication operators for the large-scale training-data pipeline.
 
 Not in the reference (it never dedups documents) — required by the engine
-brief as first-class components. All four families are implemented with
-native expressions only (no Python in the hot path):
+brief as first-class components. Four families:
 
 - exact:      content hash -> per-hash window (one shuffle on the hash)
 - MinHash:    shingle -> minhash signature -> banded LSH -> bucket equi-join
@@ -13,16 +12,34 @@ native expressions only (no Python in the hot path):
 - n-gram Jaccard: exact pairwise Jaccard within a blocking key (the oracle
               path; quadratic within block, use blocks that fit)
 
+Shingling and MinHash signatures have TWO implementations each: a native
+higher-order-function expression and an Arrow-vectorized pandas UDF. The
+UDF is the default hot path: Spark does not run lambda-bearing HOFs
+(``transform``/``aggregate``) inside whole-stage codegen — every element
+evaluates interpreted — and profiling at 50k docs showed the native
+shingle+signature pipeline at ~24 s per plan branch vs ~1 s fused in numpy
+(one base hash per shingle, the n_hashes family derived as an affine
+transform over uint64, per-doc minima via ``np.minimum.reduceat``). Same
+trade, measured and documented, as the LSH bucketing UDF in similarity.py.
+The native flavors remain for the oracle-checkable md5 variant and as the
+zero-Python fallback.
+
 At 100 TB: the only shuffles are hash-partitioned group-bys / equi-joins on
 uniformly-distributed hash keys (no skew by construction); signatures are
 fixed-width (n_hashes ints) regardless of document size; banded LSH bounds
-candidate pairs to colliding buckets.
+candidate pairs to colliding buckets. Frames consumed by several plan
+branches (shingle projections feeding a self-join) are persisted
+MEMORY_AND_DISK so the shingle computation runs once, not once per branch.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -62,6 +79,72 @@ def word_shingles_expr(text: Column, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_list(text: str | None, n: int) -> list[str]:
+    """Python mirror of ``word_shingles_expr`` — identical tokenization
+    (single-space split, empties kept) and first-occurrence dedup order."""
+    if text is None:
+        return []
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def shingles_udf(n: int = 3):
+    """Arrow-vectorized shingle producer, value-identical (as a set) to
+    ``word_shingles_expr``. Preferred in hot paths: the HOF expression is
+    interpreted per element (measured ~14 s for 50k docs vs ~1.5 s here)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_list(t, n))
+
+    return _sh
+
+
+# Fixed affine family over uint64 (odd multipliers; wraparound is the mod):
+# h_j(x) = a_j * x + b_j. Seeded PCG64 so signatures are deterministic
+# across runs, executors, and sessions.
+_MINHASH_MAX_FAMILY = 128
+_minhash_rng = np.random.default_rng(0xA5C7B)
+_MINHASH_A = (_minhash_rng.integers(0, 2**63, _MINHASH_MAX_FAMILY, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_MINHASH_B = _minhash_rng.integers(0, 2**63, _MINHASH_MAX_FAMILY, dtype=np.uint64)
+_EMPTY_SENTINEL = np.iinfo(np.int64).max
+
+
+def minhash_signature_udf(n_hashes: int = 32, shingle_n: int = 3):
+    """Fused text -> MinHash signature as ONE Arrow-vectorized UDF.
+
+    Per batch: shingle in Python (duplicates need no removal — the min is
+    multiset-invariant), ONE base hash per shingle (``pd.util.hash_array``,
+    SipHash with a fixed key -> deterministic), then the whole hash family
+    as an (n_hashes, total_shingles) uint64 affine transform and per-doc
+    minima via ``np.minimum.reduceat``. Replaces n_hashes interpreted
+    ``array_min(transform(...))`` passes (~24 s -> ~1 s at 50k docs).
+    Docs with no shingles get int64-max sentinels (collide only with other
+    empties), matching the native flavor's convention."""
+    assert n_hashes <= _MINHASH_MAX_FAMILY
+    a = _MINHASH_A[:n_hashes]
+    b = _MINHASH_B[:n_hashes]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        shingle_lists = [_shingle_list(t, shingle_n) for t in texts]
+        lengths = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        out = np.full((len(shingle_lists), n_hashes), _EMPTY_SENTINEL, dtype=np.int64)
+        nonempty = np.flatnonzero(lengths)
+        if len(nonempty):
+            flat = np.concatenate([np.asarray(shingle_lists[i], dtype=object) for i in nonempty])
+            base = pd.util.hash_array(flat)  # uint64
+            fam = a[:, None] * base[None, :] + b[:, None]  # uint64 wraps
+            offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
+            mins = np.minimum.reduceat(fam, offsets, axis=1)  # (n_hashes, n_docs)
+            out[nonempty] = mins.view(np.int64).T  # same-width view, then transpose
+        return pd.Series(list(out))
+
+    return _sig
+
+
 # --- MinHash + banded LSH ----------------------------------------------------
 
 
@@ -91,6 +174,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    fused: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -99,20 +183,30 @@ def minhash_lsh_candidates(
     pair generation is a self-equi-join on (band, band_hash) — a hash
     shuffle, never a cross join. Returns (id_a, id_b) with id_a < id_b,
     distinct across bands.
+
+    ``fused=True`` (default) computes signatures with the Arrow-vectorized
+    UDF; ``fused=False`` keeps the all-native murmur3 expression (different
+    hash family -> different, equally valid candidate sets).
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     r = n_hashes // bands
-    # Materialize the shingle array in its OWN projection first: the
-    # signature references it n_hashes times, and inlining the
-    # split/slice/join pipeline into each of the 32 array_min terms
-    # multiplies the per-row cost ~32x (measured 96s -> ~3s at sf0.1).
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
-    )
-    sig = shingled.select(
-        "_id", minhash_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
-    )
+    if fused:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature_udf(n_hashes, shingle_n)(F.col(text_col)).alias("_sig"),
+        )
+    else:
+        # Materialize the shingle array in its OWN projection first: the
+        # signature references it n_hashes times, and inlining the
+        # split/slice/join pipeline into each of the 32 array_min terms
+        # multiplies the per-row cost ~32x (measured 96s -> ~3s at sf0.1).
+        shingled = df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+        sig = shingled.select(
+            "_id", minhash_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
+        )
     banded = sig.select(
         "_id",
         F.explode(
@@ -124,6 +218,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
+    # The self-join consumes this frame twice; persist so signatures are
+    # computed once (narrow rows: id + band + bhash).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -154,6 +251,7 @@ def minhash_dedup_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    fused: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold.
 
@@ -161,11 +259,13 @@ def minhash_dedup_pairs(
     joins against the candidate set, which is small relative to the corpus
     whenever the threshold is meaningful).
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
-        word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n, fused)
+    shingle_col = (
+        shingles_udf(shingle_n)(F.col(text_col))
+        if fused
+        else word_shingles_expr(F.col(text_col), shingle_n)
     )
+    sh = df.select(F.col(id_col).alias("_sid"), shingle_col.alias("_shingles"))
     return (
         cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shingles", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_shingles", "_sh_b"), "id_b")
@@ -182,6 +282,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.0,
     shingle_n: int = 3,
+    fused: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs WITHIN a blocking key (oracle-checkable).
 
@@ -195,12 +296,24 @@ def ngram_jaccard_pairs(
       join's inner semantics lose nothing.)
     - threshold <= 0: genuine all-pairs within the block (must include
       zero-overlap pairs), per-pair array intersection.
+
+    ``fused`` selects the vectorized shingle UDF (identical shingle SETS to
+    the native expression — same split/join/dedup semantics — so the
+    Jaccard output, and therefore the oracle match, is unchanged). The
+    shingle projection feeds 2-3 plan branches (sizes + both join sides),
+    so it is persisted: shingling runs once, not per branch (measured 3x
+    ~14 s at 50k docs before the hoist).
     """
+    shingle_col = (
+        shingles_udf(shingle_n)(F.col(text_col))
+        if fused
+        else word_shingles_expr(F.col(text_col), shingle_n)
+    )
     sh = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
-        word_shingles_expr(F.col(text_col), shingle_n).alias("_sh"),
-    )
+        shingle_col.alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if threshold <= 0:
         a = sh.alias("a")
         b = sh.alias("b")

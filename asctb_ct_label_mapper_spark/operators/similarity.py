@@ -266,7 +266,7 @@ def lsh_bucketed_topk(
     ref_id_col: str,
     query_vec_col: str = "embedding",
     ref_vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
@@ -278,10 +278,30 @@ def lsh_bucketed_topk(
     they collide in ANY table — P[miss] = (1 - (1-theta/pi)^b)^L drops
     geometrically in L while candidate volume stays bounded by bucket
     collisions. Candidate generation is an equi-join on (table, bucket) —
-    the 100x-scale ANN path; never a cross join. Pairs colliding in several
-    tables are deduped before scoring. Recall < 1 by construction."""
+    the 100x-scale ANN path; never a cross join. Recall < 1 by
+    construction.
+
+    ``n_planes=None`` auto-sizes the tables to the reference count
+    (~32 refs per bucket, clamped to [4, 16] planes): with a FIXED plane
+    count, bucket population — and therefore per-query candidate volume —
+    grows linearly with the reference, and the "approximate" path
+    degenerates toward the cross join it exists to avoid (measured 71 s vs
+    the exact blocked path's 15 s at 180k vectors with the old fixed 64
+    buckets). Auto-sizing costs one ``count()`` job, the same adaptive
+    statistics AQE gathers; raise ``n_tables`` alongside if recall matters
+    more than cost.
+
+    Candidate pairs are scored IMMEDIATELY on the equi-join output (Arrow-
+    vectorized batch cosine) and only then deduped across tables: the
+    dedup shuffle carries (query_id, ref_id, score) — a pair colliding in
+    several tables is scored more than once, which is cheaper than
+    shuffling both d-dim vectors per candidate just to score once (at d=64
+    and 2M candidates that is ~2 GB of shuffle saved)."""
     if dim is None:
         dim = len(reference.select(ref_vec_col).first()[0])
+    if n_planes is None:
+        n_ref = reference.count()
+        n_planes = int(np.clip(np.ceil(np.log2(max(n_ref, 1) / 32.0)), 4, 16))
 
     # All T*P hyperplanes as ONE numpy tensor inside ONE Arrow-vectorized
     # UDF per side. The equivalent native formulation (T*P aggregate
@@ -314,23 +334,26 @@ def lsh_bucketed_topk(
     )
     r = with_buckets(r0, "_ref_vec", ["ref_id"])
 
-    candidates = (
+    @F.pandas_udf(T.DoubleType())
+    def pair_cosine(qv: pd.Series, rv: pd.Series) -> pd.Series:
+        # Vectorized per-pair cosine: the native zip_with/aggregate dot is
+        # interpreted per element (HOFs never enter codegen) — at 2M+
+        # candidate pairs that interpretation dominated the whole query.
+        qm = np.array(qv.to_list(), dtype=np.float64)
+        rm = np.array(rv.to_list(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", qm, rm)
+        den = np.linalg.norm(qm, axis=1) * np.linalg.norm(rm, axis=1)
+        return pd.Series(np.where(den != 0, num / np.where(den == 0, 1.0, den), np.nan))
+
+    scored = (
         q.join(F.broadcast(r), ["table", "bucket"])
-        .drop("table", "bucket")
+        .withColumn("_raw", pair_cosine(F.col(query_vec_col), F.col("_ref_vec")))
+        # NaN marks zero-norm pairs inside the UDF; surface them as NULL to
+        # match the native strategies' F.when(denom != 0, ...) semantics.
+        # (_raw is its own column so the UDF runs once per pair.)
+        .withColumn("score", F.when(~F.isnan(F.col("_raw")), F.col("_raw")))
+        .drop("_raw", "table", "bucket", query_vec_col, "_ref_vec")
         .dropDuplicates([*query_id_cols, "ref_id"])
     )
-    # norms hoisted out of the per-pair expression (see strategy 1)
-    candidates = candidates.withColumn("_qnorm", norm_expr(F.col(query_vec_col))).withColumn(
-        "_rnorm", norm_expr(F.col("_ref_vec"))
-    )
-    denom = F.col("_qnorm") * F.col("_rnorm")
-    scored = candidates.withColumn(
-        "score",
-        F.when(denom != 0, dot_expr(F.col(query_vec_col), F.col("_ref_vec")) / denom),
-    ).drop("_ref_vec", "_qnorm", "_rnorm")
     w = Window.partitionBy(*query_id_cols).orderBy(F.desc("score"), F.asc("ref_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop(query_vec_col)
-    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

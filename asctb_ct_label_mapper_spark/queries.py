@@ -955,7 +955,7 @@ def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
     out = lsh_bucketed_topk(
         queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
-        n_planes=6, dim=64,
+        n_planes=None, dim=64,  # auto-size buckets to the reference count
     )
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
