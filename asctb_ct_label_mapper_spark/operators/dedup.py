@@ -232,6 +232,85 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_md5_signature_expr(shingles: Column, n_hashes: int = 16) -> Column:
+    """Oracle-reproducible MinHash signature: component j is the
+    LEXICOGRAPHIC minimum over shingles of ``md5(j || ':' || shingle)``
+    (lowercase hex). MinHash needs only a uniform hash with a total order —
+    the 128-bit digest ordered as a hex string is exactly that, and DuckDB's
+    ``md5()`` emits byte-identical digests, so the ENTIRE banded-LSH
+    pipeline (signature -> band hash -> candidate join -> Jaccard verify)
+    can be replayed as a SQL oracle. ~2x the hashing cost of the
+    fused/murmur3 flavors, so this one is for the correctness gate, not the
+    bench. Empty shingle sets get a '~' sentinel (sorts after all hex
+    digits), colliding only with other empties."""
+    def md5_with_salt(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sigs = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, md5_with_salt(j))),
+            F.lit("~empty"),
+        )
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_md5_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded MinHash LSH + exact-Jaccard verification, md5 flavor — the
+    same physical shape as ``minhash_dedup_pairs`` (signature projection,
+    band explode, self-equi-join on (band, band_hash), shingle-set verify)
+    with every hash DuckDB-reproducible. Band hash is
+    ``md5(array_join(slice(sig, b*r+1, r), '|'))``."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    r = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.select(
+        "_id", minhash_md5_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.array_join(F.slice("_sig", b * r + 1, r), "|")).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_expr(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays.
 
@@ -371,13 +450,21 @@ def ngram_jaccard_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash_expr(text: Column, bits: int = 32) -> Column:
+def md5_token_hash(t: Column) -> Column:
+    """32-bit token hash DuckDB can reproduce exactly: the first 8 hex
+    chars of md5 as an integer (`CAST('0x'||substr(md5(t),1,8) AS BIGINT)`
+    on the SQL side)."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
+def simhash_expr(text: Column, bits: int = 32, hash_fn=F.hash) -> Column:
     """SimHash of a whitespace-tokenized text as one native aggregate.
 
-    Per token, murmur3 hash; bit i contributes +1/-1 to counter i; the
+    Per token, ``hash_fn`` (murmur3 by default; ``md5_token_hash`` for the
+    oracle-reproducible flavor); bit i contributes +1/-1 to counter i; the
     final hash sets bit i where the counter is positive. Implemented as a
     single ``aggregate`` whose accumulator is the int array of counters —
-    O(tokens*bits) inside codegen, no Python.
+    one pass over the token array, no Python.
     """
     toks = F.split(text, " ")
     # Bit positions are Python ints (shiftright/shiftleft take int numBits),
@@ -390,7 +477,9 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
             acc,
             F.array(
                 *[
-                    F.shiftright(F.hash(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+                    # cast: a long-typed hash_fn (md5 flavor) must not
+                    # widen the accumulator array's int element type
+                    (F.shiftright(hash_fn(t), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
                     for i in range(bits)
                 ]
             ),
@@ -417,13 +506,14 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     block_bits: int = 16,
+    hash_fn=F.hash,
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on the top ``block_bits`` bits
     (docs differing only in low bits still collide), verify hamming
     distance within block. Blocking keeps the join an equi-join."""
     h = df.select(
         F.col(id_col).alias("_id"),
-        simhash_expr(F.col(text_col), bits).alias("_sim"),
+        simhash_expr(F.col(text_col), bits, hash_fn).alias("_sim"),
     ).withColumn("_blk", F.shiftright(F.col("_sim"), bits - block_bits))
     a = h.alias("a")
     b = h.alias("b")

@@ -945,11 +945,77 @@ def cos_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
-@query("cos_topk_lsh")
+def _lsh_topk_oracle(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 4, seed: int = 7, k: int = 3
+) -> str:
+    """Generate the DuckDB oracle for cos_topk_lsh: per-table seeded
+    hyperplanes as literals (table t uses seed+t, matching
+    lsh_bucketed_topk), candidates = DISTINCT pairs colliding in ANY
+    table's bucket, then exact cosine + top-k window. n_planes must equal
+    what the operator's auto-sizing picks at the checked scale: refs in
+    (256, 512] -> 4 planes, which holds at both sf0.001 and sf0.01
+    (450 refs). An approximate-ANN result being hash-matched end-to-end is
+    the point: approximation here is a deterministic function of the seed,
+    not noise."""
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sides = {}
+    for side, pred in (("qb", "= 0"), ("rb", "<> 0")):
+        unions = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t)
+            unions.append(
+                f"SELECT vec_id, e, {t} AS tbl, {bucket_expr(planes)} AS bucket\n"
+                f"         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e\n"
+                f"               FROM embeddings WHERE vec_id % 10 {pred})"
+            )
+        sides[side] = "\n        UNION ALL\n        ".join(unions)
+    return f"""
+    WITH qb AS (
+        {sides["qb"]}
+    ),
+    rb AS (
+        {sides["rb"]}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id, rb.vec_id AS rid
+        FROM qb JOIN rb ON qb.tbl = rb.tbl AND qb.bucket = rb.bucket
+    ),
+    scored AS (
+        SELECT c.vec_id, c.rid, list_cosine_similarity(q.e, r.e) AS sc
+        FROM cand c
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) q
+          ON q.vec_id = c.vec_id
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) r
+          ON r.vec_id = c.rid
+    ),
+    ranked AS (
+        SELECT vec_id, rid, sc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, rid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, rid AS ref_id, round(sc, 6) AS score, rn AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("cos_topk_lsh", _lsh_topk_oracle())
 def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN path (sign-LSH buckets). No oracle by design —
-    recall < 1; the rows-only check pins schema + non-emptiness, and
-    tests assert recall against the exact operator."""
+    """Approximate ANN path (multi-table sign-LSH buckets), ORACLE-CHECKED
+    end-to-end: the seeded per-table hyperplanes are shared as literals
+    with the generated DuckDB SQL (_lsh_topk_oracle), so bucket assignment,
+    cross-table candidate OR, exact rescoring and the top-k window are all
+    replayed by the oracle. Recall (<1) vs the exact operator is pinned
+    separately in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
@@ -1216,23 +1282,145 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (banded; candidate pairs via bucket equi-join,
     verified by exact Jaccard). Signature is hash-seed dependent -> rows-only
-    check here; tests assert recall vs the exact operator."""
+    check here; tests assert recall vs the exact operator, and
+    dedup_minhash_md5 oracle-checks the identical pipeline shape."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+@query(
+    "dedup_minhash_md5",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, shingles,
+            [coalesce(list_min([md5(j || ':' || s) for s in shingles]), '~empty')
+             for j in range(0, 16)] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+        FROM sig, range(0, 8) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+        round(CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+              THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              ELSE 0.0 END, 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+          THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+          ELSE 0.0 END >= 0.2
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED MinHash+banded-LSH: md5 hashes (lexicographic min
+    over hex digests) are byte-identical in DuckDB, so signature, band
+    hash, candidate join AND Jaccard verification are all replayed by the
+    SQL oracle — proving the banded pipeline end-to-end, not just the
+    verify step. The production flavors (dedup_minhash fused/murmur3) share
+    this exact plan shape with cheaper hashes."""
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_md5_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_md5_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
 
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (native bit-count aggregate; blocked on the
-    top signature bits). Hash-dependent -> rows-only."""
+    top signature bits). Hash-dependent -> rows-only; dedup_simhash_md5
+    oracle-checks the identical pipeline with a reproducible hash."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)
 
 
-@query("dedup_embedding")
+@query(
+    "dedup_simhash_md5",
+    """
+    WITH toks AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(tkn), 1, 8)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tkn
+              FROM documents)
+    ),
+    bitsums AS (
+        SELECT doc_id, r.i, sum(((h >> r.i) & 1) * 2 - 1) AS s
+        FROM toks, range(0, 32) r(i)
+        GROUP BY doc_id, r.i
+    ),
+    sims AS (
+        SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sim
+        FROM bitsums GROUP BY doc_id
+    ),
+    blocked AS (SELECT doc_id, sim, (sim >> 16) AS blk FROM sims)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 6
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED SimHash: token hash = int of the first 8 md5 hex
+    chars (byte-identical in DuckDB), so signature construction, top-16-bit
+    blocking AND hamming verification are replayed by the SQL oracle. Same
+    physical pipeline as dedup_simhash with a reproducible hash."""
+    from asctb_ct_label_mapper_spark.operators.dedup import md5_token_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, hash_fn=md5_token_hash
+    )
+
+
+def _embedding_dedup_oracle(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """Generate the DuckDB oracle for dedup_embedding: the SAME seeded
+    hyperplanes the Spark operator uses (``random_hyperplanes`` is a fixed
+    RandomState — deterministic across processes) are embedded as float
+    literals, so bucketing (sign of dot), the bucket equi-join AND the
+    exact-cosine verification are all replayed in SQL. Only the SIGN of
+    each plane dot feeds the bucket id, so engine-level summation-order
+    differences (|dot| ~ O(1) vs ~1e-16 float noise) cannot flip it."""
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "\n             + ".join(terms)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {bucket} AS bucket FROM v)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, bb.e), 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE round(list_cosine_similarity(a.e, bb.e), 6) >= 0.3
+    """
+
+
+@query("dedup_embedding", _embedding_dedup_oracle())
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via LSH buckets (rows-only; bucketing is
-    seed-dependent)."""
+    """Embedding-cosine near-dup via sign-LSH buckets, ORACLE-CHECKED: the
+    bucketing hyperplanes are seeded literals shared between the Spark plan
+    and the generated DuckDB SQL (see _embedding_dedup_oracle), so the
+    approximate pipeline itself — not just a recall bound — is verified."""
     from asctb_ct_label_mapper_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -8,9 +8,13 @@ from pyspark.sql import functions as F
 from asctb_ct_label_mapper_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_flags,
+    md5_token_hash,
     minhash_dedup_pairs,
     minhash_lsh_candidates,
+    minhash_md5_dedup_pairs,
+    minhash_signature_udf,
     ngram_jaccard_pairs,
+    shingles_udf,
     simhash_expr,
     simhash_near_dup_pairs,
     word_shingles_expr,
@@ -91,6 +95,73 @@ def test_simhash_near_dup_pairs(docs):
     assert pairs[(1, 2)] == 0  # identical -> distance 0
     if (1, 3) in pairs:  # near dup, small distance when blocked together
         assert pairs[(1, 3)] <= 8
+
+
+def test_fused_shingles_match_native_expr(docs):
+    """The Arrow-vectorized shingle UDF must produce the same shingle SET
+    per doc as the native HOF expression (oracle-checked queries depend on
+    this equivalence)."""
+    both = docs.select(
+        "doc_id",
+        word_shingles_expr(F.col("text"), 3).alias("native"),
+        shingles_udf(3)(F.col("text")).alias("fused"),
+    ).collect()
+    for r in both:
+        assert sorted(r["native"]) == sorted(r["fused"]), r["doc_id"]
+
+
+def test_minhash_signature_udf_shape_and_sentinel(spark):
+    """Fixed-width signatures; duplicate shingles don't change the min;
+    shingle-less docs get the int64-max sentinel so they only collide with
+    other empties."""
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " " + BASE), (3, "ab"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id", minhash_signature_udf(16)(F.col("text")).alias("sig")).collect()}
+    assert all(len(s) == 16 for s in rows.values())
+    sentinel = (1 << 63) - 1
+    assert rows[3] == [sentinel] * 16 and rows[4] == [sentinel] * 16
+    # doc 2 repeats BASE -> its shingle multiset adds the bridging 3-grams,
+    # but every BASE shingle is still present, so each component is <= doc 1's
+    assert all(b <= a for a, b in zip(rows[1], rows[2]))
+
+
+def test_minhash_fused_and_native_find_same_planted_dups(docs):
+    """Different hash families, same verdicts on the planted corpus: exact
+    dup pair always survives, unrelated docs never pair (threshold 0.5
+    verification makes candidate-set differences irrelevant here)."""
+    for fused in (True, False):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5,
+                                     fused=fused).collect()}
+        assert (1, 2) in pairs
+        assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_md5_flavor_matches_exact_verification(docs):
+    """Oracle-flavor pipeline: md5-banded candidates verified by exact
+    Jaccard — the planted exact dup must band-collide in every band and
+    the verified jaccard must be exactly 1."""
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_md5_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert not any(4 in (a, b) for (a, b) in pairs)
+
+
+def test_simhash_md5_hash_is_32bit_and_deterministic(spark):
+    df = spark.createDataFrame([("tok",), ("tok",), ("other",)], "t string")
+    vals = [r["h"] for r in df.select(md5_token_hash(F.col("t")).alias("h")).collect()]
+    assert vals[0] == vals[1] != vals[2]
+    assert all(0 <= v <= 0xFFFFFFFF for v in vals)
+
+
+def test_simhash_md5_flavor_pairs_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8,
+                                    hash_fn=md5_token_hash).collect()}
+    assert pairs[(1, 2)] == 0
 
 
 def test_duplicate_groups_transitive_chain(spark):
