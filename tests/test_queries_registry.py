@@ -15,14 +15,18 @@ from asctb_ct_label_mapper_spark.plans.audit import (
 from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries
 
 EXPECTED_ROWS_ONLY = {
-    # non-SQL-expressible by nature (stub encoder / hash-seed dependent /
-    # binary payloads); everything else must carry an oracle
-    "cos_topk_lsh",
+    # non-SQL-expressible by nature; everything else must carry an oracle.
+    # Each remaining entry has an oracle-checked sibling proving the same
+    # pipeline shape: cos_topk_ivf -> MLlib k-means internals (exact
+    # cos_topk_* and cos_topk_lsh are oracled); mapping_report -> stub
+    # encoder (nlp_* + cos_topk_* components oracled); dedup_minhash /
+    # dedup_simhash -> engine-internal murmur3 (md5 flavors oracled);
+    # multimodal_features -> binary payloads; viz_projection -> driver-side
+    # SVD; winnowing_docs -> murmur3 (winnowing_md5 oracled)
     "cos_topk_ivf",
     "mapping_report",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_embedding",
     "multimodal_features",
     "viz_projection",
     "winnowing_docs",
