@@ -784,6 +784,80 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_asof_markers",
+    """
+    WITH m AS (
+        SELECT user_id, ts, max(value) AS marker_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           m.ts AS ts_asof, m.marker_value
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def j_asof_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): every event matched to the user's
+    most recent prior error marker. Spark lacks a native ASOF JOIN; the
+    operator is the union + keyed-window formulation (one shuffle, no row
+    expansion — see operators/asof.py) and DuckDB's native ASOF LEFT JOIN
+    is the oracle."""
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    markers = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        markers,
+        key_cols=["user_id"],
+        right_value_cols=["marker_value"],
+    )
+
+
+@query(
+    "j_range_windows",
+    """
+    WITH w AS (
+        SELECT user_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id, e.ts, w.w_start, w.w_end
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    JOIN w ON e.user_id = w.user_id
+          AND e.ts >= w.w_start AND e.ts <= w.w_end
+    """,
+)
+def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: every event inside a 10-minute
+    window following one of the same user's error events. Executed as a
+    bucketized EQUI-join (operators/rangejoin.py) — never the
+    BroadcastNestedLoopJoin a raw BETWEEN theta-join would plan — and
+    oracle-checked against DuckDB's inequality join."""
+    from asctb_ct_label_mapper_spark.operators.rangejoin import range_join
+
+    events = _t(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    return range_join(
+        events.select("event_id", "user_id", "ts"),
+        windows,
+        key_cols=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket="10 minutes",
+    )
+
+
+@query(
     "f18_json_extract",
     """
     SELECT event_id,
