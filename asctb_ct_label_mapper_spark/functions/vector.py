@@ -64,15 +64,54 @@ def sql_cosine(a_sql: str, b_sql: str) -> str:
 
 
 def _stub_digest(text: str, nbytes: int) -> bytes:
-    """Hash-chained deterministic byte stream: sha256(text), then extended by
-    re-hashing the tail until ``nbytes`` are available. ceil(nbytes/32)
-    hashes per text (2 for the default 16-dim stub) instead of one hash per
-    component (VERDICT r4 'what's wrong' #3: 16 hashlib calls per row made
-    the stub the flagship bench bottleneck)."""
-    d = hashlib.sha256(text.encode("utf-8")).digest()
-    while len(d) < nbytes:
-        d += hashlib.sha256(d[-32:]).digest()
-    return d[:nbytes]
+    """Hex-chained deterministic byte stream: block 0 = sha256(utf8(text)),
+    block i = sha256(ascii(hex(block i-1))); the byte stream is the
+    concatenated blocks' hex decoded. ceil(nbytes/32) hashes per text (2
+    for the default 16-dim stub). Chaining on the HEX STRING rather than
+    raw digest bytes keeps every step expressible in SQL engines whose
+    sha256() accepts only VARCHAR (DuckDB) — which is what lets the
+    flagship mapping_report be oracle-checked end-to-end
+    (see ``sql_stub_hex`` / ``sql_stub_unit``)."""
+    h = hashlib.sha256(text.encode("utf-8")).hexdigest()
+    stream = h
+    while len(stream) < nbytes * 2:
+        h = hashlib.sha256(h.encode("ascii")).hexdigest()
+        stream += h
+    return bytes.fromhex(stream[: nbytes * 2])
+
+
+def sql_stub_hex(text_sql: str, dim: int = 16) -> str:
+    """DuckDB expression for the stub's hex stream over ``text_sql``:
+    chained sha256 blocks concatenated (block i+1 re-derives block i by
+    nesting — negligible at oracle scale)."""
+    n_blocks = -(-dim * 4 // 32)
+    blocks = [f"sha256({text_sql})"]
+    for _ in range(1, n_blocks):
+        blocks.append(f"sha256({blocks[-1]})")
+    return " || ".join(blocks)
+
+
+def sql_stub_raw(hex_col: str, dim: int = 16) -> str:
+    """DuckDB expression: the un-normalized float64 components — each 8-hex
+    big-endian uint32 mapped to [-1, 1) exactly as numpy's
+    ``>u4 / 2**31 - 1`` does."""
+    comps = ", ".join(
+        f"CAST(('0x' || substr({hex_col}, {i * 8 + 1}, 8)) AS UBIGINT)"
+        f" / 2147483648.0 - 1.0"
+        for i in range(dim)
+    )
+    return f"[{comps}]"
+
+
+def sql_stub_unit(raw_col: str) -> str:
+    """DuckDB expression: L2-normalize in float64, round through REAL
+    (float32) and back — bit-identical to the numpy
+    ``(mat / norm).astype(float32)`` path (verified by
+    test_stub_sql_oracle_parity)."""
+    return (
+        f"list_transform({raw_col}, x -> CAST(CAST(x / "
+        f"sqrt(list_sum(list_transform({raw_col}, y -> y*y))) AS REAL) AS DOUBLE))"
+    )
 
 
 def _stub_encode_batch(texts: list, dim: int) -> list:

@@ -140,9 +140,16 @@ def top_k_similarity_blocked(
             part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
             out = []
             for row_i in range(sims.shape[0]):
-                cand = part[row_i]
+                # argpartition cuts ties at the k-th score ARBITRARILY —
+                # with duplicate reference vectors the boundary tie must be
+                # broken by id, like the window strategy's row_number
+                # (score DESC, id ASC). Widen to every index at or above
+                # the k-th score (equal only on exact ties, so this stays
+                # O(k) in practice), then rank deterministically.
+                kth = sims[row_i, part[row_i]].min()
+                cand = np.flatnonzero(sims[row_i] >= kth)
                 order = np.lexsort((ids[cand], -sims[row_i, cand]))
-                chosen = cand[order]
+                chosen = cand[order][:top]
                 for rank_i, ref_i in enumerate(chosen, start=1):
                     out.append(
                         (

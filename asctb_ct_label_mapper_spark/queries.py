@@ -1216,18 +1216,117 @@ def sheet_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct_triplet_unpivot(wide)
 
 
-@query("mapping_report")
+def _mapping_report_oracle() -> str:
+    """The FLAGSHIP oracle: the entire mapping pipeline — full six-step NLP
+    cleaning, stub sentence-encoding (hex-chained sha256, float32-rounded
+    unit vectors, bit-identical to numpy — see functions/vector.py),
+    cosine top-2 with (score DESC, CT_ID) ranking, rank pivot, and
+    min-CT_ID exact overwrite — replayed in DuckDB SQL. Composed from the
+    independently-proven fragments: sql_clean_text_full (nlp_clean_full),
+    sql_stub_hex/raw/unit (test parity), the cos_topk ranking shape, and
+    the j1_exact_overwrite overwrite shape."""
+    from asctb_ct_label_mapper_spark.functions.nlp import sql_clean_text_full
+    from asctb_ct_label_mapper_spark.functions.vector import (
+        sql_stub_hex,
+        sql_stub_raw,
+        sql_stub_unit,
+    )
+
+    return f"""
+    WITH labels AS (
+        SELECT DISTINCT 'supplier' AS source, s_name AS raw_input_label FROM supplier
+    ),
+    lc AS (
+        SELECT source, raw_input_label,
+               {sql_clean_text_full("raw_input_label")} AS cleaned_input_label
+        FROM labels
+    ),
+    lh AS (SELECT *, {sql_stub_hex("cleaned_input_label")} AS hx FROM lc),
+    lr AS (SELECT source, raw_input_label, cleaned_input_label,
+                  {sql_stub_raw("hx")} AS raw FROM lh),
+    lq AS (SELECT source, raw_input_label, cleaned_input_label,
+                  {sql_stub_unit("raw")} AS qe FROM lr),
+    ref0 AS (
+        SELECT CAST(p_partkey AS VARCHAR) AS ct_id, p_name AS ct_name,
+               p_type AS definition,
+               concat_ws(' ', p_name, p_type) AS all_text,
+               {sql_clean_text_full("p_name")} AS ct_name_cleaned
+        FROM part WHERE p_partkey <= 200
+    ),
+    rh AS (SELECT *, {sql_stub_hex("all_text")} AS hx FROM ref0),
+    rr AS (SELECT ct_id, ct_name, definition, all_text, ct_name_cleaned,
+                  {sql_stub_raw("hx")} AS raw FROM rh),
+    re AS (SELECT ct_id, ct_name, definition, all_text, ct_name_cleaned,
+                  {sql_stub_unit("raw")} AS ve FROM rr),
+    scored AS (
+        SELECT l.source, l.raw_input_label, l.cleaned_input_label,
+               r.ct_id, r.ct_name, r.all_text,
+               list_cosine_similarity(l.qe, r.ve) AS sc
+        FROM lq l CROSS JOIN re r
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source, raw_input_label, cleaned_input_label
+            ORDER BY sc DESC, ct_id) AS rn
+        FROM scored
+    ),
+    wide AS (
+        SELECT source, raw_input_label, cleaned_input_label,
+            max(CASE WHEN rn = 1 THEN sc END) AS s1,
+            max(CASE WHEN rn = 1 THEN ct_id END) AS id1,
+            max(CASE WHEN rn = 1 THEN ct_name END) AS lab1,
+            max(CASE WHEN rn = 1 THEN all_text END) AS txt1,
+            max(CASE WHEN rn = 2 THEN sc END) AS s2,
+            max(CASE WHEN rn = 2 THEN ct_id END) AS id2,
+            max(CASE WHEN rn = 2 THEN ct_name END) AS lab2,
+            max(CASE WHEN rn = 2 THEN all_text END) AS txt2
+        FROM ranked WHERE rn <= 2
+        GROUP BY source, raw_input_label, cleaned_input_label
+    ),
+    best AS (
+        SELECT ct_name_cleaned, min(ct_id) AS x_id,
+               arg_min(ct_name, ct_id) AS x_label,
+               arg_min(definition, ct_id) AS x_text
+        FROM ref0 GROUP BY ct_name_cleaned
+    )
+    SELECT w.source, w.raw_input_label, w.cleaned_input_label,
+        round(CASE WHEN b.x_id IS NOT NULL THEN 1.0 ELSE w.s1 END, 6)
+            AS match_score_1,
+        CASE WHEN b.x_id IS NOT NULL THEN b.x_id ELSE w.id1 END
+            AS matched_asctb_id_1,
+        CASE WHEN b.x_id IS NOT NULL THEN b.x_label ELSE w.lab1 END
+            AS matched_asctb_label_1,
+        CASE WHEN b.x_id IS NOT NULL THEN b.x_text ELSE w.txt1 END
+            AS matched_asctb_text_1,
+        round(CASE WHEN b.x_id IS NOT NULL THEN NULL ELSE w.s2 END, 6)
+            AS match_score_2,
+        CASE WHEN b.x_id IS NOT NULL THEN NULL ELSE w.id2 END
+            AS matched_asctb_id_2,
+        CASE WHEN b.x_id IS NOT NULL THEN NULL ELSE w.lab2 END
+            AS matched_asctb_label_2,
+        CASE WHEN b.x_id IS NOT NULL THEN NULL ELSE w.txt2 END
+            AS matched_asctb_text_2
+    FROM wide w LEFT JOIN best b ON w.cleaned_input_label = b.ct_name_cleaned
+    """
+
+
+@query("mapping_report", _mapping_report_oracle())
 def mapping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: the full reference pipeline (clean -> encode -> broadcast
-    cosine top-k -> pivot -> exact overwrite) with the deterministic stub
-    encoder. Not SQL-expressible (the encoder) -> rows-only check; component
-    correctness is covered by nlp_clean_docs / cos_topk_* /
-    j1_exact_overwrite, and tests pin golden rows."""
+    """FLAGSHIP, ORACLE-CHECKED end-to-end: the full reference pipeline
+    (full NLP clean -> stub encode -> broadcast cosine top-2 -> rank pivot
+    -> exact overwrite). The stub encoder's hex-chained sha256 + float32
+    rounding is bit-reproducible in DuckDB (functions/vector.sql_stub_*),
+    so the whole report — scores included — hash-matches
+    (_mapping_report_oracle). Scores are rounded to 6dp on both sides;
+    tests additionally pin golden rows."""
     supp = _t(spark, sf_dir, "supplier")
     labels = supp.select(
         F.lit("supplier").alias("source"), F.col("s_name").alias("raw_input_label")
     )
-    part = _t(spark, sf_dir, "part").limit(200)
+    # p_partkey <= 200 (not .limit(200)): the reference subset must be
+    # row-deterministic for the oracle, and limit's row choice is
+    # partitioning-dependent
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
     reference = (
         part.select(
             F.col("p_partkey").cast("string").alias("CT_ID"),
@@ -1241,7 +1340,14 @@ def mapping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ct_name_cleaned", clean_text_full_udf(F.col("CT_NAME")))
         .withColumn("embedding", stub_encode_udf(F.col("all_text")))
     )
-    return map_labels_to_reference(labels, reference, k=2)
+    out = map_labels_to_reference(labels, reference, k=2)
+    return out.select(
+        "source", "raw_input_label", "cleaned_input_label",
+        F.round("match_score_1", 6).alias("match_score_1"),
+        "matched_asctb_id_1", "matched_asctb_label_1", "matched_asctb_text_1",
+        F.round("match_score_2", 6).alias("match_score_2"),
+        "matched_asctb_id_2", "matched_asctb_label_2", "matched_asctb_text_2",
+    )
 
 
 # =============================================================================

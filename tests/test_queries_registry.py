@@ -22,9 +22,10 @@ EXPECTED_ROWS_ONLY = {
     # encoder (nlp_* + cos_topk_* components oracled); dedup_minhash /
     # dedup_simhash -> engine-internal murmur3 (md5 flavors oracled);
     # multimodal_features -> binary payloads; viz_projection -> driver-side
-    # SVD; winnowing_docs -> murmur3 (winnowing_md5 oracled)
+    # SVD; winnowing_docs -> murmur3 (winnowing_md5 oracled).
+    # mapping_report graduated: the stub encoder's hex-chained sha256 is
+    # DuckDB-reproducible, so the flagship is value-oracled end-to-end.
     "cos_topk_ivf",
-    "mapping_report",
     "dedup_minhash",
     "dedup_simhash",
     "multimodal_features",

@@ -55,6 +55,24 @@ def test_tie_break_is_min_ref_id(spark):
     assert [row["ref_id"] for row in out] == [10, 20]
 
 
+def test_blocked_boundary_tie_broken_by_id(spark):
+    """Regression (found by the mapping_report oracle): with duplicate
+    reference vectors tied exactly AT the k-th score, argpartition's
+    arbitrary cut must not decide which id survives — the min id must,
+    matching the window strategy's (score DESC, id ASC) row_number."""
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    # 900 is the best match; 500 and 100 are identical (tied) at rank 2 —
+    # insertion order puts the HIGHER id first so a naive cut keeps 500
+    r = spark.createDataFrame(
+        [(900, [1.0, 0.1]), (500, [0.5, 0.5]), (100, [0.5, 0.5]), (700, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    blocked = top_k_similarity_blocked(q, r, 2, ["vec_id"], "vec_id").orderBy("rank").collect()
+    joined = top_k_similarity_join(q, r, 2, ["vec_id"], "vec_id").orderBy("rank").collect()
+    assert [row["ref_id"] for row in blocked] == [900, 100]
+    assert [row["ref_id"] for row in blocked] == [row["ref_id"] for row in joined]
+
+
 def test_k_larger_than_reference(spark):
     qdf, rdf = _vec_tables(spark, n_q=3, n_r=2)
     a = top_k_similarity_join(qdf, rdf, 5, ["vec_id"], "vec_id")

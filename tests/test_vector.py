@@ -75,3 +75,30 @@ def test_stub_encoder_deterministic_unit_vectors(spark):
     assert math.isclose(float(np.linalg.norm(v0)), 1.0, rel_tol=1e-5)
     # matches the driver-side reference implementation exactly
     assert np.array_equal(v0, _stub_encode_one("basal cell", 16))
+
+
+def test_stub_sql_oracle_parity():
+    """The DuckDB replay of the stub encoder (hex-chained sha256 -> BE
+    uint32 components -> float64 normalize -> float32 round) must be
+    BIT-identical to the numpy implementation — this is what lets
+    mapping_report carry a value oracle."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.functions.vector import (
+        _stub_encode_one,
+        sql_stub_hex,
+        sql_stub_raw,
+        sql_stub_unit,
+    )
+
+    con = duckdb.connect()
+    for text in ["basal cell", "kidney epithelial cell", "", "a b  c", "Don't"]:
+        lit = "'" + text.replace("'", "''") + "'"
+        sql = f"""
+        WITH h AS (SELECT {sql_stub_hex(lit)} AS hx),
+             r AS (SELECT {sql_stub_raw('hx')} AS raw FROM h)
+        SELECT {sql_stub_unit('raw')} FROM r
+        """
+        got = np.array(con.execute(sql).fetchone()[0])
+        want = _stub_encode_one(text, 16).astype(np.float64)
+        assert np.array_equal(got, want), text
