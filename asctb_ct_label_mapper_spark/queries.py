@@ -1739,26 +1739,58 @@ def winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+def _multimodal_oracle() -> str:
+    """Replay the stub media decode in DuckDB: payload is the utf-8 text,
+    the stub feature vector is sha256(payload) folded into 8 LITTLE-endian
+    uint32s / 2^32, rounded through float32. Little-endian means each
+    8-hex-digit group is byte-swapped before the integer cast."""
+    comps = []
+    for i in range(8):
+        b = [f"substr(h, {i * 8 + j * 2 + 1}, 2)" for j in range(4)]
+        le_hex = " || ".join(reversed(b))
+        comps.append(
+            f"round(CAST(CAST(CAST(('0x' || {le_hex}) AS UBIGINT)"
+            f" / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f{i}"
+        )
+    comp_sql = ",\n           ".join(comps)
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, 'image' AS kind, text,
+               sha256(text) AS h, strlen(text) AS payload_bytes
+        FROM documents
+    )
+    SELECT media_id, kind,
+           {comp_sql},
+           CAST(payload_bytes AS INTEGER) AS payload_bytes
+    FROM m
+    """
+
+
+@query("multimodal_features", _multimodal_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize binary media rows from documents,
-    decode features via the batched mapInPandas stub (real plan, stubbed
-    codec — rows-only by nature)."""
+    """Multimodal plumbing, ORACLE-CHECKED: synthesize binary media rows
+    from documents, decode features via the batched mapInPandas stub (real
+    plan — byte-budget re-chunking, Arrow batch contract; stubbed codec).
+    The stub decode is sha256 over the payload bytes, which DuckDB replays
+    on the identical utf-8 text, so even the binary-column path carries a
+    value oracle. Features surface as 8 rounded scalar columns for the
+    driver canonicalizer; the raw array<float> stays available through
+    decode_features itself."""
     from asctb_ct_label_mapper_spark.operators.multimodal import (
+        FEATURE_DIM,
         decode_features,
         synthesize_media,
     )
 
     docs = _t(spark, sf_dir, "documents")
     out = decode_features(synthesize_media(docs, "doc_id", "text"))
-    # serialize the feature vector for the driver's canonicalizer (raw
-    # array<float> stays available through decode_features itself)
     return out.select(
         "media_id",
         "kind",
-        F.array_join(
-            F.transform("features", lambda x: F.round(x, 6).cast("string")), ","
-        ).alias("features"),
+        *[
+            F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
         "payload_bytes",
     )
 

@@ -21,14 +21,14 @@ EXPECTED_ROWS_ONLY = {
     # cos_topk_* and cos_topk_lsh are oracled); mapping_report -> stub
     # encoder (nlp_* + cos_topk_* components oracled); dedup_minhash /
     # dedup_simhash -> engine-internal murmur3 (md5 flavors oracled);
-    # multimodal_features -> binary payloads; viz_projection -> driver-side
-    # SVD; winnowing_docs -> murmur3 (winnowing_md5 oracled).
-    # mapping_report graduated: the stub encoder's hex-chained sha256 is
-    # DuckDB-reproducible, so the flagship is value-oracled end-to-end.
+    # viz_projection -> driver-side SVD; winnowing_docs -> murmur3
+    # (winnowing_md5 oracled). Graduated to value oracles: mapping_report
+    # (hex-chained sha256 stub replayed in SQL), multimodal_features
+    # (sha256 over the payload bytes), cos_topk_lsh / dedup_embedding
+    # (seeded hyperplane literals shared with the SQL).
     "cos_topk_ivf",
     "dedup_minhash",
     "dedup_simhash",
-    "multimodal_features",
     "viz_projection",
     "winnowing_docs",
 }
