@@ -1403,10 +1403,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_groups",
-    """
-    WITH RECURSIVE
+# Reusable recursive-CTE block: lang-blocked exact-Jaccard pairs ->
+# connected components (min reachable id) -> every doc's group assignment.
+# Shared by dedup_groups and the composite pipeline_curate oracle.
+_GROUPS_CTE_BODY = """
     sh AS (
         SELECT lang AS blk, doc_id,
             list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -1437,6 +1437,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     )
+"""
+
+
+@query(
+    "dedup_groups",
+    f"""
+    WITH RECURSIVE
+    {_GROUPS_CTE_BODY}
     SELECT doc_id, group_id,
         count(*) OVER (PARTITION BY group_id) AS group_size,
         (doc_id = group_id) AS is_canonical
@@ -1455,6 +1463,43 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
     return duplicate_groups(pairs, all_ids=docs, id_col="doc_id").select(
         "doc_id", "group_id", "group_size", "is_canonical"
+    )
+
+
+@query(
+    "pipeline_curate",
+    f"""
+    WITH RECURSIVE
+    {_GROUPS_CTE_BODY},
+    stats AS ({sql_text_stats("documents")})
+    SELECT a.doc_id, d.lang, s.n_tokens, s.quality_score
+    FROM assigned a
+    JOIN stats s ON s.doc_id = a.doc_id
+    JOIN documents d ON d.doc_id = a.doc_id
+    WHERE a.doc_id = a.group_id AND s.quality_score >= 0.5
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE curation pipeline — the operators composed the way a real
+    training-data run uses them: near-dup pair generation (lang-blocked
+    exact Jaccard) -> connected-component group formation -> keep only
+    canonical docs -> quality gate (composite codegen score). Oracle
+    composes the same proven fragments (groups recursive CTE + text-stats
+    SQL). One query demonstrating the operators integrate, not just pass
+    in isolation."""
+    from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
+    from asctb_ct_label_mapper_spark.operators.textstats import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+    groups = duplicate_groups(pairs, all_ids=docs, id_col="doc_id")
+    stats = text_stats(docs)
+    return (
+        groups.filter(F.col("is_canonical"))
+        .join(stats, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
     )
 
 

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "pipeline_curate",
     "text_stats_docs",
     "lang_id_docs",
     "fingerprint_docs",
