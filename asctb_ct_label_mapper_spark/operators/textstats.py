@@ -8,7 +8,7 @@ Python workers. Every operator has a matching DuckDB-SQL formulation (the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.functions.nlp import STOPWORDS, clean_text_expr
@@ -234,4 +234,62 @@ def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: st
         md5(array_to_string(list_sort(list_distinct(string_split({cleaned}, ' '))), ' '))
             AS fingerprint
     FROM {table}
+    """
+
+
+# --- corpus-level token frequency --------------------------------------------
+
+
+def token_topn(
+    df: DataFrame, n: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global top-``n`` tokens by frequency with document-frequency counts:
+    (token, cnt, doc_freq, rank), ties broken by token ascending so the
+    cut is deterministic.
+
+    Scale shape: explode -> groupBy(token) is ONE map-side-combinable
+    shuffle (partial counts per partition, merged on the reduce side —
+    shuffle volume is the per-partition VOCABULARY, not the token stream),
+    and the final top-n is a single-partition sort over the already-
+    aggregated vocabulary. At 100 TB the vocabulary-sized sort is the only
+    non-scalable step; for open-ended vocabularies swap the tail for a
+    count-min/space-saving sketch and keep the same aggregation spine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("_id").alias("doc_freq"),
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))
+            ),
+        )
+    )
+
+
+def sql_token_topn(
+    table: str = "documents", n: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replay of ``token_topn`` (same tie-break)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS _id, unnest(string_split({text_col}, ' ')) AS token
+        FROM {table}
+    ),
+    counts AS (
+        SELECT token, count(*) AS cnt, count(DISTINCT _id) AS doc_freq
+        FROM toks GROUP BY token
+    )
+    SELECT token, cnt, doc_freq,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+    FROM counts
+    ORDER BY cnt DESC, token ASC
+    LIMIT {n}
     """

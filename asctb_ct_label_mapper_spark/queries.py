@@ -43,13 +43,21 @@ from asctb_ct_label_mapper_spark.operators.similarity import (
     top_k_similarity_blocked,
     top_k_similarity_join,
 )
+from asctb_ct_label_mapper_spark.operators.curation import (
+    hash_split,
+    pii_scrub,
+    sql_hash_split,
+    sql_pii_scrub,
+)
 from asctb_ct_label_mapper_spark.operators.textstats import (
     fingerprint,
     lang_id,
     sql_fingerprint,
     sql_lang_id,
     sql_text_stats,
+    sql_token_topn,
     text_stats,
+    token_topn,
 )
 from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
 from asctb_ct_label_mapper_spark.streaming.events import tumbling_counts
@@ -1694,6 +1702,64 @@ def text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query("split_assign", sql_hash_split("(SELECT doc_id FROM documents) d", "doc_id"))
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id hash (curation.hash_split):
+    a row's split depends only on md5(doc_id) — never on partitioning, row
+    order, or engine — so re-runs and backfills cannot leak documents
+    across splits. Narrow (zero shuffle), fully codegen."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id")
+
+
+# Deterministic synthetic PII appended per row so the scrub demonstrably
+# fires on every document (the corpus itself is clean text); both engines
+# build the identical augmented string.
+_PII_SUFFIX_SQL = (
+    # || not concat(): DuckDB's concat() SKIPS nulls while Spark's concat
+    # propagates them — || propagates in both, keeping null-text parity.
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) "
+    "|| ' tel +1 555 000 ' || CAST(doc_id % 100 AS VARCHAR))"
+)
+
+
+@query(
+    "pii_scrub_docs",
+    sql_pii_scrub(
+        f"(SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents) d", "text"
+    ),
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (curation.pii_scrub): email / IPv4 / phone-shaped runs
+    replaced by typed placeholders, per-kind match counts kept from the
+    original text. The regex chain is written in the Java-regex/RE2 shared
+    subset, so the oracle replays the scrub byte-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +1 555 000 "),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(with_pii, "text")
+
+
+@query("token_topn_docs", sql_token_topn("documents", 100))
+def token_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 tokens with corpus and document frequency
+    (textstats.token_topn): one map-side-combinable shuffle on token, then
+    a vocabulary-sized top-n. Ties broken by token so the cut is
+    deterministic and oracle-checkable."""
+    return token_topn(_t(spark, sf_dir, "documents"), 100)
 
 
 @query("winnowing_docs")

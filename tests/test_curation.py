@@ -1,0 +1,68 @@
+"""Curation operators: deterministic hash split + PII scrub + token top-n."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from asctb_ct_label_mapper_spark.operators.curation import hash_split, pii_scrub
+from asctb_ct_label_mapper_spark.operators.textstats import token_topn
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    # same ids, different partitioning and row order -> identical assignment
+    shuffled = df.repartition(7).orderBy(F.desc("doc_id"))
+    b = {r["doc_id"]: r["split"] for r in hash_split(shuffled, "doc_id").collect()}
+    assert a == b
+    # buckets in range, all three splits materialize at sane proportions
+    rows = hash_split(df, "doc_id").collect()
+    assert all(0 <= r["bucket"] < 100 for r in rows)
+    frac_train = sum(r["split"] == "train" for r in rows) / len(rows)
+    frac_val = sum(r["split"] == "val" for r in rows) / len(rows)
+    assert 0.7 < frac_train < 0.9 and 0.05 < frac_val < 0.15
+
+
+def test_hash_split_plan_is_narrow(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = hash_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row expressions only
+
+
+def test_pii_scrub_fixture(spark):
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co.uk today"),
+        (2, "server at 192.168.0.1 port 80"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "two mails a@b.io and c_d%e@f-g.org"),
+        (5, "clean text only"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df, "text").collect()}
+    assert got[1]["scrubbed"] == "write to <EMAIL> today"
+    assert got[1]["n_email"] == 1
+    assert got[2]["scrubbed"] == "server at <IP> port 80"
+    assert got[2]["n_ipv4"] == 1
+    assert got[3]["scrubbed"] == "call <PHONE> now"
+    assert got[3]["n_phone"] == 1
+    assert got[4]["n_email"] == 2 and got[4]["scrubbed"].count("<EMAIL>") == 2
+    assert got[5]["scrubbed"] == "clean text only"
+    assert got[5]["n_email"] == got[5]["n_ipv4"] == got[5]["n_phone"] == 0
+    assert got[6]["scrubbed"] is None  # null text propagates
+
+
+def test_token_topn_tie_break_deterministic(spark):
+    # b and c tie at 2 occurrences -> token-ascending breaks the tie
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "b c a")], ["doc_id", "text"]
+    )
+    rows = token_topn(df, 3).orderBy("rank").collect()
+    assert [(r["token"], r["cnt"], r["rank"]) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 2, 2),
+        ("c", 2, 3),
+    ]
+    # doc_freq counts documents, not occurrences
+    assert rows[0]["doc_freq"] == 2
