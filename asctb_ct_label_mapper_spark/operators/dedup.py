@@ -668,7 +668,7 @@ def duplicate_groups(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
@@ -678,16 +678,21 @@ def duplicate_groups(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "_new")
-            .join(labels, "node")
-            .filter(F.col("_new") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        # Probe from iteration 1 on: iteration 0 changes by construction
+        # whenever an edge exists (every edge endpoint sees a neighbor), so
+        # its probe job is pure overhead.
+        if it > 0:
+            changed = (
+                new_labels.withColumnRenamed("label", "_new")
+                .join(labels, "node")
+                .filter(F.col("_new") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     if all_ids is not None:
         out = (
             all_ids.select(F.col(id_col).alias("node"))

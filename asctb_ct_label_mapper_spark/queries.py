@@ -866,6 +866,30 @@ def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_view_click_attribution",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+        date_diff('second', v.ts, c.ts) AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def j_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->click attribution pairs (streaming/events.view_click_pairs,
+    batch flavor): each click joined to every prior view by the same user
+    within 10 minutes. The same builder with streaming=True is the
+    canonical watermarked stream-stream interval join (tested with
+    availableNow); batch is oracle-checked here."""
+    from asctb_ct_label_mapper_spark.streaming.events import view_click_pairs
+
+    return view_click_pairs(_t(spark, sf_dir, "events"))
+
+
+@query(
     "f18_json_extract",
     """
     SELECT event_id,

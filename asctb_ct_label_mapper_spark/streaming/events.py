@@ -265,3 +265,49 @@ def stream_static_topk(
         F.col("_cand.score").alias("score"),
         (F.col("_pos") + 1).alias("rank"),
     )
+
+
+def view_click_pairs(
+    events: DataFrame,
+    attribution_window: str = "10 minutes",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute every click to each prior
+    view by the same user within ``attribution_window`` (click_ts in
+    [view_ts, view_ts + window]).
+
+    Streaming flavor is the canonical Structured Streaming two-stream
+    join: both sides watermarked, the event-time range predicate bounds
+    how long view state is retained (watermark + window), and the inner
+    join emits in append mode. Batch flavor is the identical plan minus
+    watermarks — an equi-join on user_id whose range condition is a
+    post-join filter, so the only shuffle is the user_id hash join; the
+    oracle replays it as plain SQL.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if streaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("view_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return clicks.join(views, cond, "inner").select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_seconds"),
+    )

@@ -4,6 +4,7 @@ streams over the events fixture and agree with their batch flavor."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.schemas import load_table
 from asctb_ct_label_mapper_spark.streaming.events import (
@@ -80,6 +81,47 @@ def test_sessionize_arbitrary_gap_matches_stream(spark, events_batch, events_str
         spark, sessionize(events_stream, "7 minutes", streaming=True), "sessions7m"
     )
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
+def test_view_click_pairs_stream_matches_batch(spark, events_batch, events_stream):
+    """Stream-STREAM interval join (watermarked both sides, append mode)
+    agrees with the batch flavor of the same builder."""
+    from asctb_ct_label_mapper_spark.streaming.events import view_click_pairs
+
+    batch = view_click_pairs(events_batch, streaming=False)
+    q = (
+        view_click_pairs(events_stream, streaming=True)
+        .writeStream.format("memory")
+        .queryName("vclicks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = spark.sql("SELECT * FROM vclicks")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.collect()))
+    assert len(b) > 0 and b == s
+
+
+def test_view_click_pairs_window_edges(spark):
+    from asctb_ct_label_mapper_spark.streaming.events import view_click_pairs
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 0.0, None),
+        (2, "2024-01-01 10:00:00", 7, "click", 0.0, None),  # lag 0: in
+        (3, "2024-01-01 10:10:00", 7, "click", 0.0, None),  # lag 600: in
+        (4, "2024-01-01 10:10:01", 7, "click", 0.0, None),  # lag 601: out
+        (5, "2024-01-01 09:59:59", 7, "click", 0.0, None),  # before view: out
+        (6, "2024-01-01 10:05:00", 8, "click", 0.0, None),  # other user: out
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = view_click_pairs(df).orderBy("click_id").collect()
+    assert [(r["click_id"], r["lag_seconds"]) for r in got] == [(2, 0), (3, 600)]
 
 
 def test_parse_gap_seconds():
