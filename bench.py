@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_stats_docs",
     "lang_id_docs",
     "fingerprint_docs",
+    "token_topn_docs",
+    "j_view_click_attribution",
 ]
 
 
