@@ -1,13 +1,13 @@
 """Corpus-curation operators for the training-data pipeline: deterministic
-dataset splits and PII scrubbing.
+dataset splits, PII scrubbing, and stratified sampling.
 
 Not in the reference (it never curates a corpus) — required by the engine
 brief as first-class training-data components, alongside dedup.py and
 textstats.py.
 
-Both operators are NARROW (per-row expressions, zero shuffle): at 100 TB
-they stream through the scan at full parallelism, and every function is
-whole-stage-codegen native — no Python anywhere.
+Every operator here is NARROW (per-row expressions, zero shuffle): at
+100 TB they stream through the scan at full parallelism, and every
+function is whole-stage-codegen native — no Python anywhere.
 
 Determinism contracts:
 - ``hash_split`` buckets on the first 8 hex chars of ``md5(id)`` — the
@@ -126,4 +126,57 @@ def sql_pii_scrub(table: str, text_col: str, out_col: str = "scrubbed") -> str:
         {counts},
         {scrub} AS {out_col}
     FROM {table}
+    """
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum downsampling that is a pure function of md5(id): row kept
+    iff its hash bucket falls under the stratum's percentage. Unlike
+    ``DataFrame.sampleBy`` (seeded Bernoulli per partition — resample on
+    every re-run/repartition), membership here is reproducible across
+    engines, partitionings, and re-runs — rebalancing a skewed corpus
+    (e.g. downsampling the dominant language) yields the same corpus every
+    time, which is what makes ablations comparable.
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1] (resolved
+    at whole-percent granularity — the md5 bucket space is 100 wide).
+    Narrow plan: zero shuffle, fully codegen.
+    """
+    frac = F.lit(int(round(default_fraction * 100)))
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == value, int(round(p * 100))).otherwise(frac)
+    return df.withColumn("bucket", hash_bucket(F.col(id_col))).filter(
+        F.col("bucket") < frac
+    )
+
+
+def sql_stratified_sample(
+    table: str,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB replay of ``stratified_sample``."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN {int(round(p * 100))}"
+        for v, p in sorted(fractions.items())
+    )
+    bucket = (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {N_BUCKETS} AS INT)"
+    )
+    return f"""
+    SELECT *, {bucket} AS bucket
+    FROM {table}
+    WHERE {bucket} < (CASE {cases} ELSE {int(round(default_fraction * 100))} END)
     """

@@ -48,6 +48,8 @@ from asctb_ct_label_mapper_spark.operators.curation import (
     pii_scrub,
     sql_hash_split,
     sql_pii_scrub,
+    sql_stratified_sample,
+    stratified_sample,
 )
 from asctb_ct_label_mapper_spark.operators.textstats import (
     fingerprint,
@@ -560,6 +562,55 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "w_lag_lead_pack",
+    """
+    SELECT event_id, user_id,
+        round(coalesce(lag(value) OVER w, -1.0), 6) AS prev_value,
+        round(coalesce(lead(value) OVER w, -1.0), 6) AS next_value,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_lag_lead_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 analytic-window pack: lag/lead/ntile/percent_rank over each
+    user's event timeline. Total order inside the partition is
+    (ts, event_id) so boundary rows — and therefore the hash — are
+    deterministic; nulls at partition edges are coalesced to a sentinel
+    both engines agree on."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 6).alias("prev_value"),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(-1.0)), 6).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "sample_stratified",
+    sql_stratified_sample(
+        "documents", "doc_id", "lang", {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (curation.stratified_sample):
+    the dominant language is kept at 25%, the rest at 100%, with
+    membership a pure function of md5(doc_id) — re-runs, repartitions, and
+    engines agree row-for-row (unlike seeded sampleBy), so rebalanced
+    corpora are reproducible for ablations. Narrow plan, zero shuffle."""
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
     )
 
 

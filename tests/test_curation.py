@@ -66,3 +66,29 @@ def test_token_topn_tie_break_deterministic(spark):
     ]
     # doc_freq counts documents, not occurrences
     assert rows[0]["doc_freq"] == 2
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import stratified_sample
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("grp", F.when(F.col("doc_id") % 4 == 0, "a").otherwise("b"))
+    )
+    frac = {"a": 0.5, "b": 0.1}
+    kept = stratified_sample(df, "doc_id", "grp", frac)
+    # same membership regardless of partitioning / order
+    again = stratified_sample(df.repartition(9).orderBy(F.desc("doc_id")), "doc_id", "grp", frac)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    by_grp = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < by_grp["a"] / 1000 < 0.6
+    assert 0.05 < by_grp["b"] / 3000 < 0.15
+    # unknown stratum defaults to dropped
+    other = df.withColumn("grp", F.lit("zz"))
+    assert stratified_sample(other, "doc_id", "grp", frac).count() == 0
+    # plan stays narrow
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
