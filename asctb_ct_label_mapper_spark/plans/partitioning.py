@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame
 
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to ``min_partitions`` (default: the
-    session's ``defaultParallelism``) — only if it currently has fewer."""
+    session's ``defaultParallelism``) — only if it currently has fewer.
+
+    Call this on SCAN-ROOTED frames (scan/filter/project lineage only):
+    the width probe converts to an RDD, and under AQE that finalizes the
+    physical plan — for a frame that already contains shuffles it can
+    trigger eager stage execution. Every in-repo call site passes a plain
+    scan projection; post-shuffle frames don't need widening anyway (they
+    already have ``spark.sql.shuffle.partitions`` partitions)."""
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= min_partitions:
