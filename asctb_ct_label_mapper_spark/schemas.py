@@ -59,19 +59,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one driver table. Parquet carries its own schema;
     reading it directly keeps predicate pushdown + column pruning intact.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as a raw long (legacy nanosAsLong conf) and
-    converted with integer division — micros stay exact where a double
-    roundtrip of an int64 would not (DuckDB truncates nanos the same way).
+    ``events.ts`` has appeared in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects —
+    read as a raw long via the legacy nanosAsLong conf, then integer-divided
+    to micros, exactly as DuckDB truncates) and plain TIMESTAMP(MICROS)
+    (reads natively). Adapt on the observed type so both generations load
+    to the same logical timestamp column.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # Testdata generations that write TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # would otherwise load as TIMESTAMP_NTZ, which Structured Streaming
+    # watermarks and unix_micros() reject. Reading them as session-tz
+    # timestamps (session tz is pinned to UTC) matches DuckDB's naive
+    # interpretation bit-for-bit and keeps one logical type everywhere.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        from pyspark.sql import functions as F
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

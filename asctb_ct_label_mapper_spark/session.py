@@ -46,6 +46,9 @@ def get_spark(app_name: str = "asctb-spark", cpus: int | None = None) -> SparkSe
         # --- scan sizing: 128 MiB splits keep partitions executor-memory safe ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # naive parquet timestamps load as session-tz TIMESTAMP (UTC), not
+        # NTZ — streaming watermarks require TIMESTAMP and DuckDB agrees
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- Python crossing is always Arrow-vectorized ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
