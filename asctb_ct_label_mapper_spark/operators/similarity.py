@@ -140,32 +140,39 @@ def top_k_similarity_blocked(
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0.0] = 1.0
             sims = (q / qn[:, None]) @ mat.T  # (batch, c)
-            top = min(kk, sims.shape[1])
+            n_rows, n_ref = sims.shape
+            top = min(kk, n_ref)
             # argpartition gets the top set in O(c); exact order + id
-            # tiebreak resolved on the k-sized slice only.
+            # tiebreak resolved on the k-sized slice only — all rows at
+            # once (no per-row Python in the common case).
             part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            out = []
-            for row_i in range(sims.shape[0]):
-                # argpartition cuts ties at the k-th score ARBITRARILY —
-                # with duplicate reference vectors the boundary tie must be
-                # broken by id, like the window strategy's row_number
-                # (score DESC, id ASC). Widen to every index at or above
-                # the k-th score (equal only on exact ties, so this stays
-                # O(k) in practice), then rank deterministically.
-                kth = sims[row_i, part[row_i]].min()
-                cand = np.flatnonzero(sims[row_i] >= kth)
+            row_idx = np.arange(n_rows)[:, None]
+            sel_scores = sims[row_idx, part]
+            kth = sel_scores.min(axis=1)
+            # Order each row's slice by (score DESC, id ASC), matching the
+            # window strategy's row_number ordering: stable-argsort by id,
+            # then stable-argsort by -score — equal scores keep the id order.
+            ord_id = np.argsort(ids[part], axis=1, kind="stable")
+            ord_score = np.argsort(
+                -np.take_along_axis(sel_scores, ord_id, axis=1), axis=1, kind="stable"
+            )
+            chosen = np.take_along_axis(part, np.take_along_axis(ord_id, ord_score, axis=1), axis=1)
+            # argpartition cuts ties at the k-th score ARBITRARILY — when a
+            # row has MORE than `top` scores >= its k-th score, ids outside
+            # the slice may deserve inclusion. Only those rows (exact float
+            # ties, rare) take the widened per-row path.
+            tied = np.flatnonzero((sims >= kth[:, None]).sum(axis=1) > top)
+            for row_i in tied:
+                cand = np.flatnonzero(sims[row_i] >= kth[row_i])
                 order = np.lexsort((ids[cand], -sims[row_i, cand]))
-                chosen = cand[order][:top]
-                for rank_i, ref_i in enumerate(chosen, start=1):
-                    out.append(
-                        (
-                            *[pdf.iloc[row_i][c] for c in query_id_cols],
-                            ids[ref_i].item() if hasattr(ids[ref_i], "item") else ids[ref_i],
-                            float(sims[row_i, ref_i]),
-                            rank_i,
-                        )
-                    )
-            yield pd.DataFrame(out, columns=[*query_id_cols, "ref_id", "score", "rank"])
+                chosen[row_i] = cand[order][:top]
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), top) for c in query_id_cols
+            }
+            out["ref_id"] = ids[chosen].ravel()
+            out["score"] = sims[row_idx, chosen].ravel()
+            out["rank"] = np.tile(np.arange(1, top + 1, dtype=np.int32), n_rows)
+            yield pd.DataFrame(out)
 
     return narrowed.mapInPandas(score_batches, schema=out_schema)
 
