@@ -237,6 +237,155 @@ def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: st
     """
 
 
+# --- repetition / boilerplate signals ----------------------------------------
+
+# BPE-ish pretokenizer (GPT-2 style, simplified to the Java-regex/RE2 shared
+# subset): a token is an optionally-space-prefixed letter run, digit run, or
+# punctuation run. No lookaround, no unicode classes — both engines agree.
+BPE_TOKEN_REGEX = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    duplicate-token fraction, duplicate-``n``-gram fraction, and the
+    fraction of n-gram occurrences taken by the single most frequent
+    n-gram. High values mean boilerplate / TEMPLATED text — the curation
+    filter drops or downweights them before training.
+
+    Scale shape: ordered (non-distinct) n-grams explode into a
+    groupBy(doc, gram) count — ONE map-side-combinable shuffle keyed by
+    (doc, gram) — then a per-doc rollup. Work follows n-gram occurrences;
+    no per-row quadratic array scans, no Python.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = base.groupBy(id_col, "gram").agg(
+        F.count("gram").alias("cnt"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+        F.sum("cnt").alias("n_grams"),
+        F.count("gram").alias("n_distinct_grams"),
+        F.max("cnt").alias("top_gram_cnt"),
+    )
+    n_grams = F.col("n_grams")
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        n_grams.alias("n_grams"),
+        F.col("top_gram_cnt"),
+        safe(F.col("top_gram_cnt"), n_grams).alias("top_gram_frac"),
+        safe(n_grams - F.col("n_distinct_grams"), n_grams).alias("dup_gram_frac"),
+        safe(
+            F.col("n_tokens") - F.col("n_distinct_tokens"), F.col("n_tokens")
+        ).alias("dup_token_frac"),
+    )
+
+
+def sql_repetition_stats(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> str:
+    """DuckDB replay of ``repetition_stats`` (same ordered-shingle slice)."""
+    w = n - 1
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+            len(toks) AS n_tokens,
+            len(list_distinct(toks)) AS n_distinct_tokens,
+            [array_to_string(toks[i:i+{w}], ' ')
+             for i in range(1, greatest(len(toks) - {w}, 0) + 1)] AS grams
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
+    ),
+    per_gram AS (
+        SELECT {id_col}, gram, count(*) AS cnt
+        FROM (SELECT {id_col}, unnest(grams) AS gram FROM base)
+        GROUP BY {id_col}, gram
+    ),
+    per_doc AS (
+        SELECT {id_col},
+            sum(cnt) AS n_grams,
+            count(*) AS n_distinct_grams,
+            max(cnt) AS top_gram_cnt
+        FROM per_gram GROUP BY {id_col}
+    )
+    SELECT b.{id_col},
+        b.n_tokens,
+        coalesce(d.n_grams, 0) AS n_grams,
+        coalesce(d.top_gram_cnt, 0) AS top_gram_cnt,
+        round(CASE WHEN coalesce(d.n_grams, 0) > 0
+              THEN CAST(d.top_gram_cnt AS DOUBLE) / d.n_grams ELSE 0.0 END, 6)
+            AS top_gram_frac,
+        round(CASE WHEN coalesce(d.n_grams, 0) > 0
+              THEN CAST(d.n_grams - d.n_distinct_grams AS DOUBLE) / d.n_grams
+              ELSE 0.0 END, 6) AS dup_gram_frac,
+        round(CASE WHEN b.n_tokens > 0
+              THEN CAST(b.n_tokens - b.n_distinct_tokens AS DOUBLE) / b.n_tokens
+              ELSE 0.0 END, 6) AS dup_token_frac
+    FROM base b LEFT JOIN per_doc d USING ({id_col})
+    """
+
+
+def bpe_tokenize_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BPE-ish token counts via the regex pretokenizer: total
+    tokens, letter/digit/punctuation-run splits, and chars-per-token (a
+    compression proxy — low values flag punctuation-soup text). All
+    ``regexp_count`` native expressions, fully codegen, zero shuffle."""
+    text = F.col(text_col)
+    n_bpe = F.regexp_count(text, F.lit(BPE_TOKEN_REGEX))
+    return df.select(
+        F.col(id_col),
+        n_bpe.alias("n_bpe_tokens"),
+        F.regexp_count(text, F.lit(" ?[a-zA-Z]+")).alias("n_word_runs"),
+        F.regexp_count(text, F.lit(" ?[0-9]+")).alias("n_digit_runs"),
+        F.regexp_count(text, F.lit(" ?[^a-zA-Z0-9 ]+")).alias("n_punct_runs"),
+        F.round(
+            F.when(n_bpe > 0, F.length(text).cast("double") / n_bpe).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def sql_bpe_tokenize_stats(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replay of ``bpe_tokenize_stats`` (same patterns, RE2 side)."""
+    t = text_col
+    return f"""
+    SELECT {id_col},
+        len(regexp_extract_all({t}, '{BPE_TOKEN_REGEX}')) AS n_bpe_tokens,
+        len(regexp_extract_all({t}, ' ?[a-zA-Z]+')) AS n_word_runs,
+        len(regexp_extract_all({t}, ' ?[0-9]+')) AS n_digit_runs,
+        len(regexp_extract_all({t}, ' ?[^a-zA-Z0-9 ]+')) AS n_punct_runs,
+        round(CASE WHEN len(regexp_extract_all({t}, '{BPE_TOKEN_REGEX}')) > 0
+              THEN CAST(length({t}) AS DOUBLE)
+                   / len(regexp_extract_all({t}, '{BPE_TOKEN_REGEX}'))
+              ELSE 0.0 END, 6) AS chars_per_bpe_token
+    FROM {table}
+    """
+
+
 # --- corpus-level token frequency --------------------------------------------
 
 

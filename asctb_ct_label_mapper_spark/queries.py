@@ -51,11 +51,23 @@ from asctb_ct_label_mapper_spark.operators.curation import (
     sql_stratified_sample,
     stratified_sample,
 )
+from asctb_ct_label_mapper_spark.operators.contamination import (
+    ngram_contamination,
+    sql_ngram_contamination,
+)
+from asctb_ct_label_mapper_spark.operators.quantize import (
+    quantize_error_stats,
+    sql_quantize_error_stats,
+)
 from asctb_ct_label_mapper_spark.operators.textstats import (
+    bpe_tokenize_stats,
     fingerprint,
     lang_id,
+    repetition_stats,
+    sql_bpe_tokenize_stats,
     sql_fingerprint,
     sql_lang_id,
+    sql_repetition_stats,
     sql_text_stats,
     sql_token_topn,
     text_stats,
@@ -1835,6 +1847,53 @@ def token_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary-sized top-n. Ties broken by token so the cut is
     deterministic and oracle-checkable."""
     return token_topn(_t(spark, sf_dir, "documents"), 100)
+
+
+@query(
+    "contamination_check",
+    sql_ngram_contamination(
+        sql_hash_split("(SELECT doc_id, text FROM documents) d", "doc_id"),
+        threshold=0.1,
+    ),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage detector (contamination.ngram_contamination): the
+    deterministic hash split carves train/test from `documents`, then every
+    test doc's distinct 3-grams probe the train shingle vocabulary via one
+    equi-join. Composes split_assign's md5 bucketing with dedup's shingle
+    expression — both already oracle-proven in isolation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = hash_split(docs, "doc_id")
+    return ngram_contamination(
+        assigned.filter(F.col("split") == "test"),
+        assigned.filter(F.col("split") == "train"),
+        threshold=0.1,
+    )
+
+
+@query("repetition_docs", sql_repetition_stats("documents"))
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document: duplicate
+    token/bigram fractions + top-bigram occupancy, via one
+    map-side-combinable (doc, gram) shuffle."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("tokenize_bpe_docs", sql_bpe_tokenize_stats("documents"))
+def tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenizer counts (engine brief: token counting
+    beyond whitespace): letter/digit/punctuation runs with optional leading
+    space, chars-per-token compression proxy. Pure regexp_count codegen."""
+    return bpe_tokenize_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("quantize_embed_stats", sql_quantize_error_stats("embeddings"))
+def quantize_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-vector
+    reconstruction-error stats and the 0.5/scale bound verified row-wise
+    (quantize.quantize_error_stats). The 4x shuffle-bytes lever for ANN at
+    100 TB; arithmetic written identically in both engines."""
+    return quantize_error_stats(_t(spark, sf_dir, "embeddings"))
 
 
 @query("winnowing_docs")

@@ -1,0 +1,158 @@
+"""Unit tests for cross-corpus contamination, repetition stats, BPE-ish
+tokenization, and int8 embedding quantization."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from asctb_ct_label_mapper_spark.operators.contamination import ngram_contamination
+from asctb_ct_label_mapper_spark.operators.quantize import (
+    quantize_embeddings,
+    quantize_error_stats,
+)
+from asctb_ct_label_mapper_spark.operators.textstats import (
+    bpe_tokenize_stats,
+    repetition_stats,
+)
+
+
+@pytest.fixture()
+def corpora(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "machine learning models need clean data"),
+        ],
+        ["doc_id", "text"],
+    )
+    evald = spark.createDataFrame(
+        [
+            # fully contained in train doc 1 -> all 3-grams hit
+            (10, "the quick brown fox jumps"),
+            # no overlap at all
+            (11, "completely unrelated sentence about cooking pasta"),
+            # partial overlap: shares 'machine learning models' only
+            (12, "machine learning models are large"),
+            # too short for a 3-gram
+            (13, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    return train, evald
+
+
+def test_contamination_rates(spark, corpora):
+    train, evald = corpora
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(evald, train, threshold=0.5).collect()
+    }
+    assert out[10]["n_shingles"] == 3 and out[10]["contamination_rate"] == 1.0
+    assert out[10]["is_contaminated"]
+    assert out[11]["n_hit"] == 0 and not out[11]["is_contaminated"]
+    # 'machine learning models are large' -> 3 shingles, 1 hit
+    assert out[12]["n_shingles"] == 3 and out[12]["n_hit"] == 1
+    assert out[12]["contamination_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    # short doc kept with zero shingles, rate 0
+    assert out[13]["n_shingles"] == 0 and out[13]["contamination_rate"] == 0.0
+    assert not out[13]["is_contaminated"]
+
+
+def test_contamination_hash_join_key_equivalent(spark, corpora):
+    train, evald = corpora
+    a = sorted(
+        ngram_contamination(evald, train, hash_join_key=False).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        ngram_contamination(evald, train, hash_join_key=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one distinct token, one distinct bigram
+            (2, "all words here differ"),
+            (3, ""),  # single empty token after split
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4 and r1["n_grams"] == 3
+    assert r1["top_gram_cnt"] == 3 and r1["top_gram_frac"] == 1.0
+    assert r1["dup_gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["dup_token_frac"] == 0.75
+    r2 = out[2]
+    assert r2["dup_gram_frac"] == 0.0 and r2["dup_token_frac"] == 0.0
+    assert r2["top_gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # empty text: split(' ') -> one empty token, zero bigrams
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["n_grams"] == 0
+    assert r3["top_gram_frac"] == 0.0 and r3["dup_gram_frac"] == 0.0
+
+
+def test_bpe_tokenize_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world 42!"), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bpe_tokenize_stats(df).collect()}
+    r = out[1]
+    # tokens: 'Hello' ',' ' world' ' 42' '!'
+    assert r["n_bpe_tokens"] == 5
+    assert r["n_word_runs"] == 2
+    assert r["n_digit_runs"] == 1
+    assert r["n_punct_runs"] == 2
+    assert r["chars_per_bpe_token"] == pytest.approx(16 / 5, abs=1e-6)
+    assert out[2]["n_bpe_tokens"] == 0 and out[2]["chars_per_bpe_token"] == 0.0
+
+
+def test_quantize_roundtrip_and_bound(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(40)]
+    rows.append((99, [0.0] * 16))  # zero vector -> scale 1.0 path
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    stats = {r["vec_id"]: r for r in quantize_error_stats(df).collect()}
+    assert all(r["within_bound"] for r in stats.values())
+    assert stats[99]["scale"] == 1.0 and stats[99]["max_abs_err"] == 0.0
+
+    # explicit roundtrip: dequantized q reproduces the error stats operator
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vec_id, vec in rows:
+        scale = q[vec_id]["scale"]
+        deq = np.array(q[vec_id]["q"], dtype=np.float64) / scale
+        err = np.abs(np.array(vec, dtype=np.float64) - deq)
+        assert err.max() <= 0.5 / scale + 1e-12
+        assert round(err.max(), 8) == pytest.approx(
+            stats[vec_id]["max_abs_err"], abs=1e-8
+        )
+
+
+def test_quantized_cosine_top1_agreement(spark):
+    """Int8-dequantized cosine must preserve the exact top-1 for nearly all
+    queries (the ANN-candidate-stage contract)."""
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(120, 24)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], ["vec_id", "embedding"]
+    )
+    q = quantize_embeddings(df).collect()
+    deq = np.zeros_like(mat, dtype=np.float64)
+    for r in q:
+        deq[r["vec_id"]] = np.array(r["q"], dtype=np.float64) / r["scale"]
+
+    def top1(m):
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, -math.inf)
+        return sims.argmax(axis=1)
+
+    agree = (top1(mat.astype(np.float64)) == top1(deq)).mean()
+    assert agree >= 0.95
