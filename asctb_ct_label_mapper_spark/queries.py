@@ -1114,6 +1114,55 @@ def cos_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
+_COS_TOPK_QUANT_ORACLE = """
+    WITH deq AS (
+        SELECT vec_id,
+            [floor(CAST(x AS DOUBLE) * scale + 0.5) / scale for x in embedding] AS e
+        FROM (
+            SELECT vec_id, embedding,
+                CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+            FROM (SELECT vec_id, embedding,
+                      list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS amax
+                  FROM embeddings)
+        )
+    ),
+    q AS (SELECT vec_id, e FROM deq WHERE vec_id % 10 = 0),
+    r AS (SELECT vec_id AS rid, e FROM deq WHERE vec_id % 10 <> 0),
+    s AS (SELECT q.vec_id, r.rid, list_cosine_similarity(q.e, r.e) AS sc
+          FROM q CROSS JOIN r),
+    ranked AS (SELECT vec_id, rid, sc,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sc DESC, rid) AS rn
+               FROM s)
+    SELECT vec_id, rid AS ref_id, round(sc, 6) AS score, rn AS rank
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("cos_topk_quantized", _COS_TOPK_QUANT_ORACLE)
+def cos_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED embeddings: quantize (4x smaller
+    vectors — the representation that would be scanned/shuffled at 100 TB),
+    dequantize, then the zero-shuffle blocked-matmul strategy. Oracle
+    replays the identical floor-based quantization, so the approximation is
+    hash-checked end-to-end, not just bounded in a unit test."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from asctb_ct_label_mapper_spark.operators.quantize import quantize_embeddings
+
+    deq = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform("q", lambda x: x.cast("double") / F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    queries = deq.filter(F.col("vec_id") % 10 == 0)
+    reference = deq.filter(F.col("vec_id") % 10 != 0)
+    out = top_k_similarity_blocked(
+        queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id"
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
 def _lsh_topk_oracle(
     dim: int = 64, n_planes: int = 4, n_tables: int = 4, seed: int = 7, k: int = 3
 ) -> str:

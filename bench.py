@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "fingerprint_docs",
     "token_topn_docs",
     "j_view_click_attribution",
+    "contamination_check",
+    "repetition_docs",
+    "tokenize_bpe_docs",
+    "quantize_embed_stats",
+    "cos_topk_quantized",
 ]
 
 
@@ -75,6 +80,8 @@ SCALE_QUERIES = [
     "winnowing_docs",
     "cos_topk_blocked",
     "cos_topk_lsh",
+    "contamination_check",
+    "repetition_docs",
 ]
 
 _SCALE_DIR = "/tmp/spark_graft_scale/docs10x"

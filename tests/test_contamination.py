@@ -98,6 +98,17 @@ def test_repetition_stats_values(spark):
     assert r3["top_gram_frac"] == 0.0 and r3["dup_gram_frac"] == 0.0
 
 
+def test_repetition_fused_matches_relational(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    fused = sorted(
+        repetition_stats(docs, fused=True).collect(), key=lambda r: r["doc_id"]
+    )
+    rel = sorted(
+        repetition_stats(docs, fused=False).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [r.asDict() for r in fused] == [r.asDict() for r in rel]
+
+
 def test_bpe_tokenize_stats(spark):
     df = spark.createDataFrame(
         [(1, "Hello, world 42!"), (2, "")], ["doc_id", "text"]
