@@ -76,6 +76,80 @@ def ngram_contamination(
     )
 
 
+def unigram_logppl(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style): fit add-1
+    smoothed unigram probabilities on the train corpus, score every eval
+    document by its average negative log-likelihood per token (low =
+    train-like text, high = out-of-distribution / junk — the classic
+    perplexity-based curation filter).
+
+    p(tok) = (cnt(tok) + 1) / (total_tokens + V); unseen tokens get the
+    cnt=0 mass. Scale shape: train counts are one map-side-combinable
+    groupBy(token); scoring is one hash equi-join of the exploded eval
+    stream against the vocabulary-sized model, then a per-doc average.
+    Returns (id_col, n_tokens, avg_neg_logp) — e^avg_neg_logp is the
+    perplexity.
+    """
+    train_toks = train_df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = train_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    total, vocab = int(totals["total"]), int(totals["vocab"])
+    denom = float(total + vocab)
+    ev = eval_df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    scored = ev.join(counts, "token", "left").withColumn(
+        "neg_logp",
+        -F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double") / denom),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+    )
+
+
+def sql_unigram_logppl(
+    assigned_table_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> str:
+    """DuckDB replay of ``unigram_logppl`` over a split-carrying table
+    expression (same add-1 smoothing and double math)."""
+    return f"""
+    WITH assigned AS ({assigned_table_sql}),
+    train_toks AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS token
+        FROM assigned WHERE split = '{train_split}'
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM train_toks GROUP BY token),
+    totals AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    ev AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token
+        FROM assigned WHERE split = '{eval_split}'
+    ),
+    scored AS (
+        SELECT e.{id_col},
+            -ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (t.total + t.vocab))
+                AS neg_logp
+        FROM ev e LEFT JOIN counts c USING (token) CROSS JOIN totals t
+    )
+    SELECT {id_col}, count(*) AS n_tokens,
+           round(avg(neg_logp), 6) AS avg_neg_logp
+    FROM scored GROUP BY {id_col}
+    """
+
+
 def sql_ngram_contamination(
     assigned_table_sql: str,
     text_col: str = "text",

@@ -24,7 +24,7 @@ Determinism contracts:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- deterministic hash split ------------------------------------------------
@@ -126,6 +126,78 @@ def sql_pii_scrub(table: str, text_col: str, out_col: str = "scrubbed") -> str:
         {counts},
         {scrub} AS {out_col}
     FROM {table}
+    """
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay documents end-to-end in
+    deterministic (group, id) order and cut fixed ``budget``-token training
+    rows — the standard LLM pretraining packing layout. A document's pack
+    is ``floor(start_offset / budget)`` of its token start within its
+    group's stream (documents spanning a boundary belong to the pack they
+    START in; the trainer's loader splits residuals).
+
+    Scale shape: the running offset is a window cumsum partitioned by
+    ``group_col`` — NOT a global window (a global cumsum funnels 100 TB
+    through one task; per-group streams are how packing parallelizes, with
+    groups = shards/sources sized by the writer). Zero joins, one shuffle
+    on the group key.
+
+    Returns (id_col, group_col, n_tokens, start_offset, pack_id,
+    offset_in_pack).
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_offsets = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tokens.alias("n_tokens"),
+        (F.sum(n_tokens).over(w) - n_tokens).alias("start_offset"),
+    )
+    return with_offsets.select(
+        F.col(id_col),
+        F.col(group_col),
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("pack_id"),
+        (F.col("start_offset") % budget).cast("long").alias("offset_in_pack"),
+    )
+
+
+def sql_pack_sequences(
+    table: str = "documents",
+    budget: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``pack_sequences`` (same window frame)."""
+    return f"""
+    SELECT {id_col}, {group_col}, n_tokens, start_offset,
+        CAST(floor(start_offset / {budget}) AS BIGINT) AS pack_id,
+        CAST(start_offset % {budget} AS BIGINT) AS offset_in_pack
+    FROM (
+        SELECT {id_col}, {group_col},
+            len(string_split({text_col}, ' ')) AS n_tokens,
+            sum(len(string_split({text_col}, ' ')))
+                OVER (PARTITION BY {group_col} ORDER BY {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len(string_split({text_col}, ' ')) AS start_offset
+        FROM {table}
+    )
     """
 
 

@@ -482,6 +482,85 @@ def token_topn(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tf = in-doc count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed), ties broken by token ascending.
+
+    Scale shape: explode -> ONE map-side-combinable groupBy(doc, token)
+    for tf; document frequency aggregates the same exploded stream by
+    token (vocabulary-sized output, joined back by token — hash equi-join;
+    broadcastable only when the vocabulary is known-small). The final
+    per-doc top-k is a window over (doc) — keys are documents, so no skew.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.count()  # scalar: one job, broadcast as a literal
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def sql_tfidf_topk(
+    table: str = "documents",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``tfidf_topk`` (same smoothing and tie-break)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token
+        FROM {table}
+    ),
+    tf AS (
+        SELECT {id_col}, token, count(*) AS tf
+        FROM toks GROUP BY {id_col}, token
+    ),
+    dfreq AS (
+        SELECT token, count(DISTINCT {id_col}) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    scored AS (
+        SELECT t.{id_col}, t.token, t.tf, d.df,
+            t.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1.0) AS tfidf
+        FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+    )
+    SELECT {id_col}, token, tf, df, round(tfidf, 6) AS tfidf, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY {id_col}
+                                          ORDER BY tfidf DESC, token ASC) AS INT)
+                  AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
 def sql_token_topn(
     table: str = "documents", n: int = 100, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

@@ -45,8 +45,10 @@ from asctb_ct_label_mapper_spark.operators.similarity import (
 )
 from asctb_ct_label_mapper_spark.operators.curation import (
     hash_split,
+    pack_sequences,
     pii_scrub,
     sql_hash_split,
+    sql_pack_sequences,
     sql_pii_scrub,
     sql_stratified_sample,
     stratified_sample,
@@ -54,6 +56,8 @@ from asctb_ct_label_mapper_spark.operators.curation import (
 from asctb_ct_label_mapper_spark.operators.contamination import (
     ngram_contamination,
     sql_ngram_contamination,
+    sql_unigram_logppl,
+    unigram_logppl,
 )
 from asctb_ct_label_mapper_spark.operators.quantize import (
     quantize_error_stats,
@@ -69,8 +73,10 @@ from asctb_ct_label_mapper_spark.operators.textstats import (
     sql_lang_id,
     sql_repetition_stats,
     sql_text_stats,
+    sql_tfidf_topk,
     sql_token_topn,
     text_stats,
+    tfidf_topk,
     token_topn,
 )
 from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
@@ -1943,6 +1949,43 @@ def quantize_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantize.quantize_error_stats). The 4x shuffle-bytes lever for ANN at
     100 TB; arithmetic written identically in both engines."""
     return quantize_error_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query("tfidf_topk_docs", sql_tfidf_topk("documents", 3))
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (textstats.tfidf_topk): tf and df
+    from one exploded token stream (both map-side-combinable), smoothed
+    idf, per-doc window top-k with token tie-break."""
+    return tfidf_topk(_t(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "unigram_logppl_docs",
+    sql_unigram_logppl(
+        sql_hash_split("(SELECT doc_id, text FROM documents) d", "doc_id")
+    ),
+)
+def unigram_logppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score (contamination.unigram_logppl):
+    add-1-smoothed unigram LM fit on the train split, test docs scored by
+    average negative log-likelihood per token — the CCNet-style
+    distribution-distance curation filter, composed with the proven
+    deterministic hash split."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = hash_split(docs, "doc_id")
+    return unigram_logppl(
+        assigned.filter(F.col("split") == "test"),
+        assigned.filter(F.col("split") == "train"),
+    )
+
+
+@query("pack_sequences_docs", sql_pack_sequences("documents", 512))
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk LLM pretraining packing
+    (curation.pack_sequences): per-source running token offsets cut into
+    512-token pack rows; window cumsum partitioned by source (never a
+    global single-task window)."""
+    return pack_sequences(_t(spark, sf_dir, "documents"), 512)
 
 
 @query("winnowing_docs")

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "tokenize_bpe_docs",
     "quantize_embed_stats",
     "cos_topk_quantized",
+    "tfidf_topk_docs",
+    "unigram_logppl_docs",
+    "pack_sequences_docs",
 ]
 
 

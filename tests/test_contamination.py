@@ -8,7 +8,11 @@ import math
 import numpy as np
 import pytest
 
-from asctb_ct_label_mapper_spark.operators.contamination import ngram_contamination
+from asctb_ct_label_mapper_spark.operators.contamination import (
+    ngram_contamination,
+    unigram_logppl,
+)
+from asctb_ct_label_mapper_spark.operators.curation import pack_sequences
 from asctb_ct_label_mapper_spark.operators.quantize import (
     quantize_embeddings,
     quantize_error_stats,
@@ -16,6 +20,7 @@ from asctb_ct_label_mapper_spark.operators.quantize import (
 from asctb_ct_label_mapper_spark.operators.textstats import (
     bpe_tokenize_stats,
     repetition_stats,
+    tfidf_topk,
 )
 
 
@@ -122,6 +127,61 @@ def test_bpe_tokenize_stats(spark):
     assert r["n_punct_runs"] == 2
     assert r["chars_per_bpe_token"] == pytest.approx(16 / 5, abs=1e-6)
     assert out[2]["n_bpe_tokens"] == 0 and out[2]["chars_per_bpe_token"] == 0.0
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared apple apple"),
+            (2, "shared banana banana"),
+            (3, "shared shared shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # the doc-unique repeated term beats the corpus-wide 'shared'
+    assert top[1]["token"] == "apple" and top[1]["df"] == 1
+    assert top[2]["token"] == "banana"
+    assert top[3]["token"] == "shared"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_unigram_logppl_orders_in_vs_out_of_distribution(spark, corpora):
+    train, _ = corpora
+    evald = spark.createDataFrame(
+        [
+            (20, "the quick brown fox"),  # fully in-distribution
+            (21, "zzz qqq xxx yyy"),  # all unseen tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logppl(evald, train).collect()}
+    assert out[20]["avg_neg_logp"] < out[21]["avg_neg_logp"]
+    # all-unseen doc scores exactly -ln(1/(total+V)) on every token
+    train_toks = [w for (_, t) in train.collect() for w in t.split(" ")]
+    expected = math.log(len(train_toks) + len(set(train_toks)))
+    assert out[21]["avg_neg_logp"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_pack_sequences_layout(spark):
+    df = spark.createDataFrame(
+        [
+            # source 'a': 3 docs of 3/4/2 tokens, budget 5
+            (1, "t t t", "a"),
+            (2, "t t t t", "a"),
+            (3, "t t", "a"),
+            # source 'b' packs independently
+            (10, "t t t t t t", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=5).collect()}
+    assert (out[1]["start_offset"], out[1]["pack_id"], out[1]["offset_in_pack"]) == (0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["pack_id"], out[2]["offset_in_pack"]) == (3, 0, 3)
+    assert (out[3]["start_offset"], out[3]["pack_id"], out[3]["offset_in_pack"]) == (7, 1, 2)
+    # independent per-group stream: b restarts at 0
+    assert (out[10]["start_offset"], out[10]["pack_id"]) == (0, 0)
 
 
 def test_quantize_roundtrip_and_bound(spark):
