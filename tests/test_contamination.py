@@ -184,6 +184,27 @@ def test_pack_sequences_layout(spark):
     assert (out[10]["start_offset"], out[10]["pack_id"]) == (0, 0)
 
 
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Plan contracts: repetition's fused path is narrow (no Exchange);
+    sequence packing shuffles ONLY on the group key (exactly one
+    Exchange, hashpartitioning on source — never a global single-partition
+    window)."""
+    from asctb_ct_label_mapper_spark.plans.audit import (
+        assert_in_plan,
+        assert_not_in_plan,
+        formatted_plan,
+    )
+    from asctb_ct_label_mapper_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_not_in_plan(repetition_stats(docs, fused=True), "Exchange")
+    packed = pack_sequences(docs)
+    plan = formatted_plan(packed)
+    assert plan.count("Exchange") <= 2  # hash exchange (+ AQE shuffle read)
+    assert_in_plan(packed, "hashpartitioning(source")
+    assert "SinglePartition" not in plan
+
+
 def test_quantize_roundtrip_and_bound(spark):
     rng = np.random.default_rng(11)
     rows = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(40)]
