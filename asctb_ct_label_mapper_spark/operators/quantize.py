@@ -25,6 +25,23 @@ def _scale_expr(vec: Column, qmax: int) -> Column:
     return F.when(amax > 0, F.lit(float(qmax)) / amax).otherwise(F.lit(1.0))
 
 
+def _hoist(df: DataFrame, vec_col: str, id_col: str, qmax: int) -> DataFrame:
+    """Project the double-cast vector and its scale into their own
+    projection BEFORE any lambda references them. Lambda-bearing HOFs
+    evaluate interpreted per element, and an inlined ``scale``
+    subexpression (itself an array_max over a transform) would be
+    RECOMPUTED for every element — O(dim^2) interpreted evals per row
+    (measured 2.4 s -> 0.25 s for 1800x64 at sf0.1). Same hoisting trick
+    as the minhash shingle projection (dedup.py). CollapseProject keeps
+    the boundary because ``scale`` is referenced more than once upstream.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    hoisted = df.select(F.col(id_col), v.alias("_v"))
+    return hoisted.select(
+        F.col(id_col), F.col("_v"), _scale_expr(F.col("_v"), qmax).alias("_scale")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -42,10 +59,13 @@ def quantize_embeddings(
     q_i / scale.
     """
     qmax = 2 ** (bits - 1) - 1
-    vec = F.col(vec_col)
-    scale = _scale_expr(vec, qmax)
-    q = F.transform(vec, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
-    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+    hoisted = _hoist(df, vec_col, id_col, qmax)
+    q = F.transform(
+        F.col("_v"), lambda x: F.floor(x * F.col("_scale") + 0.5).cast("int")
+    )
+    return hoisted.select(
+        F.col(id_col), q.alias("q"), F.col("_scale").alias("scale")
+    )
 
 
 def quantize_error_stats(
@@ -60,25 +80,26 @@ def quantize_error_stats(
     so the oracle verifies the invariant on every row, not just in a unit
     test)."""
     qmax = 2 ** (bits - 1) - 1
-    vec = F.col(vec_col)
-    scale = _scale_expr(vec, qmax)
+    hoisted = _hoist(df, vec_col, id_col, qmax)
     err = F.transform(
-        vec,
-        lambda x: F.abs(
-            x.cast("double") - F.floor(x.cast("double") * scale + 0.5) / scale
-        ),
+        F.col("_v"),
+        lambda x: F.abs(x - F.floor(x * F.col("_scale") + 0.5) / F.col("_scale")),
     )
-    max_err = F.array_max(err)
+    # err hoisted one level further: max/mean/bound all reference it
+    with_err = hoisted.select(
+        F.col(id_col), F.col("_scale"), F.size("_v").alias("dim"), err.alias("_err")
+    )
+    max_err = F.array_max(F.col("_err"))
     mean_err = F.aggregate(
-        err, F.lit(0.0), lambda acc, e: acc + e
-    ) / F.greatest(F.size(vec), F.lit(1))
-    return df.select(
+        F.col("_err"), F.lit(0.0), lambda acc, e: acc + e
+    ) / F.greatest(F.col("dim"), F.lit(1))
+    return with_err.select(
         F.col(id_col),
-        F.size(vec).alias("dim"),
-        F.round(scale, 6).alias("scale"),
+        F.col("dim"),
+        F.round(F.col("_scale"), 6).alias("scale"),
         F.round(max_err, 8).alias("max_abs_err"),
         F.round(mean_err, 8).alias("mean_abs_err"),
-        (max_err <= 0.5 / scale + 1e-12).alias("within_bound"),
+        (max_err <= 0.5 / F.col("_scale") + 1e-12).alias("within_bound"),
     )
 
 
