@@ -207,20 +207,33 @@ def winnowing_fingerprints(
         # wrapped: F.hash is variadic, which transform() can't introspect
         def hash_fn(s):
             return F.hash(s)
-    # ordered (non-distinct) shingles: windows must follow document order
+    # Every array a LAMBDA references must be a plain attribute from a
+    # PRIOR projection: an inlined computed expression is re-evaluated on
+    # every lambda invocation (interpreted, no caching), which made the
+    # original single-expression chain O(len^3) — measured 346 s for
+    # 2000x400-token docs vs 1.7 s with the staged projections below.
+    # Each intermediate is referenced >=2 times by its consumer, so
+    # CollapseProject keeps the projection boundaries.
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1))
+    step_toks = df.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(t) - (shingle_n - 1))
     shingles = F.when(
-        F.size(toks) >= shingle_n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle_n), " ")),
+        F.size(t) >= shingle_n,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, shingle_n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(shingles, hash_fn)
-    widx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
+    # ordered (non-distinct) shingles: windows must follow document order;
+    # hashing maps over the aliased array (transform inputs evaluate once)
+    step_hashes = step_toks.select(
+        F.col(id_col), F.transform(shingles, hash_fn).alias("_hashes")
+    )
+    h = F.col("_hashes")
+    widx = F.sequence(F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(0)))
     mins = F.when(
-        F.size(hashes) >= window,
-        F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, window))),
-    ).otherwise(F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(hashes))
-    return df.select(
+        F.size(h) >= window,
+        F.transform(widx, lambda i: F.array_min(F.slice(h, i, window))),
+    ).otherwise(F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(h))
+    return step_hashes.select(
         F.col(id_col),
         F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     )
