@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from asctb_ct_label_mapper_spark.operators.dedup import word_shingles_expr
+from asctb_ct_label_mapper_spark.operators.dedup import (
+    shingles_udf,
+    word_shingles_expr,
+)
 
 
 def ngram_contamination(
@@ -37,6 +40,7 @@ def ngram_contamination(
     n: int = 3,
     threshold: float = 0.5,
     hash_join_key: bool = False,
+    fused: bool = True,
 ) -> DataFrame:
     """Per eval document: distinct word ``n``-grams, how many of them occur
     in the train corpus, the contamination rate, and a threshold flag.
@@ -45,8 +49,17 @@ def ngram_contamination(
     (kept in the output — absence would silently pass a short leaked doc).
     Returns (id_col, n_shingles, n_hit, contamination_rate,
     is_contaminated).
+
+    ``fused`` (default) shingles via the Arrow-vectorized UDF — the native
+    HOF expression re-evaluates the token split per shingle (interpreted,
+    O(tokens^2) per doc; the dedup module's documented pitfall) — with
+    identical shingle SETS, so oracle hashes are unchanged.
     """
-    sh = word_shingles_expr(F.col(text_col), n)
+    sh = (
+        shingles_udf(n)(F.col(text_col))
+        if fused
+        else word_shingles_expr(F.col(text_col), n)
+    )
     # explode_outer: zero-shingle docs survive as one null-gram row
     ev = eval_df.select(F.col(id_col), F.explode_outer(sh).alias("gram"))
     vocab = train_df.select(F.explode(sh).alias("gram")).distinct()
