@@ -670,12 +670,19 @@ def duplicate_groups(
     )
     for it in range(max_iter):
         nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
-            edges["src"].alias("node"), "label"
+            edges["src"].alias("node"), "label", F.lit(False).alias("_is_self")
         )
+        # The previous label rides through the union as the `_is_self` row,
+        # so convergence detection is a filter over the checkpointed result
+        # — no separate probe join per iteration.
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.lit(True).alias("_is_self"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_is_self"), F.col("label"))).alias("_prev"),
+            )
             .localCheckpoint()
         )
         # Probe from iteration 1 on: iteration 0 changes by construction
@@ -683,16 +690,12 @@ def duplicate_groups(
         # its probe job is pure overhead.
         if it > 0:
             changed = (
-                new_labels.withColumnRenamed("label", "_new")
-                .join(labels, "node")
-                .filter(F.col("_new") != F.col("label"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("label") != F.col("_prev")).limit(1).count()
             )
             if changed == 0:
-                labels = new_labels
+                labels = new_labels.drop("_prev")
                 break
-        labels = new_labels
+        labels = new_labels.drop("_prev")
     if all_ids is not None:
         out = (
             all_ids.select(F.col(id_col).alias("node"))
