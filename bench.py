@@ -85,6 +85,9 @@ SCALE_QUERIES = [
     "cos_topk_lsh",
     "contamination_check",
     "repetition_docs",
+    "tfidf_topk_docs",
+    "unigram_logppl_docs",
+    "pack_sequences_docs",
 ]
 
 _SCALE_DIR = "/tmp/spark_graft_scale/docs10x"

@@ -147,6 +147,13 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     assert all(r["rank"] == 1 for r in out)
 
 
+def test_tfidf_fused_matches_relational(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    fused = sorted(map(tuple, tfidf_topk(docs, 3, fused=True).collect()))
+    rel = sorted(map(tuple, tfidf_topk(docs, 3, fused=False).collect()))
+    assert fused == rel
+
+
 def test_unigram_logppl_orders_in_vs_out_of_distribution(spark, corpora):
     train, _ = corpora
     evald = spark.createDataFrame(
