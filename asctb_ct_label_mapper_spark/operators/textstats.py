@@ -654,6 +654,72 @@ def sql_tfidf_topk(
     """
 
 
+def inverted_index(
+    df: DataFrame,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> DataFrame:
+    """Rare-phrase inverted index: for every word ``ngram`` with document
+    frequency <= ``max_df``, the sorted posting list of containing doc ids
+    (comma-joined so the row is scalar). The rare slice is the useful,
+    bounded part of a phrase index — each posting string is <= ``max_df``
+    ids, exactly what an exact-phrase / contamination lookup probes —
+    while hot keys (unbounded postings) stay in the frequency table
+    (token_topn).
+
+    Scale shape: explode distinct n-grams per doc (fused Arrow shingler —
+    the interpreted-HOF pitfall) -> ONE groupBy(gram) building df +
+    collect_list in the same aggregate; the df filter bounds output row
+    width by construction.
+    """
+    from asctb_ct_label_mapper_spark.operators.dedup import shingles_udf
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_udf(ngram)(F.col(text_col))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting"),
+        )
+        .filter(F.col("df") <= max_df)
+    )
+
+
+def sql_inverted_index(
+    table: str = "documents",
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> str:
+    """DuckDB replay of ``inverted_index`` (same shingle slice + sorted
+    posting join)."""
+    w = ngram - 1
+    return f"""
+    SELECT gram, count(*) AS df,
+           string_agg(CAST(_id AS VARCHAR), ',' ORDER BY _id) AS posting
+    FROM (
+        SELECT {id_col} AS _id,
+               unnest(list_distinct([array_to_string(toks[i:i+{w}], ' ')
+                      for i in range(1, greatest(len(toks) - {w}, 0) + 1)])) AS gram
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
+    )
+    GROUP BY gram
+    HAVING count(*) <= {max_df}
+    """
+
+
 def sql_token_topn(
     table: str = "documents", n: int = 100, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

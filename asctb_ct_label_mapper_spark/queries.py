@@ -67,9 +67,11 @@ from asctb_ct_label_mapper_spark.operators.textstats import (
     bpe_tokenize_stats,
     fingerprint,
     lang_id,
+    inverted_index,
     repetition_stats,
     sql_bpe_tokenize_stats,
     sql_fingerprint,
+    sql_inverted_index,
     sql_lang_id,
     sql_repetition_stats,
     sql_text_stats,
@@ -1949,6 +1951,75 @@ def quantize_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantize.quantize_error_stats). The 4x shuffle-bytes lever for ANN at
     100 TB; arithmetic written identically in both engines."""
     return quantize_error_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query("inverted_index_docs", sql_inverted_index("documents", 20))
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token inverted index (textstats.inverted_index): bounded
+    posting lists (df <= 20) built in one groupBy(token) aggregate."""
+    return inverted_index(_t(spark, sf_dir, "documents"), 20)
+
+
+@query(
+    "lang_confusion",
+    f"""
+    SELECT lang, lang_pred, count(*) AS n
+    FROM (SELECT d.lang, p.lang_pred
+          FROM documents d JOIN ({sql_lang_id("documents")}) p USING (doc_id))
+    GROUP BY lang, lang_pred
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix: the standard QA
+    readout for a language-ID stage (composes the oracle-proven lang_id
+    with a broadcast-sized groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "corpus_report",
+    f"""
+    WITH stats AS ({sql_text_stats("documents")})
+    SELECT d.source,
+        count(*) AS n_docs,
+        CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+        round(avg(s.quality_score), 6) AS avg_quality,
+        round(1.0 - CAST(count(DISTINCT d.text) AS DOUBLE) / count(*), 6)
+            AS dup_text_rate,
+        count(DISTINCT d.lang) AS n_langs
+    FROM documents d JOIN stats s USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: volume, token mass, mean quality,
+    exact-dup rate, language spread — the dashboard a curation run emits
+    per shard. One groupBy(source) over the joined stats (source count is
+    small; the count(DISTINCT text) is the only wide aggregate and is
+    bounded per group)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    return (
+        docs.select("doc_id", "source", "lang", "text")
+        .join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(
+                1.0 - F.countDistinct("text").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_text_rate"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
 
 
 @query("tfidf_topk_docs", sql_tfidf_topk("documents", 3))

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tfidf_topk_docs",
     "unigram_logppl_docs",
     "pack_sequences_docs",
+    "inverted_index_docs",
+    "corpus_report",
 ]
 
 
