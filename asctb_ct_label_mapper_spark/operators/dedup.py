@@ -113,6 +113,80 @@ _MINHASH_A = (_minhash_rng.integers(0, 2**63, _MINHASH_MAX_FAMILY, dtype=np.uint
 _MINHASH_B = _minhash_rng.integers(0, 2**63, _MINHASH_MAX_FAMILY, dtype=np.uint64)
 _EMPTY_SENTINEL = np.iinfo(np.int64).max
 
+# md5-affine family: base(x) = int(md5(x)[:8 hex], 16) mod P, then
+# h_j(x) = (a_j * base + b_j) mod P with P = 2^31 - 1. ONE md5 per unique
+# shingle (vs n_hashes md5s in the lexicographic flavor), and every step is
+# exact BIGINT arithmetic in DuckDB too (a_j * base < P^2 < 2^63 — no
+# overflow on either engine), so the production signature family itself is
+# SQL-replayable. Seeded PCG64 -> deterministic across processes.
+_MINHASH_P = (1 << 31) - 1
+_affine_rng = np.random.default_rng(0x5EED6)
+_MINHASH_AFF_A = _affine_rng.integers(1, _MINHASH_P, _MINHASH_MAX_FAMILY, dtype=np.int64)
+_MINHASH_AFF_B = _affine_rng.integers(0, _MINHASH_P, _MINHASH_MAX_FAMILY, dtype=np.int64)
+
+
+def minhash_affine_params(n_hashes: int) -> tuple[list[int], list[int], int]:
+    """(a, b, P) literals of the md5-affine family — shared with the
+    generated DuckDB oracle SQL so both engines hash identically."""
+    assert n_hashes <= _MINHASH_MAX_FAMILY
+    return (
+        _MINHASH_AFF_A[:n_hashes].tolist(),
+        _MINHASH_AFF_B[:n_hashes].tolist(),
+        _MINHASH_P,
+    )
+
+
+def minhash_signature_md5affine_udf(n_hashes: int = 16, shingle_n: int = 3):
+    """Fused text -> md5-affine MinHash signature (Arrow-vectorized).
+
+    Same chunked-reduceat structure as ``minhash_signature_udf`` but the
+    base hash is md5-derived (cross-engine reproducible): md5 runs ONCE per
+    UNIQUE shingle in the batch (``pd.factorize`` dedups first — near-dup
+    corpora repeat shingles heavily), the affine family is exact int64
+    arithmetic mod P. Docs with no shingles get P sentinels (collide only
+    with other empties), mirroring the oracle's ``coalesce(..., P)``."""
+    import hashlib
+
+    a, b, p = minhash_affine_params(n_hashes)
+    a = np.asarray(a, dtype=np.int64)[:, None]
+    b = np.asarray(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        shingle_lists = [_shingle_list(t, shingle_n) for t in texts]
+        lengths = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        out = np.full((len(shingle_lists), n_hashes), p, dtype=np.int64)
+        nonempty = np.flatnonzero(lengths)
+        if len(nonempty):
+            flat = np.concatenate(
+                [np.asarray(shingle_lists[i], dtype=object) for i in nonempty]
+            )
+            codes, uniques = pd.factorize(flat)
+            ubase = np.fromiter(
+                (
+                    int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % p
+                    for u in uniques
+                ),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            base = ubase[codes]
+            cum = np.cumsum(lengths[nonempty])
+            offsets = np.concatenate(([0], cum[:-1]))
+            mins = np.empty((len(nonempty), n_hashes), dtype=np.int64)
+            chunk = 4096
+            for lo in range(0, len(nonempty), chunk):
+                hi = min(lo + chunk, len(nonempty))
+                seg = base[offsets[lo] : cum[hi - 1]]
+                fam = (a * seg[None, :] + b) % p
+                mins[lo:hi] = np.minimum.reduceat(
+                    fam, offsets[lo:hi] - offsets[lo], axis=1
+                ).T
+            out[nonempty] = mins
+        return pd.Series(list(out))
+
+    return _sig
+
 
 def minhash_signature_udf(n_hashes: int = 32, shingle_n: int = 3):
     """Fused text -> MinHash signature as ONE Arrow-vectorized UDF.
@@ -195,6 +269,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     fused: bool = True,
+    family: str = "siphash",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -207,18 +282,28 @@ def minhash_lsh_candidates(
     ``fused=True`` (default) computes signatures with the Arrow-vectorized
     UDF; ``fused=False`` keeps the all-native murmur3 expression (different
     hash family -> different, equally valid candidate sets).
+    ``family="md5affine"`` swaps in the DuckDB-replayable md5-affine
+    signature family and an md5 band hash (oracle-checkable end-to-end;
+    requires ``fused=True``).
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
+    assert family in ("siphash", "md5affine")
     r = n_hashes // bands
     # Shingle+signature cost scales with rows, not file bytes: widen narrow
     # scans so the dense stage uses the whole box (no-op on real-scale scans).
     df = ensure_min_partitions(df)
     if fused:
+        sig_udf = (
+            minhash_signature_md5affine_udf
+            if family == "md5affine"
+            else minhash_signature_udf
+        )(n_hashes, shingle_n)
         sig = df.select(
             F.col(id_col).alias("_id"),
-            minhash_signature_udf(n_hashes, shingle_n)(F.col(text_col)).alias("_sig"),
+            sig_udf(F.col(text_col)).alias("_sig"),
         )
     else:
+        assert family == "siphash", "native flavor has no md5-affine variant"
         # Materialize the shingle array in its OWN projection first: the
         # signature references it n_hashes times, and inlining the
         # split/slice/join pipeline into each of the 32 array_min terms
@@ -230,14 +315,28 @@ def minhash_lsh_candidates(
         sig = shingled.select(
             "_id", minhash_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
         )
+    if family == "md5affine":
+        # md5 of the '|'-joined decimal band slice — byte-identical to the
+        # oracle's md5(array_to_string([CAST(x AS VARCHAR) ...], '|')).
+        def band_hash(band):
+            return F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice("_sig", band * r + 1, r), lambda x: x.cast("string")
+                    ),
+                    "|",
+                )
+            )
+    else:
+        def band_hash(band):
+            return F.hash(F.slice("_sig", band * r + 1, r))
+
     banded = sig.select(
         "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.hash(F.slice("_sig", b * r + 1, r)).alias("bhash")
-                ),
+                lambda b: F.struct(b.alias("band"), band_hash(b).alias("bhash")),
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
@@ -361,6 +460,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     fused: bool = True,
+    family: str = "siphash",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold.
 
@@ -369,7 +469,7 @@ def minhash_dedup_pairs(
     whenever the threshold is meaningful).
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, n_hashes, bands, shingle_n, fused
+        df, text_col, id_col, n_hashes, bands, shingle_n, fused, family
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_cand = cands.count()  # eager: feeds the id-restriction AND both verify joins
 

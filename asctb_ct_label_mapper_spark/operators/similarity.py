@@ -188,6 +188,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -197,35 +198,59 @@ def ivf_topk(
     equi-join on the list id (broadcast when the reference is small, hash
     shuffle otherwise). Classic IVF recall/cost trade: work per query drops
     from O(c) to O(c * n_probe / n_lists) plus the centroid scan.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    Pass ``centroids`` (e.g. ``seeded_centroids``) to skip training and use
+    fixed spherical centroids with max-dot-product assignment — the
+    data-independent flavor whose literals can be shared with a DuckDB
+    oracle (same technique as the LSH hyperplanes), making the approximate
+    result hash-checkable end-to-end. Trained k-means lists give better
+    recall; seeded spherical lists give replayability.
+    """
     ref = reference.select(
         F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )
-    train = ref.select(array_to_vector(F.col("_ref_vec")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = ref.select(array_to_vector(F.col("_ref_vec")).alias("features"))
+        model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+        cents = [np.asarray(c).tolist() for c in model.clusterCenters()]
+        spherical = False
+    else:
+        cents = [np.asarray(c, dtype=float).tolist() for c in centroids]
+        assert len(cents) == n_lists
+        spherical = True
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n nearest centroids (squared L2), as an array —
-        a native expression over the broadcast centroid literals."""
+        """ids of the n nearest centroids, as an array — a native
+        expression over the broadcast centroid literals. Nearest = min
+        squared L2 for trained centroids, max dot product for seeded
+        spherical ones (equivalent on unit centroids up to the constant
+        ||v||^2; dot is the form DuckDB replays as list_dot_product).
+        array_sort on (key, list_id) structs gives the deterministic
+        distance-then-id tie-break the oracle mirrors."""
+        def key_expr(cent: list) -> Column:
+            lit = F.lit([float(x) for x in cent])
+            if spherical:
+                return -F.aggregate(
+                    F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            return F.aggregate(
+                F.zip_with(
+                    vec, lit,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
         dists = F.array(
             *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.lit([float(x) for x in cent]),
-                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, cent in enumerate(centroids)
+                F.struct(key_expr(cent).alias("dist"), F.lit(i).alias("list_id"))
+                for i, cent in enumerate(cents)
             ]
         )
         return F.slice(F.array_sort(dists), 1, n).getField("list_id")
@@ -254,6 +279,13 @@ def ivf_topk(
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def seeded_centroids(dim: int, n_lists: int, seed: int = 11) -> np.ndarray:
+    """Deterministic unit-norm Gaussian directions — data-independent
+    spherical IVF centroids shareable as literals with a SQL oracle."""
+    c = np.random.RandomState(seed).standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
 def lsh_signature_expr(vec: Column, planes: np.ndarray) -> Column:

@@ -1252,17 +1252,84 @@ def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
-@query("cos_topk_ivf")
+def _ivf_topk_oracle(
+    dim: int = 64, n_lists: int = 8, n_probe: int = 2, seed: int = 11, k: int = 3
+) -> str:
+    """Generate the DuckDB oracle for cos_topk_ivf: the SAME seeded
+    unit-norm centroids the operator uses (``seeded_centroids`` — a fixed
+    RandomState, deterministic across processes) as float literals. List
+    assignment = max dot product (row_number over per-centroid UNION
+    branches, ties to the lower list id — mirroring the operator's
+    array_sort on (-dot, list_id) structs), queries probe n_probe lists,
+    refs live in 1; candidates = equi-join on list id, then exact cosine +
+    top-k window. Same replay technique as _lsh_topk_oracle."""
+    from asctb_ct_label_mapper_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_lists, seed)
+
+    def branches(pred: str) -> str:
+        parts = []
+        for i, c in enumerate(cents):
+            lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            parts.append(
+                f"SELECT vec_id, e, {i} AS lid, list_dot_product(e, {lit}) AS dp\n"
+                f"         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e\n"
+                f"               FROM embeddings WHERE vec_id % 10 {pred})"
+            )
+        return "\n        UNION ALL\n        ".join(parts)
+
+    return f"""
+    WITH qd AS (
+        {branches("= 0")}
+    ),
+    rd AS (
+        {branches("<> 0")}
+    ),
+    qa AS (
+        SELECT vec_id, e, lid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dp DESC, lid) AS rn
+            FROM qd
+        ) WHERE rn <= {n_probe}
+    ),
+    ra AS (
+        SELECT vec_id AS rid, e AS re, lid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dp DESC, lid) AS rn
+            FROM rd
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT qa.vec_id, ra.rid, list_cosine_similarity(qa.e, ra.re) AS sc
+        FROM qa JOIN ra ON qa.lid = ra.lid
+    ),
+    ranked AS (
+        SELECT vec_id, rid, sc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, rid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, rid AS ref_id, round(sc, 6) AS score, rn AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("cos_topk_ivf", _ivf_topk_oracle())
 def cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-quantized ANN path (k-means lists + n_probe). Centroids depend
-    on MLlib's k-means internals -> rows-only; recall vs the exact operator
-    is pinned in tests."""
+    """IVF-quantized ANN path (inverted lists + n_probe), ORACLE-CHECKED
+    end-to-end: seeded spherical centroids are shared as literals with the
+    generated DuckDB SQL (_ivf_topk_oracle), so list assignment, probing,
+    the candidate equi-join, exact rescoring and the top-k window are all
+    replayed. The trained-k-means flavor (better recall, MLlib-internal
+    centroids) stays available via ivf_topk(centroids=None) with recall
+    pinned in tests."""
+    from asctb_ct_label_mapper_spark.operators.similarity import seeded_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
     out = ivf_topk(
         queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
-        n_lists=8, n_probe=2,
+        n_lists=8, n_probe=2, centroids=seeded_centroids(64, 8),
     )
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
@@ -1655,19 +1722,25 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (banded; candidate pairs via bucket equi-join,
-    verified by exact Jaccard). Signature is hash-seed dependent -> rows-only
-    check here; tests assert recall vs the exact operator, and
-    dedup_minhash_md5 oracle-checks the identical pipeline shape."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+def _minhash_affine_oracle(
+    threshold: float = 0.2, n_hashes: int = 16, bands: int = 8
+) -> str:
+    """Generate the DuckDB oracle for dedup_minhash: the md5-affine family
+    literals (a_j, b_j, P — shared from minhash_affine_params, so both
+    engines hash identically) replay signature construction, the md5 band
+    hash, the candidate equi-join AND the exact-Jaccard verify. base(x) =
+    int(md5(x)[:8], 16) mod P; h_j = (a_j*base + b_j) mod P with P=2^31-1,
+    so every product fits BIGINT exactly in both engines."""
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_affine_params
 
-
-@query(
-    "dedup_minhash_md5",
-    """
+    a, b, p = minhash_affine_params(n_hashes)
+    r = n_hashes // bands
+    base = f"(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p})"
+    sig_terms = ",\n             ".join(
+        f"coalesce(list_min([({a[j]} * {base} + {b[j]}) % {p} for s in shingles]), {p})"
+        for j in range(n_hashes)
+    )
+    return f"""
     WITH sh AS (
         SELECT doc_id,
             list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -1676,14 +1749,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id, shingles,
-            [coalesce(list_min([md5(j || ':' || s) for s in shingles]), '~empty')
-             for j in range(0, 16)] AS sig
+            [{sig_terms}] AS sig
         FROM sh
     ),
     banded AS (
         SELECT doc_id, b AS band,
-               md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
-        FROM sig, range(0, 8) t(b)
+               md5(array_to_string([CAST(x AS VARCHAR)
+                                    for x in sig[b*{r}+1 : b*{r}+{r}]], '|')) AS bhash
+        FROM sig, range(0, {bands}) t(b)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1702,33 +1775,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
           THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-          ELSE 0.0 END >= 0.2
-    """,
-)
-def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-CHECKED MinHash+banded-LSH: md5 hashes (lexicographic min
-    over hex digests) are byte-identical in DuckDB, so signature, band
-    hash, candidate join AND Jaccard verification are all replayed by the
-    SQL oracle — proving the banded pipeline end-to-end, not just the
-    verify step. The production flavors (dedup_minhash fused/murmur3) share
-    this exact plan shape with cheaper hashes."""
-    from asctb_ct_label_mapper_spark.operators.dedup import minhash_md5_dedup_pairs
+          ELSE 0.0 END >= {threshold}
+    """
 
+
+@query("dedup_minhash", _minhash_affine_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banded-LSH near-dup, ORACLE-CHECKED end-to-end: the
+    production signature family is md5-affine (ONE md5 per unique shingle,
+    the n_hashes family as exact mod-P affine arithmetic — fused in Arrow),
+    whose literals the generated DuckDB SQL replays: signature, band hash,
+    candidate equi-join AND Jaccard verify. The SipHash flavor
+    (minhash_dedup_pairs family="siphash") and the lexicographic-md5 flavor
+    (minhash_md5_dedup_pairs) remain as operators with recall/equivalence
+    pinned in tests."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_md5_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
-
-
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (native bit-count aggregate; blocked on the
-    top signature bits). Hash-dependent -> rows-only; dedup_simhash_md5
-    oracle-checks the identical pipeline with a reproducible hash."""
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.2, n_hashes=16, bands=8,
+        family="md5affine",
+    )
 
 
 @query(
-    "dedup_simhash_md5",
+    "dedup_simhash",
     """
     WITH toks AS (
         SELECT doc_id, CAST(concat('0x', substr(md5(tkn), 1, 8)) AS BIGINT) AS h
@@ -1751,11 +1820,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.sim, b.sim)) <= 6
     """,
 )
-def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-CHECKED SimHash: token hash = int of the first 8 md5 hex
-    chars (byte-identical in DuckDB), so signature construction, top-16-bit
-    blocking AND hamming verification are replayed by the SQL oracle. Same
-    physical pipeline as dedup_simhash with a reproducible hash."""
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED SimHash near-dup pairs (one native bit-count
+    aggregate; blocked on the top signature bits): token hash = int of the
+    first 8 md5 hex chars (byte-identical in DuckDB), so signature
+    construction, top-16-bit blocking AND hamming verification are replayed
+    by the SQL oracle. The murmur3-hash flavor (simhash_near_dup_pairs
+    default hash_fn) remains as an operator, equivalence pinned in tests."""
     from asctb_ct_label_mapper_spark.operators.dedup import md5_token_hash
 
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -2059,28 +2130,8 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), 512)
 
 
-@query("winnowing_docs")
-def winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprint sets per document (murmur3 is
-    engine-internal -> rows-only; the substring-overlap property is pinned
-    in tests). Fingerprints are serialized to a comma-joined string so the
-    driver's canonicalizer can sort/hash the column (raw arrays stay
-    available through the operator itself)."""
-    from asctb_ct_label_mapper_spark.operators.textstats import winnowing_fingerprints
-
-    docs = _t(spark, sf_dir, "documents")
-    out = winnowing_fingerprints(docs)
-    return out.select(
-        "doc_id",
-        F.size("fingerprints").alias("n_fingerprints"),
-        F.array_join(
-            F.transform("fingerprints", lambda x: x.cast("string")), ","
-        ).alias("fingerprints"),
-    )
-
-
 @query(
-    "winnowing_md5",
+    "winnowing_docs",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     sh AS (
@@ -2126,11 +2177,14 @@ def winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
-def winnowing_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable winnowing: same rolling window-min structure but
-    hashed with the cross-engine md5-prefix hash, so DuckDB reproduces the
+def winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED rolling-hash winnowing fingerprint sets per document,
+    hashed with the cross-engine md5-prefix hash so DuckDB reproduces the
     exact fingerprint values (rolling min expressed as a window function
-    over unnested shingle positions in the oracle)."""
+    over unnested shingle positions in the oracle). Fingerprints serialize
+    to a comma-joined string so the driver's canonicalizer can sort/hash
+    the column. The murmur3-hash flavor (winnowing_fingerprints default
+    hash_fn) remains as an operator, overlap property pinned in tests."""
     from asctb_ct_label_mapper_spark.operators.textstats import (
         md5_prefix_hash,
         winnowing_fingerprints,

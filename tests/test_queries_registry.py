@@ -16,21 +16,14 @@ from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries
 
 EXPECTED_ROWS_ONLY = {
     # non-SQL-expressible by nature; everything else must carry an oracle.
-    # Each remaining entry has an oracle-checked sibling proving the same
-    # pipeline shape: cos_topk_ivf -> MLlib k-means internals (exact
-    # cos_topk_* and cos_topk_lsh are oracled); mapping_report -> stub
-    # encoder (nlp_* + cos_topk_* components oracled); dedup_minhash /
-    # dedup_simhash -> engine-internal murmur3 (md5 flavors oracled);
-    # viz_projection -> driver-side SVD; winnowing_docs -> murmur3
-    # (winnowing_md5 oracled). Graduated to value oracles: mapping_report
-    # (hex-chained sha256 stub replayed in SQL), multimodal_features
-    # (sha256 over the payload bytes), cos_topk_lsh / dedup_embedding
-    # (seeded hyperplane literals shared with the SQL).
-    "cos_topk_ivf",
-    "dedup_minhash",
-    "dedup_simhash",
+    # viz_projection -> driver-side SVD (eigendecomposition has no SQL
+    # replay). Everything else graduated to value oracles over the rounds:
+    # mapping_report (hex-chained sha256 stub replayed in SQL),
+    # multimodal_features (sha256 over payload bytes), cos_topk_lsh /
+    # dedup_embedding (seeded hyperplane literals), cos_topk_ivf (seeded
+    # spherical centroid literals), dedup_minhash (md5-affine family
+    # literals), dedup_simhash / winnowing_docs (md5-prefix token hash).
     "viz_projection",
-    "winnowing_docs",
 }
 
 
