@@ -115,6 +115,10 @@ def unigram_logppl(
     totals = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     ).first()
+    if totals["total"] is None:
+        # sum over zero rows is NULL — an empty train corpus has no
+        # distribution to score against; fail loud, not with int(None)
+        raise ValueError("unigram_logppl: train corpus is empty (no tokens)")
     total, vocab = int(totals["total"]), int(totals["vocab"])
     denom = float(total + vocab)
     ev = eval_df.select(

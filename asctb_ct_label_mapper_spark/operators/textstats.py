@@ -501,6 +501,8 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     fused: bool = True,
+    min_df: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document: tf = in-doc count,
     idf = ln((N+1)/(df+1)) + 1 (smoothed), ties broken by token ascending.
@@ -522,19 +524,37 @@ def tfidf_topk(
       hash equi-join with df -> per-doc window top-k) — the shape that
       holds when the vocabulary itself is too big to broadcast, and the
       shape the DuckDB oracle replays.
+
+    ``min_df`` / ``max_vocab`` BOUND the vocabulary model (and with it the
+    fused path's driver-side collect): tokens with document frequency <
+    ``min_df``, or outside the ``max_vocab`` highest-df tokens (ties broken
+    token-ascending), are not score candidates — identical semantics on
+    both strategies, both prunes native aggregates pushed before the
+    collect. An open web-scale corpus's long tail is hapax-dominated, so
+    even min_df=2 collapses the model by ~half; max_vocab makes the driver
+    contract an explicit O(max_vocab) instead of O(vocabulary).
     """
     n_docs = df.count()  # scalar: one job, broadcast as a literal
     if fused:
-        dfreq_rows = (
+        dfreq_base = (
             df.select(
-                F.explode(
-                    F.array_distinct(F.split(F.col(text_col), " "))
-                ).alias("token")
+                F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+                    "token"
+                )
             )
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
-            .collect()
         )
+        if min_df > 1:
+            dfreq_base = dfreq_base.filter(F.col("df") >= min_df)
+        if max_vocab is not None:
+            # top-N by df is itself an aggregate-sized sort, not a
+            # token-stream sort; ties resolved deterministically so both
+            # strategies and any oracle agree on the boundary
+            dfreq_base = dfreq_base.orderBy(F.desc("df"), F.asc("token")).limit(
+                max_vocab
+            )
+        dfreq_rows = dfreq_base.collect()
         import math as _math
 
         model = {
@@ -564,8 +584,14 @@ def tfidf_topk(
 
             def one(t):
                 counts = Counter(("" if t is None else t).split(" "))
+                # tokens outside the (possibly pruned) model are not score
+                # candidates — matches the relational strategy's inner join
+                # against the pruned dfreq, and keeps a nondeterministically
+                # re-evaluated input from KeyError-ing the executor
                 scored = [
-                    (tok, tf, m[tok][0], tf * m[tok][1]) for tok, tf in counts.items()
+                    (tok, tf, m[tok][0], tf * m[tok][1])
+                    for tok, tf in counts.items()
+                    if tok in m
                 ]
                 scored.sort(key=lambda r: (-r[3], r[0]))
                 return [
@@ -596,6 +622,11 @@ def tfidf_topk(
     # frequency is a plain count, not a countDistinct re-deduplicating the
     # raw token stream
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    if max_vocab is not None:
+        dfreq = dfreq.orderBy(F.desc("df"), F.asc("token")).limit(max_vocab)
+    # inner join: pruned tokens are not score candidates (= fused skip)
     scored = tf.join(dfreq, "token").withColumn(
         "tfidf",
         F.col("tf")

@@ -55,6 +55,29 @@ TESTDATA_TABLES = (
 )
 
 
+# Sessions whose parquet-reader confs we've already pinned. get_spark()
+# sets both at build; this covers externally-built sessions (the round
+# driver's) exactly ONCE, at their first load_table call, instead of
+# mutating session-wide conf on every call — a mid-flight set after
+# another reader planned a scan could surprise concurrent query
+# construction (ADVICE r5).
+_CONF_PINNED_SESSIONS: set[int] = set()
+
+
+def _ensure_parquet_confs(spark: SparkSession) -> None:
+    if id(spark) in _CONF_PINNED_SESSIONS:
+        return
+    # Testdata generations that write TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # would otherwise load as TIMESTAMP_NTZ, which Structured Streaming
+    # watermarks and unix_micros() reject. Reading them as session-tz
+    # timestamps (session tz is pinned to UTC) matches DuckDB's naive
+    # interpretation bit-for-bit and keeps one logical type everywhere.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # TIMESTAMP(NANOS) generations load as raw longs, truncated below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONF_PINNED_SESSIONS.add(id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one driver table. Parquet carries its own schema;
     reading it directly keeps predicate pushdown + column pruning intact.
@@ -68,14 +91,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    # Testdata generations that write TIMESTAMP(MICROS, isAdjustedToUTC=false)
-    # would otherwise load as TIMESTAMP_NTZ, which Structured Streaming
-    # watermarks and unix_micros() reject. Reading them as session-tz
-    # timestamps (session tz is pinned to UTC) matches DuckDB's naive
-    # interpretation bit-for-bit and keeps one logical type everywhere.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_parquet_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             from pyspark.sql import functions as F

@@ -49,6 +49,11 @@ def get_spark(app_name: str = "asctb-spark", cpus: int | None = None) -> SparkSe
         # naive parquet timestamps load as session-tz TIMESTAMP (UTC), not
         # NTZ — streaming watermarks require TIMESTAMP and DuckDB agrees
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TIMESTAMP(NANOS) testdata generations load as raw longs that
+        # schemas.load_table truncates to micros; set at build so no reader
+        # conf mutates mid-session (schemas._ensure_parquet_confs covers
+        # externally-built sessions once)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Python crossing is always Arrow-vectorized ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

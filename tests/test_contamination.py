@@ -154,6 +154,38 @@ def test_tfidf_fused_matches_relational(spark, sf_dir):
     assert fused == rel
 
 
+def test_tfidf_vocab_prune_bounds_model_and_matches_relational(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    fused = sorted(
+        map(tuple, tfidf_topk(docs, 3, fused=True, min_df=2, max_vocab=200).collect())
+    )
+    rel = sorted(
+        map(tuple, tfidf_topk(docs, 3, fused=False, min_df=2, max_vocab=200).collect())
+    )
+    assert fused == rel
+    # pruned model: every surviving candidate respects the df floor and the
+    # 200-token cap (<=200 distinct tokens across all top-k rows)
+    assert all(r[3] >= 2 for r in fused)  # df column
+    assert len({r[1] for r in fused}) <= 200  # token column
+    # prune only removes candidates — surviving (doc, token) rows score
+    # identically to the unpruned run
+    unpruned = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_topk(docs, 3, fused=True).collect()
+    }
+    for r in tfidf_topk(docs, 3, fused=True, min_df=2, max_vocab=200).collect():
+        key = (r["doc_id"], r["token"])
+        if key in unpruned:
+            assert r["tfidf"] == pytest.approx(unpruned[key], abs=1e-9)
+
+
+def test_unigram_logppl_empty_train_raises(spark):
+    evald = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    train = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train corpus is empty"):
+        unigram_logppl(evald, train)
+
+
 def test_unigram_logppl_orders_in_vs_out_of_distribution(spark, corpora):
     train, _ = corpora
     evald = spark.createDataFrame(
