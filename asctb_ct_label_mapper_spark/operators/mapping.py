@@ -28,6 +28,7 @@ corpus has no contractions/numerics/plural variance.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -41,6 +42,36 @@ from asctb_ct_label_mapper_spark.operators.similarity import (
 )
 
 Encoder = Callable[[Column], Column]
+
+# The narrowed reference projection every mapping consumer reads.
+_REF_PROJ_COLS = (
+    "CT_ID", "CT_NAME", "definition", "all_text", "ct_name_cleaned", "embedding"
+)
+
+
+def _is_persisted(df: DataFrame) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
+@contextmanager
+def reference_projection(reference: DataFrame):
+    """Persist the narrowed reference projection for one or many
+    ``map_labels_to_reference`` calls, releasing it deterministically on
+    exit — the handle multi-organ loops need so per-call cache entries
+    don't accumulate executor memory:
+
+        with reference_projection(reference) as ref:
+            for organ_labels in organs:
+                map_labels_to_reference(organ_labels, ref, ...).write...
+
+    Results must be MATERIALIZED inside the block (the lazy plans read the
+    cache)."""
+    proj = reference.select(*_REF_PROJ_COLS).persist()
+    try:
+        yield proj
+    finally:
+        proj.unpersist()
 
 
 def map_labels_to_reference(
@@ -79,11 +110,16 @@ def map_labels_to_reference(
     # join, exact-overwrite aggregate); it is broadcast-sized by
     # construction (10^2-10^4 rows, SURVEY §1.3), so persist the narrowed
     # projection once instead of re-running its encode/clean UDF chain per
-    # consumer (measured 1.55s -> 0.88s at sf0.1). LRU-evictable; callers
-    # looping over many organs may unpersist via their own handle.
-    reference = reference.select(
-        "CT_ID", "CT_NAME", "definition", "all_text", "ct_name_cleaned", "embedding"
-    ).persist()
+    # consumer (measured 1.55s -> 0.88s at sf0.1). A caller-persisted exact
+    # projection (the ``reference_projection`` context manager) is used
+    # as-is — the caller owns its lifetime, so multi-organ loops release
+    # executor memory deterministically instead of accumulating one
+    # LRU-evictable cache entry per call.
+    if not (
+        list(reference.columns) == list(_REF_PROJ_COLS)
+        and _is_persisted(reference)
+    ):
+        reference = reference.select(*_REF_PROJ_COLS).persist()
 
     if strategy == "blocked":
         topk = top_k_similarity_blocked(

@@ -58,12 +58,34 @@ def pca_2d(matrix: np.ndarray) -> np.ndarray:
     return centered @ comps.T
 
 
-def embedding_projection_2d(reference: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def umap_2d(matrix: np.ndarray, seed: int = 42) -> np.ndarray | None:
+    """F15 exact path (plotting.py:93-96): real UMAP when ``umap-learn``
+    is importable (not in this container), else None so callers fall back
+    to the deterministic PCA stand-in. Mirrors the matplotlib sink guard:
+    the lib's absence degrades the fidelity of one driver-side step, never
+    the data path."""
+    try:
+        from umap import UMAP  # type: ignore
+    except ImportError:
+        return None
+    return np.asarray(
+        UMAP(n_components=2, random_state=seed).fit_transform(matrix),
+        dtype=np.float64,
+    )
+
+
+def embedding_projection_2d(
+    reference: DataFrame, vec_col: str = "embedding", method: str = "pca"
+) -> DataFrame:
     """F14+F15: collect the (small) prepared reference table, stack the
     embedding matrix, project to 2-d, and return a plot-ready DataFrame
     (x, y, CT_ID, CT_LABEL, hover_text). The collect is the deliberate
     driver boundary — projection inputs are reference-sized (10^2..10^4
-    rows), never the fact table."""
+    rows), never the fact table.
+
+    ``method="umap"`` uses real UMAP when the lib exists and silently
+    falls back to PCA when it doesn't; ``"pca"`` (default) stays the
+    deterministic, container-independent test path."""
     prepared = prepare_projection_input(reference, vec_col)
     rows = prepared.collect()
     if not rows:
@@ -71,7 +93,9 @@ def embedding_projection_2d(reference: DataFrame, vec_col: str = "embedding") ->
             [], "CT_ID string, CT_NAME string, CT_LABEL string, hover_text string, x double, y double"
         )
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    xy = pca_2d(mat)
+    xy = umap_2d(mat) if method == "umap" else None
+    if xy is None:
+        xy = pca_2d(mat)
     out = [
         (r["CT_ID"], r["CT_NAME"], r["CT_LABEL"], r["hover_text"], float(x), float(y))
         for r, (x, y) in zip(rows, xy)

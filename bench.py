@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "inverted_index_docs",
     "corpus_report",
+    # S1-S7 source/sink edge queries (registered+oracled since r4/r5; timed
+    # here so the edge I/O path carries signal too — VERDICT r5 #8)
+    "sheet_config_lookup",
+    "csv_skiprows_scan",
+    "parquet_roundtrip",
 ]
 
 

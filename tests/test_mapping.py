@@ -130,3 +130,36 @@ def test_plural_label_exact_matches_singular_reference(spark):
     assert basal["match_score_2"] is None  # J2 null-out on exact rows
     other = out["unrelated thing"]
     assert other["match_score_1"] != 1.0
+
+
+def test_reference_projection_releases_persist(spark):
+    """Multi-organ loop contract: the context-managed projection is the
+    ONLY cache entry (map_labels_to_reference must not double-persist an
+    already-persisted exact projection), and exit releases it."""
+    from asctb_ct_label_mapper_spark.operators.mapping import reference_projection
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    # fresh plan (distinct from any fixture's) so cache dedup can't alias
+    # this test's persist with an earlier test's leftover entry
+    reference = (
+        spark.createDataFrame(
+            [("CL:9001", "alpha cell", "def a"), ("CL:9002", "beta cell", "def b")],
+            "CT_ID string, CT_NAME string, definition string",
+        )
+        .withColumn("all_text", F.concat_ws(" ", "CT_NAME", "definition"))
+        .withColumn("ct_name_cleaned", clean_text_expr(F.col("CT_NAME")))
+        .withColumn("embedding", stub_encode_udf(F.col("all_text")))
+    )
+    labels = spark.createDataFrame(
+        [("t", "beta cell")], "source string, raw_input_label string"
+    )
+    base = n_cached()
+    with reference_projection(reference) as ref:
+        assert ref.storageLevel.useMemory
+        for _ in range(2):  # two "organs" share one cache entry
+            map_labels_to_reference(labels, ref, k=2).collect()
+        assert n_cached() == base + 1
+    assert not ref.storageLevel.useMemory
+    assert n_cached() == base

@@ -64,3 +64,23 @@ def test_save_scatter_png_degrades_without_matplotlib(reference, tmp_path):
     out = embedding_projection_2d(reference)
     # container has no matplotlib: must return False, never raise
     assert save_scatter_png(out, str(tmp_path / "p.png")) in (True, False)
+
+
+def test_umap_method_falls_back_to_pca_without_lib(spark, reference):
+    """method='umap' must produce the PCA result when umap-learn is absent
+    (this container) — same schema, same values as the default path."""
+    from asctb_ct_label_mapper_spark.operators.viz import embedding_projection_2d, umap_2d
+    import numpy as np
+
+    try:
+        import umap  # type: ignore  # noqa: F401
+        has_umap = True
+    except ImportError:
+        has_umap = False
+
+    default = embedding_projection_2d(reference).collect()
+    via_umap = embedding_projection_2d(reference, method="umap").collect()
+    assert [r["CT_ID"] for r in via_umap] == [r["CT_ID"] for r in default]
+    if not has_umap:
+        assert umap_2d(np.zeros((3, 4))) is None
+        assert sorted(map(tuple, via_umap)) == sorted(map(tuple, default))
