@@ -811,3 +811,36 @@ def duplicate_groups(
     return out.withColumn("group_size", F.count(F.lit(1)).over(w)).withColumn(
         "is_canonical", F.col(id_col) == F.col("group_id")
     )
+
+
+def group_representatives(
+    groups: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Representative SELECTION over ``duplicate_groups`` output: instead
+    of the structural canonical (min id), keep the BEST document per group
+    — highest ``quality_col``, ties to the lowest id — the policy a real
+    curation pipeline wants ("keep the longest/highest-quality copy, drop
+    the rest").
+
+    Returns one row per GROUP: (group_id, id_col, quality, group_size).
+
+    Scale shape: one broadcast-able equi-join on id (groups and df are
+    co-partitionable on the id key) then a window over group_id — the
+    window's partition count equals the number of groups, skew bounded by
+    the largest duplicate cluster, same posture as the label-propagation
+    that produced the groups.
+    """
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality"), F.asc(F.col(id_col))
+    )
+    joined = groups.select(id_col, "group_id", "group_size").join(
+        df.select(id_col, F.col(quality_col).alias("quality")), id_col
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("group_id", id_col, "quality", "group_size")
+    )

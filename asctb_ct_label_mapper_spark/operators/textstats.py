@@ -789,3 +789,97 @@ def sql_token_topn(
     ORDER BY cnt DESC, token ASC
     LIMIT {n}
     """
+
+
+def corpus_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus DRIFT: Jensen-Shannon divergence between each
+    group's unigram token distribution and the rest-of-corpus distribution
+    — the mixture-monitoring primitive a training-data pipeline runs per
+    source/snapshot to catch a feed going off-distribution.
+
+    JSD(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M=(P+Q)/2, natural log
+    (bounded by ln 2). The sum over tokens ABSENT from the group is closed
+    form — each contributes 0.5*q*ln 2 — so the plan never joins the group
+    against the full vocabulary: per-(group, token-present) terms plus
+    0.5*ln2*(1 - sum q) cover the whole support.
+
+    Scale shape: two map-side-combinable aggregations (keys (group, token)
+    then token) + one vocabulary-sized equi-join + a group-sized agg. The
+    global-total scalar rides a broadcast 1-row cross join. No UDFs, no
+    driver collect; shuffle volume is the per-partition vocabulary.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    sc = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    g = sc.groupBy("token").agg(F.sum("c").alias("gc"))
+    tot = sc.groupBy("grp").agg(F.sum("c").alias("tot"))
+    gt = sc.agg(F.sum("c").alias("g_total"))
+    j = (
+        sc.join(g, "token")
+        .join(F.broadcast(tot), "grp")
+        .crossJoin(F.broadcast(gt))
+    )
+    p = F.col("c") / F.col("tot")
+    q = (F.col("gc") - F.col("c")).cast("double") / (F.col("g_total") - F.col("tot"))
+    m = (p + q) / F.lit(2.0)
+    term = 0.5 * p * F.log(p / m) + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    agg = j.select(
+        "grp", F.col("tot"), term.alias("term"), q.alias("q")
+    ).groupBy("grp", "tot").agg(
+        F.sum("term").alias("jsd_present"), F.sum("q").alias("qsum")
+    )
+    ln2 = 0.6931471805599453
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("tot").alias("n_tokens"),
+        F.round(
+            F.col("jsd_present") + F.lit(0.5 * ln2) * (F.lit(1.0) - F.col("qsum")), 6
+        ).alias("jsd"),
+    )
+
+
+def sql_corpus_divergence(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``corpus_divergence`` (same closed-form absent-token
+    remainder, same natural-log JSD)."""
+    return f"""
+    WITH toks AS (
+        SELECT {group_col} AS grp, unnest(string_split({text_col}, ' ')) AS token
+        FROM {table}
+    ),
+    sc AS (SELECT grp, token, count(*) AS c FROM toks GROUP BY grp, token),
+    g AS (SELECT token, sum(c) AS gc FROM sc GROUP BY token),
+    tot AS (SELECT grp, sum(c) AS tot FROM sc GROUP BY grp),
+    gt AS (SELECT sum(c) AS g_total FROM sc),
+    terms AS (
+        SELECT sc.grp, tot.tot,
+               CAST(sc.c AS DOUBLE) / tot.tot AS p,
+               CAST(g.gc - sc.c AS DOUBLE) / (gt.g_total - tot.tot) AS q
+        FROM sc
+        JOIN g USING (token)
+        JOIN tot USING (grp)
+        CROSS JOIN gt
+    ),
+    agg AS (
+        SELECT grp, tot,
+               sum(0.5 * p * ln(p / ((p + q) / 2))
+                   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                          ELSE 0.0 END) AS jsd_present,
+               sum(q) AS qsum
+        FROM terms GROUP BY grp, tot
+    )
+    SELECT grp AS {group_col}, tot AS n_tokens,
+           round(jsd_present + 0.5 * ln(2) * (1.0 - qsum), 6) AS jsd
+    FROM agg
+    """

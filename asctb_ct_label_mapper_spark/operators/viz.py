@@ -105,6 +105,71 @@ def embedding_projection_2d(
     )
 
 
+def random_projection_2d(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """F15 SCALE path: seeded Gaussian random projection to 2-d as a pure
+    native plan — no driver collect, no UDF, no shuffle.
+
+    ``embedding_projection_2d`` (PCA/UMAP) is the fidelity path for
+    reference-sized inputs and deliberately collects; this is the shape
+    that projects BILLIONS of points (Johnson–Lindenstrauss: random
+    Gaussian directions preserve pairwise structure in expectation). The
+    two projection directions come from the same ``random_hyperplanes``
+    family the LSH operators use, so a SQL oracle can replay them as
+    literals — the viz family's only value-unverifiable step (SVD) is
+    bypassed entirely.
+
+    Reference parity: plotting.py:93-96 projects embeddings to 2-d for a
+    scatter; the projection METHOD there (UMAP) is a fidelity choice, not
+    a semantic contract — any structure-preserving 2-d map feeds the same
+    downstream scatter/hover assembly.
+    """
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, 2, seed)
+
+    def dot_lit(plane):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return df.select(
+        *id_cols,
+        F.round(dot_lit(planes[0]), 6).alias("x"),
+        F.round(dot_lit(planes[1]), 6).alias("y"),
+    )
+
+
+def sql_random_projection_2d(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    dim: int = 64,
+    seed: int = 13,
+) -> str:
+    """DuckDB replay of ``random_projection_2d``: the same seeded planes
+    as float literals (same technique as ``_lsh_topk_oracle``)."""
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, 2, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    ids = ", ".join(id_cols)
+    return f"""
+    SELECT {ids},
+           round(list_dot_product(CAST({vec_col} AS DOUBLE[]), {lits[0]}), 6) AS x,
+           round(list_dot_product(CAST({vec_col} AS DOUBLE[]), {lits[1]}), 6) AS y
+    FROM {table}
+    """
+
+
 def save_scatter_png(projection: DataFrame, path: str) -> bool:
     """S8 scatter sink. Returns False (no-op) when matplotlib is absent —
     the projection table itself is the tested artifact."""

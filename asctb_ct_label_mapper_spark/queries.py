@@ -65,6 +65,8 @@ from asctb_ct_label_mapper_spark.operators.quantize import (
 )
 from asctb_ct_label_mapper_spark.operators.textstats import (
     bpe_tokenize_stats,
+    corpus_divergence,
+    sql_corpus_divergence,
     fingerprint,
     lang_id,
     inverted_index,
@@ -2419,6 +2421,137 @@ def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
         ).alias("checksum"),
+    )
+
+
+# =============================================================================
+# Round-7 additions: scalable viz projection, corpus drift, representative
+# selection, semantic dedup groups
+# =============================================================================
+
+
+def _viz_rp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.viz import sql_random_projection_2d
+
+    return sql_random_projection_2d("embeddings")
+
+
+@query("viz_projection_rp", _viz_rp_oracle())
+def viz_projection_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 SCALE path, ORACLE-CHECKED: seeded Gaussian random projection to
+    2-d as a pure native plan (no collect, no UDF, no shuffle) — the shape
+    that projects billions of points; the seeded planes are shared as
+    literals with the DuckDB oracle, so the viz family's projection values
+    are hash-verified end-to-end (the PCA/UMAP flavor stays rows-only)."""
+    from asctb_ct_label_mapper_spark.operators.viz import random_projection_2d
+
+    return random_projection_2d(_t(spark, sf_dir, "embeddings"))
+
+
+@query("corpus_divergence", sql_corpus_divergence("documents"))
+def corpus_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the rest of the corpus
+    (training-mixture drift monitor). All native aggregations; the
+    absent-token mass is a closed-form remainder, so no vocabulary cross
+    join. Oracle replays the identical formula in DuckDB."""
+    return corpus_divergence(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_representatives",
+    f"""
+    WITH RECURSIVE
+    {_GROUPS_CTE_BODY},
+    sized AS (
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM assigned
+    ),
+    ranked AS (
+        SELECT s.group_id, s.doc_id, d.n_chars AS quality, s.group_size,
+               row_number() OVER (PARTITION BY s.group_id
+                                  ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+        FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT group_id, doc_id, quality, group_size FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over duplicate groups: keep the BEST doc
+    per group (longest, ties to lowest id) — the curation policy variant of
+    dedup_groups' structural min-id canonical. Oracle = the shared groups
+    recursive CTE + the same quality window."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        duplicate_groups,
+        group_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+    groups = duplicate_groups(pairs, all_ids=docs, id_col="doc_id")
+    return group_representatives(groups, docs, id_col="doc_id", quality_col="n_chars")
+
+
+def _embedding_groups_oracle(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """dedup_embedding's seeded-plane pair CTE composed with the same
+    recursive min-label walk dedup_groups uses — semantic (embedding-space)
+    duplicate GROUPS, fully replayed in SQL."""
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "\n             + ".join(terms)
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+    pairs AS (
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE round(list_cosine_similarity(a.e, bb.e), 6) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+    assigned AS (
+        SELECT em.vec_id, coalesce(c.group_id, em.vec_id) AS group_id
+        FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.node
+    )
+    SELECT vec_id, group_id,
+        count(*) OVER (PARTITION BY group_id) AS group_size,
+        (vec_id = group_id) AS is_canonical
+    FROM assigned
+    """
+
+
+@query("dedup_embedding_groups", _embedding_groups_oracle())
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end, ORACLE-CHECKED: sign-LSH bucketed
+    embedding near-dup pairs (seeded plane literals shared with the SQL)
+    fed through the same min-label-propagation connected components as the
+    text dedup — (vec_id, group_id, group_size, is_canonical) for every
+    embedding. The full approximate pipeline, not just the edge list, is
+    hash-verified."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        duplicate_groups,
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3)
+    return duplicate_groups(pairs, all_ids=emb, id_col="vec_id").select(
+        "vec_id", "group_id", "group_size", "is_canonical"
     )
 
 

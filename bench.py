@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "sheet_config_lookup",
     "csv_skiprows_scan",
     "parquet_roundtrip",
+    # r7 additions: corpus drift, representative selection, semantic dedup
+    # groups, native random-projection viz
+    "corpus_divergence",
+    "dedup_representatives",
+    "dedup_embedding_groups",
+    "viz_projection_rp",
 ]
 
 

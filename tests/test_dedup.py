@@ -197,3 +197,64 @@ def test_duplicate_groups_long_path_converges(spark):
     assert {r["group_id"] for r in rows} == {1}
     assert all(r["group_size"] == 8 for r in rows)
     assert [r["doc_id"] for r in rows if r["is_canonical"]] == [1]
+
+
+class TestGroupRepresentatives:
+    def test_picks_longest_then_lowest_id(self, spark):
+        from asctb_ct_label_mapper_spark.operators.dedup import group_representatives
+
+        groups = spark.createDataFrame(
+            [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 1)],
+            "doc_id long, group_id long, group_size long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 99), (4, 5)], "doc_id long, n_chars long"
+        )
+        out = {r["group_id"]: r for r in group_representatives(groups, docs).collect()}
+        # group 1: docs 2 and 3 tie on quality 99 -> lowest id wins
+        assert out[1]["doc_id"] == 2 and out[1]["quality"] == 99
+        assert out[1]["group_size"] == 3
+        # singleton keeps itself
+        assert out[4]["doc_id"] == 4
+
+    def test_one_row_per_group(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            duplicate_groups,
+            group_representatives,
+            ngram_jaccard_pairs,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+        groups = duplicate_groups(pairs, all_ids=docs, id_col="doc_id")
+        reps = group_representatives(groups, docs)
+        n_groups = groups.select("group_id").distinct().count()
+        assert reps.count() == n_groups
+        # every representative's quality is the max within its group
+        joined = (
+            groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .groupBy("group_id")
+            .agg({"n_chars": "max"})
+            .withColumnRenamed("max(n_chars)", "max_chars")
+            .join(reps, "group_id")
+        )
+        assert joined.filter("quality <> max_chars").count() == 0
+
+
+def test_embedding_groups_cover_all_ids(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        duplicate_groups,
+        embedding_near_dup_pairs,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3)
+    groups = duplicate_groups(pairs, all_ids=emb, id_col="vec_id")
+    assert groups.count() == emb.count()
+    # group label is the min id of the group (canonical contract)
+    bad = groups.groupBy("group_id").agg({"vec_id": "min"}).filter(
+        "group_id <> `min(vec_id)`"
+    )
+    assert bad.count() == 0

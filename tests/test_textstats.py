@@ -97,3 +97,65 @@ def test_fingerprint_punctuation_insensitive(spark):
     )
     rows = {r["doc_id"]: r for r in fingerprint(df).collect()}
     assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+
+
+class TestCorpusDivergence:
+    def test_identical_groups_zero_jsd(self, spark):
+        from asctb_ct_label_mapper_spark.operators.textstats import corpus_divergence
+
+        rows = [(1, "a b c", "s1"), (2, "a b c", "s2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r for r in corpus_divergence(df).collect()}
+        # Each group's distribution equals the rest's -> JSD 0.
+        assert out["s1"]["jsd"] == pytest.approx(0.0, abs=1e-9)
+        assert out["s2"]["jsd"] == pytest.approx(0.0, abs=1e-9)
+        assert out["s1"]["n_tokens"] == 3
+
+    def test_disjoint_vocab_ln2(self, spark):
+        from asctb_ct_label_mapper_spark.operators.textstats import corpus_divergence
+        import math
+
+        rows = [(1, "a a a", "s1"), (2, "b b b", "s2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r["jsd"] for r in corpus_divergence(df).collect()}
+        # Disjoint supports -> maximal JSD = ln 2 (natural-log base).
+        assert out["s1"] == pytest.approx(math.log(2), abs=1e-6)
+        assert out["s2"] == pytest.approx(math.log(2), abs=1e-6)
+
+    def test_hand_computed_mixture(self, spark):
+        from asctb_ct_label_mapper_spark.operators.textstats import corpus_divergence
+        import math
+
+        # s1: {a: 1.0}; rest (s2): {a: 0.5, b: 0.5}
+        rows = [(1, "a a", "s1"), (2, "a b", "s2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r["jsd"] for r in corpus_divergence(df).collect()}
+        p_a, q_a, q_b = 1.0, 0.5, 0.5
+        m_a, m_b = (p_a + q_a) / 2, q_b / 2
+        expect = (
+            0.5 * p_a * math.log(p_a / m_a)
+            + 0.5 * q_a * math.log(q_a / m_a)
+            + 0.5 * q_b * math.log(q_b / m_b)
+        )
+        assert out["s1"] == pytest.approx(expect, abs=1e-6)
+
+    def test_matches_sql_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from asctb_ct_label_mapper_spark.operators.textstats import (
+            corpus_divergence,
+            sql_corpus_divergence,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        got = {
+            r["source"]: (r["n_tokens"], r["jsd"])
+            for r in corpus_divergence(load_table(spark, sf_dir, "documents")).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        for src, n, jsd in con.execute(sql_corpus_divergence("documents")).fetchall():
+            assert got[src][0] == n
+            assert got[src][1] == pytest.approx(jsd, abs=1e-6)

@@ -84,3 +84,31 @@ def test_umap_method_falls_back_to_pca_without_lib(spark, reference):
     if not has_umap:
         assert umap_2d(np.zeros((3, 4))) is None
         assert sorted(map(tuple, via_umap)) == sorted(map(tuple, default))
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+    from asctb_ct_label_mapper_spark.operators.viz import random_projection_2d
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((10, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: (r["x"], r["y"]) for r in random_projection_2d(df).collect()}
+    planes = random_hyperplanes(64, 2, 13)
+    for i, v in enumerate(vecs):
+        assert out[i][0] == pytest.approx(round(float(v @ planes[0]), 6), abs=1e-6)
+        assert out[i][1] == pytest.approx(round(float(v @ planes[1]), 6), abs=1e-6)
+
+
+def test_random_projection_plan_is_native(spark):
+    """The scale path must stay UDF-free and shuffle-free."""
+    from asctb_ct_label_mapper_spark.operators.viz import random_projection_2d
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
+    plan = random_projection_2d(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
