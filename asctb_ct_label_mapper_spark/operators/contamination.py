@@ -23,7 +23,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.operators.dedup import (
@@ -208,4 +208,117 @@ def sql_ngram_contamination(
          >= {threshold}) AS is_contaminated
     FROM (SELECT {id_col} FROM sh WHERE split = '{eval_split}') b
     LEFT JOIN hits h USING ({id_col})
+    """
+
+
+def bigram_logppl(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score — the conditional-probability
+    upgrade of ``unigram_logppl``: p(w2|w1) = (cnt(w1 w2) + 1) /
+    (prefix_cnt(w1) + V), add-1 smoothed, V = train unigram vocabulary.
+    Eval docs are scored by average negative log p(w2|w1) over their
+    bigrams (docs with < 2 tokens have no bigrams and drop out, mirroring
+    the SQL GROUP BY).
+
+    Scale shape: train bigram counts are ONE map-side-combinable
+    groupBy over the exploded bigram stream; prefix counts REUSE that
+    aggregate (sum by first token — a second vocabulary-sized agg, not a
+    second pass over the corpus); V is a scalar. Scoring is two hash
+    equi-joins of the exploded eval bigrams against vocabulary-sized
+    models, then a per-doc average. No UDFs anywhere.
+    """
+    def bigrams(text: Column) -> Column:
+        toks = F.split(text, " ")
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    train_bg = train_df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+    bg_counts = train_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    prefix_counts = (
+        bg_counts.withColumn("prefix", F.substring_index(F.col("bigram"), " ", 1))
+        .groupBy("prefix")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = int(
+        train_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        ).agg(F.countDistinct("token").alias("v")).first()["v"]
+    )
+    if vocab == 0:
+        raise ValueError("bigram_logppl: train corpus is empty (no tokens)")
+    ev = eval_df.select(
+        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bigram")
+    ).withColumn("prefix", F.substring_index(F.col("bigram"), " ", 1))
+    scored = (
+        ev.join(bg_counts, "bigram", "left")
+        .join(prefix_counts, "prefix", "left")
+        .withColumn(
+            "neg_logp",
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab)).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+    )
+
+
+def sql_bigram_logppl(
+    assigned_table_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> str:
+    """DuckDB replay of ``bigram_logppl`` (same smoothing, same prefix
+    reuse of the bigram aggregate, same drop of <2-token docs)."""
+    return f"""
+    WITH assigned AS ({assigned_table_sql}),
+    train_bg AS (
+        SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS bigram
+        FROM (SELECT string_split({text_col}, ' ') AS toks
+              FROM assigned WHERE split = '{train_split}')
+    ),
+    bg_counts AS (SELECT bigram, count(*) AS c12 FROM train_bg GROUP BY bigram),
+    prefix_counts AS (
+        SELECT split_part(bigram, ' ', 1) AS prefix, sum(c12) AS c1
+        FROM bg_counts GROUP BY 1
+    ),
+    vocab AS (
+        SELECT count(DISTINCT token) AS v FROM (
+            SELECT unnest(string_split({text_col}, ' ')) AS token
+            FROM assigned WHERE split = '{train_split}'
+        )
+    ),
+    ev AS (
+        SELECT {id_col},
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS bigram
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks
+              FROM assigned WHERE split = '{eval_split}')
+    ),
+    scored AS (
+        SELECT e.{id_col},
+            -ln(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)
+                / (coalesce(p.c1, 0) + v.v))
+                AS neg_logp
+        FROM ev e
+        LEFT JOIN bg_counts b USING (bigram)
+        LEFT JOIN prefix_counts p ON p.prefix = split_part(e.bigram, ' ', 1)
+        CROSS JOIN vocab v
+    )
+    SELECT {id_col}, count(*) AS n_bigrams,
+           round(avg(neg_logp), 6) AS avg_neg_logp
+    FROM scored GROUP BY {id_col}
     """

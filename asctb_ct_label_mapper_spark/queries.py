@@ -54,7 +54,9 @@ from asctb_ct_label_mapper_spark.operators.curation import (
     stratified_sample,
 )
 from asctb_ct_label_mapper_spark.operators.contamination import (
+    bigram_logppl,
     ngram_contamination,
+    sql_bigram_logppl,
     sql_ngram_contamination,
     sql_unigram_logppl,
     unigram_logppl,
@@ -2552,6 +2554,26 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3)
     return duplicate_groups(pairs, all_ids=emb, id_col="vec_id").select(
         "vec_id", "group_id", "group_size", "is_canonical"
+    )
+
+
+@query(
+    "bigram_logppl_docs",
+    sql_bigram_logppl(
+        sql_hash_split("(SELECT doc_id, text FROM documents) d", "doc_id")
+    ),
+)
+def bigram_logppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-probability quality score (contamination.bigram_logppl):
+    add-1-smoothed bigram LM fit on the train split, test docs scored by
+    average negative log p(w2|w1) — the sharper curation filter a unigram
+    LM can't express (word-order junk scores high here), composed with the
+    same deterministic hash split as the unigram flavor."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = hash_split(docs, "doc_id")
+    return bigram_logppl(
+        assigned.filter(F.col("split") == "test"),
+        assigned.filter(F.col("split") == "train"),
     )
 
 

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_representatives",
     "dedup_embedding_groups",
     "viz_projection_rp",
+    "bigram_logppl_docs",
 ]
 
 
@@ -100,7 +101,9 @@ SCALE_QUERIES = [
     "repetition_docs",
     "tfidf_topk_docs",
     "unigram_logppl_docs",
+    "bigram_logppl_docs",
     "pack_sequences_docs",
+    "corpus_divergence",
 ]
 
 _SCALE_DIR = "/tmp/spark_graft_scale/docs10x"
@@ -173,6 +176,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
+        # Isolation: drop cache entries accumulated by PRIOR queries'
+        # internal persists so no query is timed against another query's
+        # warm cache (or its executor-memory pressure). The warm-up pass
+        # below re-populates this query's own persists for the timed runs.
+        spark.catalog.clearCache()
         fn(spark, sf_dir).count()  # warm-up: JIT, codegen, file listing
         # Min of two timed passes: single-pass local[32] numbers carry
         # multi-second GC/scheduler noise that swamps sub-second queries.

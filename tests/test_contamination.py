@@ -287,3 +287,42 @@ def test_quantized_cosine_top1_agreement(spark):
 
     agree = (top1(mat.astype(np.float64)) == top1(deq)).mean()
     assert agree >= 0.95
+
+
+class TestBigramLogppl:
+    def test_hand_computed(self, spark):
+        import math
+
+        from asctb_ct_label_mapper_spark.operators.contamination import bigram_logppl
+
+        train = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(10, "a b x")], "doc_id long, text string")
+        # train bigrams: (a b):3, (b a):1, (b c):1; prefix a:3, b:2; V=3
+        out = bigram_logppl(ev, train).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_bigrams"] == 2
+        # eval bigrams: (a b) -> (3+1)/(3+3); (b x) -> (0+1)/(2+3)
+        expect = (-math.log(4 / 6) - math.log(1 / 5)) / 2
+        assert r["avg_neg_logp"] == pytest.approx(expect, abs=1e-6)
+
+    def test_short_docs_drop_out(self, spark):
+        from asctb_ct_label_mapper_spark.operators.contamination import bigram_logppl
+
+        train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(10, "single"), (11, "a b")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in bigram_logppl(ev, train).collect()}
+        assert 10 not in rows  # no bigrams -> no row (SQL GROUP BY parity)
+        assert rows[11]["n_bigrams"] == 1
+
+    def test_empty_train_raises(self, spark):
+        from asctb_ct_label_mapper_spark.operators.contamination import bigram_logppl
+
+        train = spark.createDataFrame([], "doc_id long, text string")
+        ev = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty"):
+            bigram_logppl(ev, train).collect()
