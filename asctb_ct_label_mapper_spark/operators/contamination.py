@@ -108,10 +108,19 @@ def unigram_logppl(
     Returns (id_col, n_tokens, avg_neg_logp) — e^avg_neg_logp is the
     perplexity.
     """
+    from pyspark import StorageLevel
+
     train_toks = train_df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    counts = train_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Persist the vocabulary-sized model BEFORE the totals action below
+    # materializes it: the scoring join then reads the cache instead of
+    # re-scanning the train corpus (two consumers, one corpus pass).
+    counts = (
+        train_toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     ).first()
@@ -239,8 +248,18 @@ def bigram_logppl(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")),
         ).otherwise(F.array().cast("array<string>"))
 
+    from pyspark import StorageLevel
+
     train_bg = train_df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
-    bg_counts = train_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    bg_counts = (
+        train_bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Eager: two consumers (the scoring join and the prefix re-aggregate)
+    # would otherwise each re-scan the train corpus; the vocab action below
+    # cannot populate this cache (different plan), so materialize here.
+    bg_counts.count()
     prefix_counts = (
         bg_counts.withColumn("prefix", F.substring_index(F.col("bigram"), " ", 1))
         .groupBy("prefix")

@@ -807,16 +807,28 @@ def corpus_divergence(
     against the full vocabulary: per-(group, token-present) terms plus
     0.5*ln2*(1 - sum q) cover the whole support.
 
-    Scale shape: two map-side-combinable aggregations (keys (group, token)
-    then token) + one vocabulary-sized equi-join + a group-sized agg. The
-    global-total scalar rides a broadcast 1-row cross join. No UDFs, no
-    driver collect; shuffle volume is the per-partition vocabulary.
+    Scale shape: ONE pass over the token stream builds the (group, token)
+    count model (map-side-combinable); the model is persisted and
+    materialized eagerly because FOUR branches read it (itself, the
+    per-token global counts, the per-group totals, the grand total) — a
+    lazy plan would re-scan the corpus once per branch (verified in the
+    physical plan: 4 parquet scans collapse to 1 + InMemoryTableScans).
+    The rest is model-sized: one vocabulary equi-join + a group-sized agg;
+    the global-total scalar rides a broadcast 1-row cross join. No UDFs,
+    no driver collect; shuffle volume is the per-partition vocabulary.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
-    sc = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    sc = (
+        toks.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sc.count()  # eager: see docstring — 4 consumers, 1 corpus pass
     g = sc.groupBy("token").agg(F.sum("c").alias("gc"))
     tot = sc.groupBy("grp").agg(F.sum("c").alias("tot"))
     gt = sc.agg(F.sum("c").alias("g_total"))
