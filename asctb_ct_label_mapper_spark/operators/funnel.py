@@ -1,0 +1,113 @@
+"""Sequential-pattern funnel analysis over the events table.
+
+The engine-brief analytics family (tumbling counts, sessionization,
+view->click attribution) stops at two-step patterns; this adds the classic
+N-step conversion funnel: for each user, the FIRST entry event, then the
+first next-step event within a gap of the previous step, chained.
+
+Plan shape (the 100 TB contract): ONE shuffle on user_id. Every step is a
+conditional-min window over the same ``partitionBy(user_id)`` window, and
+consecutive windows over an identical partitioning reuse one Exchange —
+step count grows the projection chain, never the shuffle count. No joins,
+no UDFs, no per-user row expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel: first ``steps[0]`` event, then for each later step
+    the first matching event strictly after the previous step's event and
+    within ``gap_minutes`` of it. Returns one row per user that entered
+    the funnel: (user_id, <step>_ts ... one formatted-string column per
+    step, NULL once the chain breaks, stage = number of steps reached).
+    """
+    w = Window.partitionBy(user_col)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    ts = F.col(ts_col)
+
+    df = events.select(user_col, type_col, ts_col)
+    prev: Column | None = None
+    step_cols = []
+    for step in steps:
+        name = f"_{step}_ts"
+        if prev is None:
+            cond = F.col(type_col) == step
+        else:
+            cond = (
+                (F.col(type_col) == step) & (ts > prev) & (ts <= prev + gap)
+            )
+        # each F.min(...).over(w) shares the SAME user partitioning: Spark
+        # plans one Exchange and a chain of Window operators over it
+        df = df.withColumn(name, F.min(F.when(cond, ts)).over(w))
+        prev = F.col(name)
+        step_cols.append(name)
+
+    out = df.filter(F.col(step_cols[0]).isNotNull()).select(
+        user_col,
+        *[
+            F.date_format(F.col(c), _TS_FMT).alias(f"{s}_ts")
+            for c, s in zip(step_cols, steps)
+        ],
+        sum(
+            F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in step_cols
+        ).alias("stage"),
+    )
+    return out.distinct()
+
+
+def sql_funnel_steps(
+    table: str = "events",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of ``funnel_steps``: the same conditional-min window
+    chain, one CTE stage per step (a window cannot reference a window
+    defined in the same SELECT)."""
+    ctes = []
+    prev_cte = table
+    prev_col = None
+    for i, step in enumerate(steps):
+        col = f"{step}_raw"
+        if prev_col is None:
+            cond = f"{type_col} = '{step}'"
+        else:
+            cond = (
+                f"{type_col} = '{step}' AND {ts_col} > {prev_col} "
+                f"AND {ts_col} <= {prev_col} + INTERVAL {int(gap_minutes)} MINUTES"
+            )
+        ctes.append(
+            f"s{i} AS (SELECT *, min(CASE WHEN {cond} THEN {ts_col} END)"
+            f" OVER (PARTITION BY {user_col}) AS {col} FROM {prev_cte})"
+        )
+        prev_cte = f"s{i}"
+        prev_col = col
+    raw_cols = [f"{s}_raw" for s in steps]
+    sel = ", ".join(
+        f"strftime({c}, '%Y-%m-%d %H:%M:%S') AS {s}_ts"
+        for c, s in zip(raw_cols, steps)
+    )
+    stage = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END" for c in raw_cols
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT DISTINCT {user_col}, {sel}, {stage} AS stage
+    FROM {prev_cte}
+    WHERE {raw_cols[0]} IS NOT NULL
+    """

@@ -2557,6 +2557,23 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import sql_funnel_steps
+
+    return sql_funnel_steps("events")
+
+
+@query("funnel_3step", _funnel_oracle())
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel (view -> click -> purchase, 30-min
+    step gap): conditional-min window chain over ONE user_id shuffle — no
+    joins, no row expansion; step count grows the projection chain, never
+    the shuffle count. Oracle replays the same window chain in DuckDB."""
+    from asctb_ct_label_mapper_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_t(spark, sf_dir, "events"))
+
+
 @query(
     "bigram_logppl_docs",
     sql_bigram_logppl(

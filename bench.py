@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_embedding_groups",
     "viz_projection_rp",
     "bigram_logppl_docs",
+    "funnel_3step",
 ]
 
 

@@ -92,3 +92,63 @@ def test_range_join_plans_hash_equi_join(spark):
     )
     plan = range_join(points, intervals, ["k"], "ts", "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestFunnelSteps:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_full_conversion_and_break(self, spark):
+        from asctb_ct_label_mapper_spark.operators.funnel import funnel_steps
+
+        ev = self._events(
+            spark,
+            [
+                # user 1 converts fully within gaps
+                (1, "view", "2024-01-01 10:00:00"),
+                (1, "click", "2024-01-01 10:10:00"),
+                (1, "purchase", "2024-01-01 10:20:00"),
+                # user 2: click arrives after the 30-min gap -> stage 1
+                (2, "view", "2024-01-01 10:00:00"),
+                (2, "click", "2024-01-01 10:31:00"),
+                # user 3: no view at all -> not in funnel
+                (3, "click", "2024-01-01 10:00:00"),
+            ],
+        )
+        rows = {r["user_id"]: r for r in funnel_steps(ev).collect()}
+        assert rows[1]["stage"] == 3
+        assert rows[1]["purchase_ts"] == "2024-01-01 10:20:00"
+        assert rows[2]["stage"] == 1
+        assert rows[2]["click_ts"] is None
+        assert 3 not in rows
+
+    def test_first_view_anchors_the_chain(self, spark):
+        from asctb_ct_label_mapper_spark.operators.funnel import funnel_steps
+
+        # the click before the FIRST view must not count; the chain anchors
+        # on the earliest view even if a later view would convert better
+        ev = self._events(
+            spark,
+            [
+                (1, "click", "2024-01-01 09:00:00"),
+                (1, "view", "2024-01-01 10:00:00"),
+                (1, "view", "2024-01-01 11:00:00"),
+                (1, "click", "2024-01-01 11:05:00"),
+            ],
+        )
+        r = funnel_steps(ev).collect()[0]
+        assert r["view_ts"] == "2024-01-01 10:00:00"
+        assert r["click_ts"] is None  # 11:05 is past 10:00 + 30 min
+        assert r["stage"] == 1
+
+    def test_one_shuffle_plan(self, spark):
+        from asctb_ct_label_mapper_spark.operators.funnel import funnel_steps
+
+        ev = self._events(spark, [(1, "view", "2024-01-01 10:00:00")])
+        plan = funnel_steps(ev)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert len(re.findall(r"\+- Exchange hash", plan)) == 1
