@@ -844,3 +844,91 @@ def group_representatives(
         .filter(F.col("rn") == 1)
         .select("group_id", id_col, "quality", "group_size")
     )
+
+
+def minhash_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a NEW batch of documents
+    checked for near-duplicates against an EXISTING corpus (md5-affine
+    MinHash family, so a SQL oracle replays every hash).
+
+    Scale contract (the reason this is not just ``minhash_dedup_pairs`` on
+    the union): the corpus side is NEVER reshuffled. Batch bands are small
+    by definition and are BROADCAST against the corpus band stream, so
+    candidate generation is one corpus scan + a broadcast hash join — at
+    100 TB of corpus and a daily-ingest-sized batch, the corpus signature
+    scan is the only big cost, and in production those signatures are a
+    precomputed table written once at ingest (here they are derived
+    in-plan from text; the seam is the same ``banded`` projection).
+
+    Verification is candidate-proportional on the corpus side (shingles
+    recomputed only for matched ids) and batch-sized on the batch side.
+    Returns (batch_id, match_id, jaccard >= threshold).
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    r = n_hashes // bands
+    sig_udf = minhash_signature_md5affine_udf(n_hashes, shingle_n)
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = ensure_min_partitions(df).select(
+            F.col(id_col).alias(out_id), sig_udf(F.col(text_col)).alias("_sig")
+        )
+        return sig.select(
+            out_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "|",
+                            )
+                        ).alias("bhash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bhash")
+
+    bb = banded(batch, "batch_id").persist(StorageLevel.MEMORY_AND_DISK)
+    bb.count()  # eager: broadcast side, computed once
+    cands = (
+        banded(corpus, "match_id")
+        .join(F.broadcast(bb), ["band", "bhash"])
+        .filter(F.col("match_id") != F.col("batch_id"))
+        .select("batch_id", "match_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_cand = cands.count()  # eager: feeds the id restriction + verify join
+
+    bsh = batch.select(
+        F.col(id_col).alias("batch_id"),
+        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_b"),
+    )
+    match_ids = cands.select(F.col("match_id").alias("_mid")).distinct()
+    if n_cand <= 2_000_000:
+        match_ids = F.broadcast(match_ids)
+    msh = corpus.join(match_ids, corpus[id_col] == match_ids["_mid"]).select(
+        F.col("_mid").alias("match_id"),
+        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_m"),
+    )
+    return (
+        cands.join(F.broadcast(bsh), "batch_id")
+        .join(msh, "match_id")
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("_sh_b"), F.col("_sh_m")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "match_id", "jaccard")
+    )

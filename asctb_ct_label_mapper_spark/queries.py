@@ -692,6 +692,40 @@ def q17_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: FACT-to-FACT existential semi join (orders EXISTS
+    lineitem) with a non-equi residual (l_shipdate > o_orderdate) — the
+    date filter prunes the probe side BEFORE the shuffle, and leftsemi
+    stops at the first match per order instead of expanding line rows.
+    (P8's semi join is dim-scale; this is the both-sides-big flavor whose
+    shuffle is keyed on the join key at fact cardinality.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "leftsemi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
     "a_having_filter",
     """
     SELECT o_custkey, count(*) AS n_orders,
@@ -2555,6 +2589,73 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs, all_ids=emb, id_col="vec_id").select(
         "vec_id", "group_id", "group_size", "is_canonical"
     )
+
+
+def _minhash_incremental_oracle(
+    threshold: float = 0.2, n_hashes: int = 16, bands: int = 8
+) -> str:
+    """DuckDB replay of dedup_incremental: the md5-affine signature family
+    (same literals as _minhash_affine_oracle) computed per side — batch =
+    doc_id % 10 = 0, corpus = the rest — candidates via the cross-side
+    band equi-join, exact-Jaccard verify."""
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_affine_params
+
+    a, b, p = minhash_affine_params(n_hashes)
+    r = n_hashes // bands
+    base = f"(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p})"
+    sig_terms = ",\n             ".join(
+        f"coalesce(list_min([({a[j]} * {base} + {b[j]}) % {p} for s in shingles]), {p})"
+        for j in range(n_hashes)
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sb.shingles, sm.shingles))) > 0 "
+        "THEN CAST(len(list_intersect(sb.shingles, sm.shingles)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sb.shingles, sm.shingles))) ELSE 0.0 END"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, shingles,
+            [{sig_terms}] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string([CAST(x AS VARCHAR)
+                                    for x in sig[b*{r}+1 : b*{r}+{r}]], '|')) AS bhash
+        FROM sig, range(0, {bands}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS match_id
+        FROM banded bb
+        JOIN banded cb ON bb.band = cb.band AND bb.bhash = cb.bhash
+        WHERE bb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+    )
+    SELECT c.batch_id, c.match_id, round({jac}, 6) AS jaccard
+    FROM cand c
+    JOIN sh sb ON sb.doc_id = c.batch_id
+    JOIN sh sm ON sm.doc_id = c.match_id
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("dedup_incremental", _minhash_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, ORACLE-CHECKED: a new batch (doc_id % 10 == 0)
+    near-dup-matched against the existing corpus (the rest) — batch bands
+    broadcast against one corpus scan, corpus never reshuffled; md5-affine
+    signature literals shared with the generated DuckDB SQL."""
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_dedup_incremental(corpus, batch)
 
 
 def _funnel_oracle() -> str:

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "viz_projection_rp",
     "bigram_logppl_docs",
     "funnel_3step",
+    "q4_order_priority",
+    "dedup_incremental",
 ]
 
 
@@ -105,6 +107,7 @@ SCALE_QUERIES = [
     "bigram_logppl_docs",
     "pack_sequences_docs",
     "corpus_divergence",
+    "dedup_incremental",
 ]
 
 _SCALE_DIR = "/tmp/spark_graft_scale/docs10x"

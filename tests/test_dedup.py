@@ -258,3 +258,55 @@ def test_embedding_groups_cover_all_ids(spark, sf_dir):
         "group_id <> `min(vec_id)`"
     )
     assert bad.count() == 0
+
+
+class TestIncrementalDedup:
+    def test_finds_cross_side_near_dups_only(self, spark):
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "totally different words here x y z")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, base), (101, "unrelated content nothing matches at all q w e")],
+            "doc_id long, text string",
+        )
+        rows = minhash_dedup_incremental(corpus, batch, threshold=0.5).collect()
+        got = {(r["batch_id"], r["match_id"]) for r in rows}
+        assert (100, 1) in got
+        assert all(b in (100, 101) for b, _ in got)
+        assert all(m in (1, 2, 3) for _, m in got)
+        assert not any(b == 101 for b, _ in got)
+
+    def test_matches_union_self_join_on_cross_pairs(self, spark, sf_dir):
+        """Incremental results = the cross-side subset of the full self-join
+        (same family, same threshold)."""
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_dedup_pairs,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        inc = {
+            (r["batch_id"], r["match_id"], r["jaccard"])
+            for r in minhash_dedup_incremental(corpus, batch, threshold=0.2).collect()
+        }
+        full = minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.2, n_hashes=16, family="md5affine"
+        ).collect()
+        cross = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in full
+            if (r["id_a"] % 10 == 0) != (r["id_b"] % 10 == 0)
+        }
+        normalized = {
+            (a, b, j) if a % 10 == 0 else (b, a, j) for a, b, j in cross
+        }
+        assert inc == normalized
