@@ -2591,6 +2591,38 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+    "l_discount", "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
+def _profile_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import sql_profile_table
+
+    return sql_profile_table(
+        "lineitem",
+        _PROFILE_COLS,
+        types={
+            "l_quantity": "float",
+            "l_extendedprice": "float",
+            "l_discount": "float",
+            "l_shipdate": "ts",
+        },
+    )
+
+
+@query("profile_lineitem", _profile_oracle())
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling (ANALYZE-style ingest gate): per-column
+    row/null/distinct counts and min/max over the widest fact table — ONE
+    aggregation job; exact distincts (one Expand) for oracle parity, with
+    the HLL++ flavor as the scale switch."""
+    from asctb_ct_label_mapper_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 def _minhash_incremental_oracle(
     threshold: float = 0.2, n_hashes: int = 16, bands: int = 8
 ) -> str:

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "funnel_3step",
     "q4_order_priority",
     "dedup_incremental",
+    "profile_lineitem",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Column profiling operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.5, "2024-01-01 10:00:00"),
+            (2, "b", None, "2024-01-02 10:00:00"),
+            (2, None, 2.5, None),
+        ],
+        "id long, s string, x double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_counts_nulls_distincts(sample):
+    rows = {r["column"]: r for r in profile_table(sample).collect()}
+    assert rows["id"]["n_rows"] == 3
+    assert rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    assert rows["x"]["n_nulls"] == 1
+
+
+def test_min_max_rendering(sample):
+    rows = {r["column"]: r for r in profile_table(sample).collect()}
+    assert rows["id"]["min_s"] == "1" and rows["id"]["max_s"] == "2"
+    assert rows["x"]["min_s"] == "1.500000"  # decimal(38,6) rendering
+    assert rows["ts"]["min_s"] == "2024-01-01 10:00:00"
+
+
+def test_approx_flavor_has_same_schema(sample):
+    exact = profile_table(sample)
+    approx = profile_table(sample, exact_distinct=False)
+    assert exact.columns == approx.columns
+    # HLL++ is exact at these cardinalities
+    e = {r["column"]: r["n_distinct"] for r in exact.collect()}
+    a = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    assert e == a
+
+
+def test_approx_flavor_drops_expand(sample):
+    exact_plan = profile_table(sample)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = (
+        profile_table(sample, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+
+
+def test_column_subset(sample):
+    out = profile_table(sample, columns=["id", "x"])
+    assert [r["column"] for r in out.collect()] == ["id", "x"]
