@@ -252,3 +252,152 @@ def sql_stratified_sample(
     FROM {table}
     WHERE {bucket} < (CASE {cases} ELSE {int(round(default_fraction * 100))} END)
     """
+
+
+# --- Gopher/C4-style quality rules ------------------------------------------
+
+# Required-stopword set for the presence rule (Gopher uses a similar short
+# list); lowercase, matched against whitespace-split tokens.
+QUALITY_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter (Rae et al. 2021 §A1.1;
+    Raffel et al. 2020 §2.2), the rule-transparent sibling of
+    ``textstats.text_stats``'s single composite score: each rule is its
+    own 0/1 column so a curation run can report WHICH rule rejected a
+    document, not just that one did.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [mean_len_lo, mean_len_hi]; symbol-to-word ratio (#, ellipsis) at most
+    max_symbol_ratio; at least min_alpha_ratio of words containing an
+    alphabetic character; at least min_stop_hits distinct required
+    stopwords present.
+
+    Scale: per-row projection over one scan — no shuffle, no Python. The
+    two list-lambda rules (alpha-word filter, stopword intersect) use
+    Catalyst HOFs, which are interpreted per element; at 100 TB this stays
+    scan-parallel (narrow), and the interpreted cost is one pass over each
+    doc's tokens — the same trade documented for textstats' HOF paths in
+    SCALING.md. All patterns are in the Java-regex/RE2 shared subset so
+    DuckDB replays the rules byte-identically (sql_quality_rules)."""
+    text = F.col(text_col)
+    toks = F.split(text, r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    mean_word_len = F.when(
+        n_words > 0, (n_chars - n_words + 1).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.")) + F.regexp_count(
+        text, F.lit("…")
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(text), r"\s+")),
+            F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]),
+        )
+    )
+
+    p_words = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    p_mean = ((mean_word_len >= mean_len_lo) & (mean_word_len <= mean_len_hi)).cast(
+        "int"
+    )
+    p_symbol = (symbol_ratio <= max_symbol_ratio).cast("int")
+    p_alpha = (alpha_ratio >= min_alpha_ratio).cast("int")
+    p_stop = (stop_hits >= min_stop_hits).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("n_stop_hits"),
+        p_words.alias("passes_word_count"),
+        p_mean.alias("passes_mean_len"),
+        p_symbol.alias("passes_symbol"),
+        p_alpha.alias("passes_alpha"),
+        p_stop.alias("passes_stopwords"),
+        (p_words * p_mean * p_symbol * p_alpha * p_stop).alias("passes_all"),
+    )
+
+
+def sql_quality_rules(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB replay of ``quality_rules`` (same regex subset, same list
+    lambdas via list_filter/list_intersect)."""
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    t = text_col
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+            len(string_split_regex({t}, '\\s+')) AS n_words,
+            length({t}) AS n_chars,
+            regexp_extract_all({t}, '#|\\.\\.\\.') AS sym1,
+            regexp_extract_all({t}, '…') AS sym2,
+            len(list_filter(string_split_regex({t}, '\\s+'),
+                            w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+            len(list_intersect(list_distinct(string_split_regex(lower({t}), '\\s+')),
+                               [{stops}])) AS stop_hits
+        FROM {table}
+    ),
+    m AS (
+        SELECT {id_col}, n_words, stop_hits,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words
+                 ELSE 0.0 END AS mean_word_len,
+            CASE WHEN n_words > 0
+                 THEN CAST(len(sym1) + len(sym2) AS DOUBLE) / n_words
+                 ELSE 0.0 END AS symbol_ratio,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_alpha_words AS DOUBLE) / n_words
+                 ELSE 0.0 END AS alpha_ratio
+        FROM base
+    )
+    SELECT {id_col}, n_words,
+        round(mean_word_len, 6) AS mean_word_len,
+        round(symbol_ratio, 6) AS symbol_ratio,
+        round(alpha_ratio, 6) AS alpha_ratio,
+        stop_hits AS n_stop_hits,
+        CAST(n_words >= {min_words} AND n_words <= {max_words} AS INT)
+            AS passes_word_count,
+        CAST(mean_word_len >= {mean_len_lo} AND mean_word_len <= {mean_len_hi}
+             AS INT) AS passes_mean_len,
+        CAST(symbol_ratio <= {max_symbol_ratio} AS INT) AS passes_symbol,
+        CAST(alpha_ratio >= {min_alpha_ratio} AS INT) AS passes_alpha,
+        CAST(stop_hits >= {min_stop_hits} AS INT) AS passes_stopwords,
+        CAST(n_words >= {min_words} AND n_words <= {max_words} AS INT)
+          * CAST(mean_word_len >= {mean_len_lo} AND mean_word_len <= {mean_len_hi}
+                 AS INT)
+          * CAST(symbol_ratio <= {max_symbol_ratio} AS INT)
+          * CAST(alpha_ratio >= {min_alpha_ratio} AS INT)
+          * CAST(stop_hits >= {min_stop_hits} AS INT) AS passes_all
+    FROM m
+    """

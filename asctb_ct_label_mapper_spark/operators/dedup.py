@@ -932,3 +932,104 @@ def minhash_dedup_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "match_id", "jaccard")
     )
+
+
+# --- cross-document duplicated n-gram spans ----------------------------------
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": exact-substring dedup,
+    here at n-gram granularity instead of suffix-array byte spans): for
+    each document, how many of its word n-grams also occur in ANOTHER
+    document. The doc-level near-dup families (MinHash/SimHash/Jaccard)
+    miss boilerplate shared between otherwise-distinct docs; this is the
+    operator that catches it.
+
+    Plan shape: one narrow pass explodes each doc's n-grams (positions
+    stay local), ONE hash-uniform shuffle groups by gram to count distinct
+    source docs (map-side partial agg), and the corpus-duplicated gram set
+    joins back on the same gram key to produce per-doc counts. At 100 TB
+    this is the canonical token-count MapReduce shape — no all-pairs, no
+    skew beyond natural gram frequency (mitigable by salting the count agg
+    if a stop-gram dominates; the second join is an equi-join that AQE can
+    convert to broadcast when the duplicated-gram set is small).
+
+    Output: (id, n_grams, n_dup_grams, dup_fraction) for docs with at
+    least one n-gram."""
+    toks = F.split(F.col(text_col), r"\s+")
+    grams_col = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    dup_grams = per_gram.filter(F.col("n_docs") > 1).select("gram")
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        grams.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def sql_dup_ngram_spans(
+    table: str = "documents",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``dup_ngram_spans`` (lateral generate_series over
+    the token list, same single-space re-join of each n-gram)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col}, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(t) - {n} + 1)) AS g(i)
+    ),
+    dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT {id_col}) > 1
+    ),
+    per_doc AS (
+        SELECT {id_col}, count(*) AS n_grams FROM grams GROUP BY {id_col}
+    ),
+    dup_per_doc AS (
+        SELECT g.{id_col}, count(*) AS n_dup_grams
+        FROM grams g JOIN dup_grams d USING (gram)
+        GROUP BY g.{id_col}
+    )
+    SELECT p.{id_col}, p.n_grams,
+        coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+        round(CAST(coalesce(d.n_dup_grams, 0) AS DOUBLE) / p.n_grams, 6)
+            AS dup_fraction
+    FROM per_doc p LEFT JOIN dup_per_doc d USING ({id_col})
+    """

@@ -27,10 +27,12 @@ from asctb_ct_label_mapper_spark.functions.nlp import (
 )
 from asctb_ct_label_mapper_spark.functions.vector import cosine_expr, stub_encode_udf
 from asctb_ct_label_mapper_spark.operators.dedup import (
+    dup_ngram_spans,
     exact_dedup_flags,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    sql_dup_ngram_spans,
 )
 from asctb_ct_label_mapper_spark.operators.mapping import (
     map_labels_to_reference,
@@ -47,6 +49,8 @@ from asctb_ct_label_mapper_spark.operators.curation import (
     hash_split,
     pack_sequences,
     pii_scrub,
+    quality_rules,
+    sql_quality_rules,
     sql_hash_split,
     sql_pack_sequences,
     sql_pii_scrub,
@@ -2724,6 +2728,358 @@ def bigram_logppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logppl(
         assigned.filter(F.col("split") == "test"),
         assigned.filter(F.col("split") == "train"),
+    )
+
+
+# =============================================================================
+# r6 widening: TPC-H join/subquery shapes q7/q10/q14/q18/q19/q22, CUBE
+# grouping, Gopher-rule quality filter, substring-level duplication profile
+# =============================================================================
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+        round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+            l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: fact-fact join (lineitem-orders) wrapped in four
+    dim joins with a cross-dimension disjunction. The two nation dims are
+    broadcast, so the only shuffles are the two fact keys; the nation-pair
+    predicate cannot be pushed below the joins (it spans both sides) but
+    Catalyst pushes the derived IN ('NATION_1','NATION_2') filters onto
+    EACH nation scan, shrinking the broadcast to 2 rows before the
+    residual OR runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+        round(c_acctbal, 2) AS acctbal,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 with a
+    deterministic (revenue DESC, custkey) tie-break. The quarter filter
+    prunes orders BEFORE the fact-fact shuffle and the returnflag filter
+    is pushed into the lineitem scan; the final top-20 is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads), never a full sort. Revenue sums in DECIMAL(18,2-scale) — the
+    LIMIT boundary sits ON rounded-revenue ties, so double summation
+    order (which differs between engines AND between Spark runs at
+    different partitioning) must not leak into the cut; exact decimal
+    arithmetic makes the sum order-independent."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+        100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) END)
+        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over one month of
+    lineitem joined to part. The month filter reaches the lineitem scan
+    (PushedFilters) so the join probes ~1/80th of the fact; part is the
+    build side. One global aggregate — no groupBy shuffle at all, just
+    partial+final."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        round(o_totalprice, 2) AS total_price,
+        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via an IN-subquery that is
+    itself an aggregate over the probe fact. The HAVING-aggregate runs
+    first (one shuffle on l_orderkey), its tiny survivor set (~0.3% of
+    orders) broadcasts into a semi join that prunes BOTH facts before the
+    final customer join and re-aggregation — the anti-pattern would be
+    joining first and filtering after."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == big["l_orderkey"],
+        "leftsemi",
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst's
+    CNF conversion extracts the single-side implications — part gets
+    brand IN (...) AND p_size <= 15, lineitem gets l_quantity BETWEEN 1
+    AND 30 — and pushes each into its scan, so the join probes only
+    plausible rows and the full disjunction runs as the join residual.
+    Hand-distributing the OR is exactly what the optimizer already does."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q22_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_cust,
+        round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery (above-average balance)
+    plus NOT EXISTS, declaratively: the 1-row average cross-joins in as a
+    broadcast (no collect to the driver — the threshold never leaves the
+    executors' plan), and NOT EXISTS is a left-anti join against the
+    recent-order fact (the date filter is pushed into the orders scan
+    before the anti join's o_custkey shuffle). At 100 TB the
+    distinct-custkey projection of recent orders is the build side."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "g_cube_counts",
+    """
+    SELECT event_type,
+        CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+        count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(EXTRACT(isodow FROM ts) AS INT))
+    """,
+)
+def g_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, ISO day-of-week): all four grouping sets in
+    one pass — Spark expands the grouping sets map-side, so the shuffle
+    carries each input row once per set but still does partial
+    aggregation first (same Expand+HashAggregate plan GROUPING SETS and
+    ROLLUP share; g_rollup_counts covers the hierarchy flavor). Day
+    numbering pinned to ISO (Mon=1) on both engines: Spark weekday()+1 ==
+    DuckDB isodow."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+            "value",
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query("quality_rules_docs", sql_quality_rules("documents"))
+def quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 rule-based quality filter (curation.quality_rules): each
+    rule its own 0/1 column so curation reports can attribute rejections
+    per rule — the transparent sibling of text_stats' composite score."""
+    return quality_rules(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@query("dup_ngram_spans_docs", sql_dup_ngram_spans("documents", n=3))
+def dup_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (dedup.dup_ngram_spans): per-doc
+    count/fraction of word 3-grams that also occur in another document —
+    the boilerplate-detection operator doc-level near-dup families miss."""
+    return dup_ngram_spans(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), n=3
     )
 
 

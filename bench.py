@@ -111,36 +111,71 @@ SCALE_QUERIES = [
     "dedup_incremental",
 ]
 
-_SCALE_DIR = "/tmp/spark_graft_scale/docs10x"
-_SCALE_FACTOR = 10
+# Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /
+# 200k vectors at sf0.1 base. Verifies the sub-linear candidate-growth
+# claims empirically rather than by 10x extrapolation. The documented
+# quadratic-regime flavors stay excluded (dedup_ngram_jaccard: exact
+# O(pairs-within-block) oracle anchor, scale traffic routes to MinHash;
+# cos_topk_blocked: dense matmul whose 180k-vector crossover vs LSH is
+# already measured in SCALING.md — LSH is the 100x path).
+SCALE100_QUERIES = [
+    "nlp_clean_docs",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats_docs",
+    "lang_id_docs",
+    "fingerprint_docs",
+    "winnowing_docs",
+    "cos_topk_lsh",
+    "contamination_check",
+    "repetition_docs",
+    "tfidf_topk_docs",
+    "unigram_logppl_docs",
+    "bigram_logppl_docs",
+    "pack_sequences_docs",
+    "corpus_divergence",
+    "dedup_incremental",
+]
+
+_SCALE_ROOT = "/tmp/spark_graft_scale/v2"
 
 
-def ensure_docs10x(src_dir: str) -> str:
-    """Deterministically synthesize documents/embeddings at 10x the source
-    row counts (cached under /tmp). Vocabulary is the source corpus's
-    distinct words crossed with salt suffixes so the shingle space grows
-    with the corpus — near-dup rates stay realistic instead of every doc
-    colliding with its 9 clones."""
+def ensure_docs_scale(src_dir: str, factor: int) -> str:
+    """Deterministically synthesize documents/embeddings at ``factor``x the
+    source row counts (cached under /tmp per factor). Vocabulary is the
+    source corpus's distinct words crossed with salt suffixes scaled to the
+    factor, so the shingle space grows with the corpus — near-dup and
+    LSH-collision rates stay realistic instead of every doc colliding with
+    its clones. Text is drawn fully vectorized (one flat index draw +
+    offset slicing) so the 100x tier synthesizes in seconds, not minutes."""
     import numpy as np
     import pandas as pd
 
-    docs_path = os.path.join(_SCALE_DIR, "documents.parquet")
-    emb_path = os.path.join(_SCALE_DIR, "embeddings.parquet")
+    scale_dir = os.path.join(_SCALE_ROOT, f"docs{factor}x")
+    docs_path = os.path.join(scale_dir, "documents.parquet")
+    emb_path = os.path.join(scale_dir, "embeddings.parquet")
     if os.path.exists(docs_path) and os.path.exists(emb_path):
-        return _SCALE_DIR
-    os.makedirs(_SCALE_DIR, exist_ok=True)
+        return scale_dir
+    os.makedirs(scale_dir, exist_ok=True)
 
     src_docs = pd.read_parquet(os.path.join(src_dir, "documents.parquet"))
     src_emb = pd.read_parquet(os.path.join(src_dir, "embeddings.parquet"))
     rng = np.random.default_rng(11)
 
     base_vocab = sorted({w for t in src_docs["text"] for w in t.split()})
-    vocab = np.array([f"{w}{i}" if i else w for w in base_vocab for i in range(40)])
+    n_salt = 4 * factor
+    vocab = np.array(
+        [f"{w}{i}" if i else w for w in base_vocab for i in range(n_salt)]
+    )
     langs = sorted(src_docs["lang"].unique())
 
-    n_docs = len(src_docs) * _SCALE_FACTOR
+    n_docs = len(src_docs) * factor
     lengths = rng.integers(30, 80, n_docs)
-    texts = [" ".join(rng.choice(vocab, size=ln)) for ln in lengths]
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    words = vocab[rng.integers(0, len(vocab), int(offsets[-1]))].tolist()
+    texts = [
+        " ".join(words[offsets[i] : offsets[i + 1]]) for i in range(n_docs)
+    ]
     pd.DataFrame(
         {
             "doc_id": np.arange(n_docs, dtype=np.int64),
@@ -151,7 +186,7 @@ def ensure_docs10x(src_dir: str) -> str:
         }
     ).to_parquet(docs_path, index=False)
 
-    n_emb = len(src_emb) * _SCALE_FACTOR
+    n_emb = len(src_emb) * factor
     dim = len(src_emb["embedding"].iloc[0])
     mat = rng.standard_normal((n_emb, dim))
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -162,7 +197,7 @@ def ensure_docs10x(src_dir: str) -> str:
             "label": (np.arange(n_emb) % 16).astype(np.int32),
         }
     ).to_parquet(emb_path, index=False)
-    return _SCALE_DIR
+    return scale_dir
 
 
 def main() -> None:
@@ -207,31 +242,34 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        try:
-            scale_dir = ensure_docs10x(sf_dir)
-            scale_timings: dict[str, float] = {}
-            for name in SCALE_QUERIES:
-                fn = registry[name]
-                # Single timed run: the session/codegen is already warm from
-                # the headline tier, and a second pass would double a tier
-                # whose point is aggregate-trend, not per-query precision.
-                t0 = time.perf_counter()
-                fn(spark, scale_dir).count()
-                scale_timings[name] = round(time.perf_counter() - t0, 4)
-                print(
-                    f"[bench/10x] {name}: {scale_timings[name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
-            result["scales"] = {
-                "docs10x": {
-                    "factor": _SCALE_FACTOR,
+        result["scales"] = {}
+        for factor, names in ((10, SCALE_QUERIES), (100, SCALE100_QUERIES)):
+            key = f"docs{factor}x"
+            try:
+                scale_dir = ensure_docs_scale(sf_dir, factor)
+                scale_timings: dict[str, float] = {}
+                for name in names:
+                    fn = registry[name]
+                    # Single timed run: the session/codegen is already warm
+                    # from the headline tier, and a second pass would double
+                    # a tier whose point is aggregate-trend, not per-query
+                    # precision.
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, scale_dir).count()
+                    scale_timings[name] = round(time.perf_counter() - t0, 4)
+                    print(
+                        f"[bench/{factor}x] {name}: {scale_timings[name]}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                result["scales"][key] = {
+                    "factor": factor,
                     "total": round(sum(scale_timings.values()), 4),
                     "queries": scale_timings,
                 }
-            }
-        except Exception as e:  # noqa: BLE001 - scale tier is best-effort
-            result["scales"] = {"docs10x": {"error": str(e)[:200]}}
+            except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+                result["scales"][key] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     spark.stop()

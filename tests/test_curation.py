@@ -92,3 +92,38 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # plan stays narrow
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_rules_fixture(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import quality_rules
+
+    long_doc = " ".join(["the", "team", "have", "data", "sets"] * 12)  # 60 words
+    rows = [
+        (1, long_doc),  # passes everything
+        (2, "short doc only"),  # fails word count + stopwords
+        (3, " ".join(["####"] * 60)),  # symbols, no alpha, no stopwords
+        (4, " ".join(["supercalifragilistic"] * 60)),  # mean len too high
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in quality_rules(df).collect()}
+
+    assert out[1]["passes_all"] == 1
+    assert out[1]["n_words"] == 60 and out[1]["n_stop_hits"] >= 2
+
+    assert out[2]["passes_word_count"] == 0
+    assert out[2]["passes_all"] == 0
+
+    assert out[3]["passes_symbol"] == 0
+    assert out[3]["passes_alpha"] == 0
+    assert out[3]["passes_stopwords"] == 0
+
+    assert out[4]["passes_mean_len"] == 0
+    assert out[4]["mean_word_len"] == 20.0
+
+
+def test_quality_rules_plan_is_narrow(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import quality_rules
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = quality_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

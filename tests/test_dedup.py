@@ -310,3 +310,35 @@ class TestIncrementalDedup:
             (a, b, j) if a % 10 == 0 else (b, a, j) for a, b, j in cross
         }
         assert inc == normalized
+
+
+def test_dup_ngram_spans_fixture(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import dup_ngram_spans
+
+    rows = [
+        (1, "the quick brown fox jumps"),      # shares "the quick brown"+1 with 2
+        (2, "the quick brown fox sleeps"),     # -> 2 shared 3-grams each
+        (3, "completely different words here"),  # no shared grams
+        (4, "tiny doc"),                        # < n tokens -> no grams, dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in dup_ngram_spans(df, n=3).collect()}
+
+    # docs 1 and 2 share "the quick brown" and "quick brown fox"
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 2
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 2
+    assert out[1]["dup_fraction"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert 4 not in out  # below n tokens: no n-grams to profile
+
+
+def test_dup_ngram_spans_within_doc_repeat_not_counted(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import dup_ngram_spans
+
+    # a gram repeated within ONE doc is not cross-document duplication
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w v u")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in dup_ngram_spans(df, n=3).collect()}
+    assert out[1]["n_dup_grams"] == 0
+    assert out[2]["n_dup_grams"] == 0
