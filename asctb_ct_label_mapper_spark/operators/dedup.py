@@ -104,6 +104,26 @@ def shingles_udf(n: int = 3):
     return _sh
 
 
+def ngrams_all_udf(n: int = 2):
+    """Arrow-vectorized n-gram producer keeping MULTIPLICITY and order
+    (``shingles_udf`` dedups — right for set similarity, wrong for
+    language-model counts). Same single-space tokenization. Measured at
+    500k docs / 26.5M bigrams: the native transform+slice HOF takes 157 s
+    (per-element interpretation), this path 15 s."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _ng(texts: pd.Series) -> pd.Series:
+        def go(t):
+            toks = t.split(" ")
+            if len(toks) < n:
+                return []
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        return texts.map(go)
+
+    return _ng
+
+
 # Fixed affine family over uint64 (odd multipliers; wraparound is the mod):
 # h_j(x) = a_j * x + b_j. Seeded PCG64 so signatures are deterministic
 # across runs, executors, and sessions.
@@ -942,6 +962,7 @@ def dup_ngram_spans(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fused: bool = True,
 ) -> DataFrame:
     """Substring-level duplication profile (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better": exact-substring dedup,
@@ -961,15 +982,25 @@ def dup_ngram_spans(
     convert to broadcast when the duplicated-gram set is small).
 
     Output: (id, n_grams, n_dup_grams, dup_fraction) for docs with at
-    least one n-gram."""
-    toks = F.split(F.col(text_col), r"\s+")
-    grams_col = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    least one n-gram.
+
+    ``fused`` (default) emits grams via the Arrow ``ngrams_all_udf`` —
+    value-identical to the native transform+slice HOF (kept as
+    ``fused=False``), which is interpreted per element and ~10x slower on
+    the dense tiers. Both paths (and the SQL mirror) tokenize by single
+    space, empties kept — the module-wide convention."""
+    if fused:
+        df = ensure_min_partitions(df)
+        grams_col = ngrams_all_udf(n)(F.col(text_col))
+    else:
+        toks = F.split(F.col(text_col), " ")
+        grams_col = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     grams = (
         df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
     )
@@ -1005,10 +1036,10 @@ def sql_dup_ngram_spans(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB replay of ``dup_ngram_spans`` (lateral generate_series over
-    the token list, same single-space re-join of each n-gram)."""
+    the token list, same single-space split and re-join of each n-gram)."""
     return f"""
     WITH toks AS (
-        SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS t
+        SELECT {id_col}, string_split({text_col}, ' ') AS t
         FROM {table}
     ),
     grams AS (

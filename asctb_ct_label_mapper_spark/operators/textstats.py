@@ -555,6 +555,15 @@ def tfidf_topk(
     """
     n_docs = df.count()  # scalar: one job, broadcast as a literal
     if fused:
+        from asctb_ct_label_mapper_spark.plans.partitioning import (
+            ensure_min_partitions,
+        )
+
+        # Scan width follows file bytes, but both the exploded df-aggregate
+        # map side and the Arrow scoring pass are CPU-dense row work: a
+        # 60 MB / 500k-doc file scans as 1-2 splits and serializes them
+        # onto 2 cores (measured: scoring 22.7 s -> ~2 s after widening).
+        df = ensure_min_partitions(df)
         dfreq_base = (
             df.select(
                 F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
@@ -673,8 +682,17 @@ def sql_tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_df: int = 1,
+    max_vocab: int | None = None,
 ) -> str:
-    """DuckDB replay of ``tfidf_topk`` (same smoothing and tie-break)."""
+    """DuckDB replay of ``tfidf_topk`` (same smoothing, tie-break, and
+    vocabulary prune: df >= min_df, then top-max_vocab by (df DESC, token
+    ASC))."""
+    prune = ""
+    if min_df > 1:
+        prune += f" WHERE df >= {min_df}"
+    if max_vocab is not None:
+        prune += f" ORDER BY df DESC, token ASC LIMIT {max_vocab}"
     return f"""
     WITH toks AS (
         SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token
@@ -684,8 +702,11 @@ def sql_tfidf_topk(
         SELECT {id_col}, token, count(*) AS tf
         FROM toks GROUP BY {id_col}, token
     ),
-    dfreq AS (
+    dfreq_all AS (
         SELECT token, count(DISTINCT {id_col}) AS df FROM toks GROUP BY token
+    ),
+    dfreq AS (
+        SELECT token, df FROM dfreq_all{prune}
     ),
     n AS (SELECT count(*) AS n_docs FROM {table}),
     scored AS (

@@ -2144,6 +2144,23 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_topk_bounded",
+    sql_tfidf_topk("documents", 3, min_df=2, max_vocab=50_000),
+)
+def tfidf_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-vocabulary TF-IDF flavor (VERDICT r5 #3): df >= 2 plus a
+    50k-term cap make the fused path's driver/broadcast contract an
+    explicit O(max_vocab) regardless of corpus vocabulary — the 100 TB
+    posture, where an open web corpus's hapax-dominated tail would
+    otherwise grow the model with the data. Hapax terms can't rank anyway
+    on any corpus where TF-IDF is meaningful; the oracle replays the same
+    prune, so the boundary is value-checked, not asserted."""
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents"), 3, min_df=2, max_vocab=50_000
+    )
+
+
+@query(
     "unigram_logppl_docs",
     sql_unigram_logppl(
         sql_hash_split("(SELECT doc_id, text FROM documents) d", "doc_id")
