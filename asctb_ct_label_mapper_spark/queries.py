@@ -3100,6 +3100,12 @@ def dup_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Side-effect import: registers the remaining TPC-H query shapes
+# (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
+# after the decorator + helpers are defined so the circular import is safe.
+from asctb_ct_label_mapper_spark import queries_tpch  # noqa: E402, F401
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
