@@ -401,3 +401,162 @@ def sql_quality_rules(
           * CAST(stop_hits >= {min_stop_hits} AS INT) AS passes_all
     FROM m
     """
+
+
+# --- fixed-window document chunking ------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunker: cut each document's token stream into
+    ``chunk_size``-token windows advancing by ``chunk_size - overlap``
+    tokens — the standard RAG-indexing / long-context pretraining
+    segmentation (every token appears in >=1 chunk; consecutive chunks
+    share ``overlap`` tokens so no boundary context is lost).
+
+    Narrow plan, zero shuffle: one generator expression per row
+    (sequence -> posexplode) and an array slice per chunk — the row count
+    multiplies by ~n_tokens/stride but nothing repartitions, so at 100 TB
+    this runs at scan parallelism and the natural downstream step
+    (embed -> ANN index) starts from already-distributed chunks.
+
+    Returns (id_col, chunk_id, start_token, chunk_len, chunk_text);
+    the final chunk may be shorter than ``chunk_size``.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("chunk_documents: overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("start_token").cast("long").alias("start_token"),
+            F.least(F.lit(chunk_size), F.col("_n") - F.col("start_token"))
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_token") + 1, F.lit(chunk_size)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents",
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``chunk_documents`` (1-based list slicing)."""
+    stride = chunk_size - overlap
+    return f"""
+    SELECT {id_col},
+        CAST(chunk_id - 1 AS INT) AS chunk_id,
+        CAST(start_token AS BIGINT) AS start_token,
+        CAST(least({chunk_size}, n - start_token) AS BIGINT) AS chunk_len,
+        array_to_string(
+            toks[start_token + 1 : start_token + {chunk_size}], ' '
+        ) AS chunk_text
+    FROM (
+        SELECT {id_col}, toks, len(toks) AS n,
+            unnest(generate_series(0, len(toks) - 1, {stride})) AS start_token,
+            unnest(generate_series(1, 1 + (len(toks) - 1) // {stride}))
+                AS chunk_id
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks
+              FROM {table})
+    )
+    """
+
+
+# --- token-budget mixture sampling -------------------------------------------
+
+
+def mixture_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-mixture construction: select documents per source until that
+    source's TOKEN budget is met — how a pretraining run turns per-domain
+    mixture weights (40% web, 30% code, ...) into an actual document set.
+    Documents are consumed in md5(id) order (a deterministic pseudorandom
+    permutation — reproducible across engines, partitionings, and re-runs,
+    unlike a seeded shuffle), and a document that straddles its budget
+    boundary is INCLUDED, so every budget is met, never undershot.
+
+    One shuffle (window partition on the group key); the cumulative token
+    count is a per-group running sum, so at 100 TB each source streams
+    independently — no global sort, no driver state.
+
+    Returns (id_col, group_col, n_tokens, tokens_before) for the selected
+    documents; ``tokens_before`` is the group's running total before this
+    document (< budget by construction).
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == value, b).otherwise(budget)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tokens.alias("n_tokens"),
+            (F.sum(n_tokens).over(w) - n_tokens).alias("tokens_before"),
+            budget.alias("_budget"),
+        )
+        .filter(F.col("tokens_before") < F.col("_budget"))
+        .select(id_col, group_col, "n_tokens", "tokens_before")
+    )
+
+
+def sql_mixture_budget_sample(
+    table: str = "documents",
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``mixture_budget_sample`` (same window + order)."""
+    budgets = budgets or {}
+    cases = " ".join(
+        f"WHEN {group_col} = '{v}' THEN {int(b)}" for v, b in sorted(budgets.items())
+    )
+    return f"""
+    SELECT {id_col}, {group_col}, n_tokens, tokens_before
+    FROM (
+        SELECT {id_col}, {group_col},
+            len(string_split({text_col}, ' ')) AS n_tokens,
+            sum(len(string_split({text_col}, ' ')))
+                OVER (PARTITION BY {group_col}
+                      ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len(string_split({text_col}, ' ')) AS tokens_before
+        FROM {table}
+    )
+    WHERE tokens_before < (CASE {cases} ELSE {int(default_budget)} END)
+    """

@@ -46,10 +46,14 @@ from asctb_ct_label_mapper_spark.operators.similarity import (
     top_k_similarity_join,
 )
 from asctb_ct_label_mapper_spark.operators.curation import (
+    chunk_documents,
     hash_split,
+    mixture_budget_sample,
     pack_sequences,
     pii_scrub,
     quality_rules,
+    sql_chunk_documents,
+    sql_mixture_budget_sample,
     sql_quality_rules,
     sql_hash_split,
     sql_pack_sequences,
@@ -3097,6 +3101,42 @@ def dup_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate-detection operator doc-level near-dup families miss."""
     return dup_ngram_spans(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), n=3
+    )
+
+
+@query(
+    "chunk_docs",
+    sql_chunk_documents("documents", chunk_size=64, overlap=16),
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker (curation.chunk_documents): 64-token windows
+    with 16-token overlap over every document — the RAG-index /
+    long-context segmentation step. Narrow generator plan: rows multiply,
+    nothing shuffles."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_size=64,
+        overlap=16,
+    )
+
+
+@query(
+    "mixture_budget_docs",
+    sql_mixture_budget_sample(
+        "documents",
+        budgets={"src0": 4000, "src1": 2000, "src3": 1000},
+        default_budget=500,
+    ),
+)
+def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (curation.mixture_budget_sample):
+    per-source document selection in deterministic md5 order until each
+    source's token budget is met — mixture weights -> concrete epoch
+    corpus. One window shuffle on the source key."""
+    return mixture_budget_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        budgets={"src0": 4000, "src1": 2000, "src3": 1000},
+        default_budget=500,
     )
 
 

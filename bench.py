@@ -88,6 +88,23 @@ BENCH_QUERIES = [
     "quality_rules_docs",
     "dup_ngram_spans_docs",
     "tfidf_topk_bounded",
+    # TPC-H sweep completion: the 11 remaining shapes (correlated min,
+    # deep join trees, scalar-subquery thresholds, double correlation)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_lines_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_heavy_red_shippers",
+    "q21_waiting_suppliers",
+    # training-pipeline additions: RAG/pretraining chunker, epoch-mixture
+    # token-budget selection
+    "chunk_docs",
+    "mixture_budget_docs",
 ]
 
 
@@ -123,6 +140,8 @@ SCALE_QUERIES = [
     "dedup_incremental",
     "quality_rules_docs",
     "dup_ngram_spans_docs",
+    "chunk_docs",
+    "mixture_budget_docs",
 ]
 
 # Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /
@@ -154,9 +173,103 @@ SCALE100_QUERIES = [
     "dedup_incremental",
     "quality_rules_docs",
     "dup_ngram_spans_docs",
+    "chunk_docs",
 ]
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"
+
+# Fourth tier (VERDICT r5 #5's other half): sf1-equivalent RELATIONAL data —
+# 10x the sf0.1 star schema (6M lineitem / 1.5M orders / 150k customers),
+# built by stacking key-shifted copies so referential integrity holds and
+# per-key group sizes stay constant (the TPC-H scaling model: more keys,
+# not hotter keys). The full 22-query TPC-H sweep runs here; the point is
+# that every plan's cost grows with the fact tables it scans and shuffles,
+# while broadcast dims and fixed overhead amortize.
+REL_SCALE_QUERIES = [
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_revenue_topn",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_status",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_below_avg_qty",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_heavy_red_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+]
+
+
+def ensure_relational_scale(src_dir: str, factor: int) -> str:
+    """Deterministically replicate the TPC-H-ish star schema at ``factor``x
+    by stacking key-shifted copies (cached under /tmp per factor).
+
+    Every foreign key is shifted by the same stride as its referenced
+    primary key, so copy i is a self-consistent universe: joins never
+    cross copies, group-by key cardinality grows ``factor``x while group
+    SIZES stay constant — the same shape real TPC-H scaling has. The
+    fixed dims (region, nation) are shared across copies, which also
+    means nation/region aggregates see ``factor``x heavier groups, the
+    one intentional exception (matches TPC-H, where nations don't scale).
+    Row groups are kept small enough that Spark's byte-range splits hit
+    real data on every core (same lesson as the docs tiers)."""
+    import numpy as np
+    import pandas as pd
+
+    scale_dir = os.path.join(_SCALE_ROOT, f"rel{factor}x")
+    done_marker = os.path.join(scale_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return scale_dir
+    os.makedirs(scale_dir, exist_ok=True)
+
+    tables = {
+        t: pd.read_parquet(os.path.join(src_dir, f"{t}.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    }
+    # strides: one past the max key so shifted ranges never collide
+    strides = {
+        "cust": int(tables["customer"]["c_custkey"].max()) + 1,
+        "supp": int(tables["supplier"]["s_suppkey"].max()) + 1,
+        "part": int(tables["part"]["p_partkey"].max()) + 1,
+        "order": int(tables["orders"]["o_orderkey"].max()) + 1,
+    }
+    shifted_cols = {
+        "customer": {"c_custkey": "cust"},
+        "supplier": {"s_suppkey": "supp"},
+        "part": {"p_partkey": "part"},
+        "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+        "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    }
+    for t in ("region", "nation"):
+        tables[t].to_parquet(os.path.join(scale_dir, f"{t}.parquet"), index=False)
+    for t, shifts in shifted_cols.items():
+        src = tables[t]
+        copies = []
+        for i in range(factor):
+            c = src.copy(deep=False)
+            for col, kind in shifts.items():
+                c[col] = src[col].to_numpy() + np.int64(i) * strides[kind]
+            copies.append(c)
+        out = pd.concat(copies, ignore_index=True)
+        out.to_parquet(
+            os.path.join(scale_dir, f"{t}.parquet"),
+            index=False,
+            row_group_size=65536,
+        )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return scale_dir
 
 
 def ensure_docs_scale(src_dir: str, factor: int) -> str:
@@ -293,6 +406,27 @@ def main() -> None:
                 }
             except Exception as e:  # noqa: BLE001 - scale tiers best-effort
                 result["scales"][key] = {"error": str(e)[:200]}
+        try:
+            rel_dir = ensure_relational_scale(sf_dir, 10)
+            rel_timings: dict[str, float] = {}
+            for name in REL_SCALE_QUERIES:
+                fn = registry[name]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, rel_dir).count()
+                rel_timings[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"[bench/rel10x] {name}: {rel_timings[name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            result["scales"]["rel10x"] = {
+                "factor": 10,
+                "total": round(sum(rel_timings.values()), 4),
+                "queries": rel_timings,
+            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["rel10x"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     spark.stop()

@@ -127,3 +127,82 @@ def test_quality_rules_plan_is_narrow(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = quality_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))  # 150 tokens, not a multiple
+    df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_size=64, overlap=16).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 48: starts 0, 48, 96, 144
+    assert [r["start_token"] for r in d1] == [0, 48, 96, 144]
+    assert [r["chunk_len"] for r in d1] == [64, 64, 54, 6]
+    # consecutive full chunks share exactly `overlap` tokens
+    c0, c1 = d1[0]["chunk_text"].split(" "), d1[1]["chunk_text"].split(" ")
+    assert c0[-16:] == c1[:16]
+    # every token appears in at least one chunk
+    covered = set()
+    for r in d1:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(150)}
+    # short doc: single chunk, intact
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    assert d2[0]["chunk_len"] == 3
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # generator + slice, zero shuffle
+
+
+def test_mixture_budget_meets_but_never_overshoots_start(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, "s0" if i % 2 else "s1", "tok " * 10 + "end") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])  # 11 tokens
+    out = mixture_budget_sample(
+        df, budgets={"s0": 100, "s1": 55}, default_budget=0
+    ).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    # every selected doc started under budget; totals meet the budget
+    assert set(by_group) == {"s0", "s1"}
+    for g, budget in (("s0", 100), ("s1", 55)):
+        sel = by_group[g]
+        assert all(r["tokens_before"] < budget for r in sel)
+        assert sum(r["n_tokens"] for r in sel) >= budget
+        # minimality: dropping the last-started doc falls under budget
+        last = max(r["tokens_before"] for r in sel)
+        assert sum(r["n_tokens"] for r in sel if r["tokens_before"] != last) < budget
+
+
+def test_mixture_budget_is_partition_independent(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", "x " * (i % 7 + 1) + "y") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budgets = {"s0": 50, "s1": 80, "s2": 30}
+    a = {r["doc_id"] for r in mixture_budget_sample(df, budgets).collect()}
+    b = {
+        r["doc_id"]
+        for r in mixture_budget_sample(
+            df.repartition(13).orderBy(F.desc("doc_id")), budgets
+        ).collect()
+    }
+    assert a == b
