@@ -3105,6 +3105,59 @@ def dup_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus round-trip (sources/jsonl.py): export a documents
+    subset as gzipped JSONL shards, inject two malformed lines into a
+    fresh shard (truncated-upload simulation), scan back in PERMISSIVE
+    mode with an explicit schema, and return only the clean rows. The
+    oracle reads the same subset straight from parquet — surviving
+    prologue bytes, dropped good rows, or corrupt rows leaking into the
+    typed columns all break the hash."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    base = "/tmp/spark_graft_fixtures/jsonl_rt"
+    src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    write_jsonl(src, base, compression="gzip")
+    # fresh shard with malformed lines: never rewrite a Spark part file in
+    # place (its .crc sidecar would no longer match on re-read)
+    bad = os.path.join(base, "zz_corrupt_shard.json.gz")
+    if not os.path.exists(bad):
+        with gzip.open(bad, "wb") as fh:
+            fh.write(b'{"doc_id": 999999999, "lang": "en", "n_ch\n')
+            fh.write(b"not json at all\n")
+    schema = jsonl_schema_with_corrupt(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    shards = sorted(glob.glob(os.path.join(base, "part-*.json.gz"))) + [bad]
+    clean, _quarantine = split_corrupt(read_jsonl(spark, shards, schema))
+    return clean
+
+
+@query(
     "chunk_docs",
     sql_chunk_documents("documents", chunk_size=64, overlap=16),
 )

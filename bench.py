@@ -102,9 +102,10 @@ BENCH_QUERIES = [
     "q20_heavy_red_shippers",
     "q21_waiting_suppliers",
     # training-pipeline additions: RAG/pretraining chunker, epoch-mixture
-    # token-budget selection
+    # token-budget selection, gzipped-JSONL ingest round-trip
     "chunk_docs",
     "mixture_budget_docs",
+    "jsonl_roundtrip",
 ]
 
 

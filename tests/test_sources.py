@@ -137,3 +137,37 @@ def test_parquet_roundtrip_array_float(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.schema == df.schema
     assert back.first()["embedding"] == [1.5, 2.5]
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl(df, out, compression="gzip")
+    bad = str(tmp_path / "shards" / "zz_bad.json.gz")
+    with gzip.open(bad, "wb") as fh:
+        fh.write(b'{"doc_id": 4, "text": "trunc\n')
+        fh.write(b"plain garbage\n")
+        fh.write(b'{"doc_id": 5, "text": "ok"}\n')
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, out, schema))
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"), (5, "ok")}
+    lines = [r["_corrupt_record"] for r in quarantine.collect()]
+    assert len(lines) == 2 and "plain garbage" in lines[1] or "plain garbage" in lines[0]
+    # corrupt rows never leak typed values
+    assert "_corrupt_record" not in clean.columns
