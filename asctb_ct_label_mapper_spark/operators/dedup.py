@@ -1064,3 +1064,130 @@ def sql_dup_ngram_spans(
             AS dup_fraction
     FROM per_doc p LEFT JOIN dup_per_doc d USING ({id_col})
     """
+
+
+def remove_dup_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fused: bool = True,
+) -> DataFrame:
+    """Exact-substring scrub (the REMOVAL half of Lee et al. 2022 — the
+    profiler ``dup_ngram_spans`` only measures): delete every token that
+    sits inside a word n-gram occurring in MORE THAN ONE document. This is
+    the boilerplate stripper (licenses, navigation chrome, shared
+    disclaimers) that doc-level dedup cannot touch, because the hosting
+    documents are otherwise distinct.
+
+    Plan shape (three shuffles, no all-pairs):
+    1. narrow gram emission with LOCAL positions (posexplode keeps the
+       start index — no window, no sort);
+    2. the same hash-uniform gram aggregate as the profiler yields the
+       corpus-duplicated gram set, which equi-joins back (AQE broadcasts
+       it when small — the usual case: boilerplate is few distinct grams);
+    3. duplicated START positions re-aggregate per doc, expand to covered
+       token positions with native array ops, and one join back to the
+       source row rebuilds the text by position filter.
+
+    Token positions are 1-based. Docs shorter than ``n`` tokens or with
+    no duplicated grams pass through unchanged. Returns
+    (id_col, n_tokens, n_removed, clean_text).
+    """
+    if fused:
+        df = ensure_min_partitions(df)
+        grams_col = ngrams_all_udf(n)(F.col(text_col))
+    else:
+        toks0 = F.split(F.col(text_col), " ")
+        grams_col = F.when(
+            F.size(toks0) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks0) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks0, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    pos_grams = df.select(
+        F.col(id_col), F.posexplode(grams_col).alias("pos0", "gram")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("start"), "gram")
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram")
+    )
+    covered = (
+        pos_grams.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_starts"),
+                        lambda s: F.sequence(s, s + F.lit(n - 1)),
+                    )
+                )
+            ).alias("_covered"),
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    joined = df.select(F.col(id_col), toks.alias("_toks")).join(
+        covered, id_col, "left"
+    )
+    cov = F.coalesce(F.col("_covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda i: ~F.array_contains(cov, i),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_toks", i)), " "
+        ).alias("clean_text"),
+    )
+
+
+def sql_remove_dup_ngrams(
+    table: str = "documents",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``remove_dup_ngrams`` (same 1-based positions,
+    same single-space tokenization, list comprehensions for the
+    position-filter rebuild)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col}, i AS start, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(t) - {n} + 1)) AS g(i)
+    ),
+    dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT {id_col}) > 1
+    ),
+    covered AS (
+        SELECT {id_col},
+            list_distinct(flatten(list(generate_series(start, start + {n - 1}))))
+                AS cov
+        FROM grams JOIN dup_grams USING (gram)
+        GROUP BY {id_col}
+    )
+    SELECT k.{id_col},
+        len(k.t) AS n_tokens,
+        len(k.t) - len(kept) AS n_removed,
+        coalesce(array_to_string([k.t[i] for i in kept], ' '), '')
+            AS clean_text
+    FROM (
+        SELECT toks.{id_col}, toks.t,
+            [i for i in generate_series(1, len(toks.t))
+             if NOT list_contains(coalesce(covered.cov, []), i)] AS kept
+        FROM toks LEFT JOIN covered USING ({id_col})
+    ) k
+    """

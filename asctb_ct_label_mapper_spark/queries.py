@@ -31,8 +31,10 @@ from asctb_ct_label_mapper_spark.operators.dedup import (
     exact_dedup_flags,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    remove_dup_ngrams,
     simhash_near_dup_pairs,
     sql_dup_ngram_spans,
+    sql_remove_dup_ngrams,
 )
 from asctb_ct_label_mapper_spark.operators.mapping import (
     map_labels_to_reference,
@@ -3190,6 +3192,82 @@ def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
         budgets={"src0": 4000, "src1": 2000, "src3": 1000},
         default_budget=500,
+    )
+
+
+@query("dedup_scrub_spans", sql_remove_dup_ngrams("documents", n=3))
+def dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub (dedup.remove_dup_ngrams): delete tokens
+    inside cross-document duplicated word 3-grams — the removal half of
+    Lee et al. 2022's exact-substring dedup; the profiler
+    (dup_ngram_spans_docs) only measures. Three shuffles, no all-pairs."""
+    return remove_dup_ngrams(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), n=3
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH changes AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+            round(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 900000000 + r_regionkey AS o_orderkey, 'N' AS o_orderstatus,
+            100.0 AS o_totalprice
+        FROM region
+    )
+    SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+        CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+             WHEN b.o_orderkey IS NULL THEN 'inserted'
+             ELSE 'updated' END AS merge_action
+    FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (SCD-1 snapshot upsert): apply a change set
+    (updates for every 100th order + brand-new rows) to the orders
+    snapshot via ONE full-outer hash join with column-wise coalesce —
+    matched rows take the change side, unmatched-base rows pass through,
+    unmatched-change rows insert. The per-row merge_action column is the
+    audit trail MERGE statements emit. At 100 TB both sides shuffle on
+    the key once; a bucketed base table (tests/test_bucketing.py) drops
+    even that exchange, which is exactly how warehouse MERGE pipelines
+    lay out their base snapshots."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = (
+        base.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "region").select(
+                (F.lit(900000000) + F.col("r_regionkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full").select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("c.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
     )
 
 

@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "chunk_docs",
     "mixture_budget_docs",
     "jsonl_roundtrip",
+    # exact-substring scrub (removal half of Lee et al.) and MERGE upsert
+    "dedup_scrub_spans",
+    "merge_upsert_orders",
 ]
 
 
@@ -143,6 +146,7 @@ SCALE_QUERIES = [
     "dup_ngram_spans_docs",
     "chunk_docs",
     "mixture_budget_docs",
+    "dedup_scrub_spans",
 ]
 
 # Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /

@@ -342,3 +342,43 @@ def test_dup_ngram_spans_within_doc_repeat_not_counted(spark):
     out = {r["doc_id"]: r.asDict() for r in dup_ngram_spans(df, n=3).collect()}
     assert out[1]["n_dup_grams"] == 0
     assert out[2]["n_dup_grams"] == 0
+
+
+def test_remove_dup_ngrams_strips_shared_boilerplate_only(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import remove_dup_ngrams
+
+    boiler = "all rights reserved contact us"
+    rows = [
+        (1, f"unique alpha text one {boiler}"),
+        (2, f"{boiler} totally different body here"),
+        (3, "no shared content in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_dup_ngrams(df, n=3).collect()}
+    # the shared 5-token boilerplate vanishes from both carriers
+    assert out[1]["clean_text"] == "unique alpha text one"
+    assert out[2]["clean_text"] == "totally different body here"
+    assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+    # untouched doc passes through byte-identical
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+
+
+def test_remove_dup_ngrams_full_removal_yields_empty_string(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import remove_dup_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "same exact text"), (2, "same exact text")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_dup_ngrams(df, n=3).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 3
+
+
+def test_remove_dup_ngrams_fused_matches_native(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import remove_dup_ngrams
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(15))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, remove_dup_ngrams(df, 3, fused=True).collect()))
+    b = sorted(map(tuple, remove_dup_ngrams(df, 3, fused=False).collect()))
+    assert a == b

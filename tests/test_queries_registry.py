@@ -91,3 +91,19 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     plan = formatted_plan(df)
     # formatted mode marks codegen stages with a '*' prefix
     assert "* HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_merge_upsert_actions_partition_the_output(spark, sf_dir):
+    out = all_queries()["merge_upsert_orders"](spark, sf_dir)
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    n_base = load_table(spark, sf_dir, "orders").count()
+    n_region = load_table(spark, sf_dir, "region").count()
+    counts = {r["merge_action"]: r["n"] for r in
+              out.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("inserted", 0) == n_region
+    assert counts.get("updated", 0) == sum(
+        1 for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0).collect()
+    )
+    assert sum(counts.values()) == n_base + n_region
