@@ -76,3 +76,39 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> N
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming flavor of ``read_jsonl``: the same explicit-schema
+    PERMISSIVE parse over a landing directory consumed incrementally —
+    the continuous-crawl ingestion shape (new gzip shards land, each
+    micro-batch picks them up exactly once via the checkpointed file
+    index). ``maxFilesPerTrigger`` bounds micro-batch size so one bulk
+    backfill drop cannot produce a giant batch; with
+    ``trigger(availableNow=True)`` the same query drains the backlog in
+    bounded batches and stops — the batch/stream parity contract the
+    rest of streaming/ follows.
+
+    Note the corrupt-column caveat differs from batch: a STREAMING frame
+    cannot be .cache()d, and Spark rejects ANY filter on the corrupt
+    column over a raw streaming JSON scan (QUERY_ONLY_CORRUPT_RECORD
+    COLUMN — the split_corrupt helper is batch-only by design). Gate on
+    a REQUIRED key column instead: a malformed line parses every typed
+    column to null, so ``filter(col("doc_id").isNotNull())`` is the
+    streaming-safe clean-row predicate for any corpus whose schema has a
+    non-null key, and ``col("doc_id").isNull()`` routes the dead-letter
+    side."""
+    reader = (
+        spark.readStream.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(schema)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)

@@ -256,3 +256,52 @@ def test_stream_static_topk_tie_breaks_to_min_ref_id(spark):
     assert len(tied) == 2
     first = min(tied, key=lambda r: r["rank"])
     assert first["ref_id"] == "10"  # '10' < '9' in the column's string order
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    landing = str(tmp_path / "landing")
+    write_jsonl(df, landing, compression="gzip")
+    with gzip.open(str(tmp_path / "landing" / "zz_bad.json.gz"), "wb") as fh:
+        fh.write(b"half a reco\n")
+        fh.write(b'{"doc_id": 999, "text": "late"}\n')
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        # corrupt-column filters are rejected on streaming JSON scans;
+        # the required-key gate is the streaming-safe clean predicate
+        read_jsonl_stream(spark, landing, schema, max_files_per_trigger=2)
+        .filter(F.col("doc_id").isNotNull())
+        .drop("_corrupt_record")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from asctb_ct_label_mapper_spark.sources.jsonl import split_corrupt
+
+    got = spark.read.parquet(out_dir)
+    batch, _ = split_corrupt(read_jsonl(spark, landing, schema))
+    assert got.count() == 301  # 300 good + the valid line in the bad shard
+    assert got.count() == batch.count()
+    assert {r["doc_id"] for r in got.filter(F.col("doc_id") > 200).collect()} == set(
+        range(201, 300)
+    ) | {999}
