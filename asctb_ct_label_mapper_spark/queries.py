@@ -3195,6 +3195,28 @@ def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_manifest_docs",
+    None,  # oracle registered just below (import kept with its operator)
+)
+def corpus_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard corpus handoff manifest (sinks.corpus_manifest): doc
+    count, token count, order-independent md5 content checksum — the
+    integrity contract a 100 TB corpus transfer is verified against."""
+    from asctb_ct_label_mapper_spark.sources.sinks import corpus_manifest
+
+    return corpus_manifest(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+from asctb_ct_label_mapper_spark.sources.sinks import (  # noqa: E402
+    sql_corpus_manifest,
+)
+
+ORACLES["corpus_manifest_docs"] = sql_corpus_manifest("documents")
+
+
 @query("dedup_scrub_spans", sql_remove_dup_ngrams("documents", n=3))
 def dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring scrub (dedup.remove_dup_ngrams): delete tokens

@@ -61,3 +61,93 @@ def write_csv_utf8_sig(df: DataFrame, path: str, single_file: bool = True) -> No
             if not data.startswith(b"\xef\xbb\xbf"):
                 with open(part, "wb") as fh:
                     fh.write(b"\xef\xbb\xbf" + data)
+
+
+def corpus_manifest(
+    df: DataFrame,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard integrity manifest for a corpus handoff: document count,
+    token count, and an ORDER-INDEPENDENT content checksum (sum over rows
+    of the first 8 md5 hex chars of ``id||'|'||text`` as int64 — the same
+    md5-integerization the hash-split/winnowing operators use, so DuckDB
+    replays it byte-identically). A consumer re-derives the manifest from
+    whatever landed and diffs: any dropped/duplicated/altered document
+    moves doc count, token count, or checksum.
+
+    Sum (not xor) over a 32-bit hash space keeps the aggregate map-side
+    combinable and overflow-free in int64 up to ~2^31 rows per shard; the
+    checksum is content-addressed, so it is independent of row order,
+    partitioning, and engine — the property a handoff contract needs.
+    One narrow hash per row + one shuffle on the shard key.
+    """
+    from pyspark.sql import functions as F
+
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+            F.sum(row_hash).alias("content_checksum"),
+        )
+    )
+
+
+def sql_corpus_manifest(
+    table: str = "documents",
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``corpus_manifest``."""
+    row_hash = (
+        f"CAST(concat('0x', substr(md5(concat_ws('|', CAST({id_col} AS VARCHAR),"
+        f" {text_col})), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    SELECT {shard_col} AS shard,
+        count(*) AS n_docs,
+        sum(len(string_split({text_col}, ' '))) AS n_tokens,
+        sum({row_hash}) AS content_checksum
+    FROM {table}
+    GROUP BY {shard_col}
+    """
+
+
+def export_corpus_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus handoff sink: hive-partitioned gzipped JSONL (one directory
+    per shard — the layout trainer loaders glob) plus the manifest
+    written alongside as parquet (`_manifest/`). Returns the manifest so
+    callers can assert against it. The repartition puts each shard's rows
+    in one task => one .json.gz file per shard (shards are the
+    parallelism unit downstream; a hot shard can be split by salting the
+    shard column before export)."""
+    from pyspark.sql import functions as F
+
+    manifest = corpus_manifest(df, shard_col, text_col, id_col)
+    (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .option("compression", "gzip")
+        .json(path)
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
+    return manifest

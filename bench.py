@@ -106,9 +106,11 @@ BENCH_QUERIES = [
     "chunk_docs",
     "mixture_budget_docs",
     "jsonl_roundtrip",
-    # exact-substring scrub (removal half of Lee et al.) and MERGE upsert
+    # exact-substring scrub (removal half of Lee et al.), MERGE upsert,
+    # corpus handoff manifest
     "dedup_scrub_spans",
     "merge_upsert_orders",
+    "corpus_manifest_docs",
 ]
 
 

@@ -171,3 +171,45 @@ def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
     assert len(lines) == 2 and "plain garbage" in lines[1] or "plain garbage" in lines[0]
     # corrupt rows never leak typed values
     assert "_corrupt_record" not in clean.columns
+
+
+def test_export_corpus_shards_manifest_verifies_roundtrip(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.sources.sinks import (
+        corpus_manifest,
+        export_corpus_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"tok{i} alpha beta") for i in range(90)],
+        ["doc_id", "source", "text"],
+    )
+    out = str(tmp_path / "corpus")
+    manifest = {r["shard"]: r for r in export_corpus_shards(df, out).collect()}
+    assert set(manifest) == {"s0", "s1", "s2"}
+    assert all(r["n_docs"] == 30 and r["n_tokens"] == 90 for r in manifest.values())
+    # one gzip file per shard directory
+    for s in ("s0", "s1", "s2"):
+        assert len(glob.glob(f"{out}/source={s}/*.json.gz")) == 1
+    # consumer-side verification: re-derive the manifest from the landed
+    # files; any drop/dup/mutation would move the checksum
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    back = read_jsonl(spark, out + "/source=*", schema).drop("_corrupt_record")
+    import pyspark.sql.functions as F
+
+    back = back.withColumn(
+        "source", F.regexp_extract(F.input_file_name(), r"source=([^/]+)", 1)
+    )
+    rederived = {r["shard"]: r for r in corpus_manifest(back).collect()}
+    for s, m in manifest.items():
+        assert rederived[s]["content_checksum"] == m["content_checksum"]
+        assert rederived[s]["n_docs"] == m["n_docs"]
