@@ -3217,6 +3217,82 @@ from asctb_ct_label_mapper_spark.sources.sinks import (  # noqa: E402
 ORACLES["corpus_manifest_docs"] = sql_corpus_manifest("documents")
 
 
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, dim,
+        round(avg(v), 6) AS mean_val,
+        count(*) AS n_vecs
+    FROM (
+        SELECT label,
+            CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, mean_val,
+    n_vecs) — the aggregate that trains an IVF coarse quantizer or audits
+    class geometry before semantic dedup. Plan: posexplode (narrow — dim
+    index stays local) then ONE map-side-combinable groupBy(label, dim):
+    the shuffle carries 10 labels x 64 dims partial sums per map task,
+    NOT the vectors. The alternative — collecting vectors per label and
+    averaging driver-side — is the anti-pattern this operator exists to
+    replace; this shape is how a 100 TB embedding table reduces to a
+    k x d model with one pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "scd2_user_value",
+    """
+    SELECT user_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'), '9999-12-31')
+            AS effective_to,
+        round(value, 2) AS value,
+        CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history construction: turn a change log (purchase
+    events per user) into validity intervals — effective_from = change
+    ts, effective_to = next change (open interval sentinel for the
+    current row), is_current flag. The warehouse pattern for
+    slowly-changing dimensions, built with ONE keyed window (lead), no
+    self-join — at 100 TB the shuffle is the user key, and the interval
+    build is pipelined inside the window stage. Deterministic tie-break
+    on (ts, event_id) so same-timestamp changes order identically on
+    both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31")
+        ).alias("effective_to"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
 @query("dedup_scrub_spans", sql_remove_dup_ngrams("documents", n=3))
 def dedup_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring scrub (dedup.remove_dup_ngrams): delete tokens

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "dedup_scrub_spans",
     "merge_upsert_orders",
     "corpus_manifest_docs",
+    # IVF-training aggregate shape + warehouse SCD-2 interval build
+    "embedding_centroids",
+    "scd2_user_value",
 ]
 
 
