@@ -99,12 +99,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expresses the correlation as a min window over l_partkey AFTER
     restricting to European suppliers (a 2-phase broadcast:
     supplier⋈nation⋈region dims collapse to a tiny build side), then
-    keeps rows at the per-part min. The part filter is applied
-    after the window only via the join — the window partitions by
-    partkey, so unfiltered parts just produce discarded partitions;
-    at 100 TB you'd pre-semi-join cost against the filtered part set to
-    shrink the window shuffle (documented trade: here part is 2k rows,
-    the pairs table is the big side either way)."""
+    keeps rows at the per-part min. The part filter is applied FIRST, as
+    a broadcast semi join on the fact before the pair aggregate — the
+    correlation is per part, so dropping non-qualifying parts removes
+    whole window partitions and never changes a surviving part's min;
+    the pair aggregate + window then run on the ~3% of the fact whose
+    part qualifies instead of all of it."""
     li = _t(spark, sf_dir, "lineitem")
     eu = (
         _t(spark, sf_dir, "supplier")
@@ -119,8 +119,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "n_name")
     )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
     cost = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
         )
@@ -129,11 +139,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     best = cost.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
         F.col("unit_cost") == F.col("_min_cost")
-    )
-    part = (
-        _t(spark, sf_dir, "part")
-        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
-        .select("p_partkey", "p_name")
     )
     return best.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
@@ -469,14 +474,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per part attribute
-    bucket, excluding flagged suppliers. The partsupp relation is derived
-    as DISTINCT (l_partkey, l_suppkey) from lineitem; the complaint
-    exclusion (reference: s_comment LIKE '%Customer%Complaints%') is a
-    name-suffix predicate. NOT IN compiles to a broadcast left-anti join
-    (safe here: s_suppkey is non-null by construction — the NULL-semantics
-    footgun of NOT IN is documented, not exercised). The distinct-pairs
-    projection and the countDistinct agg share one shuffle on partkey."""
-    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bucket, excluding flagged suppliers. The SQL derives a partsupp stand-
+    in as DISTINCT (l_partkey, l_suppkey); the Spark plan SKIPS that
+    materialized distinct — count_distinct dedups inside the final
+    aggregate, so pre-distincting the pairs is a pure extra shuffle (the
+    rel10x tier measured it as the sweep's most expensive query at 8.2 s).
+    Order of operations is filter-first: the broadcast part filter prunes
+    the fact to the ~13% of rows whose part qualifies BEFORE any
+    wide-row movement, and the complaint exclusion (reference:
+    s_comment LIKE; here a name-suffix predicate) is a broadcast
+    left-anti. One real shuffle total: the (brand, type, size) aggregate
+    with its internal distinct expansion."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     flagged = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_name").like("%7"))
@@ -491,12 +500,12 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        ps.join(
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
             F.broadcast(flagged),
-            ps["l_suppkey"] == flagged["s_suppkey"],
+            F.col("l_suppkey") == flagged["s_suppkey"],
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -590,12 +599,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who were the SOLE late shipper on finished
     multi-supplier orders — the EXISTS + NOT EXISTS double-correlation.
     "Late" is shipped >90 days after order date (no receipt/commit dates
-    in this schema). Spark form: the EXISTS is a left-semi join on
-    (same order, different supplier), the NOT EXISTS a left-anti join
-    against the late set itself with the same mixed equi+non-equi
-    condition — both hash joins on l_orderkey, no cartesian residual.
-    The nation filter prunes l1 BEFORE both correlation joins (cheapest
-    first), matching how Catalyst would push it anyway."""
+    in this schema).
+
+    The oracle keeps the literal EXISTS/NOT EXISTS form; the Spark plan
+    uses the AGGREGATE REWRITE, which is how this correlation should run
+    at scale: a late row qualifies iff its order has >1 distinct supplier
+    and exactly 1 distinct late one — itself. Two decisive plan moves:
+
+    - the per-order aggregates are computed ONLY for orders that appear
+      in the nation-filtered late set (semi join first): the correlation
+      driver l1 is nation-sized, so the distinct-supplier count scans a
+      sliver of the fact instead of aggregating every order on earth —
+      the pair-join formulation this replaces re-shuffled the full pair
+      set twice and measured 10.4 s at rel10x;
+    - ``late`` is persisted EAGERLY (the bare count materializes the
+      cache before its three consumers plan against it) — the lazy
+      persist would let the first job recompute the fact-fact join,
+      the double-evaluation trap SCALING.md documents for dedup.
+
+    Equivalence to the literal EXISTS/NOT EXISTS SQL is exactly what the
+    driver's hash check proves."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -608,6 +631,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    late.count()  # eager persist: materialize once for the 3 consumers
     nat1 = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -617,21 +641,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_1")
         .select("s_suppkey", "s_name")
     )
-    l1 = late.join(F.broadcast(nat1), late["l_suppkey"] == nat1["s_suppkey"]).select(
-        F.col("l_orderkey").alias("o_key"),
-        F.col("l_suppkey").alias("s_key"),
-        "s_name",
+    l1 = late.join(F.broadcast(nat1), late["l_suppkey"] == nat1["s_suppkey"])
+    keys = l1.select("l_orderkey").distinct()
+    n_supp = (
+        li.join(keys, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_n_supp"))
     )
-    all_supp = li.distinct()
-    with_other = l1.join(
-        all_supp,
-        (l1["o_key"] == all_supp["l_orderkey"]) & (l1["s_key"] != all_supp["l_suppkey"]),
-        "left_semi",
+    n_late = (
+        late.join(keys, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n_late"))  # late is distinct pairs
     )
-    sole_late = with_other.join(
-        late,
-        (with_other["o_key"] == late["l_orderkey"])
-        & (with_other["s_key"] != late["l_suppkey"]),
-        "left_anti",
+    return (
+        l1.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
-    return sole_late.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))

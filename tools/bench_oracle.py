@@ -31,6 +31,10 @@ _EXCLUDED = {
     # >580 s recursive-CTE timeout at sf0.1 (measured r5) — reported as a
     # head-to-head in SCALING.md, not folded into a total it would swamp
     "pipeline_curate",
+    # same recursive-CTE connected-components core (>8 min at sf0.1,
+    # measured r6) — the Spark side runs these in ~1-2 s
+    "dedup_representatives",
+    "dedup_embedding_groups",
 }
 
 
