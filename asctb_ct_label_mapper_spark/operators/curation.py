@@ -419,6 +419,14 @@ def chunk_documents(
     segmentation (every token appears in >=1 chunk; consecutive chunks
     share ``overlap`` tokens so no boundary context is lost).
 
+    Window generation stops once a chunk has reached the document end:
+    the start bound is ``n - overlap - 1``, the largest start whose
+    PREDECESSOR chunk did not already cover the tail. A naive ``n - 1``
+    bound emits one extra tail window per document that is fully
+    contained in the previous chunk — pure duplicate content that a
+    downstream index would embed and retrieve twice (and that the
+    hash oracle cannot catch, since a naive SQL mirror shares the bug).
+
     Narrow plan, zero shuffle: one generator expression per row
     (sequence -> posexplode) and an array slice per chunk — the row count
     multiplies by ~n_tokens/stride but nothing repartitions, so at 100 TB
@@ -433,7 +441,9 @@ def chunk_documents(
     stride = chunk_size - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     return (
         df.select(
             F.col(id_col),
@@ -475,8 +485,11 @@ def sql_chunk_documents(
         ) AS chunk_text
     FROM (
         SELECT {id_col}, toks, len(toks) AS n,
-            unnest(generate_series(0, len(toks) - 1, {stride})) AS start_token,
-            unnest(generate_series(1, 1 + (len(toks) - 1) // {stride}))
+            unnest(generate_series(
+                0, greatest(len(toks) - {overlap} - 1, 0), {stride}))
+                AS start_token,
+            unnest(generate_series(
+                1, 1 + greatest(len(toks) - {overlap} - 1, 0) // {stride}))
                 AS chunk_id
         FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks
               FROM {table})
@@ -543,9 +556,14 @@ def sql_mixture_budget_sample(
 ) -> str:
     """DuckDB replay of ``mixture_budget_sample`` (same window + order)."""
     budgets = budgets or {}
-    cases = " ".join(
-        f"WHEN {group_col} = '{v}' THEN {int(b)}" for v, b in sorted(budgets.items())
-    )
+    if budgets:
+        cases = " ".join(
+            f"WHEN {group_col} = '{v}' THEN {int(b)}"
+            for v, b in sorted(budgets.items())
+        )
+        budget_expr = f"(CASE {cases} ELSE {int(default_budget)} END)"
+    else:  # zero WHEN clauses is invalid SQL — emit the bare literal
+        budget_expr = str(int(default_budget))
     return f"""
     SELECT {id_col}, {group_col}, n_tokens, tokens_before
     FROM (
@@ -558,5 +576,5 @@ def sql_mixture_budget_sample(
               - len(string_split({text_col}, ' ')) AS tokens_before
         FROM {table}
     )
-    WHERE tokens_before < (CASE {cases} ELSE {int(default_budget)} END)
+    WHERE tokens_before < {budget_expr}
     """

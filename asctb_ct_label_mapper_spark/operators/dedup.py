@@ -1082,7 +1082,8 @@ def remove_dup_ngrams(
 
     Plan shape (three shuffles, no all-pairs):
     1. narrow gram emission with LOCAL positions (posexplode keeps the
-       start index — no window, no sort);
+       start index — no window, no sort), persisted eagerly because two
+       consumers read it;
     2. the same hash-uniform gram aggregate as the profiler yields the
        corpus-duplicated gram set, which equi-joins back (AQE broadcasts
        it when small — the usual case: boilerplate is few distinct grams);
@@ -1106,9 +1107,16 @@ def remove_dup_ngrams(
                 lambda i: F.concat_ws(" ", F.slice(toks0, i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    pos_grams = df.select(
-        F.col(id_col), F.posexplode(grams_col).alias("pos0", "gram")
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("start"), "gram")
+    pos_grams = (
+        df.select(F.col(id_col), F.posexplode(grams_col).alias("pos0", "gram"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("start"), "gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Eager persist: two consumers (the dup-gram aggregate and the join
+    # back) would otherwise each re-run the Arrow gram emission — the
+    # lazy-persist double-evaluation trap SCALING.md documents; the gram
+    # pass is the expensive stage here (~15 s per pass at docs100x).
+    pos_grams.count()
     dup_grams = (
         pos_grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))

@@ -96,6 +96,10 @@ from asctb_ct_label_mapper_spark.operators.textstats import (
     token_topn,
 )
 from asctb_ct_label_mapper_spark.operators.unpivot import ct_triplet_unpivot
+from asctb_ct_label_mapper_spark.sources.sinks import (
+    corpus_manifest,
+    sql_corpus_manifest,
+)
 from asctb_ct_label_mapper_spark.streaming.events import tumbling_counts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3195,26 +3199,14 @@ def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_manifest_docs",
-    None,  # oracle registered just below (import kept with its operator)
-)
+@query("corpus_manifest_docs", sql_corpus_manifest("documents"))
 def corpus_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard corpus handoff manifest (sinks.corpus_manifest): doc
     count, token count, order-independent md5 content checksum — the
     integrity contract a 100 TB corpus transfer is verified against."""
-    from asctb_ct_label_mapper_spark.sources.sinks import corpus_manifest
-
     return corpus_manifest(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
-
-
-from asctb_ct_label_mapper_spark.sources.sinks import (  # noqa: E402
-    sql_corpus_manifest,
-)
-
-ORACLES["corpus_manifest_docs"] = sql_corpus_manifest("documents")
 
 
 @query(

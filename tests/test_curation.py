@@ -139,9 +139,12 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
         key=lambda r: (r["doc_id"], r["chunk_id"]),
     )
     d1 = [r for r in rows if r["doc_id"] == 1]
-    # stride 48: starts 0, 48, 96, 144
-    assert [r["start_token"] for r in d1] == [0, 48, 96, 144]
-    assert [r["chunk_len"] for r in d1] == [64, 64, 54, 6]
+    # stride 48, bound n - overlap - 1 = 133: starts 0, 48, 96 — the
+    # start-96 chunk reaches the end (96..149), so no start-144 window is
+    # emitted (it would be fully contained in its predecessor: pure
+    # duplicate content downstream)
+    assert [r["start_token"] for r in d1] == [0, 48, 96]
+    assert [r["chunk_len"] for r in d1] == [64, 64, 54]
     # consecutive full chunks share exactly `overlap` tokens
     c0, c1 = d1[0]["chunk_text"].split(" "), d1[1]["chunk_text"].split(" ")
     assert c0[-16:] == c1[:16]

@@ -69,17 +69,47 @@ def test_q11_threshold_is_scale_free(spark, sf_dir):
 
 
 def test_q16_excludes_flagged_suppliers(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_name").like("%7")
-    )
-    flagged = {r["s_suppkey"] for r in sup.collect()}
-    assert flagged  # predicate matches someone, else the test is vacuous
-    # rebuild the pre-aggregation pair set with the same exclusion and
-    # confirm no flagged supplier could have contributed
-    pairs = (
-        li.select("l_partkey", "l_suppkey")
+    # independent recomputation in Python: collect the (few thousand at
+    # sf0.001) qualifying pairs and count distinct suppliers per bucket
+    # with and without the exclusion — the query must match the excluded
+    # version and the exclusion must be load-bearing (change >=1 bucket)
+    flagged = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .collect()
+    }
+    assert flagged
+    part_attrs = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .collect()
+    }
+    pairs = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
         .distinct()
-        .filter(F.col("l_suppkey").isin(*flagged))
-    )
-    assert pairs.count() > 0  # they DO ship parts — exclusion is load-bearing
+        .collect()
+        if r["l_partkey"] in part_attrs
+    }
+    with_excl: dict[tuple, set] = {}
+    without_excl: dict[tuple, set] = {}
+    for pk, sk in pairs:
+        bucket = part_attrs[pk]
+        without_excl.setdefault(bucket, set()).add(sk)
+        if sk not in flagged:
+            with_excl.setdefault(bucket, set()).add(sk)
+    expected = {b: len(s) for b, s in with_excl.items()}
+    got = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in all_queries()["q16_supplier_part_count"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # dropping the exclusion must change at least one bucket, otherwise
+    # this test could not catch a deleted anti join
+    assert expected != {b: len(s) for b, s in without_excl.items()}

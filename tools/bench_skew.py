@@ -1,6 +1,6 @@
 """Measure the skew-mitigation ladder on a deliberately hot-keyed join.
 
-Fixture: a 3M-row fact whose join key space is 10k keys but ONE key holds
+Fixture: a 20M-row fact whose join key space is 10k keys but ONE key holds
 40% of the rows (the web-corpus reality: one domain/boilerplate bucket
 dominating), joined to a 10k-row dim with broadcast disabled (to model the
 dim-too-big-for-broadcast regime where shuffle-join skew actually bites;
@@ -17,7 +17,8 @@ Rungs measured:
    of the hot key over n_salts reducers, no AQE dependency.
 
 Each rung counts the joined frame twice and keeps the min. Output: one
-JSON line {"naive": s, "aqe_skew": s, "salted": s, ...}.
+JSON line {"fixture": {...}, "naive_skew_off": s, "aqe_skew_split": s,
+"salted_32": s}.
 """
 
 from __future__ import annotations

@@ -50,6 +50,12 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # Several operators persist intermediates whose consumers live
+        # inside the returned plan (q11/q15/q20/q21, the dedup family) —
+        # they cannot unpersist before execution, so the harness drops
+        # cache entries between queries (as bench.py does) to keep a
+        # 112-query session from accumulating executor storage.
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
