@@ -206,6 +206,81 @@ def ivf_topk(
     result hash-checkable end-to-end. Trained k-means lists give better
     recall; seeded spherical lists give replayability.
     """
+    index, cents, spherical = ivf_build_index(
+        reference,
+        ref_id_col,
+        ref_vec_col=ref_vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        centroids=centroids,
+    )
+    return ivf_query_index(
+        index,
+        cents,
+        spherical,
+        queries,
+        k,
+        query_id_cols,
+        query_vec_col=query_vec_col,
+        n_probe=n_probe,
+    )
+
+
+def _nearest_lists_expr(
+    vec: Column, cents: list, spherical: bool, n: int
+) -> Column:
+    """ids of the n nearest centroids, as an array — a native expression
+    over the broadcast centroid literals. Nearest = min squared L2 for
+    trained centroids, max dot product for seeded spherical ones
+    (equivalent on unit centroids up to the constant ||v||^2; dot is the
+    form DuckDB replays as list_dot_product). array_sort on
+    (key, list_id) structs gives the deterministic distance-then-id
+    tie-break the oracle mirrors."""
+
+    def key_expr(cent: list) -> Column:
+        lit = F.lit([float(x) for x in cent])
+        if spherical:
+            return -F.aggregate(
+                F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        return F.aggregate(
+            F.zip_with(
+                vec, lit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(key_expr(cent).alias("dist"), F.lit(i).alias("list_id"))
+            for i, cent in enumerate(cents)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n).getField("list_id")
+
+
+def ivf_build_index(
+    reference: DataFrame,
+    ref_id_col: str,
+    ref_vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> tuple[DataFrame, list, bool]:
+    """Phase 1 of the production ANN flow: assign every reference vector
+    to its inverted list ONCE and return (index_frame, centroid_lists,
+    spherical_flag). The index frame is (_list, ref_id, _ref_vec) — the
+    thing you persist, or at 100 TB write out partitioned/bucketed by
+    ``_list`` so each query batch's probe join prunes to the probed
+    lists' files (partition pruning on the list id — the on-disk analog
+    of FAISS's inverted lists). ``ivf_topk`` composes build+query for
+    the one-shot case; a serving pipeline calls this once and
+    ``ivf_query_index`` per batch, which is the point of the split: the
+    assignment scan of the corpus never re-runs per query batch."""
     ref = reference.select(
         F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )
@@ -221,48 +296,38 @@ def ivf_topk(
         cents = [np.asarray(c, dtype=float).tolist() for c in centroids]
         assert len(cents) == n_lists
         spherical = True
+    index = ref.withColumn(
+        "_list", _nearest_lists_expr(F.col("_ref_vec"), cents, spherical, 1)[0]
+    )
+    return index, cents, spherical
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n nearest centroids, as an array — a native
-        expression over the broadcast centroid literals. Nearest = min
-        squared L2 for trained centroids, max dot product for seeded
-        spherical ones (equivalent on unit centroids up to the constant
-        ||v||^2; dot is the form DuckDB replays as list_dot_product).
-        array_sort on (key, list_id) structs gives the deterministic
-        distance-then-id tie-break the oracle mirrors."""
-        def key_expr(cent: list) -> Column:
-            lit = F.lit([float(x) for x in cent])
-            if spherical:
-                return -F.aggregate(
-                    F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            return F.aggregate(
-                F.zip_with(
-                    vec, lit,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
 
-        dists = F.array(
-            *[
-                F.struct(key_expr(cent).alias("dist"), F.lit(i).alias("list_id"))
-                for i, cent in enumerate(cents)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n).getField("list_id")
-
-    ref_assigned = ref.withColumn("_list", nearest_lists(F.col("_ref_vec"), 1)[0])
+def ivf_query_index(
+    index: DataFrame,
+    cents: list,
+    spherical: bool,
+    queries: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    query_vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Phase 2: probe the prebuilt inverted lists. Each query expands to
+    its ``n_probe`` nearest lists (native expression over the centroid
+    literals — no UDF), candidates come from the equi-join on the list id
+    (broadcast when the index is small, hash shuffle otherwise — and
+    partition-pruned when the index is stored partitioned by list),
+    then exact cosine rescoring and the per-query top-k window."""
     q_assigned = queries.withColumn(
-        "_list", F.explode(nearest_lists(F.col(query_vec_col), n_probe))
+        "_list",
+        F.explode(
+            _nearest_lists_expr(F.col(query_vec_col), cents, spherical, n_probe)
+        ),
     )
-    candidates = q_assigned.join(F.broadcast(ref_assigned), "_list").drop("_list")
-    candidates = candidates.withColumn("_qnorm", norm_expr(F.col(query_vec_col))).withColumn(
-        "_rnorm", norm_expr(F.col("_ref_vec"))
-    )
+    candidates = q_assigned.join(F.broadcast(index), "_list").drop("_list")
+    candidates = candidates.withColumn(
+        "_qnorm", norm_expr(F.col(query_vec_col))
+    ).withColumn("_rnorm", norm_expr(F.col("_ref_vec")))
     denom = F.col("_qnorm") * F.col("_rnorm")
     scored = candidates.withColumn(
         "score",

@@ -1386,6 +1386,34 @@ def cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
+@query("cos_topk_ivf_indexed", _ivf_topk_oracle())
+def cos_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase IVF (similarity.ivf_build_index + ivf_query_index): the
+    production ANN flow — assign the corpus to inverted lists ONCE
+    (persisted; at 100 TB written out partitioned by list id so probe
+    joins partition-prune), then probe per query batch. Same seeded
+    centroids, same oracle, same result as the fused cos_topk_ivf; what
+    the hash check proves here is that the split is semantics-free."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        seeded_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    index, cents, spherical = ivf_build_index(
+        reference, "vec_id", n_lists=8, centroids=seeded_centroids(64, 8)
+    )
+    index = index.persist()
+    out = ivf_query_index(
+        index, cents, spherical, queries_df, k=3, query_id_cols=["vec_id"],
+        n_probe=2,
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
 @query(
     "j1_exact_overwrite",
     f"""

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     # IVF-training aggregate shape + warehouse SCD-2 interval build
     "embedding_centroids",
     "scd2_user_value",
+    # two-phase ANN: build-once/query-many split of cos_topk_ivf
+    "cos_topk_ivf_indexed",
 ]
 
 

@@ -130,3 +130,59 @@ def test_ref_payload_columns_ride_along(spark):
     )
     rows = out.collect()
     assert all(r["payload"] == f"p{r['ref_id']}" for r in rows)
+
+
+def test_ivf_index_reused_across_query_batches(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+        seeded_centroids,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    index, cents, spherical = ivf_build_index(
+        reference, "vec_id", n_lists=8, centroids=seeded_centroids(64, 8)
+    )
+    index = index.persist()
+    for mod in (0, 5):  # two different query batches against ONE index
+        batch = emb.filter(F.col("vec_id") % 10 == mod).select(
+            "vec_id", "embedding"
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_query_index(
+                    index, cents, spherical, batch, 3, ["vec_id"], n_probe=2
+                )
+                .select("vec_id", "ref_id", "rank")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    batch, reference, 3, ["vec_id"], "vec_id",
+                    n_lists=8, n_probe=2, centroids=seeded_centroids(64, 8),
+                )
+                .select("vec_id", "ref_id", "rank")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+    index.unpersist()
+
+
+def test_ivf_trained_kmeans_path_still_works(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.similarity import ivf_topk
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    q = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    r = emb.filter(F.col("vec_id") % 7 != 0).select("vec_id", "embedding")
+    out = ivf_topk(q, r, 2, ["vec_id"], "vec_id", n_lists=4, n_probe=2)
+    rows = out.collect()
+    assert rows and all(r2["rank"] in (1, 2) for r2 in rows)
