@@ -186,7 +186,8 @@ def sql_pack_sequences(
 ) -> str:
     """DuckDB replay of ``pack_sequences`` (same window frame)."""
     return f"""
-    SELECT {id_col}, {group_col}, n_tokens, start_offset,
+    SELECT {id_col}, {group_col}, n_tokens,
+        CAST(start_offset AS BIGINT) AS start_offset,
         CAST(floor(start_offset / {budget}) AS BIGINT) AS pack_id,
         CAST(start_offset % {budget} AS BIGINT) AS offset_in_pack
     FROM (
@@ -565,7 +566,8 @@ def sql_mixture_budget_sample(
     else:  # zero WHEN clauses is invalid SQL — emit the bare literal
         budget_expr = str(int(default_budget))
     return f"""
-    SELECT {id_col}, {group_col}, n_tokens, tokens_before
+    SELECT {id_col}, {group_col}, n_tokens,
+        CAST(tokens_before AS BIGINT) AS tokens_before
     FROM (
         SELECT {id_col}, {group_col},
             len(string_split({text_col}, ' ')) AS n_tokens,

@@ -419,7 +419,7 @@ def sql_repetition_stats(
     )
     SELECT b.{id_col},
         b.n_tokens,
-        coalesce(d.n_grams, 0) AS n_grams,
+        CAST(coalesce(d.n_grams, 0) AS BIGINT) AS n_grams,
         coalesce(d.top_gram_cnt, 0) AS top_gram_cnt,
         round(CASE WHEN coalesce(d.n_grams, 0) > 0
               THEN CAST(d.top_gram_cnt AS DOUBLE) / d.n_grams ELSE 0.0 END, 6)
@@ -912,7 +912,7 @@ def sql_corpus_divergence(
                sum(q) AS qsum
         FROM terms GROUP BY grp, tot
     )
-    SELECT grp AS {group_col}, tot AS n_tokens,
+    SELECT grp AS {group_col}, CAST(tot AS BIGINT) AS n_tokens,
            round(jsd_present + 0.5 * ln(2) * (1.0 - qsum), 6) AS jsd
     FROM agg
     """

@@ -336,10 +336,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines_by_status",
     """
     SELECT l_linestatus,
-        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS high_line_count,
-        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS low_line_count
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01'

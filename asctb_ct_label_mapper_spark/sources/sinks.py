@@ -118,8 +118,8 @@ def sql_corpus_manifest(
     return f"""
     SELECT {shard_col} AS shard,
         count(*) AS n_docs,
-        sum(len(string_split({text_col}, ' '))) AS n_tokens,
-        sum({row_hash}) AS content_checksum
+        CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT) AS n_tokens,
+        CAST(sum({row_hash}) AS BIGINT) AS content_checksum
     FROM {table}
     GROUP BY {shard_col}
     """
