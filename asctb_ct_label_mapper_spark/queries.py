@@ -1414,6 +1414,129 @@ def cos_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _pq_topk_oracle(
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    refine: int = 4,
+    seed: int = 23,
+) -> str:
+    """Generate the DuckDB oracle for cos_topk_pq: the SAME seeded
+    sub-codebooks (``seeded_subcentroids`` — fixed RandomState) as float
+    literals. Encode = per-subspace argmax dot (list_position of the min
+    of negated dots — first-minimal ties to the lowest code, mirroring
+    the operator's array_sort on (dist, code) structs), ADC = per-query
+    LUT of sub-dots indexed by each reference's code, refine cut at
+    k*refine by (adc DESC, rid), exact cosine rescore + final top-k
+    window. Same literal-replay technique as the IVF/LSH oracles."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        seeded_subcentroids,
+    )
+
+    cb = seeded_subcentroids(dim, n_sub, n_codes, seed)
+    sub_dim = dim // n_sub
+
+    def lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def sub_slice(col: str, s: int) -> str:
+        return f"{col}[{s * sub_dim + 1}:{s * sub_dim + sub_dim}]"
+
+    code_exprs = []
+    for s in range(n_sub):
+        dl = (
+            "["
+            + ", ".join(
+                f"-(list_dot_product({sub_slice('e', s)}, {lit(cb[s, c])}))"
+                for c in range(n_codes)
+            )
+            + "]"
+        )
+        code_exprs.append(
+            f"list_position({dl}, list_min({dl})) - 1"
+        )
+    code_list = "[" + ",\n            ".join(code_exprs) + "]"
+    lut_rows = []
+    for s in range(n_sub):
+        lut_rows.append(
+            "["
+            + ", ".join(
+                f"list_dot_product({sub_slice('e', s)}, {lit(cb[s, c])})"
+                for c in range(n_codes)
+            )
+            + "]"
+        )
+    lut_list = "[" + ",\n            ".join(lut_rows) + "]"
+    adc = " + ".join(f"q.lut[{s + 1}][enc.code[{s + 1}] + 1]" for s in range(n_sub))
+    return f"""
+    WITH rd AS (
+        SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 10 != 0
+    ),
+    qd AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    enc AS (
+        SELECT rid, e,
+            {code_list} AS code
+        FROM rd
+    ),
+    ql AS (
+        SELECT vec_id, e,
+            {lut_list} AS lut
+        FROM qd
+    ),
+    cand AS (
+        SELECT q.vec_id, enc.rid, ({adc}) AS adc
+        FROM ql q CROSS JOIN enc
+    ),
+    survivors AS (
+        SELECT vec_id, rid FROM (
+            SELECT vec_id, rid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY adc DESC, rid) AS arank
+            FROM cand
+        ) WHERE arank <= {k * refine}
+    ),
+    rescored AS (
+        SELECT s.vec_id, s.rid AS ref_id,
+            round(list_cosine_similarity(q.e, r.e), 6) AS score
+        FROM survivors s
+        JOIN qd q ON s.vec_id = q.vec_id
+        JOIN rd r ON s.rid = r.rid
+    )
+    SELECT vec_id, ref_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, ref_id) AS rank
+        FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("cos_topk_pq", _pq_topk_oracle())
+def cos_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk), ORACLE-CHECKED
+    end-to-end: 8 subspaces x 16 seeded codes compress each reference
+    vector to 8 bytes (32x vs raw); query-time ADC scores candidates via
+    per-subspace LUT lookups, the top k*refine survivors get an exact
+    cosine rescore. The memory-bound regime's index family, completing
+    the ANN ladder (brute-force -> blocked matmul -> LSH -> IVF -> PQ);
+    seeded codebooks trade recall for hash-checkability exactly like the
+    IVF/LSH flavors (trained codebooks slot into the same argument)."""
+    from asctb_ct_label_mapper_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    out = pq_topk(
+        queries_df, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+        n_sub=8, n_codes=16, refine=4,
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
 @query(
     "j1_exact_overwrite",
     f"""

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "scd2_user_value",
     # two-phase ANN: build-once/query-many split of cos_topk_ivf
     "cos_topk_ivf_indexed",
+    # product quantization: the memory-bound ANN family (8-byte codes)
+    "cos_topk_pq",
 ]
 
 

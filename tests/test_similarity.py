@@ -186,3 +186,66 @@ def test_ivf_trained_kmeans_path_still_works(spark, sf_dir):
     out = ivf_topk(q, r, 2, ["vec_id"], "vec_id", n_lists=4, n_probe=2)
     rows = out.collect()
     assert rows and all(r2["rank"] in (1, 2) for r2 in rows)
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        pq_topk,
+        top_k_similarity_join,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    r = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    exact = {
+        (row["vec_id"], row["ref_id"])
+        for row in top_k_similarity_join(q, r, 3, ["vec_id"], "vec_id").collect()
+    }
+    approx_rows = pq_topk(
+        q, r, 3, ["vec_id"], "vec_id", n_sub=8, n_codes=16, refine=16
+    ).collect()
+    approx = {(row["vec_id"], row["ref_id"]) for row in approx_rows}
+    # rank-1 candidates always survive a generous refine on random data?
+    # no guarantee — assert aggregate overlap instead: seeded (untrained)
+    # codebooks on random gaussians should still recover a solid fraction
+    # of the exact top-3 set, and every query must return exactly k rows
+    per_q: dict = {}
+    for row in approx_rows:
+        per_q[row["vec_id"]] = per_q.get(row["vec_id"], 0) + 1
+    assert set(per_q.values()) == {3}
+    # measured on seeded (untrained) codebooks over isotropic random
+    # vectors: recall ~0.63 at refine=16, ~0.81 at refine=32 — the
+    # worst-case regime for PQ (no cluster structure to quantize);
+    # trained codebooks on real embeddings sit far higher. The assert
+    # pins the floor, the numbers live in SCALING.md.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ recall collapsed: {recall:.2f}"
+    # exact rescore: every reported score equals the true cosine (PQ only
+    # prunes candidates, never alters scores)
+    exact_scores = {
+        (row["vec_id"], row["ref_id"]): round(row["score"], 6)
+        for row in top_k_similarity_join(q, r, 50, ["vec_id"], "vec_id").collect()
+    }
+    for row in approx_rows:
+        key = (row["vec_id"], row["ref_id"])
+        if key in exact_scores:
+            assert abs(round(row["score"], 6) - exact_scores[key]) < 1e-9
+
+
+def test_pq_fused_matches_native_formulation(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.similarity import pq_topk
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    r = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    a = sorted(
+        (row["vec_id"], row["ref_id"], round(row["score"], 6), row["rank"])
+        for row in pq_topk(q, r, 3, ["vec_id"], "vec_id", fused=True).collect()
+    )
+    b = sorted(
+        (row["vec_id"], row["ref_id"], round(row["score"], 6), row["rank"])
+        for row in pq_topk(q, r, 3, ["vec_id"], "vec_id", fused=False).collect()
+    )
+    assert a == b and len(a) > 0
