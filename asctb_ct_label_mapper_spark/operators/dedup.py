@@ -1072,6 +1072,7 @@ def remove_dup_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     fused: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact-substring scrub (the REMOVAL half of Lee et al. 2022 — the
     profiler ``dup_ngram_spans`` only measures): delete every token that
@@ -1116,7 +1117,14 @@ def remove_dup_ngrams(
     # back) would otherwise each re-run the Arrow gram emission — the
     # lazy-persist double-evaluation trap SCALING.md documents; the gram
     # pass is the expensive stage here (~15 s per pass at docs100x).
-    pos_grams.count()
+    # ``eager=False`` skips the construction-time job for plan-only
+    # callers (they also inherit the double-evaluation cost if they DO
+    # execute). Either way the cache has no unpersist path before the
+    # returned plan runs — session owners reclaim it via
+    # spark.catalog.clearCache() between operators, as the bench and
+    # correctness harnesses do.
+    if eager:
+        pos_grams.count()
     dup_grams = (
         pos_grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))

@@ -223,6 +223,9 @@ def ivf_topk(
         query_id_cols,
         query_vec_col=query_vec_col,
         n_probe=n_probe,
+        # one-shot compose: reference was just handed to us whole, so the
+        # small-index broadcast hint keeps the original fused plan
+        broadcast_index=True,
     )
 
 
@@ -311,20 +314,28 @@ def ivf_query_index(
     query_id_cols: Sequence[str],
     query_vec_col: str = "embedding",
     n_probe: int = 2,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Phase 2: probe the prebuilt inverted lists. Each query expands to
     its ``n_probe`` nearest lists (native expression over the centroid
-    literals — no UDF), candidates come from the equi-join on the list id
-    (broadcast when the index is small, hash shuffle otherwise — and
-    partition-pruned when the index is stored partitioned by list),
-    then exact cosine rescoring and the per-query top-k window."""
+    literals — no UDF), candidates come from the equi-join on the list id,
+    then exact cosine rescoring and the per-query top-k window.
+
+    ``broadcast_index`` (default off) adds a broadcast hint for the
+    small-index case. Leave it off for a real corpus index: a forced
+    broadcast would collect the whole index to the driver (8GB hard
+    limit, no fallback) AND a broadcast build side cannot be pruned — the
+    hash-join path is what lets a list-partitioned on-disk index serve
+    the probe join with only the probed lists' files read; AQE still
+    converts to broadcast at runtime when the index turns out tiny."""
     q_assigned = queries.withColumn(
         "_list",
         F.explode(
             _nearest_lists_expr(F.col(query_vec_col), cents, spherical, n_probe)
         ),
     )
-    candidates = q_assigned.join(F.broadcast(index), "_list").drop("_list")
+    idx = F.broadcast(index) if broadcast_index else index
+    candidates = q_assigned.join(idx, "_list").drop("_list")
     candidates = candidates.withColumn(
         "_qnorm", norm_expr(F.col(query_vec_col))
     ).withColumn("_rnorm", norm_expr(F.col("_ref_vec")))
@@ -547,6 +558,7 @@ def pq_topk(
     seed: int = 23,
     codebooks: np.ndarray | None = None,
     fused: bool = True,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via product quantization with exact re-ranking.
 
@@ -573,7 +585,11 @@ def pq_topk(
     so whole-stage codegen FALLS BACK TO INTERPRETED on that path (Spark
     logs the InternalCompilerException and continues) — correct, slower,
     and the measured reason the Arrow pass is the default."""
-    cb = seeded_subcentroids(64, n_sub, n_codes, seed) if codebooks is None else codebooks
+    cb = (
+        seeded_subcentroids(dim, n_sub, n_codes, seed)
+        if codebooks is None
+        else codebooks
+    )
     n_sub_, n_codes_, sub_dim = cb.shape
     if fused:
         return _pq_topk_fused(
@@ -651,19 +667,60 @@ def _pq_topk_fused(
     the same tolerance class the IVF/LSH oracles already rely on; the
     final scores are exact cosines rounded 6dp either way."""
     n_sub, n_codes, sub_dim = cb.shape
-    ref_rows = reference.select(ref_id_col, ref_vec_col).collect()
-    ref_ids = np.array([r[0] for r in ref_rows])
-    ref_mat = np.array([r[1] for r in ref_rows], dtype=np.float64)
-    codes = np.empty((len(ref_ids), n_sub), dtype=np.int64)
-    for s in range(n_sub):
-        sub = ref_mat[:, s * sub_dim : (s + 1) * sub_dim]
-        dots = sub @ cb[s].T  # (n_refs, n_codes)
-        codes[:, s] = np.argmax(dots, axis=1)  # first max on ties = low code
+    b_cb = reference.sparkSession.sparkContext.broadcast(cb)
+
+    # Encode DISTRIBUTED: only (id, 8-byte code) ever leaves the executors
+    # — collecting raw vectors to encode driver-side would materialize
+    # exactly the thing PQ exists to avoid holding uncompressed.
+    enc_schema = T.StructType(
+        [
+            T.StructField("ref_id", reference.schema[ref_id_col].dataType),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbk = b_cb.value
+        ns, _nc, sd = cbk.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[ref_vec_col].to_list(), dtype=np.float64)
+            if mat.shape[1] != ns * sd:
+                raise ValueError(
+                    f"pq_topk: vectors are {mat.shape[1]}-dim but the "
+                    f"codebooks cover {ns * sd} dims (pass dim=/codebooks=)"
+                )
+            code = np.empty((len(mat), ns), dtype=np.int64)
+            for s in range(ns):
+                code[:, s] = np.argmax(
+                    mat[:, s * sd : (s + 1) * sd] @ cbk[s].T, axis=1
+                )  # first max on ties = low code
+            out = pd.DataFrame({"ref_id": pdf[ref_id_col].to_numpy()})
+            out["code"] = list(code)
+            yield out
+
+    enc_rows = (
+        ensure_min_partitions(reference.select(ref_id_col, ref_vec_col))
+        .mapInPandas(encode_batches, schema=enc_schema)
+        .collect()
+    )
+    if not enc_rows:
+        # numpy paths below can't shape a 0-row corpus; the native
+        # formulation handles it and returns the correctly-empty frame
+        return pq_topk(
+            queries, reference, k, query_id_cols, ref_id_col,
+            query_vec_col, ref_vec_col, cb.shape[0], cb.shape[1], refine,
+            codebooks=cb, fused=False,
+        )
+    ref_ids = np.array([r["ref_id"] for r in enc_rows])
+    # uint8 delivers the advertised n_refs x n_sub single-byte broadcast
+    # (n_codes <= 256 by construction of the PQ code space)
+    codes = np.array([r["code"] for r in enc_rows], dtype=np.uint8)
 
     sc = queries.sparkSession.sparkContext
     b_ids = sc.broadcast(ref_ids)
-    b_codes = sc.broadcast(codes)
-    b_cb = sc.broadcast(cb)
+    b_codes = sc.broadcast(codes)  # b_cb already shipped for the encode
 
     id_fields = [queries.schema[c] for c in query_id_cols]
     out_schema = T.StructType(
@@ -680,6 +737,11 @@ def _pq_topk_fused(
                 continue
             q = np.array(pdf[query_vec_col].to_list(), dtype=np.float64)
             nq = len(q)
+            if q.shape[1] != ns * sd:
+                raise ValueError(
+                    f"pq_topk: query vectors are {q.shape[1]}-dim but the "
+                    f"codebooks cover {ns * sd} dims (pass dim=/codebooks=)"
+                )
             adc = np.zeros((nq, len(ids)))
             for s in range(ns):
                 lut = q[:, s * sd : (s + 1) * sd] @ cbk[s].T  # (nq, n_codes)
@@ -693,10 +755,11 @@ def _pq_topk_fused(
             kth = adc[row_idx, part].min(axis=1)
             chosen = part
             tied = np.flatnonzero((adc >= kth[:, None]).sum(axis=1) > top)
+            if len(tied):
+                chosen = part.copy()  # one copy, then in-place row fixes
             for row_i in tied:
                 cand = np.flatnonzero(adc[row_i] >= kth[row_i])
                 order = np.lexsort((ids[cand], -adc[row_i, cand]))
-                chosen = chosen.copy()
                 chosen[row_i] = cand[order][:top]
             out = {c: np.repeat(pdf[c].to_numpy(), top) for c in query_id_cols}
             out["ref_id"] = ids[chosen].ravel()

@@ -1409,7 +1409,7 @@ def cos_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = index.persist()
     out = ivf_query_index(
         index, cents, spherical, queries_df, k=3, query_id_cols=["vec_id"],
-        n_probe=2,
+        n_probe=2, broadcast_index=True,  # sf-scale index: hint is correct
     )
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 

@@ -249,3 +249,37 @@ def test_pq_fused_matches_native_formulation(spark, sf_dir):
         for row in pq_topk(q, r, 3, ["vec_id"], "vec_id", fused=False).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_pq_empty_reference_returns_empty(spark):
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.similarity import pq_topk
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    q = spark.createDataFrame([(1, [0.1] * 64)], schema)
+    r = spark.createDataFrame([], schema)
+    assert pq_topk(q, r, 3, ["vec_id"], "vec_id").count() == 0
+
+
+def test_pq_wrong_dim_raises_clearly(spark):
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.similarity import pq_topk
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(i, [0.5] * 32) for i in range(4)], schema)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codebooks cover"):
+        pq_topk(df, df, 2, ["vec_id"], "vec_id").count()

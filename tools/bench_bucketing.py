@@ -85,8 +85,8 @@ def timed(fn) -> float:
 
 def main() -> None:
     if not os.path.exists(os.path.join(REL_DIR, "_DONE")):
-        # build the tier if bench.py hasn't already
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        # build the tier if bench.py hasn't already (repo root is already
+        # on sys.path from the module-level insert)
         from bench import ensure_relational_scale
 
         ensure_relational_scale("/root/testdata/sf0.1", 10)
