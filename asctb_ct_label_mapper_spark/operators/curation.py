@@ -580,3 +580,57 @@ def sql_mixture_budget_sample(
     )
     WHERE tokens_before < {budget_expr}
     """
+
+
+# --- count-capped per-group sampling -----------------------------------------
+
+
+def capped_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Take EXACTLY min(n, |group|) rows per group, chosen by md5(id)
+    order — the fixed-size eval-set / benchmark-slice constructor
+    (e.g. "1k docs per language"), complementing the fraction-based
+    ``stratified_sample`` and the token-budget ``mixture_budget_sample``.
+    Deterministic and engine/partitioning-independent for the same
+    reason those are: membership is a pure function of the id hash.
+
+    One window shuffle on the group key. Skew note: a hot group costs
+    one reducer a full sort of that group — at 100 TB pre-filter with
+    ``stratified_sample`` at a few x the target fraction first (md5
+    orders agree, so the cheap narrow pre-cut never changes the final
+    selection as long as it keeps >= n rows per group), then cap.
+
+    Returns the selected rows plus ``sample_rank`` (1..n within group).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )
+
+
+def sql_capped_sample(
+    table: str = "documents",
+    n_per_group: int = 10,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """DuckDB replay of ``capped_sample`` (same window + md5 order);
+    ``cols`` projects the carried columns to match the Spark side."""
+    return f"""
+    SELECT {cols}, sample_rank FROM (
+        SELECT {cols},
+            CAST(row_number() OVER (
+                PARTITION BY {group_col}
+                ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+            ) AS INT) AS sample_rank
+        FROM {table}
+    ) WHERE sample_rank <= {n_per_group}
+    """

@@ -48,12 +48,14 @@ from asctb_ct_label_mapper_spark.operators.similarity import (
     top_k_similarity_join,
 )
 from asctb_ct_label_mapper_spark.operators.curation import (
+    capped_sample,
     chunk_documents,
     hash_split,
     mixture_budget_sample,
     pack_sequences,
     pii_scrub,
     quality_rules,
+    sql_capped_sample,
     sql_chunk_documents,
     sql_mixture_budget_sample,
     sql_quality_rules,
@@ -3312,6 +3314,25 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = sorted(glob.glob(os.path.join(base, "part-*.json.gz"))) + [bad]
     clean, _quarantine = split_corrupt(read_jsonl(spark, shards, schema))
     return clean
+
+
+@query(
+    "sample_capped",
+    sql_capped_sample(
+        "documents", n_per_group=20, group_col="lang",
+        cols="doc_id, lang, n_chars",
+    ),
+)
+def sample_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-capped per-group sampling (curation.capped_sample): exactly
+    min(20, |group|) docs per language in deterministic md5 order — the
+    fixed-size eval-slice constructor; one window shuffle on the group
+    key."""
+    return capped_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        n_per_group=20,
+        group_col="lang",
+    )
 
 
 @query(

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "cos_topk_ivf_indexed",
     # product quantization: the memory-bound ANN family (8-byte codes)
     "cos_topk_pq",
+    # fixed-size per-group eval-slice sampler
+    "sample_capped",
 ]
 
 

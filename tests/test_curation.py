@@ -209,3 +209,31 @@ def test_mixture_budget_is_partition_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_capped_sample_exact_counts_and_determinism(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import capped_sample
+
+    rows = [(i, f"g{i % 4}", i * 2) for i in range(200)] + [(900, "tiny", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "v"])
+    out = capped_sample(df, 10, group_col="lang").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append(r)
+    # full groups give exactly n; undersized groups give all they have
+    assert {g: len(v) for g, v in by_g.items()} == {
+        "g0": 10, "g1": 10, "g2": 10, "g3": 10, "tiny": 1
+    }
+    assert all(
+        sorted(r["sample_rank"] for r in v) == list(range(1, len(v) + 1))
+        for v in by_g.values()
+    )
+    # partition-independence: repartitioned input selects the same ids
+    a = {r["doc_id"] for r in out}
+    b = {
+        r["doc_id"]
+        for r in capped_sample(
+            df.repartition(11).orderBy(F.desc("doc_id")), 10, group_col="lang"
+        ).collect()
+    }
+    assert a == b
