@@ -623,9 +623,14 @@ def sql_capped_sample(
     cols: str = "*",
 ) -> str:
     """DuckDB replay of ``capped_sample`` (same window + md5 order);
-    ``cols`` projects the carried columns to match the Spark side."""
+    ``cols`` projects the carried columns to match the Spark side. With
+    the default ``cols='*'`` the outer SELECT must not re-list
+    ``sample_rank`` (the inner ``*`` re-expansion already carries it, so
+    listing it twice would emit a duplicate column and break the
+    hash/schema compare)."""
+    outer = cols if cols == "*" else f"{cols}, sample_rank"
     return f"""
-    SELECT {cols}, sample_rank FROM (
+    SELECT {outer} FROM (
         SELECT {cols},
             CAST(row_number() OVER (
                 PARTITION BY {group_col}

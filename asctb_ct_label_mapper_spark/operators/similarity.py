@@ -769,7 +769,12 @@ def _pq_topk_fused(
     ref = reference.select(
         F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )
-    rescored = surv.join(F.broadcast(ref), "ref_id").join(
+    # Broadcast the SURVIVOR side (bounded at |Q| * k * refine id rows by
+    # construction), never the raw reference vectors: the corpus is the
+    # 100-TB side and must stay a streamed scan. The join then touches raw
+    # vectors only for the survivors, which is the whole premise of the
+    # PQ-then-exact-rescore design.
+    rescored = ref.join(F.broadcast(surv), "ref_id").join(
         queries.select(*query_id_cols, query_vec_col), list(query_id_cols)
     )
     denom = norm_expr(F.col(query_vec_col)) * norm_expr(F.col("_ref_vec"))
