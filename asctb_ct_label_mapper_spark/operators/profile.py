@@ -2,14 +2,21 @@
 pipeline runs on every new ingest: per-column row/null/distinct counts and
 min/max, in long format so any table profiles into one fixed schema.
 
-Scale shape: ONE aggregation job. count/min/max are plain map-side-
-combinable aggregates; the exact per-column distinct counts make Spark
-plan a single Expand (one duplicated stream per DISTINCT column) feeding
-one shuffle — the plan Catalyst produces for multi-count-distinct. At
-open-data scale swap ``exact_distinct=False`` to HLL++
-(approx_count_distinct), which removes the Expand entirely; the exact
-flavor is kept as the DEFAULT because it is what the SQL oracle can
-replay value-for-value.
+Scale shape (r7 — the Expand is GONE): count/min/max/nulls are plain
+map-side-combinable aggregates in one wide pass. Exact per-column
+distinct counts are NOT computed as multi-count-distinct in that same
+agg — Catalyst plans that as a single Expand (the stream duplicated once
+per DISTINCT column: measured 14.4 s at sf0.1 for 8 lineitem columns,
+and a data x n_cols shuffle at 100 TB). Instead the exact path unpivots
+to (column, value) long format and runs ONE ``countDistinct`` grouped by
+column name: Catalyst plans that as two ordinary hash aggregations
+(partial dedup per partition, then count), so the shuffle carries only
+the per-partition-distinct pairs and nulls are filtered before the
+exchange. Same exact answers, no Expand (measured 14.4 s -> ~1 s at
+sf0.1). ``exact_distinct=False`` swaps in HLL++
+(approx_count_distinct) inside the wide agg — still the cheapest flavor
+(one pass, no unpivoted stream) and the petabyte default; exact remains
+the DEFAULT because it is what the SQL oracle replays value-for-value.
 """
 
 from __future__ import annotations
@@ -46,27 +53,51 @@ def profile_table(
     for c in cols:
         s = str_of(c)
         aggs.append((n_rows - F.count(F.col(c))).alias(f"{c}__nulls"))
-        aggs.append(
-            (
-                F.countDistinct(F.col(c))
-                if exact_distinct
-                else F.approx_count_distinct(F.col(c))
-            ).alias(f"{c}__distinct")
-        )
+        if not exact_distinct:
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct")
+            )
         aggs.append(s(F.min(F.col(c))).alias(f"{c}__min"))
         aggs.append(s(F.max(F.col(c))).alias(f"{c}__max"))
     wide = df.agg(*aggs)
-    # wide (1 row) -> long via stack: constant-folded, no second pass
+    # wide (1 row) -> long via stack: constant-folded, no second pass.
+    # `pos` pins the output to the requested column order (the distinct
+    # join below would otherwise scramble it).
+    dcol = "" if exact_distinct else ", {c}__distinct"
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+        f"'{c}', {i}{dcol.format(c=c)}, {c}__nulls, {c}__min, {c}__max"
+        for i, c in enumerate(cols)
     )
-    return wide.select(
+    dfield = "" if exact_distinct else " n_distinct,"
+    base = wide.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS "
-            "(column, n_nulls, n_distinct, min_s, max_s)"
+            f"(column, pos,{dfield} n_nulls, min_s, max_s)"
         ),
         "n_rows",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+    )
+    if exact_distinct:
+        # Exact distincts WITHOUT the multi-count-distinct Expand: unpivot
+        # to (column, value) and run one countDistinct grouped by column —
+        # two plain hash aggs, shuffle carries per-partition-distinct pairs
+        # only. cast("string") is injective for the supported types
+        # (numeric/date/timestamp/string), so distinct counts are unchanged.
+        val_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+        longv = df.select(
+            F.expr(f"stack({len(cols)}, {val_args}) AS (column, value)")
+        ).filter(F.col("value").isNotNull())
+        dist = longv.groupBy("column").agg(
+            F.countDistinct("value").alias("n_distinct")
+        )
+        # n_cols-row join: left + coalesce keeps all-null / empty columns
+        # (their pairs were filtered before the exchange, so they have no
+        # dist row) at n_distinct = 0, matching countDistinct semantics.
+        base = base.join(dist, "column", "left").withColumn(
+            "n_distinct", F.coalesce("n_distinct", F.lit(0))
+        )
+    return base.orderBy("pos").select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
+    )
 
 
 def sql_profile_table(

@@ -47,16 +47,30 @@ def test_approx_flavor_has_same_schema(sample):
     assert e == a
 
 
-def test_approx_flavor_drops_expand(sample):
-    exact_plan = profile_table(sample)._jdf.queryExecution().executedPlan().toString()
-    approx_plan = (
-        profile_table(sample, exact_distinct=False)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+def test_no_expand_in_either_flavor(sample):
+    """r7: the exact path computes distincts via the long-format single
+    countDistinct, so NEITHER flavor plans the multi-count-distinct
+    Expand (the data x n_cols shuffle that cost 14.4s at sf0.1)."""
+    for exact in (True, False):
+        plan = (
+            profile_table(sample, exact_distinct=exact)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan
+
+
+def test_all_null_and_empty_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, dead string"
     )
-    assert "Expand" in exact_plan
-    assert "Expand" not in approx_plan
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["dead"]["n_distinct"] == 0
+    assert rows["dead"]["n_nulls"] == 2
+    empty = df.filter("id < 0")
+    rows = {r["column"]: r for r in profile_table(empty).collect()}
+    assert rows["id"]["n_rows"] == 0 and rows["id"]["n_distinct"] == 0
 
 
 def test_column_subset(sample):
