@@ -866,15 +866,65 @@ def group_representatives(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ingest-time MinHash signature builder — the WRITE half of the
+    incremental-dedup seam (VERDICT r6 #4): ``(id_col, sig array<bigint>)``
+    from the md5-affine family. Production writes this once per ingested
+    shard via the parquet sink (S7) next to the corpus; every later
+    incremental-dedup query then reads the signatures table instead of
+    re-deriving n_hashes minhashes from 100 TB of text. Raw signatures
+    (not bands) are stored so ``bands`` stays a query-time knob."""
+    sig_udf = minhash_signature_md5affine_udf(n_hashes, shingle_n)
+    return ensure_min_partitions(df).select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def _band_signatures(
+    sig_df: DataFrame, id_col: str, out_id: str, bands: int, r: int
+) -> DataFrame:
+    """(id, sig) -> exploded (id, band, bhash): native slice/md5 over the
+    signature array, no text and no Python anywhere."""
+    return sig_df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.bhash")
+
+
 def minhash_dedup_incremental(
-    corpus: DataFrame,
-    batch: DataFrame,
+    corpus: DataFrame | None,
+    batch: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
     n_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    corpus_signatures: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
+    verify: str = "exact",
 ) -> DataFrame:
     """INCREMENTAL dedup — the production shape: a NEW batch of documents
     checked for near-duplicates against an EXISTING corpus (md5-affine
@@ -885,47 +935,57 @@ def minhash_dedup_incremental(
     by definition and are BROADCAST against the corpus band stream, so
     candidate generation is one corpus scan + a broadcast hash join — at
     100 TB of corpus and a daily-ingest-sized batch, the corpus signature
-    scan is the only big cost, and in production those signatures are a
-    precomputed table written once at ingest (here they are derived
-    in-plan from text; the seam is the same ``banded`` projection).
+    scan is the only big cost.
 
-    Verification is candidate-proportional on the corpus side (shingles
-    recomputed only for matched ids) and batch-sized on the batch side.
-    Returns (batch_id, match_id, jaccard >= threshold).
+    The precomputed-signature seam (VERDICT r6 #4): pass
+    ``corpus_signatures`` / ``batch_signatures`` — ``(id, sig)`` tables
+    written at ingest by :func:`minhash_signatures` via the parquet sink —
+    and candidate generation bands those arrays natively, never touching
+    text. Two verification modes:
+
+    - ``verify='exact'`` (default): exact Jaccard on shingles, recomputed
+      from text for the CANDIDATE ids only (corpus text becomes
+      candidate-proportional point reads).
+    - ``verify='estimate'``: the MinHash agreement fraction
+      (matching components / n_hashes — the unbiased Jaccard estimator the
+      signatures exist for). With ``corpus_signatures`` this makes the
+      whole query path TEXT-FREE: ``corpus=None`` is allowed, and a 100 TB
+      corpus is represented purely by its n_hashes*8-byte signature rows.
+      Resolution is 1/n_hashes, and all-empty docs (sentinel signatures)
+      estimate 1.0 against each other — acceptable for the dedup decision
+      the estimate serves; use 'exact' when the score itself matters.
+
+    Returns (batch_id, match_id, jaccard >= threshold) — ``jaccard`` is
+    the estimate under ``verify='estimate'``.
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
-    r = n_hashes // bands
-    sig_udf = minhash_signature_md5affine_udf(n_hashes, shingle_n)
-
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        sig = ensure_min_partitions(df).select(
-            F.col(id_col).alias(out_id), sig_udf(F.col(text_col)).alias("_sig")
+    assert verify in ("exact", "estimate")
+    if corpus is None and (corpus_signatures is None or verify != "estimate"):
+        raise ValueError(
+            "corpus=None requires corpus_signatures and verify='estimate' "
+            "(text is needed otherwise)"
         )
-        return sig.select(
-            out_id,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                                "|",
-                            )
-                        ).alias("bhash"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(out_id, "bb.band", "bb.bhash")
+    if batch is None and (batch_signatures is None or verify != "estimate"):
+        raise ValueError(
+            "batch=None requires batch_signatures and verify='estimate'"
+        )
+    r = n_hashes // bands
 
-    bb = banded(batch, "batch_id").persist(StorageLevel.MEMORY_AND_DISK)
+    def sig_of(df: DataFrame | None, sigs: DataFrame | None) -> DataFrame:
+        if sigs is not None:
+            return sigs.select(F.col(id_col), F.col("sig"))
+        return minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+
+    bsig = sig_of(batch, batch_signatures)
+    csig = sig_of(corpus, corpus_signatures)
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return _band_signatures(sig, id_col, out_id, bands, r)
+
+    bb = banded(bsig, "batch_id").persist(StorageLevel.MEMORY_AND_DISK)
     bb.count()  # eager: broadcast side, computed once
     cands = (
-        banded(corpus, "match_id")
+        banded(csig, "match_id")
         .join(F.broadcast(bb), ["band", "bhash"])
         .filter(F.col("match_id") != F.col("batch_id"))
         .select("batch_id", "match_id")
@@ -933,6 +993,39 @@ def minhash_dedup_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_cand = cands.count()  # eager: feeds the id restriction + verify join
+
+    if verify == "estimate":
+        # Signature-agreement verify: candidate-restricted joins back onto
+        # the two signature tables, one 16-element zip_with per pair. No
+        # text column is referenced anywhere in this plan.
+        bs = bsig.select(
+            F.col(id_col).alias("batch_id"), F.col("sig").alias("_sig_b")
+        )
+        match_ids = cands.select(F.col("match_id").alias("_mid")).distinct()
+        if n_cand <= 2_000_000:
+            match_ids = F.broadcast(match_ids)
+        ms = csig.join(match_ids, csig[id_col] == match_ids["_mid"]).select(
+            F.col("_mid").alias("match_id"), F.col("sig").alias("_sig_m")
+        )
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sig_b"),
+                    F.col("_sig_m"),
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(n_hashes))
+        )
+        return (
+            cands.join(F.broadcast(bs), "batch_id")
+            .join(ms, "match_id")
+            .withColumn("jaccard", F.round(est, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("batch_id", "match_id", "jaccard")
+        )
 
     bsh = batch.select(
         F.col(id_col).alias("batch_id"),

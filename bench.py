@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "funnel_3step",
     "q4_order_priority",
     "dedup_incremental",
+    "dedup_incremental_sig",
     "profile_lineitem",
     # r6 additions: TPC-H join/subquery shapes, CUBE, Gopher-rule quality
     # gate, substring-duplication profile, bounded-vocabulary TF-IDF

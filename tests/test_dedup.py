@@ -311,6 +311,78 @@ class TestIncrementalDedup:
         }
         assert inc == normalized
 
+    def test_precomputed_signatures_match_inplan_candidates(self, spark, sf_dir, tmp_path):
+        """Signature-table candidate generation (VERDICT r6 #4) is
+        band-identical to deriving signatures from text in-plan: exact
+        verify over either source yields the same pairs."""
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        path = str(tmp_path / "sigs")
+        minhash_signatures(corpus).write.parquet(path)
+        sigs = spark.read.parquet(path)
+        from_text = {
+            tuple(r)
+            for r in minhash_dedup_incremental(corpus, batch, threshold=0.2).collect()
+        }
+        from_table = {
+            tuple(r)
+            for r in minhash_dedup_incremental(
+                corpus, batch, threshold=0.2, corpus_signatures=sigs
+            ).collect()
+        }
+        assert from_text == from_table and len(from_table) > 0
+
+    def test_estimate_mode_is_text_free(self, spark, sf_dir, tmp_path):
+        """corpus=None + batch=None + signature tables + verify='estimate':
+        the plan runs entirely off the signatures parquet — no text column
+        is read anywhere (it cannot be: no input has one)."""
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        path = str(tmp_path / "sigs_all")
+        minhash_signatures(docs).write.parquet(path)
+        sigs = spark.read.parquet(path)
+        out = minhash_dedup_incremental(
+            None,
+            None,
+            threshold=0.2,
+            corpus_signatures=sigs.filter(F.col("doc_id") % 10 != 0),
+            batch_signatures=sigs.filter(F.col("doc_id") % 10 == 0),
+            verify="estimate",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Spark prints column references as name#id — no text attribute may
+        # appear, and the only file scans are the signatures parquet.
+        assert "text#" not in plan
+        assert "documents.parquet" not in plan
+        rows = out.collect()
+        assert len(rows) > 0
+        # estimates are k/n_hashes fractions in (0, 1]
+        assert all(0 < r["jaccard"] <= 1.0 for r in rows)
+        assert all(abs(r["jaccard"] * 16 - round(r["jaccard"] * 16)) < 1e-9 for r in rows)
+
+    def test_none_without_signatures_raises(self, spark):
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        batch = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            minhash_dedup_incremental(None, batch)
+        with pytest.raises(ValueError):
+            minhash_dedup_incremental(None, None, verify="estimate")
+
 
 def test_dup_ngram_spans_fixture(spark):
     from asctb_ct_label_mapper_spark.operators.dedup import dup_ngram_spans
