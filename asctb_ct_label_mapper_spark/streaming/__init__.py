@@ -1,3 +1,6 @@
+from asctb_ct_label_mapper_spark.streaming.dedup import (
+    start_incremental_dedup_stream,
+)
 from asctb_ct_label_mapper_spark.streaming.events import (
     dedup_events,
     sessionize,
@@ -9,6 +12,7 @@ from asctb_ct_label_mapper_spark.streaming.events import (
 
 __all__ = [
     "dedup_events",
+    "start_incremental_dedup_stream",
     "sessionize",
     "stateful_user_totals",
     "sliding_user_activity",

@@ -305,3 +305,71 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
     assert {r["doc_id"] for r in got.filter(F.col("doc_id") > 200).collect()} == set(
         range(201, 300)
     ) | {999}
+
+
+def test_streaming_incremental_dedup(spark, sf_dir, tmp_path):
+    """VERDICT r6 #7: read_jsonl_stream -> foreachBatch(incremental dedup
+    against a static signature table) -> matches appended, batch signatures
+    registered. Drained with availableNow in bounded micro-batches; the
+    result must cover the batch-mode estimate matches against the seeded
+    corpus, and later micro-batches may additionally match earlier ones."""
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        write_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.sources.jsonl import read_jsonl_stream
+    from asctb_ct_label_mapper_spark.streaming.dedup import (
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures(corpus).write.parquet(sig_path)  # ingest-owned seed
+    n_corpus_sigs = spark.read.parquet(sig_path).count()
+
+    landing = str(tmp_path / "landing")
+    write_jsonl(batch.repartition(3), landing)  # 3 shards -> >1 micro-batch
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    matches_path = str(tmp_path / "matches")
+    q = start_incremental_dedup_stream(
+        read_jsonl_stream(spark, landing, schema, max_files_per_trigger=1),
+        sig_path,
+        matches_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.2,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["batch_id"], r["match_id"], r["jaccard"])
+        for r in spark.read.parquet(matches_path).collect()
+    }
+    expected = {
+        (r["batch_id"], r["match_id"], r["jaccard"])
+        for r in minhash_dedup_incremental(
+            corpus, batch, threshold=0.2, verify="estimate"
+        ).collect()
+    }
+    assert expected  # fixture has cross-side near-dups
+    # every batch-vs-corpus match is found...
+    against_corpus = {m for m in got if m[1] % 10 != 0}
+    assert against_corpus == expected
+    # ...extras (if any) are cross-micro-batch matches among batch docs
+    assert all(m[1] % 10 == 0 for m in got - expected)
+    # the batch's signatures were registered into the corpus table
+    assert (
+        spark.read.parquet(sig_path).count() == n_corpus_sigs + batch.count()
+    )
