@@ -118,10 +118,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None = None):
     def wrap(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        import functools
+
+        from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+
+        @functools.wraps(fn)
+        def entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # cache hygiene (VERDICT r6 #9): release the PREVIOUS query's
+            # pooled persists so a long-lived registry session never
+            # accumulates executor cache across queries
+            drain_persist_pool()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = entry
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return entry
 
     return wrap
 
@@ -1408,7 +1420,9 @@ def cos_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, cents, spherical = ivf_build_index(
         reference, "vec_id", n_lists=8, centroids=seeded_centroids(64, 8)
     )
-    index = index.persist()
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    index = pooled_persist(index)
     out = ivf_query_index(
         index, cents, spherical, queries_df, k=3, query_id_cols=["vec_id"],
         n_probe=2, broadcast_index=True,  # sf-scale index: hint is correct

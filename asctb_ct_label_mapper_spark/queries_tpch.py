@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 from asctb_ct_label_mapper_spark.queries import _t, query
 
 
@@ -321,8 +322,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("value")
         )
-        .persist()
     )
+    val = pooled_persist(val)
     threshold = val.agg((F.avg("value") * 2).alias("_threshold"))
     out = (
         val.crossJoin(F.broadcast(threshold))
@@ -447,8 +448,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
-        .persist()
     )
+    rev = pooled_persist(rev)
     mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -552,8 +553,8 @@ def q20_heavy_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .persist()
     )
+    shipped = pooled_persist(shipped)
     threshold = shipped.agg((F.avg("qty") * 1.2).alias("_threshold"))
     sup = (
         _t(spark, sf_dir, "supplier")
@@ -629,8 +630,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        .persist()
     )
+    late = pooled_persist(late)
     late.count()  # eager persist: materialize once for the 3 consumers
     nat1 = (
         _t(spark, sf_dir, "supplier")

