@@ -3205,19 +3205,28 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders) broadcasts into a semi join that prunes BOTH facts before the
     final customer join and re-aggregation — the anti-pattern would be
     joining first and filtering after."""
-    li = _t(spark, sf_dir, "lineitem")
+    return _q18_core(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def _q18_core(li: DataFrame, orders_all: DataFrame, cust: DataFrame) -> DataFrame:
+    """Q18 logic over caller-supplied facts — shared by the plain-parquet
+    query and the bucketed-layout variant (same plan shape; the bucketed
+    inputs elide the l_orderkey exchanges)."""
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 300)
         .select("l_orderkey")
     )
-    orders = _t(spark, sf_dir, "orders").join(
+    orders = orders_all.join(
         F.broadcast(big),
         F.col("o_orderkey") == big["l_orderkey"],
         "leftsemi",
     )
-    cust = _t(spark, sf_dir, "customer")
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, orders["o_orderkey"] == li["l_orderkey"])

@@ -225,6 +225,11 @@ REL_SCALE_QUERIES = [
     "q20_heavy_red_shippers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
+    # r7 (VERDICT r6 #5): the bucketed-layout Q18/Q21 — same oracles, the
+    # order-key exchanges paid once at ingest (tables pre-built below so
+    # the timed run measures the layout, not the one-time write)
+    "q18_large_orders_bucketed",
+    "q21_waiting_suppliers_bucketed",
 ]
 
 
@@ -425,6 +430,13 @@ def main() -> None:
                 result["scales"][key] = {"error": str(e)[:200]}
         try:
             rel_dir = ensure_relational_scale(sf_dir, 10)
+            # ingest-time cost, not query-time: materialize the bucketed
+            # fact layout before any timing (write-once per tier)
+            from asctb_ct_label_mapper_spark.sources.bucketing import (
+                ensure_bucketed_tables,
+            )
+
+            ensure_bucketed_tables(spark, rel_dir)
             rel_timings: dict[str, float] = {}
             for name in REL_SCALE_QUERIES:
                 fn = registry[name]
