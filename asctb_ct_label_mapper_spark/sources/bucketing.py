@@ -25,7 +25,9 @@ would own invalidation the way it owns the signature table.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,6 +62,18 @@ def ensure_bucketed_tables(
     for table, key in tables:
         name = bucket_table_name(sf_dir, table, n_buckets)
         if force or not spark.catalog.tableExists(name):
+            # the in-memory catalog dies with the session but the warehouse
+            # directory does not: a stale location from a previous process
+            # fails saveAsTable with LOCATION_ALREADY_EXISTS. The bucket
+            # spec lives in the CATALOG, not the parquet footers, so the
+            # leftover files cannot be reused as a bucketed table — clear
+            # and rebuild (per-process ingest cost, measured once).
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            loc = os.path.join(wh, name.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
             (
                 load_table(spark, sf_dir, table)
                 .write.bucketBy(n_buckets, key)
