@@ -3644,6 +3644,46 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# Round-7 widening: snapshot reconciliation, weighted sampling, training-
+# shard shuffle, exact quantile profiles, dedup-quality metrics, DSIR-style
+# importance selection
+# =============================================================================
+
+_DIFF_OLD_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3"
+_DIFF_NEW_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 11 <> 7
+"""
+
+
+def _corpus_diff_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.snapshot import sql_corpus_diff
+
+    return sql_corpus_diff(_DIFF_OLD_SQL, _DIFF_NEW_SQL)
+
+
+@query("corpus_diff_docs", _corpus_diff_oracle())
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (snapshot.corpus_diff): two deterministic
+    releases of the corpus (one slice dropped, one added, every 13th doc
+    edited) diffed by md5 content hash — per-doc added/removed/changed,
+    churn-sized output. One full-outer equi-join on doc_id carrying
+    (id, hash) only; the text never crosses the exchange."""
+    from asctb_ct_label_mapper_spark.operators.snapshot import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 11 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.
