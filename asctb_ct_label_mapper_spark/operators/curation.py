@@ -639,3 +639,80 @@ def sql_capped_sample(
         FROM {table}
     ) WHERE sample_rank <= {n_per_group}
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir"): each row draws
+    ``u ~ Uniform(0,1]`` and the ``n`` rows with the largest
+    ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — are an exact
+    weighted sample. The sampler a mixture-tuning pipeline wants when
+    "sample 1M docs proportional to quality score" must be one pass,
+    deterministic, and engine-independent.
+
+    ``u`` is md5-derived from the id (top 52 hash bits, +1, over 2^52),
+    so membership is a pure function of the id — reproducible across
+    runs, partitionings, and engines (the stratified/capped samplers'
+    contract). Rows with null or non-positive weight are excluded
+    (ln(u)/w flips sign for w<0 and divides by zero at 0 — neither is a
+    meaningful sampling weight).
+
+    Scale shape: a narrow projection computes keys, then ONE global
+    top-n — Catalyst plans TakeOrderedAndProject (per-partition heaps of
+    size n, merge on the driver), no full sort shuffle. The driver
+    contract is O(n); for n beyond driver comfort switch to the two-pass
+    threshold form (approx kth key, then a filter) — same keys, same
+    sample.
+
+    Returns (id, weight, sample_key) ordered by key descending, key
+    rounded 6dp for cross-engine display (ordering uses the raw key).
+    """
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+            .cast("bigint")
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(n)
+        .select(
+            id_col, "weight", F.round("_key", 6).alias("sample_key")
+        )
+    )
+
+
+def sql_weighted_sample(
+    table: str = "documents",
+    n: int = 500,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``weighted_sample`` (same md5-derived uniform,
+    same ln(u)/w key, same tie-break)."""
+    u = (
+        f"(CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 13)) "
+        f"AS BIGINT) + 1) / {float(1 << 52)!r}"
+    )
+    return f"""
+    SELECT {id_col}, CAST({weight_col} AS DOUBLE) AS weight,
+           round(ln({u}) / CAST({weight_col} AS DOUBLE), 6) AS sample_key
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {id_col}
+    LIMIT {n}
+    """

@@ -3684,6 +3684,27 @@ def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def _weighted_sample_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import sql_weighted_sample
+
+    return sql_weighted_sample("documents", n=500, weight_col="n_chars")
+
+
+@query("weighted_sample_docs", _weighted_sample_oracle())
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.weighted_sample,
+    Efraimidis-Spirakis): 500 docs drawn proportional to length via
+    deterministic md5 uniforms — narrow key projection + one global
+    top-n (TakeOrderedAndProject), no sort shuffle."""
+    from asctb_ct_label_mapper_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        n=500,
+        weight_col="n_chars",
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -237,3 +237,49 @@ def test_capped_sample_exact_counts_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+class TestWeightedSample:
+    def test_deterministic_and_exact_n(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.schemas import load_table
+        from asctb_ct_label_mapper_spark.operators.curation import weighted_sample
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        a = weighted_sample(docs, 50, "n_chars").collect()
+        b = weighted_sample(docs.repartition(7), 50, "n_chars").collect()
+        assert len(a) == 50
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+
+    def test_weights_bias_selection(self, spark):
+        """Rows with 100x the weight must be overwhelmingly more likely
+        selected: ES keys ln(u)/w concentrate near 0 for large w."""
+        from asctb_ct_label_mapper_spark.operators.curation import weighted_sample
+
+        rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        picked = [r["doc_id"] for r in weighted_sample(df, 100, "w").collect()]
+        heavy = sum(1 for d in picked if d < 100)
+        assert heavy >= 80, f"heavy rows underrepresented: {heavy}/100"
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from asctb_ct_label_mapper_spark.operators.curation import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        got = [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()]
+        assert got == [1]
+
+    def test_plan_is_take_ordered(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.schemas import load_table
+        from asctb_ct_label_mapper_spark.operators.curation import weighted_sample
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        plan = (
+            weighted_sample(docs, 50, "n_chars")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # heaps, not a sort shuffle
