@@ -716,3 +716,59 @@ def sql_weighted_sample(
     ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {id_col}
     LIMIT {n}
     """
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    "randomize example order before training" step, expressed so it
+    scales: a true global ORDER BY random() funnels the corpus through a
+    range-partitioned sort (and isn't reproducible); instead each doc's
+    shard and in-shard position derive from ``md5(seed || id)``:
+
+    - ``shard``  = hash mod n_shards (uniform, seed-dependent),
+    - ``pos``    = rank of the hash within the shard.
+
+    Reading shards 0..n-1 sequentially IS the shuffled order (shard-major
+    = the epoch permutation); a different ``seed`` is a fresh epoch
+    permutation with zero data movement beyond re-sorting. Scale shape:
+    one hash-uniform exchange on ``shard`` + per-shard window sort —
+    n_shards-way parallel, no global bottleneck, skew-free by
+    construction (md5 uniformity).
+
+    Returns (id_col, shard, pos).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def sql_shuffle_shards(
+    table: str = "documents",
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``shuffle_shards`` (same seeded md5 hash, shard
+    derivation, and in-shard ordering)."""
+    h = f"md5(concat('{seed}:', CAST({id_col} AS VARCHAR)))"
+    return f"""
+    SELECT {id_col},
+        CAST(CAST(concat('0x', substr({h}, 1, 8)) AS BIGINT) % {n_shards} AS INT) AS shard,
+        CAST(row_number() OVER (
+            PARTITION BY CAST(concat('0x', substr({h}, 1, 8)) AS BIGINT) % {n_shards}
+            ORDER BY {h}, {id_col}
+        ) AS INT) AS pos
+    FROM {table}
+    """

@@ -3705,6 +3705,25 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shuffle_shards_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import sql_shuffle_shards
+
+    return sql_shuffle_shards("documents", n_shards=16, seed=1)
+
+
+@query("shuffle_shards_docs", _shuffle_shards_oracle())
+def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (curation.shuffle_shards): every doc
+    assigned a seeded-md5 shard + in-shard position; shard-major read
+    order is the epoch permutation. One hash-uniform exchange + per-shard
+    window — no global sort bottleneck."""
+    from asctb_ct_label_mapper_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf_dir, "documents").select("doc_id"), n_shards=16, seed=1
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -283,3 +283,48 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan  # heaps, not a sort shuffle
+
+
+class TestShuffleShards:
+    def test_permutation_covers_all_and_is_deterministic(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.schemas import load_table
+        from asctb_ct_label_mapper_spark.operators.curation import shuffle_shards
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        a = shuffle_shards(docs, n_shards=8, seed=3).collect()
+        b = shuffle_shards(docs.repartition(5), n_shards=8, seed=3).collect()
+        assert len(a) == n
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # (shard, pos) is a proper positioning: unique per shard, 1..size
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    def test_seed_changes_permutation_not_coverage(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.schemas import load_table
+        from asctb_ct_label_mapper_spark.operators.curation import shuffle_shards
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        s1 = {(r["doc_id"], r["shard"], r["pos"])
+              for r in shuffle_shards(docs, 8, seed=1).collect()}
+        s2 = {(r["doc_id"], r["shard"], r["pos"])
+              for r in shuffle_shards(docs, 8, seed=2).collect()}
+        assert {t[0] for t in s1} == {t[0] for t in s2}  # same docs
+        assert s1 != s2  # different epoch order
+
+    def test_shards_roughly_balanced(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.schemas import load_table
+        from asctb_ct_label_mapper_spark.operators.curation import shuffle_shards
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.count()
+        sizes = [
+            r["c"]
+            for r in shuffle_shards(docs, 8, seed=0)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        assert len(sizes) == 8
+        assert max(sizes) < 2 * (n / 8)  # md5 uniformity, generous bound
