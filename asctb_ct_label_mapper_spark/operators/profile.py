@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,3 +129,86 @@ def sql_profile_table(
         for c in columns
     ]
     return "\n    UNION ALL".join(branches)
+
+
+def group_quantiles(
+    df: "DataFrame",
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> "DataFrame":
+    """EXACT per-group quantiles of ``value_col`` — the distributional
+    half of the ingest profile (length/score distributions per language
+    or source drive curation thresholds; means hide the tails that
+    matter).
+
+    Engine-agnostic by construction: instead of leaning on builtin
+    percentile functions whose boundary semantics differ across engines
+    (interpolation vs nearest-rank vs rounding), the q-quantile is
+    DEFINED positionally as the ``ceil(q * n)``-th smallest value
+    (nearest-rank, the SQL-standard PERCENTILE_DISC), computed from a
+    row_number window — the same arithmetic replays in any engine, so
+    the result is hash-checkable.
+
+    Scale shape: ONE shuffle on the group key (window sort within
+    groups), then a map-side-combinable conditional aggregate. Skew =
+    largest group's sort, the same bound every per-group operator here
+    carries. For GLOBAL quantiles at corpus scale use
+    ``approx_percentile`` (t-digest-style sketch, no global sort) — this
+    operator is the exact, grouped flavor.
+
+    Returns one row per group: (group_col, n, q_25, q_50, ... as
+    ``q_<pct>`` columns, values cast to double).
+    """
+    # ties in _v need no id tie-break: only the VALUE at a position is
+    # emitted, and equal values at the boundary emit the same value
+    # whichever of them row_number places there
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy(group_col).orderBy(F.col("_v"))
+    ranked = ranked.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in qs:
+        tag = f"q_{int(round(q * 100))}"
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(float(q)) * F.col("_n")),
+                    F.col("_v"),
+                )
+            ).alias(tag)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def sql_group_quantiles(
+    table: str,
+    value_col: str,
+    group_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB replay of ``group_quantiles`` (same nearest-rank position
+    arithmetic, not DuckDB's builtin quantile)."""
+    cols = ",\n        ".join(
+        f"max(CASE WHEN rn = CAST(ceil({float(q)!r} * n) AS BIGINT) "
+        f"THEN v END) AS q_{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+    SELECT {group_col}, CAST(max(n) AS BIGINT) AS n,
+        {cols}
+    FROM (
+        SELECT {group_col},
+            CAST({value_col} AS DOUBLE) AS v,
+            row_number() OVER (PARTITION BY {group_col}
+                               ORDER BY CAST({value_col} AS DOUBLE)) AS rn,
+            count(*) OVER (PARTITION BY {group_col}) AS n
+        FROM {table}
+        WHERE {value_col} IS NOT NULL
+    )
+    GROUP BY {group_col}
+    """

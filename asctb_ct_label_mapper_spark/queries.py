@@ -3724,6 +3724,26 @@ def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _length_quantiles_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import sql_group_quantiles
+
+    return sql_group_quantiles("documents", "n_chars", "lang")
+
+
+@query("length_quantiles_docs", _length_quantiles_oracle())
+def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (profile.group_quantiles):
+    nearest-rank p25/p50/p75/p90/p99 of n_chars — positional definition
+    shared with the oracle, one group-key shuffle + conditional agg."""
+    from asctb_ct_label_mapper_spark.operators.profile import group_quantiles
+
+    return group_quantiles(
+        _t(spark, sf_dir, "documents").select("lang", "n_chars"),
+        "n_chars",
+        "lang",
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

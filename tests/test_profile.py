@@ -76,3 +76,16 @@ def test_all_null_and_empty_columns(spark):
 def test_column_subset(sample):
     out = profile_table(sample, columns=["id", "x"])
     assert [r["column"] for r in out.collect()] == ["id", "x"]
+
+
+def test_group_quantiles_nearest_rank(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import group_quantiles
+
+    # group 'a': values 1..10 -> p50 = ceil(0.5*10)=5th smallest = 5
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 7.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in group_quantiles(df, "v", "g", qs=(0.5, 0.9)).collect()}
+    assert out["a"]["n"] == 10
+    assert out["a"]["q_50"] == 5.0 and out["a"]["q_90"] == 9.0
+    # null excluded; single-value group: every quantile is that value
+    assert out["b"]["n"] == 1 and out["b"]["q_50"] == 7.0 and out["b"]["q_90"] == 7.0
