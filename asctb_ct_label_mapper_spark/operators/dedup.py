@@ -1300,3 +1300,73 @@ def sql_remove_dup_ngrams(
         FROM toks LEFT JOIN covered USING ({id_col})
     ) k
     """
+
+
+# --- dedup-strategy quality metrics ------------------------------------------
+
+
+def pair_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Confusion metrics of one pair set against a ground-truth pair set —
+    the QA operator a pipeline runs before trusting an APPROXIMATE dedup
+    strategy at scale: how much of the exact-Jaccard truth does the
+    banded/LSH/SimHash candidate family actually recover, and at what
+    false-positive cost?
+
+    One full-outer equi-join on the normalized pair key, then a single
+    conditional aggregate. Both inputs are pair-sized (candidate-
+    proportional), never corpus-sized, so the evaluation costs what the
+    strategies themselves cost. Returns ONE row:
+    (n_pred, n_truth, tp, fp, fn, precision, recall, f1) — counts BIGINT,
+    ratios rounded 6dp, null when undefined (empty side).
+    """
+    a, b = id_cols
+    p = predicted.select(a, b).distinct().withColumn("_p", F.lit(1))
+    t = truth.select(a, b).distinct().withColumn("_t", F.lit(1))
+    j = p.join(t, [a, b], "full_outer")
+    tp = F.sum(
+        F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+    )
+    fp = F.sum(
+        F.when(F.col("_p").isNotNull() & F.col("_t").isNull(), 1).otherwise(0)
+    )
+    fn = F.sum(
+        F.when(F.col("_p").isNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+    )
+    agg = j.agg(
+        (tp + fp).cast("bigint").alias("n_pred"),
+        (tp + fn).cast("bigint").alias("n_truth"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("tp").cast("double") / F.col("n_truth")
+    )
+    return (
+        agg.withColumn("_prec", prec)
+        .withColumn("_rec", rec)
+        .select(
+            "n_pred",
+            "n_truth",
+            "tp",
+            "fp",
+            "fn",
+            F.round("_prec", 6).alias("precision"),
+            F.round("_rec", 6).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("_prec") + F.col("_rec")) > 0,
+                    2 * F.col("_prec") * F.col("_rec")
+                    / (F.col("_prec") + F.col("_rec")),
+                ),
+                6,
+            ).alias("f1"),
+        )
+    )

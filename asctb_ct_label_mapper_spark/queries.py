@@ -3744,6 +3744,107 @@ def length_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_quality_oracle(
+    threshold: float = 0.2, n_hashes: int = 16, bands: int = 8
+) -> str:
+    """Compose the md5-affine MinHash replay (predicted pairs) with a
+    corpus-wide exact-Jaccard truth set and emit confusion metrics."""
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_affine_params
+
+    a, b, p = minhash_affine_params(n_hashes)
+    r = n_hashes // bands
+    base = f"(CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % {p})"
+    sig_terms = ",\n             ".join(
+        f"coalesce(list_min([({a[j]} * {base} + {b[j]}) % {p} for s in shingles]), {p})"
+        for j in range(n_hashes)
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0 "
+        "THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.shingles, sb.shingles))) ELSE 0.0 END"
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sig AS (
+        SELECT doc_id, [{sig_terms}] AS sig FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, b AS band,
+               md5(array_to_string([CAST(x AS VARCHAR)
+                                    for x in sig[b*{r}+1 : b*{r}+{r}]], '|')) AS bhash
+        FROM sig, range(0, {bands}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+                     AND a.doc_id < b.doc_id
+    ),
+    pred AS (
+        SELECT c.id_a, c.id_b, 1 AS p
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {jac} >= {threshold}
+    ),
+    truth AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, 1 AS t
+        FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+        WHERE {jac} >= {threshold}
+    ),
+    j AS (
+        SELECT p, t FROM pred FULL OUTER JOIN truth USING (id_a, id_b)
+    ),
+    counts AS (
+        SELECT
+            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j
+    )
+    SELECT tp + fp AS n_pred, tp + fn AS n_truth, tp, fp, fn,
+        round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp + fp) END, 6) AS precision,
+        round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp + fn) END, 6) AS recall,
+        round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                    AND CAST(tp AS DOUBLE)/(tp + fp) + CAST(tp AS DOUBLE)/(tp + fn) > 0
+              THEN 2 * (CAST(tp AS DOUBLE)/(tp + fp)) * (CAST(tp AS DOUBLE)/(tp + fn))
+                   / (CAST(tp AS DOUBLE)/(tp + fp) + CAST(tp AS DOUBLE)/(tp + fn)) END, 6) AS f1
+    FROM counts
+    """
+
+
+@query("dedup_minhash_quality", _dedup_quality_oracle())
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy QA (dedup.pair_metrics): banded-MinHash pairs scored
+    against the corpus-wide exact-Jaccard truth set — precision is 1.0 by
+    construction (candidates are exact-verified), recall measures what the
+    8-band/16-hash LSH actually recovers at threshold 0.2. The evaluation
+    every approximate strategy should pass before it gates 100 TB of
+    training data; pair-proportional cost (the truth side is the
+    set-similarity join, not all-pairs)."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        pair_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    predicted = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.2, n_hashes=16, bands=8,
+        family="md5affine",
+    )
+    truth = ngram_jaccard_pairs(
+        docs.withColumn("_all", F.lit(1)), "text", "doc_id", "_all",
+        threshold=0.2,
+    )
+    return pair_metrics(predicted, truth)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -454,3 +454,41 @@ def test_remove_dup_ngrams_fused_matches_native(spark):
     a = sorted(map(tuple, remove_dup_ngrams(df, 3, fused=True).collect()))
     b = sorted(map(tuple, remove_dup_ngrams(df, 3, fused=False).collect()))
     assert a == b
+
+
+class TestPairMetrics:
+    def test_confusion_counts(self, spark):
+        from asctb_ct_label_mapper_spark.operators.dedup import pair_metrics
+
+        pred = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+        )
+        truth = spark.createDataFrame(
+            [(1, 2), (3, 4), (7, 8), (9, 10)], "id_a long, id_b long"
+        )
+        r = pair_metrics(pred, truth).collect()[0]
+        assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 2)
+        assert r["n_pred"] == 3 and r["n_truth"] == 4
+        assert abs(r["precision"] - 2 / 3) < 1e-6
+        assert abs(r["recall"] - 0.5) < 1e-6
+        f1 = 2 * (2 / 3) * 0.5 / (2 / 3 + 0.5)
+        assert abs(r["f1"] - f1) < 1e-6
+
+    def test_empty_sides_null_ratios(self, spark):
+        from asctb_ct_label_mapper_spark.operators.dedup import pair_metrics
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = pair_metrics(empty, truth).collect()[0]
+        assert r["n_pred"] == 0 and r["precision"] is None
+        assert r["recall"] == 0.0 and r["f1"] is None
+
+    def test_minhash_recall_on_registry_fixture(self, spark, sf_dir):
+        """The registered quality query's semantics: exact-verified MinHash
+        pairs have precision 1.0; banding recall is < 1 but substantial."""
+        from asctb_ct_label_mapper_spark.queries import all_queries
+
+        r = all_queries()["dedup_minhash_quality"](spark, sf_dir).collect()[0]
+        assert r["fp"] == 0 and (r["precision"] == 1.0 or r["n_pred"] == 0)
+        assert r["n_truth"] > 0
+        assert r["recall"] is not None and r["recall"] >= 0.5
