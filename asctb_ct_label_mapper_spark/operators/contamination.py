@@ -362,3 +362,99 @@ def sql_bigram_logppl(
            round(avg(neg_logp), 6) AS avg_neg_logp
     FROM scored GROUP BY {id_col}
     """
+
+
+def importance_select(
+    pool: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", simplified to unigram
+    features): pick the ``n`` pool documents that look most like a small
+    TARGET domain, scored by the average per-token log importance ratio
+
+        importance(doc) = avg_w [ log p_target(w) - log p_pool(w) ]
+                        = NLL_pool(doc) - NLL_target(doc)
+
+    — the difference of the two add-1-smoothed unigram negative
+    log-likelihoods :func:`unigram_logppl` already computes. Target-like
+    documents score high; generic/pool-typical text scores near 0 or
+    negative. This is the principled replacement for hand-written source
+    allowlists when pretraining mixtures must be steered toward a domain.
+
+    Scale shape: two vocabulary-sized unigram models (map-side-combinable
+    token counts — the target model is tiny by definition, the pool model
+    is the same aggregate the perplexity filter already pays), two hash
+    equi-joins of the exploded pool stream against those models, one
+    per-doc average each, a doc-level join, then a global top-n
+    (TakeOrderedAndProject — per-partition heaps, no sort shuffle).
+
+    Returns (id_col, importance) for the selected docs, importance
+    rounded 6dp, ties broken by ascending id.
+    """
+    nll_target = unigram_logppl(pool, target, text_col, id_col).select(
+        F.col(id_col), F.col("avg_neg_logp").alias("_nll_t")
+    )
+    nll_pool = unigram_logppl(pool, pool, text_col, id_col).select(
+        F.col(id_col), F.col("avg_neg_logp").alias("_nll_p")
+    )
+    scored = nll_target.join(nll_pool, id_col).withColumn(
+        "importance", F.round(F.col("_nll_p") - F.col("_nll_t"), 6)
+    )
+    return (
+        scored.orderBy(F.desc("importance"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, "importance")
+    )
+
+
+def sql_importance_select(
+    pool_sql: str,
+    target_sql: str,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``importance_select`` over pool/target subqueries
+    (same smoothing, same 6dp rounding of each NLL before differencing,
+    same tie-break)."""
+
+    def model(name: str, src: str) -> str:
+        return f"""
+    {name}_toks AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS token FROM ({src})
+    ),
+    {name}_counts AS (
+        SELECT token, count(*) AS cnt FROM {name}_toks GROUP BY token
+    ),
+    {name}_totals AS (
+        SELECT sum(cnt) AS total, count(*) AS vocab FROM {name}_counts
+    )"""
+
+    def nll(name: str) -> str:
+        return f"""
+        SELECT e.{id_col},
+            round(avg(-ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+                          / (t.total + t.vocab))), 6) AS nll
+        FROM ev e
+        LEFT JOIN {name}_counts c USING (token)
+        CROSS JOIN {name}_totals t
+        GROUP BY e.{id_col}"""
+
+    return f"""
+    WITH {model('tgt', target_sql)},
+    {model('pl', pool_sql)},
+    ev AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS token
+        FROM ({pool_sql})
+    ),
+    s_t AS ({nll('tgt')}),
+    s_p AS ({nll('pl')})
+    SELECT {id_col}, round(s_p.nll - s_t.nll, 6) AS importance
+    FROM s_t JOIN s_p USING ({id_col})
+    ORDER BY round(s_p.nll - s_t.nll, 6) DESC, {id_col}
+    LIMIT {n}
+    """

@@ -3845,6 +3845,42 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_metrics(predicted, truth)
 
 
+_DSIR_TARGET_SQL = (
+    "SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')"
+)
+_DSIR_POOL_SQL = (
+    "SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')"
+)
+
+
+def _dsir_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.contamination import (
+        sql_importance_select,
+    )
+
+    return sql_importance_select(_DSIR_POOL_SQL, _DSIR_TARGET_SQL, n=100)
+
+
+@query("dsir_select_docs", _dsir_oracle())
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (contamination.importance_select):
+    the 100 pool docs most like the src0/src1 target domain by average
+    unigram log importance ratio — two LM aggregates + two scoring joins
+    + one global top-n, the mixture-steering selector."""
+    from asctb_ct_label_mapper_spark.operators.contamination import (
+        importance_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    pool = docs.filter(~F.col("source").isin("src0", "src1")).select(
+        "doc_id", "text"
+    )
+    return importance_select(pool, target, n=100)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

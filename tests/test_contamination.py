@@ -326,3 +326,37 @@ class TestBigramLogppl:
         ev = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="empty"):
             bigram_logppl(ev, train).collect()
+
+
+class TestImportanceSelect:
+    def test_selects_target_like_docs(self, spark):
+        """Pool docs written in the target's vocabulary must outrank pool
+        docs written in a disjoint vocabulary."""
+        from asctb_ct_label_mapper_spark.operators.contamination import (
+            importance_select,
+        )
+
+        target = spark.createDataFrame(
+            [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+            "doc_id long, text string",
+        )
+        pool_rows = [
+            (1, "alpha beta gamma alpha beta delta"),     # target-like
+            (2, "beta gamma epsilon zeta alpha gamma"),   # target-like
+            (3, "stock market futures trading desk price"),
+            (4, "weather rain cloud storm wind forecast"),
+        ]
+        pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+        top2 = [r["doc_id"] for r in importance_select(pool, target, 2).collect()]
+        assert set(top2) == {1, 2}
+
+    def test_exact_n_and_deterministic(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.queries import all_queries
+
+        reg = all_queries()
+        a = reg["dsir_select_docs"](spark, sf_dir).collect()
+        b = reg["dsir_select_docs"](spark, sf_dir).collect()
+        assert len(a) == 100
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # scores are finite doubles
+        assert all(r["importance"] is not None for r in a)
