@@ -121,6 +121,15 @@ BENCH_QUERIES = [
     "cos_topk_pq",
     # fixed-size per-group eval-slice sampler
     "sample_capped",
+    # r7 additions: snapshot reconciliation, ES weighted sampling, epoch
+    # shuffle, exact quantile profile, dedup-strategy QA, DSIR selection,
+    # signature-table incremental dedup (added above), fast exact profiler
+    "corpus_diff_docs",
+    "weighted_sample_docs",
+    "shuffle_shards_docs",
+    "length_quantiles_docs",
+    "dedup_minhash_quality",
+    "dsir_select_docs",
 ]
 
 
@@ -159,6 +168,12 @@ SCALE_QUERIES = [
     "chunk_docs",
     "mixture_budget_docs",
     "dedup_scrub_spans",
+    # r7: narrow/equi-join-only additions whose sublinearity should show
+    "corpus_diff_docs",
+    "weighted_sample_docs",
+    "shuffle_shards_docs",
+    "length_quantiles_docs",
+    "dsir_select_docs",
 ]
 
 # Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /
