@@ -923,3 +923,141 @@ def sql_corpus_divergence(
            round(jsd_present + 0.5 * ln(2) * (1.0 - qsum), 6) AS jsd
     FROM agg
     """
+
+
+# --- BPE tokenizer induction -------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The distributed half of BPE tokenizer training: corpus-wide counts
+    of adjacent CHARACTER pairs weighted by word frequency — the statistic
+    whose argmax is the first merge rule (Sennrich et al. 2016).
+
+    Scale shape, and the reason BPE training is cheap at 100 TB: the
+    corpus is scanned ONCE to build the word-frequency table (one
+    map-side-combinable groupBy — vocabulary-sized output); pair
+    positions then explode over DISTINCT words only, weighted by their
+    counts, and a second vocabulary-keyed aggregate yields the pair
+    table. No per-document work is ever repeated; a 100 TB corpus with a
+    1M-word vocabulary does 1M * avg_len pair emissions after the scan.
+    Everything is native (substring arithmetic — an adjacent char pair IS
+    ``substring(word, i, 2)``), no Python.
+
+    Returns the top-``k`` rows (pair, n) by (count DESC, pair ASC) — the
+    deterministic merge-candidate ranking.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("wc"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def sql_bpe_pair_counts(
+    table: str = "documents",
+    k: int = 50,
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``bpe_pair_counts`` (same word weighting, substring
+    pairing, and tie-break)."""
+    return f"""
+    WITH words AS (
+        SELECT w, count(*) AS wc
+        FROM (SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+        WHERE len(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair, wc
+        FROM words
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {k}
+    """
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+) -> "list[tuple[str, str]]":
+    """Full BPE merge-rule training (Sennrich et al. 2016), structured the
+    way it actually scales: ONE distributed pass builds the
+    word-frequency table (vocabulary-sized — the only corpus-dependent
+    cost), which is collected once; the ``n_merges`` greedy iterations
+    then run over that table driver-side, exactly like reference
+    tokenizer trainers (HuggingFace tokenizers / subword-nmt train from
+    word counts, not from the corpus). Iterating distributed jobs per
+    merge would pay n_merges scheduler round-trips to process a table
+    that fits in MBs.
+
+    Deterministic: ties in pair frequency break lexicographically.
+    Returns the ordered merge list [(left, right), ...]. Not
+    SQL-expressible (iterative greedy state) — unit-tested rather than
+    oracle-checked, like the other driver-loop algorithm here
+    (duplicate_groups' label propagation is its distributed cousin).
+    """
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + int(r["wc"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for symbols, wc in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        top = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == top)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for symbols, wc in vocab.items():
+            out = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == pair[0]
+                    and symbols[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + wc
+        vocab = new_vocab
+    return merges

@@ -3881,6 +3881,25 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_select(pool, target, n=100)
 
 
+def _bpe_pairs_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
+
+    return sql_bpe_pair_counts("documents", k=50)
+
+
+@query("bpe_pair_counts_docs", _bpe_pairs_oracle())
+def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, distributed half (textstats.bpe_pair_counts):
+    top-50 adjacent-character merge candidates weighted by word frequency —
+    one corpus scan to the vocabulary-sized word table, pairs explode over
+    DISTINCT words only. The full greedy merge loop
+    (textstats.bpe_learn_merges) trains from the same word table
+    driver-side, the shape real tokenizer trainers use."""
+    from asctb_ct_label_mapper_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -159,3 +159,43 @@ class TestCorpusDivergence:
         for src, n, jsd in con.execute(sql_corpus_divergence("documents")).fetchall():
             assert got[src][0] == n
             assert got[src][1] == pytest.approx(jsd, abs=1e-6)
+
+
+class TestBpeInduction:
+    def test_pair_counts_weighted_by_word_frequency(self, spark):
+        from asctb_ct_label_mapper_spark.operators.textstats import bpe_pair_counts
+
+        # "ab" x3 (two docs), "abc" x1 -> pair 'ab' count 4, 'bc' count 1
+        df = spark.createDataFrame(
+            [(1, "ab ab abc"), (2, "ab x")], "doc_id long, text string"
+        )
+        got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, k=10).collect()}
+        assert got["ab"] == 4 and got["bc"] == 1
+        assert "x" not in got  # single-char words contribute no pairs
+
+    def test_learn_merges_greedy_and_deterministic(self, spark):
+        from asctb_ct_label_mapper_spark.operators.textstats import bpe_learn_merges
+
+        df = spark.createDataFrame(
+            [(1, "low low low lower lowest")], "doc_id long, text string"
+        )
+        merges = bpe_learn_merges(df, n_merges=3)
+        assert len(merges) == 3
+        # 'lo'+'w' dominates: first merge is the most frequent adjacent pair
+        assert merges[0] == ("l", "o")
+        assert merges[1] == ("lo", "w")
+        # deterministic across runs
+        assert merges == bpe_learn_merges(df, n_merges=3)
+
+    def test_learn_merges_consumes_word_counts_once(self, spark):
+        """Merged symbols become units: after ('l','o') and ('lo','w'),
+        'low' is one symbol, so later merges attach suffixes to it."""
+        from asctb_ct_label_mapper_spark.operators.textstats import bpe_learn_merges
+
+        df = spark.createDataFrame(
+            [(1, "lower lower lowest")], "doc_id long, text string"
+        )
+        merges = bpe_learn_merges(df, n_merges=4)
+        assert ("l", "o") in merges and ("lo", "w") in merges
+        joined = ["".join(p) for p in merges]
+        assert "lowe" in joined or "er" in joined
