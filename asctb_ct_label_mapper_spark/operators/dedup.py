@@ -1370,3 +1370,34 @@ def pair_metrics(
             ).alias("f1"),
         )
     )
+
+
+def sql_pair_metrics(
+    pred_sql: str,
+    truth_sql: str,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> str:
+    """DuckDB replay of ``pair_metrics`` over two pair-producing
+    subqueries (any key pair — dedup pairs, ANN (query, neighbor) pairs)."""
+    a, b = id_cols
+    keys = f"{a}, {b}"
+    return f"""
+    WITH pred AS (SELECT DISTINCT {keys}, 1 AS p FROM ({pred_sql})),
+    truth AS (SELECT DISTINCT {keys}, 1 AS t FROM ({truth_sql})),
+    j AS (SELECT p, t FROM pred FULL OUTER JOIN truth USING ({keys})),
+    counts AS (
+        SELECT
+            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j
+    )
+    SELECT tp + fp AS n_pred, tp + fn AS n_truth, tp, fp, fn,
+        round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp + fp) END, 6) AS precision,
+        round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp + fn) END, 6) AS recall,
+        round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                    AND CAST(tp AS DOUBLE)/(tp + fp) + CAST(tp AS DOUBLE)/(tp + fn) > 0
+              THEN 2 * (CAST(tp AS DOUBLE)/(tp + fp)) * (CAST(tp AS DOUBLE)/(tp + fn))
+                   / (CAST(tp AS DOUBLE)/(tp + fp) + CAST(tp AS DOUBLE)/(tp + fn)) END, 6) AS f1
+    FROM counts
+    """

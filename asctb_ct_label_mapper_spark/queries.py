@@ -3900,6 +3900,37 @@ def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _ann_recall_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import sql_pair_metrics
+
+    return sql_pair_metrics(
+        _lsh_topk_oracle(), _COS_TOPK_ORACLE, id_cols=("vec_id", "ref_id")
+    )
+
+
+@query("ann_recall_lsh", _ann_recall_oracle())
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-strategy QA (dedup.pair_metrics over (query, neighbor) pairs):
+    the sign-LSH top-3 scored against the exact brute-force top-3 —
+    recall@3 of the bucketed index, the acceptance metric every
+    approximate similarity path must publish before serving. Same
+    confusion-metric operator as the dedup QA query; both inputs are
+    k-bounded pair sets, so evaluation costs what the strategies cost."""
+    from asctb_ct_label_mapper_spark.operators.dedup import pair_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    approx = lsh_bucketed_topk(
+        queries_df, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+        n_planes=None, dim=64,
+    ).select("vec_id", "ref_id")
+    exact = top_k_similarity_join(
+        queries_df, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id"
+    ).select("vec_id", "ref_id")
+    return pair_metrics(approx, exact, id_cols=("vec_id", "ref_id"))
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

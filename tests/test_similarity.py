@@ -337,3 +337,15 @@ def test_trained_codebooks_beat_seeded_on_clustered_data(spark):
         f"trained {r_trained:.2f} vs seeded {r_seeded:.2f}: no real lift"
     )
     assert r_trained >= 0.6, f"trained recall too low: {r_trained:.2f}"
+
+
+def test_ann_recall_query_metrics(spark, sf_dir):
+    """The registered ANN-QA query: LSH top-3 vs exact top-3 — n_pred ==
+    n_truth (both emit k rows per query), recall substantial at this
+    scale's auto-sized planes."""
+    from asctb_ct_label_mapper_spark.queries import all_queries
+
+    r = all_queries()["ann_recall_lsh"](spark, sf_dir).collect()[0]
+    assert r["n_pred"] == r["n_truth"] > 0
+    assert r["recall"] is not None and r["recall"] >= 0.5
+    assert r["precision"] == r["recall"]  # equal set sizes => P == R
