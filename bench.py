@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "length_quantiles_docs",
     "dedup_minhash_quality",
     "dsir_select_docs",
+    "ann_recall_lsh",
+    "bpe_pair_counts_docs",
 ]
 
 
