@@ -971,9 +971,23 @@ def minhash_dedup_incremental(
         )
     r = n_hashes // bands
 
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    def checked_sig(sig: Column) -> Column:
+        # A supplied signature table with the wrong family width would
+        # otherwise fail SILENTLY (short slices band on partial
+        # signatures; zip_with pads with nulls so every estimate goes
+        # NULL and every match drops). Fail loud instead, per row.
+        return F.when(F.size(sig) == n_hashes, sig).otherwise(
+            F.raise_error(
+                f"signature length != n_hashes={n_hashes} "
+                "(was the table written with a different family size?)"
+            ).cast("array<bigint>")
+        )
+
     def sig_of(df: DataFrame | None, sigs: DataFrame | None) -> DataFrame:
         if sigs is not None:
-            return sigs.select(F.col(id_col), F.col("sig"))
+            return sigs.select(F.col(id_col), checked_sig(F.col("sig")).alias("sig"))
         return minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
 
     bsig = sig_of(batch, batch_signatures)
@@ -982,17 +996,26 @@ def minhash_dedup_incremental(
     def banded(sig: DataFrame, out_id: str) -> DataFrame:
         return _band_signatures(sig, id_col, out_id, bands, r)
 
-    bb = banded(bsig, "batch_id").persist(StorageLevel.MEMORY_AND_DISK)
+    # pooled (plans/cache.py): released at the next registry-query entry
+    # or an explicit drain — the streaming loop drains per micro-batch so
+    # a continuous ingest never accumulates cache entries
+    bb = pooled_persist(banded(bsig, "batch_id"), StorageLevel.MEMORY_AND_DISK)
     bb.count()  # eager: broadcast side, computed once
-    cands = (
+    cands = pooled_persist(
         banded(csig, "match_id")
         .join(F.broadcast(bb), ["band", "bhash"])
         .filter(F.col("match_id") != F.col("batch_id"))
         .select("batch_id", "match_id")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     n_cand = cands.count()  # eager: feeds the id restriction + verify join
+
+    # candidate-id restriction is verify-independent: hoisted above the
+    # branch so both modes share one broadcast heuristic
+    match_ids = cands.select(F.col("match_id").alias("_mid")).distinct()
+    if n_cand <= 2_000_000:
+        match_ids = F.broadcast(match_ids)
 
     if verify == "estimate":
         # Signature-agreement verify: candidate-restricted joins back onto
@@ -1001,9 +1024,6 @@ def minhash_dedup_incremental(
         bs = bsig.select(
             F.col(id_col).alias("batch_id"), F.col("sig").alias("_sig_b")
         )
-        match_ids = cands.select(F.col("match_id").alias("_mid")).distinct()
-        if n_cand <= 2_000_000:
-            match_ids = F.broadcast(match_ids)
         ms = csig.join(match_ids, csig[id_col] == match_ids["_mid"]).select(
             F.col("_mid").alias("match_id"), F.col("sig").alias("_sig_m")
         )
@@ -1031,9 +1051,6 @@ def minhash_dedup_incremental(
         F.col(id_col).alias("batch_id"),
         shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_b"),
     )
-    match_ids = cands.select(F.col("match_id").alias("_mid")).distinct()
-    if n_cand <= 2_000_000:
-        match_ids = F.broadcast(match_ids)
     msh = corpus.join(match_ids, corpus[id_col] == match_ids["_mid"]).select(
         F.col("_mid").alias("match_id"),
         shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_m"),
@@ -1327,14 +1344,25 @@ def pair_metrics(
     p = predicted.select(a, b).distinct().withColumn("_p", F.lit(1))
     t = truth.select(a, b).distinct().withColumn("_t", F.lit(1))
     j = p.join(t, [a, b], "full_outer")
-    tp = F.sum(
-        F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+    # coalesce: sum over ZERO rows (both inputs empty) is NULL, but the
+    # contract is counts — an empty evaluation is all-zeros, not all-nulls
+    tp = F.coalesce(
+        F.sum(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
-    fp = F.sum(
-        F.when(F.col("_p").isNotNull() & F.col("_t").isNull(), 1).otherwise(0)
+    fp = F.coalesce(
+        F.sum(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNull(), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
-    fn = F.sum(
-        F.when(F.col("_p").isNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+    fn = F.coalesce(
+        F.sum(
+            F.when(F.col("_p").isNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
     agg = j.agg(
         (tp + fp).cast("bigint").alias("n_pred"),
@@ -1387,9 +1415,9 @@ def sql_pair_metrics(
     j AS (SELECT p, t FROM pred FULL OUTER JOIN truth USING ({keys})),
     counts AS (
         SELECT
-            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-            CAST(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-            CAST(sum(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+            CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+            CAST(coalesce(sum(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
         FROM j
     )
     SELECT tp + fp AS n_pred, tp + fn AS n_truth, tp, fp, fn,

@@ -80,9 +80,18 @@ def profile_table(
         # Exact distincts WITHOUT the multi-count-distinct Expand: unpivot
         # to (column, value) and run one countDistinct grouped by column —
         # two plain hash aggs, shuffle carries per-partition-distinct pairs
-        # only. cast("string") is injective for the supported types
-        # (numeric/date/timestamp/string), so distinct counts are unchanged.
-        val_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+        # only. The string encoding must preserve VALUE-equality, not just
+        # injectivity: float -0.0 and 0.0 are equal values but distinct
+        # strings, so float/double columns add +0.0 first (IEEE: -0.0+0.0
+        # = +0.0, every other value unchanged), matching countDistinct and
+        # the DuckDB oracle's native-value semantics.
+        def val_of(c: str) -> str:
+            dt = df.schema[c].dataType
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return f"cast(({c} + cast(0.0 as double)) as string)"
+            return f"cast({c} as string)"
+
+        val_args = ", ".join(f"'{c}', {val_of(c)}" for c in cols)
         longv = df.select(
             F.expr(f"stack({len(cols)}, {val_args}) AS (column, value)")
         ).filter(F.col("value").isNotNull())

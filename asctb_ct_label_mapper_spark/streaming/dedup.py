@@ -16,15 +16,17 @@ batch operator — batch/stream parity by construction rather than by a
 re-implementation.
 
 Delivery semantics: ``foreachBatch`` re-executes a micro-batch after a
-failure, so both appends are at-least-once. The signature append is
-harmless to re-run for candidate generation (duplicate signature rows
-produce duplicate candidates, deduped by the operator's ``distinct()``),
-and match re-emission is the standard idempotency seam — production sinks
-that need exactly-once key the write on ``(epoch_id)`` (Spark's
-documented foreachBatch pattern) or use a transactional table format.
-Within one micro-batch, pairs are batch-vs-corpus only; intra-batch dups
-surface one micro-batch later (once the first copy's signature lands) —
-the same contract daily batch ingest has.
+failure, so both appends are at-least-once. Duplicate SIGNATURE rows
+from a re-run are neutralized at read time — each micro-batch
+``dropDuplicates`` the signature table on the id before matching
+(candidate generation dedups pairs, but the verify join would otherwise
+multiply output rows per duplicate signature row). Match re-emission is
+the standard idempotency seam — production sinks that need exactly-once
+key the write on ``(epoch_id)`` (Spark's documented foreachBatch
+pattern) or use a transactional table format. Within one micro-batch,
+pairs are batch-vs-corpus only; intra-batch dups surface one
+micro-batch later (once the first copy's signature lands) — the same
+contract daily batch ingest has.
 """
 
 from __future__ import annotations
@@ -64,12 +66,19 @@ def start_incremental_dedup_stream(
     spark = stream_df.sparkSession
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+
         clean = batch_df.filter(F.col(id_col).isNotNull()).select(id_col, text_col)
         sigs = minhash_signatures(clean, text_col, id_col, n_hashes, shingle_n)
         # one computation, three consumers (candidates, verify, register)
         sigs.persist()
         try:
-            corpus_sigs = spark.read.parquet(signatures_path)
+            # dropDuplicates on the id: a failed-and-retried epoch may have
+            # appended a batch's signatures twice (at-least-once sink); the
+            # verify join must see one signature row per doc
+            corpus_sigs = spark.read.parquet(signatures_path).dropDuplicates(
+                [id_col]
+            )
             matches = minhash_dedup_incremental(
                 None,
                 None,
@@ -87,6 +96,9 @@ def start_incremental_dedup_stream(
             sigs.write.mode("append").parquet(signatures_path)
         finally:
             sigs.unpersist()
+            # release the operator's pooled band/candidate persists — a
+            # continuous stream must not accumulate cache across epochs
+            drain_persist_pool()
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

@@ -492,3 +492,34 @@ class TestPairMetrics:
         assert r["fp"] == 0 and (r["precision"] == 1.0 or r["n_pred"] == 0)
         assert r["n_truth"] > 0
         assert r["recall"] is not None and r["recall"] >= 0.5
+
+
+def test_mismatched_signature_width_fails_loud(spark):
+    """r7 review: a signature table written with a different n_hashes must
+    raise, not silently band partial signatures / drop every match."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    wrong = minhash_signatures(docs, n_hashes=32)  # table at 32, query at 16
+    with pytest.raises(Exception, match="n_hashes"):
+        minhash_dedup_incremental(
+            None, None,
+            corpus_signatures=wrong.filter(F.col("doc_id") % 2 == 0),
+            batch_signatures=wrong.filter(F.col("doc_id") % 2 == 1),
+            verify="estimate",
+        ).collect()
+
+
+def test_pair_metrics_both_empty_all_zero_counts(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import pair_metrics
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = pair_metrics(empty, empty).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["tp"], r["fp"], r["fn"]) == (0, 0, 0, 0, 0)
+    assert r["precision"] is None and r["recall"] is None and r["f1"] is None

@@ -89,3 +89,11 @@ def test_group_quantiles_nearest_rank(spark):
     assert out["a"]["q_50"] == 5.0 and out["a"]["q_90"] == 9.0
     # null excluded; single-value group: every quantile is that value
     assert out["b"]["n"] == 1 and out["b"]["q_50"] == 7.0 and out["b"]["q_90"] == 7.0
+
+
+def test_negative_zero_counts_as_one_distinct(spark):
+    """r7 review: -0.0 and 0.0 are EQUAL values — the string-encoded
+    distinct path must not split them (countDistinct and DuckDB don't)."""
+    df = spark.createDataFrame([(1, 0.0), (2, -0.0), (3, 1.5)], "id long, x double")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["x"]["n_distinct"] == 2
