@@ -453,7 +453,12 @@ def main() -> None:
                 ensure_bucketed_tables,
             )
 
-            ensure_bucketed_tables(spark, rel_dir)
+            bkt = ensure_bucketed_tables(spark, rel_dir)
+            for _df in bkt.values():
+                _df.count()  # warm file listing/footers — the plain paths
+                # get this for free from the 20 queries that precede the
+                # bucketed entries; without it the first bucketed read
+                # pays cold I/O that is not part of the layout comparison
             rel_timings: dict[str, float] = {}
             for name in REL_SCALE_QUERIES:
                 fn = registry[name]
