@@ -772,3 +772,44 @@ def sql_shuffle_shards(
         ) AS INT) AS pos
     FROM {table}
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split — the leakage guard
+    :func:`hash_split` alone cannot give: two near-duplicate documents
+    hashed independently land in different splits ~30% of the time, and a
+    test set contaminated by near-copies of training docs inflates every
+    eval. Here the split is a function of the duplicate GROUP id (min
+    reachable id via ``duplicate_groups``' label propagation), so an
+    entire near-dup cluster moves as one unit — by construction no pair
+    in ``pairs`` ever crosses a split boundary.
+
+    ``pairs`` is any near-dup pair frame (exact Jaccard, MinHash,
+    SimHash, embedding LSH — the operator is family-agnostic). Scale
+    shape: the group formation's iterative equi-joins (already bounded by
+    the dedup family's candidate generation) plus ONE id join and the
+    same md5 bucket arithmetic as ``hash_split`` — deterministic across
+    engines, partitionings, and re-runs.
+
+    Returns df's rows plus (group_id, bucket, split).
+    """
+    from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
+
+    groups = duplicate_groups(pairs, all_ids=df.select(id_col), id_col=id_col)
+    b = hash_bucket(F.col("group_id"))
+    return (
+        df.join(groups.select(id_col, "group_id"), id_col)
+        .withColumn("bucket", b)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < train_pct, F.lit("train"))
+            .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )

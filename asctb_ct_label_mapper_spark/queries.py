@@ -3879,6 +3879,40 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_select(pool, target, n=100)
 
 
+@query(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE
+    {_GROUPS_CTE_BODY}
+    SELECT doc_id, group_id,
+        CAST(CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS INT) AS bucket,
+        CASE
+            WHEN CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 < 80 THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 < 90 THEN 'val'
+            ELSE 'test'
+        END AS split
+    FROM assigned
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split (curation.leakage_safe_split): duplicate
+    groups (lang-blocked exact-Jaccard pairs -> label propagation) are
+    hashed as UNITS, so no near-dup pair straddles train/test — the
+    leakage guard plain per-doc hashing cannot give. Oracle composes the
+    proven groups recursive CTE with the hash-split arithmetic on
+    group_id."""
+    from asctb_ct_label_mapper_spark.operators.curation import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+    return leakage_safe_split(docs.select("doc_id"), pairs).select(
+        "doc_id", "group_id", "bucket", "split"
+    )
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

@@ -328,3 +328,49 @@ class TestShuffleShards:
         ]
         assert len(sizes) == 8
         assert max(sizes) < 2 * (n / 8)  # md5 uniformity, generous bound
+
+
+class TestLeakageSafeSplit:
+    def test_no_pair_straddles_splits(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.operators.curation import (
+            leakage_safe_split,
+        )
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+        out = leakage_safe_split(docs.select("doc_id"), pairs)
+        split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+        pr = pairs.select("id_a", "id_b").collect()
+        assert len(pr) > 0
+        for r in pr:
+            assert split_of[r["id_a"]] == split_of[r["id_b"]]
+        # every doc assigned exactly once, all three splits present
+        assert len(split_of) == docs.count()
+        assert set(split_of.values()) == {"train", "val", "test"}
+
+    def test_plain_hash_split_does_leak_here(self, spark, sf_dir):
+        """The motivating counterexample: per-doc hashing separates at
+        least one near-dup pair on this fixture (else the guard would be
+        vacuous)."""
+        from asctb_ct_label_mapper_spark.operators.curation import hash_split
+        from asctb_ct_label_mapper_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.05)
+        split_of = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+        }
+        crossings = sum(
+            1
+            for r in pairs.select("id_a", "id_b").collect()
+            if split_of[r["id_a"]] != split_of[r["id_b"]]
+        )
+        assert crossings > 0
