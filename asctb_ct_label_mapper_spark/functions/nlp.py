@@ -296,3 +296,61 @@ def sql_clean_text_full(col_sql: str) -> str:
         f"string_split_regex({col_sql}, '\\s+'), x -> x <> ''), "
         f"x -> {sql_clean_word_full('x')}), ' ')"
     )
+
+
+# --- unicode normalization ---------------------------------------------------
+
+
+def nfc_normalize_udf():
+    """Arrow-vectorized Unicode NFC normalization — the canonicalization a
+    multilingual web corpus needs before ANY hashing/dedup/tokenization:
+    composed ("é") and decomposed ("e"+U+0301) spellings of the same text
+    hash differently, so un-normalized corpora leak duplicates past every
+    content-hash family. Python's unicodedata implements the same UAX #15
+    algorithm DuckDB's ``nfc_normalize`` does, so the output is
+    cross-engine hash-checkable."""
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc
+
+
+# C0/C1 controls EXCLUDING \t \n \r (09/0A/0D are whitespace, handled by
+# the \s+ collapse, not deletion — deleting them would glue words). The
+# \x{..} form is the Java-regex/RE2 common syntax (\uXXXX is Java-only).
+CONTROL_CHAR_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "normalized"
+) -> DataFrame:
+    """Full text canonicalization pass: NFC -> strip C0/C1 control
+    characters (tab/newline/CR excluded: they are whitespace) -> collapse
+    whitespace runs to single spaces -> trim. One Arrow pass for the NFC
+    step (no native Spark expression exists), native regexp for the rest —
+    narrow, zero shuffle, streams through the scan at 100 TB. Adds
+    ``out_col``."""
+    nfc = nfc_normalize_udf()(F.col(text_col))
+    stripped = F.regexp_replace(nfc, CONTROL_CHAR_RE, "")
+    collapsed = F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    return df.withColumn(out_col, collapsed)
+
+
+def sql_normalize_text(
+    table: str = "documents", text_col: str = "text", out_col: str = "normalized"
+) -> str:
+    """DuckDB replay of ``normalize_text`` (nfc_normalize + the same
+    regex chain — the shared \\x{{..}} pattern is valid RE2 and Java)."""
+    return f"""
+    SELECT *,
+        trim(regexp_replace(
+            regexp_replace(nfc_normalize({text_col}),
+                           '{CONTROL_CHAR_RE}', '', 'g'),
+            '\\s+', ' ', 'g')) AS {out_col}
+    FROM {table}
+    """

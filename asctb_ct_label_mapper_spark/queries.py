@@ -3913,6 +3913,52 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "normalize_text_docs",
+    """
+    SELECT doc_id,
+        trim(regexp_replace(
+            regexp_replace(nfc_normalize(messy),
+                           '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]', '', 'g'),
+            '\\s+', ' ', 'g')) AS normalized
+    FROM (
+        SELECT doc_id,
+            CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN text || ' caf' || chr(101) || chr(769)
+                WHEN 1 THEN chr(7) || '  ' || text || chr(9) || chr(9) || 'x '
+                ELSE text
+            END AS messy
+        FROM documents
+    )
+    """,
+)
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (nlp.normalize_text): deterministic mess is
+    injected (decomposed e+COMBINING ACUTE, a BEL control, tab runs) and
+    the NFC + control-strip + whitespace-collapse pass must produce
+    byte-identical output to DuckDB's nfc_normalize chain — proving the
+    canonicalization both engines would hash AFTER is the same text."""
+    from asctb_ct_label_mapper_spark.functions.nlp import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" caf"), F.lit("é")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("  "), F.col("text"), F.lit("\t\t"), F.lit("x ")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("messy"),
+    )
+    return normalize_text(messy, "messy").select("doc_id", "normalized")
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

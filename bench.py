@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "ann_recall_lsh",
     "bpe_pair_counts_docs",
+    "normalize_text_docs",
+    "split_leakage_safe",
 ]
 
 

@@ -141,3 +141,29 @@ def test_sql_clean_text_full_matches_python(spark):
     con.executemany("INSERT INTO fixture VALUES (?)", [(t,) for t in texts])
     duck_out = dict(con.sql(f"SELECT t, {sql_clean_text_full('t')} FROM fixture").fetchall())
     assert spark_out == duck_out
+
+
+class TestNormalizeText:
+    def test_nfc_composes_and_controls_strip(self, spark):
+        from asctb_ct_label_mapper_spark.functions.nlp import normalize_text
+
+        rows = [
+            (1, "café"),            # decomposed -> composed é
+            (2, "a\x07b"),                # BEL deleted, words glued (control, not space)
+            (3, "  a\t\tb\r\nc  "),       # whitespace family -> single spaces, trimmed
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["normalized"] for r in normalize_text(df).collect()}
+        assert got[1] == "café"
+        assert got[2] == "ab"
+        assert got[3] == "a b c"
+        assert got[4] is None
+
+    def test_idempotent(self, spark):
+        from asctb_ct_label_mapper_spark.functions.nlp import normalize_text
+
+        df = spark.createDataFrame([(1, " x́  y\x01 ")], "doc_id long, text string")
+        once = normalize_text(df).select("doc_id", F.col("normalized").alias("text"))
+        twice = normalize_text(once).collect()[0]["normalized"]
+        assert twice == normalize_text(df).collect()[0]["normalized"]
