@@ -813,3 +813,70 @@ def leakage_safe_split(
             .otherwise(F.lit("test")),
         )
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining-mixture report: per-group document/token counts, token
+    share, and cumulative share in descending-token order — the table a
+    mixture decision (and every DSIR/budget-sampling run) starts from,
+    and the Pareto view ("the top 3 sources are 80% of tokens") that
+    drives curation priorities.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus; the
+    share/cumulative windows then run over the AGGREGATED frame, which is
+    group-count-sized (sources/domains — thousands at most), so the
+    single-partition global window is windowing a few KB, not the corpus.
+
+    Returns (group_col, n_docs, n_tokens, token_share, cum_share),
+    shares rounded 6dp, ordered by (n_tokens DESC, group).
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(
+        F.desc("n_tokens"), F.asc(group_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        agg.withColumn("_total", F.sum("n_tokens").over(w_all))
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens").cast("double") / F.col("_total"), 6),
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_tokens").over(w_cum).cast("double") / F.col("_total"), 6
+            ),
+        )
+        .select(group_col, "n_docs", "n_tokens", "token_share", "cum_share")
+    )
+
+
+def sql_mixture_report(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``mixture_report`` (same ordering and rounding)."""
+    return f"""
+    WITH agg AS (
+        SELECT {group_col},
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT) AS n_tokens
+        FROM {table}
+        GROUP BY {group_col}
+    )
+    SELECT {group_col}, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+        round(CAST(sum(n_tokens) OVER (
+                  ORDER BY n_tokens DESC, {group_col}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) / sum(n_tokens) OVER (), 6) AS cum_share
+    FROM agg
+    """

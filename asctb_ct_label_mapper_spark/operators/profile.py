@@ -221,3 +221,69 @@ def sql_group_quantiles(
     )
     GROUP BY {group_col}
     """
+
+
+def flag_outliers_iqr(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    factor: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group: rows whose ``value_col`` falls
+    outside [q25 - factor*IQR, q75 + factor*IQR] of THEIR group — the
+    standard length-outlier gate (truncated fragments, concatenation
+    blobs) that a fixed global threshold gets wrong across
+    languages/domains with different length distributions.
+
+    Composes :func:`group_quantiles` (exact nearest-rank q25/q75 — one
+    group shuffle) with a broadcast-able join of the group-count-sized
+    fence table back onto the corpus. Returns only the OUTLIER rows plus
+    (fence_lo, fence_hi, side) — churn-sized output.
+    """
+    q = group_quantiles(df, value_col, group_col, qs=(0.25, 0.75)).select(
+        group_col,
+        F.col("q_25"),
+        F.col("q_75"),
+    )
+    iqr = F.col("q_75") - F.col("q_25")
+    fences = q.select(
+        group_col,
+        (F.col("q_25") - factor * iqr).alias("fence_lo"),
+        (F.col("q_75") + factor * iqr).alias("fence_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(fences), group_col)
+        .filter((v < F.col("fence_lo")) | (v > F.col("fence_hi")))
+        .withColumn(
+            "side",
+            F.when(v < F.col("fence_lo"), "low").otherwise("high"),
+        )
+    )
+
+
+def sql_flag_outliers_iqr(
+    table: str,
+    value_col: str,
+    group_col: str,
+    factor: float = 1.5,
+    cols: str = "*",
+) -> str:
+    """DuckDB replay of ``flag_outliers_iqr`` (same nearest-rank quantiles
+    and fence arithmetic)."""
+    qsql = sql_group_quantiles(table, value_col, group_col, qs=(0.25, 0.75))
+    return f"""
+    WITH q AS ({qsql}),
+    fences AS (
+        SELECT {group_col},
+            q_25 - {factor} * (q_75 - q_25) AS fence_lo,
+            q_75 + {factor} * (q_75 - q_25) AS fence_hi
+        FROM q
+    )
+    SELECT {cols}, fence_lo, fence_hi,
+        CASE WHEN CAST({value_col} AS DOUBLE) < fence_lo THEN 'low'
+             ELSE 'high' END AS side
+    FROM {table} JOIN fences USING ({group_col})
+    WHERE CAST({value_col} AS DOUBLE) < fence_lo
+       OR CAST({value_col} AS DOUBLE) > fence_hi
+    """

@@ -3959,6 +3959,49 @@ def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(messy, "messy").select("doc_id", "normalized")
 
 
+def _mixture_report_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import sql_mixture_report
+
+    return sql_mixture_report("documents", "source")
+
+
+@query("mixture_report_docs", _mixture_report_oracle())
+def mixture_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture report (curation.mixture_report): per-source
+    doc/token counts, token share, cumulative share — the Pareto table
+    mixture decisions start from. One corpus aggregate; windows run over
+    the group-count-sized result, never the corpus."""
+    from asctb_ct_label_mapper_spark.operators.curation import mixture_report
+
+    return mixture_report(_t(spark, sf_dir, "documents"), "source")
+
+
+def _outliers_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import sql_flag_outliers_iqr
+
+    return sql_flag_outliers_iqr(
+        "documents", "n_chars", "lang", factor=0.8,
+        cols="doc_id, lang, n_chars",
+    )
+
+
+@query("length_outliers_docs", _outliers_oracle())
+def length_outliers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Tukey-fence length outliers (profile.flag_outliers_iqr,
+    factor tightened to 0.8 so the synthetic near-uniform lengths yield a
+    non-empty flag set): exact nearest-rank q25/q75 -> broadcast fence
+    join -> churn-sized outlier rows — the per-domain length gate a fixed
+    global threshold gets wrong."""
+    from asctb_ct_label_mapper_spark.operators.profile import flag_outliers_iqr
+
+    return flag_outliers_iqr(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        "lang",
+        factor=0.8,
+    ).select("doc_id", "lang", "n_chars", "fence_lo", "fence_hi", "side")
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

@@ -374,3 +374,15 @@ class TestLeakageSafeSplit:
             if split_of[r["id_a"]] != split_of[r["id_b"]]
         )
         assert crossings > 0
+
+
+def test_mixture_report_shares_sum_to_one(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.curation import mixture_report
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    rows = mixture_report(load_table(spark, sf_dir, "documents"), "source").collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    # cumulative share is monotone in the (tokens desc) order and ends at 1
+    ordered = sorted(rows, key=lambda r: (-r["n_tokens"], r["source"]))
+    cums = [r["cum_share"] for r in ordered]
+    assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-6

@@ -97,3 +97,17 @@ def test_negative_zero_counts_as_one_distinct(spark):
     df = spark.createDataFrame([(1, 0.0), (2, -0.0), (3, 1.5)], "id long, x double")
     rows = {r["column"]: r for r in profile_table(df).collect()}
     assert rows["x"]["n_distinct"] == 2
+
+
+def test_iqr_outliers_flag_planted_extremes(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import flag_outliers_iqr
+
+    rows = [("en", i, 100 + i) for i in range(20)]  # tight band
+    rows += [("en", 100, 10_000), ("en", 101, 1)]   # planted extremes
+    rows += [("de", 200, 5_000)]                    # lone group: its own fence, no IQR
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    got = {r["doc_id"]: r["side"] for r in
+           flag_outliers_iqr(df, "n_chars", "lang").collect()}
+    assert got.get(100) == "high" and got.get(101) == "low"
+    assert 200 not in got  # single-value group has zero IQR around itself
+    assert all(d in (100, 101) for d in got)
