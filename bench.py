@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "bpe_pair_counts_docs",
     "normalize_text_docs",
     "split_leakage_safe",
+    "mixture_report_docs",
+    "length_outliers_docs",
 ]
 
 
