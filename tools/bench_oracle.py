@@ -35,6 +35,12 @@ _EXCLUDED = {
     # measured r6) — the Spark side runs these in ~1-2 s
     "dedup_representatives",
     "dedup_embedding_groups",
+    # r7: groups recursive CTE again (split over components)
+    "split_leakage_safe",
+    # r7: the QA oracle's truth side is a corpus-wide doc_id< self-join
+    # with list ops — O(n^2) pairs in DuckDB at sf0.1 (~1.25B); the Spark
+    # side's set-similarity join is collision-proportional (3 s)
+    "dedup_minhash_quality",
 }
 
 
