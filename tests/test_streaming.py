@@ -373,3 +373,48 @@ def test_streaming_incremental_dedup(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(sig_path).count() == n_corpus_sigs + batch.count()
     )
+
+
+def test_streaming_dedup_tolerates_duplicate_signature_rows(spark, sf_dir, tmp_path):
+    """At-least-once resilience (r7 review): a retried epoch can append a
+    batch's signatures twice; the per-epoch dropDuplicates on the
+    signature read must keep match rows UNIQUE regardless."""
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_signatures
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.streaming.dedup import (
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    sig_path = str(tmp_path / "sigs")
+    seed = minhash_signatures(corpus)
+    # simulate a retried append: every corpus signature row TWICE
+    seed.unionByName(seed).write.parquet(sig_path)
+
+    landing = str(tmp_path / "landing")
+    write_jsonl(batch, landing)
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    matches_path = str(tmp_path / "matches")
+    q = start_incremental_dedup_stream(
+        read_jsonl_stream(spark, landing, schema),
+        sig_path,
+        matches_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.2,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = [tuple(r) for r in spark.read.parquet(matches_path).collect()]
+    assert len(got) == len(set(got)) > 0  # no duplicated match rows
