@@ -151,3 +151,20 @@ def export_corpus_shards(
     )
     manifest.write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
     return manifest
+
+
+def read_parquet_evolving(spark, path: str, *more_paths: str):
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions the
+    footers of every shard, so old shards written before a column existed
+    read as NULL in that column instead of failing or silently dropping
+    it — the contract a long-lived corpus directory needs (ingest adds
+    `quality_score` in March; January's shards must still scan).
+
+    Cost note (the reason mergeSchema is not Spark's default): schema
+    merging reads every file's footer up front. At 100 TB keep ONE
+    authoritative schema per dataset version and pass it explicitly
+    (``spark.read.schema(s).parquet(...)`` — no footer sweep, missing
+    columns still null-fill); mergeSchema is the migration-window tool,
+    not the steady state. Both behaviors are tested.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path, *more_paths)

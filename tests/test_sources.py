@@ -215,3 +215,40 @@ def test_export_corpus_shards_manifest_verifies_roundtrip(spark, tmp_path):
     for s, m in manifest.items():
         assert rederived[s]["content_checksum"] == m["content_checksum"]
         assert rederived[s]["n_docs"] == m["n_docs"]
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_null_fills_old_shards(self, spark, tmp_path):
+        from asctb_ct_label_mapper_spark.sources.sinks import (
+            read_parquet_evolving,
+        )
+
+        old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(2, "b", 0.9)], "doc_id long, text string, quality double"
+        )
+        old.write.parquet(str(tmp_path / "corpus" / "jan"))
+        new.write.parquet(str(tmp_path / "corpus" / "mar"))
+        got = read_parquet_evolving(
+            spark, str(tmp_path / "corpus" / "jan"), str(tmp_path / "corpus" / "mar")
+        )
+        rows = {r["doc_id"]: r for r in got.collect()}
+        assert set(got.columns) == {"doc_id", "text", "quality"}
+        assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
+
+    def test_explicit_schema_steady_state(self, spark, tmp_path):
+        """The 100 TB path: one authoritative schema, no footer sweep —
+        missing columns still null-fill."""
+        from pyspark.sql import types as T
+
+        old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        old.write.parquet(str(tmp_path / "jan"))
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("quality", T.DoubleType()),
+            ]
+        )
+        got = spark.read.schema(schema).parquet(str(tmp_path / "jan")).collect()
+        assert got[0]["quality"] is None
