@@ -880,3 +880,55 @@ def sql_mixture_report(
               ) AS DOUBLE) / sum(n_tokens) OVER (), 6) AS cum_share
     FROM agg
     """
+
+
+def weighted_sample_threshold(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    oversample: float = 2.0,
+) -> DataFrame:
+    """The LARGE-``n`` flavor of :func:`weighted_sample` — same
+    Efraimidis-Spirakis keys, same selected set, different physical plan:
+    instead of one global top-n (whose driver merge is O(n) and
+    uncomfortable at n in the tens of millions), pass 1 estimates the
+    key threshold at rank ``oversample * n`` via ``approxQuantile``
+    (sketch aggregate, no sort), pass 2 filters to keys above it
+    (survivor set ~oversample*n rows) and runs the exact top-n on that
+    sliver. The keys are pure functions of the id, so the SELECTED SET is
+    identical to the one-pass flavor — equality is tested, and if the
+    sketch under-cuts (survivors < n) the operator falls back to the
+    exact path rather than return a short sample.
+    """
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+            .cast("bigint")
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            key.alias("_key"),
+        )
+    )
+    total = keyed.count()
+    if total <= n:
+        survivors = keyed
+    else:
+        p = 1.0 - min(1.0, (oversample * n) / total)
+        (threshold,) = keyed.stat.approxQuantile("_key", [p], 0.001)
+        survivors = keyed.filter(F.col("_key") >= threshold)
+        if survivors.count() < n:  # sketch under-cut: exact fallback
+            survivors = keyed
+    return (
+        survivors.orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, "weight", F.round("_key", 6).alias("sample_key"))
+    )

@@ -386,3 +386,27 @@ def test_mixture_report_shares_sum_to_one(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: (-r["n_tokens"], r["source"]))
     cums = [r["cum_share"] for r in ordered]
     assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-6
+
+
+def test_weighted_sample_threshold_matches_exact(spark, sf_dir):
+    """The two-pass threshold plan selects the IDENTICAL set (same keys,
+    same ordering) as the one-pass global top-n."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_threshold,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    exact = [tuple(r) for r in weighted_sample(docs, 50, "n_chars").collect()]
+    two_pass = [
+        tuple(r) for r in weighted_sample_threshold(docs, 50, "n_chars").collect()
+    ]
+    assert exact == two_pass
+    # n larger than the table: both return everything, still equal
+    big_e = [tuple(r) for r in weighted_sample(docs, 10_000, "n_chars").collect()]
+    big_t = [
+        tuple(r)
+        for r in weighted_sample_threshold(docs, 10_000, "n_chars").collect()
+    ]
+    assert big_e == big_t
