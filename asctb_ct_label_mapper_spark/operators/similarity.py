@@ -843,3 +843,96 @@ def _pq_topk_fused(
         .filter(F.col("rank") <= k)
         .drop("_ref_vec", query_vec_col)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    reference: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    query_id_cols: Sequence[str] = ("vec_id",),
+    ref_id_col: str = "vec_id",
+    ref_vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversification pass RAG retrieval needs: plain top-k returns
+    near-duplicate passages; MMR greedily picks the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_cosine_to_already_selected``, so
+    redundant candidates are penalized exactly by their similarity to
+    what is already in the answer set.
+
+    Inputs: ``candidates`` = any strategy's top-pool (query ids, ref_id,
+    relevance score — run the base ANN with a pool a few times ``k``);
+    ``reference`` supplies candidate vectors. Scale shape: one
+    candidate-proportional equi-join to attach vectors (the pool is
+    |Q| * pool_k rows, never the corpus), then ONE ``applyInPandas``
+    grouped by query — each group is a pool_k-row greedy loop, pure
+    numpy, embarrassingly parallel across queries. Ties break by
+    ascending ref_id at every step (same contract as the top-k window),
+    and the first pick's penalty term is 0, so ``mmr_score`` of rank 1 is
+    ``lam * score``.
+
+    Returns (query ids, ref_id, score, mmr_score, mmr_rank) — scores as
+    raw doubles (round at the consumer; both engines' round semantics
+    then agree).
+    """
+    qcols = list(query_id_cols)
+    ref = reference.select(
+        F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_rv")
+    )
+    pool = candidates.join(ref, "ref_id")
+
+    out_schema = T.StructType(
+        [
+            *[candidates.schema[c] for c in qcols],
+            T.StructField("ref_id", candidates.schema["ref_id"].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(pdf["_rv"].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        scores = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf["ref_id"].to_numpy()
+        order = np.lexsort((ids,))  # stable id order for tie-breaks
+        remaining = list(order)
+        selected: list[int] = []
+        rows = []
+        while remaining and len(selected) < k:
+            best_i, best_m = None, None
+            for i in remaining:
+                if selected:
+                    sims = [
+                        float(vecs[i] @ vecs[j])
+                        / (norms[i] * norms[j])
+                        if norms[i] > 0 and norms[j] > 0
+                        else 0.0
+                        for j in selected
+                    ]
+                    penalty = max(sims)
+                else:
+                    penalty = 0.0
+                m = lam * scores[i] - (1.0 - lam) * penalty
+                # strict > : earlier (lower-id) candidate wins exact ties
+                if best_m is None or m > best_m:
+                    best_i, best_m = i, m
+            selected.append(best_i)
+            remaining.remove(best_i)
+            rows.append(
+                {
+                    **{c: pdf.iloc[0][c] for c in qcols},
+                    "ref_id": ids[best_i],
+                    "score": float(scores[best_i]),
+                    # raw double: Python's round() is banker's rounding —
+                    # callers round with F.round (SQL semantics) instead
+                    "mmr_score": float(best_m),
+                    "mmr_rank": len(selected),
+                }
+            )
+        return pd.DataFrame(rows, columns=[*qcols, "ref_id", "score", "mmr_score", "mmr_rank"])
+
+    return pool.groupBy(*qcols).applyInPandas(pick, schema=out_schema)

@@ -4002,6 +4002,92 @@ def length_outliers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", "fence_lo", "fence_hi", "side")
 
 
+_MMR_ORACLE = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 = 0),
+    r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 10 <> 0),
+    s AS (SELECT q.vec_id, r.rid, list_cosine_similarity(q.e, r.e) AS sc,
+                 r.e AS re
+          FROM q CROSS JOIN r),
+    pool AS (
+        SELECT vec_id, rid, sc, re FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sc DESC, rid) AS rn
+            FROM s
+        ) WHERE rn <= 8
+    ),
+    s1 AS (
+        SELECT vec_id, rid, sc, re, 0.7 * sc AS m FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sc DESC, rid) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT p.vec_id, p.rid, p.sc, p.re,
+            0.7 * p.sc - (1.0 - 0.7) * list_cosine_similarity(p.re, s1.re) AS m
+        FROM pool p JOIN s1 ON p.vec_id = s1.vec_id AND p.rid <> s1.rid
+    ),
+    s2 AS (
+        SELECT vec_id, rid, sc, re, m FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY m DESC, rid) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ),
+    c3 AS (
+        SELECT p.vec_id, p.rid, p.sc,
+            0.7 * p.sc - (1.0 - 0.7) * greatest(
+                list_cosine_similarity(p.re, s1.re),
+                list_cosine_similarity(p.re, s2.re)) AS m
+        FROM pool p
+        JOIN s1 ON p.vec_id = s1.vec_id
+        JOIN s2 ON p.vec_id = s2.vec_id
+        WHERE p.rid <> s1.rid AND p.rid <> s2.rid
+    ),
+    s3 AS (
+        SELECT vec_id, rid, sc, m FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY m DESC, rid) AS rn
+            FROM c3
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, rid AS ref_id, round(sc, 6) AS score,
+           round(m, 6) AS mmr_score, 1 AS mmr_rank FROM s1
+    UNION ALL
+    SELECT vec_id, rid, round(sc, 6), round(m, 6), 2 FROM s2
+    UNION ALL
+    SELECT vec_id, rid, round(sc, 6), round(m, 6), 3 FROM s3
+"""
+
+
+@query("mmr_rerank_topk", _MMR_ORACLE)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (similarity.mmr_rerank): exact top-8 candidate
+    pool per query, then 3 greedy MMR picks (lambda=0.7) — relevance
+    traded against max-cosine-to-selected, the RAG redundancy fix. The
+    oracle UNROLLS the greedy loop (one CTE per step) so even the
+    iterative rerank is hash-verified cross-engine; per-query groups run
+    as one applyInPandas, embarrassingly parallel at corpus scale."""
+    from asctb_ct_label_mapper_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    pool = top_k_similarity_join(
+        queries_df, reference, k=8, query_id_cols=["vec_id"], ref_id_col="vec_id"
+    ).select("vec_id", "ref_id", "score")
+    out = mmr_rerank(pool, reference, k=3, lam=0.7, query_id_cols=("vec_id",))
+    return out.select(
+        "vec_id",
+        "ref_id",
+        F.round("score", 6).alias("score"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+        "mmr_rank",
+    )
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

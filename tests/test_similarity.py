@@ -352,3 +352,54 @@ def test_ann_recall_query_metrics(spark, sf_dir):
     # numbers live in SCALING.md
     assert r["recall"] is not None and r["recall"] >= 0.35
     assert r["precision"] == r["recall"]  # equal set sizes => P == R
+
+
+class TestMmrRerank:
+    def test_demotes_redundant_candidates(self, spark):
+        """Plain top-2 returns two near-identical refs; MMR must swap the
+        redundant second pick for the diverse one."""
+        from asctb_ct_label_mapper_spark.operators.similarity import mmr_rerank
+
+        q = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        # ref 10 must NOT align with the query exactly, else every
+        # candidate's sim-to-10 equals its own relevance and MMR is
+        # degenerate (all margins identical)
+        ref_rows = [
+            (10, [0.95, 0.3122, 0.0]),   # best match (sc ~0.95)
+            (11, [0.94, 0.3412, 0.0]),   # near-duplicate of 10 (sim ~0.999)
+            (12, [0.90, -0.4359, 0.0]),  # diverse, decent score (sc 0.90)
+        ]
+        r = spark.createDataFrame(ref_rows, "vec_id long, embedding array<double>")
+        pool = top_k_similarity_join(q, r, 3, ["vec_id"], "vec_id").select(
+            "vec_id", "ref_id", "score"
+        )
+        plain = [row["ref_id"] for row in
+                 pool.orderBy(F.desc("score"), "ref_id").limit(2).collect()]
+        assert plain == [10, 11]
+        mmr = {row["mmr_rank"]: row["ref_id"] for row in
+               mmr_rerank(pool, r, k=2, lam=0.5).collect()}
+        assert mmr[1] == 10 and mmr[2] == 12  # diversity beats redundancy
+
+    def test_rank1_is_pure_relevance_and_k_bounded(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.operators.similarity import mmr_rerank
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+        r = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+        pool = top_k_similarity_join(q, r, 6, ["vec_id"], "vec_id").select(
+            "vec_id", "ref_id", "score"
+        )
+        best = {row["vec_id"]: row["ref_id"] for row in
+                top_k_similarity_join(q, r, 1, ["vec_id"], "vec_id").collect()}
+        out = mmr_rerank(pool, r, k=3, lam=0.7).collect()
+        per_q = {}
+        for row in out:
+            per_q.setdefault(row["vec_id"], []).append(row)
+        for qid, rows in per_q.items():
+            assert len(rows) == 3
+            r1 = next(x for x in rows if x["mmr_rank"] == 1)
+            assert r1["ref_id"] == best[qid]  # first pick = max relevance
+            assert abs(r1["mmr_score"] - 0.7 * r1["score"]) < 1e-9
