@@ -168,3 +168,50 @@ def read_parquet_evolving(spark, path: str, *more_paths: str):
     not the steady state. Both behaviors are tested.
     """
     return spark.read.option("mergeSchema", "true").parquet(path, *more_paths)
+
+
+def compact_shards(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> dict:
+    """Small-files compaction — the unglamorous op that keeps a 100 TB
+    lake queryable: streaming ingest and fine-grained partitioned writes
+    leave thousands of KB-sized parquet shards, and every downstream scan
+    then pays file-open/footer/scheduling cost per shard (NameNode/object-
+    store pressure included). Compaction rewrites the dataset into
+    ~``target_mb``-sized files.
+
+    The target file count comes from the ACTUAL on-disk byte size (file
+    statuses, no data read), so compression ratio is accounted for by
+    construction. ``coalesce`` (not ``repartition``) merges partitions
+    without a shuffle — correct here because compaction has no ordering
+    or co-location contract to preserve; use a repartition-by-key write
+    when the destination must be bucketed (see ``sources/bucketing``).
+
+    Never rewrites in place: the destination is a NEW directory (the
+    .crc/partial-write hazards of in-place rewrites are documented in the
+    verify notes), and the swap is the caller's atomic rename/catalog
+    repoint. Returns {"n_src_files", "src_bytes", "n_dst_files"}.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    ]
+    src_bytes = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-src_bytes // (target_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_out).write.mode("error").parquet(dst_path)
+    n_dst = len(
+        [
+            f
+            for f in _glob.glob(_os.path.join(dst_path, "*.parquet"))
+            if _os.path.isfile(f)
+        ]
+    )
+    return {"n_src_files": len(files), "src_bytes": src_bytes, "n_dst_files": n_dst}

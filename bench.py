@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "split_leakage_safe",
     "mixture_report_docs",
     "length_outliers_docs",
+    "mmr_rerank_topk",
 ]
 
 

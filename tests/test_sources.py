@@ -252,3 +252,25 @@ class TestSchemaEvolution:
         )
         got = spark.read.schema(schema).parquet(str(tmp_path / "jan")).collect()
         assert got[0]["quality"] is None
+
+
+def test_compact_shards_reduces_file_count_losslessly(spark, tmp_path):
+    from asctb_ct_label_mapper_spark.sources.sinks import compact_shards
+
+    src = str(tmp_path / "many")
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny shards
+    dst = str(tmp_path / "compacted")
+    stats = compact_shards(spark, src, dst, target_mb=128)
+    assert stats["n_src_files"] == 64
+    assert stats["n_dst_files"] == 1  # tiny dataset -> one target-size file
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(10_000))
+    # in-place rewrite refused (mode=error + new dir contract)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compact_shards(spark, src, dst, target_mb=128)
