@@ -398,8 +398,19 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH (OR-amplification).
+
+    ``multiprobe`` > 0 additionally probes, PER TABLE, the ``multiprobe``
+    buckets at Hamming distance 1 whose flipped plane has the SMALLEST
+    query margin |q . plane| (Lv et al. 2007, multi-probe LSH): a near
+    neighbor lost to one narrowly-decided sign bit is recovered from the
+    adjacent bucket. Query-side only — the reference stays at one bucket
+    per table, so the INDEX cost is unchanged and the candidate volume
+    grows by at most (1 + multiprobe)x; trading probes for tables this
+    way needs ~L/(1+m) tables for the same recall, i.e. an (1+m)x smaller
+    index — the memory-bound regime's preferred knob.
 
     Each of ``n_tables`` hash tables buckets vectors by ``n_planes`` sign
     bits from its own hyperplane set; a (query, ref) pair is a candidate if
@@ -442,6 +453,8 @@ def lsh_bucketed_topk(
     flat = planes.reshape(n_tables * n_planes, dim).T  # (D, T*P)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
+    m = int(np.clip(multiprobe, 0, n_planes))
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.to_list(), dtype=np.float64)  # (n, D)
@@ -450,13 +463,40 @@ def lsh_bucketed_topk(
         ids = (per_table * weights).sum(axis=2)  # (n, T)
         return pd.Series(list(ids))
 
-    def with_buckets(df: DataFrame, vec: str, keep: Sequence[str]) -> DataFrame:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe_ids(vecs: pd.Series) -> pd.Series:
+        # base bucket + m Hamming-1 flips per table, flips ordered by
+        # ascending |margin| (argsort is stable: equal margins flip the
+        # lower plane index first — the tie order the oracle replays)
+        mat = np.array(vecs.to_list(), dtype=np.float64)
+        dots = (mat @ flat).reshape(len(mat), n_tables, n_planes)
+        bits = dots > 0
+        base = (bits * weights).sum(axis=2)  # (n, T)
+        order = np.argsort(np.abs(dots), axis=2, kind="stable")[:, :, :m]  # (n,T,m)
+        flips = base[:, :, None] ^ (1 << order)  # (n, T, m)
+        out = np.concatenate([base[:, :, None], flips], axis=2)  # (n, T, 1+m)
+        return pd.Series(list(out.reshape(len(mat), n_tables * (1 + m))))
+
+    def with_buckets(
+        df: DataFrame, vec: str, keep: Sequence[str], probe: bool = False
+    ) -> DataFrame:
+        if probe and m > 0:
+            # posexplode over T*(1+m) probes; table = pos // (1+m)
+            return df.select(
+                *keep, vec,
+                F.posexplode(probe_ids(F.col(vec))).alias("_pos", "bucket"),
+            ).select(
+                *keep, vec, "bucket",
+                (F.col("_pos") / (1 + m)).cast("int").alias("table"),
+            )
         # posexplode: position = table index, value = bucket id
         return df.select(
             *keep, vec, F.posexplode(bucket_ids(F.col(vec))).alias("table", "bucket")
         )
 
-    q = with_buckets(ensure_min_partitions(queries), query_vec_col, query_id_cols)
+    q = with_buckets(
+        ensure_min_partitions(queries), query_vec_col, query_id_cols, probe=True
+    )
     r0 = reference.select(
         F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
     )

@@ -1300,6 +1300,106 @@ def _lsh_topk_oracle(
     """
 
 
+def _lsh_multiprobe_oracle(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 4, seed: int = 7, k: int = 3
+) -> str:
+    """Generate the DuckDB oracle for cos_topk_lsh_mp (multiprobe=1): the
+    query side probes, per table, its base bucket AND the bucket with the
+    smallest-|margin| sign bit flipped — argmin via list_position of
+    list_min (first minimum), matching numpy's stable argsort; the flip is
+    xor with 2^argmin. Reference side and scoring identical to
+    _lsh_topk_oracle."""
+    from asctb_ct_label_mapper_spark.operators.similarity import random_hyperplanes
+
+    def exprs(planes):
+        lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+        dots = [f"list_dot_product(e, {lit})" for lit in lits]
+        bucket = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)"
+            for j, d in enumerate(dots)
+        )
+        absl = "[" + ", ".join(f"abs({d})" for d in dots) + "]"
+        argmin = f"(list_position({absl}, list_min({absl})) - 1)"
+        pow_expr = (
+            "(CASE "
+            + " ".join(
+                f"WHEN {argmin} = {j} THEN {1 << j}"
+                for j in range(len(planes))
+            )
+            + " END)"
+        )
+        return bucket, pow_expr
+
+    q_unions, r_unions = [], []
+    qsrc = (
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "WHERE vec_id % 10 = 0)"
+    )
+    rsrc = (
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "WHERE vec_id % 10 <> 0)"
+    )
+    for t in range(n_tables):
+        bucket, pow_expr = exprs(random_hyperplanes(dim, n_planes, seed + t))
+        q_unions.append(
+            f"SELECT vec_id, e, {t} AS tbl, {bucket} AS bucket FROM {qsrc}"
+        )
+        q_unions.append(
+            f"SELECT vec_id, e, {t} AS tbl, xor({bucket}, {pow_expr}) AS bucket "
+            f"FROM {qsrc}"
+        )
+        r_unions.append(
+            f"SELECT vec_id, e, {t} AS tbl, {bucket} AS bucket FROM {rsrc}"
+        )
+    qb = "\n        UNION ALL\n        ".join(q_unions)
+    rb = "\n        UNION ALL\n        ".join(r_unions)
+    return f"""
+    WITH qb AS (
+        {qb}
+    ),
+    rb AS (
+        {rb}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id, rb.vec_id AS rid
+        FROM qb JOIN rb ON qb.tbl = rb.tbl AND qb.bucket = rb.bucket
+    ),
+    scored AS (
+        SELECT c.vec_id, c.rid, list_cosine_similarity(q.e, r.e) AS sc
+        FROM cand c
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) q
+          ON q.vec_id = c.vec_id
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) r
+          ON r.vec_id = c.rid
+    ),
+    ranked AS (
+        SELECT vec_id, rid, sc,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, rid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, rid AS ref_id, round(sc, 6) AS score, rn AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("cos_topk_lsh_mp", _lsh_multiprobe_oracle())
+def cos_topk_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): per table, the query also
+    probes the Hamming-1 bucket of its narrowest sign bit — recall
+    recovered from boundary losses WITHOUT growing the index (the
+    memory-bound regime's knob: ~L/(1+m) tables for equal recall). The
+    oracle replays the margin-argmin flip with the shared plane literals,
+    so even the probe choice is hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    out = lsh_bucketed_topk(
+        queries, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+        n_planes=None, dim=64, multiprobe=1,
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
 @query("cos_topk_lsh", _lsh_topk_oracle())
 def cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN path (multi-table sign-LSH buckets), ORACLE-CHECKED

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "mixture_report_docs",
     "length_outliers_docs",
     "mmr_rerank_topk",
+    "cos_topk_lsh_mp",
 ]
 
 
