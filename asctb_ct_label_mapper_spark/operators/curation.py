@@ -672,6 +672,21 @@ def weighted_sample(
     Returns (id, weight, sample_key) ordered by key descending, key
     rounded 6dp for cross-engine display (ordering uses the raw key).
     """
+    return (
+        _es_keyed(df, weight_col, id_col)
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(n)
+        .select(
+            id_col, "weight", F.round("_key", 6).alias("sample_key")
+        )
+    )
+
+
+def _es_keyed(df: DataFrame, weight_col: str, id_col: str) -> DataFrame:
+    """The shared Efraimidis-Spirakis key frame — ONE definition so the
+    one-pass and two-pass samplers are set-identical by construction:
+    (id, weight double, _key = ln(u)/w) with u md5-derived and
+    non-positive/null weights excluded."""
     u = (
         (
             F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
@@ -681,18 +696,12 @@ def weighted_sample(
         / F.lit(float(1 << 52))
     )
     key = F.log(u) / F.col(weight_col).cast("double")
-    return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(
-            F.col(id_col),
-            F.col(weight_col).cast("double").alias("weight"),
-            key.alias("_key"),
-        )
-        .orderBy(F.desc("_key"), F.asc(id_col))
-        .limit(n)
-        .select(
-            id_col, "weight", F.round("_key", 6).alias("sample_key")
-        )
+    return df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        key.alias("_key"),
     )
 
 
@@ -802,16 +811,13 @@ def leakage_safe_split(
     from asctb_ct_label_mapper_spark.operators.dedup import duplicate_groups
 
     groups = duplicate_groups(pairs, all_ids=df.select(id_col), id_col=id_col)
-    b = hash_bucket(F.col("group_id"))
-    return (
-        df.join(groups.select(id_col, "group_id"), id_col)
-        .withColumn("bucket", b)
-        .withColumn(
-            "split",
-            F.when(F.col("bucket") < train_pct, F.lit("train"))
-            .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
-            .otherwise(F.lit("test")),
-        )
+    # hash_split on the GROUP id — one shared split definition, so any
+    # future change to split semantics applies to both flavors
+    return hash_split(
+        df.join(groups.select(id_col, "group_id"), id_col),
+        "group_id",
+        train_pct,
+        val_pct,
     )
 
 
@@ -900,30 +906,28 @@ def weighted_sample_threshold(
     identical to the one-pass flavor — equality is tested, and if the
     sketch under-cuts (survivors < n) the operator falls back to the
     exact path rather than return a short sample.
+
+    The keys come from the SAME ``_es_keyed`` frame as the one-pass
+    flavor (shared definition, not a copy), persisted via the session
+    pool around its up-to-4 consumers (count, sketch, survivor count,
+    top-n) so the md5/log derivation runs once, not per action. The
+    sketch's ``relativeError`` scales with ``n/total``: a fixed error is
+    RELATIVE TO TOTAL ROWS, so at total >> n it could exceed the whole
+    oversample margin and silently force the fallback — the error is
+    capped at half the (oversample-1)*n margin instead.
     """
-    u = (
-        (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
-            .cast("bigint")
-            + F.lit(1)
-        ).cast("double")
-        / F.lit(float(1 << 52))
-    )
-    key = F.log(u) / F.col(weight_col).cast("double")
-    keyed = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .select(
-            F.col(id_col),
-            F.col(weight_col).cast("double").alias("weight"),
-            key.alias("_key"),
-        )
-    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    keyed = pooled_persist(_es_keyed(df, weight_col, id_col))
     total = keyed.count()
     if total <= n:
         survivors = keyed
     else:
         p = 1.0 - min(1.0, (oversample * n) / total)
-        (threshold,) = keyed.stat.approxQuantile("_key", [p], 0.001)
+        rel_err = max(
+            1e-6, min(0.001, (oversample - 1.0) * n / (2.0 * total))
+        )
+        (threshold,) = keyed.stat.approxQuantile("_key", [p], rel_err)
         survivors = keyed.filter(F.col("_key") >= threshold)
         if survivors.count() < n:  # sketch under-cut: exact fallback
             survivors = keyed

@@ -270,7 +270,10 @@ def sql_flag_outliers_iqr(
     cols: str = "*",
 ) -> str:
     """DuckDB replay of ``flag_outliers_iqr`` (same nearest-rank quantiles
-    and fence arithmetic)."""
+    and fence arithmetic). With the default ``cols='*'`` the outer SELECT
+    must not re-list the fence columns (``*`` after the USING join
+    already carries them once — the sql_capped_sample lesson)."""
+    outer = cols if cols == "*" else f"{cols}, fence_lo, fence_hi"
     qsql = sql_group_quantiles(table, value_col, group_col, qs=(0.25, 0.75))
     return f"""
     WITH q AS ({qsql}),
@@ -280,7 +283,7 @@ def sql_flag_outliers_iqr(
             q_75 + {factor} * (q_75 - q_25) AS fence_hi
         FROM q
     )
-    SELECT {cols}, fence_lo, fence_hi,
+    SELECT {outer},
         CASE WHEN CAST({value_col} AS DOUBLE) < fence_lo THEN 'low'
              ELSE 'high' END AS side
     FROM {table} JOIN fences USING ({group_col})
