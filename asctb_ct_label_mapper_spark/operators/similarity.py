@@ -979,3 +979,163 @@ def mmr_rerank(
         return pd.DataFrame(rows, columns=[*qcols, "ref_id", "score", "mmr_score", "mmr_rank"])
 
     return pool.groupBy(*qcols).applyInPandas(pick, schema=out_schema)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    reference: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    ref_id_col: str,
+    query_vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed_lists: int = 11,
+    seed_cb: int = 23,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composite index (FAISS's workhorse) that fixes BOTH
+    parents' scale ceilings at once.
+
+    - Plain PQ broadcasts the full codes matrix (n_refs x n_sub bytes):
+      at 10^9+ vectors even 32x-compressed codes outgrow a broadcast.
+      Here codes live in a DATAFRAME keyed by inverted-list id — never
+      collected, never broadcast.
+    - Plain IVF rescores every probed candidate with full-width vectors.
+      Here probed candidates are scored by ADC over 8-byte codes first,
+      and raw vectors are touched only for the ``k * refine`` survivors.
+
+    Plan shape: list assignment and probing are native expressions over
+    centroid literals (one equi-join on list id restricts candidates to
+    ``n_probe / n_lists`` of the corpus); ADC is one Arrow pass over the
+    join output (per-batch LUT einsum + take_along_axis — no per-row
+    Python); the exact rescore broadcasts the SURVIVOR ids against the
+    reference scan (the r7 PQ-rescore contract). Every shuffle is an
+    equi-join or a per-query window — nothing quadratic, nothing
+    collected beyond k*refine ids per query.
+
+    Seeded centroids/codebooks (the default) make the whole pipeline —
+    assignment, encoding, probing, ADC cut, rescore — replayable by a
+    generated DuckDB oracle; pass trained ``centroids=`` /
+    ``codebooks=`` (e.g. :func:`train_subcodebooks`) for recall.
+    """
+    cents = seeded_centroids(dim, n_lists, seed_lists) if centroids is None else centroids
+    cb = (
+        seeded_subcentroids(dim, n_sub, n_codes, seed_cb)
+        if codebooks is None
+        else codebooks
+    )
+    n_sub_, n_codes_, sub_dim = cb.shape
+    cents_list = [c.tolist() for c in cents]
+
+    sc = queries.sparkSession.sparkContext
+    b_cb = sc.broadcast(cb)
+
+    # --- index build: (list_id, ref_id, code) — distributed, one pass ---
+    ref_assigned = reference.select(
+        F.col(ref_id_col).alias("ref_id"),
+        F.col(ref_vec_col).alias("_rv"),
+        F.element_at(
+            _nearest_lists_expr(F.col(ref_vec_col), cents_list, True, 1), 1
+        ).alias("lid"),
+    )
+    enc_schema = T.StructType(
+        [
+            T.StructField("ref_id", reference.schema[ref_id_col].dataType),
+            T.StructField("lid", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbk = b_cb.value
+        ns, _nc, sd = cbk.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["_rv"].to_list(), dtype=np.float64)
+            if mat.shape[1] != ns * sd:
+                raise ValueError(
+                    f"ivfpq_topk: vectors are {mat.shape[1]}-dim but the "
+                    f"codebooks cover {ns * sd} dims"
+                )
+            code = np.empty((len(mat), ns), dtype=np.int64)
+            for s in range(ns):
+                code[:, s] = np.argmax(mat[:, s * sd : (s + 1) * sd] @ cbk[s].T, axis=1)
+            out = pd.DataFrame(
+                {"ref_id": pdf["ref_id"].to_numpy(), "lid": pdf["lid"].to_numpy()}
+            )
+            out["code"] = list(code)
+            yield out
+
+    index = ensure_min_partitions(ref_assigned).mapInPandas(encode, schema=enc_schema)
+
+    # --- query: probe n_probe lists, equi-join the code table ---
+    q_probed = ensure_min_partitions(
+        queries.select(*query_id_cols, query_vec_col)
+    ).select(
+        *query_id_cols,
+        query_vec_col,
+        F.explode(
+            _nearest_lists_expr(F.col(query_vec_col), cents_list, True, n_probe)
+        ).alias("lid"),
+    )
+    cand = q_probed.join(index, "lid")
+
+    adc_schema = T.StructType(
+        [
+            *[queries.schema[c] for c in query_id_cols],
+            T.StructField("ref_id", reference.schema[ref_id_col].dataType),
+            T.StructField("_adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbk = b_cb.value
+        ns, _nc, sd = cbk.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(pdf[query_vec_col].to_list(), dtype=np.float64)
+            codes = np.array(pdf["code"].to_list(), dtype=np.int64)  # (n, ns)
+            adc = np.zeros(len(q))
+            for s in range(ns):
+                lut = q[:, s * sd : (s + 1) * sd] @ cbk[s].T  # (n, n_codes)
+                adc += np.take_along_axis(lut, codes[:, s : s + 1], axis=1)[:, 0]
+            out = {c: pdf[c].to_numpy() for c in query_id_cols}
+            out["ref_id"] = pdf["ref_id"].to_numpy()
+            out["_adc"] = adc
+            yield pd.DataFrame(out)
+
+    scored_cands = cand.mapInPandas(adc_batches, schema=adc_schema)
+    w_adc = Window.partitionBy(*query_id_cols).orderBy(F.desc("_adc"), F.asc("ref_id"))
+    surv = (
+        scored_cands.withColumn("_arank", F.row_number().over(w_adc))
+        .filter(F.col("_arank") <= k * refine)
+        .select(*query_id_cols, "ref_id")
+    )
+
+    # exact rescore: survivors broadcast, corpus scanned (r7 PQ contract)
+    ref = reference.select(
+        F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("_ref_vec")
+    )
+    rescored = ref.join(F.broadcast(surv), "ref_id").join(
+        queries.select(*query_id_cols, query_vec_col), list(query_id_cols)
+    )
+    denom = norm_expr(F.col(query_vec_col)) * norm_expr(F.col("_ref_vec"))
+    scored = rescored.withColumn(
+        "score",
+        F.when(denom != 0, dot_expr(F.col(query_vec_col), F.col("_ref_vec")) / denom),
+    )
+    w = Window.partitionBy(*query_id_cols).orderBy(F.desc("score"), F.asc("ref_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_ref_vec", query_vec_col)
+    )

@@ -4188,6 +4188,154 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    refine: int = 4,
+    seed_lists: int = 11,
+    seed_cb: int = 23,
+) -> str:
+    """Generate the DuckDB oracle for cos_topk_ivfpq — the two seeded
+    literal techniques COMPOSED: IVF list assignment/probing (per-centroid
+    UNION branches, max-dot, ties to the lower list id) restricts the
+    candidate space, then PQ encode/LUT/ADC (sub-codebook literals) ranks
+    within probed lists, refine cut, exact rescore, top-k."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        seeded_centroids,
+        seeded_subcentroids,
+    )
+
+    cents = seeded_centroids(dim, n_lists, seed_lists)
+    cb = seeded_subcentroids(dim, n_sub, n_codes, seed_cb)
+    sub_dim = dim // n_sub
+
+    def lit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def branches(pred: str) -> str:
+        parts = []
+        for i, c in enumerate(cents):
+            parts.append(
+                f"SELECT vec_id, e, {i} AS lid, list_dot_product(e, {lit(c)}) AS dp\n"
+                f"         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e\n"
+                f"               FROM embeddings WHERE vec_id % 10 {pred})"
+            )
+        return "\n        UNION ALL\n        ".join(parts)
+
+    def sub_slice(col: str, s: int) -> str:
+        return f"{col}[{s * sub_dim + 1}:{s * sub_dim + sub_dim}]"
+
+    code_exprs = []
+    for s in range(n_sub):
+        dl = (
+            "["
+            + ", ".join(
+                f"-(list_dot_product({sub_slice('e', s)}, {lit(cb[s, c])}))"
+                for c in range(n_codes)
+            )
+            + "]"
+        )
+        code_exprs.append(f"list_position({dl}, list_min({dl})) - 1")
+    code_list = "[" + ",\n            ".join(code_exprs) + "]"
+    lut_rows = []
+    for s in range(n_sub):
+        lut_rows.append(
+            "["
+            + ", ".join(
+                f"list_dot_product({sub_slice('e', s)}, {lit(cb[s, c])})"
+                for c in range(n_codes)
+            )
+            + "]"
+        )
+    lut_list = "[" + ",\n            ".join(lut_rows) + "]"
+    adc = " + ".join(f"q.lut[{s + 1}][i.code[{s + 1}] + 1]" for s in range(n_sub))
+    return f"""
+    WITH qd AS (
+        {branches("= 0")}
+    ),
+    rd AS (
+        {branches("<> 0")}
+    ),
+    qa AS (
+        SELECT vec_id, e, lid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dp DESC, lid) AS rn
+            FROM qd
+        ) WHERE rn <= {n_probe}
+    ),
+    ra AS (
+        SELECT vec_id AS rid, e, lid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dp DESC, lid) AS rn
+            FROM rd
+        ) WHERE rn = 1
+    ),
+    idx AS (
+        SELECT rid, lid,
+            {code_list} AS code
+        FROM ra
+    ),
+    ql AS (
+        SELECT vec_id, lid,
+            {lut_list} AS lut
+        FROM qa
+    ),
+    cand AS (
+        SELECT q.vec_id, i.rid, ({adc}) AS adc
+        FROM ql q JOIN idx i ON q.lid = i.lid
+    ),
+    survivors AS (
+        SELECT DISTINCT vec_id, rid FROM (
+            SELECT vec_id, rid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY adc DESC, rid) AS arank
+            FROM cand
+        ) WHERE arank <= {k * refine}
+    ),
+    rescored AS (
+        SELECT s.vec_id, s.rid AS ref_id,
+            round(list_cosine_similarity(q.e, r.e), 6) AS score
+        FROM survivors s
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id % 10 = 0) q ON s.vec_id = q.vec_id
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id % 10 <> 0) r ON s.rid = r.vec_id
+    )
+    SELECT vec_id, ref_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, ref_id) AS rank
+        FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("cos_topk_ivfpq", _ivfpq_oracle())
+def cos_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.ivfpq_topk) — the index family
+    that holds when BOTH parents hit their ceilings: codes live in a
+    list-partitioned DataFrame (never broadcast, unlike plain PQ), and
+    probed candidates are ADC-ranked over 8-byte codes before raw vectors
+    are touched (unlike plain IVF). Candidates = n_probe/n_lists of the
+    corpus; every shuffle an equi-join or per-query window. Fully
+    hash-checked: the oracle composes the seeded-centroid and seeded-
+    codebook literal replays."""
+    from asctb_ct_label_mapper_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    out = ivfpq_topk(
+        queries_df, reference, k=3, query_id_cols=["vec_id"], ref_id_col="vec_id",
+    )
+    return out.select(
+        "vec_id", "ref_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

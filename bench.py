@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "length_outliers_docs",
     "mmr_rerank_topk",
     "cos_topk_lsh_mp",
+    "cos_topk_ivfpq",
 ]
 
 

@@ -426,3 +426,62 @@ def test_multiprobe_lifts_recall_monotonically(spark, sf_dir):
     r0, r1, r2 = recall(0), recall(1), recall(2)
     assert r0 <= r1 <= r2
     assert r1 >= r0 + 0.1, f"multiprobe=1 no real lift: {r0:.2f} -> {r1:.2f}"
+
+
+class TestIvfPq:
+    def test_recall_and_shape(self, spark, sf_dir):
+        from asctb_ct_label_mapper_spark.operators.similarity import ivfpq_topk
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+        r = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+        exact = {(x["vec_id"], x["ref_id"]) for x in
+                 top_k_similarity_join(q, r, 3, ["vec_id"], "vec_id").collect()}
+        rows = ivfpq_topk(q, r, 3, ["vec_id"], "vec_id").collect()
+        got = {(x["vec_id"], x["ref_id"]) for x in rows}
+        per_q = {}
+        for x in rows:
+            per_q[x["vec_id"]] = per_q.get(x["vec_id"], 0) + 1
+        assert set(per_q.values()) == {3}
+        # approximate on two axes (coarse lists AND codes): the defaults
+        # are harsh on 45 isotropic refs (~0.19 measured) — assert only a
+        # collapsed floor at defaults, and that the two knobs (probe more
+        # lists, refine deeper) recover recall substantially
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.1, f"IVF-PQ recall collapsed: {recall:.2f}"
+        wide = {
+            (x["vec_id"], x["ref_id"])
+            for x in ivfpq_topk(
+                q, r, 3, ["vec_id"], "vec_id", n_probe=4, refine=8
+            ).collect()
+        }
+        recall_wide = len(exact & wide) / len(exact)
+        assert recall_wide >= recall + 0.15, (
+            f"knobs did not recover recall: {recall:.2f} -> {recall_wide:.2f}"
+        )
+        # exact rescore contract: reported scores are true cosines
+        truth = {
+            (x["vec_id"], x["ref_id"]): round(x["score"], 6)
+            for x in top_k_similarity_join(q, r, 100, ["vec_id"], "vec_id").collect()
+        }
+        for x in rows:
+            key = (x["vec_id"], x["ref_id"])
+            if key in truth:
+                assert abs(round(x["score"], 6) - truth[key]) < 1e-9
+
+    def test_codes_never_broadcast(self, spark, sf_dir):
+        """The design point vs plain PQ: the code table is a DataFrame
+        joined on list id — no codes matrix collect in the plan path
+        (collect would appear as a driver action before the query plan;
+        here the only pre-plan work is centroid/codebook literals)."""
+        from asctb_ct_label_mapper_spark.operators.similarity import ivfpq_topk
+        from asctb_ct_label_mapper_spark.schemas import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+        r = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+        out = ivfpq_topk(q, r, 3, ["vec_id"], "vec_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the candidate join on the list id is a real join in the plan
+        assert "lid" in plan
