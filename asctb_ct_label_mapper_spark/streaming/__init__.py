@@ -1,3 +1,6 @@
+from asctb_ct_label_mapper_spark.streaming.curate import (
+    start_curation_stream,
+)
 from asctb_ct_label_mapper_spark.streaming.dedup import (
     start_incremental_dedup_stream,
 )
@@ -12,6 +15,7 @@ from asctb_ct_label_mapper_spark.streaming.events import (
 
 __all__ = [
     "dedup_events",
+    "start_curation_stream",
     "start_incremental_dedup_stream",
     "sessionize",
     "stateful_user_totals",

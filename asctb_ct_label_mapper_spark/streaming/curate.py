@@ -1,0 +1,131 @@
+"""Streaming ingest CURATION loop — the other half of the streaming
+production story (``streaming/dedup.py`` is the near-dup half): every
+micro-batch of landed documents is
+
+1. PII-scrubbed (``curation.pii_scrub`` — emails/IPs/phones redacted,
+   per-kind counts kept for the audit trail),
+2. quality-gated (``curation.quality_rules`` — Gopher/C4 rule columns,
+   so the quarantine records WHICH rule rejected a document),
+3. exact-deduped against everything already ACCEPTED (content-hash
+   anti-join on a hash table the loop itself maintains — the md5 set is
+   8+32 bytes/doc however large the corpus text), with intra-batch
+   duplicates collapsed to the min-id copy first,
+
+then accepted rows append to the corpus sink (+ their hashes to the
+hash table) and rejected rows append to a quarantine sink with a
+``reject_reason``. Same ``foreachBatch`` rationale and at-least-once
+semantics as the dedup loop: the corpus state lives in tables, each
+micro-batch runs the exact batch operators (batch/stream parity by
+construction), and re-delivered batches are neutralized by the hash
+anti-join (a re-run's rows are already in the hash table, so they
+quarantine as duplicates instead of double-appending — the hash table
+IS the idempotency ledger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from asctb_ct_label_mapper_spark.operators.curation import pii_scrub, quality_rules
+
+
+def start_curation_stream(
+    stream_df: DataFrame,
+    accepted_path: str,
+    quarantine_path: str,
+    hashes_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the curation loop. ``hashes_path`` must exist (seed it with
+    the accepted corpus's ``md5(text)`` — an empty-corpus seed is one
+    row-less parquet write). Accepted rows carry the scrubbed text and
+    PII counts; quarantined rows carry ``reject_reason`` in
+    {'malformed', 'quality', 'duplicate'}."""
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+
+        try:
+            raw = batch_df
+            malformed = raw.filter(F.col(id_col).isNull()).select(
+                F.lit(None).cast("long").alias(id_col),
+                F.col(text_col),
+                F.lit("malformed").alias("reject_reason"),
+            )
+            clean = raw.filter(F.col(id_col).isNotNull()).select(id_col, text_col)
+            scrubbed = pii_scrub(clean, text_col, out_col="_scrubbed")
+            gated = scrubbed.join(
+                quality_rules(clean, text_col, id_col, min_words=min_words).select(
+                    id_col, "passes_all"
+                ),
+                id_col,
+            )
+            failed_q = gated.filter(F.col("passes_all") == 0).select(
+                F.col(id_col),
+                F.col(text_col),
+                F.lit("quality").alias("reject_reason"),
+            )
+            passed = (
+                gated.filter(F.col("passes_all") == 1)
+                .withColumn("_h", F.md5(F.col("_scrubbed")))
+            )
+            # intra-batch exact dups -> keep min id; the rest quarantine
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_h").orderBy(F.asc(id_col))
+            ranked = passed.withColumn("_rn", F.row_number().over(w))
+            intra_dups = ranked.filter(F.col("_rn") > 1)
+            firsts = ranked.filter(F.col("_rn") == 1).drop("_rn")
+            # corpus-level dedup: hash anti-join against the accepted set
+            seen = spark.read.parquet(hashes_path).select(
+                F.col("content_hash").alias("_h")
+            )
+            fresh = firsts.join(seen, "_h", "left_anti")
+            corpus_dups = firsts.join(seen, "_h", "left_semi")
+            accepted = fresh.select(
+                id_col,
+                F.col("_scrubbed").alias(text_col),
+                "n_email",
+                "n_ipv4",
+                "n_phone",
+            )
+            quarantine = (
+                malformed.unionByName(failed_q)
+                .unionByName(
+                    intra_dups.select(
+                        F.col(id_col),
+                        F.col(text_col),
+                        F.lit("duplicate").alias("reject_reason"),
+                    )
+                )
+                .unionByName(
+                    corpus_dups.select(
+                        F.col(id_col),
+                        F.col(text_col),
+                        F.lit("duplicate").alias("reject_reason"),
+                    )
+                )
+            )
+            accepted.write.mode("append").parquet(accepted_path)
+            quarantine.write.mode("append").parquet(quarantine_path)
+            fresh.select(F.col("_h").alias("content_hash")).write.mode(
+                "append"
+            ).parquet(hashes_path)
+        finally:
+            drain_persist_pool()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -418,3 +418,65 @@ def test_streaming_dedup_tolerates_duplicate_signature_rows(spark, sf_dir, tmp_p
     q.awaitTermination(300)
     got = [tuple(r) for r in spark.read.parquet(matches_path).collect()]
     assert len(got) == len(set(got)) > 0  # no duplicated match rows
+
+
+def test_streaming_curation_loop(spark, tmp_path):
+    """r7: the full streaming ingest-curation loop — PII scrub, quality
+    gate with per-rule audit, intra-batch + corpus exact dedup via the
+    hash ledger — drained with availableNow; re-delivery idempotency is
+    exercised by a second run over an overlapping landing dir."""
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.streaming.curate import start_curation_stream
+
+    good = "the quick brown fox jumps over the lazy dog and then naps for a while"
+    rows = [
+        (1, good + " one"),
+        (2, good + " two email me at a@b.com please"),  # PII, still good
+        (3, "x"),                                       # fails quality (too short)
+        (4, good + " one"),                             # intra-batch dup of 1
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    write_jsonl(batch, landing)
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    hashes = str(tmp_path / "hashes")
+    spark.createDataFrame([], "content_hash string").write.parquet(hashes)  # empty seed
+    accepted_p, quarantine_p = str(tmp_path / "acc"), str(tmp_path / "quar")
+
+    q = start_curation_stream(
+        read_jsonl_stream(spark, landing, schema),
+        accepted_p, quarantine_p, hashes, str(tmp_path / "ckpt"),
+        min_words=5, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    acc = {r["doc_id"]: r for r in spark.read.parquet(accepted_p).collect()}
+    quar = {r["doc_id"]: r["reject_reason"] for r in spark.read.parquet(quarantine_p).collect()}
+    assert set(acc) == {1, 2}
+    assert "<EMAIL>" in acc[2]["text"] and acc[2]["n_email"] == 1
+    assert quar[3] == "quality" and quar[4] == "duplicate"
+    assert spark.read.parquet(hashes).count() == 2
+
+    # re-delivery: the same docs land again (new landing dir, fresh
+    # checkpoint) -> everything good is now a corpus duplicate, the hash
+    # ledger prevents double-accept
+    landing2 = str(tmp_path / "landing2")
+    write_jsonl(batch.filter(F.col("doc_id").isin(1, 2)), landing2)
+    q2 = start_curation_stream(
+        read_jsonl_stream(spark, landing2, schema),
+        accepted_p, quarantine_p, hashes, str(tmp_path / "ckpt2"),
+        min_words=5, available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(accepted_p).count() == 2  # unchanged
+    quar2 = [r for r in spark.read.parquet(quarantine_p).collect()
+             if r["reject_reason"] == "duplicate"]
+    assert len(quar2) == 3  # intra-batch dup + the two re-delivered
