@@ -1031,7 +1031,30 @@ def ivfpq_topk(
         if codebooks is None
         else codebooks
     )
-    n_sub_, n_codes_, sub_dim = cb.shape
+    # user-supplied geometry must satisfy the spherical contracts the
+    # native assignment/encode paths assume: list assignment and PQ
+    # encode both pick by MAX DOT, which equals L2-nearest only on
+    # unit-norm centroids (train_subcodebooks produces these; plain
+    # k-means centers would silently bias toward large norms)
+    if centroids is not None and not np.allclose(
+        np.linalg.norm(np.asarray(cents), axis=1), 1.0, atol=1e-6
+    ):
+        raise ValueError(
+            "ivfpq_topk: centroids must be unit-norm (spherical max-dot "
+            "assignment); normalize rows or use seeded_centroids"
+        )
+    if cb.shape != (n_sub, n_codes, dim // n_sub):
+        raise ValueError(
+            f"ivfpq_topk: codebooks shape {cb.shape} != "
+            f"({n_sub}, {n_codes}, {dim // n_sub}) from n_sub/n_codes/dim"
+        )
+    if codebooks is not None and not np.allclose(
+        np.linalg.norm(cb, axis=2), 1.0, atol=1e-6
+    ):
+        raise ValueError(
+            "ivfpq_topk: sub-codebooks must be unit-norm (max-dot encode); "
+            "train_subcodebooks/seeded_subcentroids produce these"
+        )
     cents_list = [c.tolist() for c in cents]
 
     sc = queries.sparkSession.sparkContext
@@ -1102,12 +1125,28 @@ def ivfpq_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            q = np.array(pdf[query_vec_col].to_list(), dtype=np.float64)
+            # the join emits one row per (query, candidate): build each
+            # query's LUT ONCE (factorize to unique queries), then gather
+            # per candidate — c candidates per query cost c lookups, not
+            # c LUT matmuls
+            if len(query_id_cols) == 1:
+                key = pdf[query_id_cols[0]]
+            else:
+                key = pd.Series(
+                    list(zip(*[pdf[c] for c in query_id_cols])), index=pdf.index
+                )
+            qcode, _uniques = pd.factorize(key)
+            _, first_pos = np.unique(qcode, return_index=True)
+            qu = np.array(
+                pdf[query_vec_col].iloc[first_pos].to_list(), dtype=np.float64
+            )
+            # first_pos is sorted by unique VALUE (0..nu-1 here since
+            # factorize codes are dense in first-appearance order)
             codes = np.array(pdf["code"].to_list(), dtype=np.int64)  # (n, ns)
-            adc = np.zeros(len(q))
+            adc = np.zeros(len(pdf))
             for s in range(ns):
-                lut = q[:, s * sd : (s + 1) * sd] @ cbk[s].T  # (n, n_codes)
-                adc += np.take_along_axis(lut, codes[:, s : s + 1], axis=1)[:, 0]
+                lut = qu[:, s * sd : (s + 1) * sd] @ cbk[s].T  # (nu, n_codes)
+                adc += lut[qcode, codes[:, s]]
             out = {c: pdf[c].to_numpy() for c in query_id_cols}
             out["ref_id"] = pdf["ref_id"].to_numpy()
             out["_adc"] = adc

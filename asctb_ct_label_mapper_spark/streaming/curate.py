@@ -13,18 +13,25 @@ micro-batch of landed documents is
 
 then accepted rows append to the corpus sink (+ their hashes to the
 hash table) and rejected rows append to a quarantine sink with a
-``reject_reason``. Same ``foreachBatch`` rationale and at-least-once
-semantics as the dedup loop: the corpus state lives in tables, each
-micro-batch runs the exact batch operators (batch/stream parity by
-construction), and re-delivered batches are neutralized by the hash
-anti-join (a re-run's rows are already in the hash table, so they
-quarantine as duplicates instead of double-appending — the hash table
-IS the idempotency ledger).
+``reject_reason``. The quarantine carries the SCRUBBED text — a reject
+pile must not become the un-redacted PII store the accepted sink was
+protected from.
+
+Same ``foreachBatch`` rationale as the dedup loop: corpus state lives in
+tables, each micro-batch runs the exact batch operators (batch/stream
+parity by construction). Delivery semantics, honestly scoped: for a
+batch that COMMITTED fully, re-delivered rows are caught by the hash
+anti-join and quarantine as duplicates. The three appends are not
+atomic, so a failure BETWEEN the accepted append and the hash append
+can double-accept that one batch on retry — the standard foreachBatch
+gap; production closes it with an epoch-id-keyed write or a
+transactional table format, the same seam ``streaming/dedup.py``
+documents for its match sink.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -52,35 +59,45 @@ def start_curation_stream(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
 
+        gated = None
+        ranked = None
         try:
             raw = batch_df
+            # F.col(id_col) (null after the filter) — not a hardcoded
+            # cast: the quarantine id must keep the stream's id type
             malformed = raw.filter(F.col(id_col).isNull()).select(
-                F.lit(None).cast("long").alias(id_col),
+                F.col(id_col),
+                # malformed PERMISSIVE rows parse every typed column to
+                # null, so there is no text to scrub here
                 F.col(text_col),
                 F.lit("malformed").alias("reject_reason"),
             )
-            clean = raw.filter(F.col(id_col).isNotNull()).select(id_col, text_col)
+            # row-unique key: a re-delivered batch can contain DUPLICATE
+            # ids (even with different text) — joining scrub and quality
+            # on the id would cross-multiply rows and could pair one
+            # row's text with another row's verdict
+            clean = (
+                raw.filter(F.col(id_col).isNotNull())
+                .select(id_col, text_col)
+                .withColumn("_rid", F.monotonically_increasing_id())
+            )
             scrubbed = pii_scrub(clean, text_col, out_col="_scrubbed")
             gated = scrubbed.join(
-                quality_rules(clean, text_col, id_col, min_words=min_words).select(
-                    id_col, "passes_all"
-                ),
-                id_col,
-            )
+                quality_rules(clean, text_col, id_col="_rid", min_words=min_words)
+                .select("_rid", "passes_all"),
+                "_rid",
+            ).persist()  # one computation, four consumers below
             failed_q = gated.filter(F.col("passes_all") == 0).select(
                 F.col(id_col),
-                F.col(text_col),
+                F.col("_scrubbed").alias(text_col),
                 F.lit("quality").alias("reject_reason"),
             )
-            passed = (
-                gated.filter(F.col("passes_all") == 1)
-                .withColumn("_h", F.md5(F.col("_scrubbed")))
+            passed = gated.filter(F.col("passes_all") == 1).withColumn(
+                "_h", F.md5(F.col("_scrubbed"))
             )
             # intra-batch exact dups -> keep min id; the rest quarantine
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("_h").orderBy(F.asc(id_col))
-            ranked = passed.withColumn("_rn", F.row_number().over(w))
+            w = Window.partitionBy("_h").orderBy(F.asc(id_col), F.asc("_rid"))
+            ranked = passed.withColumn("_rn", F.row_number().over(w)).persist()
             intra_dups = ranked.filter(F.col("_rn") > 1)
             firsts = ranked.filter(F.col("_rn") == 1).drop("_rn")
             # corpus-level dedup: hash anti-join against the accepted set
@@ -96,22 +113,19 @@ def start_curation_stream(
                 "n_ipv4",
                 "n_phone",
             )
+
+            def rejected(df: DataFrame) -> DataFrame:
+                # scrubbed text in the quarantine too (PII consistency)
+                return df.select(
+                    F.col(id_col),
+                    F.col("_scrubbed").alias(text_col),
+                    F.lit("duplicate").alias("reject_reason"),
+                )
+
             quarantine = (
                 malformed.unionByName(failed_q)
-                .unionByName(
-                    intra_dups.select(
-                        F.col(id_col),
-                        F.col(text_col),
-                        F.lit("duplicate").alias("reject_reason"),
-                    )
-                )
-                .unionByName(
-                    corpus_dups.select(
-                        F.col(id_col),
-                        F.col(text_col),
-                        F.lit("duplicate").alias("reject_reason"),
-                    )
-                )
+                .unionByName(rejected(intra_dups))
+                .unionByName(rejected(corpus_dups))
             )
             accepted.write.mode("append").parquet(accepted_path)
             quarantine.write.mode("append").parquet(quarantine_path)
@@ -119,6 +133,10 @@ def start_curation_stream(
                 "append"
             ).parquet(hashes_path)
         finally:
+            if gated is not None:
+                gated.unpersist()
+            if ranked is not None:
+                ranked.unpersist()
             drain_persist_pool()
 
     writer = (

@@ -485,3 +485,9 @@ class TestIvfPq:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # the candidate join on the list id is a real join in the plan
         assert "lid" in plan
+        # no FORCED broadcast of the code table: the only broadcast HINT
+        # in the logical plan is the survivor-id rescore (AQE may still
+        # adaptively broadcast a tiny index at toy scale — that is its
+        # call, not a hint baked into the operator)
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1, analyzed.count("ResolvedHint")

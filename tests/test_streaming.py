@@ -480,3 +480,40 @@ def test_streaming_curation_loop(spark, tmp_path):
     quar2 = [r for r in spark.read.parquet(quarantine_p).collect()
              if r["reject_reason"] == "duplicate"]
     assert len(quar2) == 3  # intra-batch dup + the two re-delivered
+
+
+def test_curation_duplicate_ids_in_one_batch_do_not_cross_pair(spark, tmp_path):
+    """r7 review: a re-delivered batch can contain the SAME id twice with
+    different text — the row-unique join key must keep each row's own
+    quality verdict (no cross-pairing, no row multiplication)."""
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        write_jsonl,
+        read_jsonl_stream,
+    )
+    from asctb_ct_label_mapper_spark.streaming.curate import start_curation_stream
+
+    good = "the quick brown fox jumps over the lazy dog and naps for quite a while"
+    batch = spark.createDataFrame(
+        [(7, good), (7, "x")], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing")
+    write_jsonl(batch, landing)
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    hashes = str(tmp_path / "hashes")
+    spark.createDataFrame([], "content_hash string").write.parquet(hashes)
+    q = start_curation_stream(
+        read_jsonl_stream(spark, landing, schema),
+        str(tmp_path / "acc"), str(tmp_path / "quar"), hashes,
+        str(tmp_path / "ckpt"), min_words=5, available_now=True,
+    )
+    q.awaitTermination(300)
+    acc = spark.read.parquet(str(tmp_path / "acc")).collect()
+    quar = spark.read.parquet(str(tmp_path / "quar")).collect()
+    # exactly one accepted (the good text), one quality-reject ('x')
+    assert len(acc) == 1 and acc[0]["text"].startswith("the quick")
+    assert len(quar) == 1 and quar[0]["reject_reason"] == "quality"
