@@ -4336,6 +4336,23 @@ def cos_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _char_entropy_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_char_entropy
+
+    return sql_char_entropy("documents")
+
+
+@query("char_entropy_docs", _char_entropy_oracle())
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (textstats.char_entropy): the model-free gibberish gate — base64 /
+    binary-in-text scores near log2(alphabet), repeated-char spam near 0,
+    natural language in a stable band. One Arrow pass, zero shuffle."""
+    from asctb_ct_label_mapper_spark.operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def _bpe_pairs_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.textstats import sql_bpe_pair_counts
 

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "mmr_rerank_topk",
     "cos_topk_lsh_mp",
     "cos_topk_ivfpq",
+    "char_entropy_docs",
 ]
 
 

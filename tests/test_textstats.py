@@ -199,3 +199,26 @@ class TestBpeInduction:
         assert ("l", "o") in merges and ("lo", "w") in merges
         joined = ["".join(p) for p in merges]
         assert "lowe" in joined or "er" in joined
+
+
+def test_char_entropy_signal(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import char_entropy
+
+    import random
+    import string
+
+    rng = random.Random(3)
+    b64ish = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(400))
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaa"),                      # near-zero entropy
+        (2, "the quick brown fox jumps over the lazy dog"),  # natural band
+        (3, b64ish),                                       # junk: high entropy
+        (4, ""),                                           # empty -> 0
+        (5, None),                                         # null-safe
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy_bits"] for r in char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert 3.0 < got[2] < 4.8
+    assert got[3] > got[2] > got[1]
+    assert got[4] == 0.0 and got[5] == 0.0
