@@ -3469,6 +3469,38 @@ def g_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g_grouping_sets",
+    """
+    SELECT event_type,
+        CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+        count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type),
+                            (CAST(EXTRACT(isodow FROM ts) AS INT)),
+                            ())
+    """,
+)
+def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third member of the rollup/cube family,
+    §2.7-adjacent): per-type totals, per-dow totals, and the grand total
+    in ONE pass — the marginals-only report a CUBE would over-compute
+    (it would add the (type, dow) cross that this query doesn't want).
+    Same Expand + partial-agg plan shape as cube/rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+        "value",
+    )
+    return ev.groupingSets(
+        [["event_type"], ["dow"], []], "event_type", "dow"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @query("quality_rules_docs", sql_quality_rules("documents"))
 def quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 rule-based quality filter (curation.quality_rules): each

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "cos_topk_lsh_mp",
     "cos_topk_ivfpq",
     "char_entropy_docs",
+    "g_grouping_sets",
 ]
 
 
@@ -216,6 +217,12 @@ SCALE100_QUERIES = [
     "quality_rules_docs",
     "dup_ngram_spans_docs",
     "chunk_docs",
+    # r7: narrow additions at the largest tier (one scan / one uniform
+    # exchange each — the shapes that must stay linear at 100x)
+    "corpus_diff_docs",
+    "shuffle_shards_docs",
+    "weighted_sample_docs",
+    "char_entropy_docs",
 ]
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"
