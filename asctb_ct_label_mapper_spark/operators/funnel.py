@@ -111,3 +111,69 @@ def sql_funnel_steps(
     FROM {prev_cte}
     WHERE {raw_cols[0]} IS NOT NULL
     """
+
+
+def cohort_retention(
+    events: DataFrame,
+    event_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention grid for one event type: users are cohorted
+    by the week (Monday-start) of their FIRST ``event_type`` event, then
+    each (cohort_week, week_offset) cell counts the distinct cohort
+    members active ``week_offset`` weeks after their own first event.
+    Returns (cohort_week 'yyyy-MM-dd', week_offset, active_users).
+
+    Plan shape (the 100 TB contract): the type filter is pushed into the
+    scan, the per-user first date is a min window over ONE user_id
+    Exchange (no groupBy+self-join), and the week offset is pure integer
+    day arithmetic — ``floor(datediff/7)`` — identical in the DuckDB
+    oracle, so no engine-specific week-boundary semantics can diverge.
+    The final distinct count re-shuffles only (cohort, offset, user)
+    triples, already deduplicated map-side by the partial aggregate.
+    """
+    w = Window.partitionBy(user_col)
+    ev = events.filter(F.col(type_col) == event_type).select(
+        F.col(user_col), F.to_date(ts_col).alias("d")
+    )
+    ev = ev.withColumn("first_date", F.min("d").over(w))
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("week", "first_date"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(F.datediff("d", "first_date") / 7).alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+def sql_cohort_retention(
+    table: str = "events",
+    event_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of ``cohort_retention`` (same Monday-start
+    date_trunc('week'), same integer floor(day-diff/7) offset)."""
+    return f"""
+    WITH ev AS (
+        SELECT {user_col}, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE {type_col} = '{event_type}'
+    ),
+    with_first AS (
+        SELECT {user_col}, d,
+            min(d) OVER (PARTITION BY {user_col}) AS first_date
+        FROM ev
+    )
+    SELECT strftime(date_trunc('week', first_date), '%Y-%m-%d') AS cohort_week,
+        CAST(floor(datediff('day', first_date, d) / 7.0) AS BIGINT) AS week_offset,
+        count(DISTINCT {user_col}) AS active_users
+    FROM with_first
+    GROUP BY 1, 2
+    """

@@ -1,0 +1,99 @@
+"""Entity resolution: token-blocked edit-distance (fuzzy) name matching.
+
+The reference reconciles free-text author labels against a controlled
+vocabulary by exact match first (ASCTB_CT_Label_Mapper/utilities/
+asctb_data_wrangling.py:79 — overwrite when the cleaned label equals a
+reference label) and embedding similarity second. Between those two sits
+the classic record-linkage middle ground this module supplies: *nearly*
+identical strings — typos, dropped characters, singular/plural — caught by
+bounded Levenshtein distance.
+
+Semantics contract (the same contract the LSH dedup family uses): the
+operator's DEFINITION is blocked — a pair is compared iff the two names
+share at least one whitespace token. That blocking is part of the operator,
+replayed verbatim by the DuckDB oracle, so Spark and oracle agree by
+construction; it is the standard token-blocking scheme of the entity-
+resolution literature (JedAI / Dedupe), not a private shortcut.
+
+Plan shape (the 100 TB contract):
+
+- candidate generation is an **equi-join on the token key** over the
+  DISTINCT name table — never an all-pairs cross join. Candidates scale
+  with token co-occurrence, not n².
+- the Levenshtein verify runs **per candidate** (native JVM
+  ``levenshtein`` codegen, O(len²) DP per pair), after a distinct() so a
+  pair sharing three tokens is verified once.
+- ubiquitous blocking tokens are the skew risk (one token shared by m
+  names yields m² candidates); ``max_token_df`` drops tokens blocking
+  more than that many names (a documented coverage trade, default off so
+  the oracle replay stays exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = 2,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All unordered pairs of DISTINCT ``name_col`` values that share at
+    least one whitespace token and have Levenshtein distance <=
+    ``max_dist``. Returns (name_a, name_b, dist) with name_a < name_b.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    names = df.select(F.col(name_col).alias("name")).filter(
+        F.col("name").isNotNull()
+    ).distinct()
+    tok = names.select(
+        "name", F.explode(F.split("name", " ")).alias("tok")
+    )
+    if max_token_df is not None:
+        keep = (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("tok_df"))
+            .filter(F.col("tok_df") <= max_token_df)
+            .select("tok")
+        )
+        tok = tok.join(F.broadcast(keep), "tok")
+    a = tok.select(F.col("name").alias("name_a"), "tok")
+    b = tok.select(F.col("name").alias("name_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
+def sql_fuzzy_name_pairs(
+    table: str = "part", name_col: str = "p_name", max_dist: int = 2
+) -> str:
+    """DuckDB replay of ``fuzzy_name_pairs`` (same token blocking, same
+    distinct-pair verify; DuckDB's levenshtein is the same unit-cost DP)."""
+    return f"""
+    WITH names AS (
+        SELECT DISTINCT {name_col} AS name FROM {table}
+        WHERE {name_col} IS NOT NULL
+    ),
+    tok AS (
+        SELECT name, unnest(string_split(name, ' ')) AS tok FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.name < b.name
+    )
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {int(max_dist)}
+    """

@@ -1,0 +1,148 @@
+"""Lexical retrieval: BM25 scoring + top-k over a tokenized corpus.
+
+The reference's retrieval surface is embedding-cosine only
+(ASCTB_CT_Label_Mapper/utilities/nlp_preprocessing.py:100 — encode then
+cosine top-k); production training-data pipelines pair that with a lexical
+(BM25) channel for decontamination lookups, eval-set retrieval, and hybrid
+scoring. This module is the lexical channel, expressed Spark-first.
+
+Plan shape (the 100 TB contract):
+
+- **Per-doc term frequencies are computed column-wise on the token array**
+  (``size(toks) - size(array_remove(toks, term))`` — native expressions,
+  no lambda HOFs, which this repo has measured evaluating interpreted
+  per-element) for the query's terms ONLY. No explode of the corpus into a
+  (doc, token) stream, so the expensive posting-list shuffle that a
+  general inverted index needs (textstats.inverted_index) never happens
+  for a known query.
+- **Corpus statistics (N, avgdl, per-term document frequencies) reduce to
+  ONE row** via a single partial-aggregatable global agg, then re-attach by
+  a 1-row broadcast cross join — the repo's standard scalar-threshold
+  pattern (no driver collect in the plan).
+- **Scoring is a fixed-order chained sum** over the literal term list, so
+  IEEE summation order is identical in Spark and the DuckDB oracle (the
+  float-determinism discipline the registry's conventions demand).
+- **Top-k is a global TakeOrderedAndProject** on (rounded score DESC,
+  doc_id ASC) — k rows to the driver, never a full sort materialized.
+
+At 100 TB the per-doc tf pass is a pure map over the corpus (pipelined
+with the parquet scan; only ``text`` + id are read), the stats agg is one
+scalar row, and the top-k is per-partition heaps + a k-row merge: no
+all-to-all shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def _require_terms(terms: list[str]) -> None:
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    for t in terms:
+        if (not t) or (" " in t) or ("'" in t):
+            raise ValueError(f"query term must be a single quote-free token: {t!r}")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Score every document against the literal query ``terms`` with BM25
+    (Robertson idf with the Lucene +1 floor: ``ln((N-df+0.5)/(df+0.5)+1)``)
+    and return the global top ``k`` as (id, bm25) ordered by
+    (bm25 DESC, id ASC). Documents matching no term are excluded.
+
+    Tokenization is the corpus convention shared with
+    textstats.token_topn: split on single spaces.
+    """
+    _require_terms(terms)
+    toks = F.split(F.col(text_col), " ")
+    dl = F.size(toks)
+    tf_cols = [
+        (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = docs.select(F.col(id_col), dl.alias("dl"), *tf_cols)
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contribs: Column | None = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        c = idf * (tf * (k1 + 1.0)) / denom
+        contribs = c if contribs is None else contribs + c
+    any_hit = sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+    return (
+        scored.filter(any_hit)
+        .select(F.col(id_col), F.round(contribs, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(
+    table: str = "documents",
+    terms: list[str] | None = None,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> str:
+    """DuckDB replay of ``bm25_topk``: same tokenization, same fixed-order
+    contribution sum, same (rounded score, id) total order."""
+    terms = terms if terms is not None else ["spark", "join", "vector"]
+    _require_terms(terms)
+    n = len(terms)
+    tf_exprs = ",\n            ".join(
+        f"len(toks) - len(list_filter(toks, w -> w != '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(n)
+    )
+    contrib = " + ".join(
+        f"(ln((stats.n_docs - stats.df_{i} + 0.5) / (stats.df_{i} + 0.5) + 1.0)"
+        f" * (d.tf_{i} * {k1 + 1.0}) / (d.tf_{i} + {k1} *"
+        f" ({1.0 - b} + {b} * d.dl / stats.avgdl)))"
+        for i in range(n)
+    )
+    any_hit = " + ".join(f"d.tf_{i}" for i in range(n))
+    return f"""
+    WITH tf AS (
+        SELECT {id_col}, len(toks) AS dl,
+            {tf_exprs}
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_exprs} FROM tf
+    )
+    SELECT d.{id_col}, round({contrib}, 6) AS bm25
+    FROM tf d, stats
+    WHERE {any_hit} > 0
+    ORDER BY round({contrib}, 6) DESC, d.{id_col}
+    LIMIT {k}
+    """

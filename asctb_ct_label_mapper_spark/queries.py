@@ -4435,6 +4435,115 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_metrics(approx, exact, id_cols=("vec_id", "ref_id"))
 
 
+_BM25_TERMS = ["spark", "join", "vector"]
+
+
+def _bm25_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.retrieval import sql_bm25_topk
+
+    return sql_bm25_topk("documents", terms=_BM25_TERMS, k=20)
+
+
+@query("bm25_topk_docs", _bm25_oracle())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval channel (retrieval.bm25_topk): BM25 top-20 for a
+    literal term query. Column-wise tf on the token array (no corpus
+    explode, no HOF lambdas), ONE-row corpus-stats agg re-attached by
+    broadcast cross join, fixed-order contribution sum so IEEE summation
+    order matches the oracle, TakeOrderedAndProject top-k."""
+    from asctb_ct_label_mapper_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), terms=_BM25_TERMS, k=20)
+
+
+def _fuzzy_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.linkage import sql_fuzzy_name_pairs
+
+    return sql_fuzzy_name_pairs("part", "p_name", max_dist=2)
+
+
+@query("fuzzy_name_pairs_part", _fuzzy_oracle())
+def fuzzy_name_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matcher (linkage.fuzzy_name_pairs): distinct
+    part names within Levenshtein distance 2, candidates generated by
+    token blocking (equi-join on shared tokens over the DISTINCT name
+    table — never all-pairs), verified by native JVM levenshtein per
+    deduplicated candidate. The blocking IS the operator contract and the
+    oracle replays it verbatim, the same discipline as the LSH family."""
+    from asctb_ct_label_mapper_spark.operators.linkage import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(_t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+def _cohort_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import sql_cohort_retention
+
+    return sql_cohort_retention("events", event_type="purchase")
+
+
+@query("cohort_retention_events", _cohort_oracle())
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention grid (funnel.cohort_retention): users
+    cohorted by the week of their first purchase, cells count distinct
+    members active N weeks later. First-date via a min window over ONE
+    user_id Exchange (no self-join); week offset is engine-neutral integer
+    floor(day-diff/7) arithmetic."""
+    from asctb_ct_label_mapper_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), event_type="purchase")
+
+
+@query(
+    "ntile_balance_deciles",
+    """
+    SELECT decile, count(*) AS n_customers,
+        round(avg(c_acctbal), 2) AS avg_bal,
+        round(min(c_acctbal), 2) AS min_bal,
+        round(max(c_acctbal), 2) AS max_bal
+    FROM (
+        SELECT c_acctbal,
+            ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    ) GROUP BY decile
+    """,
+)
+def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-family member the registry lacked: ntile decile assignment
+    over a TOTAL order (balance, custkey — ties broken deterministically so
+    both engines assign identical buckets), folded to per-decile stats.
+    Scale note: a global-order window is a single-task sort; at 100 TB the
+    decile cut points come from group_quantiles/approxQuantile instead —
+    this query is the exact-semantics family member, like the exact
+    profiler anchoring the HLL flavor."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query("distinct_users_sketch")
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup (sketches.distinct_users_rollup):
+    raw events -> per-day DataSketches HLL sketches -> weekly + total
+    estimates by sketch UNION, never a second scan of the raw stream. The
+    pre-aggregation pattern 100 TB distinct-count serving requires.
+    Rows-only BY DESIGN: DataSketches HLL_4 estimates have no DuckDB
+    equivalent (different HLL implementation); the error contract is
+    test-enforced instead (tests/test_sketches.py asserts merged estimates
+    within 5% of exact at sf0.001 and sf0.01)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import distinct_users_rollup
+
+    return distinct_users_rollup(_t(spark, sf_dir, "events"))
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

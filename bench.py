@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     "cos_topk_ivfpq",
     "char_entropy_docs",
     "g_grouping_sets",
+    # retrieval + linkage + analytics additions: lexical BM25 channel,
+    # token-blocked edit-distance matcher, cohort-retention grid,
+    # mergeable-HLL distinct rollup (the pre-aggregation serving pattern)
+    "bm25_topk_docs",
+    "fuzzy_name_pairs_part",
+    "cohort_retention_events",
+    "distinct_users_sketch",
 ]
 
 

@@ -24,6 +24,10 @@ EXPECTED_ROWS_ONLY = {
     # spherical centroid literals), dedup_minhash (md5-affine family
     # literals), dedup_simhash / winnowing_docs (md5-prefix token hash).
     "viz_projection",
+    # distinct_users_sketch -> DataSketches HLL_4 estimates; DuckDB's
+    # approx_count_distinct is a different HLL implementation and cannot
+    # hash-match. Error contract test-enforced in tests/test_sketches.py.
+    "distinct_users_sketch",
 }
 
 

@@ -50,3 +50,78 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     for q, approx in ((0.5, row["approx_p50"]), (0.9, row["approx_p90"])):
         rank = docs.filter(F.col("n_chars") <= approx).count()
         assert abs(rank - q * n) <= max(n / 10000, 1) + 1
+
+
+def test_hll_rollup_estimates_within_error(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.sketches import distinct_users_rollup
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {r.period: r for r in distinct_users_rollup(ev).collect()}
+    assert "total" in out
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(out["total"].est_users - exact_total) <= max(1, 0.05 * exact_total)
+    # weekly estimates each within 5% of the exact weekly distinct count
+    weekly_exact = {
+        r.period: r.exact
+        for r in ev.select(
+            F.date_format(F.date_trunc("week", F.to_date("ts")), "yyyy-MM-dd").alias(
+                "period"
+            ),
+            "user_id",
+        )
+        .groupBy("period")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for period, exact in weekly_exact.items():
+        est = out[period].est_users
+        assert abs(est - exact) <= max(1, 0.05 * exact), (period, est, exact)
+    # n_events conserved: weekly rows partition the stream, total sums it
+    n_total = ev.count()
+    assert out["total"].n_events == n_total
+    assert sum(r.n_events for p, r in out.items() if p != "total") == n_total
+
+
+def test_hll_sketch_column_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    """The persist-at-ingest claim: the daily sketch table survives a
+    parquet round-trip and rollups over the reread table still merge."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_user_sketches,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_user_sketches(ev)
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+    reread = spark.read.parquet(path)
+    direct = {
+        (r.period, r.est_users, r.n_events)
+        for r in rollup_user_sketches(daily).collect()
+    }
+    via_parquet = {
+        (r.period, r.est_users, r.n_events)
+        for r in rollup_user_sketches(reread).collect()
+    }
+    assert direct == via_parquet
+
+
+def test_hll_union_never_double_counts(spark):
+    """Two days sharing the same users: union estimate tracks the true
+    distinct count, not the sum of dailies (the bug naive rollups have)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_user_sketches,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:00", uid) for uid in range(200)
+    ] + [("2024-01-02 00:00:00", uid) for uid in range(200)]
+    ev = spark.createDataFrame(rows, "ts string, user_id bigint").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    out = {r.period: r.est_users for r in
+           rollup_user_sketches(daily_user_sketches(ev)).collect()}
+    assert abs(out["total"] - 200) <= 10  # not ~400

@@ -152,3 +152,51 @@ class TestFunnelSteps:
         import re
 
         assert len(re.findall(r"\+- Exchange hash", plan)) == 1
+
+
+def test_cohort_retention_grid(spark):
+    """Two cohorts with known decay: cohort A (users 1,2) first-purchases
+    in week of Jan 1; only user 1 returns in offset week 1. Cohort B
+    (user 3) starts in week of Jan 8. Other event types are ignored."""
+    from asctb_ct_label_mapper_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, "2024-01-02 10:00:00", "purchase"),
+        (2, "2024-01-03 10:00:00", "purchase"),
+        (1, "2024-01-09 10:00:00", "purchase"),  # offset 1 for user 1
+        (2, "2024-01-20 10:00:00", "view"),  # wrong type: ignored
+        (3, "2024-01-10 10:00:00", "purchase"),  # cohort of Jan 8 week
+        (3, "2024-01-10 18:00:00", "purchase"),  # same cell, same user
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    got = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in cohort_retention(ev, event_type="purchase").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cohort_retention_offset_is_relative_to_own_first_event(spark):
+    """week_offset counts from each user's OWN first date, not the cohort
+    week boundary: first purchase Sunday Jan 7, next purchase Jan 13 is
+    6 days later -> still offset 0 even though it crosses the ISO week."""
+    from asctb_ct_label_mapper_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (9, "2024-01-07 10:00:00", "purchase"),
+        (9, "2024-01-13 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    got = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {("2024-01-01", 0): 1}
