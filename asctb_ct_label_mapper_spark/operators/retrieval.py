@@ -146,3 +146,159 @@ def sql_bm25_topk(
     ORDER BY round({contrib}, 6) DESC, d.{id_col}
     LIMIT {k}
     """
+
+
+MU_DEFAULT = 300.0
+RRF_K_DEFAULT = 60
+
+
+def ql_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = MU_DEFAULT,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scoring (Zhai & Lafferty):
+    ``score = sum_t ln((tf + mu * cf_t/|C|) / (dl + mu))`` — the second
+    classic lexical channel next to BM25, here restricted (like bm25_topk)
+    to documents matching at least one term so the output is top-k sized.
+
+    Same plan contract as bm25_topk: column-wise tf (no corpus explode,
+    no lambda HOFs), ONE-row collection stats re-attached by broadcast
+    cross join (collection frequencies cf_t and total token count), a
+    fixed-order contribution sum, TakeOrderedAndProject top-k.
+    """
+    _require_terms(terms)
+    toks = F.split(F.col(text_col), " ")
+    tf_cols = [
+        (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.sum("dl").alias("total_toks"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(terms))],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contribs: Column | None = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        c = F.log(
+            (tf + mu * F.col(f"cf_{i}") / F.col("total_toks"))
+            / (F.col("dl") + mu)
+        )
+        contribs = c if contribs is None else contribs + c
+    any_hit = sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+    return (
+        scored.filter(any_hit)
+        .select(F.col(id_col), F.round(contribs, 6).alias("ql"))
+        .orderBy(F.desc("ql"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_ql_topk(
+    table: str = "documents",
+    terms: list[str] | None = None,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = MU_DEFAULT,
+) -> str:
+    """DuckDB replay of ``ql_topk`` (same fixed-order ln sum)."""
+    terms = terms if terms is not None else ["spark", "join", "vector"]
+    _require_terms(terms)
+    n = len(terms)
+    tf_exprs = ",\n            ".join(
+        f"len(toks) - len(list_filter(toks, w -> w != '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_exprs = ", ".join(f"sum(tf_{i}) AS cf_{i}" for i in range(n))
+    contrib = " + ".join(
+        f"ln((d.tf_{i} + {mu} * s.cf_{i} / s.total_toks) / (d.dl + {mu}))"
+        for i in range(n)
+    )
+    any_hit = " + ".join(f"d.tf_{i}" for i in range(n))
+    return f"""
+    WITH tf AS (
+        SELECT {id_col}, len(toks) AS dl,
+            {tf_exprs}
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
+    ),
+    s AS (SELECT sum(dl) AS total_toks, {cf_exprs} FROM tf)
+    SELECT d.{id_col}, round({contrib}, 6) AS ql
+    FROM tf d, s
+    WHERE {any_hit} > 0
+    ORDER BY round({contrib}, 6) DESC, d.{id_col}
+    LIMIT {k}
+    """
+
+
+def rrf_fuse(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    id_col: str = "doc_id",
+    score_a: str = "bm25",
+    score_b: str = "ql",
+    k: int = 20,
+    rrf_k: int = RRF_K_DEFAULT,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two retrieval runs:
+    ``rrf = sum_runs 1/(rrf_k + rank)`` with rank assigned within each run
+    by (score DESC, id ASC) — rank-only fusion, so the two channels'
+    incomparable score scales never mix. Documents in one run only get
+    that run's term (the other contributes 0). Returns the fused top-k
+    (id, rrf) by (rrf DESC, id ASC).
+
+    Scale note: runs are already k-bounded (the expensive part happened in
+    the channels), so both windows and the full-outer join are over k-row
+    inputs — driver-trivial at any corpus size.
+    """
+    import pyspark.sql.window as _w
+
+    wa = _w.Window.orderBy(F.desc(score_a), F.col(id_col))
+    wb = _w.Window.orderBy(F.desc(score_b), F.col(id_col))
+    ra = run_a.select(id_col, F.row_number().over(wa).alias("rank_a"))
+    rb = run_b.select(id_col, F.row_number().over(wb).alias("rank_b"))
+    fused = ra.join(rb, id_col, "full_outer").select(
+        F.col(id_col),
+        F.round(
+            F.coalesce(1.0 / (rrf_k + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(k)
+
+
+def sql_rrf_hybrid(
+    table: str = "documents",
+    terms: list[str] | None = None,
+    channel_k: int = 20,
+    k: int = 20,
+    id_col: str = "doc_id",
+    rrf_k: int = RRF_K_DEFAULT,
+) -> str:
+    """DuckDB replay of the composed hybrid query: BM25 and QL channel
+    CTEs (their own oracles verbatim), per-run row_number ranks with the
+    same (score DESC, id ASC) tie-break, full-outer fusion."""
+    bm25 = sql_bm25_topk(table, terms=terms, k=channel_k, id_col=id_col)
+    ql = sql_ql_topk(table, terms=terms, k=channel_k, id_col=id_col)
+    return f"""
+    WITH bm25_run AS ({bm25}),
+    ql_run AS ({ql}),
+    ra AS (SELECT {id_col},
+        row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS rank_a
+        FROM bm25_run),
+    rb AS (SELECT {id_col},
+        row_number() OVER (ORDER BY ql DESC, {id_col}) AS rank_b
+        FROM ql_run)
+    SELECT coalesce(ra.{id_col}, rb.{id_col}) AS {id_col},
+        round(coalesce(1.0 / ({rrf_k} + ra.rank_a), 0.0)
+            + coalesce(1.0 / ({rrf_k} + rb.rank_b), 0.0), 6) AS rrf
+    FROM ra FULL OUTER JOIN rb ON ra.{id_col} = rb.{id_col}
+    ORDER BY rrf DESC, coalesce(ra.{id_col}, rb.{id_col})
+    LIMIT {k}
+    """

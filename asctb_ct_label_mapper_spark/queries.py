@@ -4544,6 +4544,133 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_users_rollup(_t(spark, sf_dir, "events"))
 
 
+def _ql_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.retrieval import sql_ql_topk
+
+    return sql_ql_topk("documents", terms=_BM25_TERMS, k=20)
+
+
+@query("ql_topk_docs", _ql_oracle())
+def ql_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood channel (retrieval.ql_topk): the second
+    classic lexical scorer, same no-explode column-wise-tf plan as BM25
+    with collection frequencies in the ONE-row broadcast stats."""
+    from asctb_ct_label_mapper_spark.operators.retrieval import ql_topk
+
+    return ql_topk(_t(spark, sf_dir, "documents"), terms=_BM25_TERMS, k=20)
+
+
+def _rrf_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.retrieval import sql_rrf_hybrid
+
+    return sql_rrf_hybrid("documents", terms=_BM25_TERMS, channel_k=20, k=20)
+
+
+@query("rrf_hybrid_docs", _rrf_oracle())
+def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
+    the BM25 and query-likelihood channels — rank-only fusion so the two
+    score scales never mix. Channels are k-bounded before fusion, so the
+    windows and full-outer join run over k rows regardless of corpus
+    size; the oracle embeds both channel oracles as CTEs verbatim."""
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        bm25_topk,
+        ql_topk,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return rrf_fuse(
+        bm25_topk(docs, terms=_BM25_TERMS, k=20),
+        ql_topk(docs, terms=_BM25_TERMS, k=20),
+    )
+
+
+def _dq_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dq import sql_evaluate_checks
+
+    return sql_evaluate_checks()
+
+
+@query("dq_report", _dq_oracle())
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (dq.evaluate_checks): declarative expectations —
+    row counts, null fractions, uniqueness, value ranges, referential
+    integrity via LEFT ANTI join — each compiled to one column-pruned scan
+    aggregate and unioned into a check-count-sized report. The pre-flight
+    a corpus passes before a training run consumes it."""
+    from asctb_ct_label_mapper_spark.operators.dq import (
+        DEFAULT_CHECKS,
+        evaluate_checks,
+    )
+
+    tables = {
+        name: _t(spark, sf_dir, name)
+        for name in ("orders", "customer", "lineitem", "documents")
+    }
+    return evaluate_checks(tables, DEFAULT_CHECKS)
+
+
+@query(
+    "w_rolling_24h_value",
+    """
+    SELECT event_id, user_id,
+        sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+            RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS roll_cents
+    FROM events
+    """,
+)
+def w_rolling_24h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window family member (the registry's other windows are
+    ROWS/unbounded frames): per-user trailing-24h event-value sum. The
+    frame is keyed on epoch seconds (engine-neutral integer range) and the
+    summand is exact integer cents, so no float-summation-order trap can
+    enter the hash. One user_id Exchange; in-partition range scan."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-86399, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias(
+            "roll_cents"
+        ),
+    )
+
+
+@query(
+    "argmax_order_per_customer",
+    """
+    SELECT o_custkey,
+        (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+            AS best_orderkey,
+        round((max(struct_pack(p := o_totalprice, k := o_orderkey))).p, 2)
+            AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax WITHOUT a window shuffle-sort: max over a
+    (price, orderkey) struct — lexicographic struct comparison gives a
+    deterministic tie-break in both engines — then field extraction. The
+    agg-based argmax is the scale shape (map-side combinable partial max
+    per group) vs a1_topk_window's sort-based rank; both now covered."""
+    orders = _t(spark, sf_dir, "orders")
+    m = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+        )
+    )
+    return orders.groupBy("o_custkey").agg(
+        m.getField("k").alias("best_orderkey"),
+        F.round(m.getField("p"), 2).alias("best_price"),
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -148,6 +148,12 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs_part",
     "cohort_retention_events",
     "distinct_users_sketch",
+    # hybrid retrieval (BM25 + query-likelihood fused by RRF), data-quality
+    # gate, RANGE-frame rolling window, agg-based per-group argmax
+    "rrf_hybrid_docs",
+    "dq_report",
+    "w_rolling_24h_value",
+    "argmax_order_per_customer",
 ]
 
 

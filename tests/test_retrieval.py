@@ -83,3 +83,54 @@ def test_bm25_plan_has_no_explode_and_broadcasts_stats(spark):
     plan = bm25_topk(docs, ["spark", "join"], k=3)._jdf.queryExecution().toString()
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ql_matches_pure_python_oracle(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import ql_topk
+
+    docs = spark.createDataFrame(FIXTURE, "doc_id bigint, text string")
+    terms = ["spark", "join"]
+    got = {r.doc_id: r.ql for r in ql_topk(docs, terms, k=10, mu=300.0).collect()}
+    toks = {i: t.split(" ") for i, t in FIXTURE}
+    total = sum(len(v) for v in toks.values())
+    cf = {t: sum(v.count(t) for v in toks.values()) for t in terms}
+    for i, v in toks.items():
+        if not any(t in v for t in terms):
+            assert i not in got
+            continue
+        want = sum(
+            math.log((v.count(t) + 300.0 * cf[t] / total) / (len(v) + 300.0))
+            for t in terms
+        )
+        assert got[i] == pytest.approx(round(want, 6), abs=2e-6), i
+
+
+def test_rrf_fusion_ranks_and_one_sided_docs(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import rrf_fuse
+
+    run_a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id bigint, bm25 double"
+    )
+    run_b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5)], "doc_id bigint, ql double"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse(run_a, run_b, k=10).collect()}
+    # doc 2: rank 2 in A, rank 1 in B; docs 1/3 A-only; doc 4 B-only
+    assert got[2] == pytest.approx(round(1 / 62 + 1 / 61, 6), abs=1e-6)
+    assert got[1] == pytest.approx(round(1 / 61, 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(1 / 63, 6), abs=1e-6)
+    assert got[4] == pytest.approx(round(1 / 62, 6), abs=1e-6)
+    # fusion puts the doc found by BOTH channels first
+    assert max(got, key=lambda d: (got[d], -d)) == 2
+
+
+def test_rrf_tie_break_is_score_then_id(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import rrf_fuse
+
+    # equal scores: rank assigned by doc_id ascending
+    run_a = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0)], "doc_id bigint, bm25 double"
+    )
+    run_b = spark.createDataFrame([], "doc_id bigint, ql double")
+    got = {r.doc_id: r.rrf for r in rrf_fuse(run_a, run_b, k=10).collect()}
+    assert got[3] > got[7]

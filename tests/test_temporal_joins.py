@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.operators.asof import asof_join
@@ -200,3 +201,31 @@ def test_cohort_retention_offset_is_relative_to_own_first_event(spark):
         for r in cohort_retention(ev).collect()
     }
     assert got == {("2024-01-01", 0): 1}
+
+
+def test_rolling_24h_frame_boundary(spark):
+    """RANGE frame inclusivity pinned: an event 86399 s earlier is inside
+    the trailing-24h frame, 86400 s is outside."""
+    rows = [
+        (1, 9, "2024-01-01 00:00:00", 1.0),
+        (2, 9, "2024-01-01 23:59:59", 1.0),  # 86399s after event 1
+        (3, 9, "2024-01-02 00:00:00", 1.0),  # 86400s after event 1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double"
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-86399, 0)
+    )
+    got = {
+        r.event_id: r.cents
+        for r in ev.select(
+            "event_id",
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .over(w)
+            .alias("cents"),
+        ).collect()
+    }
+    assert got == {1: 100, 2: 200, 3: 200}
