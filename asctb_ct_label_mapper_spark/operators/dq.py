@@ -58,7 +58,12 @@ def evaluate_checks(
     tables: dict[str, DataFrame], checks: list[Check]
 ) -> DataFrame:
     """Evaluate every expectation to one row; union the rows. ``passed``
-    is 0/1 (int, engine-neutral)."""
+    is 0/1 (int, engine-neutral). ``value_range`` on an empty table
+    passes vacuously (NULL min/max trip neither bound — same in the
+    oracle's CASE semantics); ``null_fraction_max`` on an empty table
+    FAILS (no data is not clean data)."""
+    if not checks:
+        raise ValueError("evaluate_checks needs at least one check")
     outs: list[DataFrame] = []
     for c in checks:
         t = tables[c.table]
@@ -74,8 +79,15 @@ def evaluate_checks(
                     / F.count(F.lit(1))
                 ).alias("m")
             )
+            # empty table -> m is NULL; fail the check (passed=0, matching
+            # the oracle's CASE semantics) instead of passed=NULL, which
+            # a `passed == 0` consumer would silently miss
             out = _one(
-                agg, c.name, F.col("m"), c.threshold, F.col("m") <= c.threshold
+                agg,
+                c.name,
+                F.col("m"),
+                c.threshold,
+                F.coalesce(F.col("m") <= c.threshold, F.lit(False)),
             )
         elif c.kind == "unique":
             agg = t.agg(
@@ -145,6 +157,8 @@ def sql_evaluate_checks(checks: list[Check] | None = None) -> str:
     """DuckDB replay of ``evaluate_checks`` over the registered views —
     same one-row-per-check UNION ALL, same 0/1 ints and 6dp rounding."""
     checks = checks if checks is not None else DEFAULT_CHECKS
+    if not checks:
+        raise ValueError("sql_evaluate_checks needs at least one check")
     parts: list[str] = []
     for c in checks:
         # CAST to DOUBLE: a bare numeric literal (and round() of one) is

@@ -48,6 +48,36 @@ def _require_terms(terms: list[str]) -> None:
             raise ValueError(f"query term must be a single quote-free token: {t!r}")
 
 
+def _per_doc_tf(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """Shared tokenization/tf contract for every lexical channel: split on
+    single spaces (the corpus convention of textstats.token_topn), then
+    per-term tf column-wise as ``size(toks) - size(array_remove(toks, t))``
+    — native expressions, no lambda HOFs. One definition so BM25 and QL
+    can never silently diverge (review finding)."""
+    toks = F.split(F.col(text_col), " ")
+    tf_cols = [
+        (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    return docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+
+
+def _sql_tf_cte(table: str, terms: list[str], id_col: str, text_col: str) -> str:
+    """DuckDB twin of ``_per_doc_tf`` (list_filter removal mirrors
+    array_remove exactly)."""
+    tf_exprs = ",\n            ".join(
+        f"len(toks) - len(list_filter(toks, w -> w != '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+        SELECT {id_col}, len(toks) AS dl,
+            {tf_exprs}
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
+    """
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -61,18 +91,9 @@ def bm25_topk(
     (Robertson idf with the Lucene +1 floor: ``ln((N-df+0.5)/(df+0.5)+1)``)
     and return the global top ``k`` as (id, bm25) ordered by
     (bm25 DESC, id ASC). Documents matching no term are excluded.
-
-    Tokenization is the corpus convention shared with
-    textstats.token_topn: split on single spaces.
     """
     _require_terms(terms)
-    toks = F.split(F.col(text_col), " ")
-    dl = F.size(toks)
-    tf_cols = [
-        (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
-        for i, t in enumerate(terms)
-    ]
-    per_doc = docs.select(F.col(id_col), dl.alias("dl"), *tf_cols)
+    per_doc = _per_doc_tf(docs, terms, id_col, text_col)
 
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -117,10 +138,6 @@ def sql_bm25_topk(
     terms = terms if terms is not None else ["spark", "join", "vector"]
     _require_terms(terms)
     n = len(terms)
-    tf_exprs = ",\n            ".join(
-        f"len(toks) - len(list_filter(toks, w -> w != '{t}')) AS tf_{i}"
-        for i, t in enumerate(terms)
-    )
     df_exprs = ", ".join(
         f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(n)
     )
@@ -132,11 +149,7 @@ def sql_bm25_topk(
     )
     any_hit = " + ".join(f"d.tf_{i}" for i in range(n))
     return f"""
-    WITH tf AS (
-        SELECT {id_col}, len(toks) AS dl,
-            {tf_exprs}
-        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
-    ),
+    WITH tf AS ({_sql_tf_cte(table, terms, id_col, text_col)}),
     stats AS (
         SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_exprs} FROM tf
     )
@@ -169,14 +182,13 @@ def ql_topk(
     no lambda HOFs), ONE-row collection stats re-attached by broadcast
     cross join (collection frequencies cf_t and total token count), a
     fixed-order contribution sum, TakeOrderedAndProject top-k.
+
+    A term absent from the whole corpus (cf=0) contributes 0 instead of
+    ln(0): without the guard Spark's log(0) is NULL and poisons every
+    score while the oracle's ln(0) hard-errors (review finding).
     """
     _require_terms(terms)
-    toks = F.split(F.col(text_col), " ")
-    tf_cols = [
-        (F.size(toks) - F.size(F.array_remove(toks, t))).alias(f"tf_{i}")
-        for i, t in enumerate(terms)
-    ]
-    per_doc = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    per_doc = _per_doc_tf(docs, terms, id_col, text_col)
     stats = per_doc.agg(
         F.sum("dl").alias("total_toks"),
         *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(terms))],
@@ -185,10 +197,13 @@ def ql_topk(
     contribs: Column | None = None
     for i in range(len(terms)):
         tf = F.col(f"tf_{i}").cast("double")
-        c = F.log(
-            (tf + mu * F.col(f"cf_{i}") / F.col("total_toks"))
-            / (F.col("dl") + mu)
-        )
+        c = F.when(
+            F.col(f"cf_{i}") > 0,
+            F.log(
+                (tf + mu * F.col(f"cf_{i}") / F.col("total_toks"))
+                / (F.col("dl") + mu)
+            ),
+        ).otherwise(F.lit(0.0))
         contribs = c if contribs is None else contribs + c
     any_hit = sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
     return (
@@ -211,22 +226,16 @@ def sql_ql_topk(
     terms = terms if terms is not None else ["spark", "join", "vector"]
     _require_terms(terms)
     n = len(terms)
-    tf_exprs = ",\n            ".join(
-        f"len(toks) - len(list_filter(toks, w -> w != '{t}')) AS tf_{i}"
-        for i, t in enumerate(terms)
-    )
     cf_exprs = ", ".join(f"sum(tf_{i}) AS cf_{i}" for i in range(n))
     contrib = " + ".join(
-        f"ln((d.tf_{i} + {mu} * s.cf_{i} / s.total_toks) / (d.dl + {mu}))"
+        f"(CASE WHEN s.cf_{i} > 0 THEN"
+        f" ln((d.tf_{i} + {mu} * s.cf_{i} / s.total_toks) / (d.dl + {mu}))"
+        f" ELSE 0.0 END)"
         for i in range(n)
     )
     any_hit = " + ".join(f"d.tf_{i}" for i in range(n))
     return f"""
-    WITH tf AS (
-        SELECT {id_col}, len(toks) AS dl,
-            {tf_exprs}
-        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table})
-    ),
+    WITH tf AS ({_sql_tf_cte(table, terms, id_col, text_col)}),
     s AS (SELECT sum(dl) AS total_toks, {cf_exprs} FROM tf)
     SELECT d.{id_col}, round({contrib}, 6) AS ql
     FROM tf d, s

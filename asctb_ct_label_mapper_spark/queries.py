@@ -4497,7 +4497,8 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ntile_balance_deciles",
     """
     SELECT decile, count(*) AS n_customers,
-        round(avg(c_acctbal), 2) AS avg_bal,
+        round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*) / 100.0,
+              2) AS avg_bal,
         round(min(c_acctbal), 2) AS min_bal,
         round(max(c_acctbal), 2) AS max_bal
     FROM (
@@ -4517,12 +4518,19 @@ def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiler anchoring the HLL flavor."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
+    # avg via exact integer cents (review finding): summing raw doubles
+    # and rounding the mean to 2dp is the round()-decimal-tie float trap —
+    # the cents sum is exact in both engines, so the division and rounding
+    # see the identical double
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
     return (
         cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(
+                F.sum(cents) / F.count(F.lit(1)) / 100.0, 2
+            ).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
@@ -4616,7 +4624,7 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
         sum(CAST(round(value * 100) AS BIGINT)) OVER (
-            PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+            PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS roll_cents
     FROM events
     """,
@@ -4624,9 +4632,11 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_rolling_24h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window family member (the registry's other windows are
     ROWS/unbounded frames): per-user trailing-24h event-value sum. The
-    frame is keyed on epoch seconds (engine-neutral integer range) and the
-    summand is exact integer cents, so no float-summation-order trap can
-    enter the hash. One user_id Exchange; in-partition range scan."""
+    frame is keyed on epoch seconds (engine-neutral integer range — both
+    sides TRUNCATE fractional seconds: Spark's unix_timestamp truncates,
+    so the oracle floors epoch() before casting, review-caught divergence)
+    and the summand is exact integer cents, so no float-summation-order
+    trap can enter the hash. One user_id Exchange; in-partition scan."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

@@ -77,3 +77,28 @@ def test_null_fk_counts_as_orphan(spark):
               parent_table="customer", parent_key="c_custkey"),
     ])
     assert got["fk"] == (1.0, 0)
+
+
+def test_empty_checks_list_raises(spark):
+    from asctb_ct_label_mapper_spark.operators.dq import sql_evaluate_checks
+
+    t = spark.createDataFrame([(1,)], "x bigint")
+    with pytest.raises(ValueError):
+        evaluate_checks({"t": t}, [])
+    with pytest.raises(ValueError):
+        sql_evaluate_checks([])
+
+
+def test_null_fraction_on_empty_table_fails_not_null(spark):
+    """Review finding: empty table -> NULL fraction; passed must be 0
+    (matching the oracle's CASE semantics), never NULL."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    got = {
+        r.check: r.passed
+        for r in evaluate_checks(
+            {"documents": empty},
+            [Check("nf", "null_fraction_max", "documents", column="text",
+                   threshold=0.5)],
+        ).collect()
+    }
+    assert got["nf"] == 0

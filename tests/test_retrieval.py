@@ -134,3 +134,35 @@ def test_rrf_tie_break_is_score_then_id(spark):
     run_b = spark.createDataFrame([], "doc_id bigint, ql double")
     got = {r.doc_id: r.rrf for r in rrf_fuse(run_a, run_b, k=10).collect()}
     assert got[3] > got[7]
+
+
+def test_ql_term_absent_from_corpus_contributes_zero(spark):
+    """Review finding: a zero-cf term must contribute 0, not NULL-poison
+    the Spark sum (log(0) -> NULL) while the oracle hard-errors."""
+    from asctb_ct_label_mapper_spark.operators.retrieval import ql_topk
+
+    docs = spark.createDataFrame(FIXTURE, "doc_id bigint, text string")
+    with_ghost = {
+        r.doc_id: r.ql
+        for r in ql_topk(docs, ["spark", "zzzunseen"], k=10).collect()
+    }
+    alone = {r.doc_id: r.ql for r in ql_topk(docs, ["spark"], k=10).collect()}
+    assert with_ghost == alone
+    assert all(v is not None for v in with_ghost.values())
+
+
+def test_sql_ql_zero_cf_term_does_not_error():
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.retrieval import sql_ql_topk
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    rows = con.execute(
+        sql_ql_topk("documents", terms=["spark", "zzzunseen"], k=5)
+    ).fetchall()
+    assert len(rows) == 5
+    assert all(r[1] is not None for r in rows)
