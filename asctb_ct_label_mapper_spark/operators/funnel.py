@@ -177,3 +177,84 @@ def sql_cohort_retention(
     FROM with_first
     GROUP BY 1, 2
     """
+
+
+def calendar_fill(
+    events: DataFrame,
+    value_threshold: float = 300.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Zero-filled daily incident grid: count events with ``value_col`` >
+    ``value_threshold`` per (event_type, day), on a DENSE calendar spine
+    covering [min day, max day] of the WHOLE stream x all event types —
+    days (or types) with no qualifying events emit an explicit 0 row.
+    The gap-fill every dashboard and anomaly detector needs: a missing
+    day must read as zero, not as absent.
+
+    Plan shape (the 100 TB contract): the only data-sized operation is
+    the filtered (type, day) count — filter pushed to the scan, one
+    grouped aggregate. The spine is DIMENSION-sized by construction: the
+    span collapses to ONE row (min/max agg) exploded into ~days rows,
+    cross-joined with the distinct type table (both broadcast-trivial),
+    then LEFT-joined against the counts. Spark broadcasts the counts or
+    the spine per AQE — either way the join never shuffles the raw
+    stream. Returns (day 'yyyy-MM-dd', event_type, n).
+    """
+    ev = events.select(
+        F.col(type_col), F.to_date(ts_col).alias("d"), F.col(value_col)
+    )
+    counts = (
+        ev.filter(F.col(value_col) > value_threshold)
+        .groupBy(type_col, "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    types = ev.select(type_col).distinct()
+    spine = types.crossJoin(days)
+    return (
+        spine.join(counts, [type_col, "d"], "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col(type_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def sql_calendar_fill(
+    table: str = "events",
+    value_threshold: float = 300.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB replay of ``calendar_fill`` (generate_series spine, same
+    left-join + zero coalesce)."""
+    return f"""
+    WITH hits AS (
+        SELECT {type_col}, CAST({ts_col} AS DATE) AS d, count(*) AS n
+        FROM {table} WHERE {value_col} > {float(value_threshold)}
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT min(CAST({ts_col} AS DATE)) AS lo,
+               max(CAST({ts_col} AS DATE)) AS hi
+        FROM {table}
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM span
+    ),
+    types AS (SELECT DISTINCT {type_col} FROM {table})
+    SELECT strftime(d.d, '%Y-%m-%d') AS day, t.{type_col},
+        coalesce(h.n, 0) AS n
+    FROM types t
+    CROSS JOIN days d
+    LEFT JOIN hits h ON h.{type_col} = t.{type_col} AND h.d = d.d
+    """

@@ -290,3 +290,72 @@ def sql_flag_outliers_iqr(
     WHERE CAST({value_col} AS DOUBLE) < fence_lo
        OR CAST({value_col} AS DOUBLE) > fence_hi
     """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo_q, hi_q] nearest-rank quantiles — the tail-taming companion to
+    ``flag_outliers_iqr`` (that one REPORTS tails; this one CAPS them,
+    the standard pre-normalization step before length/score features
+    feed a mixture or quality model).
+
+    Reuses ``group_quantiles`` verbatim for the cut points, so the
+    boundary semantics stay the single positional (ceil(q*n)-th smallest)
+    definition shared with the oracle. The cuts table is group-count-
+    sized: re-attached by broadcast join; the clip itself is a map.
+    Returns (id, group, <value> double, <value>_w double).
+    """
+    if not (0.0 < lo_q < hi_q < 1.0):
+        raise ValueError("need 0 < lo_q < hi_q < 1")
+    lo_tag = f"q_{int(round(lo_q * 100))}"
+    hi_tag = f"q_{int(round(hi_q * 100))}"
+    cuts = group_quantiles(df, value_col, group_col, qs=(lo_q, hi_q)).select(
+        group_col,
+        F.col(lo_tag).alias("_lo"),
+        F.col(hi_tag).alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(F.col(id_col), F.col(group_col), v.alias(value_col))
+        .filter(v.isNotNull())
+        .join(F.broadcast(cuts), group_col)
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+            .alias(f"{value_col}_w"),
+        )
+    )
+
+
+def sql_winsorize(
+    table: str,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    """DuckDB replay of ``winsorize``: the cuts CTE is
+    ``sql_group_quantiles`` verbatim (same positional arithmetic), the
+    clip is least/greatest."""
+    lo_tag = f"q_{int(round(lo_q * 100))}"
+    hi_tag = f"q_{int(round(hi_q * 100))}"
+    cuts = sql_group_quantiles(table, value_col, group_col, qs=(lo_q, hi_q))
+    return f"""
+    WITH cuts AS ({cuts})
+    SELECT d.{id_col}, d.{group_col},
+        CAST(d.{value_col} AS DOUBLE) AS {value_col},
+        least(greatest(CAST(d.{value_col} AS DOUBLE), c.{lo_tag}), c.{hi_tag})
+            AS {value_col}_w
+    FROM {table} d JOIN cuts c ON d.{group_col} = c.{group_col}
+    WHERE d.{value_col} IS NOT NULL
+    """

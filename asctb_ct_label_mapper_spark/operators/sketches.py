@@ -95,3 +95,15 @@ def distinct_users_rollup(
     return rollup_user_sketches(
         daily_user_sketches(events, user_col, ts_col, lg_config_k)
     )
+
+
+def merge_daily_sketches(partials: DataFrame) -> DataFrame:
+    """Compact an append-only PARTIAL sketch table (multiple rows per day,
+    e.g. one per streaming micro-batch) back to one row per day. Sketch
+    union is associative + idempotent-under-regrouping, so compaction
+    changes layout, never answers; ``rollup_user_sketches`` gives the
+    same result on partials or on the compacted table (tested)."""
+    return partials.groupBy("day").agg(
+        F.hll_union_agg("user_sketch").alias("user_sketch"),
+        F.sum("n_events").alias("n_events"),
+    )

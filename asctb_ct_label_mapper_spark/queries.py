@@ -4681,6 +4681,43 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gapfill_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import sql_calendar_fill
+
+    return sql_calendar_fill("events", value_threshold=300.0)
+
+
+@query("gapfill_daily_events", _gapfill_oracle())
+def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar zero-fill (funnel.calendar_fill): daily counts of
+    high-value events per type on a generated day spine x type grid —
+    missing cells emit explicit 0 rows (the dashboard/anomaly-detector
+    contract). Only the filtered count touches the stream; the spine is
+    ONE span row exploded into days, cross-joined with the tiny type dim."""
+    from asctb_ct_label_mapper_spark.operators.funnel import calendar_fill
+
+    return calendar_fill(_t(spark, sf_dir, "events"), value_threshold=300.0)
+
+
+def _winsorize_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import sql_winsorize
+
+    return sql_winsorize("documents", "n_chars", "source", "doc_id")
+
+
+@query("winsorize_doclen_docs", _winsorize_oracle())
+def winsorize_doclen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (profile.winsorize): document lengths
+    clipped to their source's [p5, p95] nearest-rank quantiles — cut
+    points via group_quantiles VERBATIM (one positional definition shared
+    with the oracle), re-attached by broadcast join, map-side clip."""
+    from asctb_ct_label_mapper_spark.operators.profile import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "documents"), "n_chars", "source", "doc_id"
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "dq_report",
     "w_rolling_24h_value",
     "argmax_order_per_customer",
+    # dense-calendar zero-fill and per-group winsorization
+    "gapfill_daily_events",
+    "winsorize_doclen_docs",
 ]
 
 

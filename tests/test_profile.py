@@ -111,3 +111,44 @@ def test_iqr_outliers_flag_planted_extremes(spark):
     assert got.get(100) == "high" and got.get(101) == "low"
     assert 200 not in got  # single-value group has zero IQR around itself
     assert all(d in (100, 101) for d in got)
+
+
+def test_winsorize_clips_to_group_cuts(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import winsorize
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])] + [
+        (10, "b", 5.0),
+        (11, "b", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n double")
+    # group a, n=5: p5 cut = ceil(.05*5)=1st smallest = 1; p95 = ceil(4.75)=5th = 100
+    got = {
+        r.doc_id: r.n_w
+        for r in winsorize(
+            df.selectExpr("doc_id", "source", "CAST(n AS DOUBLE) AS n"),
+            "n", "source", "doc_id",
+        ).collect()
+    }
+    assert got[4] == 100.0  # p95 of a 5-row group IS the max (nearest-rank)
+    # tighter quantiles actually clip
+    got2 = {
+        r.doc_id: r.n_w
+        for r in winsorize(
+            df.selectExpr("doc_id", "source", "CAST(n AS DOUBLE) AS n"),
+            "n", "source", "doc_id", lo_q=0.25, hi_q=0.75,
+        ).collect()
+    }
+    # group a p25 = ceil(1.25)=2nd=2, p75 = ceil(3.75)=4th=4
+    assert got2[0] == 2.0 and got2[4] == 4.0 and got2[2] == 3.0
+    # group b (n=2): p25=1st=5, p75=ceil(1.5)=2nd=6 -> untouched
+    assert got2[10] == 5.0 and got2[11] == 6.0
+
+
+def test_winsorize_rejects_bad_quantiles(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "i bigint, g string, v double")
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "v", "g", "i", lo_q=0.9, hi_q=0.1)

@@ -125,3 +125,90 @@ def test_hll_union_never_double_counts(spark):
     out = {r.period: r.est_users for r in
            rollup_user_sketches(daily_user_sketches(ev)).collect()}
     assert abs(out["total"] - 200) <= 10  # not ~400
+
+
+def test_partial_sketch_compaction_preserves_rollup(spark, sf_dir):
+    """merge-on-read contract: rollups over an append-only partial table
+    (duplicate day rows) equal rollups over the compacted table."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        daily_user_sketches,
+        merge_daily_sketches,
+        rollup_user_sketches,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    partials = daily_user_sketches(half_a).unionByName(
+        daily_user_sketches(half_b)
+    )
+    assert partials.count() > merge_daily_sketches(partials).count()
+    on_partials = {
+        (r.period, r.est_users, r.n_events)
+        for r in rollup_user_sketches(partials).collect()
+    }
+    on_compacted = {
+        (r.period, r.est_users, r.n_events)
+        for r in rollup_user_sketches(merge_daily_sketches(partials)).collect()
+    }
+    whole = {
+        (r.period, r.est_users, r.n_events)
+        for r in rollup_user_sketches(daily_user_sketches(ev)).collect()
+    }
+    assert on_partials == on_compacted == whole
+
+
+def test_streaming_sketch_loop(spark, sf_dir, tmp_path):
+    """The ingest loop: events land as JSON micro-batches, the stream
+    appends per-day partial sketches, the rollup over the table matches
+    the batch answer; a second delivery of the SAME users leaves the
+    distinct estimates unchanged (HLL idempotence on identical values)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_user_sketches,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.streaming.sketches import start_sketch_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    landing = str(tmp_path / "landing")
+    ev.write.json(landing)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .json(landing)
+    )
+    sketch_p = str(tmp_path / "sketches")
+    q = start_sketch_stream(
+        stream, sketch_p, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.period: (r.est_users, r.n_events)
+        for r in rollup_user_sketches(spark.read.parquet(sketch_p)).collect()
+    }
+    want = {
+        r.period: (r.est_users, r.n_events)
+        for r in rollup_user_sketches(daily_user_sketches(ev)).collect()
+    }
+    assert got == want
+
+    # re-delivery (fresh checkpoint, same rows): estimates stable,
+    # n_events double-counts — the documented honest gap
+    stream2 = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .json(landing)
+    )
+    q2 = start_sketch_stream(
+        stream2, sketch_p, str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(300)
+    redelivered = {
+        r.period: (r.est_users, r.n_events)
+        for r in rollup_user_sketches(spark.read.parquet(sketch_p)).collect()
+    }
+    assert {p: v[0] for p, v in redelivered.items()} == {
+        p: v[0] for p, v in want.items()
+    }
+    assert all(redelivered[p][1] == 2 * want[p][1] for p in want)

@@ -229,3 +229,28 @@ def test_rolling_24h_frame_boundary(spark):
         ).collect()
     }
     assert got == {1: 100, 2: 200, 3: 200}
+
+
+def test_calendar_fill_emits_zero_rows(spark):
+    from asctb_ct_label_mapper_spark.operators.funnel import calendar_fill
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 500.0),   # hit
+        (2, "click", "2024-01-03 10:00:00", 100.0),   # below threshold
+        (3, "view", "2024-01-02 10:00:00", 900.0),    # hit
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string, value double"
+    ).select("user_id", "event_type", F.to_timestamp("ts").alias("ts"), "value")
+    got = {
+        (r.day, r.event_type): r.n
+        for r in calendar_fill(ev, value_threshold=300.0).collect()
+    }
+    # spine: 3 days x 2 types = 6 cells, zeros explicit
+    assert len(got) == 6
+    assert got[("2024-01-01", "click")] == 1
+    assert got[("2024-01-02", "view")] == 1
+    assert got[("2024-01-02", "click")] == 0
+    assert got[("2024-01-03", "click")] == 0  # event exists but under threshold
+    assert got[("2024-01-01", "view")] == 0
+    assert got[("2024-01-03", "view")] == 0
