@@ -182,43 +182,63 @@ def sql_cohort_retention(
 def calendar_fill(
     events: DataFrame,
     value_threshold: float = 300.0,
-    user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
     """Zero-filled daily incident grid: count events with ``value_col`` >
     ``value_threshold`` per (event_type, day), on a DENSE calendar spine
-    covering [min day, max day] of the WHOLE stream x all event types —
-    days (or types) with no qualifying events emit an explicit 0 row.
-    The gap-fill every dashboard and anomaly detector needs: a missing
-    day must read as zero, not as absent.
+    covering [min day, max day] of the stream x all event types — days
+    (or types) with no qualifying events emit an explicit 0 row. The
+    gap-fill every dashboard and anomaly detector needs: a missing day
+    must read as zero, not as absent.
 
-    Plan shape (the 100 TB contract): the only data-sized operation is
-    the filtered (type, day) count — filter pushed to the scan, one
-    grouped aggregate. The spine is DIMENSION-sized by construction: the
-    span collapses to ONE row (min/max agg) exploded into ~days rows,
-    cross-joined with the distinct type table (both broadcast-trivial),
-    then LEFT-joined against the counts. Spark broadcasts the counts or
-    the spine per AQE — either way the join never shuffles the raw
-    stream. Returns (day 'yyyy-MM-dd', event_type, n).
+    NULL contract (review finding): rows with NULL ``type_col`` or NULL
+    ``ts_col`` are EXCLUDED up front — an equality join can never match a
+    NULL key, so without the explicit filter a NULL-typed qualifying
+    event would be silently dropped from counts while still minting a
+    phantom all-zero NULL series from the type dim. Explicit exclusion
+    (mirrored in the oracle) makes that a documented contract instead of
+    a silent asymmetry.
+
+    Plan shape (the 100 TB contract): the stream is scanned ONCE, into a
+    dimension-sized (type, day) grid whose qualifying count is a
+    conditional sum; the calendar span, the type dim, and the left-join
+    base are all derived from that GRID (grid rows exist wherever any
+    event exists, so its min/max day and distinct types equal the
+    stream's). The grid is pooled-persisted: Spark does NOT dedupe
+    self-referencing subtrees, so without the persist each of the three
+    grid consumers would re-scan the raw stream (single-scan contract is
+    plan-asserted in tests). The spine is a 1-row span agg exploded into
+    days, cross-joined with the type dim — broadcast-trivial either
+    side. Returns (day 'yyyy-MM-dd', event_type, n).
     """
-    ev = events.select(
-        F.col(type_col), F.to_date(ts_col).alias("d"), F.col(value_col)
-    )
-    counts = (
-        ev.filter(F.col(value_col) > value_threshold)
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+    grid = (
+        events.filter(
+            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(type_col),
+            F.to_date(ts_col).alias("d"),
+            F.col(value_col),
+        )
         .groupBy(type_col, "d")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col(value_col) > value_threshold, 1).otherwise(0)
+            ).alias("n")
+        )
     )
-    span = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = pooled_persist(grid)
+    span = grid.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     days = span.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
     )
-    types = ev.select(type_col).distinct()
+    types = grid.select(type_col).distinct()
     spine = types.crossJoin(days)
     return (
-        spine.join(counts, [type_col, "d"], "left")
+        spine.join(grid, [type_col, "d"], "left")
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.col(type_col),
@@ -234,27 +254,26 @@ def sql_calendar_fill(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> str:
-    """DuckDB replay of ``calendar_fill`` (generate_series spine, same
-    left-join + zero coalesce)."""
+    """DuckDB replay of ``calendar_fill`` (same NULL exclusion, same
+    grid-derived generate_series spine, same left-join zero coalesce)."""
     return f"""
-    WITH hits AS (
-        SELECT {type_col}, CAST({ts_col} AS DATE) AS d, count(*) AS n
-        FROM {table} WHERE {value_col} > {float(value_threshold)}
+    WITH grid AS (
+        SELECT {type_col}, CAST({ts_col} AS DATE) AS d,
+            sum(CASE WHEN {value_col} > {float(value_threshold)}
+                THEN 1 ELSE 0 END) AS n
+        FROM {table}
+        WHERE {type_col} IS NOT NULL AND {ts_col} IS NOT NULL
         GROUP BY 1, 2
     ),
-    span AS (
-        SELECT min(CAST({ts_col} AS DATE)) AS lo,
-               max(CAST({ts_col} AS DATE)) AS hi
-        FROM {table}
-    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM grid),
     days AS (
         SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
         FROM span
     ),
-    types AS (SELECT DISTINCT {type_col} FROM {table})
+    types AS (SELECT DISTINCT {type_col} FROM grid)
     SELECT strftime(d.d, '%Y-%m-%d') AS day, t.{type_col},
-        coalesce(h.n, 0) AS n
+        coalesce(g.n, 0) AS n
     FROM types t
     CROSS JOIN days d
-    LEFT JOIN hits h ON h.{type_col} = t.{type_col} AND h.d = d.d
+    LEFT JOIN grid g ON g.{type_col} = t.{type_col} AND g.d = d.d
     """

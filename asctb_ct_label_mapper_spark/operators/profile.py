@@ -316,6 +316,14 @@ def winsorize(
         raise ValueError("need 0 < lo_q < hi_q < 1")
     lo_tag = f"q_{int(round(lo_q * 100))}"
     hi_tag = f"q_{int(round(hi_q * 100))}"
+    if lo_tag == hi_tag:
+        # group_quantiles names columns by rounded percent; a collision
+        # would alias two aggregates identically and fail later with an
+        # opaque AMBIGUOUS_REFERENCE (review finding)
+        raise ValueError(
+            f"lo_q={lo_q} and hi_q={hi_q} round to the same percent tag"
+            f" {lo_tag}; separate them by at least one percent"
+        )
     cuts = group_quantiles(df, value_col, group_col, qs=(lo_q, hi_q)).select(
         group_col,
         F.col(lo_tag).alias("_lo"),
@@ -349,6 +357,11 @@ def sql_winsorize(
     clip is least/greatest."""
     lo_tag = f"q_{int(round(lo_q * 100))}"
     hi_tag = f"q_{int(round(hi_q * 100))}"
+    if lo_tag == hi_tag:
+        raise ValueError(
+            f"lo_q={lo_q} and hi_q={hi_q} round to the same percent tag"
+            f" {lo_tag}; separate them by at least one percent"
+        )
     cuts = sql_group_quantiles(table, value_col, group_col, qs=(lo_q, hi_q))
     return f"""
     WITH cuts AS ({cuts})

@@ -4692,8 +4692,8 @@ def gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-calendar zero-fill (funnel.calendar_fill): daily counts of
     high-value events per type on a generated day spine x type grid —
     missing cells emit explicit 0 rows (the dashboard/anomaly-detector
-    contract). Only the filtered count touches the stream; the spine is
-    ONE span row exploded into days, cross-joined with the tiny type dim."""
+    contract). The stream is scanned ONCE into a dimension-sized grid;
+    span, type dim, and join base all derive from that grid."""
     from asctb_ct_label_mapper_spark.operators.funnel import calendar_fill
 
     return calendar_fill(_t(spark, sf_dir, "events"), value_threshold=300.0)

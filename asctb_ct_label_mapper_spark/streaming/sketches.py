@@ -35,19 +35,37 @@ def start_sketch_stream(
     checkpoint: str,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    lg_config_k: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """foreachBatch loop: micro-batch -> per-day partial sketches ->
     append to ``sketch_path``. Query-side merging means the loop itself
     is one grouped aggregate per batch — no state store, no corpus
-    reshuffle, the sketch table grows by batch-days rows per batch."""
+    reshuffle, the sketch table grows by batch-days rows per batch.
+
+    ``lg_config_k`` passes through to ``daily_user_sketches`` so a table
+    backfilled in batch at a non-default precision is appended at the
+    SAME precision — hll_union_agg silently downgrades mixed-lgK merges
+    to the coarser sketch, so mixing precisions degrades every rollup
+    (review finding).
+    """
+    from asctb_ct_label_mapper_spark.operators.sketches import LG_CONFIG_K
+
+    lgk = LG_CONFIG_K if lg_config_k is None else lg_config_k
 
     def _step(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.head(1):
-            return
-        daily_user_sketches(batch, user_col=user_col, ts_col=ts_col).write.mode(
-            "append"
-        ).parquet(sketch_path)
+        # aggregate FIRST (dimension-sized: one row per day in the
+        # batch), persist it, and gate the append on the aggregate —
+        # a head(1) on the raw batch would execute the batch plan once
+        # for the guard and again for the write (review finding)
+        daily = daily_user_sketches(
+            batch, user_col=user_col, ts_col=ts_col, lg_config_k=lgk
+        ).persist()
+        try:
+            if daily.head(1):
+                daily.write.mode("append").parquet(sketch_path)
+        finally:
+            daily.unpersist()
 
     writer = stream.writeStream.foreachBatch(_step).option(
         "checkpointLocation", checkpoint

@@ -152,3 +152,18 @@ def test_winsorize_rejects_bad_quantiles(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "v", "g", "i", lo_q=0.9, hi_q=0.1)
+
+
+def test_winsorize_rejects_colliding_percent_tags(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_winsorize,
+        winsorize,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "i bigint, g string, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="same percent tag"):
+        winsorize(df, "v", "g", "i", lo_q=0.051, hi_q=0.054)
+    with pytest.raises(ValueError, match="same percent tag"):
+        sql_winsorize("t", "v", "g", "i", lo_q=0.051, hi_q=0.054)

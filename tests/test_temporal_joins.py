@@ -254,3 +254,40 @@ def test_calendar_fill_emits_zero_rows(spark):
     assert got[("2024-01-03", "click")] == 0  # event exists but under threshold
     assert got[("2024-01-01", "view")] == 0
     assert got[("2024-01-03", "view")] == 0
+
+
+def test_calendar_fill_null_type_and_ts_excluded(spark):
+    """Review finding pinned: NULL-typed / NULL-ts events are excluded by
+    contract — no silent count drop, no phantom all-zero NULL series."""
+    from asctb_ct_label_mapper_spark.operators.funnel import calendar_fill
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 500.0),
+        (2, None, "2024-01-01 11:00:00", 900.0),     # NULL type: excluded
+        (3, "view", None, 900.0),                    # NULL ts: excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string, value double"
+    ).select("user_id", "event_type", F.to_timestamp("ts").alias("ts"), "value")
+    out = calendar_fill(ev, value_threshold=300.0).collect()
+    types = {r.event_type for r in out}
+    assert types == {"click"}  # no NULL series, no phantom 'view' day
+    assert {(r.day, r.n) for r in out} == {("2024-01-01", 1)}
+
+
+def test_calendar_fill_scans_the_stream_once(spark):
+    """The single-scan contract: all three grid consumers (span, types,
+    join base) read the pooled-persisted grid — three InMemoryTableScans
+    in the plan, so the parquet source is materialized exactly once at
+    cache fill. (The raw plan text still PRINTS the FileScan inside each
+    InMemoryRelation definition, so counting 'Scan parquet' overcounts.)"""
+    from asctb_ct_label_mapper_spark.operators.funnel import calendar_fill
+    from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    try:
+        plan = calendar_fill(ev)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == 3
+    finally:
+        drain_persist_pool()
