@@ -277,3 +277,133 @@ def sql_calendar_fill(
     CROSS JOIN days d
     LEFT JOIN grid g ON g.{type_col} = t.{type_col} AND g.d = d.d
     """
+
+
+def user_journeys(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Sequence assembly: per (user, day), the ORDERED event-type path as
+    one separator-joined string — the behavioral-ML feature (journey
+    mining, next-action models) and the session-replay debugging view.
+
+    Determinism contract: order inside a path is (ts, event_id) — the
+    tie-break matters because collect_list carries NO ordering guarantee
+    in a distributed agg. The sort happens AFTER collection via
+    ``array_sort`` over (ts, id, type) structs (lexicographic struct
+    compare), so the plan stays one groupBy shuffle — no window sort
+    followed by a second agg. Output string order is identical to the
+    oracle's ``string_agg(... ORDER BY ts, event_id)``.
+
+    Scale: one shuffle on (user, day); per-cell memory is the day's
+    events for one user — bounded by daily activity, not history.
+    Returns (user_id, day 'yyyy-MM-dd', path, n_events).
+    """
+    cell = events.select(
+        F.col(user_col),
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("et"),
+        ).alias("s"),
+    )
+    return cell.groupBy(user_col, "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x.getField("et")
+            ),
+            sep,
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sql_user_journeys(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> str:
+    """DuckDB replay of ``user_journeys`` (ordered string_agg with the
+    same (ts, id) tie-break)."""
+    return f"""
+    SELECT {user_col}, strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+        string_agg({type_col}, '{sep}' ORDER BY {ts_col}, {id_col}) AS path,
+        count(*) AS n_events
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type, next_type) pair, the transition count
+    and row-normalized probability. The model behind next-action
+    prediction baselines and funnel-drop diagnosis.
+
+    Plan: lag window over ONE user_id Exchange (deterministic (ts, id)
+    order), then a type-pair aggregate — the matrix is |types|² rows, so
+    the normalizing per-prev sum is a window over a dimension-sized
+    frame. Integer counts divide once at the end: no float accumulation.
+    """
+    seq_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    trans = (
+        events.select(
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(seq_w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm_w = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm_w), 6
+        ).alias("p"),
+    )
+
+
+def sql_markov_transitions(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay of ``markov_transitions`` (same lag order, same
+    integer-count division)."""
+    return f"""
+    WITH seq AS (
+        SELECT {type_col} AS next_type,
+            lag({type_col}) OVER (
+                PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+            ) AS prev_type
+        FROM {table}
+    ),
+    trans AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+        round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6)
+            AS p
+    FROM trans
+    """

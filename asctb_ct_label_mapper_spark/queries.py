@@ -4718,6 +4718,42 @@ def winsorize_doclen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _journeys_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import sql_user_journeys
+
+    return sql_user_journeys("events")
+
+
+@query("user_journeys_events", _journeys_oracle())
+def user_journeys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly (funnel.user_journeys): per (user, day) ordered
+    event-type path as one string — collect_list has NO order guarantee,
+    so the (ts, id, type) structs are array_sort-ed AFTER collection (one
+    groupBy shuffle, no window-then-agg double sort), matching the
+    oracle's ordered string_agg exactly."""
+    from asctb_ct_label_mapper_spark.operators.funnel import user_journeys
+
+    return user_journeys(_t(spark, sf_dir, "events"))
+
+
+def _markov_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        sql_markov_transitions,
+    )
+
+    return sql_markov_transitions("events")
+
+
+@query("markov_transitions_events", _markov_oracle())
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (funnel.markov_transitions):
+    lag window over one user Exchange, |types|²-row aggregate, integer
+    counts divided once at the end (no float accumulation)."""
+    from asctb_ct_label_mapper_spark.operators.funnel import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

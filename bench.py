@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     # dense-calendar zero-fill and per-group winsorization
     "gapfill_daily_events",
     "winsorize_doclen_docs",
+    # behavioral-sequence family: journey assembly + Markov transitions
+    "user_journeys_events",
+    "markov_transitions_events",
 ]
 
 

@@ -291,3 +291,53 @@ def test_calendar_fill_scans_the_stream_once(spark):
         assert plan.count("InMemoryTableScan") == 3
     finally:
         drain_persist_pool()
+
+
+def test_user_journeys_order_and_tie_break(spark):
+    from asctb_ct_label_mapper_spark.operators.funnel import user_journeys
+
+    rows = [
+        (3, 9, "2024-01-01 10:00:00", "view"),     # same ts as event 2:
+        (2, 9, "2024-01-01 10:00:00", "click"),    #   id breaks the tie
+        (5, 9, "2024-01-01 11:00:00", "purchase"),
+        (7, 9, "2024-01-02 09:00:00", "view"),     # next day: own cell
+        (8, 4, "2024-01-01 10:30:00", "signup"),   # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string"
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    got = {
+        (r.user_id, r.day): (r.path, r.n_events)
+        for r in user_journeys(ev).collect()
+    }
+    assert got[(9, "2024-01-01")] == ("click>view>purchase", 3)
+    assert got[(9, "2024-01-02")] == ("view", 1)
+    assert got[(4, "2024-01-01")] == ("signup", 1)
+
+
+def test_markov_transitions_probabilities(spark):
+    from asctb_ct_label_mapper_spark.operators.funnel import markov_transitions
+
+    # user 1: a->b->a->b ; user 2: a->a  => transitions:
+    # a->b x2, b->a x1, a->a x1  => P(b|a)=2/3, P(a|a)=1/3, P(a|b)=1
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "a"),
+        (2, 1, "2024-01-01 10:01:00", "b"),
+        (3, 1, "2024-01-01 10:02:00", "a"),
+        (4, 1, "2024-01-01 10:03:00", "b"),
+        (5, 2, "2024-01-01 10:00:00", "a"),
+        (6, 2, "2024-01-01 10:01:00", "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string"
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p)
+        for r in markov_transitions(ev).collect()
+    }
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "a")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("b", "b") not in got
+    # no cross-user transition: user 2's first event has no prev
+    assert sum(n for n, _ in got.values()) == 4
