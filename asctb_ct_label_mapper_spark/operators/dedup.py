@@ -1429,3 +1429,127 @@ def sql_pair_metrics(
                    / (CAST(tp AS DOUBLE)/(tp + fp) + CAST(tp AS DOUBLE)/(tp + fn)) END, 6) AS f1
     FROM counts
     """
+
+
+# --- bloom-filter ledger prefilter ------------------------------------------
+
+
+def bloom_positions(text: Column, k: int = 4, m: int = 1 << 16) -> Column:
+    """``k`` bloom bit positions for a text's content hash, as one native
+    expression: Kirsch-Mitzenmacher double hashing pos_i = (h1 + i*h2)
+    mod m over the two 32-bit halves of md5 — deterministic and exactly
+    replayable in DuckDB (same md5 hex, same arithmetic), unlike Spark's
+    built-in BloomFilter sketch whose layout is JVM-private."""
+    h = F.md5(text)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.array(*[(h1 + F.lit(i) * h2) % m for i in range(k)])
+
+
+def bloom_prefilter_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    m: int = 1 << 16,
+) -> DataFrame:
+    """Membership prefilter for ledger dedup: is each batch document's
+    exact content already in the corpus?
+
+    The direct answer is an anti-join of the batch against the corpus
+    hash ledger — at 100 TB that shuffles the FULL ledger every batch.
+    The bloom rewrite bounds it: the ledger folds once into an m-bit
+    bitset (aggregate -> at most m distinct set bits -> driver collect
+    bounded by m/8 bytes regardless of corpus size -> broadcast), the
+    batch tests membership map-side against the broadcast bits, and only
+    the "maybe" fraction (true dups + the deterministic false-positive
+    rate) reaches the exact-verify equi-join. Definite negatives — the
+    bulk of a healthy ingest — never shuffle.
+
+    Returns per batch row: (id, bloom_maybe, is_dup). bloom_maybe=1 &&
+    is_dup=0 rows are the realized false positives, so the query output
+    itself measures the filter (sized here at m/n ≈ 10+ bits/key ->
+    fp ~ 2-3% at k=4). Every bit position is md5-derived, so the whole
+    report is value-deterministic and oracle-checkable."""
+    corpus_bits = (
+        corpus.select(
+            F.explode(bloom_positions(F.col(text_col), k, m)).alias("pos")
+        )
+        .distinct()
+    )
+    # bounded collect: at most m ints (m defaults to 64Ki -> 8 KiB bitset)
+    set_bits = [r.pos for r in corpus_bits.collect()]
+    bits = np.zeros(m, dtype=bool)
+    bits[set_bits] = True
+    sc = corpus.sparkSession.sparkContext
+    b_bits = sc.broadcast(bits)
+
+    @F.pandas_udf(T.IntegerType())
+    def _maybe(pos: pd.Series) -> pd.Series:
+        bb = b_bits.value
+        mat = np.stack(pos.to_numpy())  # (rows, k) int64
+        return pd.Series(bb[mat].all(axis=1).astype("int32"))
+
+    tested = batch.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_h"),
+        _maybe(bloom_positions(F.col(text_col), k, m)).alias("bloom_maybe"),
+    )
+    ledger = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    verified = (
+        tested.filter(F.col("bloom_maybe") == 1)
+        .join(ledger.withColumn("_dup", F.lit(1)), "_h", "left")
+        .select(
+            id_col, "bloom_maybe", F.coalesce("_dup", F.lit(0)).alias("is_dup")
+        )
+    )
+    negatives = tested.filter(F.col("bloom_maybe") == 0).select(
+        id_col, "bloom_maybe", F.lit(0).alias("is_dup")
+    )
+    return negatives.unionAll(verified)
+
+
+def sql_bloom_prefilter(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_mod: int = 10,
+    split_lt: int = 7,
+    k: int = 4,
+    m: int = 1 << 16,
+) -> str:
+    """DuckDB replay of ``bloom_prefilter_dedup`` over the same
+    corpus/batch split: corpus bit positions as a set, a batch row is
+    bloom-positive iff all k of its positions match, dup iff its md5 is
+    in the corpus ledger."""
+    halves = f"""
+        SELECT {id_col}, {text_col},
+            CAST(('0x' || substr(md5({text_col}), 1, 8)) AS UBIGINT) AS h1,
+            CAST(('0x' || substr(md5({text_col}), 9, 8)) AS UBIGINT) AS h2
+        FROM {table}
+    """
+    return f"""
+    WITH h AS ({halves}),
+    corpus AS (SELECT * FROM h WHERE {id_col} % {split_mod} < {split_lt}),
+    batch AS (SELECT * FROM h WHERE {id_col} % {split_mod} >= {split_lt}),
+    cbits AS (
+        SELECT DISTINCT (h1 + i * h2) % {m} AS pos
+        FROM corpus, unnest(generate_series(0, {k - 1})) AS g(i)
+    ),
+    bpos AS (
+        SELECT {id_col}, (h1 + i * h2) % {m} AS pos
+        FROM batch, unnest(generate_series(0, {k - 1})) AS g(i)
+    ),
+    maybe AS (
+        SELECT b.{id_col},
+            CAST(count(c.pos) = {k} AS INT) AS bloom_maybe
+        FROM bpos b LEFT JOIN cbits c USING (pos)
+        GROUP BY b.{id_col}
+    )
+    SELECT b.{id_col}, mb.bloom_maybe,
+        CAST(mb.bloom_maybe = 1 AND EXISTS (
+            SELECT 1 FROM corpus c WHERE md5(c.{text_col}) = md5(b.{text_col})
+        ) AS INT) AS is_dup
+    FROM batch b JOIN maybe mb USING ({id_col})
+    """

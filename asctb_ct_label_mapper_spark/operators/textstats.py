@@ -1136,3 +1136,93 @@ def sql_char_entropy(
         round(coalesce(e.e, 0.0), 6) AS entropy_bits
     FROM {table} d LEFT JOIN ent e USING ({id_col})
     """
+
+
+# --- vocabulary growth (Heaps-law curve) ------------------------------------
+
+
+def vocab_growth(
+    df: DataFrame,
+    n: int = 2,
+    n_shards: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over ingest shards: for each
+    shard s, the cumulative distinct word-``n``-gram vocabulary and the
+    cumulative token volume after ingesting shards 0..s.
+
+    The naive formulation re-counts DISTINCT over each growing prefix —
+    quadratic in corpus size. The scale rewrite: a gram first enlarges
+    the vocabulary exactly at its MINIMUM shard, so one groupBy(gram)
+    computing min(shard) + a shard-level cumulative sum yields every
+    prefix's distinct count in a single pass. The only ordered step runs
+    over ``n_shards`` rows. Shard id is ``id % n_shards`` (deterministic
+    round-robin ingest batches at any scale)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.explode(grams_arr).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("shard").alias("shard"))
+    new_per_shard = first_seen.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("new_grams")
+    )
+    tok_per_shard = grams.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_shard.join(new_per_shard, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("new_grams", F.lit(0)).alias("new_grams"),
+            F.col("n_grams"),
+        )
+        .select(
+            "shard",
+            "new_grams",
+            F.sum("new_grams").over(w).alias("vocab_size"),
+            F.sum("n_grams").over(w).alias("corpus_grams"),
+        )
+    )
+
+
+def sql_vocab_growth(
+    table: str = "documents",
+    n: int = 2,
+    n_shards: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``vocab_growth`` (same single-space split, same
+    first-seen-shard rewrite)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} % {n_shards} AS shard,
+            string_split({text_col}, ' ') AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT shard, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(t) - {n} + 1)) AS g(i)
+    ),
+    first_seen AS (SELECT gram, min(shard) AS shard FROM grams GROUP BY gram),
+    new_per_shard AS (
+        SELECT shard, count(*) AS new_grams FROM first_seen GROUP BY shard
+    ),
+    tok_per_shard AS (
+        SELECT shard, count(*) AS n_grams FROM grams GROUP BY shard
+    )
+    SELECT t.shard, coalesce(n.new_grams, 0) AS new_grams,
+        CAST(sum(coalesce(n.new_grams, 0)) OVER w AS BIGINT) AS vocab_size,
+        CAST(sum(t.n_grams) OVER w AS BIGINT) AS corpus_grams
+    FROM tok_per_shard t LEFT JOIN new_per_shard n USING (shard)
+    WINDOW w AS (ORDER BY t.shard ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """

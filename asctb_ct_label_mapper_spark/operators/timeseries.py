@@ -1,0 +1,285 @@
+"""Time-series / interval-algebra operators over the events stream.
+
+Not in the reference (its data is static spreadsheets) — these are the
+event-analytics shapes a production pipeline runs next to the curation
+engine, each re-expressed so the non-windowable part is rewritten into
+shuffle-bounded relational algebra:
+
+- ``rolling_distinct_count``: COUNT(DISTINCT key) over a trailing k-day
+  window per day. No engine can run a distinct inside a sliding frame
+  without holding per-frame state; the scale rewrite is interval
+  expansion — each (key, active-day) covers the next k report days, so
+  the answer is a plain count over the k-bounded expansion, two
+  hash-shuffles, zero window state.
+- ``session_intervals`` / ``daily_max_concurrency``: classic sweep-line
+  (+1 at session start, -1 just after session end) with the global
+  running sum DECOMPOSED into per-day partial prefix sums plus a
+  day-level carry — the only total-order step runs over #days rows, so
+  a 100 TB event stream never funnels through one partition.
+- ``ewma_by_key``: recursive exponential smoothing — not expressible as
+  any frame aggregate — computed as an ordered left fold (``aggregate``
+  HOF) over the per-key collected series. Both engines fold in the same
+  (ts, id) order with the same 0.5*x + 0.5*acc arithmetic, so the IEEE
+  doubles match bit-for-bit (the per-key series, not the corpus, must
+  fit a row — the contract for per-entity telemetry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- rolling distinct count --------------------------------------------------
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Distinct ``key_col`` values active in the trailing ``window_days``
+    calendar days, per observed day.
+
+    Scale shape: (key, day) distinct -> explode each row to the
+    ``window_days`` report days it covers (bounded fan-out) -> distinct
+    (key, report-day) -> count per day. Two hash-partitioned distincts;
+    the alternative — ``collect_set`` over a RANGE frame — materializes
+    per-frame membership state and cannot map-side combine. Report days
+    are restricted to days that actually appear in the stream (broadcast
+    semi-join with the tiny day dimension)."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    key_days = df.select(F.col(key_col).alias("key"), day).distinct()
+    days = key_days.select("day").distinct()
+    covered = (
+        key_days.select(
+            "key",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        covered.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active")
+    )
+
+
+def sql_rolling_distinct_count(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> str:
+    """DuckDB replay: the trailing-window distinct stated directly as an
+    inequality join (DuckDB's range join handles the small scale; the
+    Spark side carries the scale rewrite)."""
+    return f"""
+    WITH days AS (SELECT DISTINCT CAST({ts_col} AS DATE) AS d FROM {table})
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+        count(DISTINCT e.{key_col}) AS n_active
+    FROM days JOIN {table} e
+      ON CAST(e.{ts_col} AS DATE)
+         BETWEEN d - INTERVAL {window_days - 1} DAY AND d
+    GROUP BY d
+    """
+
+
+# --- sweep-line concurrency --------------------------------------------------
+
+
+def session_intervals(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-and-islands sessionization returning (key, session_start,
+    session_end) intervals — the same 30-min-inactivity definition as
+    ``streaming.events.sessionize`` (reference has no events; SURVEY §2.8
+    family), built with one keyed window + one groupBy on the same key,
+    so there is a single Exchange on ``key_col``."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.when(us - F.lag(us).over(w) >= gap_us, 1).otherwise(0).alias("new_s"),
+    )
+    ids = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("key")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ids.groupBy("key", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+
+
+def daily_max_concurrency(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep line: +1 at each session
+    start, -1 one microsecond after its end (inclusive-end semantics with
+    no tie-ordering trap: deltas are SUMMED PER TIMESTAMP first, so the
+    running sum never depends on intra-timestamp order).
+
+    The global prefix sum is decomposed for scale: within-day prefix sums
+    run under a day-partitioned window (parallel), day totals cumulate in
+    a #days-row window (the only single-partition step — dimension-sized
+    by construction), and the day carry is broadcast back. Concurrency at
+    any change point = day carry + within-day prefix; per-day max + the
+    change-point count are the report."""
+    sess = session_intervals(df, gap_minutes, ts_col, key_col)
+    end_excl = F.timestamp_micros(F.unix_micros(F.col("session_end")) + 1)
+    pts = sess.select(
+        F.col("session_start").alias("pt"), F.lit(1).alias("d")
+    ).unionAll(sess.select(end_excl.alias("pt"), F.lit(-1).alias("d")))
+    per_ts = (
+        pts.groupBy("pt")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .withColumn("day", F.to_date("pt"))
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("pt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    day_tot = per_ts.groupBy("day").agg(F.sum("d").alias("tot"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("carry")
+    )
+    conc = (F.col("carry") + F.sum("d").over(w_in)).alias("conc")
+    return (
+        per_ts.join(F.broadcast(carry), "day")
+        .select("day", conc)
+        .groupBy("day")
+        .agg(
+            F.max("conc").alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_change_points"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "max_concurrent",
+            "n_change_points",
+        )
+    )
+
+
+def sql_daily_max_concurrency(
+    table: str = "events",
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB replay: same sessionization, one GLOBAL running sum (fine at
+    oracle scale) over the per-timestamp net deltas."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+    WITH flagged AS (
+        SELECT {key_col} AS key, {ts_col} AS ts,
+            CASE WHEN epoch_us({ts_col}) - lag(epoch_us({ts_col}))
+                     OVER (PARTITION BY {key_col} ORDER BY {ts_col})
+                 >= {gap_us} THEN 1 ELSE 0 END AS new_s
+        FROM {table}
+    ), ids AS (
+        SELECT key, ts,
+            sum(new_s) OVER (PARTITION BY key ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT key, session_id, min(ts) AS s,
+            max(ts) + INTERVAL 1 MICROSECOND AS e
+        FROM ids GROUP BY 1, 2
+    ), pts AS (
+        SELECT s AS pt, 1 AS d FROM sess
+        UNION ALL
+        SELECT e AS pt, -1 AS d FROM sess
+    ), per_ts AS (
+        SELECT pt, CAST(sum(d) AS BIGINT) AS d FROM pts GROUP BY pt
+    ), swept AS (
+        SELECT pt, CAST(sum(d) OVER (ORDER BY pt) AS BIGINT) AS conc
+        FROM per_ts
+    )
+    SELECT strftime(CAST(pt AS DATE), '%Y-%m-%d') AS day,
+        max(conc) AS max_concurrent,
+        count(*) AS n_change_points
+    FROM swept GROUP BY 1
+    """
+
+
+# --- exponential smoothing ---------------------------------------------------
+
+
+def ewma_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Final EWMA state per key: s_1 = x_1, s_t = alpha*x_t +
+    (1-alpha)*s_{t-1} over the key's events in (ts, id) order.
+
+    The recursion is not a frame aggregate (each step needs the previous
+    RESULT, not previous inputs), so it is computed as an ordered left
+    fold: collect the per-key series into one row (array_sort fixes the
+    order collect_list does not guarantee), seed with the first element,
+    ``aggregate`` over the rest. One groupBy shuffle; the fold is
+    sequential per key but keys are independent — exactly the
+    ``applyInPandasWithState`` layout without leaving the JVM. Arithmetic
+    is written identically to the oracle's ``list_reduce`` (alpha*x +
+    (1-alpha)*acc, same association), so the IEEE doubles agree exactly;
+    alpha defaults to a dyadic 0.5 to keep every step representable."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s.getField("v"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_obs"), ewma.alias("ewma")
+    )
+
+
+def sql_ewma_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay: ``list_reduce`` over the identically-ordered value
+    list — list_reduce seeds with the first element, matching the Spark
+    fold's explicit seed."""
+    return f"""
+    SELECT {key_col} AS key, count(*) AS n_obs,
+        list_reduce(list(CAST({value_col} AS DOUBLE)
+                         ORDER BY {ts_col}, {id_col}),
+                    (acc, x) -> {alpha} * x + {1.0 - alpha} * acc) AS ewma
+    FROM {table} WHERE {where}
+    GROUP BY {key_col}
+    """

@@ -4754,6 +4754,119 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def _rolling_distinct_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_rolling_distinct_count,
+    )
+
+    return sql_rolling_distinct_count("events", window_days=7)
+
+
+@query("rolling_7d_distinct_users", _rolling_distinct_oracle())
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (timeseries.rolling_distinct_count): the sliding COUNT(DISTINCT) no
+    engine can frame-aggregate, rewritten as bounded interval expansion —
+    each (user, active-day) covers its next 7 report days, so the answer
+    is two hash-distincts + one count. The oracle states the definition
+    directly as an inequality join; the Spark side carries the rewrite
+    that survives 100 TB."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        rolling_distinct_count,
+    )
+
+    return rolling_distinct_count(_t(spark, sf_dir, "events"), window_days=7)
+
+
+def _concurrency_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_daily_max_concurrency,
+    )
+
+    return sql_daily_max_concurrency("events")
+
+
+@query("max_concurrent_sessions", _concurrency_oracle())
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min-gap sessions per day
+    (timeseries.daily_max_concurrency): interval-algebra sweep line with
+    the global running sum decomposed into parallel within-day prefixes
+    plus a broadcast day-level carry — the only total-order step is
+    dimension-sized. Per-timestamp delta pre-aggregation removes every
+    tie-ordering trap before the prefix sums run."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        daily_max_concurrency,
+    )
+
+    return daily_max_concurrency(_t(spark, sf_dir, "events"))
+
+
+def _ewma_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import sql_ewma_by_key
+
+    return sql_ewma_by_key("events", where="event_type = 'purchase'")
+
+
+@query("ewma_user_value", _ewma_oracle())
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing of purchase values
+    (timeseries.ewma_by_key): a RECURSIVE aggregate (s_t depends on
+    s_{t-1}) that no window frame expresses, computed as an ordered
+    array fold after one groupBy shuffle. Both engines fold the same
+    (ts, event_id)-ordered list with the same dyadic-alpha arithmetic,
+    so the raw doubles hash-match with no rounding at all."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import ewma_by_key
+
+    return ewma_by_key(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    )
+
+
+def _vocab_growth_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_vocab_growth
+
+    return sql_vocab_growth("documents", n=2, n_shards=10)
+
+
+@query("vocab_growth_docs", _vocab_growth_oracle())
+def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over ingest shards
+    (textstats.vocab_growth): cumulative distinct word-bigram vocabulary
+    vs cumulative volume, via the first-seen-shard rewrite (min(shard)
+    per gram) — one pass where the naive per-prefix DISTINCT is
+    quadratic. The curve is the standard corpus-composition diagnostic
+    before a tokenizer/mixture decision."""
+    from asctb_ct_label_mapper_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n=2, n_shards=10)
+
+
+def _bloom_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import sql_bloom_prefilter
+
+    return sql_bloom_prefilter("documents", split_mod=10, split_lt=7)
+
+
+@query("dedup_bloom_prefilter", _bloom_oracle())
+def dedup_bloom_prefilter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-ledger membership prefilter (dedup.bloom_prefilter_dedup):
+    the 70%-of-docs corpus folds into a broadcast 64Ki-bit set (md5
+    double hashing, bounded by m bits no matter the corpus size); the
+    30% batch tests bits map-side and only the maybe fraction reaches
+    the exact-verify join. The output's (bloom_maybe=1, is_dup=0) rows
+    ARE the realized false positives — filter quality is part of the
+    oracle-checked answer, because every bit position is md5-determined
+    on both engines."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 < 7)
+    batch = docs.filter(F.col("doc_id") % 10 >= 7)
+    return bloom_prefilter_dedup(corpus, batch)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -1,0 +1,179 @@
+"""Time-series operators: rolling distinct, sweep-line concurrency, EWMA,
+vocabulary growth, bloom-ledger prefilter — hand-computable fixtures with
+boundary cases (window edges, midnight-spanning sessions, single-event
+series, false-positive accounting)."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from asctb_ct_label_mapper_spark.operators.dedup import bloom_prefilter_dedup
+from asctb_ct_label_mapper_spark.operators.textstats import vocab_growth
+from asctb_ct_label_mapper_spark.operators.timeseries import (
+    daily_max_concurrency,
+    ewma_by_key,
+    rolling_distinct_count,
+    session_intervals,
+)
+
+
+def d(day: int, hour: int = 0, minute: int = 0, second: int = 0):
+    return datetime(2024, 1, day, hour, minute, second)
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def test_rolling_distinct_window_edges(spark):
+    # u1 active day 1 only; u2 active days 1 and 9; u3 day 8.
+    df = spark.createDataFrame(
+        [(1, d(1), 1, 0.0), (2, d(1), 2, 0.0), (3, d(9), 2, 0.0),
+         (4, d(8), 3, 0.0)],
+        EV_SCHEMA,
+    )
+    got = {r["day"]: r["n_active"]
+           for r in rolling_distinct_count(df, window_days=7).collect()}
+    # report days = observed days only (1, 8, 9)
+    assert set(got) == {"2024-01-01", "2024-01-08", "2024-01-09"}
+    assert got["2024-01-01"] == 2          # u1, u2
+    # day 8: window [2..8] -> only u3 (day-1 activity aged out at day 8)
+    assert got["2024-01-08"] == 1
+    # day 9: window [3..9] -> u2 (reactivated), u3
+    assert got["2024-01-09"] == 2
+
+
+def test_rolling_distinct_same_user_many_days_counts_once(spark):
+    df = spark.createDataFrame(
+        [(i, d(1 + i), 7, 0.0) for i in range(5)], EV_SCHEMA
+    )
+    got = {r["day"]: r["n_active"]
+           for r in rolling_distinct_count(df, window_days=7).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_session_intervals_gap_split(spark):
+    df = spark.createDataFrame(
+        [(1, d(1, 10, 0), 1, 0.0), (2, d(1, 10, 20), 1, 0.0),
+         (3, d(1, 11, 0), 1, 0.0)],  # 40-min gap -> new session
+        EV_SCHEMA,
+    )
+    sess = session_intervals(df, gap_minutes=30).collect()
+    assert len(sess) == 2
+    spans = sorted((r["session_start"], r["session_end"]) for r in sess)
+    assert spans[0] == (d(1, 10, 0), d(1, 10, 20))
+    assert spans[1] == (d(1, 11, 0), d(1, 11, 0))  # single-event session
+
+
+def test_concurrency_overlap_and_carry_across_midnight(spark):
+    # Three users: A 23:50-00:10 (crosses midnight), B 23:55-23:58,
+    # C next day 00:05-00:08 -> day-1 peak 2 (A+B), day-2 peak 2 (A+C
+    # via the carry: A's session is still open at day-2 start).
+    rows = [
+        (1, d(1, 23, 50), 1, 0.0), (2, d(2, 0, 10), 1, 0.0),
+        (3, d(1, 23, 55), 2, 0.0), (4, d(1, 23, 58), 2, 0.0),
+        (5, d(2, 0, 5), 3, 0.0), (6, d(2, 0, 8), 3, 0.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["day"]: r["max_concurrent"]
+           for r in daily_max_concurrency(df).collect()}
+    assert got["2024-01-01"] == 2
+    assert got["2024-01-02"] == 2
+
+
+def test_concurrency_instantaneous_handoff_not_double_counted(spark):
+    # u1's session ends exactly when u2's begins (one microsecond apart
+    # after end-exclusive shift): peak stays 1... but an exact-same-start
+    # pair counts 2. Deltas are per-timestamp pre-summed.
+    df = spark.createDataFrame(
+        [(1, d(1, 10, 0), 1, 0.0), (2, d(1, 12, 0), 2, 0.0),
+         (3, d(1, 12, 0), 3, 0.0)],
+        EV_SCHEMA,
+    )
+    got = {r["day"]: r["max_concurrent"]
+           for r in daily_max_concurrency(df).collect()}
+    assert got["2024-01-01"] == 2  # the 12:00 pair overlaps; u1 long gone
+
+
+def test_ewma_fold_order_and_single_element(spark):
+    df = spark.createDataFrame(
+        [(1, d(1, 10), 1, 10.0), (2, d(1, 11), 1, 20.0),
+         (3, d(1, 12), 1, 40.0), (9, d(5), 2, 7.5)],
+        EV_SCHEMA,
+    )
+    got = {r["key"]: r for r in ewma_by_key(df).collect()}
+    # s1=10, s2=.5*20+.5*10=15, s3=.5*40+.5*15=27.5 (exact dyadics)
+    assert got[1]["ewma"] == 27.5 and got[1]["n_obs"] == 3
+    assert got[2]["ewma"] == 7.5 and got[2]["n_obs"] == 1  # seed only
+
+
+def test_ewma_ties_broken_by_event_id(spark):
+    ts0 = d(1, 10)
+    df = spark.createDataFrame(
+        [(2, ts0, 1, 100.0), (1, ts0, 1, 0.0)], EV_SCHEMA
+    )
+    [r] = ewma_by_key(df).collect()
+    # order is (ts, event_id): 0.0 first, then 100.0 -> 50.0
+    assert r["ewma"] == 50.0
+
+
+def test_vocab_growth_first_seen_attribution(spark):
+    # shard 0: "a b" -> bigram {a b}; shard 1: "a b c" -> {a b, b c}
+    # (a b already seen); 1-token and empty docs contribute nothing.
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b c"), (10, "a"), (11, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["shard"]: r for r in vocab_growth(df, n=2, n_shards=10).collect()}
+    assert rows[0]["new_grams"] == 1 and rows[0]["vocab_size"] == 1
+    assert rows[1]["new_grams"] == 1 and rows[1]["vocab_size"] == 2
+    assert rows[1]["corpus_grams"] == 3  # 1 + 2 instances
+    assert 10 not in rows and 11 not in rows  # short docs emit no rows
+
+
+def test_vocab_growth_cumulative_monotone_on_real_data(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        vocab_growth(docs, n=2, n_shards=10).collect(),
+        key=lambda r: r["shard"],
+    )
+    vs = [r["vocab_size"] for r in rows]
+    cg = [r["corpus_grams"] for r in rows]
+    assert vs == sorted(vs) and cg == sorted(cg)
+    assert vs[-1] == sum(r["new_grams"] for r in rows)
+
+
+def test_bloom_prefilter_classes_and_no_false_negatives(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        # 5 true dups + 35 new texts
+        [(100 + i, f"doc number {i}") for i in range(5)]
+        + [(200 + i, f"fresh text {i}") for i in range(35)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_prefilter_dedup(corpus, batch).collect()}
+    assert len(out) == 40
+    # bloom has NO false negatives: every true dup is maybe=1 and dup=1
+    for i in range(5):
+        r = out[100 + i]
+        assert r["bloom_maybe"] == 1 and r["is_dup"] == 1
+    # new texts are never marked dup; maybe=1 without dup is a recorded FP
+    for i in range(35):
+        r = out[200 + i]
+        assert r["is_dup"] == 0
+        if r["bloom_maybe"] == 0:
+            assert r["is_dup"] == 0
+
+
+def test_bloom_positions_match_python_md5(spark):
+    from asctb_ct_label_mapper_spark.operators.dedup import bloom_positions
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    [row] = df.select(bloom_positions(F.col("text"), k=4).alias("p")).collect()
+    h = hashlib.md5(b"hello world").hexdigest()
+    h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+    assert row["p"] == [(h1 + i * h2) % (1 << 16) for i in range(4)]
