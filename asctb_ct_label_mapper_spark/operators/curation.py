@@ -936,3 +936,59 @@ def weighted_sample_threshold(
         .limit(n)
         .select(id_col, "weight", F.round("_key", 6).alias("sample_key"))
     )
+
+
+# --- scale-safe global ranking ----------------------------------------------
+
+
+def global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Total ordering (dense global row numbers) WITHOUT funneling the
+    data through one partition: the curriculum-export shape, where every
+    training document needs its position in a corpus-wide order.
+
+    ``row_number() OVER (ORDER BY ...)`` — the direct formulation — is a
+    single-partition sort, the exact anti-pattern at 100 TB. The
+    two-phase rewrite: (1) a caller-supplied range ``bucket`` expression
+    (any monotone non-decreasing function of the leading order column —
+    deterministic, unlike repartitionByRange's sampled boundaries) splits
+    the order into contiguous ranges ranked in parallel; (2) per-bucket
+    counts cumulate into starting offsets in a bucket-DIMENSION-sized
+    window, broadcast back, and rank = offset + in-bucket row_number.
+    Bucket skew degrades parallelism, never correctness — production
+    derives the bucket boundaries from column stats or a sample.
+
+    ``order_cols`` must be a total order (include a unique key) or ranks
+    would be nondeterministic."""
+    work = df.withColumn("_bk", bucket)
+    w_in = Window.partitionBy("_bk").orderBy(*order_cols)
+    per_bucket = work.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+    w_bk = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bk", F.coalesce(F.sum("_n").over(w_bk), F.lit(0)).alias("_off")
+    )
+    return (
+        work.join(F.broadcast(offsets), "_bk")
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("long"))
+        .drop("_bk", "_off")
+    )
+
+
+def sql_global_rank(
+    table: str,
+    order_by: str,
+    cols: str,
+    rank_col: str = "global_rank",
+) -> str:
+    """DuckDB replay: the direct single-window formulation (fine at
+    oracle scale; the Spark side carries the two-phase rewrite)."""
+    return f"""
+    SELECT {cols},
+        CAST(row_number() OVER (ORDER BY {order_by}) AS BIGINT)
+            AS {rank_col}
+    FROM {table}
+    """

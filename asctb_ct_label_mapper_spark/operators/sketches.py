@@ -107,3 +107,122 @@ def merge_daily_sketches(partials: DataFrame) -> DataFrame:
         F.hll_union_agg("user_sketch").alias("user_sketch"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# --- count-min sketch (deterministic, oracle-checkable) ---------------------
+
+
+def _cm_halves(token: F.Column) -> tuple[F.Column, F.Column]:
+    h = F.md5(token)
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long"),
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch counter table (row_i, pos, c): each item
+    occurrence increments one counter per row, position = (h1 + i*h2)
+    mod width over the md5 halves (Kirsch-Mitzenmacher, same family as
+    the bloom prefilter — and, unlike Spark's JVM-private CountMinSketch
+    binary, exactly replayable in SQL on any engine).
+
+    Scale: the token stream folds to depth*width counters through ONE
+    map-side-combinable groupBy — the sketch is the shuffle's entire
+    payload, independent of stream size or vocabulary. The counter table
+    is what you persist; estimation reads only it."""
+    h1, h2 = _cm_halves(F.col(item_col))
+    pos = F.array(*[(h1 + F.lit(i) * h2) % width for i in range(depth)])
+    return (
+        df.select(F.posexplode(pos).alias("row_i", "pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate_topk(
+    df: DataFrame,
+    item_col: str = "token",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact top-``k`` heavy hitters with their count-min estimates and
+    realized overestimate (est - true, provably >= 0 — the one-sided CM
+    error is part of the checked answer). The exact pass anchors
+    correctness at oracle scale; at 100 TB the same counter table serves
+    any candidate set (e.g. a per-partition local-top union) without
+    rescanning the stream."""
+    counters = countmin_counters(df, item_col, depth, width)
+    exact = (
+        df.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc(item_col))
+        .limit(k)
+    )
+    h1, h2 = _cm_halves(F.col(item_col))
+    pos = F.array(*[(h1 + F.lit(i) * h2) % width for i in range(depth)])
+    cand = exact.select(
+        item_col, "true_cnt", F.posexplode(pos).alias("row_i", "pos")
+    )
+    return (
+        cand.join(F.broadcast(counters), ["row_i", "pos"])
+        .groupBy(item_col, "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            item_col,
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def sql_countmin_topk(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB replay of ``countmin_estimate_topk`` over the same
+    single-space tokenization and hash family."""
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS token FROM {table}
+    ),
+    h AS (
+        SELECT token,
+            CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT) AS h1,
+            CAST(('0x' || substr(md5(token), 9, 8)) AS UBIGINT) AS h2
+        FROM toks
+    ),
+    pairs AS (
+        SELECT i, (h1 + i * h2) % {width} AS pos
+        FROM h, unnest(generate_series(0, {depth - 1})) AS g(i)
+    ),
+    counters AS (
+        SELECT i AS row_i, pos, count(*) AS c FROM pairs GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, count(*) AS true_cnt FROM toks GROUP BY token
+        ORDER BY true_cnt DESC, token LIMIT {k}
+    ),
+    cand AS (
+        SELECT e.token, e.true_cnt, i AS row_i,
+            (CAST(('0x' || substr(md5(e.token), 1, 8)) AS UBIGINT)
+             + i * CAST(('0x' || substr(md5(e.token), 9, 8)) AS UBIGINT))
+            % {width} AS pos
+        FROM exact e, unnest(generate_series(0, {depth - 1})) AS g(i)
+    )
+    SELECT c.token, c.true_cnt,
+        CAST(min(k.c) AS BIGINT) AS cm_est,
+        CAST(min(k.c) - c.true_cnt AS BIGINT) AS overestimate
+    FROM cand c JOIN counters k USING (row_i, pos)
+    GROUP BY c.token, c.true_cnt
+    """

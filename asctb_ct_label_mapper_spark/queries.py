@@ -4867,6 +4867,110 @@ def dedup_bloom_prefilter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter_dedup(corpus, batch)
 
 
+def _countmin_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import sql_countmin_topk
+
+    return sql_countmin_topk("documents", k=20)
+
+
+@query("countmin_topk_docs", _countmin_oracle())
+def countmin_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (sketches.countmin_estimate_topk):
+    the token stream folds into a 4x1024 counter table (the shuffle's
+    whole payload, size-independent of the stream), estimates are min
+    over the candidate's row positions, and the one-sided overestimate
+    is part of the checked answer. md5-derived positions make this the
+    registry's second HASH-MATCHABLE sketch (the HLL rollup is rows-only
+    by algorithm privacy; this one replays exactly in SQL)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_estimate_topk,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    return countmin_estimate_topk(toks, "token", k=20)
+
+
+def _rank_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import sql_global_rank
+
+    return sql_global_rank(
+        "documents",
+        order_by="n_chars, doc_id",
+        cols="doc_id, n_chars",
+    )
+
+
+@query("curriculum_rank_docs", _rank_oracle())
+def curriculum_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide curriculum position (curation.global_rank): every doc's
+    dense rank in (n_chars, doc_id) order — the direct
+    row_number()-over-everything is a one-partition sort, so the operator
+    range-buckets the order (here: length // 256, deterministic monotone
+    buckets), ranks buckets in parallel, and shifts by broadcast
+    cumulative offsets. Oracle states the single-window definition."""
+    from asctb_ct_label_mapper_spark.operators.curation import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(
+        docs,
+        bucket=(F.col("n_chars") / F.lit(256)).cast("long"),
+        order_cols=["n_chars", "doc_id"],
+    )
+
+
+@query(
+    "w_cdf_doclen",
+    """
+    SELECT doc_id, lang,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cdf
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+)
+def w_cdf_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank + cume_dist) — the two
+    ranking-family functions the registry's other windows don't cover:
+    per-language CDF position of each document's length, the normalized
+    form quality thresholds are calibrated on. One lang Exchange; both
+    functions evaluate in the same sorted pass. Tie-free ordering via
+    doc_id so ranks are engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdf"),
+    )
+
+
+@query(
+    "r4_except_all",
+    """
+    SELECT c_nationkey, c_mktsegment FROM customer
+    EXCEPT ALL
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+    """,
+)
+def r4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics (multiplicity subtraction), the set-op
+    flavor r4_except's DISTINCT semantics can't express: each negative-
+    balance customer's (nation, segment) row cancels exactly ONE
+    occurrence. Spark plans exceptAll as a counted anti-aggregation
+    (sum of +1/-1 tags, replicate by remaining count) — one shuffle on
+    the row value, no distinct collapse."""
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select("c_nationkey", "c_mktsegment")
+    right = cust.filter(F.col("c_acctbal") < 0).select(
+        "c_nationkey", "c_mktsegment"
+    )
+    return left.exceptAll(right)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -410,3 +410,39 @@ def test_weighted_sample_threshold_matches_exact(spark, sf_dir):
         for r in weighted_sample_threshold(docs, 10_000, "n_chars").collect()
     ]
     assert big_e == big_t
+
+
+# --- global rank ------------------------------------------------------------
+
+
+def test_global_rank_matches_single_window_definition(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import global_rank
+
+    rows = [(i, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = global_rank(
+        df,
+        bucket=(F.col("n_chars") / 10).cast("long"),
+        order_cols=["n_chars", "doc_id"],
+    ).collect()
+    expect = {
+        r[0]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert len(out) == 200
+    for r in out:
+        assert r["global_rank"] == expect[r["doc_id"]]
+
+
+def test_global_rank_dense_and_skew_tolerant(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import global_rank
+
+    # all rows land in ONE bucket: still correct, just less parallel
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "doc_id long, v long")
+    got = sorted(
+        r["global_rank"]
+        for r in global_rank(
+            df, bucket=F.lit(0), order_cols=["v", "doc_id"]
+        ).collect()
+    )
+    assert got == list(range(1, 51))

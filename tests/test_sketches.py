@@ -212,3 +212,48 @@ def test_streaming_sketch_loop(spark, sf_dir, tmp_path):
         p: v[0] for p, v in want.items()
     }
     assert all(redelivered[p][1] == 2 * want[p][1] for p in want)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_countmin_estimates_are_one_sided(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_estimate_topk,
+    )
+
+    rows = [(t,) for t in ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(200)]]
+    df = spark.createDataFrame(rows, "token string")
+    got = {r["token"]: r for r in countmin_estimate_topk(df, k=5).collect()}
+    assert got["a"]["true_cnt"] == 50 and got["b"]["true_cnt"] == 30
+    for r in got.values():
+        assert r["overestimate"] >= 0          # CM never underestimates
+        assert r["cm_est"] == r["true_cnt"] + r["overestimate"]
+
+
+def test_countmin_counter_mass_per_row_equals_stream(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import countmin_counters
+
+    df = spark.createDataFrame([(f"t{i % 7}",) for i in range(100)], "token string")
+    per_row = {
+        r["row_i"]: r["mass"]
+        for r in countmin_counters(df, depth=4)
+        .groupBy("row_i")
+        .agg(F.sum("c").alias("mass"))
+        .collect()
+    }
+    assert per_row == {0: 100, 1: 100, 2: 100, 3: 100}
+
+
+def test_countmin_narrow_width_forces_collisions(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_estimate_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(f"w{i}",) for i in range(64) for _ in range(3)], "token string"
+    )
+    out = countmin_estimate_topk(df, k=64, depth=2, width=8).collect()
+    # 64 items in 8 columns: pigeonhole guarantees overestimates appear
+    assert any(r["overestimate"] > 0 for r in out)
+    assert all(r["cm_est"] >= r["true_cnt"] for r in out)
