@@ -140,12 +140,19 @@ def daily_max_concurrency(
     by construction), and the day carry is broadcast back. Concurrency at
     any change point = day carry + within-day prefix; per-day max + the
     change-point count are the report."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
     sess = session_intervals(df, gap_minutes, ts_col, key_col)
     end_excl = F.timestamp_micros(F.unix_micros(F.col("session_end")) + 1)
     pts = sess.select(
         F.col("session_start").alias("pt"), F.lit(1).alias("d")
     ).unionAll(sess.select(end_excl.alias("pt"), F.lit(-1).alias("d")))
-    per_ts = (
+    # pooled: per_ts feeds BOTH the within-day prefix branch and the
+    # day-total carry branch — without the persist the whole two-window
+    # sessionization subtree evaluates once per consumer per union leg
+    # (4x, plan-verified). Change points are ~2 rows per session: far
+    # smaller than the event stream it summarizes.
+    per_ts = pooled_persist(
         pts.groupBy("pt")
         .agg(F.sum("d").cast("long").alias("d"))
         .withColumn("day", F.to_date("pt"))

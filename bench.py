@@ -160,6 +160,19 @@ BENCH_QUERIES = [
     # behavioral-sequence family: journey assembly + Markov transitions
     "user_journeys_events",
     "markov_transitions_events",
+    # time-series family: interval-expansion rolling distinct, sweep-line
+    # concurrency, EWMA ordered fold
+    "rolling_7d_distinct_users",
+    "max_concurrent_sessions",
+    "ewma_user_value",
+    # corpus-composition + sketch + ranking additions: Heaps-law curve,
+    # bloom-ledger prefilter, count-min heavy hitters, two-phase global rank
+    "vocab_growth_docs",
+    "dedup_bloom_prefilter",
+    "countmin_topk_docs",
+    "curriculum_rank_docs",
+    "w_cdf_doclen",
+    "r4_except_all",
 ]
 
 
