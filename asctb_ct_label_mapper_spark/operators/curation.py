@@ -992,3 +992,101 @@ def sql_global_rank(
             AS {rank_col}
     FROM {table}
     """
+
+
+# --- largest-remainder proportional allocation ------------------------------
+
+
+def proportional_sample(
+    df: DataFrame,
+    total: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-``total``-row sample whose per-stratum counts follow the
+    largest-remainder (Hamilton) apportionment of the corpus mix: stratum
+    g gets floor(total * n_g / N) rows plus one of the R leftover seats,
+    awarded by descending remainder ((total * n_g) mod N, ties by group
+    name). Rounding per-stratum fractions independently misses the exact
+    total; largest remainder is the standard fix — and in INTEGER
+    arithmetic throughout, so the allocation is engine-exact.
+
+    Membership within a stratum is the registry's deterministic-uniform
+    convention: the first quota rows by (md5(id), id). Scale: quotas
+    derive from a group-count aggregate (dimension-sized, windowed over
+    strata, broadcast back); selection is one per-group window — the same
+    single-shuffle bound as every per-group operator here."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # N via a window over the stratum-count frame (dimension-sized by
+    # construction) — a join back to an aggregate of the same lineage
+    # trips ambiguous-reference resolution and costs a second branch
+    # NOTE "_tot", not "_N": Spark resolves identifiers case-insensitively
+    # by default, so an "_N" alias would shadow "_n" (caught by the gate)
+    scaled = counts.withColumn(
+        "_tot", F.sum("_n").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        group_col,
+        # integer `div`, not floor(double /): the float quotient can
+        # mis-round next to an integer once total * n_g overflows the
+        # 53-bit mantissa — the allocation must be integer-exact
+        F.expr(f"({total} * _n) div _tot").alias("_base"),
+        ((F.lit(total) * F.col("_n")) % F.col("_tot")).alias("_rem"),
+    )
+    w_rem = Window.orderBy(F.desc("_rem"), F.asc(group_col))
+    w_all = Window.partitionBy(F.lit(1))
+    quotas = scaled.select(
+        group_col,
+        (
+            F.col("_base")
+            + (
+                F.row_number().over(w_rem)
+                <= F.lit(total) - F.sum("_base").over(w_all)
+            ).cast("long")
+        ).alias("_quota"),
+    )
+    w_in = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select(
+            id_col, group_col, F.col("_quota").cast("long").alias("stratum_quota")
+        )
+    )
+
+
+def sql_proportional_sample(
+    table: str = "documents",
+    total: int = 100,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``proportional_sample`` (same integer Hamilton
+    apportionment + md5-order membership)."""
+    return f"""
+    WITH counts AS (
+        SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    ),
+    scaled AS (
+        SELECT {group_col},
+            ({total} * n) // (SELECT sum(n) FROM counts) AS base,
+            ({total} * n) % (SELECT sum(n) FROM counts) AS rem
+        FROM counts
+    ),
+    quotas AS (
+        SELECT {group_col},
+            base + CAST(row_number() OVER (ORDER BY rem DESC, {group_col})
+                   <= {total} - (SELECT sum(base) FROM scaled) AS BIGINT)
+                AS quota
+        FROM scaled
+    )
+    SELECT {id_col}, {group_col}, CAST(quota AS BIGINT) AS stratum_quota
+    FROM (
+        SELECT t.{id_col}, t.{group_col}, q.quota,
+            row_number() OVER (PARTITION BY t.{group_col}
+                ORDER BY md5(CAST(t.{id_col} AS VARCHAR)), t.{id_col}) AS rn
+        FROM {table} t JOIN quotas q USING ({group_col})
+    ) WHERE rn <= quota
+    """

@@ -372,3 +372,98 @@ def sql_winsorize(
     FROM {table} d JOIN cuts c ON d.{group_col} = c.{group_col}
     WHERE d.{value_col} IS NOT NULL
     """
+
+
+def mad_anomaly_days(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust daily-volume anomaly flags: a (group, day) whose event count
+    deviates from the group's MEDIAN daily count by more than ``z`` times
+    the group's MAD (median absolute deviation) — the observability gate
+    that survives the outliers a mean/stddev z-score is dragged by.
+
+    Both medians use :func:`group_quantiles`' nearest-rank positional
+    definition VERBATIM, so the whole report replays exactly in SQL.
+    Scale: the event stream reduces to a (group x day) grid immediately
+    (one map-side-combinable shuffle); every later step — two quantile
+    passes and the flag join — runs on dimension-sized frames, broadcast
+    back. MAD = 0 (a perfectly constant series) degenerates to flagging
+    any deviation, the conventional robust-z convention."""
+    daily = (
+        df.select(F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day"))
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = group_quantiles(daily, "n_events", "grp", qs=(0.5,)).select(
+        "grp", F.col("q_50").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "grp").withColumn(
+        "absdev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = group_quantiles(dev, "absdev", "grp", qs=(0.5,)).select(
+        "grp", F.col("q_50").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "med",
+            "mad",
+            F.when(F.col("mad") > 0, F.col("absdev") > z * F.col("mad"))
+            .otherwise(F.col("absdev") > 0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+def sql_mad_anomaly_days(
+    table: str = "events",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    z: float = 3.0,
+) -> str:
+    """DuckDB replay of ``mad_anomaly_days`` (same nearest-rank medians)."""
+    return f"""
+    WITH daily AS (
+        SELECT {group_col} AS grp, CAST({ts_col} AS DATE) AS day,
+            count(*) AS n_events
+        FROM {table} GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN v END) AS med
+        FROM (
+            SELECT grp, CAST(n_events AS DOUBLE) AS v,
+                row_number() OVER (PARTITION BY grp
+                    ORDER BY CAST(n_events AS DOUBLE)) AS rn,
+                count(*) OVER (PARTITION BY grp) AS n
+            FROM daily
+        ) GROUP BY grp
+    ),
+    dev AS (
+        SELECT d.*, m.med, abs(d.n_events - m.med) AS absdev
+        FROM daily d JOIN med m USING (grp)
+    ),
+    mad AS (
+        SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN v END) AS mad
+        FROM (
+            SELECT grp, CAST(absdev AS DOUBLE) AS v,
+                row_number() OVER (PARTITION BY grp
+                    ORDER BY CAST(absdev AS DOUBLE)) AS rn,
+                count(*) OVER (PARTITION BY grp) AS n
+            FROM dev
+        ) GROUP BY grp
+    )
+    SELECT d.grp AS {group_col}, strftime(d.day, '%Y-%m-%d') AS day,
+        d.n_events, d.med, a.mad,
+        CAST(CASE WHEN a.mad > 0 THEN d.absdev > {float(z)!r} * a.mad
+                  ELSE d.absdev > 0 END AS INT) AS is_anomaly
+    FROM dev d JOIN mad a USING (grp)
+    """

@@ -4971,6 +4971,83 @@ def r4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.exceptAll(right)
 
 
+def _mad_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_mad_anomaly_days,
+    )
+
+    return sql_mad_anomaly_days("events")
+
+
+@query("mad_anomaly_events", _mad_oracle())
+def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly gate (profile.mad_anomaly_days):
+    (event_type, day) cells > 3 MADs from their type's median daily
+    count — median/MAD via the registry's one positional nearest-rank
+    definition, so the robust statistics hash-match. The stream reduces
+    to the type x day grid in the first shuffle; everything after is
+    dimension-sized."""
+    from asctb_ct_label_mapper_spark.operators.profile import mad_anomaly_days
+
+    return mad_anomaly_days(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "stats_value_by_type",
+    """
+    SELECT event_type, count(*) AS n,
+        round(avg(value), 6) AS mean_value,
+        round(stddev_samp(value), 6) AS sd_value,
+        round(var_samp(value), 4) AS var_value,
+        round(corr(value, epoch_us(ts) / 1000000.0), 6) AS corr_value_time
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (stddev_samp / var_samp /
+    corr) — the F-function family the registry's other profiles don't
+    touch: per-type value dispersion plus the value-vs-time Pearson
+    drift check (a nonzero correlation flags instrumentation drift).
+    All single-pass co-moment aggregates: map-side partial states merge
+    associatively, one shuffle on the type key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(
+            F.corr("value", F.unix_micros("ts") / F.lit(1000000.0)), 6
+        ).alias("corr_value_time"),
+    )
+
+
+def _proportional_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_proportional_sample,
+    )
+
+    return sql_proportional_sample("documents", total=100)
+
+
+@query("sample_proportional", _proportional_oracle())
+def sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proportional allocation
+    (curation.proportional_sample): an exactly-100-row eval slice whose
+    per-language counts Hamilton-apportion the corpus mix — integer
+    arithmetic end to end (independent rounding misses the total; float
+    quotas mis-round at scale). Completes the sampler family: capped
+    (fixed n/group), stratified (fixed fraction), weighted (ES), and now
+    mix-proportional with an exact total."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        proportional_sample,
+    )
+
+    return proportional_sample(
+        _t(spark, sf_dir, "documents"), total=100, group_col="lang"
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

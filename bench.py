@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "curriculum_rank_docs",
     "w_cdf_doclen",
     "r4_except_all",
+    # robust anomaly gate, co-moment statistics, Hamilton-apportioned sample
+    "mad_anomaly_events",
+    "stats_value_by_type",
+    "sample_proportional",
 ]
 
 

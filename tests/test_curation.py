@@ -446,3 +446,45 @@ def test_global_rank_dense_and_skew_tolerant(spark):
         ).collect()
     )
     assert got == list(range(1, 51))
+
+
+# --- largest-remainder proportional sample ----------------------------------
+
+
+def test_proportional_sample_hamilton_allocation(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        proportional_sample,
+    )
+
+    # 7/5/3 rows over total=10: exact quotas 4.666/3.333/2.0 ->
+    # base 4/3/2 (sum 9), one leftover seat -> largest remainder 'a'
+    rows = (
+        [(i, "a") for i in range(7)]
+        + [(100 + i, "b") for i in range(5)]
+        + [(200 + i, "c") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = proportional_sample(df, total=10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(out) == 10
+    assert {k: len(v) for k, v in by_lang.items()} == {"a": 5, "b": 3, "c": 2}
+
+
+def test_proportional_sample_exact_total_when_fractions_collide(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        proportional_sample,
+    )
+
+    # four equal strata, total=10: 2.5 each -> base 2, two +1 seats by
+    # group-name tie-break (all remainders equal)
+    rows = [(g * 100 + i, f"g{g}") for g in range(4) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = proportional_sample(df, total=10).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["lang"]] = sizes.get(r["lang"], 0) + 1
+    assert len(out) == 10
+    assert sorted(sizes.values()) == [2, 2, 3, 3]
+    assert sizes["g0"] == 3 and sizes["g1"] == 3  # deterministic tie-break

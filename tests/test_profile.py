@@ -167,3 +167,49 @@ def test_winsorize_rejects_colliding_percent_tags(spark):
         winsorize(df, "v", "g", "i", lo_q=0.051, hi_q=0.054)
     with pytest.raises(ValueError, match="same percent tag"):
         sql_winsorize("t", "v", "g", "i", lo_q=0.051, hi_q=0.054)
+
+
+# --- MAD anomaly ------------------------------------------------------------
+
+
+def test_mad_anomaly_flags_spike_not_noise(spark):
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.profile import mad_anomaly_days
+
+    rows = []
+    eid = 0
+    # type 'a': 10 days of 5 events, one day of 50 (spike)
+    for day in range(1, 11):
+        n = 50 if day == 6 else 5
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, day, 12), 1, "a", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["day"]: r for r in mad_anomaly_days(df).collect()}
+    assert out["2024-01-06"]["is_anomaly"] == 1
+    assert sum(r["is_anomaly"] for r in out.values()) == 1
+    assert out["2024-01-06"]["med"] == 5.0 and out["2024-01-06"]["mad"] == 0.0
+
+
+def test_mad_anomaly_zero_mad_convention(spark):
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.profile import mad_anomaly_days
+
+    # constant series -> mad 0 -> only deviations flag
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 5, 12), 1, "t", 0.0, "{}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = mad_anomaly_days(df).collect()
+    assert all(r["is_anomaly"] == 0 for r in out)
