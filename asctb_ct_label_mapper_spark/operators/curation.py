@@ -1015,7 +1015,14 @@ def proportional_sample(
     convention: the first quota rows by (md5(id), id). Scale: quotas
     derive from a group-count aggregate (dimension-sized, windowed over
     strata, broadcast back); selection is one per-group window — the same
-    single-shuffle bound as every per-group operator here."""
+    single-shuffle bound as every per-group operator here.
+
+    NULL ``group_col`` rows are EXCLUDED before apportionment (explicit
+    exclusion contract: a NULL stratum would claim seats the equi-join
+    back to the data can never fill, silently shorting the total).
+    Requires ``total <= count(non-NULL rows)`` — Hamilton quotas never
+    exceed a stratum's size, so an over-budget request cannot be met."""
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     # N via a window over the stratum-count frame (dimension-sized by
     # construction) — a join back to an aggregate of the same lineage
@@ -1066,8 +1073,11 @@ def sql_proportional_sample(
     """DuckDB replay of ``proportional_sample`` (same integer Hamilton
     apportionment + md5-order membership)."""
     return f"""
-    WITH counts AS (
-        SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    WITH base AS (
+        SELECT * FROM {table} WHERE {group_col} IS NOT NULL
+    ),
+    counts AS (
+        SELECT {group_col}, count(*) AS n FROM base GROUP BY {group_col}
     ),
     scaled AS (
         SELECT {group_col},
@@ -1087,6 +1097,6 @@ def sql_proportional_sample(
         SELECT t.{id_col}, t.{group_col}, q.quota,
             row_number() OVER (PARTITION BY t.{group_col}
                 ORDER BY md5(CAST(t.{id_col} AS VARCHAR)), t.{id_col}) AS rn
-        FROM {table} t JOIN quotas q USING ({group_col})
+        FROM base t JOIN quotas q USING ({group_col})
     ) WHERE rn <= quota
     """

@@ -392,7 +392,13 @@ def mad_anomaly_days(
     passes and the flag join — runs on dimension-sized frames, broadcast
     back. MAD = 0 (a perfectly constant series) degenerates to flagging
     any deviation, the conventional robust-z convention."""
-    daily = (
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # pooled: the (grp x day) grid feeds the median branch, the deviation
+    # join, and (via dev) the MAD branch + final join — without the
+    # persist the corpus-sized scan+shuffle runs once per consumer
+    # (4x, plan-verified); the grid itself is dimension-sized
+    daily = pooled_persist(
         df.select(F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day"))
         .groupBy("grp", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -400,8 +406,10 @@ def mad_anomaly_days(
     med = group_quantiles(daily, "n_events", "grp", qs=(0.5,)).select(
         "grp", F.col("q_50").alias("med")
     )
-    dev = daily.join(F.broadcast(med), "grp").withColumn(
-        "absdev", F.abs(F.col("n_events") - F.col("med"))
+    dev = pooled_persist(
+        daily.join(F.broadcast(med), "grp").withColumn(
+            "absdev", F.abs(F.col("n_events") - F.col("med"))
+        )
     )
     mad = group_quantiles(dev, "absdev", "grp", qs=(0.5,)).select(
         "grp", F.col("q_50").alias("mad")
@@ -428,7 +436,11 @@ def sql_mad_anomaly_days(
     group_col: str = "event_type",
     z: float = 3.0,
 ) -> str:
-    """DuckDB replay of ``mad_anomaly_days`` (same nearest-rank medians)."""
+    """DuckDB replay of ``mad_anomaly_days`` — the medians EMBED
+    ``sql_group_quantiles`` (one positional definition in the codebase,
+    not a re-implementation)."""
+    med_quantiles = sql_group_quantiles("daily", "n_events", "grp", qs=(0.5,))
+    mad_quantiles = sql_group_quantiles("dev", "absdev", "grp", qs=(0.5,))
     return f"""
     WITH daily AS (
         SELECT {group_col} AS grp, CAST({ts_col} AS DATE) AS day,
@@ -436,30 +448,14 @@ def sql_mad_anomaly_days(
         FROM {table} GROUP BY 1, 2
     ),
     med AS (
-        SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-                        THEN v END) AS med
-        FROM (
-            SELECT grp, CAST(n_events AS DOUBLE) AS v,
-                row_number() OVER (PARTITION BY grp
-                    ORDER BY CAST(n_events AS DOUBLE)) AS rn,
-                count(*) OVER (PARTITION BY grp) AS n
-            FROM daily
-        ) GROUP BY grp
+        SELECT grp, q_50 AS med FROM ({med_quantiles})
     ),
     dev AS (
         SELECT d.*, m.med, abs(d.n_events - m.med) AS absdev
         FROM daily d JOIN med m USING (grp)
     ),
     mad AS (
-        SELECT grp, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-                        THEN v END) AS mad
-        FROM (
-            SELECT grp, CAST(absdev AS DOUBLE) AS v,
-                row_number() OVER (PARTITION BY grp
-                    ORDER BY CAST(absdev AS DOUBLE)) AS rn,
-                count(*) OVER (PARTITION BY grp) AS n
-            FROM dev
-        ) GROUP BY grp
+        SELECT grp, q_50 AS mad FROM ({mad_quantiles})
     )
     SELECT d.grp AS {group_col}, strftime(d.day, '%Y-%m-%d') AS day,
         d.n_events, d.med, a.mad,

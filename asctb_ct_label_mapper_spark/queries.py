@@ -4999,7 +4999,10 @@ def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(avg(value), 6) AS mean_value,
         round(stddev_samp(value), 6) AS sd_value,
         round(var_samp(value), 4) AS var_value,
-        round(corr(value, epoch_us(ts) / 1000000.0), 6) AS corr_value_time
+        round(covar_samp(value, epoch_us(ts) / 1000000.0)
+              / nullif(stddev_samp(value)
+                       * stddev_samp(epoch_us(ts) / 1000000.0), 0), 6)
+            AS corr_value_time
     FROM events GROUP BY event_type
     """,
 )
@@ -5011,14 +5014,22 @@ def stats_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     All single-pass co-moment aggregates: map-side partial states merge
     associatively, one shuffle on the type key."""
     ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros("ts") / F.lit(1000000.0)
+    # NOT F.corr: under Spark 4's default ANSI mode the corr aggregate
+    # divides by zero INTERNALLY on a zero-variance group (a when() guard
+    # cannot reach inside the aggregate's own evaluation — probed), where
+    # DuckDB returns NULL. Pearson from crash-free co-moments instead:
+    # covar_samp / nullif(sd*sd, 0) — the (n-1) factors cancel, division
+    # by the NULLIF'd zero yields NULL on both engines
+    corr_guarded = F.covar_samp("value", t) / F.nullif(
+        F.stddev_samp("value") * F.stddev_samp(t), F.lit(0.0)
+    )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("mean_value"),
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
-        F.round(
-            F.corr("value", F.unix_micros("ts") / F.lit(1000000.0)), 6
-        ).alias("corr_value_time"),
+        F.round(corr_guarded, 6).alias("corr_value_time"),
     )
 
 
