@@ -290,3 +290,54 @@ def sql_ewma_by_key(
     FROM {table} WHERE {where}
     GROUP BY {key_col}
     """
+
+
+# --- ID-gap detection --------------------------------------------------------
+
+
+def id_gap_ranges(
+    df: DataFrame, id_col: str = "event_id", bucket_size: int = 1000
+) -> DataFrame:
+    """Contiguous missing-ID ranges in an integer sequence (the
+    ingest-completeness audit: which event_ids never arrived?). The
+    definition is one GLOBAL lag — a single-partition sort at scale — so
+    it two-phases: lag within id-range buckets (parallel), plus boundary
+    gaps from the bucket-summary (min, max) frame, which is
+    dimension-sized by construction (empty buckets simply don't appear;
+    the previous non-empty bucket's max carries across them). Returns
+    (gap_start, gap_end, n_missing); gaps exist only BETWEEN observed
+    ids."""
+    ids = df.select(
+        id_col, (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("_bk")
+    )
+    w_in = Window.partitionBy("_bk").orderBy(id_col)
+    in_bucket = (
+        ids.withColumn("_prev", F.lag(id_col).over(w_in))
+        .filter(
+            F.col("_prev").isNotNull() & (F.col(id_col) - F.col("_prev") > 1)
+        )
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col(id_col) - 1).alias("gap_end"),
+        )
+    )
+    summary = ids.groupBy("_bk").agg(
+        F.min(id_col).alias("_min"), F.max(id_col).alias("_max")
+    )
+    w_bk = Window.orderBy("_bk")
+    boundary = (
+        summary.withColumn("_prev_max", F.lag("_max").over(w_bk))
+        .filter(
+            F.col("_prev_max").isNotNull()
+            & (F.col("_min") - F.col("_prev_max") > 1)
+        )
+        .select(
+            (F.col("_prev_max") + 1).alias("gap_start"),
+            (F.col("_min") - 1).alias("gap_end"),
+        )
+    )
+    return in_bucket.unionAll(boundary).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+    )

@@ -5059,6 +5059,87 @@ def sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_nullsafe_join",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+            CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        FROM orders
+    ),
+    c AS (
+        SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS k,
+            count(*) AS n_cust,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS bal_cents
+        FROM customer GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.k AS cust_key, c.n_cust, c.bal_cents
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    """,
+)
+def j_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — the
+    join-key semantic the registry's other joins never exercise: NULL
+    matches NULL as a value instead of vanishing. The NULL stratum on
+    the build side is pre-aggregated to one row, so the NULL key is a
+    single hash entry, not an accidental cross product. Spark plans
+    EqualNullSafe as a true equi-join key (hash/sort-merge, no
+    nested-loop fallback)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+            .otherwise(F.col("c_custkey"))
+            .alias("k"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("_cents"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("_cents").alias("bal_cents"),
+        )
+    )
+    return orders.join(cust, orders.k.eqNullSafe(cust.k)).select(
+        "o_orderkey", orders.k.alias("cust_key"), "n_cust", "bal_cents"
+    )
+
+
+@query(
+    "gap_ranges_events",
+    """
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+        event_id - prev_id - 1 AS n_missing
+    FROM (
+        SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev_id
+        FROM events WHERE event_type <> 'error'
+    )
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+)
+def gap_ranges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID range detection (ingest-completeness audit): contiguous
+    gaps in the surviving event_id sequence (error rows dropped to
+    create gaps). The definition is one GLOBAL lag — a single-partition
+    sort at scale — so the operator two-phases it: lag within id-range
+    buckets (parallel), plus boundary gaps from a bucket-summary
+    (min, max) frame that is dimension-sized by construction. Same
+    decomposition family as curriculum_rank and the concurrency sweep:
+    the only total order runs over bucket summaries."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import id_gap_ranges
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    ).select("event_id")
+    return id_gap_ranges(ev, "event_id", bucket_size=1000)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -177,3 +177,25 @@ def test_bloom_positions_match_python_md5(spark):
     h = hashlib.md5(b"hello world").hexdigest()
     h1, h2 = int(h[:8], 16), int(h[8:16], 16)
     assert row["p"] == [(h1 + i * h2) % (1 << 16) for i in range(4)]
+
+
+def test_gap_ranges_cross_bucket_boundary(spark):
+    # ids 998..1002 with 999..1001 missing: the gap spans the div-1000
+    # bucket boundary and must come from the summary branch, exactly once
+    from asctb_ct_label_mapper_spark.operators.timeseries import id_gap_ranges
+
+    df = spark.createDataFrame(
+        [(998,), (1002,), (1003,), (1007,)], "event_id long"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in id_gap_ranges(df, "event_id", bucket_size=1000).collect()
+    )
+    assert got == [(999, 1001, 3), (1004, 1006, 3)]
+
+
+def test_gap_ranges_dense_sequence_is_empty(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import id_gap_ranges
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    assert id_gap_ranges(df, "event_id", bucket_size=10).count() == 0
