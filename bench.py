@@ -221,6 +221,12 @@ SCALE_QUERIES = [
     "shuffle_shards_docs",
     "length_quantiles_docs",
     "dsir_select_docs",
+    # r7 late batch: fixed-size-sketch folds (counter table / bitset are
+    # constant-size shuffle payloads — the flattest possible growth) and
+    # the first-seen-shard vocabulary rewrite (vocabulary-bounded)
+    "countmin_topk_docs",
+    "dedup_bloom_prefilter",
+    "vocab_growth_docs",
 ]
 
 # Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /
@@ -259,6 +265,11 @@ SCALE100_QUERIES = [
     "shuffle_shards_docs",
     "weighted_sample_docs",
     "char_entropy_docs",
+    # r7 late batch: the two constant-size-sketch folds — at 100x these
+    # must stay scan-bound (shuffle payload is the 4x1024 counter table /
+    # 64Ki bitset regardless of corpus size)
+    "countmin_topk_docs",
+    "dedup_bloom_prefilter",
 ]
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"
