@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "mad_anomaly_events",
     "stats_value_by_type",
     "sample_proportional",
+    # null-safe equality join + two-phase ID-gap completeness audit
+    "j_nullsafe_join",
+    "gap_ranges_events",
 ]
 
 
