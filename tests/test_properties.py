@@ -41,3 +41,134 @@ def test_clean_text_matches_python_model(spark, texts):
     # Spark preserves row order within a single small partition collect;
     # compare as multisets to stay order-agnostic anyway
     assert sorted(got) == sorted(python_model(t) for t in texts)
+
+
+# --- round-7 session-2 operator invariants ----------------------------------
+
+IDS = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    IDS,
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=2, max_value=5),
+)
+def test_proportional_sample_invariants(spark, ids, total, n_groups):
+    """Hamilton allocation: exact total (capped by N), per-stratum quota
+    never exceeds the stratum, allocation independent of row order."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        proportional_sample,
+    )
+
+    rows = [(i, f"g{i % n_groups}") for i in ids]
+    total = min(total, len(rows))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = proportional_sample(df, total=total).collect()
+    assert len(out) == total
+    sizes: dict[str, int] = {}
+    for r in out:
+        sizes[r["lang"]] = sizes.get(r["lang"], 0) + 1
+    group_n = {f"g{g}": sum(1 for i in ids if i % n_groups == g)
+               for g in range(n_groups)}
+    for g, k in sizes.items():
+        assert k <= group_n[g]
+        # quota column matches realized size (quota never exceeds group)
+    # order independence: reversed input allocates identically
+    out2 = proportional_sample(
+        spark.createDataFrame(rows[::-1], "doc_id long, lang string"),
+        total=total,
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(IDS, st.integers(min_value=1, max_value=50))
+def test_global_rank_is_a_permutation(spark, ids, bucket_width):
+    from asctb_ct_label_mapper_spark.operators.curation import global_rank
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = global_rank(
+        df,
+        bucket=(F.col("doc_id") / bucket_width).cast("long"),
+        order_cols=["doc_id"],
+    ).collect()
+    ranks = sorted(r["global_rank"] for r in out)
+    assert ranks == list(range(1, len(ids) + 1))
+    by_id = {r["doc_id"]: r["global_rank"] for r in out}
+    assert [by_id[i] for i in sorted(ids)] == ranks  # rank follows order
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12),
+             min_size=1, max_size=30),
+    st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12),
+             min_size=1, max_size=30),
+)
+def test_bloom_prefilter_never_false_negative(spark, corpus_texts, batch_texts):
+    """The bloom contract: every batch text present in the corpus is
+    flagged maybe=1 AND dup=1; no text absent from the corpus is ever
+    dup=1 (false positives may set maybe=1 only)."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        bloom_prefilter_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    cset = set(corpus_texts)
+    out = bloom_prefilter_dedup(corpus, batch).collect()
+    assert len(out) == len(batch_texts)
+    for r in out:
+        t = batch_texts[r["doc_id"] - 1000]
+        if t in cset:
+            assert r["bloom_maybe"] == 1 and r["is_dup"] == 1
+        else:
+            assert r["is_dup"] == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=1, max_size=40))
+def test_ewma_bounded_by_series_extremes(spark, values):
+    """EWMA is a convex combination at every step: the final state lies
+    in [min(values), max(values)]."""
+    from datetime import datetime, timedelta
+
+    from asctb_ct_label_mapper_spark.operators.timeseries import ewma_by_key
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(minutes=i), 1, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = ewma_by_key(df).collect()
+    assert min(values) - 1e-9 <= r["ewma"] <= max(values) + 1e-9
+    assert r["n_obs"] == len(values)
+
+
+@settings(max_examples=15, deadline=None)
+@given(IDS)
+def test_gap_ranges_partition_the_missing_ids(spark, ids):
+    """Gap ranges exactly cover the integers between min and max that are
+    absent, with no overlap and no observed id inside any range."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import id_gap_ranges
+
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    out = id_gap_ranges(df, "event_id", bucket_size=7).collect()
+    covered = set()
+    for r in out:
+        span = set(range(r["gap_start"], r["gap_end"] + 1))
+        assert not (span & covered), "overlapping gap ranges"
+        assert r["n_missing"] == len(span)
+        covered |= span
+    expect = set(range(min(ids), max(ids) + 1)) - set(ids)
+    assert covered == expect
