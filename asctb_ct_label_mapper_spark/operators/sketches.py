@@ -165,21 +165,36 @@ def countmin_estimate_topk(
         .orderBy(F.desc("true_cnt"), F.asc(item_col))
         .limit(k)
     )
+    est = countmin_estimate(counters, exact, item_col, depth, width)
+    return est.select(
+        item_col,
+        "true_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min estimates for a candidate set against a PRE-BUILT (or
+    merged streaming) counter table: min over the candidate's per-row
+    counters. Carries every non-item column of ``candidates`` through.
+    The counter table is depth*width rows -> always broadcast-able."""
     h1, h2 = _cm_halves(F.col(item_col))
     pos = F.array(*[(h1 + F.lit(i) * h2) % width for i in range(depth)])
-    cand = exact.select(
-        item_col, "true_cnt", F.posexplode(pos).alias("row_i", "pos")
+    carry = [c for c in candidates.columns if c != item_col]
+    cand = candidates.select(
+        item_col, *carry, F.posexplode(pos).alias("row_i", "pos")
     )
     return (
         cand.join(F.broadcast(counters), ["row_i", "pos"])
-        .groupBy(item_col, "true_cnt")
+        .groupBy(item_col, *carry)
         .agg(F.min("c").alias("cm_est"))
-        .select(
-            item_col,
-            "true_cnt",
-            "cm_est",
-            (F.col("cm_est") - F.col("true_cnt")).alias("overestimate"),
-        )
     )
 
 

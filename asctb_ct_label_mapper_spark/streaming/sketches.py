@@ -73,3 +73,52 @@ def start_sketch_stream(
     if available_now:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def start_countmin_stream(
+    stream: DataFrame,
+    counter_path: str,
+    checkpoint: str,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming heavy-hitter ingest, same append-only shape as the HLL
+    loop but with the simpler merge algebra: count-min counters are
+    PLAIN SUMS, so micro-batch partials merge by addition at query time
+    (``merge_countmin_counters``) and re-delivered batches overcount
+    additively — the documented at-least-once gap, closed in production
+    by epoch-keyed output paths. Each batch folds to at most
+    depth*width rows (constant, whatever the batch size), so the counter
+    table grows by a bounded number of rows per batch and compaction is
+    one groupBy."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_counters,
+    )
+
+    def _step(batch: DataFrame, epoch_id: int) -> None:
+        partial = countmin_counters(
+            batch, item_col=item_col, depth=depth, width=width
+        ).persist()
+        try:
+            if partial.head(1):
+                partial.write.mode("append").parquet(counter_path)
+        finally:
+            partial.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def merge_countmin_counters(partials: DataFrame) -> DataFrame:
+    """Merge-on-read / compaction for the streaming counter table: the
+    counter algebra is addition, so regrouping never changes answers and
+    compaction is idempotent."""
+    from pyspark.sql import functions as F
+
+    return partials.groupBy("row_i", "pos").agg(F.sum("c").alias("c"))

@@ -257,3 +257,61 @@ def test_countmin_narrow_width_forces_collisions(spark):
     # 64 items in 8 columns: pigeonhole guarantees overestimates appear
     assert any(r["overestimate"] > 0 for r in out)
     assert all(r["cm_est"] >= r["true_cnt"] for r in out)
+
+
+def test_streaming_countmin_loop_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched token stream -> appended counter partials; merged
+    counters equal the one-shot batch counters EXACTLY (sum algebra),
+    so estimates off the merged table equal batch estimates."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.streaming.sketches import (
+        merge_countmin_counters,
+        start_countmin_stream,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS token")
+    )
+    landing = str(tmp_path / "landing")
+    toks.write.json(landing)
+    stream = spark.readStream.schema("token string").option(
+        "maxFilesPerTrigger", "2"
+    ).json(landing)
+    counter_p = str(tmp_path / "counters")
+    q = start_countmin_stream(
+        stream, counter_p, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    merged = {
+        (r["row_i"], r["pos"]): r["c"]
+        for r in merge_countmin_counters(
+            spark.read.parquet(counter_p)
+        ).collect()
+    }
+    batch = {
+        (r["row_i"], r["pos"]): r["c"]
+        for r in countmin_counters(toks).collect()
+    }
+    assert merged == batch
+
+    # estimates off the merged streaming table == estimates off batch
+    cand = toks.groupBy("token").count().orderBy(
+        "count", ascending=False
+    ).limit(5).select("token")
+    est_stream = {
+        r["token"]: r["cm_est"]
+        for r in countmin_estimate(
+            merge_countmin_counters(spark.read.parquet(counter_p)), cand
+        ).collect()
+    }
+    est_batch = {
+        r["token"]: r["cm_est"]
+        for r in countmin_estimate(countmin_counters(toks), cand).collect()
+    }
+    assert est_stream == est_batch
