@@ -978,6 +978,34 @@ def global_rank(
     )
 
 
+def rank_buckets_from_sample(
+    df: DataFrame,
+    order_col: str,
+    n_buckets: int = 32,
+    relative_error: float = 0.01,
+) -> Column:
+    """Derive a ``global_rank`` bucket expression from data statistics:
+    approxQuantile boundaries (Greenwald-Khanna sketch — one pass, no
+    sort) turned into a searchsorted CASE chain. This is the
+    'production derives the boundaries' seam the operator documents:
+    equi-DEPTH buckets keep parallelism under skew where a fixed-width
+    bucket degenerates. The boundaries are data-dependent, so ranks stay
+    exactly correct (any monotone bucketing is), but two runs over
+    different data snapshots may bucket differently — pin boundaries in
+    config for run-to-run plan stability."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(order_col, qs, relative_error)
+    # dedupe (skewed data repeats cut values) while keeping order
+    uniq: list[float] = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    expr = F.lit(len(uniq))
+    for i in range(len(uniq) - 1, -1, -1):
+        expr = F.when(F.col(order_col) <= F.lit(uniq[i]), F.lit(i)).otherwise(expr)
+    return expr.cast("long")
+
+
 def sql_global_rank(
     table: str,
     order_by: str,

@@ -5140,6 +5140,50 @@ def gap_ranges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id_gap_ranges(ev, "event_id", bucket_size=1000)
 
 
+@query(
+    "p_explode_outer_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+            CASE WHEN len(t) >= 3
+                THEN [struct_pack(pos := i - 1,
+                                  gram := array_to_string(t[i:i+2], ' '))
+                      FOR i IN range(1, len(t) - 1)]
+                ELSE [struct_pack(pos := -1, gram := CAST(NULL AS VARCHAR))]
+            END AS gs
+        FROM toks
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.gram AS gram
+    FROM (SELECT doc_id, unnest(gs) AS u FROM g)
+    """,
+)
+def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics (posexplode_outer) — the generator
+    flavor the registry's other explodes never exercise: documents too
+    short for a word trigram emit ONE row with (pos=-1, gram=NULL)
+    instead of vanishing, the row-preservation contract audits rely on
+    (every input id appears in the exploded output exactly
+    max(1, n_grams) times). Narrow Generate node, zero shuffle; the
+    oracle replays with a LEFT LATERAL unnest WITH ORDINALITY."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.posexplode_outer(grams).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("pos"), F.lit(-1)).cast("int").alias("pos"),
+        "gram",
+    )
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

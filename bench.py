@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     # null-safe equality join + two-phase ID-gap completeness audit
     "j_nullsafe_join",
     "gap_ranges_events",
+    # OUTER generator semantics (row-preservation contract)
+    "p_explode_outer_docs",
 ]
 
 

@@ -488,3 +488,22 @@ def test_proportional_sample_exact_total_when_fractions_collide(spark):
     assert len(out) == 10
     assert sorted(sizes.values()) == [2, 2, 3, 3]
     assert sizes["g0"] == 3 and sizes["g1"] == 3  # deterministic tie-break
+
+
+def test_global_rank_with_sampled_equi_depth_buckets(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        global_rank,
+        rank_buckets_from_sample,
+    )
+
+    # heavily skewed order column: 90% zeros — fixed-width buckets would
+    # put 90% of rows in one bucket; equi-depth cuts still rank correctly
+    rows = [(i, 0) for i in range(90)] + [(90 + i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    bucket = rank_buckets_from_sample(df, "v", n_buckets=8)
+    out = global_rank(df, bucket=bucket, order_cols=["v", "doc_id"]).collect()
+    expect = {
+        r[0]: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert {r["doc_id"]: r["global_rank"] for r in out} == expect
