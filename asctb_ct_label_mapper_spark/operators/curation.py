@@ -1003,7 +1003,13 @@ def rank_buckets_from_sample(
     expr = F.lit(len(uniq))
     for i in range(len(uniq) - 1, -1, -1):
         expr = F.when(F.col(order_col) <= F.lit(uniq[i]), F.lit(i)).otherwise(expr)
-    return expr.cast("long")
+    # NULLs: approxQuantile ignores them and `v <= cut` is NULL, so the
+    # fall-through would send NULL rows to the LAST bucket — but Spark's
+    # ascending sort is NULLS FIRST, making the bucketing non-monotone
+    # exactly there. Route NULLs to bucket -1 (before every cut) so
+    # global_rank's bucket order matches the window-sort order it
+    # reproduces (review finding).
+    return F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(expr).cast("long")
 
 
 def sql_global_rank(

@@ -165,7 +165,11 @@ def countmin_estimate_topk(
         .orderBy(F.desc("true_cnt"), F.asc(item_col))
         .limit(k)
     )
-    est = countmin_estimate(counters, exact, item_col, depth, width)
+    # validate=False: counters were just built with these same params,
+    # and eager validation would double-compute the corpus fold
+    est = countmin_estimate(
+        counters, exact, item_col, depth, width, validate=False
+    )
     return est.select(
         item_col,
         "true_cnt",
@@ -180,11 +184,36 @@ def countmin_estimate(
     item_col: str = "token",
     depth: int = 4,
     width: int = 1024,
+    validate: bool = True,
 ) -> DataFrame:
     """Count-min estimates for a candidate set against a PRE-BUILT (or
     merged streaming) counter table: min over the candidate's per-row
     counters. Carries every non-item column of ``candidates`` through.
-    The counter table is depth*width rows -> always broadcast-able."""
+    The counter table is depth*width rows -> always broadcast-able.
+
+    LEFT join + coalesce(0): counter tables store only cells with c>=1,
+    and a never-ingested candidate's empty cells MUST enter the min as
+    zeros — an inner join would drop the candidate (or overestimate
+    from the colliding subset), breaking both the carry-through contract
+    and the cm_est=0 answer (review finding).
+
+    ``validate`` (default on) asserts the stored cell coordinates fit
+    (depth, width) — a table built at different parameters would
+    otherwise hash to WRONG cells and return silently meaningless
+    estimates (the one-sided guarantee can break). The check is one agg
+    over the dimension-sized counter table; pass ``validate=False`` when
+    the caller constructed the table with the same params in-plan (the
+    topk path does), since validating would double-compute the fold."""
+    if validate:
+        bounds = counters.agg(
+            F.max("row_i").alias("r"), F.max("pos").alias("p")
+        ).first()
+        if bounds.r is not None and (bounds.r >= depth or bounds.p >= width):
+            raise ValueError(
+                f"counter table exceeds (depth={depth}, width={width}): "
+                f"max row_i={bounds.r}, max pos={bounds.p} — built with "
+                "different parameters?"
+            )
     h1, h2 = _cm_halves(F.col(item_col))
     pos = F.array(*[(h1 + F.lit(i) * h2) % width for i in range(depth)])
     carry = [c for c in candidates.columns if c != item_col]
@@ -192,9 +221,9 @@ def countmin_estimate(
         item_col, *carry, F.posexplode(pos).alias("row_i", "pos")
     )
     return (
-        cand.join(F.broadcast(counters), ["row_i", "pos"])
+        cand.join(F.broadcast(counters), ["row_i", "pos"], "left")
         .groupBy(item_col, *carry)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_est"))
     )
 
 

@@ -5167,7 +5167,9 @@ def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of vanishing, the row-preservation contract audits rely on
     (every input id appears in the exploded output exactly
     max(1, n_grams) times). Narrow Generate node, zero shuffle; the
-    oracle replays with a LEFT LATERAL unnest WITH ORDINALITY."""
+    oracle replays by building the (pos, gram) struct list directly —
+    with a one-element (-1, NULL) sentinel list for short docs — and
+    unnesting it (DuckDB has no LATERAL ... WITH ORDINALITY)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)

@@ -24,6 +24,7 @@ the dedup loop documents.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from asctb_ct_label_mapper_spark.operators.sketches import daily_user_sketches
@@ -52,20 +53,38 @@ def start_sketch_stream(
     from asctb_ct_label_mapper_spark.operators.sketches import LG_CONFIG_K
 
     lgk = LG_CONFIG_K if lg_config_k is None else lg_config_k
+    return _start_append_stream(
+        stream,
+        sketch_path,
+        checkpoint,
+        lambda batch: daily_user_sketches(
+            batch, user_col=user_col, ts_col=ts_col, lg_config_k=lgk
+        ),
+        available_now,
+    )
+
+
+def _start_append_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    fold,
+    available_now: bool,
+) -> StreamingQuery:
+    """Shared append-only sketch-ingest scaffolding: per micro-batch,
+    ``fold(batch)`` reduces to a dimension-sized partial, which is
+    persisted, append-gated on the AGGREGATE (a head(1) on the raw batch
+    would execute the batch plan twice — review finding), written, and
+    released. Both the HLL and count-min loops are this one contract
+    with different folds."""
 
     def _step(batch: DataFrame, epoch_id: int) -> None:
-        # aggregate FIRST (dimension-sized: one row per day in the
-        # batch), persist it, and gate the append on the aggregate —
-        # a head(1) on the raw batch would execute the batch plan once
-        # for the guard and again for the write (review finding)
-        daily = daily_user_sketches(
-            batch, user_col=user_col, ts_col=ts_col, lg_config_k=lgk
-        ).persist()
+        partial = fold(batch).persist()
         try:
-            if daily.head(1):
-                daily.write.mode("append").parquet(sketch_path)
+            if partial.head(1):
+                partial.write.mode("append").parquet(path)
         finally:
-            daily.unpersist()
+            partial.unpersist()
 
     writer = stream.writeStream.foreachBatch(_step).option(
         "checkpointLocation", checkpoint
@@ -97,28 +116,19 @@ def start_countmin_stream(
         countmin_counters,
     )
 
-    def _step(batch: DataFrame, epoch_id: int) -> None:
-        partial = countmin_counters(
+    return _start_append_stream(
+        stream,
+        counter_path,
+        checkpoint,
+        lambda batch: countmin_counters(
             batch, item_col=item_col, depth=depth, width=width
-        ).persist()
-        try:
-            if partial.head(1):
-                partial.write.mode("append").parquet(counter_path)
-        finally:
-            partial.unpersist()
-
-    writer = stream.writeStream.foreachBatch(_step).option(
-        "checkpointLocation", checkpoint
+        ),
+        available_now,
     )
-    if available_now:
-        return writer.trigger(availableNow=True).start()
-    return writer.start()
 
 
 def merge_countmin_counters(partials: DataFrame) -> DataFrame:
     """Merge-on-read / compaction for the streaming counter table: the
     counter algebra is addition, so regrouping never changes answers and
     compaction is idempotent."""
-    from pyspark.sql import functions as F
-
     return partials.groupBy("row_i", "pos").agg(F.sum("c").alias("c"))

@@ -507,3 +507,20 @@ def test_global_rank_with_sampled_equi_depth_buckets(spark):
         for i, r in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
     }
     assert {r["doc_id"]: r["global_rank"] for r in out} == expect
+
+
+def test_rank_buckets_route_nulls_first(spark):
+    """Spark's ascending sort is NULLS FIRST; the sampled bucket
+    expression must agree or global_rank breaks on nullable columns."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        global_rank,
+        rank_buckets_from_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 20)], "doc_id long, v long"
+    )
+    bucket = rank_buckets_from_sample(df, "v", n_buckets=4)
+    out = {r["doc_id"]: r["global_rank"]
+           for r in global_rank(df, bucket=bucket, order_cols=["v", "doc_id"]).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}  # NULL row ranks FIRST

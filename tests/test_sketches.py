@@ -301,9 +301,17 @@ def test_streaming_countmin_loop_matches_batch(spark, sf_dir, tmp_path):
     assert merged == batch
 
     # estimates off the merged streaming table == estimates off batch
-    cand = toks.groupBy("token").count().orderBy(
-        "count", ascending=False
-    ).limit(5).select("token")
+    from pyspark.sql import functions as F
+
+    # deterministic tie-break on token (repo convention): without it the
+    # two lazy recomputations of cand could pick different rank-5 ties
+    cand = (
+        toks.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(5)
+        .select("token")
+    )
     est_stream = {
         r["token"]: r["cm_est"]
         for r in countmin_estimate(
@@ -315,3 +323,40 @@ def test_streaming_countmin_loop_matches_batch(spark, sf_dir, tmp_path):
         for r in countmin_estimate(countmin_counters(toks), cand).collect()
     }
     assert est_stream == est_batch
+
+
+def test_countmin_unseen_candidate_estimates_zero(spark):
+    """A never-ingested candidate must return cm_est=0 (its empty cells
+    enter the min as zeros), never vanish or report a colliding subset."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    counters = countmin_counters(
+        spark.createDataFrame([("seen",)] * 9, "token string")
+    )
+    cand = spark.createDataFrame(
+        [("seen",), ("never_ingested_token",)], "token string"
+    )
+    got = {r["token"]: r["cm_est"]
+           for r in countmin_estimate(counters, cand).collect()}
+    assert got["never_ingested_token"] == 0
+    assert got["seen"] == 9
+
+
+def test_countmin_estimate_rejects_mismatched_table(spark):
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    wide = countmin_counters(
+        spark.createDataFrame([("t",)] * 3, "token string"), width=4096
+    )
+    cand = spark.createDataFrame([("t",)], "token string")
+    with pytest.raises(ValueError, match="different parameters"):
+        # width-4096 table read back with the default width=1024
+        countmin_estimate(wide, cand).collect()
