@@ -215,3 +215,59 @@ def compact_shards(
         ]
     )
     return {"n_src_files": len(files), "src_bytes": src_bytes, "n_dst_files": n_dst}
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    rows_per_rowgroup: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: rows range-partitioned AND sorted
+    by ``cluster_cols``, so each file (and each row group inside it)
+    covers a narrow, non-overlapping key range. Parquet footers then
+    carry tight min/max stats per row group, and any engine's predicate
+    pushdown on the cluster key skips most of the data — the
+    data-skipping layout a 100 TB table needs for selective reads
+    (the single-dimension form of Z-ordering; for multi-key skipping
+    interleave the key bits into one cluster column first).
+
+    ``repartitionByRange`` samples boundaries (equi-depth files under
+    skew); ``sortWithinPartitions`` orders inside each task so row-group
+    boundaries inherit the order. Optionally caps parquet row-group size
+    so skipping granularity is finer than whole files."""
+    writer = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+    )
+    if rows_per_rowgroup is not None:
+        writer = writer.option(
+            "parquet.block.size", str(rows_per_rowgroup * 256)
+        )
+    writer.parquet(path)
+
+
+def rowgroup_stats(path: str, column: str) -> list[tuple]:
+    """Parquet-footer audit for the clustered layout: (file, row_group,
+    min, max) of ``column`` per row group, via pyarrow — the ground
+    truth data-skipping planners consult. Used by tests to prove the
+    clustered write produces narrow, mostly non-overlapping ranges where
+    an unclustered write's row groups all span the full key domain."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        ci = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }[column]
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(ci).statistics
+            out.append((os.path.basename(f), g, st.min, st.max))
+    return out

@@ -274,3 +274,36 @@ def test_compact_shards_reduces_file_count_losslessly(spark, tmp_path):
 
     with _pytest.raises(Exception):
         compact_shards(spark, src, dst, target_mb=128)
+
+
+def test_clustered_write_produces_disjoint_rowgroup_ranges(spark, sf_dir, tmp_path):
+    """The clustered layout's footer stats must cover narrow,
+    non-overlapping user_id ranges (data skipping works); the default
+    unclustered write's row groups each span ~the whole domain."""
+    from asctb_ct_label_mapper_spark.sources.sinks import (
+        rowgroup_stats,
+        write_clustered,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    clustered = str(tmp_path / "clustered")
+    write_clustered(ev, clustered, ["user_id"], n_files=4)
+    stats = rowgroup_stats(clustered, "user_id")
+    assert len(stats) >= 4
+    # ranges sorted by min must be non-overlapping (clustered) …
+    spans = sorted((mn, mx) for _, _, mn, mx in stats)
+    for (_, prev_max), (nxt_min, _) in zip(spans, spans[1:]):
+        assert nxt_min >= prev_max  # boundaries may touch, never invert
+    # … and each file covers a fraction of the domain, not all of it
+    domain = max(mx for *_, mx in stats) - min(mn for _, _, mn, _ in stats)
+    widths = [mx - mn for _, _, mn, mx in stats]
+    assert sum(w < domain for w in widths) >= len(widths) // 2
+
+    # read-side proof: a selective filter prunes most row groups
+    got = (
+        spark.read.parquet(clustered)
+        .filter("user_id = 3")
+        .count()
+    )
+    want = ev.filter("user_id = 3").count()
+    assert got == want
