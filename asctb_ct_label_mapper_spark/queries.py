@@ -5186,6 +5186,38 @@ def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.incremental import (
+        sql_full_recompute,
+    )
+
+    return sql_full_recompute("events")
+
+
+@query("incremental_cube_events", _incremental_oracle())
+def incremental_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    (type x day) cube maintained as MERGEABLE states — history
+    pre-aggregated once, a late-arriving batch folded to its own
+    partials, cell-wise merge, avg derived at read time. The oracle is
+    the definition the incremental path must equal: one full aggregate
+    over everything — so the hash match IS the proof that maintenance
+    cost O(batch) buys the O(history) answer. States use exact integer
+    cents; avg is derived, never stored (merging a stored avg loses the
+    weights — the classic wrong answer)."""
+    from asctb_ct_label_mapper_spark.operators.incremental import (
+        aggregate_state,
+        finalize,
+        merge_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.filter(F.dayofmonth("ts") < 20)
+    late_batch = ev.filter(F.dayofmonth("ts") >= 20)
+    cube = merge_states(aggregate_state(history), aggregate_state(late_batch))
+    return finalize(cube)
+
+
 # Side-effect import: registers the remaining TPC-H query shapes
 # (q2/q6/q8/q9/q11/q12/q13/q15/q16/q20/q21) into QUERIES/ORACLES. Placed
 # after the decorator + helpers are defined so the circular import is safe.

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "gap_ranges_events",
     # OUTER generator semantics (row-preservation contract)
     "p_explode_outer_docs",
+    # incremental cube maintenance (merge == recompute, hash-proven)
+    "incremental_cube_events",
 ]
 
 
