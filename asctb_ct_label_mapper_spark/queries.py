@@ -5186,6 +5186,84 @@ def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w_rank_family",
+    """
+    SELECT o_orderkey,
+        CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_band,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY floor(o_totalprice / 10000) DESC, o_orderkey)
+             AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice / 10000) DESC)
+    """,
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() vs row_number() — the tie-semantics trio
+    the registry's other windows never contrast: orders banded into
+    10k-price buckets (guaranteed ties) ranked per priority. rank gaps
+    after ties, dense_rank doesn't, row_number needs the explicit
+    o_orderkey tie-break to be deterministic — the other two are
+    tie-stable BY definition, which is why they need no tie-break and
+    hash-match as-is."""
+    orders = _t(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / 10000).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(band.desc())
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(
+        band.desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        band.alias("price_band"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+    )
+
+
+@query(
+    "w_first_last_pack",
+    """
+    SELECT event_id, user_id,
+        round(first_value(value) OVER w_full, 2) AS first_v,
+        round(last_value(value) OVER w_full, 2) AS last_v,
+        round(nth_value(value, 2) OVER w_full, 2) AS second_v,
+        round(last_value(value) OVER w_default, 2) AS running_last
+    FROM events
+    WINDOW
+        w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING),
+        w_default AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_first_last_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with EXPLICIT full frames — and the classic
+    trap demonstrated on purpose: ``running_last`` uses the default
+    ordered frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW), where
+    last_value degenerates to "current row's value" — the #1 window
+    misuse in analytics SQL. Both engines agree because the frames are
+    stated explicitly; (ts, event_id) ordering is tie-free."""
+    ev = _t(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_default = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w_full), 2).alias("first_v"),
+        F.round(F.last("value").over(w_full), 2).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(w_full), 2).alias("second_v"),
+        F.round(F.last("value").over(w_default), 2).alias("running_last"),
+    )
+
+
 def _incremental_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.incremental import (
         sql_full_recompute,

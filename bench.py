@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "p_explode_outer_docs",
     # incremental cube maintenance (merge == recompute, hash-proven)
     "incremental_cube_events",
+    # window-function family completion: tie semantics + frame subtleties
+    "w_rank_family",
+    "w_first_last_pack",
 ]
 
 
