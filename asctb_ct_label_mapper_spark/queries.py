@@ -5264,6 +5264,53 @@ def w_first_last_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j_salted_skew",
+    """
+    WITH fact AS (
+        SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 < 7 THEN 1
+                 ELSE o_custkey END AS hot_key,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    dim AS (
+        SELECT c_custkey AS hot_key, c_mktsegment FROM customer
+    )
+    SELECT f.o_orderkey, f.hot_key, d.c_mktsegment, f.price_cents
+    FROM fact f JOIN dim d USING (hot_key)
+    """,
+)
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join IN the driver-checked registry (the measured
+    ladder lives in tools/bench_skew.py; this entry proves result
+    equivalence cross-engine): 70% of the fact rows share ONE hot key —
+    the shape that strands a plain shuffle join on one straggler task.
+    ``skew.salted_join`` splits the hot key across n_salts sub-keys
+    (fact side hashed by a distributor column, dim side replicated
+    n_salts ways), so the hot key's rows spread over n_salts tasks. The
+    oracle is the PLAIN join — salting is a physical rewrite that must
+    never change the answer, and the hash match is that proof."""
+    from asctb_ct_label_mapper_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("hot_key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_key"), "c_mktsegment"
+    )
+    return salted_join(
+        fact, dim, on="hot_key", n_salts=8, distributor="o_orderkey"
+    ).select("o_orderkey", "hot_key", "c_mktsegment", "price_cents")
+
+
 def _incremental_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.incremental import (
         sql_full_recompute,

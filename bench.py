@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     # window-function family completion: tie semantics + frame subtleties
     "w_rank_family",
     "w_first_last_pack",
+    # salted skew join (answer-preserving physical rewrite, hash-proven)
+    "j_salted_skew",
 ]
 
 
