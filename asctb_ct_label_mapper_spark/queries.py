@@ -5311,6 +5311,58 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "hot_key", "c_mktsegment", "price_cents")
 
 
+def _dedup_curve_oracle() -> str:
+    inner = _minhash_affine_oracle(threshold=0.0)
+    return f"""
+    WITH pairs AS ({inner}),
+    binned AS (
+        SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin,
+            count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT round(bin / 10.0, 1) AS threshold,
+        n_pairs,
+        CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS pairs_at_or_above
+    FROM binned
+    """
+
+
+@query("dedup_threshold_curve", _dedup_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep QA for the MinHash pipeline: ONE candidate pass
+    (banding at threshold 0 keeps every colliding pair) yields the
+    whole retained-pairs-vs-Jaccard-threshold curve — the artifact you
+    read before picking the production cutoff, instead of re-running
+    dedup per candidate threshold. Exact Jaccard bins (0.1 wide, 0.9+
+    capped into one bin) + a reverse cumulative over the 10-row bin
+    dimension. Every hash is the md5-affine family, so the curve
+    hash-matches SQL end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.0, n_hashes=16, bands=8,
+        family="md5affine",
+    )
+    binned = (
+        pairs.select(
+            F.least(
+                F.floor(F.col("jaccard") * 10).cast("bigint"), F.lit(9)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return binned.select(
+        F.round(F.col("bin") / 10.0, 1).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
+    )
+
+
 def _incremental_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.incremental import (
         sql_full_recompute,

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "w_first_last_pack",
     # salted skew join (answer-preserving physical rewrite, hash-proven)
     "j_salted_skew",
+    # one-pass threshold-sweep QA curve for the MinHash pipeline
+    "dedup_threshold_curve",
 ]
 
 
