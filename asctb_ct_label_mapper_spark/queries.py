@@ -2091,10 +2091,10 @@ def _minhash_affine_oracle(
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+    WHERE round(CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
           THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-          ELSE 0.0 END >= {threshold}
+          ELSE 0.0 END, 6) >= {threshold}
     """
 
 
@@ -5312,20 +5312,32 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_curve_oracle() -> str:
+    # shingle-less docs (< 3 tokens) all get the sentinel signature and
+    # band-collide pairwise at jaccard 0 — a quadratic degenerate clique
+    # that would dominate bin 0; exclude them BEFORE banding (review
+    # finding). The inner oracle scans `documents` verbatim, so the
+    # filtered CTE is substituted in (single scan site, asserted).
     inner = _minhash_affine_oracle(threshold=0.0)
+    assert inner.count("FROM documents") == 1
+    inner = inner.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents"
+        " WHERE len(string_split(text, ' ')) >= 3)",
+    )
     return f"""
     WITH pairs AS ({inner}),
     binned AS (
         SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin,
             count(*) AS n_pairs
         FROM pairs GROUP BY 1
-    )
-    SELECT round(bin / 10.0, 1) AS threshold,
-        n_pairs,
-        CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+    ),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin)
+    SELECT round(s.bin / 10.0, 1) AS threshold,
+        CAST(coalesce(b.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(sum(coalesce(b.n_pairs, 0)) OVER (ORDER BY s.bin DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS pairs_at_or_above
-    FROM binned
+    FROM spine s LEFT JOIN binned b ON s.bin = b.bin
     """
 
 
@@ -5336,10 +5348,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole retained-pairs-vs-Jaccard-threshold curve — the artifact you
     read before picking the production cutoff, instead of re-running
     dedup per candidate threshold. Exact Jaccard bins (0.1 wide, 0.9+
-    capped into one bin) + a reverse cumulative over the 10-row bin
-    dimension. Every hash is the md5-affine family, so the curve
-    hash-matches SQL end to end."""
-    docs = _t(spark, sf_dir, "documents")
+    capped into one bin) left-joined onto a DENSE 0..9 spine (absent
+    bins read as explicit zeros) + a reverse cumulative over the 10-row
+    dimension. Shingle-less docs are excluded before banding (their
+    sentinel signatures form a degenerate all-pairs clique at jaccard
+    0). Every hash is the md5-affine family, so the curve hash-matches
+    SQL end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
     pairs = minhash_dedup_pairs(
         docs, "text", "doc_id", threshold=0.0, n_hashes=16, bands=8,
         family="md5affine",
@@ -5353,10 +5370,16 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+    # dense 0..9 spine: absent bins must read as explicit 0 rows or the
+    # cutoff-tuning artifact has holes exactly where the user looks
+    spine = docs.sparkSession.range(10).select(F.col("id").alias("bin"))
+    filled = spine.join(binned, "bin", "left").select(
+        "bin", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs")
+    )
     w = Window.orderBy(F.desc("bin")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return binned.select(
+    return filled.select(
         F.round(F.col("bin") / 10.0, 1).alias("threshold"),
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
