@@ -17,11 +17,15 @@ shuffle-bounded relational algebra:
   day-level carry — the only total-order step runs over #days rows, so
   a 100 TB event stream never funnels through one partition.
 - ``ewma_by_key``: recursive exponential smoothing — not expressible as
-  any frame aggregate — computed as an ordered left fold (``aggregate``
-  HOF) over the per-key collected series. Both engines fold in the same
-  (ts, id) order with the same 0.5*x + 0.5*acc arithmetic, so the IEEE
-  doubles match bit-for-bit (the per-key series, not the corpus, must
-  fit a row — the contract for per-entity telemetry).
+  any frame aggregate — as a SEGMENTED scan: EWMA is the linear
+  recurrence s_t = a*x_t + (1-a)*s_{t-1}, and linear recurrences compose
+  associatively as affine (multiplier, addend) pairs, so each per-key
+  series folds per TIME BUCKET (bounded rows per task) and the
+  dimension-sized bucket list carries the composition — the same
+  bucket+carry pattern as ``daily_max_concurrency``. No per-key
+  unbounded ``collect_list``; a hot key with 10^8 events never
+  materializes in one task. ``ewma_by_key_fold`` keeps the single
+  ordered-fold formulation as the small-data oracle anchor.
 """
 
 from __future__ import annotations
@@ -229,7 +233,7 @@ def sql_daily_max_concurrency(
 # --- exponential smoothing ---------------------------------------------------
 
 
-def ewma_by_key(
+def ewma_by_key_fold(
     df: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
@@ -237,19 +241,15 @@ def ewma_by_key(
     id_col: str = "event_id",
     alpha: float = 0.5,
 ) -> DataFrame:
-    """Final EWMA state per key: s_1 = x_1, s_t = alpha*x_t +
-    (1-alpha)*s_{t-1} over the key's events in (ts, id) order.
-
-    The recursion is not a frame aggregate (each step needs the previous
-    RESULT, not previous inputs), so it is computed as an ordered left
-    fold: collect the per-key series into one row (array_sort fixes the
-    order collect_list does not guarantee), seed with the first element,
-    ``aggregate`` over the rest. One groupBy shuffle; the fold is
-    sequential per key but keys are independent — exactly the
-    ``applyInPandasWithState`` layout without leaving the JVM. Arithmetic
-    is written identically to the oracle's ``list_reduce`` (alpha*x +
-    (1-alpha)*acc, same association), so the IEEE doubles agree exactly;
-    alpha defaults to a dyadic 0.5 to keep every step representable."""
+    """Single ordered-fold EWMA — the ORACLE ANCHOR formulation: collect
+    the whole per-key series into one row (array_sort fixes the order
+    collect_list does not guarantee), seed with the first element,
+    ``aggregate`` over the rest. Arithmetic is written identically to
+    DuckDB's ``list_reduce`` (alpha*x + (1-alpha)*acc, same association)
+    so the raw IEEE doubles agree exactly. The per-key series must fit
+    one row — fine for tests and as the reference implementation;
+    ``ewma_by_key`` (the default) is the segmented scan that drops that
+    bound."""
     arr = F.array_sort(
         F.collect_list(
             F.struct(
@@ -270,7 +270,120 @@ def ewma_by_key(
     )
 
 
-def sql_ewma_by_key(
+def _affine_fold(maps):
+    """Left-fold an ordered array of affine maps struct<m,a> to one map.
+
+    Seeded list_reduce-style with the FIRST element (mirrors DuckDB's
+    ``list_reduce``), composing "apply acc, then x":
+    (m, a) o (M, A) -> (x.m*acc.m, x.m*acc.a + x.a) — literally the same
+    two expressions on both engines so the doubles are bit-identical."""
+    return F.aggregate(
+        F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+        F.element_at(maps, 1),
+        lambda acc, x: F.struct(
+            (x.getField("m") * acc.getField("m")).alias("m"),
+            (x.getField("m") * acc.getField("a") + x.getField("a")).alias("a"),
+        ),
+    )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    bucket: str = "month",
+) -> DataFrame:
+    """Final EWMA state per key: s_1 = x_1, s_t = alpha*x_t +
+    (1-alpha)*s_{t-1} over the key's events in (ts, id) order — as a
+    two-phase SEGMENTED scan with no per-key size bound.
+
+    The recursion is not a frame aggregate (each step needs the previous
+    RESULT, not previous inputs), but it IS a linear recurrence, and
+    every step is the affine map s -> (1-alpha)*s + alpha*x. Affine maps
+    compose associatively, so the scan decomposes exactly like
+    ``daily_max_concurrency``'s prefix sum:
+
+    1. the key's FIRST element (identified by a map-side-combinable
+       ``min(struct(ts,id))`` aggregate — no keyed window, so a hot key
+       never funnels into one task) becomes the absorbing map (0, x_1):
+       it zeroes all history, encoding the s_1 = x_1 seed; every other
+       element becomes ((1-alpha), alpha*x);
+    2. phase 1 folds each (key, time-bucket)'s sorted maps to ONE
+       (multiplier, addend) pair — rows per task bounded by the bucket
+       granularity (default calendar month), not by key size;
+    3. phase 2 folds the dimension-sized bucket list per key — #buckets
+       rows, bytes — and the final addend IS the answer (the first
+       bucket's zero multiplier absorbs the undefined initial state).
+
+    The oracle (``sql_ewma_by_key``) mirrors this exact arithmetic
+    (same bucketing, same fold expressions, list_reduce seeded with the
+    first element exactly as ``_affine_fold`` is), so raw doubles
+    hash-match with no rounding. Segmented == single-fold is also
+    property-tested (exact in rational arithmetic; <=1e-9 relative in
+    IEEE — rounding points differ across bucket boundaries)."""
+    ts, vid = F.col(ts_col), F.col(id_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        ts.alias("ts"),
+        vid.alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.date_trunc(bucket, ts).alias("bk"),
+    )
+    firsts = base.groupBy("key").agg(
+        F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
+    )
+    is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
+    mapped = base.join(firsts, "key").select(
+        "key",
+        "bk",
+        "ts",
+        "id",
+        F.when(is_first, F.lit(0.0)).otherwise(F.lit(1.0 - alpha)).alias("m"),
+        F.when(is_first, F.col("v"))
+        .otherwise(F.lit(alpha) * F.col("v"))
+        .alias("a"),
+    )
+    per_bucket = mapped.groupBy("key", "bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        _affine_fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "id", "m", "a"))
+                ),
+                lambda s: F.struct(
+                    s.getField("m").alias("m"), s.getField("a").alias("a")
+                ),
+            )
+        ).alias("p"),
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.sum("n").alias("n_obs"),
+        _affine_fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bk"),
+                            F.col("p").getField("m").alias("m"),
+                            F.col("p").getField("a").alias("a"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s.getField("m").alias("m"), s.getField("a").alias("a")
+                ),
+            )
+        ).alias("p"),
+    )
+    return per_key.select(
+        "key", "n_obs", F.col("p").getField("a").alias("ewma")
+    )
+
+
+def sql_ewma_by_key_fold(
     table: str = "events",
     ts_col: str = "ts",
     key_col: str = "user_id",
@@ -279,9 +392,10 @@ def sql_ewma_by_key(
     alpha: float = 0.5,
     where: str = "1=1",
 ) -> str:
-    """DuckDB replay: ``list_reduce`` over the identically-ordered value
-    list — list_reduce seeds with the first element, matching the Spark
-    fold's explicit seed."""
+    """DuckDB replay of the single-fold anchor (``ewma_by_key_fold``):
+    ``list_reduce`` over the identically-ordered value list —
+    list_reduce seeds with the first element, matching the Spark fold's
+    explicit seed."""
     return f"""
     SELECT {key_col} AS key, count(*) AS n_obs,
         list_reduce(list(CAST({value_col} AS DOUBLE)
@@ -289,6 +403,57 @@ def sql_ewma_by_key(
                     (acc, x) -> {alpha} * x + {1.0 - alpha} * acc) AS ewma
     FROM {table} WHERE {where}
     GROUP BY {key_col}
+    """
+
+
+def sql_ewma_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    where: str = "1=1",
+    bucket: str = "month",
+) -> str:
+    """DuckDB replay of the SEGMENTED scan, mirroring ``ewma_by_key``'s
+    arithmetic step for step (same bucketing, same per-element affine
+    maps, same fold expressions `x.m*acc.m` / `x.m*acc.a + x.a`,
+    list_reduce's first-element seed == the Spark fold's explicit seed)
+    so the raw doubles hash-match. Segmented-vs-single-fold equivalence
+    is proven separately by property test; the oracle's job here is to
+    pin the ENGINE's exact computation."""
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            CAST({value_col} AS DOUBLE) AS v,
+            date_trunc('{bucket}', {ts_col}) AS bk,
+            row_number() OVER (PARTITION BY {key_col}
+                               ORDER BY {ts_col}, {id_col}) AS rn
+        FROM {table} WHERE {where}
+    ), maps AS (
+        SELECT key, bk, ts, id,
+            CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - alpha} END AS m,
+            CASE WHEN rn = 1 THEN v ELSE {alpha} * v END AS a
+        FROM base
+    ), per_bucket AS (
+        SELECT key, bk, count(*) AS n,
+            list_reduce(
+                list(struct_pack(m := m, a := a) ORDER BY ts, id),
+                (acc, x) -> struct_pack(
+                    m := x.m * acc.m, a := x.m * acc.a + x.a)
+            ) AS p
+        FROM maps GROUP BY key, bk
+    ), per_key AS (
+        SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+            list_reduce(
+                list(struct_pack(m := p.m, a := p.a) ORDER BY bk),
+                (acc, x) -> struct_pack(
+                    m := x.m * acc.m, a := x.m * acc.a + x.a)
+            ) AS p
+        FROM per_bucket GROUP BY key
+    )
+    SELECT key, n_obs, p.a AS ewma FROM per_key
     """
 
 

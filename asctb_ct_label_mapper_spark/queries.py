@@ -4811,10 +4811,11 @@ def _ewma_oracle() -> str:
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential smoothing of purchase values
     (timeseries.ewma_by_key): a RECURSIVE aggregate (s_t depends on
-    s_{t-1}) that no window frame expresses, computed as an ordered
-    array fold after one groupBy shuffle. Both engines fold the same
-    (ts, event_id)-ordered list with the same dyadic-alpha arithmetic,
-    so the raw doubles hash-match with no rounding at all."""
+    s_{t-1}) that no window frame expresses, computed as a SEGMENTED
+    scan — per-(key, month) affine-map folds plus a dimension-sized
+    carry composition, so no task ever holds a whole key's series. Both
+    engines run the identical two-phase dyadic-alpha arithmetic, so the
+    raw doubles hash-match with no rounding at all."""
     from asctb_ct_label_mapper_spark.operators.timeseries import ewma_by_key
 
     return ewma_by_key(

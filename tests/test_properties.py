@@ -172,3 +172,93 @@ def test_gap_ranges_partition_the_missing_ids(spark, ids):
         covered |= span
     expect = set(range(min(ids), max(ids) + 1)) - set(ids)
     assert covered == expect
+
+
+def _ewma_seq(values, alpha=0.5):
+    s = values[0]
+    for x in values[1:]:
+        s = alpha * x + (1 - alpha) * s
+    return s
+
+
+def _ewma_segmented_math(values, splits, alpha):
+    """Pure reference of the segmented scan: fold each segment to an
+    affine (m, a) pair (first global element -> (0, x)), compose across
+    segments. Used with Fraction inputs to prove the ALGEBRA exact."""
+    pairs = []
+    idx = 0
+    for seg in splits:
+        m, a = None, None
+        for j in range(len(seg)):
+            em = (0 * alpha) if idx == 0 else (1 - alpha)
+            ea = seg[j] if idx == 0 else alpha * seg[j]
+            if m is None:
+                m, a = em, ea
+            else:
+                m, a = em * m, em * a + ea
+            idx += 1
+        pairs.append((m, a))
+    M, A = pairs[0]
+    for m, a in pairs[1:]:
+        M, A = m * M, m * A + a
+    return A
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.fractions(min_value=-100, max_value=100), min_size=1,
+             max_size=30),
+    st.data(),
+)
+def test_ewma_segmented_algebra_exact(values, data):
+    """In exact rational arithmetic the segmented affine-map composition
+    equals the sequential recurrence for EVERY split of the series — the
+    decomposition is algebraically lossless; only IEEE rounding points
+    differ (covered by the relative-error test below)."""
+    from fractions import Fraction
+
+    alpha = Fraction(1, 2)
+    cuts = sorted(
+        data.draw(st.sets(st.integers(1, len(values) - 1), max_size=5))
+    ) if len(values) > 1 else []
+    splits, prev = [], 0
+    for c in cuts + [len(values)]:
+        splits.append(values[prev:c])
+        prev = c
+    got = _ewma_segmented_math(values, [s for s in splits if s], alpha)
+    want = Fraction(values[0])
+    for x in values[1:]:
+        want = alpha * x + (1 - alpha) * want
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=50))
+def test_ewma_segmented_matches_single_fold(spark, values):
+    """ewma_by_key (two-phase segmented scan) == ewma_by_key_fold (the
+    whole-series ordered fold, the oracle anchor) on series that span
+    MANY month buckets: n_obs identical, ewma equal to <=1e-9 relative
+    (IEEE rounding points differ across bucket boundaries; the algebra
+    is exact — see test_ewma_segmented_algebra_exact)."""
+    from datetime import datetime, timedelta
+
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_by_key,
+        ewma_by_key_fold,
+    )
+
+    base = datetime(2024, 1, 1)
+    # 17-day stride => a 50-element series crosses ~28 month buckets
+    rows = [(i, base + timedelta(days=17 * i), i % 2, v)
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    seg = {r["key"]: r for r in ewma_by_key(df).collect()}
+    fold = {r["key"]: r for r in ewma_by_key_fold(df).collect()}
+    assert set(seg) == set(fold)
+    for k in seg:
+        assert seg[k]["n_obs"] == fold[k]["n_obs"]
+        scale = max(1.0, abs(fold[k]["ewma"]))
+        assert abs(seg[k]["ewma"] - fold[k]["ewma"]) <= 1e-9 * scale

@@ -15,6 +15,7 @@ from asctb_ct_label_mapper_spark.operators.textstats import vocab_growth
 from asctb_ct_label_mapper_spark.operators.timeseries import (
     daily_max_concurrency,
     ewma_by_key,
+    ewma_by_key_fold,
     rolling_distinct_count,
     session_intervals,
 )
@@ -199,3 +200,32 @@ def test_gap_ranges_dense_sequence_is_empty(spark):
 
     df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
     assert id_gap_ranges(df, "event_id", bucket_size=10).count() == 0
+
+
+def test_ewma_fold_anchor_matches_fixtures(spark):
+    df = spark.createDataFrame(
+        [(1, d(1, 10), 1, 10.0), (2, d(1, 11), 1, 20.0),
+         (3, d(1, 12), 1, 40.0), (9, d(5), 2, 7.5)],
+        EV_SCHEMA,
+    )
+    got = {r["key"]: r for r in ewma_by_key_fold(df).collect()}
+    assert got[1]["ewma"] == 27.5 and got[1]["n_obs"] == 3
+    assert got[2]["ewma"] == 7.5 and got[2]["n_obs"] == 1
+
+
+def test_ewma_segmented_multi_bucket_exact_dyadics(spark):
+    """Series spanning three month buckets (Jan/Feb/Mar): the carry
+    composition crosses bucket boundaries and, on exact dyadics, still
+    equals the hand-computed recurrence bit-for-bit."""
+    rows = [
+        (1, datetime(2024, 1, 5), 1, 8.0),    # s=8
+        (2, datetime(2024, 1, 20), 1, 16.0),  # s=12
+        (3, datetime(2024, 2, 10), 1, 4.0),   # s=8
+        (4, datetime(2024, 3, 1), 1, 24.0),   # s=16
+        (5, datetime(2024, 3, 2), 1, 0.0),    # s=8
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    [r] = ewma_by_key(df).collect()
+    assert r["ewma"] == 8.0 and r["n_obs"] == 5
+    [rf] = ewma_by_key_fold(df).collect()
+    assert rf["ewma"] == 8.0
