@@ -215,3 +215,55 @@ def sql_evaluate_checks(checks: list[Check] | None = None) -> str:
         else:
             raise ValueError(f"unknown check kind: {c.kind}")
     return " UNION ALL ".join(parts)
+
+
+# --- per-group size contracts --------------------------------------------
+
+
+class GroupBoundExceeded(ValueError):
+    """A per-group row-count contract was violated (see
+    ``assert_group_bound``)."""
+
+
+def assert_group_bound(
+    df: DataFrame,
+    keys: list[str],
+    max_rows: int,
+    label: str | None = None,
+    sample: int = 5,
+) -> DataFrame:
+    """Enforce a per-group size contract: raise ``GroupBoundExceeded`` if
+    any group of ``keys`` holds more than ``max_rows`` rows; otherwise
+    return ``df`` unchanged for chaining.
+
+    This is the DQ gate in front of collect_list-shaped operators whose
+    scale posture DEPENDS on bounded groups (``funnel.user_journeys``
+    packs a (user, day) cell into one string; ``timeseries.ewma_by_key``
+    folds a (key, bucket) cell into one array): the bound holds by
+    construction for sane data, but nothing upstream guarantees a bot
+    account or a duplicated ingest didn't produce a million-row cell —
+    this turns that silent executor OOM into a named, actionable error.
+
+    Plan shape: one extra job — a map-side-combinable count per group,
+    filtered to offenders, top-``sample`` collected (bytes on the
+    driver). Opt-in by design (the callers expose it behind a flag)
+    because it re-scans the input once."""
+    cnt = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    offenders = (
+        cnt.filter(F.col("n_rows") > int(max_rows))
+        .orderBy(F.desc("n_rows"))
+        .limit(sample)
+        .collect()
+    )
+    if offenders:
+        worst = "; ".join(
+            "(" + ", ".join(f"{k}={r[k]}" for k in keys) + f") n={r['n_rows']}"
+            for r in offenders
+        )
+        raise GroupBoundExceeded(
+            f"{label or 'group bound'}: group(s) of ({', '.join(keys)}) "
+            f"exceed {max_rows} rows — worst {sample}: {worst}"
+        )
+    return df

@@ -286,10 +286,16 @@ def user_journeys(
     ts_col: str = "ts",
     id_col: str = "event_id",
     sep: str = ">",
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Sequence assembly: per (user, day), the ORDERED event-type path as
     one separator-joined string — the behavioral-ML feature (journey
     mining, next-action models) and the session-replay debugging view.
+
+    ``max_group_rows`` (opt-in) enforces the bounded-(user, day) contract
+    the packing relies on via ``dq.assert_group_bound`` — a bot account
+    with 10^7 events in one day raises a named error instead of OOMing
+    the packing task.
 
     Determinism contract: order inside a path is (ts, event_id) — the
     tie-break matters because collect_list carries NO ordering guarantee
@@ -312,6 +318,12 @@ def user_journeys(
             F.col(type_col).alias("et"),
         ).alias("s"),
     )
+    if max_group_rows is not None:
+        from asctb_ct_label_mapper_spark.operators.dq import assert_group_bound
+
+        assert_group_bound(
+            cell, [user_col, "day"], max_group_rows, label="user_journeys"
+        )
     return cell.groupBy(user_col, "day").agg(
         F.array_join(
             F.transform(

@@ -295,6 +295,7 @@ def ewma_by_key(
     id_col: str = "event_id",
     alpha: float = 0.5,
     bucket: str = "month",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Final EWMA state per key: s_1 = x_1, s_t = alpha*x_t +
     (1-alpha)*s_{t-1} over the key's events in (ts, id) order — as a
@@ -323,7 +324,12 @@ def ewma_by_key(
     first element exactly as ``_affine_fold`` is), so raw doubles
     hash-match with no rounding. Segmented == single-fold is also
     property-tested (exact in rational arithmetic; <=1e-9 relative in
-    IEEE — rounding points differ across bucket boundaries)."""
+    IEEE — rounding points differ across bucket boundaries).
+
+    ``max_bucket_rows`` (opt-in) enforces the bounded-(key, bucket)
+    contract phase 1 relies on via ``dq.assert_group_bound`` — a key
+    whose single bucket still exceeds the bound (pick a finer ``bucket``
+    then) raises a named error instead of OOMing the fold task."""
     ts, vid = F.col(ts_col), F.col(id_col)
     base = df.select(
         F.col(key_col).alias("key"),
@@ -332,6 +338,12 @@ def ewma_by_key(
         F.col(value_col).cast("double").alias("v"),
         F.date_trunc(bucket, ts).alias("bk"),
     )
+    if max_bucket_rows is not None:
+        from asctb_ct_label_mapper_spark.operators.dq import assert_group_bound
+
+        assert_group_bound(
+            base, ["key", "bk"], max_bucket_rows, label="ewma_by_key"
+        )
     firsts = base.groupBy("key").agg(
         F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
     )

@@ -102,3 +102,66 @@ def test_null_fraction_on_empty_table_fails_not_null(spark):
         ).collect()
     }
     assert got["nf"] == 0
+
+
+def test_assert_group_bound_passes_and_chains(spark):
+    from asctb_ct_label_mapper_spark.operators.dq import assert_group_bound
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    out = assert_group_bound(df, ["k"], max_rows=2)
+    assert out is df  # pass-through for chaining
+    assert out.count() == 3
+
+
+def test_assert_group_bound_raises_with_offender_detail(spark):
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.dq import (
+        GroupBoundExceeded,
+        assert_group_bound,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(5)] + [(2, 0)], "k long, v long"
+    )
+    with pytest.raises(GroupBoundExceeded) as ei:
+        assert_group_bound(df, ["k"], max_rows=3, label="journeys")
+    msg = str(ei.value)
+    assert "journeys" in msg and "k=1" in msg and "n=5" in msg
+
+
+def test_user_journeys_group_bound_flag(spark):
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
+    from asctb_ct_label_mapper_spark.operators.funnel import user_journeys
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1, 10, i), 1, "view") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    # under the bound: same result as unbounded
+    ok = user_journeys(df, max_group_rows=10).collect()
+    assert len(ok) == 1 and ok[0]["n_events"] == 4
+    with pytest.raises(GroupBoundExceeded):
+        user_journeys(df, max_group_rows=3).collect()
+
+
+def test_ewma_group_bound_flag(spark):
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
+    from asctb_ct_label_mapper_spark.operators.timeseries import ewma_by_key
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1 + i), 1, float(i)) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = ewma_by_key(df, max_bucket_rows=4).collect()
+    assert r["n_obs"] == 4
+    with pytest.raises(GroupBoundExceeded):
+        ewma_by_key(df, max_bucket_rows=3).collect()
