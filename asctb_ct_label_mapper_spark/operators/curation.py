@@ -963,18 +963,29 @@ def global_rank(
     derives the bucket boundaries from column stats or a sample.
 
     ``order_cols`` must be a total order (include a unique key) or ranks
-    would be nondeterministic."""
+    would be nondeterministic.
+
+    NULL buckets are ranked, not dropped: the offset join is NULL-SAFE
+    (``eqNullSafe``), so rows whose bucket expression evaluates to NULL
+    form their own FIRST range (groupBy keeps a NULL group and the
+    offset window's ascending sort is NULLS FIRST — the same order
+    Spark's sort gives a NULL leading order column, which is when a
+    monotone bucket expression is NULL). A plain equi-join here would
+    silently erase those rows from the 'total' ordering."""
     work = df.withColumn("_bk", bucket)
     w_in = Window.partitionBy("_bk").orderBy(*order_cols)
     per_bucket = work.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
     w_bk = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
-        "_bk", F.coalesce(F.sum("_n").over(w_bk), F.lit(0)).alias("_off")
+        F.col("_bk").alias("_bk_o"),
+        F.coalesce(F.sum("_n").over(w_bk), F.lit(0)).alias("_off"),
     )
     return (
-        work.join(F.broadcast(offsets), "_bk")
+        work.join(
+            F.broadcast(offsets), F.col("_bk").eqNullSafe(F.col("_bk_o"))
+        )
         .withColumn(rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("long"))
-        .drop("_bk", "_off")
+        .drop("_bk", "_bk_o", "_off")
     )
 
 

@@ -197,22 +197,35 @@ def countmin_estimate(
     from the colliding subset), breaking both the carry-through contract
     and the cm_est=0 answer (review finding).
 
-    ``validate`` (default on) asserts the stored cell coordinates fit
-    (depth, width) — a table built at different parameters would
-    otherwise hash to WRONG cells and return silently meaningless
-    estimates (the one-sided guarantee can break). The check is one agg
-    over the dimension-sized counter table; pass ``validate=False`` when
-    the caller constructed the table with the same params in-plan (the
-    topk path does), since validating would double-compute the fold."""
+    ``validate`` (default on) asserts the stored cell geometry MATCHES
+    (depth, width), in both directions: coordinates must fit the bounds
+    (a larger-built table hashes to WRONG cells -> meaningless
+    estimates), and every row 0..depth-1 must be present (ingest writes
+    one cell per row for every item, so a non-empty table built at a
+    SMALLER depth — or a partially-written one — is missing rows, and
+    the LEFT join + coalesce(0) would silently UNDERestimate, breaking
+    the one-sided est>=true guarantee). The check is one agg over the
+    dimension-sized counter table; pass ``validate=False`` when the
+    caller constructed the table with the same params in-plan (the topk
+    path does), since validating would double-compute the fold."""
     if validate:
         bounds = counters.agg(
-            F.max("row_i").alias("r"), F.max("pos").alias("p")
+            F.max("row_i").alias("r"),
+            F.max("pos").alias("p"),
+            F.countDistinct("row_i").alias("nr"),
         ).first()
         if bounds.r is not None and (bounds.r >= depth or bounds.p >= width):
             raise ValueError(
                 f"counter table exceeds (depth={depth}, width={width}): "
                 f"max row_i={bounds.r}, max pos={bounds.p} — built with "
                 "different parameters?"
+            )
+        if bounds.r is not None and bounds.nr != depth:
+            raise ValueError(
+                f"counter table covers only {bounds.nr} of {depth} rows "
+                f"(max row_i={bounds.r}) — built at smaller depth or "
+                "partially written? estimates would silently "
+                "underestimate"
             )
     h1, h2 = _cm_halves(F.col(item_col))
     pos = F.array(*[(h1 + F.lit(i) * h2) % width for i in range(depth)])

@@ -75,11 +75,28 @@ def start_curation_stream(
             # row-unique key: a re-delivered batch can contain DUPLICATE
             # ids (even with different text) — joining scrub and quality
             # on the id would cross-multiply rows and could pair one
-            # row's text with another row's verdict
+            # row's text with another row's verdict. The key must also be
+            # DETERMINISTIC: `clean` forks into both join branches, and a
+            # nondeterministic id (monotonically_increasing_id) could be
+            # re-evaluated per branch with different partitioning on a
+            # retry, silently mispairing text with verdicts. A
+            # row_number within the (id, content-hash) partition labels
+            # the multiset deterministically — rows sharing the
+            # partition are byte-identical, so which copy gets which
+            # ordinal cannot change the pairing's meaning.
+            w_rid = Window.partitionBy(id_col, text_col).orderBy(F.lit(1))
             clean = (
                 raw.filter(F.col(id_col).isNotNull())
                 .select(id_col, text_col)
-                .withColumn("_rid", F.monotonically_increasing_id())
+                .withColumn(
+                    "_rid",
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(id_col).cast("string"),
+                        F.md5(F.col(text_col)),
+                        F.row_number().over(w_rid).cast("string"),
+                    ),
+                )
             )
             scrubbed = pii_scrub(clean, text_col, out_col="_scrubbed")
             gated = scrubbed.join(

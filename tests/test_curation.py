@@ -524,3 +524,21 @@ def test_rank_buckets_route_nulls_first(spark):
     out = {r["doc_id"]: r["global_rank"]
            for r in global_rank(df, bucket=bucket, order_cols=["v", "doc_id"]).collect()}
     assert out == {1: 1, 2: 2, 3: 3}  # NULL row ranks FIRST
+
+
+def test_global_rank_null_buckets_rank_first_not_dropped(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import global_rank
+
+    # NULL n_chars -> NULL bucket; Spark's ascending sort is NULLS FIRST,
+    # so those rows must take the first ranks — and must NOT vanish.
+    rows = [(1, None), (2, 10), (3, None), (4, 25), (5, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r["doc_id"]: r["global_rank"]
+        for r in global_rank(
+            df,
+            bucket=(F.col("n_chars") / 10).cast("long"),
+            order_cols=["n_chars", "doc_id"],
+        ).collect()
+    }
+    assert out == {1: 1, 3: 2, 5: 3, 2: 4, 4: 5}

@@ -360,3 +360,22 @@ def test_countmin_estimate_rejects_mismatched_table(spark):
     with pytest.raises(ValueError, match="different parameters"):
         # width-4096 table read back with the default width=1024
         countmin_estimate(wide, cand).collect()
+
+
+def test_countmin_estimate_rejects_undersized_table(spark):
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    shallow = countmin_counters(
+        spark.createDataFrame([("t",)] * 3, "token string"), depth=2
+    )
+    cand = spark.createDataFrame([("t",)], "token string")
+    # depth-2 table read back with the default depth=4: max row_i fits
+    # the bound, but rows 2..3 are missing -> would silently
+    # UNDERestimate via the LEFT join's coalesce(0)
+    with pytest.raises(ValueError, match="covers only 2 of 4 rows"):
+        countmin_estimate(shallow, cand).collect()
