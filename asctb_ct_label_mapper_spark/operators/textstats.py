@@ -1169,6 +1169,12 @@ def vocab_growth(
         (F.col(id_col) % n_shards).alias("shard"),
         F.explode(grams_arr).alias("gram"),
     )
+    # `grams` (the exploded corpus) feeds BOTH aggregates below, i.e. the
+    # explode subtree is recomputed once per consumer. Deliberate: at
+    # 100 TB a grams-sized persist would spill far worse than a second
+    # columnar scan of (id, text), and each consumer collapses the
+    # exploded rows map-side immediately. Small-corpus callers that want
+    # the single-pass flavor can pooled_persist(grams) themselves.
     first_seen = grams.groupBy("gram").agg(F.min("shard").alias("shard"))
     new_per_shard = first_seen.groupBy("shard").agg(
         F.count(F.lit(1)).alias("new_grams")

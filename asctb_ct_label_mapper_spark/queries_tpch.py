@@ -724,3 +724,61 @@ def q21_waiting_suppliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     return _q21_core(
         li, orders, _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
     )
+
+
+# --- clustered-layout selective scan pair (VERDICT r7 #6) --------------------
+
+_SHIPDATE_SCAN_ORACLE = """
+    SELECT l_returnflag,
+        count(*) AS n_items,
+        round(sum(l_quantity), 4) AS sum_qty,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-03-01'
+      AND l_shipdate < TIMESTAMP '1994-03-15'
+    GROUP BY l_returnflag
+"""
+
+
+def _shipdate_scan_core(li: DataFrame) -> DataFrame:
+    lo = F.lit("1994-03-01").cast("timestamp")
+    hi = F.lit("1994-03-15").cast("timestamp")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query("scan_shipdate_range", _SHIPDATE_SCAN_ORACLE)
+def scan_shipdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective two-week range scan over the UNCLUSTERED lineitem layout
+    — the baseline half of the clustered-layout read pair. The predicate
+    is pushed to parquet, but the source row groups each span the whole
+    shipdate domain (writer order is orderkey-ish), so min/max pruning
+    skips nothing: every row group is read to answer a 0.5% slice."""
+    return _shipdate_scan_core(_t(spark, sf_dir, "lineitem"))
+
+
+@query("scan_shipdate_range_clustered", _SHIPDATE_SCAN_ORACLE)
+def scan_shipdate_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scan over the range-clustered copy
+    (sinks.write_clustered via ensure_clustered_copy: repartitionByRange
+    + sortWithinPartitions on l_shipdate, capped row groups): footer
+    min/max become narrow and disjoint, so the pushed predicate prunes
+    the row groups that cannot match and the scan reads ~the slice, not
+    the table. Same oracle as the plain flavor — the hash match proves
+    the layout changes nothing about the answer. First call pays the
+    write-once ingest cost (by design: ingest owns the layout)."""
+    from asctb_ct_label_mapper_spark.sources.bucketing import (
+        ensure_clustered_copy,
+    )
+
+    path = ensure_clustered_copy(spark, sf_dir, "lineitem", ["l_shipdate"])
+    return _shipdate_scan_core(spark.read.parquet(path))

@@ -83,3 +83,51 @@ def ensure_bucketed_tables(
             )
         out[table] = spark.table(name)
     return out
+
+
+def clustered_copy_path(sf_dir: str, table: str, cluster_cols: list[str]) -> str:
+    """Deterministic on-disk location for the range-clustered copy of
+    ``table`` from ``sf_dir`` (same keying idea as bucket_table_name —
+    tiers never collide)."""
+    import tempfile
+
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
+    h = hashlib.md5(
+        (sf_dir.rstrip("/") + "|" + ",".join(cluster_cols)).encode()
+    ).hexdigest()[:6]
+    return os.path.join(
+        tempfile.gettempdir(), "graft_clustered", f"{tag}_{h}_{table}"
+    )
+
+
+def ensure_clustered_copy(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    cluster_cols: list[str] | None = None,
+    n_files: int = 16,
+    rows_per_rowgroup: int = 65536,
+    force: bool = False,
+) -> str:
+    """Materialize (once per tier) the range-clustered parquet copy of
+    ``table`` via ``sinks.write_clustered`` and return its path — the
+    data-skipping counterpart of ``ensure_bucketed_tables``: bucketing
+    pre-pays the JOIN shuffle, clustering pre-pays the SELECTIVE-SCAN
+    read (tight row-group min/max stats make predicate pushdown skip
+    row groups that cannot match). Same ingest-owns-the-layout contract;
+    write-once, keyed by tier + cluster key."""
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.sources.sinks import write_clustered
+
+    cluster_cols = cluster_cols or ["l_shipdate"]
+    path = clustered_copy_path(sf_dir, table, cluster_cols)
+    marker = os.path.join(path, "_SUCCESS")
+    if force or not os.path.exists(marker):
+        write_clustered(
+            load_table(spark, sf_dir, table),
+            path,
+            cluster_cols,
+            n_files=n_files,
+            rows_per_rowgroup=rows_per_rowgroup,
+        )
+    return path

@@ -323,6 +323,11 @@ REL_SCALE_QUERIES = [
     # the timed run measures the layout, not the one-time write)
     "q18_large_orders_bucketed",
     "q21_waiting_suppliers_bucketed",
+    # r8 (VERDICT r7 #6): the clustered-layout selective-scan pair — same
+    # oracle; the clustered copy is pre-built below so the timed run
+    # measures row-group pruning, not the one-time write
+    "scan_shipdate_range",
+    "scan_shipdate_range_clustered",
 ]
 
 
@@ -451,6 +456,91 @@ def ensure_docs_scale(src_dir: str, factor: int) -> str:
     return scale_dir
 
 
+def bench_streaming(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """Streaming-latency tier (VERDICT r7 #5): drive the foreachBatch
+    incremental-dedup ingest loop (`streaming/dedup.py`) over docs10x
+    split into ``n_batches`` micro-batches and report the latency
+    posture the correctness tests never measure — per-micro-batch wall
+    (from StreamingQueryProgress.triggerExecution), cadence, and state
+    growth (the signature table each epoch both reads and appends to).
+
+    The per-batch series is the signal: if batch N's wall grows with N,
+    the loop's state read is not scaling (each epoch re-reads the whole
+    signature table — at 100 TB that read is the corpus-signature scan,
+    amortized by the parquet layout, never the corpus text)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.dedup import minhash_signatures
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.streaming.dedup import (
+        start_incremental_dedup_stream,
+    )
+
+    scale_dir = ensure_docs_scale(sf_dir, 10)
+    docs = spark.read.parquet(
+        os.path.join(scale_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="graft_stream_bench_")
+    try:
+        sig_path = os.path.join(work, "sigs")
+        minhash_signatures(corpus).write.parquet(sig_path)
+        sig_seed = spark.read.parquet(sig_path).count()
+        landing = os.path.join(work, "landing")
+        # one JSONL shard per micro-batch (maxFilesPerTrigger=1)
+        write_jsonl(incoming.repartition(n_batches), landing)
+        schema = jsonl_schema_with_corrupt(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        t0 = time.perf_counter()
+        q = start_incremental_dedup_stream(
+            read_jsonl_stream(spark, landing, schema, max_files_per_trigger=1),
+            sig_path,
+            os.path.join(work, "matches"),
+            os.path.join(work, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        rows_in = int(sum(p["numInputRows"] for p in prog))
+        sig_final = spark.read.parquet(sig_path).count()
+        n_matches = spark.read.parquet(os.path.join(work, "matches")).count()
+        return {
+            "loop": "incremental_dedup_foreachBatch",
+            "n_batches": len(per_batch),
+            "rows": rows_in,
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(sum(per_batch) / max(len(per_batch), 1), 4),
+            "last_over_first": round(per_batch[-1] / per_batch[0], 3)
+            if len(per_batch) > 1 and per_batch[0] > 0
+            else None,
+            "rows_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
+            "sig_rows_seed": sig_seed,
+            "sig_rows_final": sig_final,
+            "n_matches": int(n_matches),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -535,6 +625,12 @@ def main() -> None:
                 # get this for free from the 20 queries that precede the
                 # bucketed entries; without it the first bucketed read
                 # pays cold I/O that is not part of the layout comparison
+            from asctb_ct_label_mapper_spark.sources.bucketing import (
+                ensure_clustered_copy,
+            )
+
+            cl_path = ensure_clustered_copy(spark, rel_dir)
+            spark.read.parquet(cl_path).count()  # warm, same reason
             rel_timings: dict[str, float] = {}
             for name in REL_SCALE_QUERIES:
                 fn = registry[name]
@@ -554,6 +650,11 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["rel10x"] = {"error": str(e)[:200]}
+        try:
+            spark.catalog.clearCache()
+            result["scales"]["streaming"] = bench_streaming(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["streaming"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
@@ -573,7 +674,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "scale_totals": {
-            k: (v.get("total") if isinstance(v, dict) else None)
+            k: (v.get("total", v.get("total_wall")) if isinstance(v, dict) else None)
             for k, v in result.get("scales", {}).items()
         },
     }
