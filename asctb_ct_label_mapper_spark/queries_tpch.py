@@ -734,15 +734,15 @@ _SHIPDATE_SCAN_ORACLE = """
         round(sum(l_quantity), 4) AS sum_qty,
         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-03-01'
-      AND l_shipdate < TIMESTAMP '1994-03-15'
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+      AND l_shipdate < TIMESTAMP '1998-03-15'
     GROUP BY l_returnflag
 """
 
 
 def _shipdate_scan_core(li: DataFrame) -> DataFrame:
-    lo = F.lit("1994-03-01").cast("timestamp")
-    hi = F.lit("1994-03-15").cast("timestamp")
+    lo = F.lit("1998-03-01").cast("timestamp")
+    hi = F.lit("1998-03-15").cast("timestamp")
     return (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy("l_returnflag")

@@ -46,6 +46,12 @@ def get_spark(app_name: str = "asctb-spark", cpus: int | None = None) -> SparkSe
         # --- scan sizing: 128 MiB splits keep partitions executor-memory safe ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables row-group pruning (and any engine's data skipping) on
+        # every timestamp the engine writes — the clustered-layout read
+        # win depends on these stats existing
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # naive parquet timestamps load as session-tz TIMESTAMP (UTC), not
         # NTZ — streaming watermarks require TIMESTAMP and DuckDB agrees
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

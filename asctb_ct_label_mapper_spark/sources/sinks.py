@@ -243,8 +243,11 @@ def write_clustered(
         .write.mode("overwrite")
     )
     if rows_per_rowgroup is not None:
+        # ~64 B/row ENCODED (dictionary+RLE pages, what the writer's
+        # block check actually measures) — 256 B/row overshot so badly
+        # every file landed in one row group
         writer = writer.option(
-            "parquet.block.size", str(rows_per_rowgroup * 256)
+            "parquet.block.size", str(rows_per_rowgroup * 64)
         )
     writer.parquet(path)
 
@@ -260,8 +263,13 @@ def rowgroup_stats(path: str, column: str) -> list[tuple]:
 
     import pyarrow.parquet as pq
 
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
     out = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in files:
         meta = pq.ParquetFile(f).metadata
         ci = {
             meta.row_group(0).column(i).path_in_schema: i

@@ -47,6 +47,9 @@ TARGETS = {
     "countmin_topk_docs": "count-min (r7): constant-size counter fold broadcast against the exact top-k candidate set",
     "j_nullsafe_join": "null-safe join (r7): EqualNullSafe as a coalesce+isnull composite hash-join key - no nested-loop fallback",
     "gap_ranges_events": "ID-gap audit (r7): in-bucket lag windows in parallel; SinglePartition only over the bucket-summary frame for boundary gaps",
+    "ewma_user_value": "EWMA (r8): segmented linear-recurrence scan - per-(key,month) affine folds, dimension-sized carry; no keyed window, no unbounded collect",
+    "scan_shipdate_range": "clustered-pair baseline (r8): pushed timestamp range over the unclustered layout - PushedFilters present but every row group overlaps, scan decodes the table",
+    "scan_shipdate_range_clustered": "clustered-pair win (r8): same pushed predicate over write_clustered layout - footer min/max prune to ~1 row group (rows_decoded 6M -> 60k at rel10x, tools/bench_clustered.py)",
 }
 
 
