@@ -283,3 +283,99 @@ def sql_countmin_topk(
     FROM cand c JOIN counters k USING (row_i, pos)
     GROUP BY c.token, c.true_cnt
     """
+
+
+# --- KMV (k-minimum-values) distinct sketch ----------------------------------
+#
+# The HASH-GREEN sibling of the HLL rollup: HLL's DataSketches binary is
+# JVM-private (rows-only in the registry), but the KMV estimator —
+# "keep the k smallest distinct hash values; distinct ~= (k-1) / kth
+# normalized minimum" (Bar-Yossef et al. 2002, the theta-sketch core) —
+# is pure deterministic arithmetic over md5, so a DuckDB oracle replays
+# it bit-for-bit. Same mergeable-partials serving contract: per-slice
+# k-row sketch tables, union + re-cut = the slice-union's sketch
+# EXACTLY (bottom-k of a union == bottom-k of the unions' bottom-ks),
+# merge-on-read, nothing rescanned.
+
+_KMV_DOMAIN = float(1 << 60)  # 15 hex chars of md5
+
+
+def _kmv_hash(item) -> "F.Column":
+    """Deterministic 60-bit uniform hash (15 hex chars of md5) — the
+    shared engine/oracle idiom (`CAST(('0x'||substr(md5(x),1,15)) AS
+    BIGINT)` on the DuckDB side)."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
+    """Build the k-row sketch table: the ``k`` smallest DISTINCT hash
+    values of ``item_col``. Plan shape: one map-side-combinable distinct
+    on the 8-byte hash, then TakeOrderedAndProject (per-partition heaps
+    — never a global sort). The result is <= k rows regardless of input
+    size: the broadcastable, mergeable state every serving layer
+    wants."""
+    return (
+        df.select(_kmv_hash(F.col(item_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Merge any number of stacked sketch tables (a unioned frame of
+    ``h`` columns): distinct + re-cut to k. Exactly equals the sketch of
+    the unioned raw data (set algebra, not approximation — the
+    mergeability the streaming ingest loop relies on)."""
+    return sketches.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """One-row estimate off a sketch table: exact count when the sketch
+    holds fewer than k hashes (every distinct value is present), else
+    (k-1) * DOMAIN / kth_min — identical float expression on both
+    engines, so the estimate itself hash-matches."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        "n_kept", F.round(est, 4).alias("distinct_estimate")
+    )
+
+
+def sql_kmv_estimate(
+    table: str,
+    item_col: str,
+    k: int = 256,
+    where: str = "1=1",
+    with_exact: bool = False,
+) -> str:
+    """DuckDB replay of sketch-build + estimate (same md5 prefix, same
+    bottom-k, same estimator arithmetic). ``with_exact`` adds the true
+    distinct count so the registry row documents the error envelope."""
+    exact_sel = (
+        f", (SELECT count(DISTINCT {item_col}) FROM {table} WHERE {where})"
+        " AS exact_distinct"
+        if with_exact
+        else ""
+    )
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST({item_col} AS VARCHAR)), 1, 15))
+            AS BIGINT) AS h
+        FROM {table} WHERE {where}
+    ), sk AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+    agg AS (SELECT count(*) AS n_kept, max(h) AS hk FROM sk)
+    SELECT n_kept,
+        round(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+              ELSE {float(k - 1)} * {_KMV_DOMAIN} / CAST(hk AS DOUBLE)
+              END, 4) AS distinct_estimate{exact_sel}
+    FROM agg
+    """

@@ -5431,3 +5431,30 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+def _kmv_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import sql_kmv_estimate
+
+    return sql_kmv_estimate("events", "user_id", k=64, with_exact=True)
+
+
+@query("kmv_distinct_users", _kmv_oracle())
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (sketches.kmv_sketch/kmv_estimate): the
+    HASH-GREEN mergeable distinct estimator — bottom-64 distinct md5
+    values of user_id, estimate = (k-1)*DOMAIN/kth_min, alongside the
+    exact distinct so the registry row documents the realized error.
+    Unlike the DataSketches HLL rollup (rows-only by necessity), every
+    step here is deterministic arithmetic DuckDB replays bit-for-bit.
+    Scale shape: one map-side-combinable distinct on an 8-byte hash +
+    TakeOrdered heaps; the sketch is 64 rows forever."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_estimate(kmv_sketch(ev, "user_id", k=64), k=64)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))

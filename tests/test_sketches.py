@@ -379,3 +379,41 @@ def test_countmin_estimate_rejects_undersized_table(spark):
     # UNDERestimate via the LEFT join's coalesce(0)
     with pytest.raises(ValueError, match="covers only 2 of 4 rows"):
         countmin_estimate(shallow, cand).collect()
+
+
+def test_kmv_merge_equals_single_pass_sketch(spark):
+    """Mergeability is EXACT set algebra: bottom-k of a union == bottom-k
+    of the slices' bottom-ks — merged partials answer identically to a
+    full rescan."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([(f"u{i % 700}",) for i in range(3000)], "u string")
+    a = df.limit(1000)
+    b = df.subtract(a.limit(0)).filter(F.length("u") >= 0)  # full set
+    k = 32
+    whole = [r["h"] for r in kmv_sketch(df, "u", k).collect()]
+    parts = kmv_sketch(a, "u", k).unionAll(kmv_sketch(b, "u", k))
+    merged = [r["h"] for r in kmv_merge(parts, k).collect()]
+    assert sorted(merged) == sorted(whole)
+
+
+def test_kmv_exact_below_k_and_estimate_above_k(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    small = spark.createDataFrame([(f"v{i}",) for i in range(20)], "v string")
+    [r] = kmv_estimate(kmv_sketch(small, "v", k=64), k=64).collect()
+    assert r["n_kept"] == 20 and r["distinct_estimate"] == 20.0
+
+    big = spark.createDataFrame(
+        [(f"item-{i % 5000}",) for i in range(8000)], "v string"
+    )
+    [r] = kmv_estimate(kmv_sketch(big, "v", k=256), k=256).collect()
+    assert r["n_kept"] == 256
+    # KMV sigma ~ 1/sqrt(k-2) ~ 6.3%; assert a loose 4-sigma envelope
+    assert abs(r["distinct_estimate"] - 5000) / 5000 < 0.25
