@@ -445,7 +445,10 @@ def sql_ewma_by_key(
         FROM {table} WHERE {where}
     ), maps AS (
         SELECT key, bk, ts, id,
-            CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - alpha} END AS m,
+            -- CAST: a bare literal is DECIMAL in DuckDB; keep the fold
+            -- in DOUBLE (dyadic alpha happens to survive decimal, but
+            -- only by luck — see the Holt sibling)
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - alpha} END AS DOUBLE) AS m,
             CASE WHEN rn = 1 THEN v ELSE {alpha} * v END AS a
         FROM base
     ), per_bucket AS (
@@ -518,3 +521,209 @@ def id_gap_ranges(
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
     )
+
+
+# --- Holt linear-trend smoothing (matrix segmented scan) ---------------------
+
+
+def _affine2_fold(maps):
+    """Left-fold an ordered array of 2x2-matrix affine maps
+    struct<m11,m12,m21,m22,a1,a2> — the 2-dimensional sibling of
+    ``_affine_fold``, list_reduce-seeded with the first element.
+    Composition "apply acc, then x" is (x.M @ acc.M, x.M @ acc.a + x.a)
+    with every entry written as the identical expression on both
+    engines, so the IEEE doubles agree exactly."""
+
+    def compose(acc, x):
+        m11, m12 = x.getField("m11"), x.getField("m12")
+        m21, m22 = x.getField("m21"), x.getField("m22")
+        return F.struct(
+            (m11 * acc.getField("m11") + m12 * acc.getField("m21")).alias("m11"),
+            (m11 * acc.getField("m12") + m12 * acc.getField("m22")).alias("m12"),
+            (m21 * acc.getField("m11") + m22 * acc.getField("m21")).alias("m21"),
+            (m21 * acc.getField("m12") + m22 * acc.getField("m22")).alias("m22"),
+            (
+                m11 * acc.getField("a1") + m12 * acc.getField("a2")
+                + x.getField("a1")
+            ).alias("a1"),
+            (
+                m21 * acc.getField("a1") + m22 * acc.getField("a2")
+                + x.getField("a2")
+            ).alias("a2"),
+        )
+
+    return F.aggregate(
+        F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+        F.element_at(maps, 1),
+        compose,
+    )
+
+
+def holt_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 3,
+    bucket: str = "month",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per key, as the
+    SAME two-phase segmented scan as ``ewma_by_key`` — proof the
+    decomposition generalizes past scalars to any LINEAR recurrence:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    is s_t = M s_{t-1} + c_t on the state s = [level, trend] with
+    M = [[1-a, 1-a], [-a*b, 1-a*b]] and c_t = [a*x_t, a*b*x_t]; matrix
+    affine maps compose associatively, so phase 1 folds each
+    (key, bucket)'s sorted maps to one (M, c) pair and phase 2 composes
+    the dimension-sized bucket list. The key's first element is the
+    absorbing map (0-matrix, [x_1, 0]) — seed l_1 = x_1, b_1 = 0.
+
+    Returns (key, n_obs, level, trend, forecast) with forecast =
+    level + horizon*trend (the h-step-ahead linear extrapolation).
+    Defaults are dyadic so every constant is exactly representable; the
+    oracle mirrors the fold expression for expression."""
+    ts, vid = F.col(ts_col), F.col(id_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        ts.alias("ts"),
+        vid.alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.date_trunc(bucket, ts).alias("bk"),
+    )
+    firsts = base.groupBy("key").agg(
+        F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
+    )
+    is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
+    a, b = float(alpha), float(beta)
+    consts = {
+        "m11": 1.0 - a, "m12": 1.0 - a,
+        "m21": -(a * b), "m22": 1.0 - a * b,
+    }
+    mapped = base.join(firsts, "key").select(
+        "key",
+        "bk",
+        "ts",
+        "id",
+        *[
+            F.when(is_first, F.lit(0.0)).otherwise(F.lit(c)).alias(n)
+            for n, c in consts.items()
+        ],
+        F.when(is_first, F.col("v")).otherwise(F.lit(a) * F.col("v")).alias("a1"),
+        F.when(is_first, F.lit(0.0))
+        .otherwise(F.lit(a * b) * F.col("v"))
+        .alias("a2"),
+    )
+    fields = ["m11", "m12", "m21", "m22", "a1", "a2"]
+    per_bucket = mapped.groupBy("key", "bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        _affine2_fold(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "id", *fields))),
+                lambda s: F.struct(*[s.getField(f).alias(f) for f in fields]),
+            )
+        ).alias("p"),
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.sum("n").alias("n_obs"),
+        _affine2_fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bk"),
+                            *[F.col("p").getField(f).alias(f) for f in fields],
+                        )
+                    )
+                ),
+                lambda s: F.struct(*[s.getField(f).alias(f) for f in fields]),
+            )
+        ).alias("p"),
+    )
+    level = F.col("p").getField("a1")
+    trend = F.col("p").getField("a2")
+    return per_key.select(
+        "key",
+        "n_obs",
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + F.lit(float(horizon)) * trend).alias("forecast"),
+    )
+
+
+def sql_holt_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 3,
+    where: str = "1=1",
+    bucket: str = "month",
+) -> str:
+    """DuckDB replay of the matrix segmented scan, entry for entry (same
+    bucketing, same per-element maps, same composition expressions,
+    list_reduce first-element seed == the Spark fold's)."""
+    a, b = float(alpha), float(beta)
+    # accumulator is a DOUBLE[6] LIST [m11,m12,m21,m22,a1,a2], NOT a
+    # struct: DuckDB 1.0 list_reduce ALIASES the accumulator into the
+    # struct_pack result as fields evaluate, so a struct comp computes
+    # a2 against the freshly-overwritten a1 (measured: 1.015625 vs the
+    # correct 1.09375 on a 3-map fold). List construction evaluates all
+    # elements against the old accumulator; arithmetic is otherwise the
+    # identical expression sequence the Spark fold runs.
+    comp = (
+        "(acc, x) -> ["
+        "x[1] * acc[1] + x[2] * acc[3], "
+        "x[1] * acc[2] + x[2] * acc[4], "
+        "x[3] * acc[1] + x[4] * acc[3], "
+        "x[3] * acc[2] + x[4] * acc[4], "
+        "x[1] * acc[5] + x[2] * acc[6] + x[5], "
+        "x[3] * acc[5] + x[4] * acc[6] + x[6]]"
+    )
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            CAST({value_col} AS DOUBLE) AS v,
+            date_trunc('{bucket}', {ts_col}) AS bk,
+            row_number() OVER (PARTITION BY {key_col}
+                               ORDER BY {ts_col}, {id_col}) AS rn
+        FROM {table} WHERE {where}
+    ), maps AS (
+        SELECT key, bk, ts, id,
+            -- CAST: bare numeric literals are DECIMAL in DuckDB, and the
+            -- fold's decimal matrix products truncate scale — every map
+            -- entry must enter the composition as DOUBLE
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - a} END AS DOUBLE) AS m11,
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - a} END AS DOUBLE) AS m12,
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {-(a * b)} END AS DOUBLE) AS m21,
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {1.0 - a * b} END AS DOUBLE) AS m22,
+            CASE WHEN rn = 1 THEN v ELSE {a} * v END AS a1,
+            CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {a * b} * v END AS DOUBLE) AS a2
+        FROM base
+    ), per_bucket AS (
+        SELECT key, bk, count(*) AS n,
+            list_reduce(
+                list([m11, m12, m21, m22, a1, a2] ORDER BY ts, id),
+                {comp}
+            ) AS p
+        FROM maps GROUP BY key, bk
+    ), per_key AS (
+        SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+            list_reduce(
+                list(p ORDER BY bk),
+                {comp}
+            ) AS p
+        FROM per_bucket GROUP BY key
+    )
+    SELECT key, n_obs, p[5] AS level, p[6] AS trend,
+        p[5] + {float(horizon)} * p[6] AS forecast
+    FROM per_key
+    """

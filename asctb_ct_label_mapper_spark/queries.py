@@ -5458,3 +5458,24 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv_estimate(kmv_sketch(ev, "user_id", k=64), k=64)
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))
+
+
+def _holt_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import sql_holt_by_key
+
+    return sql_holt_by_key("events", where="event_type = 'purchase'")
+
+
+@query("holt_forecast_users", _holt_oracle())
+def holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (timeseries.holt_by_key): the
+    level+trend recurrence as a 2x2 MATRIX segmented scan — the proof the
+    EWMA affine decomposition generalizes to any linear recurrence. Both
+    engines run the identical per-(key, month) matrix folds and
+    dimension-sized carry composition with dyadic constants, so level,
+    trend, and the 3-step forecast hash-match on raw doubles."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import holt_by_key
+
+    return holt_by_key(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    )

@@ -262,3 +262,35 @@ def test_ewma_segmented_matches_single_fold(spark, values):
         assert seg[k]["n_obs"] == fold[k]["n_obs"]
         scale = max(1.0, abs(fold[k]["ewma"]))
         assert abs(seg[k]["ewma"] - fold[k]["ewma"]) <= 1e-9 * scale
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=40))
+def test_holt_segmented_matches_sequential(spark, values):
+    """holt_by_key (2x2-matrix segmented scan) vs the sequential Holt
+    recurrence in pure Python, on series spanning many month buckets:
+    level/trend equal to <=1e-9 relative (rounding points differ across
+    bucket boundaries; the matrix algebra is associative exactly)."""
+    from datetime import datetime, timedelta
+
+    from asctb_ct_label_mapper_spark.operators.timeseries import holt_by_key
+
+    a, b = 0.5, 0.25
+    lvl, tr = values[0], 0.0
+    for x in values[1:]:
+        new_l = a * x + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        lvl = new_l
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(days=17 * i), 1, v)
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    [r] = holt_by_key(df).collect()
+    assert r["n_obs"] == len(values)
+    for got, want in ((r["level"], lvl), (r["trend"], tr)):
+        scale = max(1.0, abs(want))
+        assert abs(got - want) <= 1e-9 * scale

@@ -229,3 +229,38 @@ def test_ewma_segmented_multi_bucket_exact_dyadics(spark):
     assert r["ewma"] == 8.0 and r["n_obs"] == 5
     [rf] = ewma_by_key_fold(df).collect()
     assert rf["ewma"] == 8.0
+
+
+def _holt_seq(xs, a=0.5, b=0.25):
+    lvl, tr = xs[0], 0.0
+    for x in xs[1:]:
+        new_l = a * x + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        lvl = new_l
+    return lvl, tr
+
+
+def test_holt_matches_sequential_recurrence_multi_bucket(spark):
+    """Level/trend from the matrix segmented scan equal the hand-rolled
+    sequential Holt recurrence exactly on dyadic inputs, across three
+    month buckets."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import holt_by_key
+
+    xs = [10.0, 20.0, 15.0, 30.0, 25.0, 12.5]
+    rows = [
+        (i, datetime(2024, 1 + i // 2, 1 + i), 1, x) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    [r] = holt_by_key(df).collect()
+    lvl, tr = _holt_seq(xs)
+    assert r["n_obs"] == 6
+    assert r["level"] == lvl and r["trend"] == tr
+    assert r["forecast"] == lvl + 3.0 * tr
+
+
+def test_holt_single_element_is_seed(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import holt_by_key
+
+    df = spark.createDataFrame([(1, d(5), 2, 7.5)], EV_SCHEMA)
+    [r] = holt_by_key(df).collect()
+    assert (r["level"], r["trend"], r["forecast"]) == (7.5, 0.0, 7.5)
