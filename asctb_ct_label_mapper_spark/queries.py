@@ -5479,3 +5479,38 @@ def holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_by_key(
         _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     )
+
+
+def _zorder_oracle() -> str:
+    from asctb_ct_label_mapper_spark.sources.sinks import sql_zorder_key
+
+    z = sql_zorder_key("(user_id % 65536)", "(event_id % 65536)")
+    return f"""
+    SELECT user_id, event_id, {z} AS zkey
+    FROM events
+    ORDER BY zkey DESC, event_id LIMIT 100
+    """
+
+
+@query("zorder_key_events", _zorder_oracle())
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (sinks.zorder_key): bit-interleave
+    two quantized dimensions into the single cluster column
+    write_clustered sorts by, so row-group min/max become tight on BOTH
+    source columns and box/either-column predicates prune (footer-proven
+    in tests/test_sources.py). Pure shift/mask/or chain — whole-stage
+    codegen, and the oracle replays the identical bit arithmetic."""
+    from asctb_ct_label_mapper_spark.sources.sinks import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            zorder_key(
+                F.col("user_id") % 65536, F.col("event_id") % 65536
+            ).alias("zkey"),
+        )
+        .orderBy(F.desc("zkey"), F.asc("event_id"))
+        .limit(100)
+    )

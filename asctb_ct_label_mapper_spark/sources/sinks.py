@@ -279,3 +279,42 @@ def rowgroup_stats(path: str, column: str) -> list[tuple]:
             st = meta.row_group(g).column(ci).statistics
             out.append((os.path.basename(f), g, st.min, st.max))
     return out
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` of two
+    non-negative integer columns into one long — the multi-dimension
+    clustering key ``write_clustered`` documents ("interleave the key
+    bits into one cluster column first").
+
+    Why interleaving: range-clustering on (a, b) lexicographically makes
+    row-group min/max tight on ``a`` but full-domain on ``b`` (every
+    a-range spans all of b), so predicates on b alone — or box
+    predicates — prune nothing. The Morton curve keeps both coordinates
+    locally contiguous, so each row group covers a small RECTANGLE of
+    (a, b) space and a pushed predicate on EITHER column (or both)
+    prunes (footer-audited in tests). Pure native bit arithmetic —
+    codegen-friendly, and exactly replayable in SQL (`sql_zorder_key`).
+
+    Callers quantize to ``[0, 2^bits)`` first (e.g. `col % 65536`, or a
+    rank/bucket for skewed domains — any monotone quantizer preserves
+    the locality argument)."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def sql_zorder_key(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB replay of ``zorder_key`` — identical shift/mask/or chain."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)

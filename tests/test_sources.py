@@ -307,3 +307,69 @@ def test_clustered_write_produces_disjoint_rowgroup_ranges(spark, sf_dir, tmp_pa
     )
     want = ev.filter("user_id = 3").count()
     assert got == want
+
+
+def test_zorder_key_locality_and_bounds(spark):
+    """Morton-key sanity: bijective on the quantized grid (distinct in ==
+    distinct out), bounded by 2*bits bits, and monotone-compatible with
+    the box-locality argument (prefix blocks of the z-curve cover small
+    rectangles — checked via the pruning test below)."""
+    from asctb_ct_label_mapper_spark.sources.sinks import zorder_key
+
+    df = spark.range(0, 64).selectExpr("id % 8 AS x", "id div 8 AS y")
+    rows = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) == 64 and min(zs) == 0 and max(zs) == 63
+    by_xy = {(r["x"], r["y"]): r["z"] for r in rows}
+    # hand-checked Morton values: (1,0)->1, (0,1)->2, (1,1)->3, (2,3)->14
+    assert by_xy[(0, 0)] == 0 and by_xy[(1, 0)] == 1
+    assert by_xy[(0, 1)] == 2 and by_xy[(1, 1)] == 3
+    assert by_xy[(2, 3)] == 14
+
+
+def test_zorder_clustered_write_prunes_box_queries_on_both_columns(
+    spark, tmp_path
+):
+    """The layout payoff: clustering by the Morton key makes row-group
+    footer ranges tight on BOTH source columns, so a box predicate — or
+    a predicate on the SECOND column alone, which lexicographic (x, y)
+    clustering cannot prune — skips most row groups."""
+    from asctb_ct_label_mapper_spark.sources.sinks import (
+        rowgroup_stats,
+        write_clustered,
+        zorder_key,
+    )
+
+    grid = spark.range(0, 256 * 256).selectExpr(
+        "id % 256 AS x", "id div 256 AS y", "id AS payload"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_clustered(
+        grid.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=8)),
+        zpath,
+        ["z"],
+        n_files=8,
+        rows_per_rowgroup=4096,
+    )
+    sx = rowgroup_stats(zpath, "x")
+    sy = rowgroup_stats(zpath, "y")
+    assert len(sx) >= 10  # multiple row groups to prune against
+    # box query [32, 63] x [32, 63]: count row groups whose (x, y)
+    # bounding boxes intersect it — z-clustering keeps it a small share
+    hit = sum(
+        1
+        for (f, g, xmn, xmx), (_, _, ymn, ymx) in zip(sx, sy)
+        if xmx >= 32 and xmn <= 63 and ymx >= 32 and ymn <= 63
+    )
+    assert hit / len(sx) <= 0.35, f"{hit}/{len(sx)} row groups hit"
+    # single-column predicate on y alone also prunes (lexicographic
+    # x-major clustering would leave every row group overlapping)
+    hit_y = sum(1 for (_, _, ymn, ymx) in sy if ymx >= 32 and ymn <= 63)
+    assert hit_y / len(sy) <= 0.6, f"{hit_y}/{len(sy)} row groups hit on y"
+    # read-side correctness through the layout
+    got = (
+        spark.read.parquet(zpath)
+        .filter("x BETWEEN 32 AND 63 AND y BETWEEN 32 AND 63")
+        .count()
+    )
+    assert got == 32 * 32
