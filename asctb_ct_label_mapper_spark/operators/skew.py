@@ -52,3 +52,74 @@ def two_phase_distinct_count(
     return deduped.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(f"n_distinct_{value_col}")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostics — the pre-flight measurement behind
+    every skew decision this module's operators (and AQE) make: the top
+    ``top_n`` keys with row count, share of all rows, and cumulative
+    share, plus the global key count, per row.
+
+    Returns (rank, key, n_rows, share, cum_share, n_keys) — a hot key
+    with share 0.7 says "salt this join"; a flat cum_share says the
+    default hash partitioning is fine.
+
+    Scale shape: one map-side-combinable groupBy(key), a one-row global
+    aggregate broadcast back, TakeOrdered for the top slice, and the
+    cumulative window runs over top_n rows (bytes). Nothing data-sized
+    crosses a single partition."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                (F.sum("n_rows").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ) / F.col("_total")),
+                6,
+            ).alias("cum_share"),
+            "n_keys",
+        )
+    )
+
+
+def sql_key_skew_report(table: str, key_col: str, top_n: int = 10) -> str:
+    """DuckDB replay of ``key_skew_report``."""
+    return f"""
+    WITH counts AS (
+        SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS n_rows
+        FROM {table} GROUP BY 1
+    ), totals AS (
+        SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+            count(*) AS n_keys FROM counts
+    ), top AS (
+        SELECT key, n_rows,
+            row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+            CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_rows
+        FROM counts
+    )
+    SELECT rank, key, CAST(n_rows AS BIGINT) AS n_rows,
+        round(n_rows / total, 6) AS share,
+        round(cum_rows / total, 6) AS cum_share,
+        CAST(n_keys AS BIGINT) AS n_keys
+    FROM top, totals
+    WHERE rank <= {top_n}
+    """

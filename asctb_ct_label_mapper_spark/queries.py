@@ -5514,3 +5514,20 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("zkey"), F.asc("event_id"))
         .limit(100)
     )
+
+
+def _skew_report_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.skew import sql_key_skew_report
+
+    return sql_key_skew_report("events", "event_type", top_n=5)
+
+
+@query("skew_report_events", _skew_report_oracle())
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (skew.key_skew_report): top keys with share
+    and cumulative share plus global key count — the measurement that
+    decides between plain hash join, AQE skew split, and salted_join.
+    One combinable groupBy + a one-row broadcast + a top_n-row window."""
+    from asctb_ct_label_mapper_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "event_type", top_n=5)

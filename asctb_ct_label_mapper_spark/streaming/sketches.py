@@ -132,3 +132,30 @@ def merge_countmin_counters(partials: DataFrame) -> DataFrame:
     counter algebra is addition, so regrouping never changes answers and
     compaction is idempotent."""
     return partials.groupBy("row_i", "pos").agg(F.sum("c").alias("c"))
+
+
+def start_kmv_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    item_col: str = "user_id",
+    k: int = 256,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distinct-count ingest via the KMV sketch — the same
+    append-only contract as the HLL/count-min loops but with the
+    STRONGEST merge algebra of the three: bottom-k over distinct hashes
+    is pure set algebra, so merge-on-read (``kmv_merge``) equals a full
+    rescan EXACTLY, re-delivered batches are fully idempotent (their
+    hashes are already members), and the estimate is deterministic —
+    the one streaming distinct sketch a DuckDB oracle can replay. Each
+    batch folds to <= k rows regardless of size."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_sketch
+
+    return _start_append_stream(
+        stream,
+        sketch_path,
+        checkpoint,
+        lambda batch: kmv_sketch(batch, item_col, k),
+        available_now,
+    )

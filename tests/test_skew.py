@@ -47,3 +47,17 @@ def test_two_phase_distinct_count(spark):
         for r in big.groupBy("k").agg(F.countDistinct("payload").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_key_skew_report_shares_and_ranks(spark):
+    from asctb_ct_label_mapper_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("c1",)] * 5 + [("c2",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_n=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", "c1"]
+    assert out[0]["share"] == 0.7 and out[0]["n_keys"] == 4
+    assert out[1]["cum_share"] == 0.9
+    # cumulative share is monotone and ends <= 1
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums) and cums[-1] <= 1.0

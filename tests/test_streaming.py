@@ -517,3 +517,58 @@ def test_curation_duplicate_ids_in_one_batch_do_not_cross_pair(spark, tmp_path):
     # exactly one accepted (the good text), one quality-reject ('x')
     assert len(acc) == 1 and acc[0]["text"].startswith("the quick")
     assert len(quar) == 1 and quar[0]["reject_reason"] == "quality"
+
+
+def test_streaming_kmv_merges_to_exact_batch_sketch(spark, sf_dir, tmp_path):
+    """KMV ingest loop: micro-batch bottom-k partials appended, merged on
+    read — and unlike HLL/count-min, merged state equals the one-pass
+    batch sketch EXACTLY (set algebra), including under duplicate
+    redelivery (idempotent membership)."""
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from asctb_ct_label_mapper_spark.sources.jsonl import (
+        jsonl_schema_with_corrupt,
+        read_jsonl_stream,
+        write_jsonl,
+    )
+    from asctb_ct_label_mapper_spark.streaming.sketches import start_kmv_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    landing = str(tmp_path / "landing")
+    write_jsonl(ev.repartition(4), landing)
+    schema = jsonl_schema_with_corrupt(
+        [T.StructField("user_id", T.LongType())]
+    )
+    sk_path = str(tmp_path / "kmv")
+    q = start_kmv_stream(
+        read_jsonl_stream(spark, landing, schema, max_files_per_trigger=1),
+        sk_path,
+        str(tmp_path / "ckpt"),
+        item_col="user_id",
+        k=32,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    merged = sorted(
+        r["h"] for r in kmv_merge(spark.read.parquet(sk_path), k=32).collect()
+    )
+    whole = sorted(r["h"] for r in kmv_sketch(ev, "user_id", k=32).collect())
+    assert merged == whole
+    # redelivery: append one shard's partial again -> merge unchanged
+    dup = kmv_sketch(ev.limit(100), "user_id", k=32)
+    dup.write.mode("append").parquet(sk_path)
+    merged2 = sorted(
+        r["h"] for r in kmv_merge(spark.read.parquet(sk_path), k=32).collect()
+    )
+    assert merged2 == whole
+    [est] = kmv_estimate(
+        kmv_merge(spark.read.parquet(sk_path), k=32), k=32
+    ).collect()
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est["distinct_estimate"] - exact) / exact < 0.8  # k=32 is coarse
