@@ -1145,3 +1145,88 @@ def sql_proportional_sample(
         FROM base t JOIN quotas q USING ({group_col})
     ) WHERE rn <= quota
     """
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_neg: int = 3,
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Deterministic uniform negative sampling — the contrastive-training
+    data op: for every document, ``n_neg`` pseudo-random OTHER documents
+    drawn uniformly (without self-pairs), reproducible across runs and
+    engines (md5 arithmetic, no rand()).
+
+    Construction: (1) dense-rank the corpus 0..N-1 with the two-phase
+    ``global_rank`` (id-bucketed — no single-partition sort); (2) for
+    pair slot j, offset = 1 + (md5(id||'#'||j) mod (N-1)), neg_rank =
+    (rank + offset) mod N — a nonzero cyclic shift, so neg != self and
+    the draw is uniform over the other N-1 documents; (3) an equi-join
+    on neg_rank fetches the partner id. Fan-out is the bounded n_neg
+    explode; both joins are hash equi-joins on the rank key.
+
+    Returns (doc_id, j, neg_id). Collision across slots of one doc is
+    possible (independent draws — the standard with-replacement
+    contract); dedupe downstream if a task needs distinct negatives.
+    The corpus-size probe is one count() job (a scalar, the modulus)."""
+    n_total = df.count()
+    if n_total < 2:
+        raise ValueError("negative_samples needs >= 2 rows")
+    ranked = global_rank(
+        df.select(id_col),
+        bucket=(F.col(id_col) / bucket_size).cast("long"),
+        order_cols=[id_col],
+        rank_col="_rk",
+    ).select(id_col, (F.col("_rk") - 1).alias("_rk"))
+    slots = ranked.select(
+        F.col(id_col),
+        "_rk",
+        F.explode(F.array(*[F.lit(j) for j in range(1, n_neg + 1)])).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.col("j"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    picked = slots.select(
+        id_col,
+        "j",
+        ((F.col("_rk") + F.lit(1) + (h % F.lit(n_total - 1))) % F.lit(n_total)).alias(
+            "_neg_rk"
+        ),
+    )
+    partners = ranked.select(
+        F.col("_rk").alias("_neg_rk"), F.col(id_col).alias("neg_id")
+    )
+    return picked.join(partners, "_neg_rk").select(id_col, "j", "neg_id")
+
+
+def sql_negative_samples(
+    table: str = "documents", id_col: str = "doc_id", n_neg: int = 3
+) -> str:
+    """DuckDB replay of ``negative_samples`` — same rank/md5/cyclic-shift
+    arithmetic (single-window rank, fine at oracle scale)."""
+    return f"""
+    WITH ranked AS (
+        SELECT {id_col},
+            row_number() OVER (ORDER BY {id_col}) - 1 AS rk
+        FROM {table}
+    ), n AS (SELECT count(*) AS total FROM ranked),
+    slots AS (
+        SELECT {id_col}, rk, j
+        FROM ranked, unnest(generate_series(1, {n_neg})) AS g(j)
+    ), picked AS (
+        SELECT {id_col}, j,
+            (rk + 1 + (CAST(('0x' || substr(md5(concat_ws('#',
+                CAST({id_col} AS VARCHAR), CAST(j AS VARCHAR))), 1, 15))
+                AS BIGINT) % (total - 1))) % total AS neg_rk
+        FROM slots, n
+    )
+    SELECT p.{id_col}, CAST(p.j AS INT) AS j, r.{id_col} AS neg_id
+    FROM picked p JOIN ranked r ON r.rk = p.neg_rk
+    """

@@ -5531,3 +5531,23 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.skew import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "events"), "event_type", top_n=5)
+
+
+def _neg_samples_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_negative_samples,
+    )
+
+    return sql_negative_samples("documents", "doc_id", n_neg=3)
+
+
+@query("negative_samples_docs", _neg_samples_oracle())
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (curation.negative_samples): 3 uniform non-self partners per document
+    via dense two-phase rank + md5 cyclic shift — reproducible across
+    runs, engines, and partitionings (no rand()); the oracle replays the
+    identical arithmetic."""
+    from asctb_ct_label_mapper_spark.operators.curation import negative_samples
+
+    return negative_samples(_t(spark, sf_dir, "documents"), "doc_id", n_neg=3)

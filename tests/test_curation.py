@@ -542,3 +542,33 @@ def test_global_rank_null_buckets_rank_first_not_dropped(spark):
         ).collect()
     }
     assert out == {1: 1, 3: 2, 5: 3, 2: 4, 4: 5}
+
+
+def test_negative_samples_uniform_no_self_deterministic(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = negative_samples(df, "doc_id", n_neg=4).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r["neg_id"] != r["doc_id"]  # cyclic shift is nonzero
+        assert 0 <= r["neg_id"] < 50
+    # deterministic: second run identical
+    again = negative_samples(df, "doc_id", n_neg=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # roughly uniform usage as negatives (chi-square-ish loose bound)
+    from collections import Counter
+
+    c = Counter(r["neg_id"] for r in out)
+    assert max(c.values()) <= 16  # mean 4; a hard hotspot would exceed
+
+
+def test_negative_samples_two_rows_edge(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import negative_samples
+
+    df = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    out = negative_samples(df, "doc_id", n_neg=2).collect()
+    # only possible partner is the other row
+    assert all(
+        (r["doc_id"], r["neg_id"]) in {(7, 9), (9, 7)} for r in out
+    ) and len(out) == 4
