@@ -463,3 +463,93 @@ def sql_mad_anomaly_days(
                   ELSE d.absdev > 0 END AS INT) AS is_anomaly
     FROM dev d JOIN mad a USING (grp)
     """
+
+
+# --- deterministic sample-based quantile sketch -------------------------------
+
+
+def priority_sample(
+    df: DataFrame, id_col: str, value_col: str, k: int = 512
+) -> DataFrame:
+    """Deterministic uniform row sample: the ``k`` rows whose md5(id)
+    priority is smallest — the KMV trick applied to ROWS, which makes
+    the sample (a) reproducible across runs/engines/partitionings,
+    (b) EXACTLY mergeable (bottom-k of a union == bottom-k of the
+    slices' bottom-ks — per-shard samples union + re-cut with no bias),
+    and (c) uniform, because md5 is exchangeable with respect to the
+    values. Plan: one narrow hash + TakeOrderedAndProject heaps.
+    Returns (pr, v); k rows forever, the mergeable quantile state."""
+    pr = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(pr.alias("pr"), F.col(value_col).cast("double").alias("v"))
+        .orderBy("pr")
+        .limit(k)
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Linear-interpolated quantiles over a (bounded) priority sample:
+    sort the k values in one row, est(q) = v[lo] + frac*(v[hi] - v[lo])
+    with h = (n-1)q — written as the IDENTICAL list arithmetic the
+    oracle runs, so the estimates hash-match (6dp guard). One row per
+    q: (q, n_sample, est)."""
+    arr = F.array_sort(F.collect_list("v"))
+    base = sample.agg(arr.alias("_a"), F.count(F.lit(1)).alias("n_sample"))
+    rows = []
+    for q in qs:
+        h = (F.col("n_sample") - 1) * F.lit(float(q))
+        lo = F.floor(h).cast("int")
+        frac = h - lo
+        lo_v = F.element_at("_a", lo + 1)
+        hi_v = F.element_at("_a", F.least(lo + 2, F.col("n_sample")).cast("int"))
+        rows.append(
+            base.select(
+                F.lit(float(q)).alias("q"),
+                "n_sample",
+                F.round(lo_v + frac * (hi_v - lo_v), 6).alias("est"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def sql_sample_quantiles(
+    table: str,
+    id_col: str,
+    value_col: str,
+    k: int = 512,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of priority_sample + sample_quantiles (same md5
+    priority, same bottom-k, same interpolation arithmetic)."""
+    parts = []
+    for q in qs:
+        parts.append(f"""
+        SELECT CAST({float(q)} AS DOUBLE) AS q, n_sample,
+            round(a[lo + 1] + frac * (a[least(lo + 2, n_sample)] - a[lo + 1]), 6) AS est
+        FROM (
+            SELECT a, n_sample,
+                CAST(floor((n_sample - 1) * {float(q)}) AS INT) AS lo,
+                (n_sample - 1) * {float(q)}
+                    - CAST(floor((n_sample - 1) * {float(q)}) AS INT) AS frac
+            FROM base
+        )""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH sample AS (
+        SELECT CAST({value_col} AS DOUBLE) AS v
+        FROM {table} WHERE {where}
+        ORDER BY CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
+        LIMIT {k}
+    ), base AS (
+        SELECT list(v ORDER BY v) AS a, count(*) AS n_sample FROM sample
+    )
+    {union}
+    """

@@ -5551,3 +5551,28 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.curation import negative_samples
 
     return negative_samples(_t(spark, sf_dir, "documents"), "doc_id", n_neg=3)
+
+
+def _sample_quantiles_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_sample_quantiles,
+    )
+
+    return sql_sample_quantiles("events", "event_id", "value", k=512)
+
+
+@query("sample_quantiles_value", _sample_quantiles_oracle())
+def sample_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch
+    (profile.priority_sample + sample_quantiles): bottom-512 rows by
+    md5(id) priority — exactly mergeable across shards like the KMV
+    sketch — then identical-arithmetic linear interpolation on both
+    engines. The deterministic sibling of approxQuantile (whose GK
+    sketch is merge-order-dependent and engine-private)."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        priority_sample,
+        sample_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_quantiles(priority_sample(ev, "event_id", "value", k=512))

@@ -213,3 +213,45 @@ def test_mad_anomaly_zero_mad_convention(spark):
     )
     out = mad_anomaly_days(df).collect()
     assert all(r["is_anomaly"] == 0 for r in out)
+
+
+def test_priority_sample_merge_equals_whole(spark):
+    """Per-shard priority samples union + re-cut == the whole-data sample
+    (exact set algebra — the property that lets shards keep their own
+    quantile state)."""
+    from asctb_ct_label_mapper_spark.operators.profile import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(2000)], "id long, v double"
+    )
+    k = 64
+    whole = sorted(
+        (r["pr"], r["v"]) for r in priority_sample(df, "id", "v", k).collect()
+    )
+    a = priority_sample(df.filter("id % 2 = 0"), "id", "v", k)
+    b = priority_sample(df.filter("id % 2 = 1"), "id", "v", k)
+    merged = sorted(
+        (r["pr"], r["v"])
+        for r in a.unionAll(b).orderBy("pr").limit(k).collect()
+    )
+    assert merged == whole
+
+
+def test_sample_quantiles_exact_on_full_coverage(spark):
+    """When k >= n the sample IS the data, so the interpolated quantiles
+    are the exact population quantiles."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        priority_sample,
+        sample_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id long, v double"
+    )
+    got = {
+        r["q"]: r["est"]
+        for r in sample_quantiles(
+            priority_sample(df, "id", "v", k=200), qs=(0.5, 0.9)
+        ).collect()
+    }
+    assert got[0.5] == 50.0 and got[0.9] == 90.0
