@@ -1170,29 +1170,30 @@ def negative_samples(
     possible (independent draws — the standard with-replacement
     contract); dedupe downstream if a task needs distinct negatives.
     The corpus-size probe is one count() job (a scalar, the modulus)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
     n_total = df.count()
     if n_total < 2:
         raise ValueError("negative_samples needs >= 2 rows")
-    ranked = global_rank(
-        df.select(id_col),
-        bucket=(F.col(id_col) / bucket_size).cast("long"),
-        order_cols=[id_col],
-        rank_col="_rk",
-    ).select(id_col, (F.col("_rk") - 1).alias("_rk"))
+    # pooled: ranked feeds BOTH the exploded slots frame and the partner
+    # join side — without the persist the two-phase rank subtree (groupBy
+    # + offsets + window) executes once per consumer
+    ranked = pooled_persist(
+        global_rank(
+            df.select(id_col),
+            bucket=(F.col(id_col) / bucket_size).cast("long"),
+            order_cols=[id_col],
+            rank_col="_rk",
+        ).select(id_col, (F.col("_rk") - 1).alias("_rk"))
+    )
     slots = ranked.select(
         F.col(id_col),
         "_rk",
         F.explode(F.array(*[F.lit(j) for j in range(1, n_neg + 1)])).alias("j"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.col("j"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_hash60
+
+    h = kmv_hash60(F.concat_ws("#", F.col(id_col).cast("string"), F.col("j")))
     picked = slots.select(
         id_col,
         "j",

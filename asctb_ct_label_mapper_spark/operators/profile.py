@@ -479,11 +479,17 @@ def priority_sample(
     and (c) uniform, because md5 is exchangeable with respect to the
     values. Plan: one narrow hash + TakeOrderedAndProject heaps.
     Returns (pr, v); k rows forever, the mergeable quantile state."""
-    pr = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_hash60
+
+    # NULL ids (NULL priority: Spark sorts them FIRST, DuckDB LAST) and
+    # NULL values (collect_list drops them, desyncing n_sample from the
+    # array under ANSI element_at) are excluded on BOTH engines
     return (
-        df.select(pr.alias("pr"), F.col(value_col).cast("double").alias("v"))
+        df.filter(F.col(id_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            kmv_hash60(F.col(id_col)).alias("pr"),
+            F.col(value_col).cast("double").alias("v"),
+        )
         .orderBy("pr")
         .limit(k)
     )
@@ -499,24 +505,29 @@ def sample_quantiles(
     q: (q, n_sample, est)."""
     arr = F.array_sort(F.collect_list("v"))
     base = sample.agg(arr.alias("_a"), F.count(F.lit(1)).alias("n_sample"))
-    rows = []
+    # every quantile reads the SAME one-row agg: build all estimates in
+    # one select and explode (union legs would re-run the sample's
+    # TakeOrdered scan once per q)
+    ests = []
     for q in qs:
         h = (F.col("n_sample") - 1) * F.lit(float(q))
         lo = F.floor(h).cast("int")
         frac = h - lo
         lo_v = F.element_at("_a", lo + 1)
         hi_v = F.element_at("_a", F.least(lo + 2, F.col("n_sample")).cast("int"))
-        rows.append(
-            base.select(
+        ests.append(
+            F.struct(
                 F.lit(float(q)).alias("q"),
-                "n_sample",
                 F.round(lo_v + frac * (hi_v - lo_v), 6).alias("est"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return base.select(
+        F.explode(F.array(*ests)).alias("_s"), "n_sample"
+    ).select(
+        F.col("_s").getField("q").alias("q"),
+        "n_sample",
+        F.col("_s").getField("est").alias("est"),
+    )
 
 
 def sql_sample_quantiles(
@@ -545,7 +556,8 @@ def sql_sample_quantiles(
     return f"""
     WITH sample AS (
         SELECT CAST({value_col} AS DOUBLE) AS v
-        FROM {table} WHERE {where}
+        FROM {table}
+        WHERE ({where}) AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
         ORDER BY CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
         LIMIT {k}
     ), base AS (

@@ -300,10 +300,12 @@ def sql_countmin_topk(
 _KMV_DOMAIN = float(1 << 60)  # 15 hex chars of md5
 
 
-def _kmv_hash(item) -> "F.Column":
+def kmv_hash60(item) -> "F.Column":
     """Deterministic 60-bit uniform hash (15 hex chars of md5) — the
     shared engine/oracle idiom (`CAST(('0x'||substr(md5(x),1,15)) AS
-    BIGINT)` on the DuckDB side)."""
+    BIGINT)` on the DuckDB side). Shared by the KMV sketch, the
+    priority sampler, and negative sampling — one definition so the
+    engine/oracle pair can never half-diverge."""
     return F.conv(
         F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -314,10 +316,15 @@ def kmv_sketch(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
     values of ``item_col``. Plan shape: one map-side-combinable distinct
     on the 8-byte hash, then TakeOrderedAndProject (per-partition heaps
     — never a global sort). The result is <= k rows regardless of input
-    size: the broadcastable, mergeable state every serving layer
-    wants."""
+    size: the broadcastable, mergeable state every serving layer wants.
+
+    NULL items are excluded (matching countDistinct semantics — and
+    necessarily: a NULL hash would sort FIRST under Spark's ascending
+    NULLS FIRST but LAST in the DuckDB replay, wasting a slot on one
+    engine only)."""
     return (
-        df.select(_kmv_hash(F.col(item_col)).alias("h"))
+        df.filter(F.col(item_col).isNotNull())
+        .select(kmv_hash60(F.col(item_col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -370,7 +377,7 @@ def sql_kmv_estimate(
     WITH hashes AS (
         SELECT DISTINCT CAST(('0x' || substr(md5(CAST({item_col} AS VARCHAR)), 1, 15))
             AS BIGINT) AS h
-        FROM {table} WHERE {where}
+        FROM {table} WHERE ({where}) AND {item_col} IS NOT NULL
     ), sk AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
     agg AS (SELECT count(*) AS n_kept, max(h) AS hk FROM sk)
     SELECT n_kept,
@@ -379,3 +386,6 @@ def sql_kmv_estimate(
               END, 4) AS distinct_estimate{exact_sel}
     FROM agg
     """
+
+
+_kmv_hash = kmv_hash60  # backward-compat private alias

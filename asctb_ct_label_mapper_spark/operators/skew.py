@@ -70,9 +70,13 @@ def key_skew_report(
     aggregate broadcast back, TakeOrdered for the top slice, and the
     cumulative window runs over top_n rows (bytes). Nothing data-sized
     crosses a single partition."""
-    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
+    # NULL keys are a real (often the hottest) group: coalesce to a
+    # sentinel so both engines rank them identically (Spark ties sort
+    # NULLS FIRST, DuckDB NULLS LAST — a NULL key on a tie boundary
+    # would diverge)
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("n_keys")
     )
@@ -103,7 +107,8 @@ def sql_key_skew_report(table: str, key_col: str, top_n: int = 10) -> str:
     """DuckDB replay of ``key_skew_report``."""
     return f"""
     WITH counts AS (
-        SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS n_rows
+        SELECT coalesce(CAST({key_col} AS VARCHAR), '<null>') AS key,
+            count(*) AS n_rows
         FROM {table} GROUP BY 1
     ), totals AS (
         SELECT CAST(sum(n_rows) AS DOUBLE) AS total,

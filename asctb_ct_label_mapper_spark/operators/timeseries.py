@@ -296,6 +296,7 @@ def ewma_by_key(
     alpha: float = 0.5,
     bucket: str = "month",
     max_bucket_rows: int | None = None,
+    check_order_unique: bool = False,
 ) -> DataFrame:
     """Final EWMA state per key: s_1 = x_1, s_t = alpha*x_t +
     (1-alpha)*s_{t-1} over the key's events in (ts, id) order — as a
@@ -329,7 +330,13 @@ def ewma_by_key(
     ``max_bucket_rows`` (opt-in) enforces the bounded-(key, bucket)
     contract phase 1 relies on via ``dq.assert_group_bound`` — a key
     whose single bucket still exceeds the bound (pick a finer ``bucket``
-    then) raises a named error instead of OOMing the fold task."""
+    then) raises a named error instead of OOMing the fold task.
+
+    CONTRACT: (ts, id) must be unique per key — duplicated order keys
+    make "the first element" ill-defined (the min-struct seed would mark
+    every tied copy absorbing, the oracle's row_number exactly one).
+    ``check_order_unique`` (opt-in, one counting scan) enforces it via
+    the same DQ gate."""
     ts, vid = F.col(ts_col), F.col(id_col)
     base = df.select(
         F.col(key_col).alias("key"),
@@ -343,6 +350,12 @@ def ewma_by_key(
 
         assert_group_bound(
             base, ["key", "bk"], max_bucket_rows, label="ewma_by_key"
+        )
+    if check_order_unique:
+        from asctb_ct_label_mapper_spark.operators.dq import assert_group_bound
+
+        assert_group_bound(
+            base, ["key", "ts", "id"], 1, label="ewma_by_key order key"
         )
     firsts = base.groupBy("key").agg(
         F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
@@ -569,6 +582,7 @@ def holt_by_key(
     beta: float = 0.25,
     horizon: int = 3,
     bucket: str = "month",
+    check_order_unique: bool = False,
 ) -> DataFrame:
     """Holt double-exponential smoothing (level + trend) per key, as the
     SAME two-phase segmented scan as ``ewma_by_key`` — proof the
@@ -587,7 +601,9 @@ def holt_by_key(
     Returns (key, n_obs, level, trend, forecast) with forecast =
     level + horizon*trend (the h-step-ahead linear extrapolation).
     Defaults are dyadic so every constant is exactly representable; the
-    oracle mirrors the fold expression for expression."""
+    oracle mirrors the fold expression for expression. Same
+    unique-(ts, id)-per-key contract as ``ewma_by_key``;
+    ``check_order_unique`` (opt-in) enforces it."""
     ts, vid = F.col(ts_col), F.col(id_col)
     base = df.select(
         F.col(key_col).alias("key"),
@@ -596,6 +612,12 @@ def holt_by_key(
         F.col(value_col).cast("double").alias("v"),
         F.date_trunc(bucket, ts).alias("bk"),
     )
+    if check_order_unique:
+        from asctb_ct_label_mapper_spark.operators.dq import assert_group_bound
+
+        assert_group_bound(
+            base, ["key", "ts", "id"], 1, label="holt_by_key order key"
+        )
     firsts = base.groupBy("key").agg(
         F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
     )

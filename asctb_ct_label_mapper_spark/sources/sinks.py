@@ -301,6 +301,9 @@ def zorder_key(a, b, bits: int = 16):
     the locality argument)."""
     from pyspark.sql import functions as F
 
+    # LONG from the start: with IntegerType inputs, shiftleft stays in
+    # INT and bit positions >= 31 sign-extend into negative garbage keys
+    a, b = a.cast("long"), b.cast("long")
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = key.bitwiseOR(

@@ -512,7 +512,10 @@ def bench_streaming(spark, sf_dir: str, n_batches: int = 10) -> dict:
             os.path.join(work, "ckpt"),
             available_now=True,
         )
-        q.awaitTermination(600)
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()  # do not read outputs / rmtree under a live query
+            raise TimeoutError("streaming tier did not drain in 600s")
         wall = time.perf_counter() - t0
         prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
         per_batch = [

@@ -417,3 +417,28 @@ def test_kmv_exact_below_k_and_estimate_above_k(spark):
     assert r["n_kept"] == 256
     # KMV sigma ~ 1/sqrt(k-2) ~ 6.3%; assert a loose 4-sigma envelope
     assert abs(r["distinct_estimate"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_and_priority_sample_exclude_nulls(spark):
+    """NULL items/ids are excluded on both engines (Spark sorts NULL
+    hashes FIRST, DuckDB LAST — a kept NULL would waste a slot on one
+    engine only and desync the estimate)."""
+    from asctb_ct_label_mapper_spark.operators.profile import priority_sample
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), (None,)], "v string"
+    )
+    sk = kmv_sketch(df, "v", k=8)
+    assert sk.count() == 2
+    [r] = kmv_estimate(sk, k=8).collect()
+    assert r["n_kept"] == 2 and r["distinct_estimate"] == 2.0
+
+    rows = spark.createDataFrame(
+        [(1, 5.0), (None, 9.0), (2, None), (3, 7.0)], "id long, v double"
+    )
+    got = priority_sample(rows, "id", "v", k=8).collect()
+    assert len(got) == 2 and all(r["v"] is not None for r in got)
