@@ -47,12 +47,20 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: Sequence[str] = (),
     ts_suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of join.
 
     Returns every ``left`` row plus ``<right_ts><ts_suffix>`` (the matched
     right timestamp) and each of ``right_value_cols`` — all NULL when no
     right row at or before the left timestamp exists for the key.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` semantics): a match older than the tolerance is treated
+    as NO match (NULL payload) — the staleness cap every market-data /
+    telemetry join eventually needs. Implemented as a post-window
+    null-out of the matched struct, so the plan shape (one union + one
+    keyed window, no row expansion) is unchanged.
     """
     key_cols = list(key_cols)
     value_cols = list(right_value_cols)
@@ -77,5 +85,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        stale = (
+            F.unix_micros(F.col("_t"))
+            - F.unix_micros(F.col("_m").getField(f"{right_ts}{ts_suffix}"))
+        ) > F.lit(tol_us)
+        matched = matched.withColumn(
+            "_m",
+            F.when(stale, F.lit(None).cast(matched.schema["_m"].dataType))
+            .otherwise(F.col("_m")),
+        )
     out_cols = [*left.columns, f"_m.{right_ts}{ts_suffix}", *[f"_m.{c}" for c in value_cols]]
     return matched.filter(F.col("_side") == 0).select(*out_cols)

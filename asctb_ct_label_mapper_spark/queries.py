@@ -5576,3 +5576,47 @@ def sample_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sample_quantiles(priority_sample(ev, "event_id", "value", k=512))
+
+
+@query(
+    "j_asof_tolerance",
+    """
+    WITH m AS (
+        SELECT user_id, ts, max(value) AS marker_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ), matched AS (
+        SELECT e.event_id, e.user_id, e.ts, m.ts AS ts_asof,
+            m.marker_value,
+            row_number() OVER (PARTITION BY e.event_id
+                               ORDER BY m.ts DESC) AS rn
+        FROM (SELECT event_id, user_id, ts FROM events) e
+        LEFT JOIN m ON e.user_id = m.user_id
+            AND m.ts <= e.ts
+            AND m.ts >= e.ts - INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id, ts, ts_asof, marker_value
+    FROM matched WHERE rn = 1
+    """,
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (asof.asof_join
+    tolerance_seconds — pandas merge_asof semantics): the most recent
+    prior error marker, but only if it is <= 1 hour old; older matches
+    null out. Same one-union-one-window plan; the oracle states the
+    semantics directly as a bounded range join + latest-pick."""
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    markers = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        markers,
+        key_cols=["user_id"],
+        right_value_cols=["marker_value"],
+        tolerance_seconds=3600,
+    )

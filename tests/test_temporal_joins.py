@@ -341,3 +341,30 @@ def test_markov_transitions_probabilities(spark):
     assert ("b", "b") not in got
     # no cross-user transition: user 2's first event has no prev
     assert sum(n for n, _ in got.values()) == 4
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 12, 0)),
+         (2, 1, datetime(2024, 1, 1, 14, 30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11, 30), 9.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, ["user_id"], right_value_cols=["v"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    # 12:00 matches the 11:30 marker (30 min old, inside tolerance)
+    assert out[1]["v"] == 9.0 and out[1]["ts_asof"] is not None
+    # 14:30's only candidate is 3h old -> nulled out
+    assert out[2]["v"] is None and out[2]["ts_asof"] is None
