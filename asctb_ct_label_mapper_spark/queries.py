@@ -5620,3 +5620,26 @@ def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["marker_value"],
         tolerance_seconds=3600,
     )
+
+
+def _sql_surface_oracle() -> str:
+    from asctb_ct_label_mapper_spark.sql_surface import (
+        SHARED_SQL_NATION_REVENUE,
+    )
+
+    return SHARED_SQL_NATION_REVENUE
+
+
+@query("sql_api_nation_revenue", _sql_surface_oracle())
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface (sql_surface.run_sql): the IDENTICAL SQL
+    string is submitted to Spark SQL (over lazy temp views — Catalyst
+    pushdown/pruning/AQE apply exactly as in the DataFrame flavors) and
+    to DuckDB as the oracle — dialect-shared text, the strongest parity
+    statement the registry can make."""
+    from asctb_ct_label_mapper_spark.sql_surface import (
+        SHARED_SQL_NATION_REVENUE,
+        run_sql,
+    )
+
+    return run_sql(spark, sf_dir, SHARED_SQL_NATION_REVENUE)

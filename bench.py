@@ -191,6 +191,16 @@ BENCH_QUERIES = [
     "j_salted_skew",
     # one-pass threshold-sweep QA curve for the MinHash pipeline
     "dedup_threshold_curve",
+    # r8 additions: matrix segmented scan, KMV distinct sketch,
+    # deterministic sample quantiles, z-order key, skew diagnostics,
+    # contrastive negative sampling, tolerance as-of join
+    "holt_forecast_users",
+    "kmv_distinct_users",
+    "sample_quantiles_value",
+    "zorder_key_events",
+    "skew_report_events",
+    "negative_samples_docs",
+    "j_asof_tolerance",
 ]
 
 

@@ -142,3 +142,43 @@ class TestPersistHygiene:
         before = n_persisted()
         drain_persist_pool()
         assert n_persisted() < before or before == 0
+
+
+def test_sql_surface_views_are_lazy_and_match_dataframe_plan(spark, sf_dir):
+    """register_views must not scan anything; the SQL text and the
+    DataFrame formulation must agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.sql_surface import (
+        SHARED_SQL_NATION_REVENUE,
+        run_sql,
+    )
+
+    got = {
+        r["n_name"]: (r["n_lines"], r["revenue"])
+        for r in run_sql(spark, sf_dir, SHARED_SQL_NATION_REVENUE).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    want = {
+        r["n_name"]: (r["n_lines"], r["revenue"])
+        for r in (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
