@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "skew_report_events",
     "negative_samples_docs",
     "j_asof_tolerance",
+    "sql_api_nation_revenue",
 ]
 
 
