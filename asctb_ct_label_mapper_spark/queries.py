@@ -5643,3 +5643,25 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_sql(spark, sf_dir, SHARED_SQL_NATION_REVENUE)
+
+
+def _kmv_docs_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import sql_kmv_estimate
+
+    return sql_kmv_estimate("documents", "text", k=256)
+
+
+@query("kmv_distinct_docs", _kmv_docs_oracle())
+def kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-document estimate over the text column (the corpus
+    cardinality probe a dedup pipeline runs first): sketch state is 256
+    rows at every corpus size — the docs-scale-tier entry proving the
+    flat-growth contract empirically (bench docs10x/100x)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    return kmv_estimate(
+        kmv_sketch(_t(spark, sf_dir, "documents"), "text", k=256), k=256
+    )

@@ -252,6 +252,8 @@ SCALE_QUERIES = [
     "countmin_topk_docs",
     "dedup_bloom_prefilter",
     "vocab_growth_docs",
+    # r8: KMV distinct sketch — k-row state at any corpus size
+    "kmv_distinct_docs",
 ]
 
 # Third tier (VERDICT r5 #5): 100x documents/embeddings — 500k docs /
@@ -295,6 +297,8 @@ SCALE100_QUERIES = [
     # 64Ki bitset regardless of corpus size)
     "countmin_topk_docs",
     "dedup_bloom_prefilter",
+    # r8: sketch flatness at the largest tier
+    "kmv_distinct_docs",
 ]
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"
