@@ -86,7 +86,10 @@ def asof_join(
     )
     matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
     if tolerance_seconds is not None:
-        tol_us = int(tolerance_seconds * 1_000_000)
+        # round, don't truncate: int(8.2*1e6) is 8199999, which would
+        # null an exactly-at-tolerance match (semantics are INCLUSIVE,
+        # matching pandas merge_asof)
+        tol_us = int(round(tolerance_seconds * 1_000_000))
         stale = (
             F.unix_micros(F.col("_t"))
             - F.unix_micros(F.col("_m").getField(f"{right_ts}{ts_suffix}"))

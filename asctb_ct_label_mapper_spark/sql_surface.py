@@ -3,10 +3,11 @@ run queries as SQL TEXT.
 
 Everything else in the package declares plans through the DataFrame API;
 this module is the other half of the brief's "DataFrame / SQL" surface —
-a user who lives in SQL gets the same Catalyst plans (temp views are
-lazy: predicate pushdown, column pruning, and AQE apply identically, as
-`spark.sql(...).explain()` shows the same physical operators the
-DataFrame flavor produces).
+a user who lives in SQL gets the same Catalyst plans (registration
+reads only parquet footers for schemas; DATA scans happen at query
+time, with predicate pushdown, column pruning, and AQE applying
+identically, as `spark.sql(...).explain()` shows the same physical
+operators the DataFrame flavor produces).
 
 SQL text here is written in the ANSI subset Spark SQL and DuckDB share,
 so registry entries can hand the SAME string to both engines where
@@ -17,22 +18,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from asctb_ct_label_mapper_spark.schemas import TESTDATA_TABLES, load_table
+from asctb_ct_label_mapper_spark.schemas import register_views
+
+# (spark-session id, sf_dir) pairs already registered — registration
+# reads 10 parquet footers for schemas, which a per-query SQL surface
+# should pay once per warehouse, not once per statement
+_REGISTERED: set[tuple[int, str]] = set()
 
 
-def register_views(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
-) -> None:
-    """Register every warehouse table as a temp view (lazy — no scan
-    happens until a query runs; schema-normalization from load_table
-    applies, so SQL users see the same types the DataFrame API does)."""
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-
-
-def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """Register views, run one SQL string."""
-    register_views(spark, sf_dir)
+def run_sql(
+    spark: SparkSession, sf_dir: str, sql: str, refresh: bool = False
+) -> DataFrame:
+    """Run one SQL string against the warehouse's temp views,
+    registering them on first use per (session, warehouse) via
+    ``schemas.register_views`` (the one loader — same type
+    normalization the DataFrame API gets). ``refresh=True`` forces
+    re-registration (e.g. after switching a view name to a different
+    sf_dir — createOrReplaceTempView clobbers same-named views)."""
+    key = (id(spark), sf_dir)
+    if refresh or key not in _REGISTERED:
+        register_views(spark, sf_dir)
+        _REGISTERED.add(key)
     return spark.sql(sql)
 
 

@@ -145,8 +145,9 @@ class TestPersistHygiene:
 
 
 def test_sql_surface_views_are_lazy_and_match_dataframe_plan(spark, sf_dir):
-    """register_views must not scan anything; the SQL text and the
-    DataFrame formulation must agree row-for-row."""
+    """The SQL text and the DataFrame formulation must agree
+    row-for-row (registration reads footers only; data scans happen at
+    query time — the plan-level claim PLANS.md's explain output backs)."""
     from pyspark.sql import functions as F
 
     from asctb_ct_label_mapper_spark.schemas import load_table
