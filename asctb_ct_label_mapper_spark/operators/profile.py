@@ -565,3 +565,74 @@ def sql_sample_quantiles(
     )
     {union}
     """
+
+
+# --- equi-width histogram -----------------------------------------------------
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-bin histogram with explicit under/overflow buckets — the
+    distribution profile a DQ dashboard plots. Bucket 0 is v < lo,
+    bucket n_bins+1 is v >= hi, interior bucket i covers
+    [lo + (i-1)*w, lo + i*w) with w = (hi-lo)/n_bins. One combinable
+    aggregate; bin edges derived from the bucket index (no second
+    pass). Empty buckets are absent (LEFT-join a bin spine downstream
+    if a dense axis is needed). NULL values are excluded (they are a
+    DQ metric, not a histogram bin)."""
+    v = F.col(value_col).cast("double")
+    w = (hi - lo) / n_bins
+    bucket = (
+        F.when(v < F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins + 1))
+        .otherwise(F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int") + 1)
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(F.lit(float(lo)) + (F.col("bucket") - 1) * F.lit(w), 6).alias(
+                "bin_lo"
+            ),
+            F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias(
+                "bin_hi"
+            ),
+            "n_rows",
+        )
+    )
+
+
+def sql_equi_width_histogram(
+    table: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay (identical bucket arithmetic — same double
+    division and floor, so boundary values bucket identically)."""
+    w = (hi - lo) / n_bins
+    bucket = f"""CASE
+        WHEN CAST({value_col} AS DOUBLE) < {float(lo)} THEN 0
+        WHEN CAST({value_col} AS DOUBLE) >= {float(hi)} THEN {n_bins + 1}
+        ELSE CAST(floor((CAST({value_col} AS DOUBLE) - {float(lo)}) / {w})
+             AS INT) + 1 END"""
+    return f"""
+    SELECT bucket,
+        round(CAST({float(lo)} AS DOUBLE) + (bucket - 1) * CAST({w} AS DOUBLE), 6) AS bin_lo,
+        round(CAST({float(lo)} AS DOUBLE) + bucket * CAST({w} AS DOUBLE), 6) AS bin_hi,
+        count(*) AS n_rows
+    FROM (
+        SELECT {bucket} AS bucket
+        FROM {table}
+        WHERE ({where}) AND {value_col} IS NOT NULL
+    ) GROUP BY bucket
+    """

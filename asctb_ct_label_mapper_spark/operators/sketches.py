@@ -389,3 +389,80 @@ def sql_kmv_estimate(
 
 
 _kmv_hash = kmv_hash60  # backward-compat private alias
+
+
+def kmv_sketch_by(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-GROUP KMV sketch table: the k smallest distinct item hashes
+    within each group (group_cols..., h) — per-day / per-source distinct
+    state that merges exactly like the global sketch (union partials,
+    re-rank, cut). Plan: one combinable distinct on (group, hash), then
+    a group-partitioned rank — parallel across groups, spillable sort
+    within (no collect, no unbounded array)."""
+    from pyspark.sql import Window
+
+    hashes = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, kmv_hash60(F.col(item_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate_by(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group estimates off a ``kmv_sketch_by`` table — same
+    estimator arithmetic as the global ``kmv_estimate``, one row per
+    group."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *group_cols, "n_kept", F.round(est, 4).alias("distinct_estimate")
+    )
+
+
+def sql_kmv_estimate_by(
+    table: str,
+    group_expr: str,
+    group_alias: str,
+    item_col: str,
+    k: int = 64,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of per-group sketch + estimate."""
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT {group_expr} AS {group_alias},
+            CAST(('0x' || substr(md5(CAST({item_col} AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+        FROM {table} WHERE ({where}) AND {item_col} IS NOT NULL
+    ), ranked AS (
+        SELECT {group_alias}, h,
+            row_number() OVER (PARTITION BY {group_alias} ORDER BY h) AS rn
+        FROM hashes
+    ), agg AS (
+        SELECT {group_alias}, count(*) AS n_kept, max(h) AS hk
+        FROM ranked WHERE rn <= {k} GROUP BY {group_alias}
+    )
+    SELECT {group_alias}, n_kept,
+        round(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+              ELSE {float(k - 1)} * {_KMV_DOMAIN} / CAST(hk AS DOUBLE)
+              END, 4) AS distinct_estimate
+    FROM agg
+    """

@@ -5665,3 +5665,57 @@ def kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(
         kmv_sketch(_t(spark, sf_dir, "documents"), "text", k=256), k=256
     )
+
+
+def _kmv_daily_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_kmv_estimate_by,
+    )
+
+    return sql_kmv_estimate_by(
+        "events", "strftime(CAST(ts AS DATE), '%Y-%m-%d')", "day", "user_id",
+        k=32,
+    )
+
+
+@query("kmv_daily_users", _kmv_daily_oracle())
+def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates via per-group KMV
+    (sketches.kmv_sketch_by/kmv_estimate_by) — the hash-green mergeable
+    counterpart of the HLL daily rollup: k=32 rows of state per day,
+    group-partitioned rank (parallel across days), estimator arithmetic
+    replayed exactly by the oracle."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate_by,
+        kmv_sketch_by,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return kmv_estimate_by(
+        kmv_sketch_by(ev, ["day"], "user_id", k=32), ["day"], k=32
+    )
+
+
+def _hist_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_equi_width_histogram,
+    )
+
+    return sql_equi_width_histogram("events", "value", lo=0.0, hi=100.0, n_bins=20)
+
+
+@query("histogram_event_values", _hist_oracle())
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with explicit under/overflow buckets
+    (profile.equi_width_histogram): one combinable aggregate, bin edges
+    derived from the bucket index, identical double arithmetic on both
+    engines so boundary values bucket the same way."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        equi_width_histogram,
+    )
+
+    return equi_width_histogram(
+        _t(spark, sf_dir, "events"), "value", lo=0.0, hi=100.0, n_bins=20
+    )

@@ -255,3 +255,25 @@ def test_sample_quantiles_exact_on_full_coverage(spark):
         ).collect()
     }
     assert got[0.5] == 50.0 and got[0.9] == 90.0
+
+
+def test_equi_width_histogram_bins_and_overflow(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (99.9,), (100.0,), (250.0,),
+         (None,)],
+        "v double",
+    )
+    got = {
+        r["bucket"]: (r["bin_lo"], r["bin_hi"], r["n_rows"])
+        for r in equi_width_histogram(df, "v", 0.0, 100.0, n_bins=10).collect()
+    }
+    assert got[0][2] == 1          # -5 underflows
+    assert got[1] == (0.0, 10.0, 2)   # 0.0 and 9.99
+    assert got[2][2] == 1          # 10.0 lands in [10, 20)
+    assert got[10][2] == 1         # 99.9 in the last interior bin
+    assert got[11][2] == 2         # 100.0 and 250.0 overflow; NULL excluded
+    assert sum(v[2] for v in got.values()) == 7

@@ -442,3 +442,22 @@ def test_kmv_and_priority_sample_exclude_nulls(spark):
     )
     got = priority_sample(rows, "id", "v", k=8).collect()
     assert len(got) == 2 and all(r["v"] is not None for r in got)
+
+
+def test_kmv_sketch_by_per_group_state_and_exact_small_groups(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_estimate_by,
+        kmv_sketch_by,
+    )
+
+    rows = [("a", f"u{i}") for i in range(10)] + [
+        ("b", f"v{i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    sk = kmv_sketch_by(df, ["g"], "u", k=8)
+    per = {r["g"]: r for r in kmv_estimate_by(sk, ["g"], k=8).collect()}
+    # group b has only 3 distinct -> exact path
+    assert per["b"]["n_kept"] == 3 and per["b"]["distinct_estimate"] == 3.0
+    # group a has 10 distinct > k=8 -> estimator path, sane range
+    assert per["a"]["n_kept"] == 8
+    assert 2 < per["a"]["distinct_estimate"] < 60
