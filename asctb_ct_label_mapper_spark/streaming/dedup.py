@@ -108,3 +108,43 @@ def start_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_watermarked_exact_dedup_stream(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """EXACT id-dedup with BOUNDED state — the native-streaming
+    complement of the foreachBatch near-dup loop: at-least-once sources
+    (Kafka redelivery, retried file drops) re-emit rows, and
+    ``dropDuplicatesWithinWatermark`` suppresses re-emissions of an id
+    arriving within the event-time watermark while the state store
+    EVICTS ids older than the watermark — so state is bounded by
+    (arrival rate x delay), not by stream history. Plain
+    ``dropDuplicates`` on a stream would grow state forever; the ledger
+    parquet table (the curation loop's approach) pays a per-batch table
+    read instead. Three tools, three regimes: watermark-window exact
+    (this), corpus-history exact (hash ledger), near-dup (signature
+    table).
+
+    Semantics note: duplicates separated by MORE than ``delay`` in
+    event time are both emitted (the documented
+    dropDuplicatesWithinWatermark contract) — correct for redelivery
+    suppression, not a corpus-history guarantee."""
+    deduped = stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "negative_samples_docs",
     "j_asof_tolerance",
     "sql_api_nation_revenue",
+    "kmv_daily_users",
+    "histogram_event_values",
 ]
 
 

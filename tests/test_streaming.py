@@ -572,3 +572,63 @@ def test_streaming_kmv_merges_to_exact_batch_sketch(spark, sf_dir, tmp_path):
     ).collect()
     exact = ev.select("user_id").distinct().count()
     assert abs(est["distinct_estimate"] - exact) / exact < 0.8  # k=32 is coarse
+
+
+def test_watermarked_exact_dedup_bounds_state_and_suppresses_redelivery(
+    spark, tmp_path
+):
+    """dropDuplicatesWithinWatermark: re-emissions of an id inside the
+    watermark are suppressed; state evicts old ids (the bounded-state
+    contract). Duplicates in-batch and across micro-batches collapse to
+    one output row each."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from asctb_ct_label_mapper_spark.streaming.dedup import (
+        start_watermarked_exact_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def shard(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        import glob
+        import shutil
+
+        [f] = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))
+        shutil.copy(f, str(landing / f"{name}.parquet"))
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    # shard A: id 1 twice in-batch, id 2 once
+    shard("a", [(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)])
+    # shard B: id 1 again (cross-batch redelivery), id 3 new
+    shard("b", [(1, t0, 1.0), (3, t0, 3.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    q = start_watermarked_exact_dedup_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        delay="1 hour",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]
