@@ -749,3 +749,246 @@ def sql_holt_by_key(
         p[5] + {float(horizon)} * p[6] AS forecast
     FROM per_key
     """
+
+
+# --- generic matrix segmented scan + Holt-Winters ----------------------------
+
+
+def _matrix_affine_fold(maps, dim: int):
+    """Left-fold an ordered array of DIM-dimensional matrix affine maps
+    struct<m_0_0..m_{d-1}_{d-1}, a_0..a_{d-1}> — the any-dimension
+    generalization of ``_affine_fold``/``_affine2_fold`` (those remain
+    as the hand-written 1-D/2-D anchors; this one is generated from
+    index loops shared with the oracle generator, so the engine and SQL
+    run the same multiply/add sequence). Composition "apply acc, then
+    x": M' = x.M @ acc.M, a' = x.M @ acc.a + x.a, inner sums
+    accumulated in ascending k order (left-associated, matching SQL)."""
+
+    def compose(acc, x):
+        fields = []
+        for i in range(dim):
+            for j in range(dim):
+                e = None
+                for k in range(dim):
+                    t = x.getField(f"m_{i}_{k}") * acc.getField(f"m_{k}_{j}")
+                    e = t if e is None else e + t
+                fields.append(e.alias(f"m_{i}_{j}"))
+        for i in range(dim):
+            e = None
+            for k in range(dim):
+                t = x.getField(f"m_{i}_{k}") * acc.getField(f"a_{k}")
+                e = t if e is None else e + t
+            fields.append((e + x.getField(f"a_{i}")).alias(f"a_{i}"))
+        return F.struct(*fields)
+
+    return F.aggregate(
+        F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+        F.element_at(maps, 1),
+        compose,
+    )
+
+
+def _hw_transition(alpha: float, beta: float, gamma: float, period: int):
+    """Holt-Winters additive transition as a (p+2)-dim matrix + addend
+    coefficient (state = [level, trend, s_0(newest) .. s_{p-1}]):
+
+        l' = (1-a)l + (1-a)b - a*s_{p-1} + a*x
+        b' = -ab*l + (1-ab)b - ab*s_{p-1} + ab*x
+        s0' = -g(1-a)l - g(1-a)b + (ga+1-g)s_{p-1} + g(1-a)*x
+        s_i' = s_{i-1}            (seasonal slots shift)
+
+    Returns (matrix rows, addend coefficients of x)."""
+    a, b, g = alpha, beta, gamma
+    d = period + 2
+    m = [[0.0] * d for _ in range(d)]
+    last = d - 1  # the s_{p-1} slot (the one p steps old)
+    m[0][0], m[0][1], m[0][last] = 1.0 - a, 1.0 - a, -a
+    m[1][0], m[1][1], m[1][last] = -(a * b), 1.0 - a * b, -(a * b)
+    m[2][0] = -(g * (1.0 - a))
+    m[2][1] = -(g * (1.0 - a))
+    m[2][last] = g * a + 1.0 - g
+    for i in range(1, period):
+        m[2 + i][2 + i - 1] = 1.0  # shift
+    cx = [a, a * b, g * (1.0 - a)] + [0.0] * (period - 1)
+    return m, cx
+
+
+def holt_winters_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 4,
+    bucket: str = "month",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key — the proof the
+    segmented-scan machinery covers any linear recurrence: the
+    (period+2)-dimensional state [level, trend, p seasonal slots] is
+    still an affine map per element, so the same per-(key, bucket)
+    fold + dimension-sized carry applies with a (p+2)x(p+2) matrix
+    composition (engine and oracle expressions are GENERATED from the
+    same index loops — parity by construction, hash-checked).
+
+    Seeding: l_1 = x_1, b_1 = 0, seasonals zero-initialized and learned
+    through gamma (the absorbing first map) — the deterministic,
+    replayable choice (classical p-observation seasonal priming can be
+    layered on by pre-seeding the state; documented, not hidden).
+
+    Returns (key, n_obs, level, trend, season_next, forecast_1) where
+    season_next = s_{t+1-p} (the slot the next step consumes) and
+    forecast_1 = level + trend + season_next."""
+    d = period + 2
+    m, cx = _hw_transition(alpha, beta, gamma, period)
+    ts, vid = F.col(ts_col), F.col(id_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        ts.alias("ts"),
+        vid.alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.date_trunc(bucket, ts).alias("bk"),
+    )
+    firsts = base.groupBy("key").agg(
+        F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
+    )
+    is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
+    cols = []
+    for i in range(d):
+        for j in range(d):
+            cols.append(
+                F.when(is_first, F.lit(0.0))
+                .otherwise(F.lit(m[i][j]))
+                .alias(f"m_{i}_{j}")
+            )
+    first_a = [1.0] + [0.0] * (d - 1)  # addend = [x, 0, ...] for the seed
+    for i in range(d):
+        cols.append(
+            F.when(is_first, F.lit(first_a[i]) * F.col("v"))
+            .otherwise(F.lit(cx[i]) * F.col("v"))
+            .alias(f"a_{i}")
+        )
+    fields = [f"m_{i}_{j}" for i in range(d) for j in range(d)] + [
+        f"a_{i}" for i in range(d)
+    ]
+    mapped = base.join(firsts, "key").select("key", "bk", "ts", "id", *cols)
+    per_bucket = mapped.groupBy("key", "bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        _matrix_affine_fold(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "id", *fields))),
+                lambda s: F.struct(
+                    *[s.getField(f).alias(f) for f in fields]
+                ),
+            ),
+            d,
+        ).alias("p"),
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.sum("n").alias("n_obs"),
+        _matrix_affine_fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bk"),
+                            *[F.col("p").getField(f).alias(f) for f in fields],
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    *[s.getField(f).alias(f) for f in fields]
+                ),
+            ),
+            d,
+        ).alias("p"),
+    )
+    level = F.col("p").getField("a_0")
+    trend = F.col("p").getField("a_1")
+    season_next = F.col("p").getField(f"a_{d - 1}")
+    return per_key.select(
+        "key",
+        "n_obs",
+        level.alias("level"),
+        trend.alias("trend"),
+        season_next.alias("season_next"),
+        (level + trend + season_next).alias("forecast_1"),
+    )
+
+
+def sql_holt_winters_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 4,
+    where: str = "1=1",
+    bucket: str = "month",
+) -> str:
+    """DuckDB replay, generated from the SAME index loops as the engine
+    fold (list accumulator — the struct_pack aliasing trap — laid out
+    [m_0_0..m_{d-1}_{d-1}, a_0..a_{d-1}], 1-based SQL indexing)."""
+    d = period + 2
+    m, cx = _hw_transition(alpha, beta, gamma, period)
+
+    def midx(i, j):
+        return i * d + j + 1
+
+    def aidx(i):
+        return d * d + i + 1
+
+    comp_elems = []
+    for i in range(d):
+        for j in range(d):
+            comp_elems.append(
+                " + ".join(
+                    f"x[{midx(i, k)}] * acc[{midx(k, j)}]" for k in range(d)
+                )
+            )
+    for i in range(d):
+        s = " + ".join(f"x[{midx(i, k)}] * acc[{aidx(k)}]" for k in range(d))
+        comp_elems.append(f"{s} + x[{aidx(i)}]")
+    comp = "(acc, x) -> [" + ", ".join(comp_elems) + "]"
+
+    first_a = [1.0] + [0.0] * (d - 1)
+    map_elems = []
+    for i in range(d):
+        for j in range(d):
+            map_elems.append(
+                f"CAST(CASE WHEN rn = 1 THEN 0.0 ELSE {m[i][j]} END AS DOUBLE)"
+            )
+    for i in range(d):
+        map_elems.append(
+            f"CASE WHEN rn = 1 THEN {first_a[i]} * v ELSE {cx[i]} * v END"
+        )
+    maps_list = "[" + ", ".join(map_elems) + "]"
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            CAST({value_col} AS DOUBLE) AS v,
+            date_trunc('{bucket}', {ts_col}) AS bk,
+            row_number() OVER (PARTITION BY {key_col}
+                               ORDER BY {ts_col}, {id_col}) AS rn
+        FROM {table} WHERE {where}
+    ), maps AS (
+        SELECT key, bk, ts, id, {maps_list} AS mp FROM base
+    ), per_bucket AS (
+        SELECT key, bk, count(*) AS n,
+            list_reduce(list(mp ORDER BY ts, id), {comp}) AS p
+        FROM maps GROUP BY key, bk
+    ), per_key AS (
+        SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+            list_reduce(list(p ORDER BY bk), {comp}) AS p
+        FROM per_bucket GROUP BY key
+    )
+    SELECT key, n_obs, p[{aidx(0)}] AS level, p[{aidx(1)}] AS trend,
+        p[{aidx(d - 1)}] AS season_next,
+        p[{aidx(0)}] + p[{aidx(1)}] + p[{aidx(d - 1)}] AS forecast_1
+    FROM per_key
+    """

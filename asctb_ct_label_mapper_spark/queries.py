@@ -5719,3 +5719,28 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(
         _t(spark, sf_dir, "events"), "value", lo=0.0, hi=100.0, n_bins=20
     )
+
+
+def _hw_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_holt_winters_by_key,
+    )
+
+    return sql_holt_winters_by_key("events", where="event_type = 'purchase'")
+
+
+@query("holt_winters_users", _hw_oracle())
+def holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive SEASONAL smoothing
+    (timeseries.holt_winters_by_key): the (period+2)-dimensional state
+    [level, trend, 4 seasonal slots] as a matrix segmented scan whose
+    fold expressions are GENERATED from the same index loops on both
+    engines — the demonstration that the EWMA/Holt decomposition covers
+    any linear recurrence at any dimension. Raw doubles hash-match."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    return holt_winters_by_key(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    )

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "sql_api_nation_revenue",
     "kmv_daily_users",
     "histogram_event_values",
+    "holt_winters_users",
 ]
 
 

@@ -264,3 +264,58 @@ def test_holt_single_element_is_seed(spark):
     df = spark.createDataFrame([(1, d(5), 2, 7.5)], EV_SCHEMA)
     [r] = holt_by_key(df).collect()
     assert (r["level"], r["trend"], r["forecast"]) == (7.5, 0.0, 7.5)
+
+
+def _hw_seq(xs, a=0.5, b=0.25, g=0.25, p=4):
+    lvl, tr = xs[0], 0.0
+    s = [0.0] * p  # s[0] newest
+    for x in xs[1:]:
+        s_old = s[p - 1]
+        new_l = a * (x - s_old) + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        s = [g * (x - new_l) + (1 - g) * s_old] + s[: p - 1]
+        lvl = new_l
+    return lvl, tr, s[p - 1]
+
+
+def test_holt_winters_matches_sequential_multi_bucket(spark):
+    """The (p+2)-dim matrix scan equals the hand-rolled sequential
+    Holt-Winters recurrence to float precision, across month buckets,
+    and degenerates to the seed on a single element."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    xs = [10.0, 20.0, 15.0, 30.0, 25.0, 12.5, 18.0, 22.0, 9.0]
+    rows = [
+        (i, datetime(2024, 1 + i // 3, 1 + i * 2), 1, x)
+        for i, x in enumerate(xs)
+    ] + [(99, d(5), 2, 7.5)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["key"]: r for r in holt_winters_by_key(df).collect()}
+    lvl, tr, s_next = _hw_seq(xs)
+    r = got[1]
+    assert r["n_obs"] == 9
+    for a, b in ((r["level"], lvl), (r["trend"], tr), (r["season_next"], s_next)):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+    assert got[2]["level"] == 7.5 and got[2]["trend"] == 0.0
+    assert got[2]["season_next"] == 0.0 and got[2]["forecast_1"] == 7.5
+
+
+def test_holt_winters_learns_pure_seasonal_pattern(spark):
+    """On a strictly periodic signal the seasonal slots absorb the
+    pattern: the 1-step forecast moves toward the value the period
+    repeats (sanity of slot shifting + indices)."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    pattern = [0.0, 10.0, 0.0, 10.0] * 8  # period-4 signal (reads as 2)
+    rows = [
+        (i, datetime(2024, 1, 1 + i // 24, i % 24), 1, x)
+        for i, x in enumerate(pattern)
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    [r] = holt_winters_by_key(df, period=4).collect()
+    nxt = _hw_seq(pattern)
+    assert abs(r["forecast_1"] - (r["level"] + r["trend"] + nxt[2])) < 1e-9
