@@ -1231,3 +1231,30 @@ def sql_negative_samples(
     SELECT p.{id_col}, CAST(p.j AS INT) AS j, r.{id_col} AS neg_id
     FROM picked p JOIN ranked r ON r.rk = p.neg_rk
     """
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, fold_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    md5-hash(id) mod k — the same engine/partitioning-independent
+    contract as ``hash_split`` (a re-run or a different engine puts
+    every row in the same fold), zero shuffles (narrow expression).
+    Train/eval for fold i = (fold != i, fold == i)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_hash60
+
+    return df.withColumn(
+        fold_col, (kmv_hash60(F.col(id_col)) % k).cast("int")
+    )
+
+
+def sql_kfold_assign(
+    table: str, id_col: str, k: int = 5, fold_col: str = "fold"
+) -> str:
+    """DuckDB replay of ``kfold_assign``."""
+    return f"""
+    SELECT *,
+        CAST(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))
+            AS BIGINT) % {k} AS INT) AS {fold_col}
+    FROM {table}
+    """

@@ -636,3 +636,187 @@ def sql_equi_width_histogram(
         WHERE ({where}) AND {value_col} IS NOT NULL
     ) GROUP BY bucket
     """
+
+
+# --- population stability index (distribution drift) -------------------------
+
+
+def psi_drift(
+    df_base: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a new snapshot
+    of ``value_col`` — the standard drift gate in front of a model or a
+    curation threshold re-use: PSI = sum_bins (p_new - p_base) *
+    ln(p_new / p_base) over the shared equi-width binning (plus
+    under/overflow buckets). Rule-of-thumb thresholds the caller
+    applies: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Plan shape: one combinable histogram aggregate per side (each folds
+    its table to <= n_bins+2 rows), FULL OUTER join on the bin spine,
+    epsilon-floored shares so empty bins stay finite — everything after
+    the two scans is bins-sized arithmetic. Returns one row per
+    occupied bin (bucket, p_base, p_new, psi_term) plus the total as
+    bucket = -1."""
+    hb = equi_width_histogram(df_base, value_col, lo, hi, n_bins)
+    hn = equi_width_histogram(df_new, value_col, lo, hi, n_bins)
+    tb = hb.agg(F.sum("n_rows").alias("_tb"))
+    tn = hn.agg(F.sum("n_rows").alias("_tn"))
+    joined = (
+        hb.select("bucket", F.col("n_rows").alias("n_base"))
+        .join(
+            hn.select("bucket", F.col("n_rows").alias("n_new")),
+            "bucket",
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tn))
+    )
+    p_base = F.greatest(
+        F.coalesce(F.col("n_base"), F.lit(0)) / F.col("_tb"), F.lit(float(eps))
+    )
+    p_new = F.greatest(
+        F.coalesce(F.col("n_new"), F.lit(0)) / F.col("_tn"), F.lit(float(eps))
+    )
+    terms = joined.select(
+        "bucket",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_base) * F.log(p_new / p_base), 6).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.lit(-1).alias("bucket"),
+        F.round(F.lit(0.0), 6).alias("p_base"),
+        F.round(F.lit(0.0), 6).alias("p_new"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    )
+    return terms.unionByName(total)
+
+
+def sql_psi_drift(
+    table: str,
+    value_col: str,
+    base_where: str,
+    new_where: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB replay of ``psi_drift`` over two filters of one table
+    (identical bucket arithmetic and epsilon floor)."""
+    w = (hi - lo) / n_bins
+
+    def hist(where):
+        return f"""
+        SELECT CASE
+            WHEN CAST({value_col} AS DOUBLE) < {float(lo)} THEN 0
+            WHEN CAST({value_col} AS DOUBLE) >= {float(hi)} THEN {n_bins + 1}
+            ELSE CAST(floor((CAST({value_col} AS DOUBLE) - {float(lo)}) / {w})
+                 AS INT) + 1 END AS bucket,
+            count(*) AS n
+        FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
+        GROUP BY 1"""
+
+    return f"""
+    WITH hb AS ({hist(base_where)}), hn AS ({hist(new_where)}),
+    tb AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hb),
+    tn AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM hn),
+    j AS (
+        SELECT coalesce(hb.bucket, hn.bucket) AS bucket,
+            greatest(coalesce(hb.n, 0) / tb.t, {float(eps)}) AS p_base,
+            greatest(coalesce(hn.n, 0) / tn.t, {float(eps)}) AS p_new
+        FROM hb FULL OUTER JOIN hn ON hb.bucket = hn.bucket, tb, tn
+    ), terms AS (
+        SELECT bucket, round(p_base, 6) AS p_base, round(p_new, 6) AS p_new,
+            round((p_new - p_base) * ln(p_new / p_base), 6) AS psi_term
+        FROM j
+    )
+    SELECT * FROM terms
+    UNION ALL
+    SELECT -1 AS bucket, round(CAST(0.0 AS DOUBLE), 6) AS p_base,
+        round(CAST(0.0 AS DOUBLE), 6) AS p_new,
+        round(sum(psi_term), 6) AS psi_term
+    FROM terms
+    """
+
+
+# --- categorical association (mutual information / chi-square) ---------------
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Association strength between two categorical columns — the
+    feature-redundancy / leakage probe (is `source` just `lang` in
+    disguise?): mutual information (nats) and the chi-square statistic
+    over the contingency table.
+
+    Plan shape: ONE combinable groupBy(a, b) builds the contingency
+    cells; marginals derive from the cells (cardinality-sized
+    re-aggregations, not table rescans); the total is a one-row
+    broadcast. Everything past the first aggregate is
+    category-cardinality-sized. NULL categories are real levels and are
+    routed through a sentinel (both engines agree)."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    cells = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)  # feeds marginals AND the term sum
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").alias("n"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_ab = F.col("n_ab") / F.col("n")
+    p_a = F.col("n_a") / F.col("n")
+    p_b = F.col("n_b") / F.col("n")
+    # double BEFORE the product: a long*long marginal product overflows
+    # (ANSI error) at ~3e9-row marginals; the double product is exact up
+    # to 2^53 and the oracle's integer product rounds identically there
+    e = F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
+    return j.agg(
+        F.round(F.sum(p_ab * F.log(p_ab / (p_a * p_b))), 6).alias("mi_nats"),
+        F.round(
+            F.sum((F.col("n_ab") - e) * (F.col("n_ab") - e) / e), 6
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.first("n").alias("n_rows"),
+    )
+
+
+def sql_categorical_association(table: str, col_a: str, col_b: str) -> str:
+    """DuckDB replay of ``categorical_association``."""
+    return f"""
+    WITH cells AS (
+        SELECT coalesce(CAST({col_a} AS VARCHAR), '<null>') AS a,
+            coalesce(CAST({col_b} AS VARCHAR), '<null>') AS b,
+            count(*) AS n_ab
+        FROM {table} GROUP BY 1, 2
+    ), ma AS (SELECT a, sum(n_ab) AS n_a FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(n_ab) AS n_b FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n FROM cells),
+    j AS (
+        SELECT cells.*, ma.n_a, mb.n_b, tot.n
+        FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+    )
+    SELECT
+        round(sum((n_ab / n) * ln((n_ab / n) / ((n_a / n) * (n_b / n)))), 6)
+            AS mi_nats,
+        round(sum((n_ab - n_a * n_b / n) * (n_ab - n_a * n_b / n)
+            / (n_a * n_b / n)), 6) AS chi2,
+        count(*) AS n_cells,
+        CAST(any_value(n) AS BIGINT) AS n_rows
+    FROM j
+    """

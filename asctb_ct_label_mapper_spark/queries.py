@@ -5744,3 +5744,91 @@ def holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_by_key(
         _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     )
+
+
+def _psi_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import sql_psi_drift
+
+    return sql_psi_drift(
+        "events",
+        "value",
+        base_where="event_type = 'view'",
+        new_where="event_type = 'purchase'",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+
+
+@query("psi_drift_events", _psi_oracle())
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (profile.psi_drift): distribution
+    drift between two snapshots via the shared equi-width binning —
+    two combinable histogram folds, a bins-sized full-outer join, and
+    epsilon-floored shares; the ML-ops gate in front of reusing a
+    model or curation threshold on drifted data."""
+    from asctb_ct_label_mapper_spark.operators.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=100.0,
+        n_bins=10,
+    )
+
+
+def _assoc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_categorical_association,
+    )
+
+    return sql_categorical_association(
+        "(SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow"
+        " FROM events) t",
+        "event_type",
+        "dow",
+    )
+
+
+@query("assoc_type_dow_events", _assoc_oracle())
+def assoc_type_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association (profile.categorical_association): mutual
+    information + chi-square between event type and day-of-week — the
+    feature-redundancy/leakage probe. One combinable contingency
+    aggregate; marginals re-derive from the cells (pooled), never a
+    second table scan."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        categorical_association,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    )
+    return categorical_association(ev, "event_type", "dow")
+
+
+def _kfold_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import sql_kfold_assign
+
+    return (
+        "SELECT fold, count(*) AS n_docs FROM ("
+        + sql_kfold_assign("documents", "doc_id", k=5)
+        + ") GROUP BY fold"
+    )
+
+
+@query("kfold_counts_docs", _kfold_oracle())
+def kfold_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (curation.kfold_assign): md5 mod
+    k per id — engine/partitioning-independent CV folds; the registry
+    row checks per-fold counts end to end."""
+    from asctb_ct_label_mapper_spark.operators.curation import kfold_assign
+
+    return (
+        kfold_assign(_t(spark, sf_dir, "documents"), "doc_id", k=5)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "kmv_daily_users",
     "histogram_event_values",
     "holt_winters_users",
+    "psi_drift_events",
+    "assoc_type_dow_events",
+    "kfold_counts_docs",
 ]
 
 

@@ -572,3 +572,19 @@ def test_negative_samples_two_rows_edge(spark):
     assert all(
         (r["doc_id"], r["neg_id"]) in {(7, 9), (9, 7)} for r in out
     ) and len(out) == 4
+
+
+def test_kfold_assign_deterministic_partition_and_balance(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = kfold_assign(df, "doc_id", k=5).collect()
+    folds = [r["fold"] for r in out]
+    assert set(folds) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    c = Counter(folds)
+    assert max(c.values()) - min(c.values()) < 150  # roughly balanced
+    again = {r["doc_id"]: r["fold"] for r in
+             kfold_assign(df.repartition(7), "doc_id", k=5).collect()}
+    assert all(again[r["doc_id"]] == r["fold"] for r in out)  # partition-proof

@@ -277,3 +277,41 @@ def test_equi_width_histogram_bins_and_overflow(spark):
     assert got[10][2] == 1         # 99.9 in the last interior bin
     assert got[11][2] == 2         # 100.0 and 250.0 overflow; NULL excluded
     assert sum(v[2] for v in got.values()) == 7
+
+
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(500)], "v double")
+    same = {r["bucket"]: r["psi_term"] for r in
+            psi_drift(a, a, "v", 0.0, 100.0, n_bins=10).collect()}
+    assert same[-1] == 0.0  # identical distributions -> PSI 0
+    shifted = spark.createDataFrame(
+        [(float(i % 50) + 40.0,) for i in range(500)], "v double"
+    )
+    tot = {r["bucket"]: r["psi_term"] for r in
+           psi_drift(a, shifted, "v", 0.0, 100.0, n_bins=10).collect()}
+    assert tot[-1] > 0.25  # hard shift crosses the action threshold
+
+
+def test_categorical_association_independent_vs_dependent(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        categorical_association,
+    )
+
+    # independent: every (a, b) combination equally frequent
+    indep = spark.createDataFrame(
+        [(str(i % 4), str((i // 4) % 2)) for i in range(400)],
+        "a string, b string",
+    )
+    [r] = categorical_association(indep, "a", "b").collect()
+    assert abs(r["mi_nats"]) < 1e-6 and abs(r["chi2"]) < 1e-6
+    # deterministic dependence: b = a
+    dep = spark.createDataFrame(
+        [(str(i % 4), str(i % 4)) for i in range(400)], "a string, b string"
+    )
+    [r2] = categorical_association(dep, "a", "b").collect()
+    import math
+
+    assert abs(r2["mi_nats"] - math.log(4)) < 1e-6  # H(a) = ln 4
+    assert r2["n_cells"] == 4
