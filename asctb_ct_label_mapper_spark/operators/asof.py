@@ -48,8 +48,17 @@ def asof_join(
     right_value_cols: Sequence[str] = (),
     ts_suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Backward (default) or forward inclusive as-of join.
+
+    ``direction='forward'`` matches the EARLIEST right row at or after
+    the left timestamp (the "next quote after the order" flavor);
+    implemented by running the identical union + keyed-window machinery
+    on NEGATED microsecond timestamps — backward-on-(-t) IS
+    forward-on-t, so both directions share one code path and the
+    tolerance semantics transfer unchanged (staleness becomes
+    "match no further than `tolerance` AHEAD").
 
     Returns every ``left`` row plus ``<right_ts><ts_suffix>`` (the matched
     right timestamp) and each of ``right_value_cols`` — all NULL when no
@@ -62,7 +71,30 @@ def asof_join(
     null-out of the matched struct, so the plan shape (one union + one
     keyed window, no row expansion) is unchanged.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     key_cols = list(key_cols)
+    if direction == "forward":
+        # reflect event time: backward-as-of on -t IS forward-as-of on t
+        l2 = left.withColumn("_negt", -F.unix_micros(F.col(left_ts)))
+        r2 = right.select(
+            *key_cols,
+            F.col(right_ts).alias("_rts"),
+            *right_value_cols,
+        ).withColumn("_negt", -F.unix_micros(F.col("_rts")))
+        out = asof_join(
+            l2,
+            r2,
+            key_cols,
+            left_ts="_negt",
+            right_ts="_negt",
+            right_value_cols=["_rts", *right_value_cols],
+            ts_suffix=ts_suffix,
+            tolerance_seconds=tolerance_seconds,
+        )
+        return out.drop(f"_negt{ts_suffix}", "_negt").withColumnRenamed(
+            "_rts", f"{right_ts}{ts_suffix}"
+        )
     value_cols = list(right_value_cols)
     payload = F.struct(
         F.col(right_ts).alias(f"{right_ts}{ts_suffix}"),
@@ -90,9 +122,14 @@ def asof_join(
         # null an exactly-at-tolerance match (semantics are INCLUSIVE,
         # matching pandas merge_asof)
         tol_us = int(round(tolerance_seconds * 1_000_000))
+        # on the forward (reflected) path _t is ALREADY negated micros
+        # (bigint); on the backward path it is the raw timestamp
+        def _us(c):
+            return c if dict(matched.dtypes)["_t"] == "bigint" else F.unix_micros(c)
+
         stale = (
-            F.unix_micros(F.col("_t"))
-            - F.unix_micros(F.col("_m").getField(f"{right_ts}{ts_suffix}"))
+            _us(F.col("_t"))
+            - _us(F.col("_m").getField(f"{right_ts}{ts_suffix}"))
         ) > F.lit(tol_us)
         matched = matched.withColumn(
             "_m",

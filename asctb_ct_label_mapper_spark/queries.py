@@ -5832,3 +5832,45 @@ def kfold_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "j_asof_forward",
+    """
+    WITH m AS (
+        SELECT user_id, ts, max(value) AS marker_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    ), matched AS (
+        SELECT e.event_id, e.user_id, e.ts, m.ts AS ts_asof,
+            m.marker_value,
+            row_number() OVER (PARTITION BY e.event_id
+                               ORDER BY m.ts ASC) AS rn
+        FROM (SELECT event_id, user_id, ts FROM events) e
+        LEFT JOIN m ON e.user_id = m.user_id AND m.ts >= e.ts
+    )
+    SELECT event_id, user_id, ts, ts_asof, marker_value
+    FROM matched WHERE rn = 1
+    """,
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (asof.asof_join direction='forward'): every
+    event matched to the user's EARLIEST error marker at or after it —
+    backward-as-of run on negated microsecond time, so both directions
+    share one union+window code path. Oracle states the semantics as a
+    bounded-below join + earliest-pick."""
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    markers = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        markers,
+        key_cols=["user_id"],
+        right_value_cols=["marker_value"],
+        direction="forward",
+    )

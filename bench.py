@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "psi_drift_events",
     "assoc_type_dow_events",
     "kfold_counts_docs",
+    "j_asof_forward",
 ]
 
 

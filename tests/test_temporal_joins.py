@@ -368,3 +368,42 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[1]["v"] == 9.0 and out[1]["ts_asof"] is not None
     # 14:30's only candidate is 3h old -> nulled out
     assert out[2]["v"] is None and out[2]["ts_asof"] is None
+
+
+def test_asof_join_forward_direction_and_tolerance(spark):
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 12, 0)),
+         (2, 1, datetime(2024, 1, 1, 18, 0)),
+         (3, 2, datetime(2024, 1, 1, 12, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 30), 5.0),
+         (1, datetime(2024, 1, 1, 13, 0), 6.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, ["user_id"], right_value_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    # earliest right row at/after 12:00 is 12:30
+    assert out[1]["v"] == 5.0
+    assert out[1]["ts_asof"] == datetime(2024, 1, 1, 12, 30)
+    # nothing after 18:00 -> NULL; user 2 has no rows at all -> NULL
+    assert out[2]["v"] is None and out[3]["v"] is None
+    # forward tolerance: within 10 minutes there is nothing after 12:00
+    tol = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, ["user_id"], right_value_cols=["v"],
+            direction="forward", tolerance_seconds=600,
+        ).collect()
+    }
+    assert tol[1] is None
