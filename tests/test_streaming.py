@@ -632,3 +632,63 @@ def test_watermarked_exact_dedup_bounds_state_and_suppresses_redelivery(
     out = spark.read.parquet(str(tmp_path / "out"))
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_transform_with_state_matches_batch(spark, events_batch, events_stream):
+    """Spark 4 transformWithStateInPandas flavor: same final per-user
+    totals as the batch groupBy oracle (and as the
+    applyInPandasWithState flavor). Requires the RocksDB state store
+    and the protobuf state protocol (skipped, with the guard asserted,
+    where protobuf is absent — this container)."""
+    import pytest
+
+    from asctb_ct_label_mapper_spark.streaming.events import (
+        stateful_user_totals,
+        stateful_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_user_totals_tws(events_stream)
+        pytest.skip("protobuf not installed: TWS is an env-blocked seam")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        batch = {
+            r["user_id"]: r
+            for r in stateful_user_totals(events_batch).collect()
+        }
+        q = (
+            stateful_user_totals_tws(events_stream)
+            .writeStream.format("memory")
+            .queryName("usertotals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {}
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM usertotals_tws"
+        ).collect():
+            final[r["user_id"]] = r
+        assert set(final) == set(batch)
+        for uid, row in batch.items():
+            assert final[uid]["n_events"] == row["n_events"]
+            assert abs(final[uid]["total_value"] - row["total_value"]) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
