@@ -50,6 +50,10 @@ TARGETS = {
     "ewma_user_value": "EWMA (r8): segmented linear-recurrence scan - per-(key,month) affine folds, dimension-sized carry; no keyed window, no unbounded collect",
     "scan_shipdate_range": "clustered-pair baseline (r8): pushed timestamp range over the unclustered layout - PushedFilters present but every row group overlaps, scan decodes the table",
     "scan_shipdate_range_clustered": "clustered-pair win (r8): same pushed predicate over write_clustered layout - footer min/max prune to ~1 row group (rows_decoded 6M -> 60k at rel10x, tools/bench_clustered.py)",
+    "holt_winters_users": "Holt-Winters (r8): (p+2)-dim generated matrix segmented scan - same two-Exchange fold shape as EWMA at any state dimension",
+    "psi_drift_events": "PSI drift (r8): two combinable histogram folds + bins-sized full-outer join - nothing data-sized past the scans",
+    "j_asof_forward": "forward as-of (r8): the backward union+window plan on negated micros - no extra Exchange for the direction flip",
+    "kmv_daily_users": "per-group KMV (r8): combinable (day, hash) distinct + day-partitioned rank - k rows of state per day",
 }
 
 
