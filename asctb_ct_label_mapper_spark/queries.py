@@ -5733,10 +5733,13 @@ def _hw_oracle() -> str:
 def holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive SEASONAL smoothing
     (timeseries.holt_winters_by_key): the (period+2)-dimensional state
-    [level, trend, 4 seasonal slots] as a matrix segmented scan whose
-    fold expressions are GENERATED from the same index loops on both
-    engines — the demonstration that the EWMA/Holt decomposition covers
-    any linear recurrence at any dimension. Raw doubles hash-match."""
+    [level, trend, 4 seasonal slots] as a matrix segmented scan.
+    Default impl is the FUSED-ARROW fold (one exchange; numpy compose
+    vectorized across chains, bit-identical to the interpreted-HOF
+    parity anchor — equality hash-proven by
+    test_holt_winters_arrow_equals_hof); the oracle SQL is generated
+    from the same index loops as the HOF anchor, so raw doubles
+    hash-match across engine -> HOF -> DuckDB."""
     from asctb_ct_label_mapper_spark.operators.timeseries import (
         holt_winters_by_key,
     )

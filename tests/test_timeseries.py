@@ -302,6 +302,49 @@ def test_holt_winters_matches_sequential_multi_bucket(spark):
     assert got[2]["season_next"] == 0.0 and got[2]["forecast_1"] == 7.5
 
 
+def test_holt_winters_arrow_equals_hof(spark):
+    """The fused-Arrow path (and the staged one) are BIT-IDENTICAL to
+    the HOF parity anchor — raw IEEE doubles, no tolerance — on a
+    multi-key, multi-bucket fixture with negative values (signed-zero
+    products exist: the absorbing map multiplies by literal 0.0) and
+    per-chain lengths from 1 to 9."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    rows = []
+    eid = 0
+    for key, n in ((1, 9), (2, 1), (3, 4), (4, 7)):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1 + (i % 3), 1 + i), key,
+                 (-1.0) ** i * (3.7 + 1.3 * i + 10.0 * key))
+            )
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    ref = {r["key"]: r for r in holt_winters_by_key(df, impl="hof").collect()}
+    for impl in ("arrow", "arrow_staged"):
+        got = {r["key"]: r for r in holt_winters_by_key(df, impl=impl).collect()}
+        assert set(got) == set(ref)
+        for k in ref:
+            for f in ("n_obs", "level", "trend", "season_next", "forecast_1"):
+                assert got[k][f] == ref[k][f], (impl, k, f)
+
+
+def test_holt_winters_bad_impl_raises(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    df = spark.createDataFrame([(1, d(5), 2, 7.5)], EV_SCHEMA)
+    try:
+        holt_winters_by_key(df, impl="nope")
+    except ValueError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_holt_winters_learns_pure_seasonal_pattern(spark):
     """On a strictly periodic signal the seasonal slots absorb the
     pattern: the 1-step forecast moves toward the value the period
