@@ -19,10 +19,9 @@ per key before filtering) or need a per-key reduction that re-implements
 exactly this window. At 100 TB: both inputs shuffle once on the key;
 per-key data is sorted within partitions (Spark's window sort spills);
 the payload struct is the only carried state. Skew: a single hot key
-serializes into one task's sort — mitigate upstream by splitting the key
-range in TIME (window the key by coarse time buckets and carry the last
-payload across bucket boundaries), not by salting, which would break the
-as-of continuity.
+serializes into one task's sort — ``asof_join_bucketed`` splits the key
+range in TIME (coarse time buckets + a carry of each bucket's last
+payload), not by salting, which would break the as-of continuity.
 
 Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND
 l.ts >= r.ts`): backward-looking, inclusive; left rows with no prior
@@ -38,6 +37,25 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# internal column names, prefixed so user columns can't collide silently
+# (guarded by an explicit check below)
+_NEGT = "__asof_negt"
+_RTS = "__asof_rts"
+_T = "__asof_t"
+_SIDE = "__asof_side"
+_P = "__asof_p"
+_M = "__asof_m"
+_INTERNAL = (_NEGT, _RTS, _T, _SIDE, _P, _M)
+
+
+def _check_no_internal_collision(*dfs: DataFrame) -> None:
+    for df in dfs:
+        hit = [c for c in df.columns if c in _INTERNAL]
+        if hit:
+            raise ValueError(
+                f"asof_join reserves internal column names {hit}; rename them"
+            )
+
 
 def asof_join(
     left: DataFrame,
@@ -49,6 +67,7 @@ def asof_join(
     ts_suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    _t_is_neg_micros: bool = False,
 ) -> DataFrame:
     """Backward (default) or forward inclusive as-of join.
 
@@ -69,31 +88,38 @@ def asof_join(
     as NO match (NULL payload) — the staleness cap every market-data /
     telemetry join eventually needs. Implemented as a post-window
     null-out of the matched struct, so the plan shape (one union + one
-    keyed window, no row expansion) is unchanged.
+    keyed window, no row expansion) is unchanged. Requires TIMESTAMP
+    ts columns (numeric epoch columns would need a unit declaration —
+    convert with ``to_timestamp`` first; the forward path's internal
+    negated-micros representation is flagged explicitly via
+    ``_t_is_neg_micros``, never sniffed from the column type).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     key_cols = list(key_cols)
+    if not _t_is_neg_micros:  # the reflected recursion owns _NEGT/_RTS
+        _check_no_internal_collision(left, right)
     if direction == "forward":
         # reflect event time: backward-as-of on -t IS forward-as-of on t
-        l2 = left.withColumn("_negt", -F.unix_micros(F.col(left_ts)))
+        l2 = left.withColumn(_NEGT, -F.unix_micros(F.col(left_ts)))
         r2 = right.select(
             *key_cols,
-            F.col(right_ts).alias("_rts"),
+            F.col(right_ts).alias(_RTS),
             *right_value_cols,
-        ).withColumn("_negt", -F.unix_micros(F.col("_rts")))
+        ).withColumn(_NEGT, -F.unix_micros(F.col(_RTS)))
         out = asof_join(
             l2,
             r2,
             key_cols,
-            left_ts="_negt",
-            right_ts="_negt",
-            right_value_cols=["_rts", *right_value_cols],
+            left_ts=_NEGT,
+            right_ts=_NEGT,
+            right_value_cols=[_RTS, *right_value_cols],
             ts_suffix=ts_suffix,
             tolerance_seconds=tolerance_seconds,
+            _t_is_neg_micros=True,
         )
-        return out.drop(f"_negt{ts_suffix}", "_negt").withColumnRenamed(
-            "_rts", f"{right_ts}{ts_suffix}"
+        return out.drop(f"{_NEGT}{ts_suffix}", _NEGT).withColumnRenamed(
+            _RTS, f"{right_ts}{ts_suffix}"
         )
     value_cols = list(right_value_cols)
     payload = F.struct(
@@ -103,38 +129,44 @@ def asof_join(
     # side=1 sorts BEFORE side=0 at equal ts (desc) -> inclusive match.
     ru = right.select(
         *key_cols,
-        F.col(right_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        payload.alias("_p"),
+        F.col(right_ts).alias(_T),
+        F.lit(1).alias(_SIDE),
+        payload.alias(_P),
     )
-    lu = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(0))
+    lu = left.withColumn(_T, F.col(left_ts)).withColumn(_SIDE, F.lit(0))
     # unionByName(allowMissingColumns) null-fills each side's missing
     # columns: left gets a typed NULL payload, right gets NULL left columns.
     u = lu.unionByName(ru, allowMissingColumns=True)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .orderBy(F.col(_T).asc(), F.col(_SIDE).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    matched = u.withColumn(_M, F.last(_P, ignorenulls=True).over(w))
     if tolerance_seconds is not None:
         # round, don't truncate: int(8.2*1e6) is 8199999, which would
         # null an exactly-at-tolerance match (semantics are INCLUSIVE,
         # matching pandas merge_asof)
         tol_us = int(round(tolerance_seconds * 1_000_000))
-        # on the forward (reflected) path _t is ALREADY negated micros
-        # (bigint); on the backward path it is the raw timestamp
+        # the forward (reflected) recursion flags its already-negated
+        # bigint micros explicitly — no type sniffing, so a caller's raw
+        # numeric epoch column on the backward path fails loudly in
+        # unix_micros instead of being silently misscaled
         def _us(c):
-            return c if dict(matched.dtypes)["_t"] == "bigint" else F.unix_micros(c)
+            return c if _t_is_neg_micros else F.unix_micros(c)
 
         stale = (
-            _us(F.col("_t"))
-            - _us(F.col("_m").getField(f"{right_ts}{ts_suffix}"))
+            _us(F.col(_T))
+            - _us(F.col(_M).getField(f"{right_ts}{ts_suffix}"))
         ) > F.lit(tol_us)
         matched = matched.withColumn(
-            "_m",
-            F.when(stale, F.lit(None).cast(matched.schema["_m"].dataType))
-            .otherwise(F.col("_m")),
+            _M,
+            F.when(stale, F.lit(None).cast(matched.schema[_M].dataType))
+            .otherwise(F.col(_M)),
         )
-    out_cols = [*left.columns, f"_m.{right_ts}{ts_suffix}", *[f"_m.{c}" for c in value_cols]]
-    return matched.filter(F.col("_side") == 0).select(*out_cols)
+    out_cols = [
+        *left.columns,
+        f"{_M}.{right_ts}{ts_suffix}",
+        *[f"{_M}.{c}" for c in value_cols],
+    ]
+    return matched.filter(F.col(_SIDE) == 0).select(*out_cols)

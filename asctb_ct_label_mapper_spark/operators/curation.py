@@ -1178,10 +1178,17 @@ def negative_samples(
     # pooled: ranked feeds BOTH the exploded slots frame and the partner
     # join side — without the persist the two-phase rank subtree (groupBy
     # + offsets + window) executes once per consumer
+    # bucket via exact integer division (`div`), not (id / size).cast:
+    # double division rounds for |id| >~ 2^53 which can flip a boundary
+    # id into the wrong bucket, and trunc-vs-floor width quirks near 0
+    # are moot since trunc IS monotone — `div` is monotone AND exact for
+    # the full bigint range (negative ids included)
     ranked = pooled_persist(
         global_rank(
             df.select(id_col),
-            bucket=(F.col(id_col) / bucket_size).cast("long"),
+            bucket=F.expr(
+                f"CAST({id_col} AS BIGINT) div {int(bucket_size)}"
+            ),
             order_cols=[id_col],
             rank_col="_rk",
         ).select(id_col, (F.col("_rk") - 1).alias("_rk"))

@@ -515,10 +515,19 @@ def sample_quantiles(
         frac = h - lo
         lo_v = F.element_at("_a", lo + 1)
         hi_v = F.element_at("_a", F.least(lo + 2, F.col("n_sample")).cast("int"))
+        # empty sample: lo = floor(-q) = -1 and element_at(_a, 0) raises
+        # under ANSI while DuckDB's a[0] quietly returns NULL — guard the
+        # whole estimate (CASE WHEN mirrors on both engines; CaseWhen
+        # evaluates the guarded branch lazily, unlike an aggregate)
         ests.append(
             F.struct(
                 F.lit(float(q)).alias("q"),
-                F.round(lo_v + frac * (hi_v - lo_v), 6).alias("est"),
+                F.when(
+                    F.col("n_sample") > 0,
+                    F.round(lo_v + frac * (hi_v - lo_v), 6),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("est"),
             )
         )
     return base.select(
@@ -544,7 +553,9 @@ def sql_sample_quantiles(
     for q in qs:
         parts.append(f"""
         SELECT CAST({float(q)} AS DOUBLE) AS q, n_sample,
-            round(a[lo + 1] + frac * (a[least(lo + 2, n_sample)] - a[lo + 1]), 6) AS est
+            CASE WHEN n_sample > 0 THEN
+                round(a[lo + 1] + frac * (a[least(lo + 2, n_sample)] - a[lo + 1]), 6)
+            ELSE NULL END AS est
         FROM (
             SELECT a, n_sample,
                 CAST(floor((n_sample - 1) * {float(q)}) AS INT) AS lo,

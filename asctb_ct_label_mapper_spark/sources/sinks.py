@@ -315,9 +315,14 @@ def zorder_key(a, b, bits: int = 16):
 
 
 def sql_zorder_key(a: str, b: str, bits: int = 16) -> str:
-    """DuckDB replay of ``zorder_key`` — identical shift/mask/or chain."""
+    """DuckDB replay of ``zorder_key`` — identical shift/mask/or chain.
+    Operands are cast BIGINT first, mirroring the Spark twin's long
+    cast: on INTEGER-typed columns a shift at bit positions >= 31 would
+    otherwise sign-extend into negative garbage keys."""
+    ab = f"CAST({a} AS BIGINT)"
+    bb = f"CAST({b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ab} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({bb} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)

@@ -20,10 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from asctb_ct_label_mapper_spark.schemas import register_views
 
-# (spark-session id, sf_dir) pairs already registered — registration
+# (spark application id, sf_dir) pairs already registered — registration
 # reads 10 parquet footers for schemas, which a per-query SQL surface
-# should pay once per warehouse, not once per statement
-_REGISTERED: set[tuple[int, str]] = set()
+# should pay once per warehouse, not once per statement. Keyed on
+# applicationId, NOT id(spark): a stopped session's id() can be reused
+# by a later SparkSession, which would silently skip registration and
+# fail with TABLE_OR_VIEW_NOT_FOUND.
+_REGISTERED: set[tuple[str, str]] = set()
 
 
 def run_sql(
@@ -35,7 +38,7 @@ def run_sql(
     normalization the DataFrame API gets). ``refresh=True`` forces
     re-registration (e.g. after switching a view name to a different
     sf_dir — createOrReplaceTempView clobbers same-named views)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if refresh or key not in _REGISTERED:
         register_views(spark, sf_dir)
         _REGISTERED.add(key)

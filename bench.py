@@ -609,33 +609,75 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         result["scales"] = {}
-        for factor, names in ((10, SCALE_QUERIES), (100, SCALE100_QUERIES)):
-            key = f"docs{factor}x"
-            try:
-                scale_dir = ensure_docs_scale(sf_dir, factor)
-                scale_timings: dict[str, float] = {}
-                for name in names:
-                    fn = registry[name]
-                    # Single timed run: the session/codegen is already warm
-                    # from the headline tier, and a second pass would double
-                    # a tier whose point is aggregate-trend, not per-query
-                    # precision.
+        try:
+            scale_dir = ensure_docs_scale(sf_dir, 10)
+            scale_timings: dict[str, float] = {}
+            for name in SCALE_QUERIES:
+                fn = registry[name]
+                # Single timed run: the session/codegen is already warm
+                # from the headline tier, and a second pass would double
+                # a tier whose point is aggregate-trend, not per-query
+                # precision.
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, scale_dir).count()
+                scale_timings[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"[bench/10x] {name}: {scale_timings[name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            result["scales"]["docs10x"] = {
+                "factor": 10,
+                "total": round(sum(scale_timings.values()), 4),
+                "queries": scale_timings,
+            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["docs10x"] = {"error": str(e)[:200]}
+        # 100x tier, variance-controlled (VERDICT r8 #2): the r8 driver run
+        # measured 117.8s vs 77.2s for the SAME code — single-pass timings
+        # in a session carrying ~180 queries of executor-memory history are
+        # not a regression signal. So this tier (a) runs in a FRESH session
+        # (nothing cached or fragmented from the headline pass), (b) times
+        # median-of-3 per query, and (c) records the min/max spread so
+        # round-over-round readers can tell drift from noise.
+        try:
+            scale_dir = ensure_docs_scale(sf_dir, 100)
+            spark.stop()
+            spark = get_spark("asctb-bench-docs100x")
+            registry = all_queries()
+            # fresh-JVM warm-up, same reason as the headline's
+            spark.read.parquet(
+                os.path.join(scale_dir, "documents.parquet")
+            ).groupBy("lang").count().count()
+            med: dict[str, float] = {}
+            spread: dict[str, list[float]] = {}
+            for name in SCALE100_QUERIES:
+                fn = registry[name]
+                runs = []
+                for _ in range(3):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     fn(spark, scale_dir).count()
-                    scale_timings[name] = round(time.perf_counter() - t0, 4)
-                    print(
-                        f"[bench/{factor}x] {name}: {scale_timings[name]}s",
-                        file=sys.stderr,
-                        flush=True,
-                    )
-                result["scales"][key] = {
-                    "factor": factor,
-                    "total": round(sum(scale_timings.values()), 4),
-                    "queries": scale_timings,
-                }
-            except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-                result["scales"][key] = {"error": str(e)[:200]}
+                    runs.append(round(time.perf_counter() - t0, 4))
+                runs.sort()
+                med[name] = runs[1]
+                spread[name] = [runs[0], runs[2]]
+                print(
+                    f"[bench/100x] {name}: median {runs[1]}s "
+                    f"(min {runs[0]}, max {runs[2]})",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            result["scales"]["docs100x"] = {
+                "factor": 100,
+                "total": round(sum(med.values()), 4),
+                "queries": med,
+                "spread": spread,
+                "methodology": "fresh session, median of 3, spread=[min,max]",
+            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["docs100x"] = {"error": str(e)[:200]}
         try:
             rel_dir = ensure_relational_scale(sf_dir, 10)
             # ingest-time cost, not query-time: materialize the bucketed

@@ -257,6 +257,26 @@ def test_sample_quantiles_exact_on_full_coverage(spark):
     assert got[0.5] == 50.0 and got[0.9] == 90.0
 
 
+def test_sample_quantiles_empty_sample_yields_null_estimates(spark):
+    """An empty-matching sample must produce (q, 0, NULL) rows, not an
+    ANSI element_at(_a, 0) crash — DuckDB's a[0] returns NULL, so the
+    engine must degrade identically (r8 ADVICE item)."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        priority_sample,
+        sample_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    ).filter("v > 1e9")
+    rows = sample_quantiles(
+        priority_sample(df, "id", "v", k=8), qs=(0.5, 0.9)
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_sample"] == 0 and r["est"] is None
+
+
 def test_equi_width_histogram_bins_and_overflow(spark):
     from asctb_ct_label_mapper_spark.operators.profile import (
         equi_width_histogram,

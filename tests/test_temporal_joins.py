@@ -407,3 +407,26 @@ def test_asof_join_forward_direction_and_tolerance(spark):
         ).collect()
     }
     assert tol[1] is None
+
+
+def test_asof_join_rejects_reserved_internal_columns(spark):
+    """User columns named like the internals must fail loudly instead of
+    being silently clobbered by the reflected-path temporaries."""
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), 0.0)],
+        "event_id long, user_id long, ts timestamp, __asof_negt double",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 9.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    try:
+        asof_join(left, right, ["user_id"], right_value_cols=["v"])
+    except ValueError as e:
+        assert "__asof_negt" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
