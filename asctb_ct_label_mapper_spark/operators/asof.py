@@ -45,7 +45,10 @@ _T = "__asof_t"
 _SIDE = "__asof_side"
 _P = "__asof_p"
 _M = "__asof_m"
-_INTERNAL = (_NEGT, _RTS, _T, _SIDE, _P, _M)
+_BK = "__asof_bk"
+_BL = "__asof_bl"
+_CARRY = "__asof_carry"
+_INTERNAL = (_NEGT, _RTS, _T, _SIDE, _P, _M, _BK, _BL, _CARRY)
 
 
 def _check_no_internal_collision(*dfs: DataFrame) -> None:
@@ -67,6 +70,7 @@ def asof_join(
     ts_suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    bucket: str | None = None,
     _t_is_neg_micros: bool = False,
 ) -> DataFrame:
     """Backward (default) or forward inclusive as-of join.
@@ -93,6 +97,19 @@ def asof_join(
     convert with ``to_timestamp`` first; the forward path's internal
     negated-micros representation is flagged explicitly via
     ``_t_is_neg_micros``, never sniffed from the column type).
+
+    ``bucket`` (e.g. ``'month'``): the SKEW-SAFE path — the same
+    segmented-carry decomposition the EWMA scan uses. Instead of one
+    window per key (a hot key serializes into one task's sort), the
+    match splits into (1) a per-(key, time-bucket) window — partitions
+    bounded by the bucket granularity — and (2) a per-key carry over
+    BUCKET SUMMARIES (one row per (key, bucket) with the bucket's last
+    right payload; dimension-sized, not data-sized), coalescing each
+    row's within-bucket match with the carry from earlier buckets.
+    Result-identical to the plain window (payloads are carried structs,
+    no arithmetic — proven by test); costs one extra bounded window +
+    one (key, bucket) equi-join. Composes with ``direction='forward'``
+    (buckets computed on the reflected axis) and ``tolerance_seconds``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -116,6 +133,7 @@ def asof_join(
             right_value_cols=[_RTS, *right_value_cols],
             ts_suffix=ts_suffix,
             tolerance_seconds=tolerance_seconds,
+            bucket=bucket,
             _t_is_neg_micros=True,
         )
         return out.drop(f"{_NEGT}{ts_suffix}", _NEGT).withColumnRenamed(
@@ -137,12 +155,63 @@ def asof_join(
     # unionByName(allowMissingColumns) null-fills each side's missing
     # columns: left gets a typed NULL payload, right gets NULL left columns.
     u = lu.unionByName(ru, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(_T).asc(), F.col(_SIDE).desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn(_M, F.last(_P, ignorenulls=True).over(w))
+    if bucket is None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(_T).asc(), F.col(_SIDE).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(_M, F.last(_P, ignorenulls=True).over(w))
+    else:
+        # segmented-carry: the bucket key must be constant within a
+        # bucket and monotone with _t. On the reflected (forward) path
+        # _t is negated micros — truncate the recovered timestamp, then
+        # negate its micros so bucket order still ascends with _t.
+        if _t_is_neg_micros:
+            bkc = -F.unix_micros(
+                F.date_trunc(bucket, F.timestamp_micros(-F.col(_T)))
+            )
+        else:
+            bkc = F.date_trunc(bucket, F.col(_T))
+        u = u.withColumn(_BK, bkc)
+        w1 = (
+            Window.partitionBy(*key_cols, _BK)
+            .orderBy(F.col(_T).asc(), F.col(_SIDE).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = u.withColumn(_M, F.last(_P, ignorenulls=True).over(w1))
+        # bucket summaries: each (key, bucket)'s LAST right payload
+        # (right rows only — unique per (key, ts), so max(struct) picks
+        # the latest); buckets with no right rows join in as NULL and
+        # the ignorenulls carry skips them
+        rsum = (
+            u.filter(F.col(_SIDE) == 1)
+            .groupBy(*key_cols, _BK)
+            .agg(
+                F.max(
+                    F.struct(F.col(_T).alias("t"), F.col(_P).alias("p"))
+                ).alias(_BL)
+            )
+        )
+        allbk = u.select(*key_cols, _BK).distinct()
+        wc = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(_BK).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            allbk.join(rsum, [*key_cols, _BK], "left")
+            .withColumn(
+                _CARRY,
+                F.last(
+                    F.col(_BL).getField("p"), ignorenulls=True
+                ).over(wc),
+            )
+            .select(*key_cols, _BK, _CARRY)
+        )
+        matched = within.join(carry, [*key_cols, _BK], "left").withColumn(
+            _M, F.coalesce(F.col(_M), F.col(_CARRY))
+        )
     if tolerance_seconds is not None:
         # round, don't truncate: int(8.2*1e6) is 8199999, which would
         # null an exactly-at-tolerance match (semantics are INCLUSIVE,

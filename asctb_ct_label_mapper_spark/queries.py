@@ -965,6 +965,46 @@ def j_asof_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_asof_bucketed",
+    """
+    WITH m AS (
+        SELECT user_id, ts, max(value) AS marker_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           m.ts AS ts_asof, m.marker_value
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def j_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE as-of join (asof.asof_join bucket='month'): same
+    semantics and the same DuckDB ASOF oracle as j_asof_markers, but the
+    match runs as a per-(key, month) window plus a per-key carry over
+    bucket summaries — a hot key's sort is split across its months
+    instead of serializing into one task (the segmented-carry pattern
+    the EWMA scan uses). Result-identical to the plain window
+    (test_asof_bucketed_equals_plain proves it on all four
+    direction/tolerance flavors)."""
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    markers = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        markers,
+        key_cols=["user_id"],
+        right_value_cols=["marker_value"],
+        bucket="month",
+    )
+
+
+@query(
     "j_range_windows",
     """
     WITH w AS (

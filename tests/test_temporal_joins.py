@@ -430,3 +430,70 @@ def test_asof_join_rejects_reserved_internal_columns(spark):
         assert "__asof_negt" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """The time-bucketed (skew-safe) as-of path is RESULT-IDENTICAL to
+    the plain keyed window on every direction/tolerance flavor — the
+    payloads are carried structs, no arithmetic, so equality is exact.
+    The fixture forces the interesting carry cases: a bucket with left
+    rows but no right rows (carry from two buckets back), a left row
+    before any right row (NULL), and an exact-tie inclusive match."""
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 5)),     # before any right row
+            (2, 1, datetime(2024, 1, 20)),    # same-bucket match
+            (3, 1, datetime(2024, 2, 10)),    # bucket with no right rows
+            (4, 1, datetime(2024, 3, 1)),     # exact tie with right row
+            (5, 1, datetime(2024, 3, 20)),
+            (6, 2, datetime(2024, 2, 1)),     # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 10), 1.0),
+            (1, datetime(2024, 1, 25), 2.0),
+            (1, datetime(2024, 3, 1), 3.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    flavors = (
+        dict(),
+        dict(direction="forward"),
+        dict(tolerance_seconds=86400 * 20),
+        dict(direction="forward", tolerance_seconds=86400 * 5),
+    )
+    for kw in flavors:
+        plain = canon(
+            asof_join(left, right, ["user_id"], right_value_cols=["v"], **kw)
+        )
+        for bucket in ("month", "week"):
+            bucketed = canon(
+                asof_join(
+                    left, right, ["user_id"], right_value_cols=["v"],
+                    bucket=bucket, **kw,
+                )
+            )
+            assert bucketed == plain, (kw, bucket)
+    # spot-check the plain semantics themselves so the equality above
+    # is anchored to known-good values
+    got = {
+        r["event_id"]: (r["v"], r["ts_asof"])
+        for r in asof_join(
+            left, right, ["user_id"], right_value_cols=["v"], bucket="month"
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (1.0, datetime(2024, 1, 10))
+    assert got[3] == (2.0, datetime(2024, 1, 25))  # carried across Feb
+    assert got[4] == (3.0, datetime(2024, 3, 1))   # inclusive tie
+    assert got[6] == (None, None)

@@ -50,10 +50,12 @@ TARGETS = {
     "ewma_user_value": "EWMA (r8): segmented linear-recurrence scan - per-(key,month) affine folds, dimension-sized carry; no keyed window, no unbounded collect",
     "scan_shipdate_range": "clustered-pair baseline (r8): pushed timestamp range over the unclustered layout - PushedFilters present but every row group overlaps, scan decodes the table",
     "scan_shipdate_range_clustered": "clustered-pair win (r8): same pushed predicate over write_clustered layout - footer min/max prune to ~1 row group (rows_decoded 6M -> 60k at rel10x, tools/bench_clustered.py)",
-    "holt_winters_users": "Holt-Winters (r8): (p+2)-dim generated matrix segmented scan - same two-Exchange fold shape as EWMA at any state dimension",
+    "holt_winters_users": "Holt-Winters (r9): fused-Arrow fold - ONE Exchange (shard by key), FlatMapGroupsInPandas does chain folds + carry in numpy, bit-equal to the r8 HOF anchor",
     "psi_drift_events": "PSI drift (r8): two combinable histogram folds + bins-sized full-outer join - nothing data-sized past the scans",
     "j_asof_forward": "forward as-of (r8): the backward union+window plan on negated micros - no extra Exchange for the direction flip",
     "kmv_daily_users": "per-group KMV (r8): combinable (day, hash) distinct + day-partitioned rank - k rows of state per day",
+    "j_asof_bucketed": "skew-safe as-of (r9): per-(key,month) window + per-key carry over bucket summaries - a hot key's sort splits across its months; result-identical to the plain window",
+    "holt_winters_classical_users": "classical-primed Holt-Winters (r9): bounded per-bucket bottom-p aggregate -> keys-sized seed join -> the same fused-Arrow segmented fold",
 }
 
 
