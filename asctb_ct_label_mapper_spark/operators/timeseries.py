@@ -991,7 +991,7 @@ def _arrow_carry_fold_fn(d: int, fields):
     return fold
 
 
-def _arrow_fused_fold_fn(m, cx, first_a, d: int):
+def _arrow_fused_fold_fn(m, cx, first_a, d: int, seed: str = "zero"):
     """Build the applyInPandas function for the FUSED fused-Arrow path:
     one shard holds whole KEYS, and the function runs all three steps —
     first-element detection (the key's min (ts, id) row), the
@@ -1001,17 +1001,29 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int):
     left-associated, addend last, ALL terms kept (a dropped 0.0-multiply
     can flip a -0.0 partial sum). The forecast is composed (level +
     trend) + season_next, matching the engine expression. Bit-equality
-    with ``impl='hof'`` is hash-proven by test."""
+    with ``impl='hof'`` is hash-proven by test.
+
+    ``seed='classical'``: textbook p-observation priming — the key's
+    first p observations are CONSUMED into the seed state (l0 = their
+    mean, b0 = (x_p - x_1)/(p-1), s_i = x_i - l0), injected as the
+    absorbing element at the p-th row's position; rows before it drop,
+    the recurrence runs from x_{p+1}. Keys with fewer than p rows emit
+    primed=False (the engine wrapper nulls their smoothed fields). The
+    seed arithmetic (ascending left-associated sum, then one divide)
+    mirrors the oracle's list_reduce exactly. ``seed='zero'`` keeps the
+    l1=x1 / zero-seasonal behavior bit-for-bit."""
     m_rows = [[float(m[i][j]) for j in range(d)] for i in range(d)]
     cxs = [float(c) for c in cx]
     fas = [float(c) for c in first_a]
+    period = d - 2
 
     def fold(pdf):
         import numpy as np
         import pandas as pd
 
         out_cols = [
-            "key", "n_obs", "level", "trend", "season_next", "forecast_1"
+            "key", "n_obs", "primed",
+            "level", "trend", "season_next", "forecast_1",
         ]
         if len(pdf) == 0:
             return pd.DataFrame(columns=out_cols)
@@ -1022,15 +1034,61 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int):
         rid = pdf["id"].to_numpy()
         v = pdf["v"].to_numpy(dtype=np.float64)
         n = len(pdf)
-        # key boundaries -> first-of-key rows; fr honors duplicated
-        # (ts, id) order keys (out of contract) like the engine's
-        # min-struct equality does
         kb = np.ones(n, dtype=bool)
         kb[1:] = key[1:] != key[:-1]
         kstarts = np.flatnonzero(kb)
         klens = np.diff(np.append(kstarts, n))
-        rep = np.repeat(kstarts, klens)
-        fr = (ts == ts[rep]) & (rid == rid[rep])
+        all_keys = key[kstarts]
+        all_nobs = klens.astype(np.int64)
+        seed_vec = None
+        if seed == "classical":
+            p = period
+            n_all = len(kstarts)
+            kpos = np.arange(n) - np.repeat(kstarts, klens)
+            kidx = np.repeat(np.arange(n_all), klens)
+            primed_key = klens >= p
+            # first-p matrix (rows of unprimed keys unused)
+            fp = np.zeros((n_all, p))
+            head = kpos < p
+            fp[kidx[head], kpos[head]] = v[head]
+            s = fp[:, 0].copy()
+            for i in range(1, p):
+                s = s + fp[:, i]
+            l0 = s / float(p)
+            b0 = (
+                (fp[:, p - 1] - fp[:, 0]) / float(p - 1)
+                if p > 1
+                else np.zeros(n_all)
+            )
+            seed_vec = [l0, b0] + [fp[:, p - 1 - i] - l0 for i in range(p)]
+            # keep the p-th row (the absorbing seed position) and later
+            keep = (kpos >= p - 1) & primed_key[kidx]
+            if not keep.any():
+                return pd.DataFrame(
+                    {
+                        "key": all_keys,
+                        "n_obs": all_nobs,
+                        "primed": np.zeros(len(all_keys), dtype=bool),
+                        "level": np.full(len(all_keys), np.nan),
+                        "trend": np.full(len(all_keys), np.nan),
+                        "season_next": np.full(len(all_keys), np.nan),
+                        "forecast_1": np.full(len(all_keys), np.nan),
+                    }
+                )
+            fr = kpos == p - 1  # absorbing position, before filtering
+            key, bk, ts, rid, v, fr = (
+                a[keep] for a in (key, bk, ts, rid, v, fr)
+            )
+            seed_kidx = kidx[keep]  # key index per kept row
+            n = len(key)
+            kb = np.ones(n, dtype=bool)
+            kb[1:] = key[1:] != key[:-1]
+        else:
+            # zero seed: the absorbing element is the key's min (ts, id)
+            # row; equality (not position) honors duplicated order keys
+            # (out of contract) like the engine's min-struct does
+            rep = np.repeat(kstarts, klens)
+            fr = (ts == ts[rep]) & (rid == rid[rep])
         # ---- phase A: per-(key, bucket) chain fold (x = constant m) ----
         boundary = kb.copy()
         boundary[1:] |= bk[1:] != bk[:-1]
@@ -1054,7 +1112,22 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int):
             [np.where(f0, 0.0, m_rows[i][j]) for j in range(d)]
             for i in range(d)
         ]
-        acc_a = [np.where(f0, fas[i] * v0, cxs[i] * v0) for i in range(d)]
+        if seed == "classical":
+            # the absorbing chain's seed is the key's precomputed primed
+            # state (chains exist only for primed keys, so every lookup
+            # is defined); absorbing rows sit at chain position 0 by
+            # construction (all earlier rows of the key were dropped).
+            # [order]: the accumulator lanes live in length-desc order,
+            # not cid order
+            chain_kidx = seed_kidx[starts][order]
+            acc_a = [
+                np.where(f0, seed_vec[i][chain_kidx], cxs[i] * v0)
+                for i in range(d)
+            ]
+        else:
+            acc_a = [
+                np.where(f0, fas[i] * v0, cxs[i] * v0) for i in range(d)
+            ]
         neg = -lens_sorted
         for t in range(1, lmax):
             nt = int(np.searchsorted(neg, -t, side="left"))
@@ -1135,16 +1208,42 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int):
                 for j in range(d):
                     km[i][j][:nt] = new_m[i][j]
                 ka[i][:nt] = new_a[i]
-        # klens is per key in key-sorted order == bcid order; reorder to
-        # the length-desc lane order the accumulators live in
-        n_obs = klens.astype(np.int64)[border]
         level, trend, season = ka[0], ka[1], ka[d - 1]
         forecast = level + trend
         forecast = forecast + season
+        if seed == "classical":
+            # scatter the primed lanes back over ALL keys (unprimed keys
+            # emit NaN + primed=False; the engine wrapper nulls them)
+            out_kidx = seed_kidx[starts][bstarts][border]
+            n_all = len(all_keys)
+            cols = {}
+            for name, lane in (
+                ("level", level),
+                ("trend", trend),
+                ("season_next", season),
+                ("forecast_1", forecast),
+            ):
+                full = np.full(n_all, np.nan)
+                full[out_kidx] = lane
+                cols[name] = full
+            primed = np.zeros(n_all, dtype=bool)
+            primed[out_kidx] = True
+            return pd.DataFrame(
+                {
+                    "key": all_keys,
+                    "n_obs": all_nobs,
+                    "primed": primed,
+                    **cols,
+                }
+            )
+        # klens is per key in key-sorted order == bcid order; reorder to
+        # the length-desc lane order the accumulators live in
+        n_obs = klens.astype(np.int64)[border]
         return pd.DataFrame(
             {
                 "key": key[kstarts][border],
                 "n_obs": n_obs,
+                "primed": np.ones(n_keys, dtype=bool),
                 "level": level,
                 "trend": trend,
                 "season_next": season,
@@ -1193,6 +1292,7 @@ def holt_winters_by_key(
     bucket: str = "month",
     impl: str = "arrow",
     n_shards: int | None = None,
+    seed: str = "zero",
 ) -> DataFrame:
     """Holt-Winters ADDITIVE seasonal smoothing per key — the proof the
     segmented-scan machinery covers any linear recurrence: the
@@ -1202,10 +1302,14 @@ def holt_winters_by_key(
     composition (engine and oracle expressions are GENERATED from the
     same index loops — parity by construction, hash-checked).
 
-    Seeding: l_1 = x_1, b_1 = 0, seasonals zero-initialized and learned
-    through gamma (the absorbing first map) — the deterministic,
-    replayable choice (classical p-observation seasonal priming can be
-    layered on by pre-seeding the state; documented, not hidden).
+    Seeding (``seed``): ``'zero'`` (default) — l_1 = x_1, b_1 = 0,
+    seasonals zero-initialized and learned through gamma (the absorbing
+    first map); the deterministic, replayable choice. ``'classical'``
+    (fused-Arrow path only) — textbook p-observation priming: the first
+    p observations are consumed into l_0 = mean(x_1..x_p),
+    b_0 = (x_p - x_1)/(p-1), s_i = x_i - l_0, and the recurrence runs
+    from x_{p+1}; keys with fewer than p observations return NULL
+    smoothed fields (n_obs still real).
 
     ``impl`` picks the execution strategy; all three are bit-identical
     (same scalar op order per chain — hash-proven by test):
@@ -1255,6 +1359,10 @@ def holt_winters_by_key(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     kt = base.schema["key"].dataType.simpleString()
+    if seed not in ("zero", "classical"):
+        raise ValueError(f"unknown seed {seed!r} (expected 'zero'|'classical')")
+    if seed == "classical" and impl != "arrow":
+        raise ValueError("seed='classical' is implemented on impl='arrow'")
     if impl == "arrow":
         # fused single-stage path: ONE exchange (the shard groupBy), no
         # firsts aggregate/join — whole keys per shard, so the first
@@ -1263,12 +1371,27 @@ def holt_winters_by_key(
             "_shard", F.pmod(F.xxhash64("key"), F.lit(n_shards))
         )
         out_schema = (
-            f"key {kt}, n_obs bigint, level double, trend double, "
-            "season_next double, forecast_1 double"
+            f"key {kt}, n_obs bigint, primed boolean, level double, "
+            "trend double, season_next double, forecast_1 double"
         )
-        return sharded.groupBy("_shard").applyInPandas(
-            _arrow_fused_fold_fn(m, cx, first_a, d), out_schema
+        res = sharded.groupBy("_shard").applyInPandas(
+            _arrow_fused_fold_fn(m, cx, first_a, d, seed), out_schema
         )
+        if seed == "classical":
+            # unprimed keys carry NaN lanes from the Arrow fn; surface
+            # them as SQL NULLs (what the oracle's LEFT JOIN produces)
+            smoothed = ["level", "trend", "season_next", "forecast_1"]
+            return res.select(
+                "key",
+                "n_obs",
+                *[
+                    F.when(F.col("primed"), F.col(c))
+                    .otherwise(F.lit(None).cast("double"))
+                    .alias(c)
+                    for c in smoothed
+                ],
+            )
+        return res.drop("primed")
     if impl == "arrow_staged":
         mapped = base.join(firsts, "key").select(
             "key",
@@ -1432,4 +1555,105 @@ def sql_holt_winters_by_key(
         p[{aidx(d - 1)}] AS season_next,
         p[{aidx(0)}] + p[{aidx(1)}] + p[{aidx(d - 1)}] AS forecast_1
     FROM per_key
+    """
+
+
+def sql_holt_winters_classical_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 4,
+    where: str = "1=1",
+    bucket: str = "month",
+) -> str:
+    """DuckDB replay of ``holt_winters_by_key(seed='classical')`` — the
+    same generated matrix fold, seeded by the textbook p-observation
+    priming: the key's first p values fold to l0 = mean (list_reduce
+    ascending, one divide — the engine's numpy loop exactly), b0 =
+    (x_p - x_1)/(p-1), s_i = x_i - l0; the seed enters as the absorbing
+    element at the p-th row's position and rows before it drop. Keys
+    with fewer than p observations LEFT-JOIN in as NULL smoothed
+    fields (the engine's primed=False)."""
+    d = period + 2
+    p = period
+    m, cx = _hw_transition(alpha, beta, gamma, period)
+
+    def midx(i, j):
+        return i * d + j + 1
+
+    def aidx(i):
+        return d * d + i + 1
+
+    comp_elems = []
+    for i in range(d):
+        for j in range(d):
+            comp_elems.append(
+                " + ".join(
+                    f"x[{midx(i, k)}] * acc[{midx(k, j)}]" for k in range(d)
+                )
+            )
+    for i in range(d):
+        s = " + ".join(f"x[{midx(i, k)}] * acc[{aidx(k)}]" for k in range(d))
+        comp_elems.append(f"{s} + x[{aidx(i)}]")
+    comp = "(acc, x) -> [" + ", ".join(comp_elems) + "]"
+
+    # absorbing seed element: zero matrix + the primed state vector
+    seed_elems = ["CAST(0.0 AS DOUBLE)"] * (d * d)
+    seed_elems.append("s.l0")
+    seed_elems.append("s.b0")
+    for i in range(p):  # a_{2+i} = s_i = x_{p-i} - l0
+        seed_elems.append(f"s.f[{p - i}] - s.l0")
+    # regular element: the constant transition + cx*v addend
+    reg_elems = []
+    for i in range(d):
+        for j in range(d):
+            reg_elems.append(f"CAST({m[i][j]} AS DOUBLE)")
+    for i in range(d):
+        reg_elems.append(f"CAST({cx[i]} AS DOUBLE) * b.v")
+    b0_expr = (
+        f"(f[{p}] - f[1]) / {float(p - 1)}" if p > 1 else "CAST(0.0 AS DOUBLE)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            CAST({value_col} AS DOUBLE) AS v,
+            date_trunc('{bucket}', {ts_col}) AS bk,
+            row_number() OVER (PARTITION BY {key_col}
+                               ORDER BY {ts_col}, {id_col}) AS rn
+        FROM {table} WHERE {where}
+    ), kc AS (
+        SELECT key, count(*) AS n_obs FROM base GROUP BY key
+    ), seed AS (
+        SELECT key, f,
+            list_reduce(f, (a, b) -> a + b) / {float(p)} AS l0,
+            {b0_expr} AS b0
+        FROM (
+            SELECT key, list(v ORDER BY ts, id)[1:{p}] AS f
+            FROM base GROUP BY key HAVING count(*) >= {p}
+        )
+    ), maps AS (
+        SELECT b.key, b.bk, b.ts, b.id,
+            CASE WHEN b.rn = {p}
+                THEN [{", ".join(seed_elems)}]
+                ELSE [{", ".join(reg_elems)}]
+            END AS mp
+        FROM base b JOIN seed s USING (key)
+        WHERE b.rn >= {p}
+    ), per_bucket AS (
+        SELECT key, bk, list_reduce(list(mp ORDER BY ts, id), {comp}) AS p
+        FROM maps GROUP BY key, bk
+    ), per_key AS (
+        SELECT key, list_reduce(list(p ORDER BY bk), {comp}) AS p
+        FROM per_bucket GROUP BY key
+    )
+    SELECT kc.key, kc.n_obs,
+        p[{aidx(0)}] AS level, p[{aidx(1)}] AS trend,
+        p[{aidx(d - 1)}] AS season_next,
+        p[{aidx(0)}] + p[{aidx(1)}] + p[{aidx(d - 1)}] AS forecast_1
+    FROM kc LEFT JOIN per_key USING (key)
     """

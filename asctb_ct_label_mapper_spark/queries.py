@@ -5789,6 +5789,35 @@ def holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_classical_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_holt_winters_classical_by_key,
+    )
+
+    return sql_holt_winters_classical_by_key(
+        "events", where="event_type = 'purchase'"
+    )
+
+
+@query("holt_winters_classical_users", _hw_classical_oracle())
+def holt_winters_classical_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters with CLASSICAL p-observation seasonal priming
+    (timeseries.holt_winters_by_key seed='classical'): the key's first
+    p observations fold into the textbook seed (l0 = mean, b0 =
+    (x_p - x_1)/(p-1), s_i = x_i - l0), injected as the absorbing
+    element of the same fused-Arrow segmented fold; keys with fewer
+    than p observations return NULL smoothed fields. Raw doubles
+    hash-match the generated DuckDB replay."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    return holt_winters_by_key(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase"),
+        seed="classical",
+    )
+
+
 def _psi_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.profile import sql_psi_drift
 

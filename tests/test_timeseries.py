@@ -331,6 +331,77 @@ def test_holt_winters_arrow_equals_hof(spark):
                 assert got[k][f] == ref[k][f], (impl, k, f)
 
 
+def _hw_classical_seq(xs, a=0.5, b=0.25, g=0.25, p=4):
+    lvl = sum(xs[:p]) / p
+    tr = (xs[p - 1] - xs[0]) / (p - 1)
+    s = [xs[p - 1 - i] - lvl for i in range(p)]  # s[0] newest
+    for x in xs[p:]:
+        s_old = s[p - 1]
+        new_l = a * (x - s_old) + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        s = [g * (x - new_l) + (1 - g) * s_old] + s[: p - 1]
+        lvl = new_l
+    return lvl, tr, s[p - 1]
+
+
+def test_holt_winters_classical_priming(spark):
+    """seed='classical' matches the hand-rolled textbook recurrence
+    (l0 = mean of first p, b0 = (x_p-x_1)/(p-1), s_i = x_i - l0) across
+    month buckets and MULTIPLE keys in one shard (the lane-order seed
+    lookup regression), degenerates to the bare seed at n == p, and
+    returns NULL smoothed fields (real n_obs) below p observations."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    xs1 = [10.0, 20.0, 15.0, 30.0, 25.0, 12.5, 18.0, 22.0, 9.0]
+    xs2 = [5.0, -7.0, 11.0, 3.0, 8.0, -2.0]
+    rows = (
+        [(i, datetime(2024, 1 + i // 3, 1 + i * 2), 1, x)
+         for i, x in enumerate(xs1)]
+        + [(100 + i, datetime(2024, 1 + i // 2, 2 + i), 2, x)
+           for i, x in enumerate(xs2)]
+        + [(200 + i, datetime(2024, 2, 1 + i), 3, float(i))
+           for i in range(4)]      # exactly p -> bare seed
+        + [(300 + i, datetime(2024, 3, 1 + i), 4, 1.0 + i)
+           for i in range(3)]      # below p -> NULL
+    )
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["key"]: r
+        for r in holt_winters_by_key(df, seed="classical").collect()
+    }
+    for key, xs in ((1, xs1), (2, xs2)):
+        lvl, tr, s_next = _hw_classical_seq(xs)
+        r = got[key]
+        assert r["n_obs"] == len(xs)
+        for have, want in (
+            (r["level"], lvl), (r["trend"], tr), (r["season_next"], s_next)
+        ):
+            assert abs(have - want) <= 1e-9 * max(1.0, abs(want)), key
+    r3 = got[3]  # seed state: l0=1.5, b0=(3-0)/3=1, s_oldest=x1-l0=-1.5
+    assert r3["level"] == 1.5 and r3["trend"] == 1.0
+    assert r3["season_next"] == -1.5
+    r4 = got[4]
+    assert r4["n_obs"] == 3
+    assert r4["level"] is None and r4["trend"] is None
+    assert r4["season_next"] is None and r4["forecast_1"] is None
+
+
+def test_holt_winters_classical_requires_arrow_impl(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    df = spark.createDataFrame([(1, d(5), 2, 7.5)], EV_SCHEMA)
+    try:
+        holt_winters_by_key(df, seed="classical", impl="hof")
+    except ValueError as e:
+        assert "classical" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_holt_winters_bad_impl_raises(spark):
     from asctb_ct_label_mapper_spark.operators.timeseries import (
         holt_winters_by_key,
