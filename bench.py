@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "assoc_type_dow_events",
     "kfold_counts_docs",
     "j_asof_forward",
+    # r9
+    "j_asof_bucketed",
+    "holt_winters_classical_users",
 ]
 
 
@@ -414,6 +417,51 @@ def ensure_relational_scale(src_dir: str, factor: int) -> str:
     return scale_dir
 
 
+# Events scale tier (VERDICT r8 #6): the per-group-bounded event
+# operators' posture claims deserve measured 10x/100x points, not just
+# headline rows. Scaling model: stacked copies with shifted event_id
+# and user_id — keys grow factor-x while per-(user, month) chain sizes
+# stay constant (the Holt-Winters fold's bound), and the CALENDAR does
+# not scale, so per-day groups get factor-x heavier (exactly the
+# k-rows/day stress the per-group KMV claims to bound) and the
+# histogram folds factor-x rows into the same <= n_bins+2 cells.
+EVENTS_SCALE_QUERIES = [
+    "kmv_daily_users",
+    "histogram_event_values",
+    "holt_winters_users",
+]
+
+
+def ensure_events_scale(src_dir: str, factor: int) -> str:
+    """Deterministically replicate the events table at ``factor``x by
+    stacking id-shifted copies (cached under /tmp per factor)."""
+    import numpy as np
+    import pandas as pd
+
+    scale_dir = os.path.join(_SCALE_ROOT, f"events{factor}x")
+    done_marker = os.path.join(scale_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return scale_dir
+    os.makedirs(scale_dir, exist_ok=True)
+    src = pd.read_parquet(os.path.join(src_dir, "events.parquet"))
+    e_stride = int(src["event_id"].max()) + 1
+    u_stride = int(src["user_id"].max()) + 1
+    copies = []
+    for i in range(factor):
+        c = src.copy(deep=False)
+        c["event_id"] = src["event_id"].to_numpy() + np.int64(i) * e_stride
+        c["user_id"] = src["user_id"].to_numpy() + np.int64(i) * u_stride
+        copies.append(c)
+    pd.concat(copies, ignore_index=True).to_parquet(
+        os.path.join(scale_dir, "events.parquet"),
+        index=False,
+        row_group_size=65536,
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return scale_dir
+
+
 def ensure_docs_scale(src_dir: str, factor: int) -> str:
     """Deterministically synthesize documents/embeddings at ``factor``x the
     source row counts (cached under /tmp per factor). Vocabulary is the
@@ -566,6 +614,109 @@ def bench_streaming(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """Second streaming-tier row (VERDICT r8 #4): the NATIVE stateful
+    exact dedup (`dropDuplicatesWithinWatermark`,
+    streaming/dedup.py:start_watermarked_exact_dedup_stream) — measured,
+    not just correctness-tested. Input: the sf events stream split into
+    ``n_batches`` time-ordered micro-batches with ~10% injected
+    redeliveries (every 10th event re-emitted in its own batch). The
+    signal: per-batch cadence stays flat AND the state-store row count
+    tracks (arrival rate x watermark delay), not stream history — the
+    bounded-state contract, visible in numRowsTotal as old ids evict."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.dedup import (
+        start_watermarked_exact_dedup_stream,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dupes = ev.filter(F.col("event_id") % 10 == 0)
+    full = ev.unionByName(dupes)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    work = tempfile.mkdtemp(prefix="graft_wm_bench_")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        # one file per time slice, copied in slice order so the file
+        # source replays event time monotonically (watermark advances,
+        # state evicts)
+        sliced = full.withColumn(
+            "_slice",
+            ((F.unix_micros("ts") - F.lit(lo)) * n_batches / F.lit(span))
+            .cast("long"),
+        )
+        import glob
+
+        for i in range(n_batches):
+            stage = os.path.join(work, f"stage_{i}")
+            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+                1
+            ).write.parquet(stage)
+            fs = glob.glob(os.path.join(stage, "*.parquet"))
+            if not fs:  # empty time slice (skewed ts): nothing to land
+                continue
+            [f] = fs
+            shutil.copy(f, os.path.join(landing, f"slice_{i:03d}.parquet"))
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        t0 = time.perf_counter()
+        q = start_watermarked_exact_dedup_stream(
+            stream,
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+            delay="7 days",
+            available_now=True,
+        )
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise TimeoutError("watermark tier did not drain in 600s")
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        state_rows = [
+            int(p["stateOperators"][0]["numRowsTotal"]) if p["stateOperators"]
+            else None
+            for p in prog
+        ]
+        rows_in = int(sum(p["numInputRows"] for p in prog))
+        rows_out = spark.read.parquet(os.path.join(work, "out")).count()
+        return {
+            "loop": "dropDuplicatesWithinWatermark_exact",
+            "n_batches": len(per_batch),
+            "rows_in": rows_in,
+            "rows_out": int(rows_out),
+            "suppressed": rows_in - int(rows_out),
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(
+                sum(per_batch) / max(len(per_batch), 1), 4
+            ),
+            "last_over_first": round(per_batch[-1] / per_batch[0], 3)
+            if len(per_batch) > 1 and per_batch[0] > 0
+            else None,
+            "state_rows_per_batch": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -634,6 +785,27 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["docs10x"] = {"error": str(e)[:200]}
+        try:
+            ev_dir = ensure_events_scale(sf_dir, 10)
+            ev_timings: dict[str, float] = {}
+            for name in EVENTS_SCALE_QUERIES:
+                fn = registry[name]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, ev_dir).count()
+                ev_timings[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"[bench/ev10x] {name}: {ev_timings[name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            result["scales"]["events10x"] = {
+                "factor": 10,
+                "total": round(sum(ev_timings.values()), 4),
+                "queries": ev_timings,
+            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["events10x"] = {"error": str(e)[:200]}
         # 100x tier, variance-controlled (VERDICT r8 #2): the r8 driver run
         # measured 117.8s vs 77.2s for the SAME code — single-pass timings
         # in a session carrying ~180 queries of executor-memory history are
@@ -679,6 +851,27 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["docs100x"] = {"error": str(e)[:200]}
         try:
+            ev_dir = ensure_events_scale(sf_dir, 100)
+            ev_timings = {}
+            for name in EVENTS_SCALE_QUERIES:
+                fn = registry[name]
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, ev_dir).count()
+                ev_timings[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"[bench/ev100x] {name}: {ev_timings[name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            result["scales"]["events100x"] = {
+                "factor": 100,
+                "total": round(sum(ev_timings.values()), 4),
+                "queries": ev_timings,
+            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["events100x"] = {"error": str(e)[:200]}
+        try:
             rel_dir = ensure_relational_scale(sf_dir, 10)
             # ingest-time cost, not query-time: materialize the bucketed
             # fact layout before any timing (write-once per tier)
@@ -722,6 +915,13 @@ def main() -> None:
             result["scales"]["streaming"] = bench_streaming(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["streaming"] = {"error": str(e)[:200]}
+        try:
+            spark.catalog.clearCache()
+            result["scales"]["streaming_watermark"] = bench_streaming_watermark(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["streaming_watermark"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
