@@ -1,0 +1,278 @@
+"""Behavioral / product-analytics operators over event streams: ordered
+funnels, retention cohorts, SCD2 attribute history.
+
+Not in the reference (no event analytics there); first-class operators
+for any engine that claims the events workload. All three are
+oracle-paired (plain ANSI SQL replays) and designed for the 100 TB
+posture:
+
+- funnel: K narrow per-user min-aggregates chained by equi-joins — no
+  per-user sort, no window, no row expansion; each step's frame shrinks
+  to the users that reached it.
+- retention: two aggregates (first-activity month, distinct active
+  months) + one equi-join on user; the output is cohort x offset,
+  calendar-sized.
+- scd2: per-user lag/lead windows (hot keys bounded by per-user event
+  counts; the change-row filter shrinks the lead window's input to the
+  change points only).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED funnel: a user reaches step i when an event of type
+    ``steps[i]`` occurs STRICTLY AFTER the user's step-(i-1) reach time
+    (the earliest such chain — standard product-analytics semantics).
+
+    Plan: step 1 is one min-aggregate; each later step filters to its
+    event type, equi-joins the previous step's (user, t) frame, and
+    min-aggregates the qualifying timestamps. K steps = K narrow
+    aggregates + K-1 joins, every frame keyed and shrinking — no
+    per-user ordered scan anywhere.
+
+    Returns (step, step_name, users, conv_rate) where conv_rate is
+    users / step-1 users rounded to 6dp (NULL if step 1 is empty).
+    One plan, no driver loop: each step frame is pooled-persisted (it
+    feeds both its own count leg and the next step's join)."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    reached = pooled_persist(
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.min(F.col(ts_col)).alias("t"))
+    )
+    frames = [reached]
+    for s in steps[1:]:
+        frames.append(
+            pooled_persist(
+                df.filter(F.col(type_col) == s)
+                .select(
+                    F.col(key_col).alias("key"), F.col(ts_col).alias("_ts")
+                )
+                .join(frames[-1], "key")
+                .filter(F.col("_ts") > F.col("t"))
+                .groupBy("key")
+                .agg(F.min("_ts").alias("t"))
+            )
+        )
+    legs = [
+        f.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            F.col("users"),
+        )
+        for i, f in enumerate(frames)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    base = F.max(F.when(F.col("step") == 1, F.col("users"))).over(
+        Window.partitionBy()
+    )
+    return out.select(
+        "step",
+        "step_name",
+        "users",
+        F.when(
+            base > 0, F.round(F.col("users").cast("double") / base, 6)
+        ).alias("conv_rate"),
+    )
+
+
+def sql_funnel_steps(
+    table: str = "events",
+    steps: Sequence[str] = ("signup", "view", "purchase"),
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``funnel_steps`` — the same chained min-after
+    aggregates, unioned into (step, step_name, users, conv_rate)."""
+    ctes = [
+        f"s1 AS (SELECT {key_col} AS key, min({ts_col}) AS t FROM {table} "
+        f"WHERE ({where}) AND {type_col} = '{steps[0]}' GROUP BY {key_col})"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.{key_col} AS key, min(e.{ts_col}) AS t "
+            f"FROM {table} e JOIN s{i - 1} p ON e.{key_col} = p.key "
+            f"WHERE ({where}) AND e.{type_col} = '{s}' AND e.{ts_col} > p.t "
+            f"GROUP BY e.{key_col})"
+        )
+    legs = []
+    for i, s in enumerate(steps, start=1):
+        legs.append(
+            f"SELECT {i} AS step, '{s}' AS step_name, "
+            f"(SELECT count(*) FROM s{i}) AS users"
+        )
+    return f"""
+    WITH {", ".join(ctes)},
+    cnt AS ({" UNION ALL ".join(legs)})
+    SELECT step, step_name, users,
+        CASE WHEN (SELECT users FROM cnt WHERE step = 1) > 0 THEN
+            round(CAST(users AS DOUBLE)
+                  / (SELECT users FROM cnt WHERE step = 1), 6)
+        ELSE NULL END AS conv_rate
+    FROM cnt
+    """
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    granularity: str = "month",
+) -> DataFrame:
+    """Classic retention matrix: cohort = the user's first-activity
+    period, one output row per (cohort, offset) with the count of
+    cohort users active ``offset`` periods after their first.
+
+    Plan: first-activity aggregate + distinct (user, period) + one
+    equi-join on user; output is calendar x calendar sized. Offsets use
+    exact period arithmetic (months_between on truncated months is
+    integral), so both engines bucket identically.
+
+    Returns (cohort, offset_periods, n_users); offset 0 row counts the
+    cohort size."""
+    period = F.date_trunc(granularity, F.col(ts_col))
+    firsts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.min(period).alias("cohort")
+    )
+    active = df.select(
+        F.col(key_col).alias("key"), period.alias("p")
+    ).distinct()
+    if granularity == "month":
+        off = F.months_between(F.col("p"), F.col("cohort")).cast("int")
+    elif granularity == "week":
+        off = (F.datediff(F.col("p"), F.col("cohort")) / 7).cast("int")
+    elif granularity == "day":
+        off = F.datediff(F.col("p"), F.col("cohort")).cast("int")
+    else:
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    return (
+        active.join(firsts, "key")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort"),
+            off.alias("offset_periods"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def sql_retention_cohorts(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    granularity: str = "month",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``retention_cohorts`` (datediff per-period ==
+    months_between/datediff on truncated periods)."""
+    unit = {"month": "month", "week": "week", "day": "day"}[granularity]
+    if granularity == "week":
+        off = "CAST(datediff('day', cohort, p) / 7 AS INT)"
+    elif granularity == "day":
+        off = "datediff('day', cohort, p)"
+    else:
+        off = f"datediff('{unit}', cohort, p)"
+    return f"""
+    WITH firsts AS (
+        SELECT {key_col} AS key,
+            min(date_trunc('{granularity}', {ts_col})) AS cohort
+        FROM {table} WHERE {where} GROUP BY {key_col}
+    ), active AS (
+        SELECT DISTINCT {key_col} AS key,
+            date_trunc('{granularity}', {ts_col}) AS p
+        FROM {table} WHERE {where}
+    )
+    SELECT CAST(cohort AS DATE) AS cohort, {off} AS offset_periods,
+        CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN firsts USING (key)
+    GROUP BY 1, 2
+    """
+
+
+def scd2_history(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of an attribute: one
+    versioned row per consecutive RUN of equal attribute values per key,
+    with [valid_from, valid_to) validity and an is_current flag on the
+    open-ended last run.
+
+    Plan: one per-key lag window marks change points (value differs
+    from the previous row's), then a second window over the CHANGE ROWS
+    ONLY assigns version numbers and leads the next change's timestamp
+    into valid_to — the second window's input is runs, not rows.
+    Deterministic under the (ts, id)-unique contract.
+
+    Returns (key, attr, version, valid_from, valid_to, is_current)."""
+    w2 = Window.partitionBy("key").orderBy(F.col("ts"), F.col("id"))
+    changed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(attr_col).alias("attr"),
+        )
+        .withColumn("_prev", F.lag("attr").over(w2))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("attr")))
+    )
+    return changed.select(
+        "key",
+        "attr",
+        F.row_number().over(w2).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def sql_scd2_history(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``scd2_history`` — identical lag/filter/lead
+    windows."""
+    return f"""
+    WITH marked AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            {attr_col} AS attr,
+            lag({attr_col}) OVER (PARTITION BY {key_col}
+                                  ORDER BY {ts_col}, {id_col}) AS prev
+        FROM {table} WHERE {where}
+    ), runs AS (
+        SELECT key, ts, id, attr FROM marked
+        WHERE prev IS NULL OR prev <> attr
+    )
+    SELECT key, attr,
+        CAST(row_number() OVER w AS INT) AS version,
+        ts AS valid_from,
+        lead(ts) OVER w AS valid_to,
+        lead(ts) OVER w IS NULL AS is_current
+    FROM runs
+    WINDOW w AS (PARTITION BY key ORDER BY ts, id)
+    """

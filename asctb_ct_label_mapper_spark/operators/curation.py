@@ -727,6 +727,71 @@ def sql_weighted_sample(
     """
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform sample of ``k_per_stratum`` rows from EACH
+    stratum — the per-group twin of ``priority_sample``: within a
+    stratum, the k rows with the smallest md5(id) priority win, so
+    membership is a pure function of (stratum, id), reproducible across
+    runs/partitionings/engines, and EXACTLY mergeable per stratum
+    (bottom-k of a union == bottom-k of the slices' bottom-ks).
+
+    Plan: one narrow hash projection + a stratum-partitioned rank
+    window — parallel across strata, spillable within one; no global
+    sort, no collect. NULL ids excluded on both engines (their NULL
+    priority sorts opposite ways).
+
+    Returns (stratum, id, pr, rk) for the sampled rows."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_hash60
+
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(id_col).alias("id"),
+            kmv_hash60(F.col(id_col)).alias("_pr"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(
+                    F.col("_pr").asc(), F.col("id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k_per_stratum)
+        .select("stratum", "id", F.col("_pr").alias("pr"), "rk")
+    )
+
+
+def sql_stratified_sample(
+    table: str = "events",
+    stratum_col: str = "event_type",
+    k_per_stratum: int = 20,
+    id_col: str = "event_id",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``stratified_sample`` (same md5-int priority,
+    same (priority, id) tie-break)."""
+    pr = (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    return f"""
+    SELECT stratum, id, pr, rk FROM (
+        SELECT {stratum_col} AS stratum, {id_col} AS id, {pr} AS pr,
+            CAST(row_number() OVER (PARTITION BY {stratum_col}
+                 ORDER BY {pr} ASC, {id_col} ASC) AS INT) AS rk
+        FROM {table}
+        WHERE ({where}) AND {id_col} IS NOT NULL
+    ) WHERE rk <= {k_per_stratum}
+    """
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int = 64,

@@ -60,3 +60,58 @@ def range_join(
         (F.col(start_ts) <= F.col(point_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.select(*points.columns, *iv_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "10 minutes",
+) -> DataFrame:
+    """Inner join of overlapping INTERVAL pairs (inclusive ends:
+    ``l.start <= r.end AND r.start <= l.end``), keyed by ``key_cols`` —
+    the interval-x-interval generalization of ``range_join``, still a
+    plain hash EQUI-join.
+
+    Both sides explode to the buckets they cover, so an overlapping
+    pair meets in EVERY shared bucket; instead of a post-join distinct,
+    each pair is kept only in its canonical first shared bucket
+    (``_b == greatest(bucket(l.start), bucket(r.start))`` — the overlap
+    of two intervals starts at the later start, so that bucket is
+    always shared). Zero dedup shuffle; expansion is ceil(len/bucket)+1
+    per interval per side.
+
+    Returns all left columns plus the right's non-key columns (caller
+    aliases collisions first)."""
+    key_cols = list(key_cols)
+    overlap = [c for c in right.columns if c in left.columns and c not in key_cols]
+    if overlap:
+        raise ValueError(
+            f"alias right columns colliding with left: {overlap}"
+        )
+    bucket_us = F.expr(f"INTERVAL {bucket}").cast("long") * F.lit(1_000_000)
+
+    def to_bucket(ts_col: str):
+        return F.floor(F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
+
+    lv = left.withColumn(
+        "_b", F.explode(F.sequence(to_bucket(left_start), to_bucket(left_end)))
+    )
+    rv = right.withColumn(
+        "_b",
+        F.explode(F.sequence(to_bucket(right_start), to_bucket(right_end))),
+    )
+    r_cols = [c for c in right.columns if c not in key_cols]
+    joined = lv.join(rv, [*key_cols, "_b"]).filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (
+            F.col("_b")
+            == F.greatest(to_bucket(left_start), to_bucket(right_start))
+        )
+    )
+    return joined.select(*left.columns, *r_cols)

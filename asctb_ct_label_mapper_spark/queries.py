@@ -5946,3 +5946,142 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["marker_value"],
         direction="forward",
     )
+
+
+# --- round 9: behavioral analytics / interval overlap / stratified sample ---
+
+
+def _funnel_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_funnel_steps,
+    )
+
+    return sql_funnel_steps("events", ("signup", "view", "purchase"))
+
+
+@query("funnel_signup_purchase", _funnel_oracle())
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel signup -> view -> purchase (behavior.funnel_steps):
+    K chained min-after aggregates + equi-joins, no per-user sort or
+    window — each step's frame shrinks to the users that reached it.
+    One plan (pooled persists), counts unioned with the conversion rate
+    derived in-plan."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+def _retention_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_retention_cohorts,
+    )
+
+    return sql_retention_cohorts("events", granularity="day")
+
+
+@query("retention_daily_cohorts", _retention_oracle())
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix by daily cohort (behavior.retention_cohorts):
+    first-activity aggregate + distinct (user, day) + one equi-join on
+    user; output is calendar x calendar sized. Offsets via exact
+    day arithmetic on truncated periods, identical on both engines."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), granularity="day")
+
+
+def _scd2_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_scd2_history,
+    )
+
+    return sql_scd2_history("events")
+
+
+@query("scd2_user_status", _scd2_oracle())
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 attribute history (behavior.scd2_history): one versioned row
+    per consecutive run of equal event_type per user, with
+    [valid_from, valid_to) validity and is_current on the open run —
+    lag marks change points, then lead/row_number run over the CHANGE
+    ROWS only. Deterministic under the (ts, id)-unique contract."""
+    from asctb_ct_label_mapper_spark.operators.behavior import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "j_interval_overlap",
+    """
+    WITH e AS (
+        SELECT user_id, event_id AS err_id, ts AS e_start,
+               ts + INTERVAL 1 HOUR AS e_end
+        FROM events WHERE event_type = 'error'
+    ), p AS (
+        SELECT user_id, event_id AS pur_id, ts AS p_start,
+               ts + INTERVAL 1 HOUR AS p_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.user_id, err_id, e_start, e_end, pur_id, p_start, p_end
+    FROM e JOIN p ON e.user_id = p.user_id
+        AND e_start <= p_end AND p_start <= e_end
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval OVERLAP join (rangejoin.interval_overlap_join):
+    per-user 1-hour error windows against 1-hour purchase windows. Both
+    sides explode to covered time buckets and meet in a hash EQUI-join;
+    each pair is kept only in its canonical first shared bucket (the
+    later interval's start bucket), so there is no post-join dedup and
+    never a theta/nested-loop plan. Oracle is DuckDB's native
+    inequality join."""
+    from asctb_ct_label_mapper_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    errs = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + hour).alias("e_end"),
+    )
+    purs = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pur_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + hour).alias("p_end"),
+    )
+    return interval_overlap_join(
+        errs, purs, ["user_id"], "e_start", "e_end", "p_start", "p_end",
+        bucket="1 hour",
+    )
+
+
+def _strat_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_stratified_sample,
+    )
+
+    return sql_stratified_sample("events")
+
+
+@query("stratified_sample_events", _strat_oracle())
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (curation.stratified_sample): the
+    20 smallest-md5-priority events per event_type — membership is a
+    pure function of (stratum, id), exactly mergeable per stratum, one
+    narrow hash + a stratum-partitioned rank window (parallel across
+    strata, no global sort)."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _t(spark, sf_dir, "events"), "event_type", 20, "event_id"
+    )

@@ -212,6 +212,11 @@ BENCH_QUERIES = [
     # r9
     "j_asof_bucketed",
     "holt_winters_classical_users",
+    "funnel_signup_purchase",
+    "retention_daily_cohorts",
+    "scd2_user_status",
+    "j_interval_overlap",
+    "stratified_sample_events",
 ]
 
 

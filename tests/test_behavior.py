@@ -1,0 +1,148 @@
+"""Behavioral analytics operators (funnel, retention, SCD2) plus the
+interval-overlap join and stratified sampler — hand-computable fixtures
+with the boundary cases that matter (out-of-order funnel events,
+multi-bucket overlap dedup, inclusive endpoints, per-stratum bounds)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def d(day: int, hour: int = 0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_funnel_requires_strict_order(spark):
+    """User 1 completes signup->view->purchase in order; user 2 viewed
+    BEFORE signing up (view must not count) and never purchased; user 3
+    only signed up. Conversion rates are vs step 1."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    rows = [
+        (1, d(1), 1, "signup"), (2, d(2), 1, "view"), (3, d(3), 1, "purchase"),
+        (4, d(2), 2, "signup"), (5, d(1), 2, "view"),
+        (6, d(1), 3, "signup"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["step"]: r for r in
+           funnel_steps(df, ["signup", "view", "purchase"]).collect()}
+    assert got[1]["users"] == 3 and got[1]["conv_rate"] == 1.0
+    assert got[2]["users"] == 1 and abs(got[2]["conv_rate"] - 1 / 3) < 1e-6
+    assert got[3]["users"] == 1
+    assert got[2]["step_name"] == "view"
+
+
+def test_funnel_strictly_after_not_equal(spark):
+    """An event at EXACTLY the previous step's time does not advance the
+    funnel (strictly-after semantics)."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    rows = [(1, d(1), 1, "signup"), (2, d(1), 1, "view")]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["step"]: r["users"] for r in
+           funnel_steps(df, ["signup", "view"]).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_retention_cohorts_day(spark):
+    """u1 first active day 1, also active day 3 (offset 2); u2 first
+    active day 3 only. Offset-0 rows count cohort sizes; duplicate
+    activity in one period counts once."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, d(1, 1), 1, "x"), (2, d(1, 5), 1, "x"), (3, d(3), 1, "x"),
+        (4, d(3), 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {(str(r["cohort"]), r["offset_periods"]): r["n_users"]
+           for r in retention_cohorts(df, granularity="day").collect()}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_scd2_history_runs_and_current_flag(spark):
+    """Consecutive equal values collapse to one version; the last run is
+    open-ended (valid_to NULL, is_current); versions are 1-based in
+    (ts, id) order."""
+    from asctb_ct_label_mapper_spark.operators.behavior import scd2_history
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(2), 1, "a"), (3, d(3), 1, "b"),
+        (4, d(4), 1, "a"),
+        (5, d(2), 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {(r["key"], r["version"]): r for r in scd2_history(df).collect()}
+    assert len(got) == 4
+    r11 = got[(1, 1)]
+    assert r11["attr"] == "a" and str(r11["valid_from"])[:10] == "2024-01-01"
+    assert str(r11["valid_to"])[:10] == "2024-01-03" and not r11["is_current"]
+    r13 = got[(1, 3)]
+    assert r13["attr"] == "a" and r13["is_current"] and r13["valid_to"] is None
+    assert got[(2, 1)]["is_current"]
+
+
+def test_interval_overlap_join_dedups_and_includes_touching(spark):
+    """A pair overlapping across MANY buckets appears once (canonical
+    first-shared-bucket keep); intervals touching exactly at an endpoint
+    match (inclusive); disjoint intervals and different keys don't."""
+    from asctb_ct_label_mapper_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, d(1, 0), d(1, 9)),   # long: spans many 10-min buckets
+            (1, 11, d(2, 0), d(2, 1)),
+            (2, 12, d(1, 0), d(1, 1)),   # other key
+        ],
+        "user_id long, lid long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, d(1, 5), d(1, 12)),  # overlaps lid=10 over 4 hours
+            (1, 21, d(1, 9), d(1, 10)),  # touches lid=10 at 09:00 exactly
+            (1, 22, d(3, 0), d(3, 1)),   # disjoint
+        ],
+        "user_id long, rid long, r_start timestamp, r_end timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, ["user_id"],
+            "l_start", "l_end", "r_start", "r_end", bucket="10 minutes",
+        ).collect()
+    )
+    assert got == [(10, 20), (10, 21)]
+
+
+def test_stratified_sample_bounds_and_partition_invariance(spark):
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, d(1 + i % 28), i % 7, ["a", "b", "c"][i % 3])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = stratified_sample(df, "event_type", 5, "event_id").collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append((r["rk"], r["id"]))
+    assert set(by_stratum) == {"a", "b", "c"}
+    for s, picked in by_stratum.items():
+        assert len(picked) == 5
+        assert sorted(rk for rk, _ in picked) == [1, 2, 3, 4, 5]
+    again = stratified_sample(
+        df.repartition(13), "event_type", 5, "event_id"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
