@@ -466,3 +466,112 @@ def sql_kmv_estimate_by(
               END, 4) AS distinct_estimate
     FROM agg
     """
+
+
+def kmv_set_ops(
+    df_a: DataFrame, df_b: DataFrame, item_col: str, k: int = 256
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches — union, Jaccard,
+    and intersection cardinality WITHOUT touching the raw sets again:
+
+        J  ~= |{h in bottomk(A u B) : h in skA and h in skB}| / |kept|
+        |A u B| from the union sketch's kth min (the usual estimator)
+        |A n B| ~= J * |A u B|
+
+    Sound because the union sketch's kth min <= each side's kth min, so
+    every union-sketch member that belongs to A (or B) is inside that
+    side's bottom-k — membership tests against the k-row sketch tables
+    are exact. Everything after the two sketch builds is k-row-sized:
+    two broadcastable joins + one aggregate; the sketches themselves
+    are the mergeable state (ship them, not the sets).
+
+    Returns one row (n_union_kept, shared, union_est, jaccard_est,
+    intersection_est) — deterministic md5 arithmetic, so the raw
+    doubles hash-match the SQL replay."""
+    ska = kmv_sketch(df_a, item_col, k).withColumnRenamed("h", "ha")
+    skb = kmv_sketch(df_b, item_col, k).withColumnRenamed("h", "hb")
+    un = kmv_merge(
+        ska.select(F.col("ha").alias("h")).union(
+            skb.select(F.col("hb").alias("h"))
+        ),
+        k,
+    )
+    marked = (
+        un.join(F.broadcast(ska), un["h"] == ska["ha"], "left")
+        .join(F.broadcast(skb), un["h"] == skb["hb"], "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("_both"),
+        )
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(F.col("_both").cast("long")).alias("shared"),
+        F.max("h").alias("_hk"),
+    )
+    union_est = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("_hk").cast("double")
+    )
+    jac = F.col("shared").cast("double") / F.col("n_union_kept").cast("double")
+    return agg.select(
+        "n_union_kept",
+        "shared",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
+    )
+
+
+def sql_kmv_set_ops(
+    table: str,
+    item_expr: str,
+    where_a: str,
+    where_b: str,
+    k: int = 256,
+) -> str:
+    """DuckDB replay of ``kmv_set_ops`` (same md5 prefix hash, same
+    bottom-k cuts, same estimator arithmetic before the shared
+    rounds)."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({item_expr} AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH ska AS (
+        SELECT DISTINCT {h} AS h FROM {table}
+        WHERE ({where_a}) AND {item_expr} IS NOT NULL
+        ORDER BY h LIMIT {k}
+    ), skb AS (
+        SELECT DISTINCT {h} AS h FROM {table}
+        WHERE ({where_b}) AND {item_expr} IS NOT NULL
+        ORDER BY h LIMIT {k}
+    ), un AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM ska UNION ALL SELECT h FROM skb
+        ) ORDER BY h LIMIT {k}
+    ), marked AS (
+        SELECT un.h,
+            (a.h IS NOT NULL AND b.h IS NOT NULL) AS both_in
+        FROM un
+        LEFT JOIN ska a ON un.h = a.h
+        LEFT JOIN skb b ON un.h = b.h
+    ), agg AS (
+        SELECT count(*) AS n_union_kept,
+            CAST(sum(CASE WHEN both_in THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+            max(h) AS hk
+        FROM marked
+    )
+    SELECT n_union_kept, shared,
+        round(CASE WHEN n_union_kept < {k} THEN CAST(n_union_kept AS DOUBLE)
+              ELSE {float(k - 1)} * {_KMV_DOMAIN} / CAST(hk AS DOUBLE)
+              END, 4) AS union_est,
+        round(CAST(shared AS DOUBLE) / CAST(n_union_kept AS DOUBLE), 6)
+            AS jaccard_est,
+        round(CAST(shared AS DOUBLE) / CAST(n_union_kept AS DOUBLE)
+              * CASE WHEN n_union_kept < {k} THEN CAST(n_union_kept AS DOUBLE)
+                ELSE {float(k - 1)} * {_KMV_DOMAIN} / CAST(hk AS DOUBLE)
+                END, 4) AS intersection_est
+    FROM agg
+    """

@@ -1232,3 +1232,80 @@ def sql_vocab_growth(
     WINDOW w AS (ORDER BY t.shard ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
     """
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: least-squares
+    slope/intercept of ln(freq) against ln(rank) for the ``top_n`` most
+    frequent whitespace tokens (a healthy natural-language corpus sits
+    near slope -1; synthetic or template-heavy corpora flatten — a cheap
+    corpus-health gate next to the Heaps-law curve).
+
+    Plan: one token explode + combinable count, a TakeOrderedAndProject
+    top-n cut (deterministic (count desc, token asc) order), then a
+    single window + regression over the PARAMETER-sized top-n frame and
+    one closed-form aggregate — nothing data-sized past the count.
+
+    Returns one row (n_ranks, slope, intercept), 6dp (the sums' partition
+    order differs across engines at the last ulp)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(top_n)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def sql_zipf_fit(
+    table: str = "documents", text_col: str = "text", top_n: int = 1000
+) -> str:
+    """DuckDB replay of ``zipf_fit`` (same tokenizer, same deterministic
+    top-n cut, same closed-form regression)."""
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table}
+    ), counts AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), top AS (
+        SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT {top_n}
+    ), ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM top
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+            AS intercept
+    FROM agg
+    """

@@ -485,6 +485,194 @@ def sql_ewma_by_key(
     """
 
 
+# --- CUSUM change detection (max-plus segmented scan) ------------------------
+
+
+def _cusum_compose(acc, x):
+    """Compose two CUSUM maps in the (max, +) semiring. A map is the
+    4-tuple (A, B, C, D) representing, over a segment of elements,
+
+        s' = max(A, s + B)          (the CUSUM state after the segment)
+        m' = max(m, C, s + D)       (the running max over the segment)
+
+    Per-element map for deviation b = x - drift: (0, b, 0, b) — i.e.
+    s' = max(0, s + b), m' = max(m, s'). The family is CLOSED under
+    composition (earlier = acc, later = x):
+
+        A' = max(x.A, acc.A + x.B)      B' = acc.B + x.B
+        C' = max(acc.C, x.C, acc.A + x.D)  D' = max(acc.D, acc.B + x.D)
+
+    max/+ on doubles are exact and order-insensitive, so the oracle's
+    list-accumulator fold reproduces the raw doubles bit-for-bit."""
+    return F.struct(
+        F.greatest(x.getField("ca"), acc.getField("ca") + x.getField("cb")).alias("ca"),
+        (acc.getField("cb") + x.getField("cb")).alias("cb"),
+        F.greatest(
+            acc.getField("cc"),
+            x.getField("cc"),
+            acc.getField("ca") + x.getField("cd"),
+        ).alias("cc"),
+        F.greatest(
+            acc.getField("cd"), acc.getField("cb") + x.getField("cd")
+        ).alias("cd"),
+    )
+
+
+_CUSUM_FIELDS = ("ca", "cb", "cc", "cd")
+
+
+def cusum_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    drift: float = 0.0,
+    threshold: float | None = None,
+    bucket: str = "month",
+) -> DataFrame:
+    """One-sided CUSUM change detector per key: s_0 = 0,
+    s_t = max(0, s_{t-1} + (x_t - drift)) over (ts, id) order, plus the
+    running max of s — the classic upward-shift alarm statistic.
+
+    The recurrence is NOT linear in (+, *) but it IS affine in the
+    (max, +) semiring, so the exact same two-phase segmented scan the
+    EWMA/Holt family uses applies: per-(key, bucket) folds of the
+    4-parameter max-plus maps (see ``_cusum_compose``), then a
+    dimension-sized per-key carry. No keyed window, no unbounded state;
+    hot keys split across buckets. Unlike the (+, *) recurrences the
+    zero initial state needs no absorbing first element — every element
+    map already clamps at 0.
+
+    Returns (key, n_obs, cusum_final, cusum_max[, alarm]) — alarm
+    (cusum_max > threshold) only when ``threshold`` is given. Raw
+    doubles: max/+ make engine and oracle bit-identical."""
+    b = F.col("v") - F.lit(float(drift))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bk"),
+    ).select(
+        "key",
+        "bk",
+        "ts",
+        "id",
+        F.lit(0.0).alias("ca"),
+        b.alias("cb"),
+        F.lit(0.0).alias("cc"),
+        b.alias("cd"),
+    )
+
+    def fold(maps):
+        return F.aggregate(
+            F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+            F.element_at(maps, 1),
+            _cusum_compose,
+        )
+
+    per_bucket = base.groupBy("key", "bk").agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "id", *_CUSUM_FIELDS))
+                ),
+                lambda s: F.struct(
+                    *[s.getField(f).alias(f) for f in _CUSUM_FIELDS]
+                ),
+            )
+        ).alias("p"),
+    )
+    per_key = per_bucket.groupBy("key").agg(
+        F.sum("n").alias("n_obs"),
+        fold(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bk"),
+                            *[
+                                F.col("p").getField(f).alias(f)
+                                for f in _CUSUM_FIELDS
+                            ],
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    *[s.getField(f).alias(f) for f in _CUSUM_FIELDS]
+                ),
+            )
+        ).alias("p"),
+    )
+    final = F.greatest(
+        F.col("p").getField("ca"), F.col("p").getField("cb")
+    )
+    cmax = F.greatest(F.col("p").getField("cc"), F.col("p").getField("cd"))
+    cols = [
+        F.col("key"),
+        F.col("n_obs"),
+        final.alias("cusum_final"),
+        cmax.alias("cusum_max"),
+    ]
+    if threshold is not None:
+        cols.append((cmax > F.lit(float(threshold))).alias("alarm"))
+    return per_key.select(*cols)
+
+
+def sql_cusum_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    drift: float = 0.0,
+    threshold: float | None = None,
+    where: str = "1=1",
+    bucket: str = "month",
+) -> str:
+    """DuckDB replay of ``cusum_by_key`` — the same max-plus fold with a
+    LIST accumulator [A, B, C, D] (a struct_pack accumulator would alias
+    earlier fields into later reads: C' reads acc.A after A was already
+    overwritten)."""
+    comp = (
+        "(acc, x) -> ["
+        "greatest(x[1], acc[1] + x[2]), "
+        "acc[2] + x[2], "
+        "greatest(acc[3], x[3], acc[1] + x[4]), "
+        "greatest(acc[4], acc[2] + x[4])]"
+    )
+    alarm = (
+        f", greatest(p[3], p[4]) > {float(threshold)} AS alarm"
+        if threshold is not None
+        else ""
+    )
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+            date_trunc('{bucket}', {ts_col}) AS bk,
+            CAST(0.0 AS DOUBLE) AS ca,
+            CAST({value_col} AS DOUBLE) - {float(drift)} AS cb,
+            CAST(0.0 AS DOUBLE) AS cc,
+            CAST({value_col} AS DOUBLE) - {float(drift)} AS cd
+        FROM {table} WHERE {where}
+    ), per_bucket AS (
+        SELECT key, bk, count(*) AS n,
+            list_reduce(list([ca, cb, cc, cd] ORDER BY ts, id), {comp}) AS p
+        FROM base GROUP BY key, bk
+    ), per_key AS (
+        SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+            list_reduce(list(p ORDER BY bk), {comp}) AS p
+        FROM per_bucket GROUP BY key
+    )
+    SELECT key, n_obs,
+        greatest(p[1], p[2]) AS cusum_final,
+        greatest(p[3], p[4]) AS cusum_max{alarm}
+    FROM per_key
+    """
+
+
 # --- ID-gap detection --------------------------------------------------------
 
 

@@ -6085,3 +6085,90 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         _t(spark, sf_dir, "events"), "event_type", 20, "event_id"
     )
+
+
+def _cusum_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_cusum_by_key,
+    )
+
+    return sql_cusum_by_key(
+        "events", drift=55.0, threshold=100.0,
+        where="event_type = 'purchase'",
+    )
+
+
+@query("cusum_purchase_values", _cusum_oracle())
+def cusum_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-shift detector per user (timeseries.cusum_by_key):
+    s_t = max(0, s_{t-1} + (x_t - drift)) plus its running max and an
+    alarm flag. The recurrence is affine in the (max, +) semiring, so
+    the same two-phase segmented scan as EWMA/Holt applies with a
+    closed 4-parameter map — max/+ are exact, raw doubles hash-match
+    the list-accumulator DuckDB fold bit-for-bit."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import cusum_by_key
+
+    return cusum_by_key(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase"),
+        drift=55.0,
+        threshold=100.0,
+    )
+
+
+def _kmv_setops_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_kmv_set_ops,
+    )
+
+    item = (
+        "concat_ws('#', user_id, "
+        "CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))"
+    )
+    return sql_kmv_set_ops(
+        "events",
+        item,
+        where_a="event_type = 'view'",
+        where_b="event_type = 'purchase'",
+    )
+
+
+@query("kmv_setops_user_days", _kmv_setops_oracle())
+def kmv_setops_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (sketches.kmv_set_ops): Jaccard /
+    union / intersection of the view-activity vs purchase-activity
+    (user, day) sets, computed ONLY from the two k-row sketches (the
+    union sketch's kth min bounds both sides' kth mins, so membership
+    against the sketch tables is exact). Everything past the sketch
+    builds is k-row-sized and broadcastable."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            "#",
+            F.col("user_id"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+        ).alias("item"),
+    )
+    return kmv_set_ops(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "item",
+    )
+
+
+def _zipf_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_zipf_fit
+
+    return sql_zipf_fit("documents")
+
+
+@query("zipf_fit_docs", _zipf_oracle())
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope/intercept over the corpus frequency spectrum
+    (textstats.zipf_fit): token count + deterministic top-n cut + a
+    closed-form least-squares over the parameter-sized rank frame —
+    the corpus-health gate next to the Heaps-law vocabulary curve."""
+    from asctb_ct_label_mapper_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))

@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "scd2_user_status",
     "j_interval_overlap",
     "stratified_sample_events",
+    "cusum_purchase_values",
+    "kmv_setops_user_days",
+    "zipf_fit_docs",
 ]
 
 

@@ -461,3 +461,32 @@ def test_kmv_sketch_by_per_group_state_and_exact_small_groups(spark):
     # group a has 10 distinct > k=8 -> estimator path, sane range
     assert per["a"]["n_kept"] == 8
     assert 2 < per["a"]["distinct_estimate"] < 60
+
+
+def test_kmv_set_ops_exact_when_under_k(spark):
+    """Below k everything is exact: union/intersection estimates equal
+    the true set sizes and Jaccard is the true ratio."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(40)], "item string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(20, 70)], "item string")
+    [r] = kmv_set_ops(a, b, "item", k=256).collect()
+    assert r["n_union_kept"] == 70 and r["shared"] == 20
+    assert r["union_est"] == 70.0
+    assert abs(r["jaccard_est"] - 20 / 70) < 1e-6
+    assert abs(r["intersection_est"] - 20.0) < 1e-6
+
+
+def test_kmv_set_ops_estimates_within_tolerance(spark):
+    """Above k the estimates track the true cardinalities (k=128 over
+    3000-element sets with a known 1000-element overlap)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(3000)], "item string")
+    b = spark.createDataFrame(
+        [(f"v{i}",) for i in range(2000, 5000)], "item string"
+    )
+    [r] = kmv_set_ops(a, b, "item", k=128).collect()
+    assert r["n_union_kept"] == 128
+    assert abs(r["union_est"] - 5000) / 5000 < 0.25
+    assert abs(r["intersection_est"] - 1000) / 1000 < 0.45

@@ -222,3 +222,28 @@ def test_char_entropy_signal(spark):
     assert 3.0 < got[2] < 4.8
     assert got[3] > got[2] > got[1]
     assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """A corpus built with freq(rank) = round(1000 * rank^-1) fits a
+    slope near -1; a perfectly uniform corpus fits slope 0."""
+    from asctb_ct_label_mapper_spark.operators.textstats import zipf_fit
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    docs = [
+        (i, " ".join(words[j] for j in range(i, len(words), 97)))
+        for i in range(97)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [r] = zipf_fit(df, top_n=50).collect()
+    assert r["n_ranks"] == 50
+    assert -1.15 < r["slope"] < -0.85
+
+    flat = spark.createDataFrame(
+        [(i, " ".join(f"u{j}" for j in range(30))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    [rf] = zipf_fit(flat, top_n=30).collect()
+    assert abs(rf["slope"]) < 1e-9

@@ -433,3 +433,33 @@ def test_holt_winters_learns_pure_seasonal_pattern(spark):
     [r] = holt_winters_by_key(df, period=4).collect()
     nxt = _hw_seq(pattern)
     assert abs(r["forecast_1"] - (r["level"] + r["trend"] + nxt[2])) < 1e-9
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The max-plus segmented scan equals the hand-rolled CUSUM exactly
+    (max/+ are exact), across month buckets; all-below-drift series stay
+    at zero; alarm fires on the running max, not the final state."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import cusum_by_key
+
+    xs1 = [10.0, 2.0, 9.0, 8.0, 1.0, 7.5, 9.5]  # drift 5: excursions
+    xs2 = [1.0, 2.0, 3.0]                       # always below drift
+    rows = [
+        (i, datetime(2024, 1 + i // 3, 1 + i), 1, x)
+        for i, x in enumerate(xs1)
+    ] + [(100 + i, d(2 + i), 2, x) for i, x in enumerate(xs2)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["key"]: r for r in
+           cusum_by_key(df, drift=5.0, threshold=8.0).collect()}
+
+    def ref(xs, k):
+        s = m = 0.0
+        for x in xs:
+            s = max(0.0, s + (x - k))
+            m = max(m, s)
+        return s, m
+
+    s1, m1 = ref(xs1, 5.0)
+    assert got[1]["cusum_final"] == s1 and got[1]["cusum_max"] == m1
+    assert got[1]["alarm"] == (m1 > 8.0)
+    assert got[2]["cusum_final"] == 0.0 and got[2]["cusum_max"] == 0.0
+    assert got[2]["alarm"] is False
