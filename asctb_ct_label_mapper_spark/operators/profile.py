@@ -831,3 +831,47 @@ def sql_categorical_association(table: str, col_a: str, col_b: str) -> str:
         CAST(any_value(n) AS BIGINT) AS n_rows
     FROM j
     """
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy gate a training-data release pipeline runs before shipping:
+    a row is at risk when its quasi-identifier group has fewer than
+    ``k`` members. One combinable groupBy + one aggregate over the
+    group-sized frame; nothing data-sized past the first fold.
+
+    Returns one row (n_groups, violating_groups, rows_at_risk,
+    min_group_size, k_anonymous) where k_anonymous is true iff every
+    group has >= k rows."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < k).cast("long")).alias("violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0)
+        ).alias("rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+        (F.min("n") >= k).alias("k_anonymous"),
+    )
+
+
+def sql_k_anonymity_report(
+    table: str, quasi_cols: list[str], k: int = 5, where: str = "1=1"
+) -> str:
+    """DuckDB replay of ``k_anonymity_report``."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+    WITH g AS (
+        SELECT {qc}, count(*) AS n FROM {table} WHERE {where} GROUP BY {qc}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+            AS violating_groups,
+        CAST(coalesce(sum(CASE WHEN n < {k} THEN n END), 0) AS BIGINT)
+            AS rows_at_risk,
+        CAST(min(n) AS BIGINT) AS min_group_size,
+        min(n) >= {k} AS k_anonymous
+    FROM g
+    """

@@ -575,3 +575,112 @@ def sql_kmv_set_ops(
                 END, 4) AS intersection_est
     FROM agg
     """
+
+
+def cm_join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches
+    (AMS/CM inner product): |A join B on v| = sum_v fA(v) * fB(v), and
+    each sketch row's inner product sum_pos cmA[r,p] * cmB[r,p]
+    OVER-estimates it (collisions only add), so min over rows is the
+    one-sided estimate — the classic streaming join-size estimator a
+    planner consults before picking a strategy.
+
+    Scale: each side folds to its depth*width counter table (the only
+    shuffle payload); the product join is counter-table-sized. Absent
+    cells multiply to zero, so the inner join on (row_i, pos) is exact.
+    ``with_exact`` adds the true join size (one aggregate per side +
+    a key-sized join) to document the error envelope.
+
+    Returns one row (join_size_est[, exact_join_size, overestimate])."""
+    ca = countmin_counters(df_a, item_col, depth, width)
+    cb = countmin_counters(df_b, item_col, depth, width).select(
+        F.col("row_i"), F.col("pos"), F.col("c").alias("cb")
+    )
+    ip = (
+        ca.join(cb, ["row_i", "pos"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
+    )
+    est = ip.agg(F.min("ip").alias("join_size_est"))
+    if not with_exact:
+        return est
+    fa = df_a.groupBy(F.col(item_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    fb = df_b.groupBy(F.col(item_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    exact = fa.join(fb, "v").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "exact_join_size",
+        (F.col("join_size_est") - F.col("exact_join_size")).alias(
+            "overestimate"
+        ),
+    )
+
+
+def sql_cm_join_size_estimate(
+    table: str,
+    item_expr: str,
+    where_a: str,
+    where_b: str,
+    depth: int = 4,
+    width: int = 1024,
+    with_exact: bool = False,
+) -> str:
+    """DuckDB replay of ``cm_join_size_estimate`` (same md5-halves hash
+    family, same counter fold, same min-of-inner-products)."""
+
+    def side(name: str, where: str) -> str:
+        return f"""
+    {name}_h AS (
+        SELECT CAST(('0x' || substr(md5(CAST({item_expr} AS VARCHAR)), 1, 8))
+                   AS UBIGINT) AS h1,
+               CAST(('0x' || substr(md5(CAST({item_expr} AS VARCHAR)), 9, 8))
+                   AS UBIGINT) AS h2
+        FROM {table} WHERE {where}
+    ), {name}_cnt AS (
+        SELECT i AS row_i, (h1 + i * h2) % {width} AS pos, count(*) AS c
+        FROM {name}_h, unnest(generate_series(0, {depth - 1})) AS g(i)
+        GROUP BY 1, 2
+    )"""
+
+    exact_sel = ""
+    exact_cte = ""
+    if with_exact:
+        exact_cte = f""",
+    ex AS (
+        SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+            SELECT {item_expr} AS v, count(*) AS na FROM {table}
+            WHERE {where_a} GROUP BY 1
+        ) a JOIN (
+            SELECT {item_expr} AS v, count(*) AS nb FROM {table}
+            WHERE {where_b} GROUP BY 1
+        ) b USING (v)
+    )"""
+        exact_sel = (
+            ", ex.exact_join_size, "
+            "CAST(e.join_size_est - ex.exact_join_size AS BIGINT) "
+            "AS overestimate"
+        )
+    return f"""
+    WITH {side("a", where_a)}, {side("b", where_b)},
+    ip AS (
+        SELECT a_cnt.row_i, CAST(sum(a_cnt.c * b_cnt.c) AS BIGINT) AS ip
+        FROM a_cnt JOIN b_cnt USING (row_i, pos)
+        GROUP BY a_cnt.row_i
+    ),
+    e AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip){exact_cte}
+    SELECT e.join_size_est{exact_sel}
+    FROM e{", ex" if with_exact else ""}
+    """

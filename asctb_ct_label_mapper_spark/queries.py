@@ -6172,3 +6172,65 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.textstats import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _cm_join_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_cm_join_size_estimate,
+    )
+
+    return sql_cm_join_size_estimate(
+        "events",
+        "user_id",
+        where_a="event_type = 'view'",
+        where_b="event_type = 'purchase'",
+        with_exact=True,
+    )
+
+
+@query("cm_join_size_views_purchases", _cm_join_oracle())
+def cm_join_size_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimate from count-min sketches
+    (sketches.cm_join_size_estimate): min over sketch rows of the
+    counter inner product one-sidedly over-estimates
+    |views JOIN purchases ON user_id| — the streaming join-size
+    estimator a planner consults; the exact size rides along to
+    document the error envelope."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        cm_join_size_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    return cm_join_size_estimate(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "item",
+        with_exact=True,
+    )
+
+
+def _kanon_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_k_anonymity_report,
+    )
+
+    return sql_k_anonymity_report(
+        "documents", ["lang", "source", "n_chars"], k=5
+    )
+
+
+@query("k_anonymity_docs", _kanon_oracle())
+def k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (profile.k_anonymity_report) over the
+    (lang, source, n_chars) quasi-identifier combination: group-size
+    fold + one aggregate; reports violating groups, rows at risk, and
+    the k-anonymous verdict — the pre-release privacy gate."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    return k_anonymity_report(
+        _t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"], k=5
+    )

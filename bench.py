@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "cusum_purchase_values",
     "kmv_setops_user_days",
     "zipf_fit_docs",
+    "cm_join_size_views_purchases",
+    "k_anonymity_docs",
 ]
 
 

@@ -335,3 +335,24 @@ def test_categorical_association_independent_vs_dependent(spark):
 
     assert abs(r2["mi_nats"] - math.log(4)) < 1e-6  # H(a) = ln 4
     assert r2["n_cells"] == 4
+
+
+def test_k_anonymity_report_flags_small_groups(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("en", "s1") for _ in range(10)]
+        + [("en", "s2") for _ in range(3)]
+        + [("fr", "s1")]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    [r] = k_anonymity_report(df, ["lang", "source"], k=5).collect()
+    assert r["n_groups"] == 3
+    assert r["violating_groups"] == 2
+    assert r["rows_at_risk"] == 4
+    assert r["min_group_size"] == 1
+    assert r["k_anonymous"] is False
+    [ok] = k_anonymity_report(df, ["lang", "source"], k=1).collect()
+    assert ok["k_anonymous"] is True and ok["rows_at_risk"] == 0

@@ -490,3 +490,26 @@ def test_kmv_set_ops_estimates_within_tolerance(spark):
     assert r["n_union_kept"] == 128
     assert abs(r["union_est"] - 5000) / 5000 < 0.25
     assert abs(r["intersection_est"] - 1000) / 1000 < 0.45
+
+
+def test_cm_join_size_estimate_one_sided(spark):
+    """The inner-product estimate never underestimates the true join
+    size, and is exact when the sketch has no collisions (tiny key
+    space against a wide table)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)], "item string"
+    )  # fA = 10 each over 5 keys
+    b = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(30)], "item string"
+    )  # fB = 3 each over 10 keys (5 shared)
+    [r] = cm_join_size_estimate(a, b, "item", with_exact=True).collect()
+    assert r["exact_join_size"] == 5 * 10 * 3
+    assert r["join_size_est"] >= r["exact_join_size"]
+    assert r["overestimate"] == r["join_size_est"] - r["exact_join_size"]
+    # 15 distinct keys in a 4x1024 sketch: collisions are absent, so the
+    # estimate is exact
+    assert r["join_size_est"] == r["exact_join_size"]
