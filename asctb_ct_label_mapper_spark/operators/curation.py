@@ -727,7 +727,7 @@ def sql_weighted_sample(
     """
 
 
-def stratified_sample(
+def stratified_topk_sample(
     df: DataFrame,
     stratum_col: str,
     k_per_stratum: int = 20,
@@ -768,14 +768,14 @@ def stratified_sample(
     )
 
 
-def sql_stratified_sample(
+def sql_stratified_topk_sample(
     table: str = "events",
     stratum_col: str = "event_type",
     k_per_stratum: int = 20,
     id_col: str = "event_id",
     where: str = "1=1",
 ) -> str:
-    """DuckDB replay of ``stratified_sample`` (same md5-int priority,
+    """DuckDB replay of ``stratified_topk_sample`` (same md5-int priority,
     same (priority, id) tie-break)."""
     pr = (
         f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) "

@@ -97,3 +97,77 @@ def sql_fuzzy_name_pairs(
     FROM cand
     WHERE levenshtein(name_a, name_b) <= {int(max_dist)}
     """
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    actor_col: str,
+    max_group_degree: int | None = None,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Actor co-occurrence counts from a bipartite (group, actor) table
+    — the recommender / collaboration-graph primitive ("users active in
+    the same hour", "authors on the same document"): one row per
+    unordered actor pair with the number of groups they share.
+
+    Plan shape (the set-similarity-join formulation, same family as the
+    n-gram Jaccard dedup): distinct (group, actor) memberships, a
+    SELF-EQUI-JOIN on the group key with ``a1 < a2`` (each unordered
+    pair once), then one combinable count — candidates scale with
+    sum_g degree(g)^2, never |actors|^2.
+
+    The quadratic-per-group term IS the skew risk: ``max_group_degree``
+    (the documented coverage trade, default off so the oracle replay
+    stays exact) drops groups larger than the cap BEFORE the self-join,
+    the standard frequent-item prune of the co-occurrence literature.
+
+    Returns (a1, a2, n_shared) with n_shared >= ``min_shared``."""
+    m = df.select(
+        F.col(group_col).alias("g"), F.col(actor_col).alias("a")
+    ).distinct()
+    if max_group_degree is not None:
+        deg = m.groupBy("g").agg(F.count(F.lit(1)).alias("_deg"))
+        m = (
+            m.join(deg, "g")
+            .filter(F.col("_deg") <= max_group_degree)
+            .drop("_deg")
+        )
+    left = m.select("g", F.col("a").alias("a1"))
+    right = m.select("g", F.col("a").alias("a2"))
+    return (
+        left.join(right, "g")
+        .filter(F.col("a1") < F.col("a2"))
+        .groupBy("a1", "a2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_co_occurrence_pairs(
+    table: str,
+    group_expr: str,
+    actor_col: str,
+    max_group_degree: int | None = None,
+    min_shared: int = 1,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``co_occurrence_pairs`` (same distinct
+    memberships, same degree cap, same a1 < a2 canonicalization)."""
+    cap = ""
+    if max_group_degree is not None:
+        cap = f"""
+    , deg AS (SELECT g, count(*) AS d FROM m GROUP BY g)
+    , mc AS (SELECT m.g, m.a FROM m JOIN deg USING (g)
+             WHERE deg.d <= {max_group_degree})"""
+    src = "mc" if max_group_degree is not None else "m"
+    return f"""
+    WITH m AS (
+        SELECT DISTINCT {group_expr} AS g, {actor_col} AS a
+        FROM {table} WHERE {where}
+    ){cap}
+    SELECT l.a AS a1, r.a AS a2, CAST(count(*) AS BIGINT) AS n_shared
+    FROM {src} l JOIN {src} r ON l.g = r.g AND l.a < r.a
+    GROUP BY l.a, r.a
+    HAVING count(*) >= {min_shared}
+    """

@@ -875,3 +875,89 @@ def sql_k_anonymity_report(
         min(n) >= {k} AS k_anonymous
     FROM g
     """
+
+
+def benford_audit(df: DataFrame, int_col) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality gate
+    (fabricated or truncated numeric columns drift from the log
+    distribution real measurements follow). ``int_col`` is an
+    INTEGER-VALUED column or expression (callers scale decimals first,
+    e.g. ``round(value * 100)``) so the leading digit comes from exact
+    integer rendering — no float log10 boundary hazards between
+    engines.
+
+    One combinable digit-count fold (<= 9 groups) plus a one-row
+    chi-square against the Benford shares. Returns one row per observed
+    digit: (digit, n, share, benford_share, chi2_total) — chi2_total
+    repeated per row so the output stays one flat table."""
+    col = F.col(int_col) if isinstance(int_col, str) else int_col
+    digit = F.substring(F.abs(col.cast("bigint")).cast("string"), 1, 1).cast(
+        "int"
+    )
+    counts = (
+        df.filter(col.isNotNull() & (col.cast("bigint") != 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import math
+
+    bshare = F.element_at(
+        F.array(*[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    share = F.col("n").cast("double") / tot.cast("double")
+    term = (
+        (share - F.col("benford_share"))
+        * (share - F.col("benford_share"))
+        / F.col("benford_share")
+    )
+    base = counts.select(
+        "digit", "n", bshare.alias("benford_share")
+    )
+    with_share = base.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round("benford_share", 6).alias("benford_share"),
+        (term * tot.cast("double")).alias("_chi"),
+    )
+    chi = with_share.agg(F.round(F.sum("_chi"), 6).alias("chi2_total"))
+    return with_share.drop("_chi").crossJoin(chi)
+
+
+def sql_benford_audit(table: str, int_expr: str, where: str = "1=1") -> str:
+    """DuckDB replay of ``benford_audit`` (same integer-rendered leading
+    digit, same chi-square arithmetic)."""
+    import math
+
+    # CAST: a bare decimal literal is DECIMAL in DuckDB and would drag
+    # the share arithmetic through decimal truncation
+    bvals = ", ".join(
+        f"CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)" for d in range(1, 10)
+    )
+    return f"""
+    WITH counts AS (
+        SELECT CAST(substr(CAST(abs(CAST({int_expr} AS BIGINT)) AS VARCHAR),
+                    1, 1) AS INT) AS digit,
+            count(*) AS n
+        FROM {table}
+        WHERE ({where}) AND {int_expr} IS NOT NULL
+            AND CAST({int_expr} AS BIGINT) <> 0
+        GROUP BY 1
+    ), b AS (
+        SELECT digit, n, ([{bvals}])[digit] AS benford_share,
+            CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share_raw,
+            CAST(sum(n) OVER () AS DOUBLE) AS tot
+        FROM counts
+    ), chi AS (
+        SELECT round(sum((share_raw - benford_share)
+                         * (share_raw - benford_share)
+                         / benford_share * tot), 6) AS chi2_total
+        FROM b
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n, round(share_raw, 6) AS share,
+        round(benford_share, 6) AS benford_share, chi.chi2_total
+    FROM b, chi
+    """

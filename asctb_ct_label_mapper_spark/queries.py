@@ -6065,24 +6065,24 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _strat_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.curation import (
-        sql_stratified_sample,
+        sql_stratified_topk_sample,
     )
 
-    return sql_stratified_sample("events")
+    return sql_stratified_topk_sample("events")
 
 
 @query("stratified_sample_events", _strat_oracle())
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sample (curation.stratified_sample): the
+    """Deterministic stratified top-k sample (curation.stratified_topk_sample): the
     20 smallest-md5-priority events per event_type — membership is a
     pure function of (stratum, id), exactly mergeable per stratum, one
     narrow hash + a stratum-partitioned rank window (parallel across
     strata, no global sort)."""
     from asctb_ct_label_mapper_spark.operators.curation import (
-        stratified_sample,
+        stratified_topk_sample,
     )
 
-    return stratified_sample(
+    return stratified_topk_sample(
         _t(spark, sf_dir, "events"), "event_type", 20, "event_id"
     )
 
@@ -6233,4 +6233,68 @@ def k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return k_anonymity_report(
         _t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"], k=5
+    )
+
+
+def _cooc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        sql_co_occurrence_pairs,
+    )
+
+    return sql_co_occurrence_pairs(
+        "events",
+        "date_trunc('hour', ts)",
+        "user_id",
+        max_group_degree=50,
+        min_shared=2,
+        where="event_type = 'error'",
+    )
+
+
+@query("cooccur_error_users", _cooc_oracle())
+def cooccur_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User co-occurrence graph (linkage.co_occurrence_pairs): pairs of
+    users with errors in the same hour, counted across hours — the
+    set-similarity-join formulation (distinct memberships, group-key
+    self-equi-join with a1 < a2, one combinable count) with the
+    documented frequent-group prune (degree cap 50) bounding the
+    per-group quadratic term. Never an actors^2 cross join."""
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        co_occurrence_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return co_occurrence_pairs(
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+        ),
+        "hour",
+        "user_id",
+        max_group_degree=50,
+        min_shared=2,
+    )
+
+
+def _benford_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_benford_audit,
+    )
+
+    return sql_benford_audit(
+        "events", "CAST(round(value * 100) AS BIGINT)"
+    )
+
+
+@query("benford_event_values", _benford_oracle())
+def benford_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (profile.benford_audit) over the event
+    values scaled to integer cents: <= 9-group digit fold + a one-row
+    chi-square vs the Benford shares — the forensic DQ gate. The digit
+    comes from exact integer rendering (no float log10 boundary hazards
+    between engines)."""
+    from asctb_ct_label_mapper_spark.operators.profile import benford_audit
+
+    return benford_audit(
+        _t(spark, sf_dir, "events"),
+        F.round(F.col("value") * 100).cast("bigint"),
     )

@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "zipf_fit_docs",
     "cm_join_size_views_purchases",
     "k_anonymity_docs",
+    "cooccur_error_users",
+    "benford_event_values",
 ]
 
 

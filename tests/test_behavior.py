@@ -126,15 +126,15 @@ def test_interval_overlap_join_dedups_and_includes_touching(spark):
     assert got == [(10, 20), (10, 21)]
 
 
-def test_stratified_sample_bounds_and_partition_invariance(spark):
+def test_stratified_topk_sample_bounds_and_partition_invariance(spark):
     from asctb_ct_label_mapper_spark.operators.curation import (
-        stratified_sample,
+        stratified_topk_sample,
     )
 
     rows = [(i, d(1 + i % 28), i % 7, ["a", "b", "c"][i % 3])
             for i in range(300)]
     df = spark.createDataFrame(rows, EV_SCHEMA)
-    out = stratified_sample(df, "event_type", 5, "event_id").collect()
+    out = stratified_topk_sample(df, "event_type", 5, "event_id").collect()
     by_stratum = {}
     for r in out:
         by_stratum.setdefault(r["stratum"], []).append((r["rk"], r["id"]))
@@ -142,7 +142,7 @@ def test_stratified_sample_bounds_and_partition_invariance(spark):
     for s, picked in by_stratum.items():
         assert len(picked) == 5
         assert sorted(rk for rk, _ in picked) == [1, 2, 3, 4, 5]
-    again = stratified_sample(
+    again = stratified_topk_sample(
         df.repartition(13), "event_type", 5, "event_id"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))

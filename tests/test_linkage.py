@@ -77,3 +77,34 @@ def test_fuzzy_pairs_plan_is_equi_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_co_occurrence_pairs_counts_and_cap(spark):
+    """Pairs are unordered (a1 < a2), counted once per shared group
+    regardless of duplicate memberships; the degree cap drops the hot
+    group entirely; min_shared filters."""
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        co_occurrence_pairs,
+    )
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 2),  # dup membership counts once
+        ("g2", 1), ("g2", 2), ("g2", 3),
+        ("hot", 1), ("hot", 2), ("hot", 3), ("hot", 4), ("hot", 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, a long")
+    got = {
+        (r["a1"], r["a2"]): r["n_shared"]
+        for r in co_occurrence_pairs(
+            df, "g", "a", max_group_degree=4
+        ).collect()
+    }
+    # hot (degree 5) dropped: pairs come from g1 and g2 only
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    high = {
+        (r["a1"], r["a2"]): r["n_shared"]
+        for r in co_occurrence_pairs(
+            df, "g", "a", max_group_degree=4, min_shared=2
+        ).collect()
+    }
+    assert high == {(1, 2): 2}

@@ -356,3 +356,28 @@ def test_k_anonymity_report_flags_small_groups(spark):
     assert r["k_anonymous"] is False
     [ok] = k_anonymity_report(df, ["lang", "source"], k=1).collect()
     assert ok["k_anonymous"] is True and ok["rows_at_risk"] == 0
+
+
+def test_benford_audit_digits_and_chi2(spark):
+    """Leading digits from exact integer rendering; zero and null
+    excluded; shares sum to 1; a perfectly Benford-weighted sample
+    yields chi2 ~ 0."""
+    import math
+
+    from asctb_ct_label_mapper_spark.operators.profile import benford_audit
+
+    rows = []
+    i = 0
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        for _ in range(n):
+            rows.append((i, float(d * 10 + (i % 10))))
+            i += 1
+    rows += [(i + 1, 0.0), (i + 2, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
+    # counts were drawn FROM benford, so the statistic is tiny
+    assert out[1]["chi2_total"] < 1.0
+    assert abs(out[1]["benford_share"] - round(math.log10(2), 6)) < 1e-9
