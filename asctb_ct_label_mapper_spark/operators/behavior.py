@@ -276,3 +276,68 @@ def sql_scd2_history(
     FROM runs
     WINDOW w AS (PARTITION BY key ORDER BY ts, id)
     """
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Sequence mining over event paths: counts of consecutive
+    ``n``-grams of event types per key, pooled across keys — the
+    "what do users do next" primitive (the n=2 case is the Markov
+    transition matrix). Paths never cross keys.
+
+    Plan: n-1 lead windows per key (bounded by per-key event counts),
+    null-filtered so truncated tails emit nothing, then one combinable
+    count. Returns (path, n_paths) with path as 'a>b>c', filtered to
+    ``min_count``."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    pathed = df.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_full"),
+    )
+    return (
+        pathed.filter(F.col("_full"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .filter(F.col("n_paths") >= min_count)
+    )
+
+
+def sql_event_path_ngrams(
+    table: str = "events",
+    n: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 1,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``event_path_ngrams`` (same lead windows, same
+    '>' joining, same truncated-tail exclusion)."""
+    leads = [type_col] + [
+        f"lead({type_col}, {i}) OVER w" for i in range(1, n)
+    ]
+    concat = ", ".join(leads)
+    last = leads[-1]
+    return f"""
+    WITH pathed AS (
+        SELECT concat_ws('>', {concat}) AS path,
+            {last} IS NOT NULL AS full_path
+        FROM {table} WHERE {where}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+    FROM pathed WHERE full_path
+    GROUP BY path
+    HAVING count(*) >= {min_count}
+    """

@@ -1845,3 +1845,177 @@ def sql_holt_winters_classical_by_key(
         p[{aidx(0)}] + p[{aidx(1)}] + p[{aidx(d - 1)}] AS forecast_1
     FROM kc LEFT JOIN per_key USING (key)
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key (the TimescaleDB ``time_weight``
+    semantics, last-observation-carried-forward): each observation
+    holds its value until the next one, so TWA = sum(v_i * dt_i) /
+    sum(dt_i) with dt_i the microseconds to the key's next event; the
+    final observation contributes no duration. Keys with a single
+    event have no duration at all and return NULL.
+
+    Plan: one per-key lead window (partitions bounded by per-key event
+    counts) + a combinable aggregate. Returns (key, n_obs, twa) with
+    twa rounded 6dp (the weighted sums' partition order differs across
+    engines at the last ulp)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    dt = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("double")
+    stepped = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+        dt.alias("dt"),
+    )
+    return stepped.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), 6
+        ).alias("twa"),
+    )
+
+
+def sql_time_weighted_avg(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``time_weighted_avg`` (same lead window, same
+    weighted-sum arithmetic; epoch_us mirrors unix_micros)."""
+    return f"""
+    WITH stepped AS (
+        SELECT {key_col} AS key, CAST({value_col} AS DOUBLE) AS v,
+            CAST(epoch_us(lead({ts_col}) OVER (PARTITION BY {key_col}
+                     ORDER BY {ts_col}, {id_col}))
+                 - epoch_us({ts_col}) AS DOUBLE) AS dt
+        FROM {table} WHERE {where}
+    )
+    SELECT key, count(*) AS n_obs,
+        round(sum(v * dt) / sum(dt), 6) AS twa
+    FROM stepped GROUP BY key
+    """
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    equal-width time bucket keep the FIRST, LAST, MIN-value, and
+    MAX-value points — the lossless-for-pixels reduction every
+    time-series dashboard runs before plotting. One row per
+    (bucket, role); a point filling several roles appears once per
+    role (the M4 contract).
+
+    Plan: the time extent comes from one scalar aggregate joined back
+    by broadcast (in-plan, no driver collect); then ONE combinable
+    min/max-of-struct aggregate per bucket — deterministic tie-breaks
+    via (ts, id) / (v, ts, id) struct ordering. Output is
+    4 x n_buckets rows regardless of input size."""
+    ext = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("_hi"),
+    )
+    based = df.select(
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    ).crossJoin(F.broadcast(ext))
+    b = (
+        (F.col("_us") - F.col("_lo"))
+        * n_buckets
+        / (F.col("_hi") - F.col("_lo") + 1)
+    ).cast("long")
+    per_bucket = based.groupBy(b.alias("bucket")).agg(
+        F.min(F.struct("ts", "id", "v")).alias("_first"),
+        F.max(F.struct("ts", "id", "v")).alias("_last"),
+        F.min(F.struct("v", "ts", "id")).alias("_min"),
+        F.max(F.struct("v", "ts", "id")).alias("_max"),
+    )
+    roles = F.array(
+        F.struct(
+            F.lit("first").alias("role"),
+            F.col("_first.ts").alias("ts"),
+            F.col("_first.v").alias("v"),
+        ),
+        F.struct(
+            F.lit("last").alias("role"),
+            F.col("_last.ts").alias("ts"),
+            F.col("_last.v").alias("v"),
+        ),
+        F.struct(
+            F.lit("vmin").alias("role"),
+            F.col("_min.ts").alias("ts"),
+            F.col("_min.v").alias("v"),
+        ),
+        F.struct(
+            F.lit("vmax").alias("role"),
+            F.col("_max.ts").alias("ts"),
+            F.col("_max.v").alias("v"),
+        ),
+    )
+    return per_bucket.select(
+        "bucket", F.explode(roles).alias("_r")
+    ).select(
+        "bucket",
+        F.col("_r.role").alias("role"),
+        F.col("_r.ts").alias("ts"),
+        F.col("_r.v").alias("v"),
+    )
+
+
+def sql_m4_downsample(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_buckets: int = 100,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``m4_downsample`` — the struct-min/max picks
+    replayed as rn=1 windows with identical (ts, id) / (v, ts, id)
+    orderings."""
+    return f"""
+    WITH ext AS (
+        SELECT min(epoch_us({ts_col})) AS lo, max(epoch_us({ts_col})) AS hi
+        FROM {table} WHERE {where}
+    ), based AS (
+        -- floor before the cast: DuckDB CAST(double AS BIGINT) ROUNDS,
+        -- Spark's .cast('long') truncates
+        SELECT CAST(floor((epoch_us({ts_col}) - lo) * {n_buckets}
+                    / (hi - lo + 1)) AS BIGINT) AS bucket,
+            {ts_col} AS ts, {id_col} AS id,
+            CAST({value_col} AS DOUBLE) AS v
+        FROM {table}, ext WHERE {where}
+    ), ranked AS (
+        SELECT bucket, ts, v,
+            row_number() OVER (PARTITION BY bucket ORDER BY ts, id) AS rf,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY ts DESC, id DESC) AS rl,
+            row_number() OVER (PARTITION BY bucket ORDER BY v, ts, id) AS rmin,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY v DESC, ts DESC, id DESC) AS rmax
+        FROM based
+    )
+    SELECT bucket, 'first' AS role, ts, v FROM ranked WHERE rf = 1
+    UNION ALL
+    SELECT bucket, 'last', ts, v FROM ranked WHERE rl = 1
+    UNION ALL
+    SELECT bucket, 'vmin', ts, v FROM ranked WHERE rmin = 1
+    UNION ALL
+    SELECT bucket, 'vmax', ts, v FROM ranked WHERE rmax = 1
+    """

@@ -6298,3 +6298,69 @@ def benford_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"),
         F.round(F.col("value") * 100).cast("bigint"),
     )
+
+
+def _twa_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_time_weighted_avg,
+    )
+
+    return sql_time_weighted_avg("events", where="event_type = 'purchase'")
+
+
+@query("twa_purchase_values", _twa_oracle())
+def twa_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (timeseries.time_weighted_avg,
+    TimescaleDB time_weight semantics): LOCF durations from one per-key
+    lead window + a combinable weighted-sum aggregate; single-event
+    keys return NULL (no duration)."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    )
+
+
+def _m4_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_m4_downsample,
+    )
+
+    return sql_m4_downsample("events", n_buckets=100)
+
+
+@query("m4_downsample_events", _m4_oracle())
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (timeseries.m4_downsample, VLDB'14):
+    first/last/min/max per equal-width time bucket — output 4 x
+    n_buckets rows at ANY input size; the extent probe is an in-plan
+    broadcast, the picks one combinable struct-min/max aggregate with
+    deterministic tie-breaks the oracle replays as rn=1 windows."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    return m4_downsample(_t(spark, sf_dir, "events"), n_buckets=100)
+
+
+def _paths_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_event_path_ngrams,
+    )
+
+    return sql_event_path_ngrams("events", n=3)
+
+
+@query("event_path_trigrams", _paths_oracle())
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path trigram counts (behavior.event_path_ngrams): per-user
+    consecutive event-type 3-grams pooled across users — sequence
+    mining's first question; two lead windows + one combinable count,
+    truncated tails excluded."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        event_path_ngrams,
+    )
+
+    return event_path_ngrams(_t(spark, sf_dir, "events"), n=3)

@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     "k_anonymity_docs",
     "cooccur_error_users",
     "benford_event_values",
+    "twa_purchase_values",
+    "m4_downsample_events",
+    "event_path_trigrams",
 ]
 
 

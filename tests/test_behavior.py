@@ -146,3 +146,22 @@ def test_stratified_topk_sample_bounds_and_partition_invariance(spark):
         df.repartition(13), "event_type", 5, "event_id"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_event_path_ngrams_per_key_and_truncation(spark):
+    """Paths never cross keys; tails shorter than n emit nothing; the
+    n=2 flavor is the Markov transition count."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        event_path_ngrams,
+    )
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(2), 1, "b"), (3, d(3), 1, "c"),
+        (4, d(4), 1, "b"),
+        (5, d(1), 2, "c"),  # singleton key: no trigrams, no bigrams
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    tri = {r["path"]: r["n_paths"] for r in event_path_ngrams(df, n=3).collect()}
+    assert tri == {"a>b>c": 1, "b>c>b": 1}
+    bi = {r["path"]: r["n_paths"] for r in event_path_ngrams(df, n=2).collect()}
+    assert bi == {"a>b": 1, "b>c": 1, "c>b": 1}

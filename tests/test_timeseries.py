@@ -463,3 +463,45 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert got[1]["alarm"] == (m1 > 8.0)
     assert got[2]["cusum_final"] == 0.0 and got[2]["cusum_max"] == 0.0
     assert got[2]["alarm"] is False
+
+
+def test_time_weighted_avg_locf(spark):
+    """TWA weights each value by its holding duration; the last point
+    contributes none; single-event keys yield NULL."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, d(1, 0), 1, 10.0),   # holds 1h
+        (2, d(1, 1), 1, 20.0),   # holds 3h
+        (3, d(1, 4), 1, 99.0),   # last: no duration
+        (4, d(2), 2, 5.0),       # singleton
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["key"]: r for r in time_weighted_avg(df).collect()}
+    assert got[1]["twa"] == round((10.0 * 1 + 20.0 * 3) / 4, 6)
+    assert got[1]["n_obs"] == 3
+    assert got[2]["twa"] is None and got[2]["n_obs"] == 1
+
+
+def test_m4_downsample_roles(spark):
+    """Each bucket emits exactly first/last/vmin/vmax with deterministic
+    tie-breaks; output is 4 x occupied buckets."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    rows = [
+        (1, d(1, 0), 1, 5.0), (2, d(1, 1), 1, 50.0), (3, d(1, 2), 1, 1.0),
+        (4, d(1, 3), 1, 9.0),
+        (5, d(9, 0), 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = m4_downsample(df, n_buckets=2).collect()
+    assert len(out) == 8
+    b0 = {r["role"]: r for r in out if r["bucket"] == 0}
+    assert b0["first"]["v"] == 5.0 and b0["last"]["v"] == 9.0
+    assert b0["vmin"]["v"] == 1.0 and b0["vmax"]["v"] == 50.0
+    b1 = {r["role"]: r for r in out if r["bucket"] == 1}
+    assert all(b1[role]["v"] == 7.0 for role in ("first", "last", "vmin", "vmax"))
