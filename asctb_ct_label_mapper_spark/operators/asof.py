@@ -19,8 +19,8 @@ per key before filtering) or need a per-key reduction that re-implements
 exactly this window. At 100 TB: both inputs shuffle once on the key;
 per-key data is sorted within partitions (Spark's window sort spills);
 the payload struct is the only carried state. Skew: a single hot key
-serializes into one task's sort — ``asof_join_bucketed`` splits the key
-range in TIME (coarse time buckets + a carry of each bucket's last
+serializes into one task's sort — ``asof_join(bucket=...)`` splits the
+key range in TIME (coarse time buckets + a carry of each bucket's last
 payload), not by salting, which would break the as-of continuity.
 
 Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND

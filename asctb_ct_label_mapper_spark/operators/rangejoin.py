@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_micros(bucket: str):
+    """Bucket width in MICROSECONDS from an interval string. NOT
+    ``INTERVAL x``.cast('long') — that returns the count in the
+    interval's own unit ('10 minutes' -> 10, '1 hour' -> 1; verified
+    on Spark 4), which silently shrank buckets by the unit factor and
+    exploded every interval to thousands of rows (r9 review finding).
+    Epoch + interval, re-read as micros, is unit-correct and
+    constant-folded."""
+    return F.unix_micros(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        + F.expr(f"INTERVAL {bucket}")
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -43,12 +57,11 @@ def range_join(
     (inclusive both ends), keyed by ``key_cols``. Returns all point
     columns plus all interval columns (minus duplicated keys)."""
     key_cols = list(key_cols)
-    # day-time INTERVAL casts to its total seconds; floor (not long-cast,
-    # which truncates toward zero) keeps pre-epoch timestamps consistent
-    # between the point and interval sides
-    bucket_us = F.expr(f"INTERVAL {bucket}").cast("long") * F.lit(1_000_000)
+    bucket_us = _interval_micros(bucket)
 
     def to_bucket(ts_col: str):
+        # floor (not long-cast, which truncates toward zero) keeps
+        # pre-epoch timestamps consistent between the two sides
         return F.floor(F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
 
     p = points.withColumn("_b", to_bucket(point_ts))
@@ -93,7 +106,7 @@ def interval_overlap_join(
         raise ValueError(
             f"alias right columns colliding with left: {overlap}"
         )
-    bucket_us = F.expr(f"INTERVAL {bucket}").cast("long") * F.lit(1_000_000)
+    bucket_us = _interval_micros(bucket)
 
     def to_bucket(ts_col: str):
         return F.floor(F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")

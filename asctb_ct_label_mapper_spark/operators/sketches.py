@@ -603,12 +603,24 @@ def cm_join_size_estimate(
     cb = countmin_counters(df_b, item_col, depth, width).select(
         F.col("row_i"), F.col("pos"), F.col("c").alias("cb")
     )
+    # LEFT join + coalesce(0): every ingested item writes a cell in
+    # EVERY row of ca, so grouping ca's side keeps all depth rows even
+    # when a row shares no cells with cb — an inner join would drop
+    # zero-product rows and take the min over colliding rows only
+    # (disjoint inputs would estimate NULL instead of 0; r9 review
+    # finding). coalesce(min, 0) covers the empty-A case.
     ip = (
-        ca.join(cb, ["row_i", "pos"])
+        ca.join(cb, ["row_i", "pos"], "left")
         .groupBy("row_i")
-        .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("cb"), F.lit(0))
+            ).alias("ip")
+        )
     )
-    est = ip.agg(F.min("ip").alias("join_size_est"))
+    est = ip.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).alias("join_size_est")
+    )
     if not with_exact:
         return est
     fa = df_a.groupBy(F.col(item_col).alias("v")).agg(
@@ -618,7 +630,9 @@ def cm_join_size_estimate(
         F.count(F.lit(1)).alias("nb")
     )
     exact = fa.join(fb, "v").agg(
-        F.sum(F.col("na") * F.col("nb")).alias("exact_join_size")
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "exact_join_size"
+        )
     )
     return est.crossJoin(exact).select(
         "join_size_est",
@@ -660,7 +674,8 @@ def sql_cm_join_size_estimate(
     if with_exact:
         exact_cte = f""",
     ex AS (
-        SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+        SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+            AS exact_join_size FROM (
             SELECT {item_expr} AS v, count(*) AS na FROM {table}
             WHERE {where_a} GROUP BY 1
         ) a JOIN (
@@ -676,11 +691,13 @@ def sql_cm_join_size_estimate(
     return f"""
     WITH {side("a", where_a)}, {side("b", where_b)},
     ip AS (
-        SELECT a_cnt.row_i, CAST(sum(a_cnt.c * b_cnt.c) AS BIGINT) AS ip
-        FROM a_cnt JOIN b_cnt USING (row_i, pos)
+        SELECT a_cnt.row_i,
+            CAST(sum(a_cnt.c * coalesce(b_cnt.c, 0)) AS BIGINT) AS ip
+        FROM a_cnt LEFT JOIN b_cnt USING (row_i, pos)
         GROUP BY a_cnt.row_i
     ),
-    e AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip){exact_cte}
+    e AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS join_size_est
+          FROM ip){exact_cte}
     SELECT e.join_size_est{exact_sel}
     FROM e{", ex" if with_exact else ""}
     """

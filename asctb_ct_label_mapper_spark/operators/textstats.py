@@ -1271,10 +1271,14 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFr
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    # try_divide: a single-rank frame (one distinct token, or top_n=1)
+    # makes the variance denominator exactly 0 — the ANSI session would
+    # raise DIVIDE_BY_ZERO where the oracle's nullif degrades to NULL
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    intercept = F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n"))
     return agg.select(
         F.col("n").cast("long").alias("n_ranks"),
         F.round(slope, 6).alias("slope"),
@@ -1304,8 +1308,9 @@ def sql_zipf_fit(
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_ranks,
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-            AS intercept
+        round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+            AS slope,
+        round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+               * sx) / nullif(n, 0.0), 6) AS intercept
     FROM agg
     """

@@ -1538,10 +1538,6 @@ def holt_winters_by_key(
         F.col(value_col).cast("double").alias("v"),
         F.date_trunc(bucket, ts).alias("bk"),
     )
-    firsts = base.groupBy("key").agg(
-        F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
-    )
-    is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
     if n_shards is None:
         n_shards = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -1551,6 +1547,13 @@ def holt_winters_by_key(
         raise ValueError(f"unknown seed {seed!r} (expected 'zero'|'classical')")
     if seed == "classical" and impl != "arrow":
         raise ValueError("seed='classical' is implemented on impl='arrow'")
+    if impl in ("arrow_staged", "hof"):
+        # only these paths need the min-struct firsts aggregate — the
+        # fused path detects first elements in numpy (whole keys/shard)
+        firsts = base.groupBy("key").agg(
+            F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
+        )
+        is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
     if impl == "arrow":
         # fused single-stage path: ONE exchange (the shard groupBy), no
         # firsts aggregate/join — whole keys per shard, so the first
@@ -1858,8 +1861,11 @@ def time_weighted_avg(
     semantics, last-observation-carried-forward): each observation
     holds its value until the next one, so TWA = sum(v_i * dt_i) /
     sum(dt_i) with dt_i the microseconds to the key's next event; the
-    final observation contributes no duration. Keys with a single
-    event have no duration at all and return NULL.
+    final observation contributes no duration. Keys with no duration at
+    all return NULL — both the single-event case (sum(dt) NULL) and the
+    all-events-at-one-timestamp case (sum(dt) = 0; try_divide, because
+    the ANSI session would otherwise raise DIVIDE_BY_ZERO where the
+    oracle's NULL-on-zero division degrades quietly).
 
     Plan: one per-key lead window (partitions bounded by per-key event
     counts) + a combinable aggregate. Returns (key, n_obs, twa) with
@@ -1877,7 +1883,7 @@ def time_weighted_avg(
     return stepped.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.round(
-            F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), 6
+            F.try_divide(F.sum(F.col("v") * F.col("dt")), F.sum("dt")), 6
         ).alias("twa"),
     )
 
@@ -1925,6 +1931,12 @@ def m4_downsample(
     min/max-of-struct aggregate per bucket — deterministic tie-breaks
     via (ts, id) / (v, ts, id) struct ordering. Output is
     4 x n_buckets rows regardless of input size."""
+    # NULL timestamps can't bucket and NULL values carry no pixel — and
+    # unfiltered they would diverge from the oracle (Spark struct-min
+    # sorts NULLs first, DuckDB ORDER BY defaults NULLS LAST)
+    df = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     ext = df.agg(
         F.min(F.unix_micros(F.col(ts_col))).alias("_lo"),
         F.max(F.unix_micros(F.col(ts_col))).alias("_hi"),
@@ -1990,9 +2002,12 @@ def sql_m4_downsample(
     replayed as rn=1 windows with identical (ts, id) / (v, ts, id)
     orderings."""
     return f"""
-    WITH ext AS (
+    WITH src AS (
+        SELECT * FROM {table}
+        WHERE ({where}) AND {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ), ext AS (
         SELECT min(epoch_us({ts_col})) AS lo, max(epoch_us({ts_col})) AS hi
-        FROM {table} WHERE {where}
+        FROM src
     ), based AS (
         -- floor before the cast: DuckDB CAST(double AS BIGINT) ROUNDS,
         -- Spark's .cast('long') truncates
@@ -2000,7 +2015,7 @@ def sql_m4_downsample(
                     / (hi - lo + 1)) AS BIGINT) AS bucket,
             {ts_col} AS ts, {id_col} AS id,
             CAST({value_col} AS DOUBLE) AS v
-        FROM {table}, ext WHERE {where}
+        FROM src, ext
     ), ranked AS (
         SELECT bucket, ts, v,
             row_number() OVER (PARTITION BY bucket ORDER BY ts, id) AS rf,

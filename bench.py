@@ -634,8 +634,10 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
     exact dedup (`dropDuplicatesWithinWatermark`,
     streaming/dedup.py:start_watermarked_exact_dedup_stream) — measured,
     not just correctness-tested. Input: the sf events stream split into
-    ``n_batches`` time-ordered micro-batches with ~10% injected
-    redeliveries (every 10th event re-emitted in its own batch). The
+    ``n_batches`` time-ordered micro-batches; every 10th event from the
+    last 3 days of each slice is re-delivered in a FOLLOW-UP batch
+    (cross-batch, inside the 7-day watermark — so suppression exercises
+    the state store, not in-batch dedup). The
     signal: per-batch cadence stays flat AND the state-store row count
     tracks (arrival rate x watermark delay), not stream history — the
     bounded-state contract, visible in numRowsTotal as old ids evict."""
@@ -651,8 +653,6 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "ts", "user_id", "value"
     )
-    dupes = ev.filter(F.col("event_id") % 10 == 0)
-    full = ev.unionByName(dupes)
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
@@ -663,24 +663,39 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
         os.makedirs(landing)
         # one file per time slice, copied in slice order so the file
         # source replays event time monotonically (watermark advances,
-        # state evicts)
-        sliced = full.withColumn(
+        # state evicts). Redeliveries must land in the NEXT batch, not
+        # the same file (same-batch duplicates would measure in-batch
+        # dedup, not state-store suppression — r9 review finding), and
+        # must stay INSIDE the watermark on replay: take every 10th
+        # event from the last 3 days of its slice (< the 7-day delay),
+        # written as slice_<i>b.parquet after slice_<i>a.parquet.
+        us = F.unix_micros("ts")
+        sliced = ev.withColumn(
             "_slice",
-            ((F.unix_micros("ts") - F.lit(lo)) * n_batches / F.lit(span))
-            .cast("long"),
+            ((us - F.lit(lo)) * n_batches / F.lit(span)).cast("long"),
+        )
+        slice_end = F.lit(lo) + (F.col("_slice") + 1) * F.lit(span) / F.lit(
+            n_batches
+        )
+        redeliver = (F.col("event_id") % 10 == 0) & (
+            us >= slice_end - F.lit(3 * 86400 * 1_000_000)
         )
         import glob
 
-        for i in range(n_batches):
-            stage = os.path.join(work, f"stage_{i}")
-            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
-                1
-            ).write.parquet(stage)
+        def land(df, name):
+            stage = os.path.join(work, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
             fs = glob.glob(os.path.join(stage, "*.parquet"))
-            if not fs:  # empty time slice (skewed ts): nothing to land
-                continue
-            [f] = fs
-            shutil.copy(f, os.path.join(landing, f"slice_{i:03d}.parquet"))
+            if fs:  # empty time slice (skewed ts): nothing to land
+                [f] = fs
+                shutil.copy(f, os.path.join(landing, f"{name}.parquet"))
+
+        for i in range(n_batches):
+            sl = sliced.filter(F.col("_slice") == i)
+            land(sl.drop("_slice"), f"slice_{i:03d}a")
+            land(
+                sl.filter(redeliver).drop("_slice"), f"slice_{i:03d}b"
+            )
         schema = spark.read.parquet(landing).schema
         stream = (
             spark.readStream.schema(schema)

@@ -513,3 +513,17 @@ def test_cm_join_size_estimate_one_sided(spark):
     # 15 distinct keys in a 4x1024 sketch: collisions are absent, so the
     # estimate is exact
     assert r["join_size_est"] == r["exact_join_size"]
+
+
+def test_cm_join_size_disjoint_inputs_estimate_zero(spark):
+    """Disjoint key sets must estimate 0, not NULL — zero-product sketch
+    rows enter the min (r9 review finding)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([("only_in_a",)], "item string")
+    b = spark.createDataFrame([("only_in_b",)], "item string")
+    [r] = cm_join_size_estimate(a, b, "item", with_exact=True).collect()
+    assert r["exact_join_size"] == 0
+    assert r["join_size_est"] == 0 and r["overestimate"] == 0

@@ -247,3 +247,14 @@ def test_zipf_fit_recovers_known_slope(spark):
     )
     [rf] = zipf_fit(flat, top_n=30).collect()
     assert abs(rf["slope"]) < 1e-9
+
+
+def test_zipf_fit_single_rank_yields_null_not_crash(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "same same same"), (2, "same")], "doc_id long, text string"
+    )
+    [r] = zipf_fit(df).collect()
+    assert r["n_ranks"] == 1
+    assert r["slope"] is None and r["intercept"] is None

@@ -505,3 +505,49 @@ def test_m4_downsample_roles(spark):
     assert b0["vmin"]["v"] == 1.0 and b0["vmax"]["v"] == 50.0
     b1 = {r["role"]: r for r in out if r["bucket"] == 1}
     assert all(b1[role]["v"] == 7.0 for role in ("first", "last", "vmin", "vmax"))
+
+
+def test_time_weighted_avg_zero_duration_key_is_null(spark):
+    """All events at ONE timestamp: sum(dt)=0 must yield NULL, not an
+    ANSI DIVIDE_BY_ZERO crash (r9 review finding)."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, d(1), 1, 10.0), (2, d(1), 1, 20.0)], EV_SCHEMA
+    )
+    [r] = time_weighted_avg(df).collect()
+    assert r["n_obs"] == 2 and r["twa"] is None
+
+
+def test_m4_downsample_ignores_null_values(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, d(1), 1, 5.0), (2, d(1, 1), 1, None), (3, d(1, 2), 1, 9.0)],
+        EV_SCHEMA,
+    )
+    out = m4_downsample(df, n_buckets=1).collect()
+    assert len(out) == 4
+    assert all(r["v"] in (5.0, 9.0) for r in out)
+
+
+def test_interval_micros_unit_correct(spark):
+    """INTERVAL '10 minutes' must mean 600s buckets, not 10s — the
+    .cast('long') unit-count trap (r9 review finding)."""
+    from asctb_ct_label_mapper_spark.operators.rangejoin import (
+        _interval_micros,
+    )
+
+    [r] = (
+        spark.range(1)
+        .select(
+            _interval_micros("10 minutes").alias("m"),
+            _interval_micros("1 hour").alias("h"),
+        )
+        .collect()
+    )
+    assert r["m"] == 600 * 1_000_000 and r["h"] == 3600 * 1_000_000
