@@ -23,7 +23,9 @@ from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries  # noqa
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-_shipped_contexts: set[int] = set()
+# keyed on applicationId, not id(sc): a stopped context's id() can be
+# reused by a later one, which would silently skip the package ship
+_shipped_contexts: set[str] = set()
 
 
 def _ensure_package_on_workers(spark: SparkSession) -> None:
@@ -33,7 +35,7 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     package on every worker's sys.path regardless of deployment layout
     (works identically on a real cluster)."""
     sc = spark.sparkContext
-    if id(sc) in _shipped_contexts:
+    if sc.applicationId in _shipped_contexts:
         return
     import tempfile
     import zipfile
@@ -48,7 +50,7 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
                     full = os.path.join(root, fname)
                     zf.write(full, os.path.relpath(full, _REPO_DIR))
     sc.addPyFile(zpath)
-    _shipped_contexts.add(id(sc))
+    _shipped_contexts.add(sc.applicationId)
 
 
 def entry(spark: SparkSession) -> DataFrame:
