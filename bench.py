@@ -790,14 +790,25 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         result["scales"] = {}
+        # ALL scale tiers run in a FRESH session (r9, extending the r8
+        # VERDICT's docs100x prescription to every tier): the headline
+        # pass leaves ~160 queries of executor-memory history behind,
+        # and untouched docs10x operators were observed swinging +40%
+        # (dedup_ngram_jaccard +5.5 s) purely from that session state.
+        spark.stop()
+        spark = get_spark("asctb-bench-scale-tiers")
+        registry = all_queries()
         try:
             scale_dir = ensure_docs_scale(sf_dir, 10)
+            # fresh-JVM warm-up, same reason as the headline's
+            spark.read.parquet(
+                os.path.join(scale_dir, "documents.parquet")
+            ).groupBy("lang").count().count()
             scale_timings: dict[str, float] = {}
             for name in SCALE_QUERIES:
                 fn = registry[name]
-                # Single timed run: the session/codegen is already warm
-                # from the headline tier, and a second pass would double
-                # a tier whose point is aggregate-trend, not per-query
+                # Single timed run: a second pass would double a tier
+                # whose point is aggregate-trend, not per-query
                 # precision.
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
@@ -839,19 +850,11 @@ def main() -> None:
         # 100x tier, variance-controlled (VERDICT r8 #2): the r8 driver run
         # measured 117.8s vs 77.2s for the SAME code — single-pass timings
         # in a session carrying ~180 queries of executor-memory history are
-        # not a regression signal. So this tier (a) runs in a FRESH session
-        # (nothing cached or fragmented from the headline pass), (b) times
-        # median-of-3 per query, and (c) records the min/max spread so
-        # round-over-round readers can tell drift from noise.
+        # not a regression signal. On top of the isolated scale session
+        # this tier times median-of-3 per query and records the min/max
+        # spread so round-over-round readers can tell drift from noise.
         try:
             scale_dir = ensure_docs_scale(sf_dir, 100)
-            spark.stop()
-            spark = get_spark("asctb-bench-docs100x")
-            registry = all_queries()
-            # fresh-JVM warm-up, same reason as the headline's
-            spark.read.parquet(
-                os.path.join(scale_dir, "documents.parquet")
-            ).groupBy("lang").count().count()
             med: dict[str, float] = {}
             spread: dict[str, list[float]] = {}
             for name in SCALE100_QUERIES:
@@ -876,7 +879,7 @@ def main() -> None:
                 "total": round(sum(med.values()), 4),
                 "queries": med,
                 "spread": spread,
-                "methodology": "fresh session, median of 3, spread=[min,max]",
+                "methodology": "isolated scale session, median of 3, spread=[min,max]",
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["docs100x"] = {"error": str(e)[:200]}
