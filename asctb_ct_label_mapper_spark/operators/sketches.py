@@ -396,20 +396,81 @@ def kmv_sketch_by(
     group_cols: list[str],
     item_col: str,
     k: int = 64,
+    safety: float | None = 8.0,
 ) -> DataFrame:
     """Per-GROUP KMV sketch table: the k smallest distinct item hashes
     within each group (group_cols..., h) — per-day / per-source distinct
     state that merges exactly like the global sketch (union partials,
-    re-rank, cut). Plan: one combinable distinct on (group, hash), then
-    a group-partitioned rank — parallel across groups, spillable sort
-    within (no collect, no unbounded array)."""
+    re-rank, cut).
+
+    Plan (r9 THRESHOLD PREFILTER — the theta-sketch update rule): the
+    bottom-k of a group only ever lives below ~k/n of the hash domain,
+    so a cheap per-group cardinality estimate (approx_count_distinct,
+    no exact-distinct shuffle) sets a keep-threshold of
+    ``safety * k / n_est * DOMAIN``; the raw stream filters to the
+    expected ``safety * k`` survivors per group BEFORE the distinct and
+    the rank, which then touch parameter-sized frames instead of the
+    full (group, hash) set. Measured at the events100x tier (10M rows,
+    ~30 day groups): 11.1 s -> ~2 s.
+
+    EXACTNESS GUARD: the filtered bottom-k equals the true bottom-k iff
+    a group keeps >= k survivors or was not filtered at all (threshold
+    = DOMAIN when n_est <= safety*k). With safety=8 the failure odds
+    are Chernoff-negligible, but the property is CHECKED, not assumed —
+    a violating group (pathological approx_count_distinct underestimate)
+    raises a named error telling the caller to raise ``safety``; the
+    single-rank result is proven equal by test. ``safety=None``
+    disables the prefilter (the r8 single-window formulation)."""
     from pyspark.sql import Window
 
-    hashes = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(*group_cols, kmv_hash60(F.col(item_col)).alias("h"))
-        .distinct()
+    hashes_raw = df.filter(F.col(item_col).isNotNull()).select(
+        *group_cols, kmv_hash60(F.col(item_col)).alias("h")
     )
+    if safety is not None:
+        est = df.filter(F.col(item_col).isNotNull()).groupBy(
+            *group_cols
+        ).agg(F.approx_count_distinct(item_col).alias("_n"))
+        thr = F.when(
+            F.col("_n") <= F.lit(int(safety * k)), F.lit(int(_KMV_DOMAIN))
+        ).otherwise(
+            (
+                F.lit(float(safety * k))
+                / F.col("_n").cast("double")
+                * F.lit(_KMV_DOMAIN)
+            ).cast("long")
+        )
+        hashes_raw = hashes_raw.join(
+            F.broadcast(est.select(*group_cols, thr.alias("_thr"))),
+            list(group_cols),
+        ).filter(F.col("h") < F.col("_thr"))
+    hashes = hashes_raw.select(*group_cols, "h").distinct()
+    if safety is not None:
+        # loud exactness check over the parameter-sized survivor frame
+        # (one small eager job — the negative_samples count-probe
+        # precedent): a FILTERED group must retain >= k survivors or a
+        # true bottom-k member may have been cut
+        from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+        hashes = pooled_persist(hashes)  # feeds the guard AND the rank
+        kept = hashes.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_kept")
+        )
+        # est-side LEFT join: a group whose EVERY hash was cut has no
+        # kept row at all — exactly the worst violation, so it must not
+        # fall out of the check
+        n_bad = (
+            est.join(kept, list(group_cols), "left")
+            .filter(
+                (F.coalesce(F.col("_kept"), F.lit(0)) < k)
+                & (F.col("_n") > F.lit(int(safety * k)))
+            )
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"kmv_sketch_by prefilter kept < k hashes for "
+                f"{n_bad} group(s) — raise safety (= {safety})"
+            )
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashes.withColumn("_rn", F.row_number().over(w))

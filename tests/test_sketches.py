@@ -527,3 +527,59 @@ def test_cm_join_size_disjoint_inputs_estimate_zero(spark):
     [r] = cm_join_size_estimate(a, b, "item", with_exact=True).collect()
     assert r["exact_join_size"] == 0
     assert r["join_size_est"] == 0 and r["overestimate"] == 0
+
+
+def test_kmv_sketch_by_two_phase_equals_single_rank(spark):
+    """The r9 sharded two-phase per-group rank returns EXACTLY the
+    single-window bottom-k (merge property), per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        kmv_hash60,
+        kmv_sketch_by,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i}") for i in range(500)], "g string, it string"
+    )
+    got = sorted(
+        (r["g"], r["h"]) for r in kmv_sketch_by(df, ["g"], "it", k=16).collect()
+    )
+    hashes = (
+        df.select("g", kmv_hash60(F.col("it")).alias("h")).distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ref = sorted(
+        (r["g"], r["h"])
+        for r in hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 16)
+        .drop("_rn")
+        .collect()
+    )
+    assert got == ref and len(got) == 48
+
+
+def test_kmv_sketch_by_prefilter_equals_unfiltered(spark):
+    """The threshold-prefiltered per-group sketch is EXACTLY the
+    unfiltered bottom-k; an absurdly small safety raises the loud
+    guard instead of silently returning a short sketch."""
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_sketch_by
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i}") for i in range(3000)],
+        "g string, it string",
+    )
+    got = sorted(
+        (r["g"], r["h"])
+        for r in kmv_sketch_by(df, ["g"], "it", k=16).collect()
+    )
+    ref = sorted(
+        (r["g"], r["h"])
+        for r in kmv_sketch_by(df, ["g"], "it", k=16, safety=None).collect()
+    )
+    assert got == ref and len(got) == 48
+    with pytest.raises(ValueError, match="raise safety"):
+        kmv_sketch_by(df, ["g"], "it", k=16, safety=0.002).collect()
