@@ -31,10 +31,14 @@ def funnel_steps(
     ts_col: str = "ts",
     key_col: str = "user_id",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """ORDERED funnel: a user reaches step i when an event of type
     ``steps[i]`` occurs STRICTLY AFTER the user's step-(i-1) reach time
     (the earliest such chain — standard product-analytics semantics).
+    ``within`` (an interval string, e.g. ``'7 days'``) additionally
+    requires each step inside that window of the previous step's reach
+    time — the conversion-window flavor every funnel tool offers.
 
     Plan: step 1 is one min-aggregate; each later step filters to its
     event type, equi-joins the previous step's (user, t) frame, and
@@ -64,7 +68,17 @@ def funnel_steps(
                     F.col(key_col).alias("key"), F.col(ts_col).alias("_ts")
                 )
                 .join(frames[-1], "key")
-                .filter(F.col("_ts") > F.col("t"))
+                .filter(
+                    (F.col("_ts") > F.col("t"))
+                    if within is None
+                    else (
+                        (F.col("_ts") > F.col("t"))
+                        & (
+                            F.col("_ts")
+                            <= F.col("t") + F.expr(f"INTERVAL {within}")
+                        )
+                    )
+                )
                 .groupBy("key")
                 .agg(F.min("_ts").alias("t"))
             )
@@ -100,6 +114,7 @@ def sql_funnel_steps(
     key_col: str = "user_id",
     type_col: str = "event_type",
     where: str = "1=1",
+    within: str | None = None,
 ) -> str:
     """DuckDB replay of ``funnel_steps`` — the same chained min-after
     aggregates, unioned into (step, step_name, users, conv_rate)."""
@@ -112,7 +127,12 @@ def sql_funnel_steps(
             f"s{i} AS (SELECT e.{key_col} AS key, min(e.{ts_col}) AS t "
             f"FROM {table} e JOIN s{i - 1} p ON e.{key_col} = p.key "
             f"WHERE ({where}) AND e.{type_col} = '{s}' AND e.{ts_col} > p.t "
-            f"GROUP BY e.{key_col})"
+            + (
+                f"AND e.{ts_col} <= p.t + INTERVAL {within} "
+                if within is not None
+                else ""
+            )
+            + f"GROUP BY e.{key_col})"
         )
     legs = []
     for i, s in enumerate(steps, start=1):

@@ -2034,3 +2034,152 @@ def sql_m4_downsample(
     UNION ALL
     SELECT bucket, 'vmax', ts, v FROM ranked WHERE rmax = 1
     """
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    trend_window: int = 3,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the DAILY EVENT
+    COUNT series: observed = trend + seasonal + remainder, with trend a
+    centered (2*w+1)-day moving average and seasonal the mean detrended
+    value per day-of-week — the STL-lite drift lens for ops dashboards.
+
+    Plan: one daily-count fold (calendar-sized from there on), a single
+    ordered window over the DAY series (dimension-sized partition — the
+    same contract as every calendar frame here), a 7-row day-of-week
+    aggregate broadcast back. Returns (day, observed, trend, seasonal,
+    remainder) rounded 6dp."""
+    daily = (
+        df.select(F.date_trunc("day", F.col(ts_col)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("observed"))
+    )
+    w = Window.orderBy("d").rowsBetween(-trend_window, trend_window)
+    trended = daily.select(
+        "d",
+        "observed",
+        F.avg("observed").over(w).alias("trend"),
+    ).withColumn("_detr", F.col("observed") - F.col("trend"))
+    dow = trended.groupBy(F.dayofweek("d").alias("_dw")).agg(
+        F.avg("_detr").alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(dow), F.dayofweek("d") == F.col("_dw"))
+        .select(
+            F.col("d").cast("date").alias("day"),
+            F.col("observed"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("observed") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+    )
+
+
+def sql_seasonal_decompose_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    trend_window: int = 3,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``seasonal_decompose_daily`` (same centered
+    frame, same day-of-week means; dayofweek differs by one between the
+    engines — Spark is 1=Sunday, DuckDB 0=Sunday — but both only use it
+    as a GROUP key, so the constant shift is invisible)."""
+    return f"""
+    WITH daily AS (
+        SELECT date_trunc('day', {ts_col}) AS d,
+            CAST(count(*) AS DOUBLE) AS observed
+        FROM {table} WHERE {where} GROUP BY 1
+    ), trended AS (
+        SELECT d, observed,
+            avg(observed) OVER (ORDER BY d ROWS BETWEEN {trend_window}
+                PRECEDING AND {trend_window} FOLLOWING) AS trend
+        FROM daily
+    ), dow AS (
+        SELECT dayofweek(d) AS dw, avg(observed - trend) AS seasonal
+        FROM trended GROUP BY 1
+    )
+    SELECT CAST(t.d AS DATE) AS day, t.observed,
+        round(t.trend, 6) AS trend,
+        round(s.seasonal, 6) AS seasonal,
+        round(t.observed - t.trend - s.seasonal, 6) AS remainder
+    FROM trended t JOIN dow s ON dayofweek(t.d) = s.dw
+    """
+
+
+def weighted_median_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact LOWER weighted median per group: the smallest value whose
+    running weight (in (value, id) order) reaches half the group's
+    total weight — the robust center a quality-weighted corpus stat
+    needs where plain medians ignore importance.
+
+    Plan: one group-partitioned cumulative-weight window + a first-hit
+    pick via min(struct) — no collect, parallel across groups. NULL and
+    non-positive weights are excluded on both engines. Returns
+    (group, total_w, wmedian)."""
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.col(id_col).alias("id"),
+    )
+    cw = Window.partitionBy("g").orderBy(F.col("v"), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("g")
+    marked = base.select(
+        "g",
+        "v",
+        F.sum("w").over(cw).alias("_cw"),
+        F.sum("w").over(tw).alias("_tw"),
+    )
+    return (
+        marked.filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy("g")
+        .agg(
+            F.round(F.min("_tw"), 6).alias("total_w"),
+            F.min("v").alias("wmedian"),
+        )
+    )
+
+
+def sql_weighted_median_by_group(
+    table: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``weighted_median_by_group`` (same cumulative
+    frame, same first-hit rule)."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v,
+            CAST({weight_col} AS DOUBLE) AS w, {id_col} AS id
+        FROM {table}
+        WHERE ({where}) AND {weight_col} IS NOT NULL AND {weight_col} > 0
+    ), marked AS (
+        SELECT g, v,
+            sum(w) OVER (PARTITION BY g ORDER BY v, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+            sum(w) OVER (PARTITION BY g) AS tw
+        FROM base
+    )
+    SELECT g, round(min(tw), 6) AS total_w, min(v) AS wmedian
+    FROM marked WHERE cw * 2 >= tw
+    GROUP BY g
+    """

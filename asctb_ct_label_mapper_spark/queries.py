@@ -6364,3 +6364,76 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return event_path_ngrams(_t(spark, sf_dir, "events"), n=3)
+
+
+def _sdecomp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_seasonal_decompose_daily,
+    )
+
+    return sql_seasonal_decompose_daily("events")
+
+
+@query("seasonal_decompose_events", _sdecomp_oracle())
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    (timeseries.seasonal_decompose_daily): centered moving-average
+    trend + day-of-week seasonal + remainder — calendar-sized past the
+    first fold; the one ordered window runs over the day series."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    return seasonal_decompose_daily(_t(spark, sf_dir, "events"))
+
+
+def _wmedian_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_weighted_median_by_group,
+    )
+
+    return sql_weighted_median_by_group(
+        "documents", "lang", "n_chars", "n_chars", "doc_id"
+    )
+
+
+@query("weighted_median_doclen", _wmedian_oracle())
+def weighted_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-weighted median document length per language
+    (timeseries.weighted_median_by_group, weight = n_chars): the length
+    a randomly chosen CHARACTER sits in — the size statistic that
+    matters for token budgets, where the plain median over-counts tiny
+    documents. One cumulative-weight window per group + first-hit
+    pick."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        weighted_median_by_group,
+    )
+
+    return weighted_median_by_group(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "n_chars", "doc_id"
+    )
+
+
+def _funnel7_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_funnel_steps,
+    )
+
+    return sql_funnel_steps(
+        "events", ("signup", "view", "purchase"), within="7 days"
+    )
+
+
+@query("funnel_signup_purchase_7d", _funnel7_oracle())
+def funnel_signup_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-window funnel flavor (behavior.funnel_steps
+    within='7 days'): each step must land inside 7 days of the previous
+    step's reach time — same chained min-after plan, one extra
+    band predicate per join."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        within="7 days",
+    )

@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     "twa_purchase_values",
     "m4_downsample_events",
     "event_path_trigrams",
+    "seasonal_decompose_events",
+    "weighted_median_doclen",
+    "funnel_signup_purchase_7d",
 ]
 
 

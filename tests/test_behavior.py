@@ -165,3 +165,18 @@ def test_event_path_ngrams_per_key_and_truncation(spark):
     assert tri == {"a>b>c": 1, "b>c>b": 1}
     bi = {r["path"]: r["n_paths"] for r in event_path_ngrams(df, n=2).collect()}
     assert bi == {"a>b": 1, "b>c": 1, "c>b": 1}
+
+
+def test_funnel_within_window(spark):
+    """The conversion-window flavor: a step outside `within` of the
+    previous reach time does not count (boundary is inclusive)."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    rows = [
+        (1, d(1), 1, "signup"), (2, d(8), 1, "view"),    # exactly 7d: in
+        (3, d(1), 2, "signup"), (4, d(9), 2, "view"),    # 8d: out
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r["step"]: r["users"] for r in
+           funnel_steps(df, ["signup", "view"], within="7 days").collect()}
+    assert got == {1: 2, 2: 1}

@@ -551,3 +551,51 @@ def test_interval_micros_unit_correct(spark):
         .collect()
     )
     assert r["m"] == 600 * 1_000_000 and r["h"] == 3600 * 1_000_000
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    """observed == trend + seasonal + remainder (6dp); the interior
+    trend is the centered moving average; equal weekdays share one
+    seasonal value."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    rows = []
+    eid = 0
+    counts = [5, 8, 3, 9, 6, 4, 7, 5, 8, 3, 9, 6, 4, 7]  # two weeks
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((eid, d(day), 1, 0.0))
+            eid += 1
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {str(r["day"]): r for r in
+           seasonal_decompose_daily(df, trend_window=1).collect()}
+    assert len(out) == 14
+    for r in out.values():
+        assert abs(r["observed"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 2e-6
+    # interior day 5: trend = avg(counts[3..5]) = (9+6+4)/3
+    assert abs(out["2024-01-05"]["trend"] - (9 + 6 + 4) / 3) < 1e-6
+    # days 1 and 8 are the same weekday -> same seasonal
+    assert out["2024-01-01"]["seasonal"] == out["2024-01-08"]["seasonal"]
+
+
+def test_weighted_median_first_hit_rule(spark):
+    """Lower weighted median: smallest value whose running weight
+    reaches half the total; non-positive weights excluded."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        weighted_median_by_group,
+    )
+
+    rows = [
+        ("a", 1, 1.0, 1.0), ("a", 2, 2.0, 1.0), ("a", 3, 3.0, 6.0),
+        ("a", 4, 4.0, 0.0),           # zero weight: excluded
+        ("b", 5, 10.0, 2.0), ("b", 6, 20.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double, w double")
+    got = {r["g"]: r for r in
+           weighted_median_by_group(df, "g", "v", "w", "id").collect()}
+    # a: total 8; cum at v=1 is 1, v=2 is 2, v=3 is 8 >= 4 -> median 3
+    assert got["a"]["wmedian"] == 3.0 and got["a"]["total_w"] == 8.0
+    # b: cum at 10 is 2 >= 2 (half of 4) -> lower median 10
+    assert got["b"]["wmedian"] == 10.0
