@@ -38,7 +38,18 @@ def funnel_steps(
     (the earliest such chain — standard product-analytics semantics).
     ``within`` (an interval string, e.g. ``'7 days'``) additionally
     requires each step inside that window of the previous step's reach
-    time — the conversion-window flavor every funnel tool offers.
+    time.
+
+    SEMANTICS NOTE (with ``within``): steps anchor at the EARLIEST
+    previous-step reach — the "first touch" counting convention
+    (Amplitude's "first" mode). A user whose chain only completes via a
+    LATER occurrence of a previous step (signup@d1, view@d2, view@d8,
+    purchase@d14 with a 7-day window) is NOT counted: the view anchor
+    is d2 and d14 falls outside its window. Without ``within`` the
+    greedy-earliest anchor is provably equivalent to "any chain"; with
+    it, the re-anchoring "any qualifying chain" flavor would need a
+    per-user ordered scan — a deliberate non-goal here, stated rather
+    than hidden. The oracle replays the same first-touch plan.
 
     Plan: step 1 is one min-aggregate; each later step filters to its
     event type, equi-joins the previous step's (user, t) frame, and

@@ -427,9 +427,15 @@ def kmv_sketch_by(
         *group_cols, kmv_hash60(F.col(item_col)).alias("h")
     )
     if safety is not None:
-        est = df.filter(F.col(item_col).isNotNull()).groupBy(
-            *group_cols
-        ).agg(F.approx_count_distinct(item_col).alias("_n"))
+        from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+        # group-sized; persisted because it feeds BOTH the broadcast
+        # prefilter and the exactness guard below (one scan, not two)
+        est = pooled_persist(
+            df.filter(F.col(item_col).isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.approx_count_distinct(item_col).alias("_n"))
+        )
         thr = F.when(
             F.col("_n") <= F.lit(int(safety * k)), F.lit(int(_KMV_DOMAIN))
         ).otherwise(
@@ -439,10 +445,23 @@ def kmv_sketch_by(
                 * F.lit(_KMV_DOMAIN)
             ).cast("long")
         )
-        hashes_raw = hashes_raw.join(
-            F.broadcast(est.select(*group_cols, thr.alias("_thr"))),
-            list(group_cols),
-        ).filter(F.col("h") < F.col("_thr"))
+        # NULL-SAFE group equality: a NULL group key is a real group to
+        # Window.partitionBy, so the prefilter join must not drop it
+        # (plain equality would cut every NULL-group hash and then
+        # either silently lose the group or trip the guard)
+        thr_tbl = est.select(
+            *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+            thr.alias("_thr"),
+        )
+        cond = None
+        for c in group_cols:
+            e = hashes_raw[c].eqNullSafe(thr_tbl[f"__t_{c}"])
+            cond = e if cond is None else cond & e
+        hashes_raw = (
+            hashes_raw.join(F.broadcast(thr_tbl), cond)
+            .filter(F.col("h") < F.col("_thr"))
+            .select(*group_cols, "h")
+        )
     hashes = hashes_raw.select(*group_cols, "h").distinct()
     if safety is not None:
         # loud exactness check over the parameter-sized survivor frame
@@ -455,11 +474,19 @@ def kmv_sketch_by(
         kept = hashes.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("_kept")
         )
-        # est-side LEFT join: a group whose EVERY hash was cut has no
-        # kept row at all — exactly the worst violation, so it must not
-        # fall out of the check
+        # est-side NULL-SAFE LEFT join: a group whose EVERY hash was cut
+        # has no kept row at all — exactly the worst violation, so it
+        # must not fall out of the check (nor may a NULL group)
+        kept_tbl = kept.select(
+            *[F.col(c).alias(f"__k_{c}") for c in group_cols],
+            F.col("_kept"),
+        )
+        gcond = None
+        for c in group_cols:
+            e = est[c].eqNullSafe(kept_tbl[f"__k_{c}"])
+            gcond = e if gcond is None else gcond & e
         n_bad = (
-            est.join(kept, list(group_cols), "left")
+            est.join(kept_tbl, gcond, "left")
             .filter(
                 (F.coalesce(F.col("_kept"), F.lit(0)) < k)
                 & (F.col("_n") > F.lit(int(safety * k)))

@@ -2039,7 +2039,6 @@ def sql_m4_downsample(
 def seasonal_decompose_daily(
     df: DataFrame,
     ts_col: str = "ts",
-    id_col: str = "event_id",
     trend_window: int = 3,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of the DAILY EVENT
@@ -2047,15 +2046,31 @@ def seasonal_decompose_daily(
     centered (2*w+1)-day moving average and seasonal the mean detrended
     value per day-of-week — the STL-lite drift lens for ops dashboards.
 
-    Plan: one daily-count fold (calendar-sized from there on), a single
-    ordered window over the DAY series (dimension-sized partition — the
-    same contract as every calendar frame here), a 7-row day-of-week
-    aggregate broadcast back. Returns (day, observed, trend, seasonal,
-    remainder) rounded 6dp."""
-    daily = (
+    Plan: one daily-count fold joined onto a dense CALENDAR SPINE
+    (zero-event days are real observations of 0 — without them the
+    ROWS-framed moving average would treat non-consecutive days as
+    adjacent and the seasonal means would miss the zeros), then a
+    single ordered window over the day series (dimension-sized
+    partition — the same contract as every calendar frame here) and a
+    7-row day-of-week aggregate broadcast back. Returns (day, observed,
+    trend, seasonal, remainder) rounded 6dp."""
+    counts = (
         df.select(F.date_trunc("day", F.col(ts_col)).alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("double").alias("observed"))
+    )
+    ext = counts.agg(
+        F.min("d").alias("_lo"), F.max("d").alias("_hi")
+    )
+    spine = ext.select(
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("d")
+    )
+    daily = spine.join(counts, "d", "left").select(
+        "d", F.coalesce("observed", F.lit(0.0)).alias("observed")
     )
     w = Window.orderBy("d").rowsBetween(-trend_window, trend_window)
     trended = daily.select(
@@ -2091,10 +2106,19 @@ def sql_seasonal_decompose_daily(
     engines — Spark is 1=Sunday, DuckDB 0=Sunday — but both only use it
     as a GROUP key, so the constant shift is invisible)."""
     return f"""
-    WITH daily AS (
+    WITH counts AS (
         SELECT date_trunc('day', {ts_col}) AS d,
             CAST(count(*) AS DOUBLE) AS observed
         FROM {table} WHERE {where} GROUP BY 1
+    ), ext AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM counts
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM ext
+    ), daily AS (
+        SELECT spine.d,
+            coalesce(c.observed, CAST(0.0 AS DOUBLE)) AS observed
+        FROM spine LEFT JOIN counts c USING (d)
     ), trended AS (
         SELECT d, observed,
             avg(observed) OVER (ORDER BY d ROWS BETWEEN {trend_window}
@@ -2126,10 +2150,14 @@ def weighted_median_by_group(
 
     Plan: one group-partitioned cumulative-weight window + a first-hit
     pick via min(struct) — no collect, parallel across groups. NULL and
-    non-positive weights are excluded on both engines. Returns
+    non-positive weights are excluded on both engines, and so are NULL
+    VALUES (Spark's window would order them first, DuckDB last — the
+    repo's standing NULL-ordering trap). Returns
     (group, total_w, wmedian)."""
     base = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(value_col).isNotNull()
     ).select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
@@ -2172,6 +2200,7 @@ def sql_weighted_median_by_group(
             CAST({weight_col} AS DOUBLE) AS w, {id_col} AS id
         FROM {table}
         WHERE ({where}) AND {weight_col} IS NOT NULL AND {weight_col} > 0
+            AND {value_col} IS NOT NULL
     ), marked AS (
         SELECT g, v,
             sum(w) OVER (PARTITION BY g ORDER BY v, id

@@ -793,11 +793,13 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         result["scales"] = {}
-        # ALL scale tiers run in a FRESH session (r9, extending the r8
-        # VERDICT's docs100x prescription to every tier): the headline
-        # pass leaves ~160 queries of executor-memory history behind,
-        # and untouched docs10x operators were observed swinging +40%
+        # Scale tiers never share the headline session (r9, extending
+        # the r8 VERDICT's docs100x prescription): the headline pass
+        # leaves ~160 queries of executor-memory history behind, and
+        # untouched docs10x operators were observed swinging +40%
         # (dedup_ngram_jaccard +5.5 s) purely from that session state.
+        # The 10x tiers share this first fresh session; the 100x tier
+        # gets its own below.
         spark.stop()
         spark = get_spark("asctb-bench-scale-tiers")
         registry = all_queries()
@@ -858,6 +860,15 @@ def main() -> None:
         # spread so round-over-round readers can tell drift from noise.
         try:
             scale_dir = ensure_docs_scale(sf_dir, 100)
+            # second restart: the 10x tiers above leave ~36 queries of
+            # history; the 100x MEDIANS must not absorb it (the r8
+            # variance finding was specifically about this tier)
+            spark.stop()
+            spark = get_spark("asctb-bench-docs100x")
+            registry = all_queries()
+            spark.read.parquet(
+                os.path.join(scale_dir, "documents.parquet")
+            ).groupBy("lang").count().count()
             med: dict[str, float] = {}
             spread: dict[str, list[float]] = {}
             for name in SCALE100_QUERIES:

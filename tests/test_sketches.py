@@ -583,3 +583,25 @@ def test_kmv_sketch_by_prefilter_equals_unfiltered(spark):
     assert got == ref and len(got) == 48
     with pytest.raises(ValueError, match="raise safety"):
         kmv_sketch_by(df, ["g"], "it", k=16, safety=0.002).collect()
+
+
+def test_kmv_sketch_by_null_group_survives_prefilter(spark):
+    """A NULL group key is a real group: the prefilter's null-safe join
+    must keep it (plain equality would drop every NULL-group hash and
+    either lose the group or trip the guard)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_sketch_by
+
+    rows = [("g1", f"a{i}") for i in range(50)] + [
+        (None, f"b{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, it string")
+    def canon(rows):
+        return sorted(
+            ((r["g"], r["h"]) for r in rows),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+
+    got = kmv_sketch_by(df, ["g"], "it", k=8).collect()
+    ref = kmv_sketch_by(df, ["g"], "it", k=8, safety=None).collect()
+    assert canon(got) == canon(ref)
+    assert sum(1 for r in got if r["g"] is None) == 8

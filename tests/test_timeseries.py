@@ -599,3 +599,32 @@ def test_weighted_median_first_hit_rule(spark):
     assert got["a"]["wmedian"] == 3.0 and got["a"]["total_w"] == 8.0
     # b: cum at 10 is 2 >= 2 (half of 4) -> lower median 10
     assert got["b"]["wmedian"] == 10.0
+
+
+def test_seasonal_decompose_fills_zero_days(spark):
+    """Gappy series: the calendar spine makes zero-event days real
+    observations of 0, so the output covers the full min..max range
+    and the moving average does not treat distant days as adjacent."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    rows = [(1, d(1), 1, 0.0), (2, d(1), 1, 0.0), (3, d(10), 1, 0.0)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {str(r["day"]): r for r in
+           seasonal_decompose_daily(df, trend_window=1).collect()}
+    assert len(out) == 10  # full spine Jan 1..10
+    assert out["2024-01-05"]["observed"] == 0.0
+    # day 2's centered window = (2, 0, 0)/3, not (2 and day-10's 1)
+    assert abs(out["2024-01-02"]["trend"] - 2 / 3) < 1e-6
+
+
+def test_weighted_median_ignores_null_values(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        weighted_median_by_group,
+    )
+
+    rows = [("a", 1, None, 10.0), ("a", 2, 1.0, 1.0), ("a", 3, 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double, w double")
+    [r] = weighted_median_by_group(df, "g", "v", "w", "id").collect()
+    assert r["total_w"] == 2.0 and r["wmedian"] == 1.0
