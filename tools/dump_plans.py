@@ -53,7 +53,10 @@ TARGETS = {
     "holt_winters_users": "Holt-Winters (r9): fused-Arrow fold - ONE Exchange (shard by key), FlatMapGroupsInPandas does chain folds + carry in numpy, bit-equal to the r8 HOF anchor",
     "psi_drift_events": "PSI drift (r8): two combinable histogram folds + bins-sized full-outer join - nothing data-sized past the scans",
     "j_asof_forward": "forward as-of (r8): the backward union+window plan on negated micros - no extra Exchange for the direction flip",
-    "kmv_daily_users": "per-group KMV (r8): combinable (day, hash) distinct + day-partitioned rank - k rows of state per day",
+    "kmv_daily_users": "per-group KMV (r9): theta-style threshold prefilter - approx-cardinality broadcast -> keep hashes below safety*k/n of the domain -> distinct + rank over ~safety*k survivors per group (exactness guard); 11.1s -> 4-5s at events100x",
+    "cusum_purchase_values": "CUSUM (r9): (max,+)-semiring segmented scan - same two-Exchange fold shape as EWMA with a closed 4-parameter map; all-JVM, bit-exact vs oracle",
+    "m4_downsample_events": "M4 downsampling (r9): in-plan broadcast extent probe + one combinable struct-min/max aggregate per bucket - output 4 x n_buckets at any input size",
+    "j_interval_overlap": "interval-overlap join (r9): both sides bucket-exploded to a hash EQUI-join; canonical first-shared-bucket keep, no post-join distinct, no nested loop",
     "j_asof_bucketed": "skew-safe as-of (r9): per-(key,month) window + per-key carry over bucket summaries - a hot key's sort splits across its months; result-identical to the plain window",
     "holt_winters_classical_users": "classical-primed Holt-Winters (r9): bounded per-bucket bottom-p aggregate -> keys-sized seed join -> the same fused-Arrow segmented fold",
 }
