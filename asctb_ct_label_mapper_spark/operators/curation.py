@@ -1330,3 +1330,69 @@ def sql_kfold_assign(
             AS BIGINT) % {k} AS INT) AS {fold_col}
     FROM {table}
     """
+
+
+def pareto_coverage(
+    df: DataFrame,
+    group_col: str,
+    weight_expr,
+    target: float = 0.8,
+) -> DataFrame:
+    """Pareto/ABC coverage analysis: which groups carry ``target`` of
+    the total mass (the 80/20 question every corpus-composition review
+    asks of sources/languages). Groups sort by weight descending; a
+    group is in the Pareto set while the CUMULATIVE share before it is
+    still under the target (so the set is minimal and always non-empty).
+
+    Plan: one combinable weight fold to the group-sized frame, then a
+    single ordered window over that frame (dimension-sized — the same
+    contract as every calendar/group summary here). Returns
+    (group, weight, share, cum_share, in_pareto) rounded 6dp."""
+    from pyspark.sql import Window
+
+    w = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(weight_expr).cast("double").alias("wt"))
+    )
+    win = Window.orderBy(F.desc("wt"), F.asc("g")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return w.select(
+        "g",
+        "wt",
+        F.round(F.col("wt") / F.sum("wt").over(tot), 6).alias("share"),
+        F.round(
+            F.sum("wt").over(win) / F.sum("wt").over(tot), 6
+        ).alias("cum_share"),
+        (
+            (F.sum("wt").over(win) - F.col("wt"))
+            / F.sum("wt").over(tot)
+            < target
+        ).alias("in_pareto"),
+    )
+
+
+def sql_pareto_coverage(
+    table: str,
+    group_col: str,
+    weight_sql: str,
+    target: float = 0.8,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``pareto_coverage`` (same descending order, same
+    before-this-row cumulative rule)."""
+    return f"""
+    WITH g AS (
+        SELECT {group_col} AS g, CAST(sum({weight_sql}) AS DOUBLE) AS wt
+        FROM {table} WHERE {where} GROUP BY 1
+    )
+    SELECT g, wt,
+        round(wt / sum(wt) OVER (), 6) AS share,
+        round(sum(wt) OVER w / sum(wt) OVER (), 6) AS cum_share,
+        (sum(wt) OVER w - wt) / sum(wt) OVER () < {float(target)}
+            AS in_pareto
+    FROM g
+    WINDOW w AS (ORDER BY wt DESC, g ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

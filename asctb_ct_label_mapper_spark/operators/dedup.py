@@ -1553,3 +1553,57 @@ def sql_bloom_prefilter(
         ) AS INT) AS is_dup
     FROM batch b JOIN maybe mb USING ({id_col})
     """
+
+
+def dedup_debounce(
+    df: DataFrame,
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Batch DEBOUNCE dedup: suppress a row when the same key's PREVIOUS
+    occurrence is within ``delay`` — the batch-side companion of the
+    watermarked stream dedup for retry storms and double-clicks.
+    One lag window per key, one interval predicate; rows farther apart
+    than the delay re-emit.
+
+    Semantics note (stated, not hidden): this is the previous-OCCURRENCE
+    rule, a pure window expression. The stream op's previous-KEPT-row
+    rule (a burst longer than the delay collapses to its first row, not
+    one row per delay-gap) is a sequential fold per key — for exact
+    parity with `dropDuplicatesWithinWatermark` replay the stream.
+
+    Returns the kept rows (all input columns)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(ts_col).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col(ts_col) > F.col("_prev") + F.expr(f"INTERVAL {delay}"))
+        )
+        .drop("_prev")
+    )
+
+
+def sql_dedup_debounce(
+    table: str = "events",
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``dedup_debounce`` (same lag window, same
+    strictly-greater interval predicate)."""
+    return f"""
+    SELECT * EXCLUDE (prev) FROM (
+        SELECT *, lag({ts_col}) OVER (PARTITION BY {key_col}
+            ORDER BY {ts_col}, {id_col}) AS prev
+        FROM {table} WHERE {where}
+    )
+    WHERE prev IS NULL OR {ts_col} > prev + INTERVAL {delay}
+    """

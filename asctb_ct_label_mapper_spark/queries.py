@@ -6437,3 +6437,55 @@ def funnel_signup_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["signup", "view", "purchase"],
         within="7 days",
     )
+
+
+def _debounce_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        sql_dedup_debounce,
+    )
+
+    return sql_dedup_debounce(
+        "events", delay="1 hour", where="event_type = 'click'"
+    )
+
+
+@query("dedup_debounce_clicks", _debounce_oracle())
+def dedup_debounce_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch debounce dedup (dedup.dedup_debounce): a user's click is
+    suppressed when their previous click is within 1 hour — the retry-
+    storm/double-click gate; one lag window per key + an interval
+    predicate. The previous-OCCURRENCE rule (the sequential
+    previous-KEPT rule is the stream op's job; difference documented)."""
+    from asctb_ct_label_mapper_spark.operators.dedup import dedup_debounce
+
+    return dedup_debounce(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "click"),
+        delay="1 hour",
+    )
+
+
+def _pareto_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_pareto_coverage,
+    )
+
+    return sql_pareto_coverage(
+        "documents", "source", "len(string_split(text, ' '))"
+    )
+
+
+@query("pareto_sources_tokens", _pareto_oracle())
+def pareto_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC coverage of token mass by source
+    (curation.pareto_coverage): which sources carry 80% of the corpus —
+    one combinable weight fold, then a single window over the
+    source-sized frame."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        pareto_coverage,
+    )
+
+    return pareto_coverage(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        F.size(F.split(F.col("text"), " ")),
+    )

@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "seasonal_decompose_events",
     "weighted_median_doclen",
     "funnel_signup_purchase_7d",
+    "dedup_debounce_clicks",
+    "pareto_sources_tokens",
 ]
 
 

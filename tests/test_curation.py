@@ -588,3 +588,22 @@ def test_kfold_assign_deterministic_partition_and_balance(spark):
     again = {r["doc_id"]: r["fold"] for r in
              kfold_assign(df.repartition(7), "doc_id", k=5).collect()}
     assert all(again[r["doc_id"]] == r["fold"] for r in out)  # partition-proof
+
+
+def test_pareto_coverage_minimal_set(spark):
+    """Groups sort by weight desc; the Pareto set is the minimal prefix
+    whose cumulative share reaches the target; shares sum to 1."""
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        pareto_coverage,
+    )
+
+    rows = [("a", 70), ("b", 20), ("c", 6), ("d", 4)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    out = {r["g"]: r for r in
+           pareto_coverage(df, "src", F.col("n"), target=0.8).collect()}
+    assert out["a"]["in_pareto"] and out["b"]["in_pareto"]
+    assert not out["c"]["in_pareto"] and not out["d"]["in_pareto"]
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+    assert out["d"]["cum_share"] == 1.0

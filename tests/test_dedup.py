@@ -523,3 +523,30 @@ def test_pair_metrics_both_empty_all_zero_counts(spark):
     r = pair_metrics(empty, empty).collect()[0]
     assert (r["n_pred"], r["n_truth"], r["tp"], r["fp"], r["fn"]) == (0, 0, 0, 0, 0)
     assert r["precision"] is None and r["recall"] is None and r["f1"] is None
+
+
+def test_dedup_debounce_previous_occurrence_rule(spark):
+    """Suppress when the previous occurrence is within delay; a burst
+    longer than the delay re-emits per the documented lag rule; keys
+    independent; strictly-greater boundary."""
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.dedup import dedup_debounce
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+
+    def at(m):
+        return datetime(2024, 1, 1, 12, m)
+
+    rows = [
+        (1, at(0), 1, "c"), (2, at(30), 1, "c"),   # 30m: suppressed
+        (3, at(45), 1, "c"),                       # 15m after prev: suppressed
+        (4, at(50), 2, "c"),                       # other key: kept
+        (5, datetime(2024, 1, 1, 13, 45), 1, "c"), # 60m after #3 exactly: suppressed (strict >)
+        (6, datetime(2024, 1, 1, 14, 46), 1, "c"), # 61m after #5: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    kept = sorted(r["event_id"] for r in dedup_debounce(df).collect())
+    assert kept == [1, 4, 6]
