@@ -6489,3 +6489,37 @@ def pareto_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")),
     )
+
+
+@query(
+    "e_sessionize_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                 >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), ids AS (
+        SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        round(sum(value), 4) AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def e_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregate run in BATCH mode
+    (streaming/events.sessionize streaming=True on a finite frame —
+    withWatermark is a no-op there): the engine-API flavor of
+    e_sessionize, sharing its gap-and-islands oracle, so the native
+    session assignment is itself driver-gate-verified against ANSI SQL
+    rather than only against the manual formulation."""
+    from asctb_ct_label_mapper_spark.streaming.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), "30 minutes", streaming=True)

@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "funnel_signup_purchase_7d",
     "dedup_debounce_clicks",
     "pareto_sources_tokens",
+    "e_sessionize_native",
 ]
 
 
