@@ -195,10 +195,14 @@ def retention_cohorts(
         off = F.datediff(F.col("p"), F.col("cohort")).cast("int")
     else:
         raise ValueError(f"unsupported granularity {granularity!r}")
+    # cohort rendered as a yyyy-MM-dd STRING — the repo's cross-engine
+    # date convention (the driver's pandas hasher sees identical values;
+    # a DATE column would arrive as datetime.date from Spark but
+    # datetime64 from DuckDB)
     return (
         active.join(firsts, "key")
         .groupBy(
-            F.col("cohort").cast("date").alias("cohort"),
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
             off.alias("offset_periods"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -231,7 +235,7 @@ def sql_retention_cohorts(
             date_trunc('{granularity}', {ts_col}) AS p
         FROM {table} WHERE {where}
     )
-    SELECT CAST(cohort AS DATE) AS cohort, {off} AS offset_periods,
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, {off} AS offset_periods,
         CAST(count(*) AS BIGINT) AS n_users
     FROM active JOIN firsts USING (key)
     GROUP BY 1, 2

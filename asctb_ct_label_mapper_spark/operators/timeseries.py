@@ -2084,7 +2084,7 @@ def seasonal_decompose_daily(
     return (
         trended.join(F.broadcast(dow), F.dayofweek("d") == F.col("_dw"))
         .select(
-            F.col("d").cast("date").alias("day"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.col("observed"),
             F.round("trend", 6).alias("trend"),
             F.round("seasonal", 6).alias("seasonal"),
@@ -2128,7 +2128,7 @@ def sql_seasonal_decompose_daily(
         SELECT dayofweek(d) AS dw, avg(observed - trend) AS seasonal
         FROM trended GROUP BY 1
     )
-    SELECT CAST(t.d AS DATE) AS day, t.observed,
+    SELECT strftime(t.d, '%Y-%m-%d') AS day, t.observed,
         round(t.trend, 6) AS trend,
         round(s.seasonal, 6) AS seasonal,
         round(t.observed - t.trend - s.seasonal, 6) AS remainder
