@@ -397,6 +397,7 @@ def kmv_sketch_by(
     item_col: str,
     k: int = 64,
     safety: float | None = 8.0,
+    prefilter_min_pairs: int = 500_000,
 ) -> DataFrame:
     """Per-GROUP KMV sketch table: the k smallest distinct item hashes
     within each group (group_cols..., h) — per-day / per-source distinct
@@ -426,6 +427,28 @@ def kmv_sketch_by(
     hashes_raw = df.filter(F.col(item_col).isNotNull()).select(
         *group_cols, kmv_hash60(F.col(item_col)).alias("h")
     )
+    if safety is not None and prefilter_min_pairs > 0:
+        # ZERO-JOB size gate (r10): Catalyst's plan-size estimate comes
+        # straight from parquet footer sizes — no job runs. An input
+        # estimated under ~128 MB cannot carry enough (group, hash)
+        # pairs for the prefilter's 3 extra jobs to pay, so small-scale
+        # calls keep the exact r8 single-window plan with ZERO added
+        # cost; TB-scale scans blow past this and fall through to the
+        # est-based gate below. prefilter_min_pairs=0 bypasses both
+        # gates (tests / forced engagement).
+        try:
+            size = (
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            # py4j maps scala BigInt to Python int; older bridges hand
+            # back the object — normalize through str
+            if int(str(size)) < 128 * 1024 * 1024:
+                safety = None
+        except Exception:
+            pass  # unknown stats -> fall through to the est-based gate
     if safety is not None:
         from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
@@ -436,6 +459,31 @@ def kmv_sketch_by(
             .groupBy(*group_cols)
             .agg(F.approx_count_distinct(item_col).alias("_n"))
         )
+        # ADAPTIVE GATE (r10): the prefilter costs an extra full scan
+        # (the est aggregate), a broadcast join on the raw hash stream,
+        # and an eager guard count() — 3 extra jobs that quadrupled the
+        # sf0.1 headline in r9 while buying a real 2.3x at events100x.
+        # It pays only when BOTH hold, decided by one branch on the
+        # dimension-sized est aggregate:
+        #   (a) max(_n) > safety*k — otherwise every group's threshold
+        #       degenerates to DOMAIN and the filter provably cannot
+        #       cut a row;
+        #   (b) sum(_n) >= prefilter_min_pairs — the distinct's shuffle
+        #       carries ~sum(_n) (group, hash) pairs after map-side
+        #       combine; below ~0.5M pairs the shuffle is cheaper than
+        #       the prefilter's own extra scan + guard jobs on ANY
+        #       cluster, so cutting it cannot pay. At 100x scales both
+        #       conditions hold and the prefilter engages as before.
+        gate = est.agg(
+            F.max("_n").alias("m"), F.sum("_n").alias("s")
+        ).first()
+        if (
+            gate is None
+            or (gate["m"] or 0) <= int(safety * k)
+            or (gate["s"] or 0) < prefilter_min_pairs
+        ):
+            safety = None
+    if safety is not None:
         thr = F.when(
             F.col("_n") <= F.lit(int(safety * k)), F.lit(int(_KMV_DOMAIN))
         ).otherwise(

@@ -582,7 +582,44 @@ def test_kmv_sketch_by_prefilter_equals_unfiltered(spark):
     )
     assert got == ref and len(got) == 48
     with pytest.raises(ValueError, match="raise safety"):
-        kmv_sketch_by(df, ["g"], "it", k=16, safety=0.002).collect()
+        kmv_sketch_by(
+            df, ["g"], "it", k=16, safety=0.002, prefilter_min_pairs=0
+        ).collect()
+
+
+def test_kmv_sketch_by_adaptive_gate_skips_prefilter(spark):
+    """r10 adaptive gate: when every group's estimated cardinality is
+    <= safety*k the threshold would be DOMAIN everywhere, so the
+    broadcast prefilter join and the eager guard are skipped entirely —
+    the returned plan has NO join — and the result still equals the
+    explicit safety=None formulation."""
+    from asctb_ct_label_mapper_spark.operators.sketches import kmv_sketch_by
+
+    # 3 groups x 40 distinct items each, k=16, safety=8 -> 40 <= 128
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i % 120}") for i in range(600)],
+        "g string, it string",
+    )
+    gated = kmv_sketch_by(df, ["g"], "it", k=16, safety=8.0)
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    got = sorted((r["g"], r["h"]) for r in gated.collect())
+    ref = sorted(
+        (r["g"], r["h"])
+        for r in kmv_sketch_by(df, ["g"], "it", k=16, safety=None).collect()
+    )
+    assert got == ref and len(got) == 48
+
+    # and the engaged branch still joins (cardinality >> safety*k)
+    big = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i}") for i in range(3000)],
+        "g string, it string",
+    )
+    engaged = kmv_sketch_by(
+        big, ["g"], "it", k=16, safety=8.0, prefilter_min_pairs=0
+    )
+    eplan = engaged._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in eplan, eplan
 
 
 def test_kmv_sketch_by_null_group_survives_prefilter(spark):
@@ -601,7 +638,9 @@ def test_kmv_sketch_by_null_group_survives_prefilter(spark):
             key=lambda t: (t[0] is not None, t[0] or "", t[1]),
         )
 
-    got = kmv_sketch_by(df, ["g"], "it", k=8).collect()
+    got = kmv_sketch_by(
+        df, ["g"], "it", k=8, prefilter_min_pairs=0
+    ).collect()
     ref = kmv_sketch_by(df, ["g"], "it", k=8, safety=None).collect()
     assert canon(got) == canon(ref)
     assert sum(1 for r in got if r["g"] is None) == 8
