@@ -270,6 +270,20 @@ def ewma_by_key_fold(
     )
 
 
+def _join_firsts(base, firsts):
+    """NULL-safe attach of the per-key min-(ts, id) first-row struct.
+    A USING-join (`join(firsts, "key")`) is plain equality and silently
+    DROPS NULL-key rows — while every grouped stage around it (groupBy,
+    Window.partitionBy, the Arrow folds' factorized boundaries, the
+    DuckDB oracle's GROUP BY) keeps NULL as one real group. eqNullSafe
+    is still an equi-predicate, so the broadcast/hash join strategy is
+    unchanged."""
+    f = firsts.select(F.col("key").alias("__hw_key"), "_first")
+    return base.join(f, base["key"].eqNullSafe(f["__hw_key"])).drop(
+        "__hw_key"
+    )
+
+
 def _affine_fold(maps):
     """Left-fold an ordered array of affine maps struct<m,a> to one map.
 
@@ -361,7 +375,7 @@ def ewma_by_key(
         F.min(F.struct(F.col("ts"), F.col("id"))).alias("_first")
     )
     is_first = F.struct(F.col("ts"), F.col("id")) == F.col("_first")
-    mapped = base.join(firsts, "key").select(
+    mapped = _join_firsts(base, firsts).select(
         "key",
         "bk",
         "ts",
@@ -815,7 +829,7 @@ def holt_by_key(
         "m11": 1.0 - a, "m12": 1.0 - a,
         "m21": -(a * b), "m22": 1.0 - a * b,
     }
-    mapped = base.join(firsts, "key").select(
+    mapped = _join_firsts(base, firsts).select(
         "key",
         "bk",
         "ts",
@@ -1001,6 +1015,24 @@ def _hw_transition(alpha: float, beta: float, gamma: float, period: int):
     return m, cx
 
 
+def _chain_key_codes(series):
+    """Null-aware chain-key codes for the Arrow folds' boundary
+    detection. Raw numpy comparison treats NaN != NaN as True, so a
+    nullable numeric key (long with nulls arrives from Arrow as float64
+    + NaN) would split every NULL-key row into its own singleton chain
+    — while impl='hof' (Spark groupBy / Window.partitionBy) and the
+    DuckDB oracle treat NULL as ONE group. pd.factorize with the NA
+    sentinel folds all nulls to one code and compares object/string
+    keys on their original values. NOTE: an int64 key > 2^53 alongside
+    nulls can still collide at the upstream Arrow->pandas float64
+    conversion (before this function can see it) — use string keys for
+    such id spaces."""
+    import pandas as pd
+
+    codes, _ = pd.factorize(series, use_na_sentinel=True)
+    return codes
+
+
 def _arrow_bucket_fold_fn(m, cx, first_a, d: int, fields):
     """Build the applyInPandas function for the fused-Arrow per-bucket
     matrix fold. One shard holds MANY (key, bucket) chains; the fold is
@@ -1028,11 +1060,12 @@ def _arrow_bucket_fold_fn(m, cx, first_a, d: int, fields):
             return pd.DataFrame(columns=["key", "bk", "n"] + list(fields))
         pdf = pdf.sort_values(["key", "bk", "ts", "id"], kind="mergesort")
         key = pdf["key"].to_numpy()
+        kc = _chain_key_codes(pdf["key"])
         bk = pdf["bk"].to_numpy()
         v = pdf["v"].to_numpy(dtype=np.float64)
         fr = pdf["fr"].to_numpy(dtype=bool)
         boundary = np.ones(len(pdf), dtype=bool)
-        boundary[1:] = (key[1:] != key[:-1]) | (bk[1:] != bk[:-1])
+        boundary[1:] = (kc[1:] != kc[:-1]) | (bk[1:] != bk[:-1])
         starts = np.flatnonzero(boundary)
         n_chains = len(starts)
         lengths = np.diff(np.append(starts, len(pdf)))
@@ -1119,8 +1152,9 @@ def _arrow_carry_fold_fn(d: int, fields):
             return pd.DataFrame(columns=["key", "n_obs"] + list(fields))
         pdf = pdf.sort_values(["key", "bk"], kind="mergesort")
         key = pdf["key"].to_numpy()
+        kc = _chain_key_codes(pdf["key"])
         boundary = np.ones(len(pdf), dtype=bool)
-        boundary[1:] = key[1:] != key[:-1]
+        boundary[1:] = kc[1:] != kc[:-1]
         starts = np.flatnonzero(boundary)
         n_chains = len(starts)
         lengths = np.diff(np.append(starts, len(pdf)))
@@ -1217,13 +1251,14 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int, seed: str = "zero"):
             return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values(["key", "bk", "ts", "id"], kind="mergesort")
         key = pdf["key"].to_numpy()
+        kc = _chain_key_codes(pdf["key"])
         bk = pdf["bk"].to_numpy()
         ts = pdf["ts"].to_numpy()
         rid = pdf["id"].to_numpy()
         v = pdf["v"].to_numpy(dtype=np.float64)
         n = len(pdf)
         kb = np.ones(n, dtype=bool)
-        kb[1:] = key[1:] != key[:-1]
+        kb[1:] = kc[1:] != kc[:-1]
         kstarts = np.flatnonzero(kb)
         klens = np.diff(np.append(kstarts, n))
         all_keys = key[kstarts]
@@ -1264,13 +1299,13 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int, seed: str = "zero"):
                     }
                 )
             fr = kpos == p - 1  # absorbing position, before filtering
-            key, bk, ts, rid, v, fr = (
-                a[keep] for a in (key, bk, ts, rid, v, fr)
+            key, kc, bk, ts, rid, v, fr = (
+                a[keep] for a in (key, kc, bk, ts, rid, v, fr)
             )
             seed_kidx = kidx[keep]  # key index per kept row
             n = len(key)
             kb = np.ones(n, dtype=bool)
-            kb[1:] = key[1:] != key[:-1]
+            kb[1:] = kc[1:] != kc[:-1]
         else:
             # zero seed: the absorbing element is the key's min (ts, id)
             # row; equality (not position) honors duplicated order keys
@@ -1352,8 +1387,9 @@ def _arrow_fused_fold_fn(m, cx, first_a, d: int, seed: str = "zero"):
         ca = [acc_a[i][rank] for i in range(d)]
         # ---- phase B: per-key carry over chains in bk order ----------
         ckey = key[starts]
+        ckc = kc[starts]  # factorized codes: NULL chains are ONE key
         bkb = np.ones(n_chains, dtype=bool)
-        bkb[1:] = ckey[1:] != ckey[:-1]
+        bkb[1:] = ckc[1:] != ckc[:-1]
         bstarts = np.flatnonzero(bkb)
         n_keys = len(bstarts)
         blens = np.diff(np.append(bstarts, n_chains))
@@ -1584,7 +1620,7 @@ def holt_winters_by_key(
             )
         return res.drop("primed")
     if impl == "arrow_staged":
-        mapped = base.join(firsts, "key").select(
+        mapped = _join_firsts(base, firsts).select(
             "key",
             "bk",
             "ts",
@@ -1637,7 +1673,7 @@ def holt_winters_by_key(
                 .otherwise(F.lit(cx[i]) * F.col("v"))
                 .alias(f"a_{i}")
             )
-        mapped = base.join(firsts, "key").select(
+        mapped = _join_firsts(base, firsts).select(
             "key", "bk", "ts", "id", *cols
         )
         per_bucket = mapped.groupBy("key", "bk").agg(

@@ -331,6 +331,39 @@ def test_holt_winters_arrow_equals_hof(spark):
                 assert got[k][f] == ref[k][f], (impl, k, f)
 
 
+def test_holt_winters_arrow_null_key_parity(spark):
+    """A NULL key is ONE group (ADVICE r9): numpy NaN != NaN would make
+    every NULL-key row its own singleton chain in the arrow folds,
+    emitting multiple NULL-key rows — impl='hof' and the oracle treat
+    NULL as a single group. The factorize-based boundary must keep the
+    arrow paths bit-identical to hof on a fixture with 6 NULL-key rows
+    spanning 3 buckets plus two ordinary keys."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        holt_winters_by_key,
+    )
+
+    rows = []
+    eid = 0
+    for key, n in ((1, 5), (None, 6), (2, 3)):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1 + (i % 3), 1 + i), key,
+                 (-1.0) ** i * (2.1 + 0.9 * i + 10.0 * (key or 7)))
+            )
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    ref = {r["key"]: r for r in holt_winters_by_key(df, impl="hof").collect()}
+    assert None in ref and len(ref) == 3
+    for impl in ("arrow", "arrow_staged"):
+        rows_got = holt_winters_by_key(df, impl=impl).collect()
+        assert len(rows_got) == 3, (impl, rows_got)  # ONE null-key row
+        got = {r["key"]: r for r in rows_got}
+        assert set(got) == set(ref)
+        for k in ref:
+            for f in ("n_obs", "level", "trend", "season_next", "forecast_1"):
+                assert got[k][f] == ref[k][f], (impl, k, f)
+
+
 def _hw_classical_seq(xs, a=0.5, b=0.25, g=0.25, p=4):
     lvl = sum(xs[:p]) / p
     tr = (xs[p - 1] - xs[0]) / (p - 1)
