@@ -330,14 +330,24 @@ def event_path_ngrams(
     Plan: n-1 lead windows per key (bounded by per-key event counts),
     null-filtered so truncated tails emit nothing, then one combinable
     count. Returns (path, n_paths) with path as 'a>b>c', filtered to
-    ``min_count``."""
+    ``min_count``.
+
+    N-GRAM ARITY CONTRACT (r10): EVERY step must be non-null, not just
+    the last lead — a NULL type mid-window is silently skipped by
+    concat_ws on both engines, so ('a', NULL, 'c') used to collide
+    with genuine 2-step 'a>c' paths. Windows containing a NULL type
+    now emit nothing; NULL-typed events still advance the sequence
+    (they occupy a position, they just can't be named)."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, n)
     ]
+    full = steps[0].isNotNull()
+    for st in steps[1:]:
+        full = full & st.isNotNull()
     pathed = df.select(
         F.concat_ws(">", *steps).alias("path"),
-        steps[-1].isNotNull().alias("_full"),
+        full.alias("_full"),
     )
     return (
         pathed.filter(F.col("_full"))
@@ -363,11 +373,11 @@ def sql_event_path_ngrams(
         f"lead({type_col}, {i}) OVER w" for i in range(1, n)
     ]
     concat = ", ".join(leads)
-    last = leads[-1]
+    all_non_null = " AND ".join(f"({e}) IS NOT NULL" for e in leads)
     return f"""
     WITH pathed AS (
         SELECT concat_ws('>', {concat}) AS path,
-            {last} IS NOT NULL AS full_path
+            ({all_non_null}) AS full_path
         FROM {table} WHERE {where}
         WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
     )

@@ -1577,15 +1577,25 @@ def dedup_debounce(
     Returns the kept rows (all input columns)."""
     from pyspark.sql import Window
 
+    if "__debounce_prev" in df.columns:
+        # prefixed + guarded like asof's reserved internals: withColumn
+        # would silently overwrite a user column and drop() remove it
+        raise ValueError(
+            "dedup_debounce reserves the internal column name "
+            "'__debounce_prev'; rename it"
+        )
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     prev = F.lag(ts_col).over(w)
     return (
-        df.withColumn("_prev", prev)
+        df.withColumn("__debounce_prev", prev)
         .filter(
-            F.col("_prev").isNull()
-            | (F.col(ts_col) > F.col("_prev") + F.expr(f"INTERVAL {delay}"))
+            F.col("__debounce_prev").isNull()
+            | (
+                F.col(ts_col)
+                > F.col("__debounce_prev") + F.expr(f"INTERVAL {delay}")
+            )
         )
-        .drop("_prev")
+        .drop("__debounce_prev")
     )
 
 

@@ -884,18 +884,23 @@ def benford_audit(df: DataFrame, int_col) -> DataFrame:
     INTEGER-VALUED column or expression (callers scale decimals first,
     e.g. ``round(value * 100)``) so the leading digit comes from exact
     integer rendering — no float log10 boundary hazards between
-    engines.
+    engines. The contract is ENFORCED (r10): the operator wraps the
+    expression in round() on BOTH engines before the BIGINT cast,
+    because Spark ``.cast('bigint')`` truncates while DuckDB CAST
+    rounds — a raw double column would otherwise get silently
+    different digit counts.
 
     One combinable digit-count fold (<= 9 groups) plus a one-row
     chi-square against the Benford shares. Returns one row per observed
     digit: (digit, n, share, benford_share, chi2_total) — chi2_total
     repeated per row so the output stays one flat table."""
-    col = F.col(int_col) if isinstance(int_col, str) else int_col
+    raw = F.col(int_col) if isinstance(int_col, str) else int_col
+    col = F.round(raw)  # half-away-from-zero on both engines
     digit = F.substring(F.abs(col.cast("bigint")).cast("string"), 1, 1).cast(
         "int"
     )
     counts = (
-        df.filter(col.isNotNull() & (col.cast("bigint") != 0))
+        df.filter(raw.isNotNull() & (col.cast("bigint") != 0))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -939,12 +944,12 @@ def sql_benford_audit(table: str, int_expr: str, where: str = "1=1") -> str:
     )
     return f"""
     WITH counts AS (
-        SELECT CAST(substr(CAST(abs(CAST({int_expr} AS BIGINT)) AS VARCHAR),
-                    1, 1) AS INT) AS digit,
+        SELECT CAST(substr(CAST(abs(CAST(round({int_expr}) AS BIGINT))
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
             count(*) AS n
         FROM {table}
         WHERE ({where}) AND {int_expr} IS NOT NULL
-            AND CAST({int_expr} AS BIGINT) <> 0
+            AND CAST(round({int_expr}) AS BIGINT) <> 0
         GROUP BY 1
     ), b AS (
         SELECT digit, n, ([{bvals}])[digit] AS benford_share,

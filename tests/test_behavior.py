@@ -167,6 +167,29 @@ def test_event_path_ngrams_per_key_and_truncation(spark):
     assert bi == {"a>b": 1, "b>c": 1, "c>b": 1}
 
 
+def test_event_path_ngrams_null_type_breaks_window(spark):
+    """r10 arity contract: a NULL event_type mid-window voids every
+    n-gram that covers it — ('a', NULL, 'c') must NOT collide with a
+    genuine 2-step 'a>c' path (concat_ws would silently skip the NULL).
+    The NULL event still occupies its sequence position."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        event_path_ngrams,
+    )
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(2), 1, None), (3, d(3), 1, "c"),
+        (4, d(4), 1, "e"),
+        (5, d(1), 2, "a"), (6, d(2), 2, "c"),  # the REAL a>c
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    tri = {r["path"]: r["n_paths"]
+           for r in event_path_ngrams(df, n=3).collect()}
+    assert tri == {}  # every key-1 trigram covers the NULL or a tail
+    bi = {r["path"]: r["n_paths"]
+          for r in event_path_ngrams(df, n=2).collect()}
+    assert bi == {"c>e": 1, "a>c": 1}  # a>c counted ONCE (key 2 only)
+
+
 def test_funnel_within_window(spark):
     """The conversion-window flavor: a step outside `within` of the
     previous reach time does not count (boundary is inclusive)."""

@@ -381,3 +381,34 @@ def test_benford_audit_digits_and_chi2(spark):
     # counts were drawn FROM benford, so the statistic is tiny
     assert out[1]["chi2_total"] < 1.0
     assert abs(out[1]["benford_share"] - round(math.log10(2), 6)) < 1e-9
+
+
+def test_benford_audit_rounds_raw_doubles_like_oracle(spark):
+    """r10 contract enforcement: a raw double column is ROUNDED before
+    the BIGINT cast on both engines (Spark cast truncates, DuckDB CAST
+    rounds — the repo's documented trap). 9.7 must count as digit 1
+    (rounds to 10), not digit 9; 0.4 rounds to 0 and drops."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        benford_audit,
+        sql_benford_audit,
+    )
+
+    vals = [9.7, 1.2, 18.9, 0.4, 25.2, 94.6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r["n"] for r in benford_audit(df, "v").collect()}
+    assert got == {1: 3, 2: 1, 9: 1}  # 9.7->10, 18.9->19, 94.6->95
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v})" for v in vals)
+        + ") AS x(v)"
+    )
+    ora = {
+        int(d): int(n)
+        for d, n, *_ in con.execute(
+            sql_benford_audit("t", "v")
+        ).fetchall()
+    }
+    assert ora == got
