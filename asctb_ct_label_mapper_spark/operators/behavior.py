@@ -32,6 +32,7 @@ def funnel_steps(
     key_col: str = "user_id",
     type_col: str = "event_type",
     within: str | None = None,
+    impl: str = "fold",
 ) -> DataFrame:
     """ORDERED funnel: a user reaches step i when an event of type
     ``steps[i]`` occurs STRICTLY AFTER the user's step-(i-1) reach time
@@ -59,10 +60,34 @@ def funnel_steps(
 
     Returns (step, step_name, users, conv_rate) where conv_rate is
     users / step-1 users rounded to 6dp (NULL if step 1 is empty).
-    One plan, no driver loop: each step frame is pooled-persisted (it
-    feeds both its own count leg and the next step's join)."""
+
+    ``impl`` (r10): ``'fold'`` (default) — ONE scan filtered to
+    ``type IN steps`` (the IN predicate pushes to the parquet scan),
+    ONE user-keyed Exchange, then a per-user greedy fill over the
+    sorted bounded funnel-event array (array_sort + aggregate HOF with
+    a K-slot reach accumulator; each event fills at most the first
+    eligible slot, conditions read the PRE-update accumulator so
+    repeated step types chain correctly). Provably the same first-touch
+    reach times: events are processed in ascending (ts, type) order, so
+    the first type-i event strictly after slot i-1's reach time IS the
+    min the join formulation takes. At 100 TB a 5-step funnel is one
+    pass over the event log instead of five. ``'joins'`` — the r9
+    K-scan/K-1-equi-join chain, kept as the parity anchor (the fold is
+    hash-proven equal by test and by the shared oracle).
+
+    Edge parity (both impls): a user whose ONLY step-1 events carry a
+    NULL timestamp still counts for step 1 (the join plan's
+    min-aggregate group exists with t = NULL) but can never reach later
+    steps (NULL compares false); the fold replays this with a presence
+    flag for step 1 and NULL-ts-proof slot fills."""
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
+    if impl == "fold":
+        return _funnel_steps_fold(
+            df, steps, ts_col, key_col, type_col, within
+        )
+    if impl != "joins":
+        raise ValueError(f"unknown funnel impl {impl!r}")
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     reached = pooled_persist(
@@ -115,6 +140,86 @@ def funnel_steps(
         F.when(
             base > 0, F.round(F.col("users").cast("double") / base, 6)
         ).alias("conv_rate"),
+    )
+
+
+def _funnel_steps_fold(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    within: str | None,
+) -> DataFrame:
+    """One-pass funnel engine (see funnel_steps impl='fold'). 2 Exchanges
+    total: the user-keyed partial-aggregated collect, then the K-column
+    single-row rollup (bytes-sized) unpivoted to K rows."""
+    k = len(steps)
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_t"),
+        F.col(type_col).alias("_y"),
+    )
+    # step-1 presence: the join plan's first frame is "users with
+    # >= 1 step-1 event" (even all-NULL-ts ones, whose group row
+    # exists with t = NULL) — NOT "users with any funnel event".
+    # Expressions are GENERATED SQL throughout: the Column-object
+    # formulation costs ~700 py4j round-trips (~0.4 s) per plan build.
+    def q(lit: str) -> str:
+        return "'" + lit.replace("'", "''") + "'"
+
+    collected = ev.groupBy("key").agg(
+        F.expr(
+            "array_sort(collect_list(struct(_t, _y)))"
+        ).alias("_evs"),
+        F.expr(
+            f"max(CASE WHEN _y = {q(steps[0])} THEN 1 ELSE 0 END)"
+        ).alias("_has0"),
+    )
+    zero = "array(" + ", ".join(
+        ["CAST(NULL AS TIMESTAMP)"] * k
+    ) + ")"
+    slots = []
+    for i in range(k):
+        ok = f"x._y = {q(steps[i])} AND x._t IS NOT NULL AND acc[{i}] IS NULL"
+        if i > 0:
+            ok += (
+                f" AND acc[{i - 1}] IS NOT NULL AND x._t > acc[{i - 1}]"
+            )
+            if within is not None:
+                ok += f" AND x._t <= acc[{i - 1}] + INTERVAL {within}"
+        slots.append(f"CASE WHEN {ok} THEN x._t ELSE acc[{i}] END")
+    fold_sql = (
+        f"aggregate(_evs, {zero}, (acc, x) -> array("
+        + ", ".join(slots)
+        + "))"
+    )
+    per_user = collected.selectExpr(
+        "key", f"{fold_sql} AS _reach", "_has0 = 1 AS _present"
+    )
+    counts = per_user.agg(
+        F.expr("sum(CASE WHEN _present THEN 1 ELSE 0 END)").alias("_c_0"),
+        *[
+            F.expr(
+                f"sum(CASE WHEN _reach[{i}] IS NOT NULL THEN 1 ELSE 0 END)"
+            ).alias(f"_c_{i}")
+            for i in range(1, k)
+        ],
+    )
+    stack = ", ".join(
+        f"{i + 1}, {q(steps[i])}, _c_{i}" for i in range(k)
+    )
+    out = counts.selectExpr(
+        f"stack({k}, {stack}) AS (step, step_name, users)"
+    )
+    return out.selectExpr(
+        "CAST(step AS INT) AS step",
+        "step_name",
+        "CAST(users AS BIGINT) AS users",
+        "CASE WHEN max(CASE WHEN step = 1 THEN users END) OVER () > 0"
+        " THEN round(CAST(users AS DOUBLE)"
+        " / max(CASE WHEN step = 1 THEN users END) OVER (), 6)"
+        " END AS conv_rate",
     )
 
 

@@ -203,3 +203,57 @@ def test_funnel_within_window(spark):
     got = {r["step"]: r["users"] for r in
            funnel_steps(df, ["signup", "view"], within="7 days").collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_funnel_fold_equals_joins(spark):
+    """r10 one-pass fold == r9 join chain, row-for-row, on a fixture
+    exercising every edge: out-of-order steps, exact-tie timestamps,
+    repeated step types (view->view needs two DISTINCT view events),
+    NULL-ts step-1-only users (count step 1, never later), within
+    windows, and users with only later-step events (count nowhere)."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+
+    rows = [
+        # u1: full ordered chain
+        (1, d(1), 1, "signup"), (2, d(2), 1, "view"), (3, d(3), 1, "view"),
+        (4, d(4), 1, "purchase"),
+        # u2: view before signup, single view after -> can't do view,view
+        (5, d(2), 2, "view"), (6, d(3), 2, "signup"), (7, d(4), 2, "view"),
+        # u3: signup only, at the same ts as a view (tie: strictly-after)
+        (8, d(5), 3, "signup"), (9, d(5), 3, "view"),
+        # u4: NULL-ts signup only -> step-1 user, never later
+        (10, None, 4, "signup"),
+        # u5: purchases only -> counted nowhere
+        (11, d(1), 5, "purchase"), (12, d(2), 5, "purchase"),
+        # u6: chain that only fits without `within` (8-day gap)
+        (13, d(1), 6, "signup"), (14, d(2), 6, "view"),
+        (15, d(10), 6, "view"), (16, d(11), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    for steps in (
+        ["signup", "view", "purchase"],
+        ["signup", "view", "view", "purchase"],
+        ["signup"],
+    ):
+        for within in (None, "7 days"):
+            fold = sorted(
+                map(tuple, funnel_steps(df, steps, within=within).collect())
+            )
+            joins = sorted(
+                map(
+                    tuple,
+                    funnel_steps(
+                        df, steps, within=within, impl="joins"
+                    ).collect(),
+                )
+            )
+            assert fold == joins, (steps, within, fold, joins)
+    # spot-check the repeated-type chain: u1 has view@d2+view@d3 (ok),
+    # u2's only post-signup view is single (not ok)
+    got = {
+        r["step"]: r["users"]
+        for r in funnel_steps(
+            df, ["signup", "view", "view", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 5, 2: 3, 3: 2, 4: 2}
