@@ -753,6 +753,164 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_session(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """Third streaming-tier row (VERDICT r9 #5): the NATIVE
+    ``session_window`` aggregate + watermark (streaming/events.py
+    sessionize(streaming=True)) over the sliced events stream — the
+    third stateful shape next to the ledger loop and the watermarked
+    exact dedup. Input: the sf events stream split into ``n_batches``
+    time-ordered micro-batches (same slicing as the watermark tier),
+    plus one SENTINEL event 30 days past max ts landed last: it pushes
+    the final watermark past every real session's end, so the
+    append-mode sink flushes ALL session state and the streamed rows
+    can be compared row-for-row against the batch gap-and-islands
+    answer — a correctness gate on the tier, not just cadence. Signals:
+    per-batch cadence, the open-session state-row series (bounded by
+    arrival rate x gap + watermark, not stream history), and
+    matches_batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.events import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    work = tempfile.mkdtemp(prefix="graft_sess_bench_")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        us = F.unix_micros("ts")
+        sliced = ev.withColumn(
+            "_slice",
+            ((us - F.lit(lo)) * n_batches / F.lit(span)).cast("long"),
+        )
+        import glob
+
+        def land(df, name):
+            stage = os.path.join(work, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            fs = glob.glob(os.path.join(stage, "*.parquet"))
+            if fs:  # empty time slice (skewed ts): nothing to land
+                [f] = fs
+                shutil.copy(f, os.path.join(landing, f"{name}.parquet"))
+
+        for i in range(n_batches):
+            land(
+                sliced.filter(F.col("_slice") == i).drop("_slice"),
+                f"slice_{i:03d}",
+            )
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(-1), float(0.0))],
+            "event_id long, user_id long, value double",
+        ).select(
+            "event_id",
+            F.timestamp_micros(
+                F.lit(hi + 30 * 86400 * 1_000_000)
+            ).alias("ts"),
+            "user_id",
+            "value",
+        )
+        land(sentinel, f"slice_{n_batches:03d}_sentinel")
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = os.path.join(work, "out")
+        t0 = time.perf_counter()
+        q = (
+            sessionize(stream, gap="30 minutes", watermark="2 hours",
+                       streaming=True)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise TimeoutError("session tier did not drain in 600s")
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        state_rows = [
+            int(p["stateOperators"][0]["numRowsTotal"]) if p["stateOperators"]
+            else None
+            for p in prog
+        ]
+        streamed = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+        got = sorted(map(tuple, streamed.collect()))
+        want = sorted(
+            map(
+                tuple,
+                sessionize(
+                    ev, gap="30 minutes", watermark="2 hours",
+                    streaming=False,
+                ).collect(),
+            )
+        )
+        return {
+            "loop": "session_window_watermark",
+            "n_batches": len(per_batch),
+            "rows_in": int(sum(p["numInputRows"] for p in prog)),
+            "sessions_out": len(got),
+            "matches_batch": got == want,
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(
+                sum(per_batch) / max(len(per_batch), 1), 4
+            ),
+            "state_rows_per_batch": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _tier_median3(spark, registry, names, tier_dir, label):
+    """Shared tier methodology (r10, extending the r8/r9 docs100x
+    prescription to EVERY scale tier): median-of-3 per query with the
+    [min, max] spread recorded, inside a session no other tier has
+    touched. The r8 and r9 driver runs both measured 30-40% swings on
+    single-shot tiers (docs100x then docs10x) for identical code —
+    median + spread makes drift distinguishable from noise."""
+    med: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        fn = registry[name]
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, tier_dir).count()
+            runs.append(round(time.perf_counter() - t0, 4))
+        runs.sort()
+        med[name] = runs[1]
+        spread[name] = [runs[0], runs[2]]
+        print(
+            f"[bench/{label}] {name}: median {runs[1]}s "
+            f"(min {runs[0]}, max {runs[2]})",
+            file=sys.stderr,
+            flush=True,
+        )
+    return med, spread
+
+
+_TIER_METHODOLOGY = "isolated per-tier session, median of 3, spread=[min,max]"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -796,133 +954,98 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         result["scales"] = {}
-        # Scale tiers never share the headline session (r9, extending
-        # the r8 VERDICT's docs100x prescription): the headline pass
+        # EVERY scale tier gets its OWN fresh session (r10, closing the
+        # r9 gap where the 10x tiers shared one session and events100x
+        # ran right after docs100x's 3x history): the headline pass
         # leaves ~160 queries of executor-memory history behind, and
         # untouched docs10x operators were observed swinging +40%
         # (dedup_ngram_jaccard +5.5 s) purely from that session state.
-        # The 10x tiers share this first fresh session; the 100x tier
-        # gets its own below.
-        spark.stop()
-        spark = get_spark("asctb-bench-scale-tiers")
-        registry = all_queries()
         try:
             scale_dir = ensure_docs_scale(sf_dir, 10)
+            spark.stop()
+            spark = get_spark("asctb-bench-docs10x")
+            registry = all_queries()
             # fresh-JVM warm-up, same reason as the headline's
             spark.read.parquet(
                 os.path.join(scale_dir, "documents.parquet")
             ).groupBy("lang").count().count()
-            scale_timings: dict[str, float] = {}
-            for name in SCALE_QUERIES:
-                fn = registry[name]
-                # Single timed run: a second pass would double a tier
-                # whose point is aggregate-trend, not per-query
-                # precision.
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, scale_dir).count()
-                scale_timings[name] = round(time.perf_counter() - t0, 4)
-                print(
-                    f"[bench/10x] {name}: {scale_timings[name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            med, spread = _tier_median3(
+                spark, registry, SCALE_QUERIES, scale_dir, "10x"
+            )
             result["scales"]["docs10x"] = {
                 "factor": 10,
-                "total": round(sum(scale_timings.values()), 4),
-                "queries": scale_timings,
+                "total": round(sum(med.values()), 4),
+                "queries": med,
+                "spread": spread,
+                "methodology": _TIER_METHODOLOGY,
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["docs10x"] = {"error": str(e)[:200]}
         try:
             ev_dir = ensure_events_scale(sf_dir, 10)
-            ev_timings: dict[str, float] = {}
-            for name in EVENTS_SCALE_QUERIES:
-                fn = registry[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, ev_dir).count()
-                ev_timings[name] = round(time.perf_counter() - t0, 4)
-                print(
-                    f"[bench/ev10x] {name}: {ev_timings[name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            spark.stop()
+            spark = get_spark("asctb-bench-events10x")
+            registry = all_queries()
+            spark.read.parquet(
+                os.path.join(ev_dir, "events.parquet")
+            ).groupBy("event_type").count().count()
+            med, spread = _tier_median3(
+                spark, registry, EVENTS_SCALE_QUERIES, ev_dir, "ev10x"
+            )
             result["scales"]["events10x"] = {
                 "factor": 10,
-                "total": round(sum(ev_timings.values()), 4),
-                "queries": ev_timings,
+                "total": round(sum(med.values()), 4),
+                "queries": med,
+                "spread": spread,
+                "methodology": _TIER_METHODOLOGY,
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["events10x"] = {"error": str(e)[:200]}
-        # 100x tier, variance-controlled (VERDICT r8 #2): the r8 driver run
-        # measured 117.8s vs 77.2s for the SAME code — single-pass timings
-        # in a session carrying ~180 queries of executor-memory history are
-        # not a regression signal. On top of the isolated scale session
-        # this tier times median-of-3 per query and records the min/max
-        # spread so round-over-round readers can tell drift from noise.
         try:
             scale_dir = ensure_docs_scale(sf_dir, 100)
-            # second restart: the 10x tiers above leave ~36 queries of
-            # history; the 100x MEDIANS must not absorb it (the r8
-            # variance finding was specifically about this tier)
             spark.stop()
             spark = get_spark("asctb-bench-docs100x")
             registry = all_queries()
             spark.read.parquet(
                 os.path.join(scale_dir, "documents.parquet")
             ).groupBy("lang").count().count()
-            med: dict[str, float] = {}
-            spread: dict[str, list[float]] = {}
-            for name in SCALE100_QUERIES:
-                fn = registry[name]
-                runs = []
-                for _ in range(3):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    fn(spark, scale_dir).count()
-                    runs.append(round(time.perf_counter() - t0, 4))
-                runs.sort()
-                med[name] = runs[1]
-                spread[name] = [runs[0], runs[2]]
-                print(
-                    f"[bench/100x] {name}: median {runs[1]}s "
-                    f"(min {runs[0]}, max {runs[2]})",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            med, spread = _tier_median3(
+                spark, registry, SCALE100_QUERIES, scale_dir, "100x"
+            )
             result["scales"]["docs100x"] = {
                 "factor": 100,
                 "total": round(sum(med.values()), 4),
                 "queries": med,
                 "spread": spread,
-                "methodology": "isolated scale session, median of 3, spread=[min,max]",
+                "methodology": _TIER_METHODOLOGY,
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["docs100x"] = {"error": str(e)[:200]}
         try:
             ev_dir = ensure_events_scale(sf_dir, 100)
-            ev_timings = {}
-            for name in EVENTS_SCALE_QUERIES:
-                fn = registry[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, ev_dir).count()
-                ev_timings[name] = round(time.perf_counter() - t0, 4)
-                print(
-                    f"[bench/ev100x] {name}: {ev_timings[name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            spark.stop()
+            spark = get_spark("asctb-bench-events100x")
+            registry = all_queries()
+            spark.read.parquet(
+                os.path.join(ev_dir, "events.parquet")
+            ).groupBy("event_type").count().count()
+            med, spread = _tier_median3(
+                spark, registry, EVENTS_SCALE_QUERIES, ev_dir, "ev100x"
+            )
             result["scales"]["events100x"] = {
                 "factor": 100,
-                "total": round(sum(ev_timings.values()), 4),
-                "queries": ev_timings,
+                "total": round(sum(med.values()), 4),
+                "queries": med,
+                "spread": spread,
+                "methodology": _TIER_METHODOLOGY,
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["events100x"] = {"error": str(e)[:200]}
         try:
             rel_dir = ensure_relational_scale(sf_dir, 10)
+            spark.stop()
+            spark = get_spark("asctb-bench-rel10x")
+            registry = all_queries()
             # ingest-time cost, not query-time: materialize the bucketed
             # fact layout before any timing (write-once per tier)
             from asctb_ct_label_mapper_spark.sources.bucketing import (
@@ -941,26 +1064,21 @@ def main() -> None:
 
             cl_path = ensure_clustered_copy(spark, rel_dir)
             spark.read.parquet(cl_path).count()  # warm, same reason
-            rel_timings: dict[str, float] = {}
-            for name in REL_SCALE_QUERIES:
-                fn = registry[name]
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, rel_dir).count()
-                rel_timings[name] = round(time.perf_counter() - t0, 4)
-                print(
-                    f"[bench/rel10x] {name}: {rel_timings[name]}s",
-                    file=sys.stderr,
-                    flush=True,
-                )
+            med, spread = _tier_median3(
+                spark, registry, REL_SCALE_QUERIES, rel_dir, "rel10x"
+            )
             result["scales"]["rel10x"] = {
                 "factor": 10,
-                "total": round(sum(rel_timings.values()), 4),
-                "queries": rel_timings,
+                "total": round(sum(med.values()), 4),
+                "queries": med,
+                "spread": spread,
+                "methodology": _TIER_METHODOLOGY,
             }
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["rel10x"] = {"error": str(e)[:200]}
         try:
+            spark.stop()
+            spark = get_spark("asctb-bench-streaming")
             spark.catalog.clearCache()
             result["scales"]["streaming"] = bench_streaming(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
@@ -972,6 +1090,13 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["streaming_watermark"] = {"error": str(e)[:200]}
+        try:
+            spark.catalog.clearCache()
+            result["scales"]["streaming_session"] = bench_streaming_session(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["streaming_session"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
