@@ -130,6 +130,22 @@ def query(name: str, oracle: str | None = None):
             drain_persist_pool()
             return fn(spark, sf_dir)
 
+        # Shadow guard (r10, VERDICT r9 #7): a second registration of
+        # the same name by a DIFFERENT function silently replaced the
+        # first in r9 (the stratified_sample collision precedent —
+        # later def wins, the earlier operator vanishes from the
+        # registry with no failing test). Same-function re-registration
+        # (module re-import) stays legal.
+        prior = QUERIES.get(name)
+        if prior is not None and (
+            getattr(prior, "__module__", None),
+            getattr(prior, "__qualname__", None),
+        ) != (fn.__module__, fn.__qualname__):
+            raise ValueError(
+                f"query name {name!r} is already registered by "
+                f"{prior.__module__}.{prior.__qualname__}; duplicate "
+                f"registration from {fn.__module__}.{fn.__qualname__}"
+            )
         QUERIES[name] = entry
         if oracle is not None:
             ORACLES[name] = oracle
