@@ -1,0 +1,701 @@
+"""Statistical / ML-lite operators over the event and document tables:
+closed-form OLS trends, autocorrelation, entropy, concentration (Gini),
+robust outliers (MAD), volatility bands, robust slopes (Theil-Sen), and
+rolling medians.
+
+Not in the reference (no statistics surface there); first-class for a
+training-data engine — drift trends, inequality-of-contribution audits,
+robust anomaly gates. Every operator is oracle-paired: closed-form
+sufficient-statistic formulations (sums, counts) so both engines compute
+the same arithmetic from exact integer/float folds, divisions last,
+rounded at 6dp.
+
+100 TB posture: every operator here is one or two grouped aggregates
+over narrow columns — sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy)
+are map-side combinable, so the shuffle carries one row per group. The
+deliberately global shapes (Gini's rank, Theil-Sen's pairwise slopes)
+operate on GROUP-SIZED frames (per-user totals, daily counts) and say so
+in their docstrings; their raw-stream variants would need the binned /
+sampled formulations noted there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH = "1970-01-01"
+
+
+def ols_trend_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of ``value`` against event
+    DAY (days since epoch): slope, intercept, r2, n. Closed form from
+    the six sufficient statistics — one grouped aggregate, map-side
+    combinable, one shuffle row per key; no per-key sort.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept = (Σy − b·Σx)/n,
+    r² = (n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²)); degenerate
+    denominators (constant x or y) yield NULL via nullif — the same
+    contract the covar/nullif corr pattern uses (ANSI corr divides
+    internally). Keys with fewer than ``min_n`` points are dropped."""
+    x = F.datediff(F.to_date(ts_col), F.lit(_EPOCH)).cast("double")
+    y = F.col(value_col)
+    agg = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(y * y).alias("_syy"),
+        )
+        .filter(F.col("n") >= min_n)
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = cov_n / F.nullif(varx_n, F.lit(0.0))
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / nd
+    r2 = (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0))
+    return agg.select(
+        "key",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def sql_ols_trend_by_key(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_n: int = 3,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``ols_trend_by_key`` (same sufficient-statistic
+    arithmetic, same nullif degeneracy contract)."""
+    return f"""
+    WITH s AS (
+        SELECT {key_col} AS key,
+            count(*) AS n,
+            sum(x) AS sx, sum(y) AS sy,
+            sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM (
+            SELECT {key_col},
+                CAST(datediff('day', DATE '{_EPOCH}', CAST({ts_col} AS DATE))
+                     AS DOUBLE) AS x,
+                {value_col} AS y
+            FROM {table}
+            WHERE ({where}) AND {value_col} IS NOT NULL
+                AND {ts_col} IS NOT NULL
+        ) GROUP BY 1 HAVING count(*) >= {min_n}
+    )
+    SELECT key, n,
+        round((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 6) AS slope,
+        round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) * sx)
+              / CAST(n AS DOUBLE), 6) AS intercept,
+        round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy))
+              / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 6) AS r2
+    FROM s
+    """
+
+
+def autocorr_daily_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Autocorrelation of the DAILY event-count series at lags
+    1..``max_lag`` — the seasonality probe (a weekly cycle shows as a
+    lag-7 peak). The series is integer counts on a calendar spine
+    (missing days are genuine zeros, the seasonal_decompose contract),
+    so the sufficient statistics are EXACT integers; divisions happen
+    once at the end.
+
+    acf_k = (n·Σ x_t·x_{{t-k}} − Σx_t·Σx_{{t-k}})
+            / sqrt((n·Σx_t² − (Σx_t)²) · (n·Σx_{{t-k}}² − (Σx_{{t-k}})²))
+    over the n = N−k aligned pairs (the statistics are computed on each
+    window's own margin, the textbook sample-ACF-of-pairs form).
+
+    Scale: the daily series is calendar-sized regardless of event count
+    — one date aggregate off the raw stream, then lag arithmetic on the
+    tiny spine."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # calendar spine via min/max + sequence (zero days are observations)
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("d")
+    out = None
+    for k in range(1, max_lag + 1):
+        lagged = series.select(
+            "c", F.lag("c", k).over(w).alias("p")
+        ).filter(F.col("p").isNotNull())
+        nd = F.count(F.lit(1)).cast("double")
+        sx = F.sum("c").cast("double")
+        sp = F.sum("p").cast("double")
+        sxx = F.sum(F.col("c") * F.col("c")).cast("double")
+        spp = F.sum(F.col("p") * F.col("p")).cast("double")
+        sxp = F.sum(F.col("c") * F.col("p")).cast("double")
+        acf = (nd * sxp - sx * sp) / F.sqrt(
+            (nd * sxx - sx * sx) * (nd * spp - sp * sp)
+        )
+        row = lagged.agg(
+            F.lit(k).alias("lag"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(acf, 6).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_autocorr_daily_counts(
+    table: str = "events",
+    ts_col: str = "ts",
+    max_lag: int = 3,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``autocorr_daily_counts`` (same calendar spine,
+    same per-lag pair statistics; window sums are integer-exact on both
+    engines — counts are BIGINT, no HUGEINT drift because the division
+    casts to DOUBLE explicitly)."""
+    legs = []
+    for k in range(1, max_lag + 1):
+        legs.append(f"""
+        SELECT {k} AS lag, count(*) AS n_pairs,
+            round((CAST(count(*) AS DOUBLE) * sum(c * p)
+                   - CAST(sum(c) AS DOUBLE) * sum(p))
+                  / sqrt((CAST(count(*) AS DOUBLE) * sum(c * c)
+                          - CAST(sum(c) AS DOUBLE) * sum(c))
+                         * (CAST(count(*) AS DOUBLE) * sum(p * p)
+                            - CAST(sum(p) AS DOUBLE) * sum(p))), 6) AS acf
+        FROM (
+            SELECT c, lag(c, {k}) OVER (ORDER BY d) AS p FROM series
+        ) WHERE p IS NOT NULL""")
+    union = "\n        UNION ALL\n".join(legs)
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM daily
+    ), series AS (
+        SELECT cal.d, coalesce(daily.c, 0) AS c
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+    )
+    {union}
+    """
+
+
+def entropy_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Shannon entropy (bits) of each key's categorical distribution —
+    the behavioral-diversity / feature-informativeness probe. Two
+    grouped integer aggregates (key×category counts, then the per-key
+    fold); p·log2(p) terms are summed per key in category order
+    (deterministic ascending category) so both engines add the same
+    doubles in the same order."""
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), F.col(cat_col).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("key")
+    p = F.col("c").cast("double") / F.sum("c").over(tot).cast("double")
+    terms = counts.select(
+        "key",
+        "cat",
+        (-p * F.log2(p)).alias("_term"),
+        F.col("c"),
+    )
+    # ordered fold: sort_array over (cat, term) structs fixes the
+    # float-addition order identically on both engines
+    return (
+        terms.groupBy("key")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("cat", "_term"))
+                        ),
+                        lambda s: s["_term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def sql_entropy_by_key(
+    table: str = "events",
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``entropy_by_key``: same category-ordered float
+    fold (list_sort by category, then left-to-right sum seeded 0.0 so
+    the addition order matches Spark's aggregate HOF exactly;
+    list_reduce would seed with the FIRST element — the documented
+    trap)."""
+    return f"""
+    WITH counts AS (
+        SELECT {key_col} AS key, {cat_col} AS cat, count(*) AS c
+        FROM {table} WHERE ({where}) AND {cat_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), terms AS (
+        SELECT key, cat, c,
+            -(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY key)
+                                       AS DOUBLE))
+            * log2(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY key)
+                                            AS DOUBLE)) AS term
+        FROM counts
+    )
+    SELECT key, CAST(sum(c) AS BIGINT) AS n,
+        count(*) AS n_cats,
+        round(list_reduce(
+            list_prepend(0.0, list(term ORDER BY cat)),
+            (acc, t) -> acc + t), 6) AS entropy_bits
+    FROM terms GROUP BY key
+    """
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gini coefficient of per-key value totals — the
+    contribution-inequality audit (is 1% of users generating 90% of
+    spend? is one source dominating the corpus?). One row out.
+
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n with x ascending (ties broken by
+    key for a deterministic rank). The rank runs over the KEY-GRAIN
+    totals table (one row per key), not the raw stream — fine up to
+    ~10⁸ keys on a real cluster; past that, the binned (quantile-
+    bucketed) estimator is the stated alternative."""
+    totals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.sum(value_col).alias("x"))
+    )
+    w = Window.orderBy(F.col("x"), F.col("key"))
+    ranked = totals.select(
+        "x", F.row_number().over(w).cast("double").alias("i")
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    g = (F.lit(2.0) * F.sum(F.col("i") * F.col("x"))) / (
+        nd * F.sum("x")
+    ) - (nd + F.lit(1.0)) / nd
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("x"), 4).alias("total_value"),
+        F.round(g, 6).alias("gini"),
+    )
+
+
+def sql_gini_concentration(
+    table: str = "events",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``gini_concentration`` (same ascending
+    (total, key) rank, same closed form)."""
+    return f"""
+    WITH totals AS (
+        SELECT {key_col} AS key, sum({value_col}) AS x
+        FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
+        GROUP BY 1
+    ), ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, key) AS DOUBLE) AS i
+        FROM totals
+    )
+    SELECT count(*) AS n_keys,
+        round(sum(x), 4) AS total_value,
+        round((2.0 * sum(i * x)) / (CAST(count(*) AS DOUBLE) * sum(x))
+              - (CAST(count(*) AS DOUBLE) + 1.0)
+                / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """
+
+
+def mad_outliers_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier audit per group: median, MAD (median absolute
+    deviation), and the count of points outside
+    median ± k·1.4826·MAD — the anomaly gate that, unlike z-scores,
+    doesn't let the outliers inflate their own threshold.
+
+    VALUES ARE CENTS-EXACT: medians interpolate between order
+    statistics, and double interpolation arithmetic is not guaranteed
+    bit-identical across engines — so the operator rounds values to
+    integer cents first (the documented integer-rendering pattern) and
+    divides back at the end. Two grouped exact-percentile aggregates
+    (group-median, then deviation-median) + one count: three shuffles
+    of the group column, each map-side combinable."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), cents.alias("v")
+    )
+    med = base.groupBy("grp").agg(
+        F.percentile("v", F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = (
+        base.join(med, "grp")
+        .select("grp", F.abs(F.col("v") - F.col("_med")).alias("_adev"))
+        .groupBy("grp")
+        .agg(F.percentile("_adev", F.lit(0.5)).alias("_mad"))
+    )
+    flagged = (
+        base.join(med, "grp")
+        .join(dev, "grp")
+        .select(
+            "grp",
+            (
+                F.abs(F.col("v") - F.col("_med"))
+                > F.lit(float(k) * 1.4826) * F.col("_mad")
+            ).alias("_out"),
+        )
+        .groupBy("grp")
+        .agg(F.sum(F.when(F.col("_out"), 1).otherwise(0)).alias("n_outliers"))
+    )
+    return (
+        med.join(dev, "grp")
+        .join(flagged, "grp")
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("_med") / 100.0, 6).alias("median_value"),
+            F.round(F.col("_mad") / 100.0, 6).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+def sql_mad_outliers_by_group(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``mad_outliers_by_group`` (same cents
+    quantization, same interpolated median — quantile_cont matches
+    Spark's percentile on integer inputs because the interpolation is
+    between exact integers)."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS grp,
+            CAST(round({value_col} * 100) AS BIGINT) AS v
+        FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
+    ), med AS (
+        SELECT grp, quantile_cont(v, 0.5) AS m, count(*) AS n
+        FROM base GROUP BY grp
+    ), dev AS (
+        SELECT base.grp, quantile_cont(abs(v - m), 0.5) AS mad
+        FROM base JOIN med ON base.grp = med.grp GROUP BY base.grp
+    ), flags AS (
+        SELECT base.grp,
+            sum(CASE WHEN abs(v - m) > {float(k) * 1.4826} * mad
+                THEN 1 ELSE 0 END) AS n_outliers
+        FROM base JOIN med ON base.grp = med.grp
+        JOIN dev ON base.grp = dev.grp
+        GROUP BY base.grp
+    )
+    SELECT med.grp, n,
+        round(m / 100.0, 6) AS median_value,
+        round(mad / 100.0, 6) AS mad_value,
+        CAST(n_outliers AS BIGINT) AS n_outliers
+    FROM med JOIN dev ON med.grp = dev.grp
+    JOIN flags ON med.grp = flags.grp
+    """
+
+
+def bollinger_bands_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Volatility bands over the daily event-count series: mean ±
+    k·stddev_samp of the ``window_days`` PRECEDING days (current day
+    excluded), plus a breakout flag — the monitoring primitive for
+    ingest-rate anomalies. The exclusion is load-bearing: with the
+    current row inside its own window, a single spike inflates its own
+    σ and can NEVER breach a k=2 band at small windows (for n=3 the
+    spike's deviation is 2t/3 against a 1.15t threshold, at any
+    magnitude) — the gate would be structurally blind to exactly the
+    anomaly it exists for. Days without a full preceding window emit
+    NULL bands (no partial-window false positives).
+
+    Variance is computed from integer sums ((Σx², Σx, n) — EXACT — with
+    the division last), not the engines' streaming stddev kernels,
+    whose compensated accumulations differ in the last ulp."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(-window_days, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("c").over(w)
+    sxx = F.sum(F.col("c") * F.col("c")).over(w)
+    nd = n.cast("double")
+    mean = sx.cast("double") / nd
+    var = (nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")) / (
+        nd * (nd - F.lit(1.0))
+    )
+    sd = F.sqrt(var)
+    full = n == window_days
+    upper = mean + F.lit(float(k)) * sd
+    lower = mean - F.lit(float(k)) * sd
+    return series.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "c",
+        F.when(full, F.round(mean, 6)).alias("ma"),
+        F.when(full, F.round(upper, 6)).alias("upper"),
+        F.when(full, F.round(lower, 6)).alias("lower"),
+        F.when(
+            full,
+            (F.col("c").cast("double") > upper)
+            | (F.col("c").cast("double") < lower),
+        ).alias("breakout"),
+    )
+
+
+def sql_bollinger_bands_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    k: float = 2.0,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``bollinger_bands_daily`` (same calendar spine,
+    same PRECEDING-days frame, same integer-sum variance — window sums
+    of BIGINT go HUGEINT in
+    DuckDB, so they are CAST BIGINT before the double arithmetic, the
+    documented trap)."""
+    wdef = (
+        f"OVER (ORDER BY d ROWS BETWEEN {window_days} PRECEDING "
+        "AND 1 PRECEDING)"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM daily
+    ), series AS (
+        SELECT cal.d, coalesce(daily.c, 0) AS c
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+    ), winagg AS (
+        SELECT d, c,
+            count(*) {wdef} AS n,
+            CAST(sum(c) {wdef} AS BIGINT) AS sx,
+            CAST(sum(c * c) {wdef} AS BIGINT) AS sxx
+        FROM series
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, c,
+        CASE WHEN n = {window_days}
+             THEN round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        END AS ma,
+        CASE WHEN n = {window_days}
+             THEN round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {float(k)} * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        END AS upper,
+        CASE WHEN n = {window_days}
+             THEN round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  - {float(k)} * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+        END AS lower,
+        CASE WHEN n = {window_days}
+             THEN CAST(c AS DOUBLE) > CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {float(k)} * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  OR CAST(c AS DOUBLE) < CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  - {float(k)} * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        END AS breakout
+    FROM winagg
+    """
+
+
+def theilsen_daily_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust slope of the daily event-count series: the
+    MEDIAN of all pairwise slopes (cᵢ−cⱼ)/(dᵢ−dⱼ) — immune to the
+    outlier days that wreck the OLS trend. One row out.
+
+    The pairwise self-join runs on the CALENDAR-SIZED daily table
+    (n days → n(n−1)/2 pairs — 30 days is 435 rows), never the raw
+    stream; for multi-year spines the classic O(n log n) repeated-
+    median refinement or a pair-sampled estimate is the stated scale
+    path. Slopes are exact rationals (integer count deltas over integer
+    day deltas); the median interpolates between them — computed at
+    6dp on both engines."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(daily, "d", "left").select(
+        F.datediff("d", F.lit(_EPOCH)).alias("x"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("theilsen_slope"),
+    )
+
+
+def sql_theilsen_daily_trend(
+    table: str = "events",
+    ts_col: str = "ts",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``theilsen_daily_trend`` (same pair set, same
+    interpolated median over the exact pairwise slopes)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM daily
+    ), series AS (
+        SELECT datediff('day', DATE '{_EPOCH}', cal.d) AS x,
+            coalesce(daily.c, 0) AS c
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+    ), pairs AS (
+        SELECT (CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE))
+               / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS s
+        FROM series a JOIN series b ON a.x < b.x
+    )
+    SELECT count(*) AS n_pairs,
+        round(quantile_cont(s, 0.5), 6) AS theilsen_slope
+    FROM pairs
+    """
+
+
+def rolling_median_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key trailing ``window_rows``-row EXACT rolling median of
+    ``value`` — the robust smoother (a rolling mean chases every spike;
+    the median doesn't). Values quantize to integer cents first (the
+    MAD contract: interpolation between exact integers is engine-
+    stable). One key-partitioned window, frame bounded by
+    ``window_rows`` — per-row cost is the frame sort, keys parallelize,
+    no global sort anywhere."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.round(F.percentile(cents, F.lit(0.5)).over(w) / 100.0, 6).alias(
+            "rolling_median"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+def sql_rolling_median_by_key(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``rolling_median_by_key`` (same cents
+    quantization, same frame)."""
+    return f"""
+    SELECT {key_col} AS key, {id_col} AS id,
+        round(quantile_cont(CAST(round({value_col} * 100) AS BIGINT), 0.5)
+              OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                    ROWS BETWEEN {window_rows - 1} PRECEDING
+                    AND CURRENT ROW) / 100.0, 6) AS rolling_median,
+        count(*) OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                       ROWS BETWEEN {window_rows - 1} PRECEDING
+                       AND CURRENT ROW) AS n_in_window
+    FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
+    """

@@ -6539,3 +6539,190 @@ def e_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.streaming.events import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"), "30 minutes", streaming=True)
+
+
+# =============================================================================
+# r10: statistics / ML-lite family (operators/stats.py)
+# =============================================================================
+
+
+def _ols_trend_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_ols_trend_by_key,
+    )
+
+    return sql_ols_trend_by_key(
+        "events", where="event_type = 'purchase'"
+    )
+
+
+@query("ols_trend_users", _ols_trend_oracle())
+def ols_trend_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS purchase-value trend (stats.ols_trend_by_key):
+    closed-form slope/intercept/r2 from six map-side-combinable
+    sufficient statistics — one grouped aggregate, one shuffle row per
+    user, no per-key sort; degenerate variances NULL via nullif."""
+    from asctb_ct_label_mapper_spark.operators.stats import ols_trend_by_key
+
+    return ols_trend_by_key(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+    )
+
+
+def _autocorr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_autocorr_daily_counts,
+    )
+
+    return sql_autocorr_daily_counts("events", max_lag=3)
+
+
+@query("autocorr_daily_events", _autocorr_oracle())
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1-3
+    (stats.autocorr_daily_counts): calendar-spined integer series
+    (zero days are observations), exact integer sufficient statistics,
+    one division per lag — the seasonality probe next to
+    seasonal_decompose_events."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        autocorr_daily_counts,
+    )
+
+    return autocorr_daily_counts(_t(spark, sf_dir, "events"), max_lag=3)
+
+
+def _entropy_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_entropy_by_key
+
+    return sql_entropy_by_key("events")
+
+
+@query("entropy_user_event_types", _entropy_oracle())
+def entropy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over event types (stats.entropy_by_key)
+    — behavioral diversity. Two integer aggregates; the p*log2(p) fold
+    runs in ascending-category order on BOTH engines (array_sort +
+    aggregate HOF vs list(... ORDER BY) + seeded list_reduce) so the
+    float addition order is pinned."""
+    from asctb_ct_label_mapper_spark.operators.stats import entropy_by_key
+
+    return entropy_by_key(_t(spark, sf_dir, "events"))
+
+
+def _gini_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_gini_concentration,
+    )
+
+    return sql_gini_concentration(
+        "events", where="event_type = 'purchase'"
+    )
+
+
+@query("gini_purchase_users", _gini_oracle())
+def gini_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase totals
+    (stats.gini_concentration) — the contribution-inequality audit.
+    Rank runs over the user-grain totals table (one row per user), not
+    the raw stream; binned estimator documented as the 10^8+-key path."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    return gini_concentration(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+    )
+
+
+def _mad_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_mad_outliers_by_group,
+    )
+
+    return sql_mad_outliers_by_group("events")
+
+
+@query("mad_outliers_values", _mad_oracle())
+def mad_outliers_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier audit (stats.mad_outliers_by_group):
+    median/MAD over cents-quantized values (interpolation between exact
+    integers — engine-stable), count outside median±3·1.4826·MAD."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        mad_outliers_by_group,
+    )
+
+    return mad_outliers_by_group(_t(spark, sf_dir, "events"))
+
+
+def _bollinger_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_bollinger_bands_daily,
+    )
+
+    return sql_bollinger_bands_daily("events")
+
+
+@query("bollinger_daily_events", _bollinger_oracle())
+def bollinger_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rate volatility bands (stats.bollinger_bands_daily):
+    trailing 7-day mean ± 2σ on the calendar-spined daily counts with a
+    breakout flag; variance from exact integer sums (HUGEINT window
+    sums CAST BIGINT in the oracle — the documented trap), partial
+    windows emit NULL bands."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        bollinger_bands_daily,
+    )
+
+    return bollinger_bands_daily(_t(spark, sf_dir, "events"))
+
+
+def _theilsen_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_theilsen_daily_trend,
+    )
+
+    return sql_theilsen_daily_trend("events")
+
+
+@query("theilsen_daily_trend", _theilsen_oracle())
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the daily event-count series
+    (stats.theilsen_daily_trend): median of pairwise slopes over the
+    calendar-sized daily table (n(n-1)/2 pairs of a ~30-row frame) —
+    outlier-immune counterpart of the OLS trend."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        theilsen_daily_trend as _ts_op,
+    )
+
+    return _ts_op(_t(spark, sf_dir, "events"))
+
+
+def _rolling_median_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_rolling_median_by_key,
+    )
+
+    return sql_rolling_median_by_key(
+        "events", where="event_type = 'purchase'"
+    )
+
+
+@query("rolling_median_purchases", _rolling_median_oracle())
+def rolling_median_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 5-row EXACT rolling median of purchase values
+    (stats.rolling_median_by_key) — the robust smoother; cents
+    quantization keeps the interpolated median engine-stable, one
+    key-partitioned bounded-frame window."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        rolling_median_by_key,
+    )
+
+    return rolling_median_by_key(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+    )
