@@ -491,3 +491,230 @@ def sql_event_path_ngrams(
     GROUP BY path
     HAVING count(*) >= {min_count}
     """
+
+
+def markov_transitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Row-stochastic Markov transition matrix over consecutive event
+    pairs per key — the normalized n=2 flavor of
+    :func:`event_path_ngrams`, the "what happens next" model product
+    analytics and session simulators both start from. Paths never cross
+    keys; NULL types void their pairs (the r10 arity contract).
+
+    Plan: one lead window per key, one pooled count, then the per-from
+    normalization as a window sum over the FROM-TYPE-grain count table
+    (|types|² rows) — the raw stream is scanned once."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    nxt = F.lead(type_col).over(w)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"), nxt.alias("to_type")
+        )
+        .filter(
+            F.col("from_type").isNotNull() & F.col("to_type").isNotNull()
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+def sql_markov_transitions(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``markov_transitions`` (same lead window, same
+    per-from normalization)."""
+    return f"""
+    WITH pairs AS (
+        SELECT from_type, to_type, count(*) AS n FROM (
+            SELECT {type_col} AS from_type,
+                lead({type_col}) OVER (PARTITION BY {key_col}
+                    ORDER BY {ts_col}, {id_col}) AS to_type
+            FROM {table} WHERE {where}
+        ) WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        round(CAST(n AS DOUBLE)
+              / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+              6) AS p
+    FROM pairs
+    """
+
+
+def rfm_segments(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    purchase_type: str = "purchase",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: each purchasing key gets recency / frequency /
+    monetary quartile labels (1 = best: most recent, most frequent,
+    highest spend), output as segment COUNTS — the ≤n_tiles³-row
+    marketing-segment table.
+
+    Determinism: ntile ties are broken by key (the registry's standing
+    total-order contract for bucket assignment), so both engines
+    assign identical tiles. Recency is whole days vs the corpus max
+    event date. One grouped aggregate + three ntile windows over the
+    KEY-GRAIN table + one tiny count."""
+    purchases = df.filter(
+        (F.col(type_col) == purchase_type) & F.col(value_col).isNotNull()
+    )
+    per_key = purchases.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.to_date(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(value_col).alias("_spend"),
+    )
+    maxd = purchases.agg(F.max(F.to_date(ts_col)).alias("_maxd"))
+    scored = per_key.crossJoin(F.broadcast(maxd)).select(
+        "key",
+        F.datediff("_maxd", "_last").alias("_recency"),
+        "_freq",
+        "_spend",
+    )
+    r_tile = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("_recency"), F.col("key"))
+    )
+    f_tile = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("_freq").desc(), F.col("key"))
+    )
+    m_tile = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("_spend").desc(), F.col("key"))
+    )
+    return (
+        scored.select(
+            r_tile.alias("r"), f_tile.alias("f"), m_tile.alias("m")
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def sql_rfm_segments(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    purchase_type: str = "purchase",
+    n_tiles: int = 4,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``rfm_segments`` (same key-grain metrics, same
+    tie-broken ntiles)."""
+    return f"""
+    WITH purchases AS (
+        SELECT * FROM {table}
+        WHERE ({where}) AND {type_col} = '{purchase_type}'
+            AND {value_col} IS NOT NULL
+    ), per_key AS (
+        SELECT {key_col} AS key,
+            max(CAST({ts_col} AS DATE)) AS last_d,
+            count(*) AS freq,
+            sum({value_col}) AS spend
+        FROM purchases GROUP BY 1
+    ), scored AS (
+        SELECT key,
+            datediff('day', last_d,
+                     (SELECT max(CAST({ts_col} AS DATE)) FROM purchases))
+                AS recency,
+            freq, spend
+        FROM per_key
+    ), tiled AS (
+        SELECT
+            ntile({n_tiles}) OVER (ORDER BY recency, key) AS r,
+            ntile({n_tiles}) OVER (ORDER BY freq DESC, key) AS f,
+            ntile({n_tiles}) OVER (ORDER BY spend DESC, key) AS m
+        FROM scored
+    )
+    SELECT r, f, m, count(*) AS n_users FROM tiled GROUP BY 1, 2, 3
+    """
+
+
+def activity_gaps_by_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key activity coverage: first/last active day, the day span,
+    distinct active days, missing (gap) days, and the coverage ratio —
+    the engagement-density / sensor-dropout audit. One grouped
+    aggregate over (key, date) distinct + one key-grain projection; no
+    windows, no joins."""
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"), F.to_date(ts_col).alias("d")
+        )
+        .distinct()
+    )
+    agg = days.groupBy("key").agg(
+        F.min("d").alias("_first"),
+        F.max("d").alias("_last"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    span = F.datediff("_last", "_first") + F.lit(1)
+    return agg.select(
+        "key",
+        F.date_format("_first", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("_last", "yyyy-MM-dd").alias("last_day"),
+        span.alias("span_days"),
+        "active_days",
+        (span - F.col("active_days")).alias("missing_days"),
+        F.round(
+            F.col("active_days").cast("double") / span.cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+def sql_activity_gaps_by_key(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``activity_gaps_by_key`` (same distinct-day
+    aggregate, same span arithmetic)."""
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT {key_col} AS key, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+    ), agg AS (
+        SELECT key, min(d) AS first_d, max(d) AS last_d,
+            count(*) AS active_days
+        FROM days GROUP BY 1
+    )
+    SELECT key,
+        strftime(first_d, '%Y-%m-%d') AS first_day,
+        strftime(last_d, '%Y-%m-%d') AS last_day,
+        datediff('day', first_d, last_d) + 1 AS span_days,
+        active_days,
+        datediff('day', first_d, last_d) + 1 - active_days AS missing_days,
+        round(CAST(active_days AS DOUBLE)
+              / CAST(datediff('day', first_d, last_d) + 1 AS DOUBLE),
+              6) AS coverage
+    FROM agg
+    """

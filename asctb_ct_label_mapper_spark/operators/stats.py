@@ -699,3 +699,249 @@ def sql_rolling_median_by_key(
                        AND CURRENT ROW) AS n_in_window
     FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
     """
+
+
+def kaplan_meier_survival(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier time-to-event curve: per key, t₀ = first
+    ``start_type`` day; the event is the first ``event_type`` ON OR
+    AFTER t₀ (duration in days, observed); keys that never convert are
+    CENSORED at the corpus max date. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    observed durations tᵢ with nᵢ = keys whose duration ≥ tᵢ — the
+    textbook estimator, and the conversion-velocity curve funnels can't
+    give you (funnels count, KM says HOW FAST, correcting for users
+    still in flight).
+
+    The product is computed as exp(Σ ln(1 − d/n)) with the running sum
+    ordered by duration — a window over the DURATION-GRAIN table
+    (≤ observation-span rows), so the float op order is pinned on both
+    engines. Keys without a start event drop. Output: one row per
+    observed duration (duration_days, n_risk, n_events, survival).
+
+    Scale: two filtered min-aggregates per key + one broadcast scalar +
+    suffix/running windows on the tiny duration grain; the raw stream
+    is scanned once per event class with the type filter pushed to the
+    scan."""
+    dated = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("_y"),
+        F.to_date(ts_col).alias("d"),
+    )
+    starts = (
+        dated.filter(F.col("_y") == start_type)
+        .groupBy("key")
+        .agg(F.min("d").alias("_t0"))
+    )
+    events = dated.filter(F.col("_y") == event_type).select(
+        F.col("key").alias("_ek"), F.col("d").alias("_ed")
+    )
+    # the on-or-after predicate lives IN the join condition: filtering
+    # after the left join would drop a key whose only conversion events
+    # PRECEDE t0 (its matched rows all filter away and no null row
+    # remains) — such keys are censored, not absent
+    first_after = (
+        starts.join(
+            events,
+            (starts["key"] == events["_ek"])
+            & (events["_ed"] >= starts["_t0"]),
+            "left",
+        )
+        .groupBy("key", "_t0")
+        .agg(F.min("_ed").alias("_conv"))
+    )
+    maxd = dated.agg(F.max("d").alias("_maxd"))
+    lives = first_after.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("_conv").isNotNull(), F.datediff("_conv", "_t0")
+        )
+        .otherwise(F.datediff("_maxd", "_t0"))
+        .alias("t"),
+        F.col("_conv").isNotNull().alias("churned"),
+    )
+    grain = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_events"),
+    )
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = grain.select(
+        "t",
+        "n_events",
+        F.sum("_n_all").over(w_suffix).alias("n_risk"),
+    )
+    # the absorbing zero: at the last observed duration every
+    # remaining at-risk key can convert (d == n), where ln(1-d/n) is
+    # undefined — DuckDB errors on ln(0), Spark NULLs it. Carry a
+    # hit-zero flag through the running window instead and pin survival
+    # to exactly 0.0 from that point on.
+    ln_term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_run)
+    curve = at_risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(ln_term).over(w_run)), 6))
+        .alias("survival"),
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        F.col("t").alias("duration_days"), "n_risk", "n_events", "survival"
+    )
+
+
+def sql_kaplan_meier_survival(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``kaplan_meier_survival`` (same first-on-or-
+    after conversion, same censoring, same suffix-sum risk sets and
+    exp-of-ln-sum product order)."""
+    return f"""
+    WITH dated AS (
+        SELECT {key_col} AS key, {type_col} AS y, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+    ), starts AS (
+        SELECT key, min(d) AS t0 FROM dated
+        WHERE y = '{start_type}' GROUP BY 1
+    ), first_after AS (
+        SELECT s.key, s.t0, min(e.d) AS conv
+        FROM starts s LEFT JOIN (
+            SELECT key, d FROM dated WHERE y = '{event_type}'
+        ) e ON s.key = e.key AND e.d >= s.t0
+        GROUP BY 1, 2
+    ), lives AS (
+        SELECT CASE WHEN conv IS NOT NULL
+                    THEN datediff('day', t0, conv)
+                    ELSE datediff('day', t0, (SELECT max(d) FROM dated))
+               END AS t,
+            conv IS NOT NULL AS churned
+        FROM first_after
+    ), grain AS (
+        SELECT t, count(*) AS n_all,
+            sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+        FROM lives GROUP BY 1
+    ), at_risk AS (
+        SELECT t, n_events,
+            CAST(sum(n_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM grain
+    ), curve AS (
+        SELECT t, n_risk, n_events,
+            CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE round(exp(sum(CASE WHEN n_events > 0
+                          AND n_events < n_risk
+                     THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))
+                     ELSE 0.0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW)), 6)
+            END AS survival
+        FROM at_risk
+    )
+    SELECT t AS duration_days, n_risk, CAST(n_events AS BIGINT) AS n_events,
+        survival
+    FROM curve WHERE n_events > 0
+    """
+
+
+def jaccard_category_overlap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between categories over their KEY
+    sets — "how much do the audiences of two event types overlap", the
+    co-engagement matrix. |A∩B| from a self-join of the distinct
+    (key, category) table on key with cat_a < cat_b; |A∪B| =
+    |A|+|B|−|A∩B|. Output is |categories|² / 2 rows.
+
+    Scale: the join runs on the (key, category)-distinct table — its
+    per-key fan-out is bounded by the category-vocabulary size, so the
+    pair stream is |keys|·|cats|² at worst, shuffled on key, never on
+    the raw event stream."""
+    kc = (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(cat_col).alias("cat"))
+        .distinct()
+    )
+    a = kc.select("key", F.col("cat").alias("cat_a"))
+    b = kc.select("key", F.col("cat").alias("cat_b"))
+    inter = (
+        a.join(b, "key")
+        .filter(F.col("cat_a") < F.col("cat_b"))
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = kc.groupBy("cat").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("cat").alias("cat_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("cat").alias("cat_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "cat_a")
+        .join(F.broadcast(sb), "cat_b")
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("_na") + F.col("_nb") - F.col("n_both")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_jaccard_category_overlap(
+    table: str = "events",
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``jaccard_category_overlap`` (same distinct
+    table, same ordered pair join)."""
+    return f"""
+    WITH kc AS (
+        SELECT DISTINCT {key_col} AS key, {cat_col} AS cat
+        FROM {table} WHERE ({where}) AND {cat_col} IS NOT NULL
+    ), inter AS (
+        SELECT a.cat AS cat_a, b.cat AS cat_b, count(*) AS n_both
+        FROM kc a JOIN kc b ON a.key = b.key AND a.cat < b.cat
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cat, count(*) AS n FROM kc GROUP BY 1
+    )
+    SELECT cat_a, cat_b, CAST(n_both AS BIGINT) AS n_both,
+        round(CAST(n_both AS DOUBLE)
+              / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.cat_a = sa.cat
+    JOIN sizes sb ON inter.cat_b = sb.cat
+    """

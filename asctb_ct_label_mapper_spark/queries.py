@@ -6726,3 +6726,107 @@ def rolling_median_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "purchase"
         )
     )
+
+
+def _markov_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_markov_transitions,
+    )
+
+    return sql_markov_transitions("events")
+
+
+@query("markov_event_transitions", _markov_oracle())
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-stochastic event-type transition matrix
+    (behavior.markov_transitions): one lead window per user, one pooled
+    count, per-from normalization on the |types|^2-row table."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _rfm_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_rfm_segments,
+    )
+
+    return sql_rfm_segments("events")
+
+
+@query("rfm_user_segments", _rfm_oracle())
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of purchasing users
+    (behavior.rfm_segments): key-grain metrics, tie-broken ntiles
+    (the standing total-order bucket contract), <=64-row segment
+    counts."""
+    from asctb_ct_label_mapper_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
+def _activity_gaps_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_activity_gaps_by_key,
+    )
+
+    return sql_activity_gaps_by_key("events")
+
+
+@query("activity_gaps_users", _activity_gaps_oracle())
+def activity_gaps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage audit (behavior.activity_gaps_by_key):
+    span vs distinct active days vs missing days — one distinct-day
+    aggregate, no windows or joins."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        activity_gaps_by_key,
+    )
+
+    return activity_gaps_by_key(_t(spark, sf_dir, "events"))
+
+
+def _km_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_kaplan_meier_survival,
+    )
+
+    return sql_kaplan_meier_survival("events")
+
+
+@query("kaplan_meier_retention", _km_oracle())
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup->purchase conversion curve
+    (stats.kaplan_meier_survival): first purchase on/after first
+    signup, never-converting users censored at corpus end; duration-
+    grain risk sets via suffix-sum windows, survival as exp of the
+    ordered ln-sum — the float product order pinned on both engines.
+    (Pure user-lifetime churn is vacuous on this corpus: every
+    synthetic user is active to the final day.)"""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        kaplan_meier_survival,
+    )
+
+    return kaplan_meier_survival(_t(spark, sf_dir, "events"))
+
+
+def _jaccard_types_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_jaccard_category_overlap,
+    )
+
+    return sql_jaccard_category_overlap("events")
+
+
+@query("jaccard_event_types", _jaccard_types_oracle())
+def jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix (stats.jaccard_category_overlap):
+    pairwise Jaccard between event types over their user sets, joined
+    on the (user, type)-distinct table — fan-out bounded by the type
+    vocabulary."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        jaccard_category_overlap,
+    )
+
+    return jaccard_category_overlap(_t(spark, sf_dir, "events"))

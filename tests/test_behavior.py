@@ -257,3 +257,70 @@ def test_funnel_fold_equals_joins(spark):
         ).collect()
     }
     assert got == {1: 5, 2: 3, 3: 2, 4: 2}
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """a->b twice and a->c once from one user: p(a->b)=2/3; paths never
+    cross keys; each from-row's probabilities sum to 1."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        markov_transitions,
+    )
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(2), 1, "b"), (3, d(3), 1, "a"),
+        (4, d(4), 1, "b"), (5, d(5), 1, "a"), (6, d(6), 1, "c"),
+        (7, d(1), 2, "c"),  # singleton: no transition
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {(r["from_type"], r["to_type"]): r
+           for r in markov_transitions(df).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["p"] == round(2 / 3, 6)
+    assert out[("a", "c")]["p"] == round(1 / 3, 6)
+    assert out[("b", "a")]["p"] == 1.0
+    assert ("c", "a") not in out  # user-2 singleton emits nothing
+
+
+def test_rfm_segments_deterministic_tiles(spark):
+    """4 purchasing users with strictly ordered metrics land in 4
+    distinct tiles per dimension; non-purchasers are absent."""
+    from asctb_ct_label_mapper_spark.operators.behavior import rfm_segments
+
+    rows = []
+    eid = 0
+    # user u purchases u times, value 10*u each, last purchase day u
+    for u in range(1, 5):
+        for i in range(u):
+            eid += 1
+            rows.append((eid, d(u), u, "purchase", 10.0 * u))
+    rows.append((99, d(9), 9, "view", 5.0))  # never purchases
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 4
+    segs = {(r["r"], r["f"], r["m"]) for r in out}
+    # user 4: most recent (r=1), most frequent (f=1), biggest spend (m=1)
+    assert (1, 1, 1) in segs
+    # user 1: oldest, least frequent, least spend -> (4, 4, 4)
+    assert (4, 4, 4) in segs
+
+
+def test_activity_gaps_span_and_coverage(spark):
+    """Active days 1, 2, 5 -> span 5, active 3, missing 2, coverage
+    0.6; duplicate events per day count once."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        activity_gaps_by_key,
+    )
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(1, 5), 1, "b"), (3, d(2), 1, "a"),
+        (4, d(5), 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    [r] = activity_gaps_by_key(df).collect()
+    assert r["span_days"] == 5 and r["active_days"] == 3
+    assert r["missing_days"] == 2 and r["coverage"] == 0.6
+    assert r["first_day"] == "2024-01-01" and r["last_day"] == "2024-01-05"

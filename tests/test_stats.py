@@ -178,3 +178,69 @@ def test_rolling_median_exact_window(spark):
     assert out[2] == 2.0
     assert out[3] == 3.0  # (100, 2, 3)
     assert out[4] == 3.0  # (2, 3, 4)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """3 users convert at days 1, 2, 2; one never converts (censored at
+    day 10): S(1) = 3/4, S(2) = 3/4 * 1/3 = 1/4. A user whose only
+    purchase PRECEDES signup is censored, not negative-duration."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        kaplan_meier_survival,
+    )
+
+    rows = [
+        (1, d(1), 1, "signup"), (2, d(2), 1, "purchase"),
+        (3, d(1), 2, "signup"), (4, d(3), 2, "purchase"),
+        (5, d(1), 3, "signup"), (6, d(3), 3, "purchase"),
+        (7, d(1), 4, "signup"), (8, d(10), 4, "view"),  # censored
+        (9, d(5), 5, "signup"), (10, d(2), 5, "purchase"),  # pre-signup
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["duration_days"]: r for r in kaplan_meier_survival(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == 0.8
+    assert out[2]["n_risk"] == 4 and out[2]["n_events"] == 2
+    assert out[2]["survival"] == 0.4  # 4/5 * 2/4
+
+
+def test_kaplan_meier_absorbing_zero(spark):
+    """When every remaining at-risk key converts at the last duration,
+    survival is EXACTLY 0.0 (no ln(0) on either engine)."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        kaplan_meier_survival,
+    )
+
+    rows = [
+        (1, d(1), 1, "signup"), (2, d(2), 1, "purchase"),
+        (3, d(1), 2, "signup"), (4, d(2), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    [r] = kaplan_meier_survival(df).collect()
+    assert r["duration_days"] == 1 and r["survival"] == 0.0
+
+
+def test_jaccard_category_overlap_counts(spark):
+    """Types a={1,2,3}, b={2,3}, c={9}: J(a,b)=2/3, J(a,c)=0 has no row
+    (no shared key -> pair absent, stated join semantics)."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        jaccard_category_overlap,
+    )
+
+    rows = (
+        [(i, d(1), u, "a") for i, u in ((1, 1), (2, 2), (3, 3))]
+        + [(i, d(1), u, "b") for i, u in ((4, 2), (5, 3), (6, 2))]
+        + [(7, d(1), 9, "c")]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["cat_a"], r["cat_b"]): r
+           for r in jaccard_category_overlap(df).collect()}
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")]["n_both"] == 2
+    assert out[("a", "b")]["jaccard"] == round(2 / 3, 6)
