@@ -1617,3 +1617,76 @@ def sql_dedup_debounce(
     )
     WHERE prev IS NULL OR {ts_col} > prev + INTERVAL {delay}
     """
+
+
+def fuzzy_name_matches(
+    df: DataFrame,
+    name_col: str,
+    block_expr: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy entity matching over a NAME column: distinct names
+    only (the distinct-first contract — row duplicates collapse before
+    any pairing), candidate pairs generated inside equi-join BLOCKS
+    (default: the name's last word), verified by Levenshtein distance
+    ≤ ``max_dist``. The record-linkage primitive ('cold anvil' ~
+    'old anvil') without the all-pairs cross join.
+
+    Scale: the pair stream is Σ_block |block|² over the NAME VOCABULARY
+    (not the row count); pick a blocking key that keeps blocks bounded
+    — at 100 TB the vocabulary table is still broadcast-sized for most
+    entity domains, and a too-coarse block shows up as one fat equi-join
+    partition (AQE splits it, but a better key is the real fix).
+    Returns (name_a, name_b, dist) with name_a < name_b."""
+    block = (
+        block_expr
+        if block_expr is not None
+        else F.element_at(F.split(F.col(name_col), " "), -1)
+    )
+    names = (
+        df.filter(F.col(name_col).isNotNull())
+        .select(F.col(name_col).alias("name"), block.alias("_blk"))
+        .distinct()
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("_blk").alias("_ba")
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("_blk").alias("_bb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ba") == F.col("_bb"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def sql_fuzzy_name_matches(
+    table: str,
+    name_col: str,
+    block_sql: str | None = None,
+    max_dist: int = 2,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``fuzzy_name_matches`` (same distinct-first
+    blocking, same Levenshtein threshold)."""
+    blk = block_sql or f"string_split({name_col}, ' ')[-1]"
+    return f"""
+    WITH names AS (
+        SELECT DISTINCT {name_col} AS name, {blk} AS blk
+        FROM {table} WHERE ({where}) AND {name_col} IS NOT NULL
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+        ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {max_dist}
+    """

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -965,4 +965,102 @@ def sql_benford_audit(table: str, int_expr: str, where: str = "1=1") -> str:
     SELECT digit, CAST(n AS BIGINT) AS n, round(share_raw, 6) AS share,
         round(benford_share, 6) AS benford_share, chi.chi2_total
     FROM b, chi
+    """
+
+
+def woe_iv_binning(
+    df: DataFrame,
+    value_col: str,
+    target: Column,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence feature audit: equal-population bins of
+    ``value_col`` (ntile, ties broken by ``id_col`` — the standing
+    total-order bucket contract) scored by
+    WOE = ln((goodᵢ/good_tot)/(badᵢ/bad_tot)) against the boolean
+    ``target``, plus the information value
+    IV = Σ (g% − b%)·WOE — the classic feature-selection /
+    population-drift statistic (IV < 0.02 useless, > 0.5 suspicious).
+
+    A bin with zero goods or zero bads has undefined WOE: emitted NULL
+    and excluded from IV (coalesce 0) — stated, not smoothed; callers
+    wanting Laplace smoothing can pre-aggregate. One ntile window over
+    the raw rows + one bins-sized aggregate; the IV total is attached
+    in-plan (bins-sized cross join)."""
+    binned = df.select(
+        F.ntile(n_bins)
+        .over(Window.orderBy(F.col(value_col), F.col(id_col)))
+        .alias("bin"),
+        target.cast("int").alias("_g"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_g").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("_g")).alias("n_bad"),
+    )
+    tots = per_bin.agg(
+        F.sum("n_good").alias("_gt"), F.sum("n_bad").alias("_bt")
+    )
+    scored = per_bin.crossJoin(F.broadcast(tots))
+    g_rate = F.col("n_good").cast("double") / F.col("_gt").cast("double")
+    b_rate = F.col("n_bad").cast("double") / F.col("_bt").cast("double")
+    woe = F.when(
+        (F.col("n_good") > 0) & (F.col("n_bad") > 0),
+        F.log(g_rate / b_rate),
+    )
+    with_woe = scored.select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        ((g_rate - b_rate) * woe).alias("_ivc"),
+    )
+    iv = with_woe.agg(
+        F.round(F.sum(F.coalesce(F.col("_ivc"), F.lit(0.0))), 6).alias(
+            "iv_total"
+        )
+    )
+    return with_woe.drop("_ivc").crossJoin(F.broadcast(iv))
+
+
+def sql_woe_iv_binning(
+    table: str,
+    value_col: str,
+    target_expr: str,
+    id_col: str,
+    n_bins: int = 10,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``woe_iv_binning`` (same tie-broken ntile, same
+    NULL-on-degenerate-bin contract, same coalesce-0 IV)."""
+    return f"""
+    WITH binned AS (
+        SELECT ntile({n_bins}) OVER (ORDER BY {value_col}, {id_col}) AS bin,
+            CAST({target_expr} AS INT) AS g
+        FROM {table} WHERE {where}
+    ), per_bin AS (
+        SELECT bin, count(*) AS n, sum(g) AS n_good,
+            count(*) - sum(g) AS n_bad
+        FROM binned GROUP BY 1
+    ), tots AS (
+        SELECT sum(n_good) AS gt, sum(n_bad) AS bt FROM per_bin
+    ), scored AS (
+        SELECT bin, n, n_good, n_bad,
+            CASE WHEN n_good > 0 AND n_bad > 0
+                 THEN ln((CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE))
+                         / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE)))
+            END AS woe_raw,
+            CAST(n_good AS DOUBLE) / CAST(gt AS DOUBLE)
+                - CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE) AS diff
+        FROM per_bin, tots
+    ), iv AS (
+        SELECT round(sum(coalesce(diff * woe_raw, 0.0)), 6) AS iv_total
+        FROM scored
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_good AS BIGINT) AS n_good,
+        CAST(n_bad AS BIGINT) AS n_bad,
+        round(woe_raw, 6) AS woe, iv.iv_total
+    FROM scored, iv
     """

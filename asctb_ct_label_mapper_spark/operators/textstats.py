@@ -1314,3 +1314,96 @@ def sql_zipf_fit(
                * sx) / nullif(n, 0.0), 6) AS intercept
     FROM agg
     """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent word pairs
+    scored by pmi = log2(p(xy) / (p(x)·p(y))) — the phrase-mining
+    primitive ("New York" binds; "of the" doesn't). Space tokenization
+    (the corpus contract shared with text_stats).
+
+    One scan explodes bigrams, one explodes unigrams; both count
+    tables are VOCABULARY-sized (bigram space ≤ |V|², independent of
+    corpus rows), so the scoring joins are broadcast-sized at any
+    corpus scale. p(xy) margins use the bigram total, p(x) the unigram
+    total — the textbook estimator. Pairs below ``min_count`` drop
+    (PMI's low-frequency pathology)."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.filter(F.size(toks) >= 2).select(toks.alias("t"))
+    bigrams = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(t)), "
+                    "i -> struct(t[i-2] AS w1, t[i-1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    unigrams = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bi = bigrams.agg(F.sum("n").alias("_nb"))
+    n_uni = unigrams.agg(F.sum("c").alias("_nu"))
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    scored = (
+        bigrams.filter(F.col("n") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    p_xy = F.col("n").cast("double") / F.col("_nb").cast("double")
+    p_x = F.col("_c1").cast("double") / F.col("_nu").cast("double")
+    p_y = F.col("_c2").cast("double") / F.col("_nu").cast("double")
+    return scored.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(F.log2(p_xy / (p_x * p_y)), 6).alias("pmi"),
+    )
+
+
+def sql_pmi_collocations(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``pmi_collocations`` (same tokenization, same
+    margins, same log2 arithmetic)."""
+    return f"""
+    WITH toks AS (
+        SELECT string_split({text_col}, ' ') AS t
+        FROM {table} WHERE {where}
+    ), bi AS (
+        SELECT t[i - 1] AS w1, t[i] AS w2, count(*) AS n
+        FROM (
+            SELECT t, unnest(generate_series(2, len(t))) AS i
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY 1, 2
+    ), uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ), uc AS (
+        SELECT w, count(*) AS c FROM uni GROUP BY 1
+    ), nb AS (SELECT sum(n) AS nb FROM bi),
+    nu AS (SELECT sum(c) AS nu FROM uc)
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+        round(log2((CAST(n AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / ((CAST(u1.c AS DOUBLE) / CAST(nu AS DOUBLE))
+                      * (CAST(u2.c AS DOUBLE) / CAST(nu AS DOUBLE)))),
+              6) AS pmi
+    FROM bi JOIN uc u1 ON bi.w1 = u1.w
+    JOIN uc u2 ON bi.w2 = u2.w, nb, nu
+    WHERE n >= {min_count}
+    """

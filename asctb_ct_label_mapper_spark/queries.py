@@ -6830,3 +6830,71 @@ def jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jaccard_category_overlap(_t(spark, sf_dir, "events"))
+
+
+def _pmi_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_pmi_collocations,
+    )
+
+    return sql_pmi_collocations("documents", min_count=5)
+
+
+@query("pmi_collocations_docs", _pmi_oracle())
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (textstats.pmi_collocations): adjacent
+    word pairs scored log2(p(xy)/(p(x)p(y))) — both count tables are
+    vocabulary-sized so the scoring joins broadcast at any corpus
+    scale; pairs under min_count=5 drop."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def _woe_iv_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_woe_iv_binning,
+    )
+
+    return sql_woe_iv_binning(
+        "documents", "n_chars", "lang = 'en'", "doc_id"
+    )
+
+
+@query("woe_iv_doclen", _woe_iv_oracle())
+def woe_iv_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value audit of document length
+    against the lang='en' target (profile.woe_iv_binning): tie-broken
+    decile bins, NULL WOE on degenerate bins (stated, not smoothed),
+    IV attached in-plan."""
+    from asctb_ct_label_mapper_spark.operators.profile import woe_iv_binning
+
+    docs = _t(spark, sf_dir, "documents")
+    return woe_iv_binning(
+        docs, "n_chars", F.col("lang") == "en", "doc_id"
+    )
+
+
+def _fuzzy_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        sql_fuzzy_name_matches,
+    )
+
+    return sql_fuzzy_name_matches("part", "p_name", max_dist=2)
+
+
+@query("fuzzy_part_names", _fuzzy_oracle())
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching over part names
+    (dedup.fuzzy_name_matches): distinct-first name vocabulary, last-
+    word blocking, Levenshtein <= 2 verification — record linkage
+    without the all-pairs cross join."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        fuzzy_name_matches,
+    )
+
+    return fuzzy_name_matches(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=2
+    )

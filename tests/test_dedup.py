@@ -550,3 +550,28 @@ def test_dedup_debounce_previous_occurrence_rule(spark):
     )
     kept = sorted(r["event_id"] for r in dedup_debounce(df).collect())
     assert kept == [1, 4, 6]
+
+
+def test_fuzzy_name_matches_blocked_and_thresholded(spark):
+    """'cold anvil'~'old anvil' (dist 1) matches inside the 'anvil'
+    block; 'cold anvil' vs 'cold bolt' never compared (different
+    blocks); duplicates collapse before pairing; threshold excludes
+    dist>max."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        fuzzy_name_matches,
+    )
+
+    rows = [
+        ("cold anvil",), ("old anvil",), ("cold anvil",),  # dup row
+        ("cold bolt",), ("shiny anvil",),
+    ]
+    df = spark.createDataFrame(rows, "p_name string")
+    out = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_name_matches(df, "p_name", max_dist=2).collect()
+    )
+    assert out == [("cold anvil", "old anvil", 1)]
+    # widen the threshold: 'shiny anvil' is dist 5 from both 'cold
+    # anvil' and 'old anvil' (cold->shiny = 4 subs + 1 insert)
+    assert fuzzy_name_matches(df, "p_name", max_dist=4).count() == 1
+    assert fuzzy_name_matches(df, "p_name", max_dist=5).count() == 3

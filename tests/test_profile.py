@@ -412,3 +412,29 @@ def test_benford_audit_rounds_raw_doubles_like_oracle(spark):
         ).fetchall()
     }
     assert ora == got
+
+
+def test_woe_iv_binning_signs_and_degenerate_bins(spark):
+    """A feature that perfectly separates: low bin all-bad, high bin
+    all-good -> both WOE NULL (degenerate), IV 0 from those bins; a
+    mixed middle contributes finite WOE. Tie-broken ntile is
+    deterministic."""
+    from asctb_ct_label_mapper_spark.operators.profile import woe_iv_binning
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, float(i), 0) for i in range(10)]          # low, bad
+        + [(100 + i, 100.0 + i, i % 2) for i in range(10)]  # mixed
+        + [(200 + i, 200.0 + i, 1) for i in range(10)]  # high, good
+    )
+    df = spark.createDataFrame(rows, "id long, v double, g int")
+    out = {r["bin"]: r for r in
+           woe_iv_binning(df, "v", F.col("g") == 1, "id", n_bins=3).collect()}
+    assert out[1]["n_good"] == 0 and out[1]["woe"] is None
+    assert out[3]["n_bad"] == 0 and out[3]["woe"] is None
+    import math
+
+    # middle bin: 5 good of 15 total good, 5 bad of 15 total bad -> WOE 0
+    assert out[2]["woe"] == 0.0
+    assert out[2]["iv_total"] == 0.0  # only the middle contributes, 0
+    assert all(out[b]["iv_total"] == out[1]["iv_total"] for b in out)

@@ -258,3 +258,40 @@ def test_zipf_fit_single_rank_yields_null_not_crash(spark):
     [r] = zipf_fit(df).collect()
     assert r["n_ranks"] == 1
     assert r["slope"] is None and r["intercept"] is None
+
+
+def test_pmi_collocations_bound_pair_beats_free_pair(spark):
+    """'new york' always co-occurs (PMI = log2(N_bi * N_uni^2 /
+    (c_xy^-1 ...)) high); 'of the' occurs no more than chance. Pinned
+    arithmetic on a tiny corpus: every bigram token also counts in the
+    unigram margins."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    import math
+
+    docs = spark.createDataFrame(
+        [("new york " * 5).strip(),
+         ("of the of and the and " * 5).strip()],
+        "string",
+    ).toDF("text")
+    out = {(r["w1"], r["w2"]): r
+           for r in pmi_collocations(docs, min_count=5).collect()}
+    ny = out[("new", "york")]
+    # margins: c(new york)=5, N_bi=38, c(new)=5, c(york)=5, N_uni=40
+    want = math.log2((5 / 38) / ((5 / 40) * (5 / 40)))
+    assert abs(ny["pmi"] - round(want, 6)) < 1e-9 and ny["n"] == 5
+    # 'the of' style pairs exist but score far lower than the bound pair
+    assert all(
+        v["pmi"] < ny["pmi"] for k, v in out.items() if k != ("new", "york")
+    )
+
+
+def test_pmi_single_token_docs_emit_nothing(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame([("hello",), ("",)], "text string")
+    assert pmi_collocations(docs, min_count=1).count() == 0
