@@ -197,11 +197,17 @@ def _funnel_steps_fold(
     per_user = collected.selectExpr(
         "key", f"{fold_sql} AS _reach", "_has0 = 1 AS _present"
     )
+    # coalesce: on an input with NO funnel-step events per_user is
+    # EMPTY and bare sums would emit NULL counts — impl='joins' and the
+    # SQL oracle both emit 0 there (count() over an empty frame)
     counts = per_user.agg(
-        F.expr("sum(CASE WHEN _present THEN 1 ELSE 0 END)").alias("_c_0"),
+        F.expr(
+            "coalesce(sum(CASE WHEN _present THEN 1 ELSE 0 END), 0)"
+        ).alias("_c_0"),
         *[
             F.expr(
-                f"sum(CASE WHEN _reach[{i}] IS NOT NULL THEN 1 ELSE 0 END)"
+                f"coalesce(sum(CASE WHEN _reach[{i}] IS NOT NULL "
+                "THEN 1 ELSE 0 END), 0)"
             ).alias(f"_c_{i}")
             for i in range(1, k)
         ],
@@ -512,7 +518,11 @@ def markov_transitions(
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     nxt = F.lead(type_col).over(w)
     pairs = (
-        df.select(
+        # NULL-ts events are excluded BEFORE the lead: ts is the window
+        # order key and the engines place NULLs at opposite ends, which
+        # would change the consecutive-pair set
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
             F.col(type_col).alias("from_type"), nxt.alias("to_type")
         )
         .filter(
@@ -549,7 +559,7 @@ def sql_markov_transitions(
             SELECT {type_col} AS from_type,
                 lead({type_col}) OVER (PARTITION BY {key_col}
                     ORDER BY {ts_col}, {id_col}) AS to_type
-            FROM {table} WHERE {where}
+            FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
         ) WHERE from_type IS NOT NULL AND to_type IS NOT NULL
         GROUP BY 1, 2
     )

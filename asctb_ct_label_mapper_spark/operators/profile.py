@@ -988,7 +988,10 @@ def woe_iv_binning(
     wanting Laplace smoothing can pre-aggregate. One ntile window over
     the raw rows + one bins-sized aggregate; the IV total is attached
     in-plan (bins-sized cross join)."""
-    binned = df.select(
+    # NULL values are excluded on BOTH engines before the ntile: Spark
+    # orders NULLS FIRST (bin 1), DuckDB NULLS LAST (bin n) — leaving
+    # them in shifts every bin boundary differently per engine
+    binned = df.filter(F.col(value_col).isNotNull()).select(
         F.ntile(n_bins)
         .over(Window.orderBy(F.col(value_col), F.col(id_col)))
         .alias("bin"),
@@ -1039,7 +1042,7 @@ def sql_woe_iv_binning(
     WITH binned AS (
         SELECT ntile({n_bins}) OVER (ORDER BY {value_col}, {id_col}) AS bin,
             CAST({target_expr} AS INT) AS g
-        FROM {table} WHERE {where}
+        FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
     ), per_bin AS (
         SELECT bin, count(*) AS n, sum(g) AS n_good,
             count(*) - sum(g) AS n_bad

@@ -27,6 +27,40 @@ from pyspark.sql import functions as F
 _EPOCH = "1970-01-01"
 
 
+def _daily_series(df: DataFrame, ts_col: str) -> DataFrame:
+    """Shared calendar-spined daily-count series (d, c): one date
+    aggregate off the raw stream, min/max bounds, explode(sequence)
+    spine, left-join with coalesce-0 — missing days are genuine zero
+    observations (the seasonal_decompose contract). Single definition
+    for every daily-series operator so spine semantics cannot drift."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return cal.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+
+
+def _sql_daily_series(table: str, ts_col: str, where: str) -> str:
+    """The DuckDB CTE replay of :func:`_daily_series` — emits the
+    ``daily``/``cal``/``series`` CTE bodies (caller wraps in WITH)."""
+    return f"""daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM daily
+    ), series AS (
+        SELECT cal.d, coalesce(daily.c, 0) AS c
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+    )"""
+
+
 def ols_trend_by_key(
     df: DataFrame,
     key_col: str = "user_id",
@@ -135,21 +169,11 @@ def autocorr_daily_counts(
     Scale: the daily series is calendar-sized regardless of event count
     — one date aggregate off the raw stream, then lag arithmetic on the
     tiny spine."""
-    daily = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.to_date(ts_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # calendar spine via min/max + sequence (zero days are observations)
-    bounds = daily.agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    cal = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        "d", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # the calendar-sized series feeds ALL max_lag legs of the union —
+    # persisted so the raw-stream date aggregate runs once, not per leg
+    series = pooled_persist(_daily_series(df, ts_col))
     w = Window.orderBy("d")
     out = None
     for k in range(1, max_lag + 1):
@@ -199,17 +223,7 @@ def sql_autocorr_daily_counts(
         ) WHERE p IS NOT NULL""")
     union = "\n        UNION ALL\n".join(legs)
     return f"""
-    WITH daily AS (
-        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
-        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM daily
-    ), series AS (
-        SELECT cal.d, coalesce(daily.c, 0) AS c
-        FROM cal LEFT JOIN daily ON cal.d = daily.d
-    )
+    WITH {_sql_daily_series(table, ts_col, where)}
     {union}
     """
 
@@ -472,16 +486,7 @@ def bollinger_bands_daily(
     Variance is computed from integer sums ((Σx², Σx, n) — EXACT — with
     the division last), not the engines' streaming stddev kernels,
     whose compensated accumulations differ in the last ulp."""
-    daily = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.to_date(ts_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    series = cal.join(daily, "d", "left").select(
-        "d", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    series = _daily_series(df, ts_col)
     w = (
         Window.orderBy("d")
         .rowsBetween(-window_days, -1)
@@ -529,17 +534,7 @@ def sql_bollinger_bands_daily(
         "AND 1 PRECEDING)"
     )
     return f"""
-    WITH daily AS (
-        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
-        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM daily
-    ), series AS (
-        SELECT cal.d, coalesce(daily.c, 0) AS c
-        FROM cal LEFT JOIN daily ON cal.d = daily.d
-    ), winagg AS (
+    WITH {_sql_daily_series(table, ts_col, where)}, winagg AS (
         SELECT d, c,
             count(*) {wdef} AS n,
             CAST(sum(c) {wdef} AS BIGINT) AS sx,
@@ -591,16 +586,8 @@ def theilsen_daily_trend(
     path. Slopes are exact rationals (integer count deltas over integer
     day deltas); the median interpolates between them — computed at
     6dp on both engines."""
-    daily = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.to_date(ts_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    series = cal.join(daily, "d", "left").select(
-        F.datediff("d", F.lit(_EPOCH)).alias("x"),
-        F.coalesce("c", F.lit(0)).alias("c"),
+    series = _daily_series(df, ts_col).select(
+        F.datediff("d", F.lit(_EPOCH)).alias("x"), "c"
     )
     a = series.alias("a")
     b = series.alias("b")
@@ -624,21 +611,12 @@ def sql_theilsen_daily_trend(
     """DuckDB replay of ``theilsen_daily_trend`` (same pair set, same
     interpolated median over the exact pairwise slopes)."""
     return f"""
-    WITH daily AS (
-        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
-        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM daily
-    ), series AS (
-        SELECT datediff('day', DATE '{_EPOCH}', cal.d) AS x,
-            coalesce(daily.c, 0) AS c
-        FROM cal LEFT JOIN daily ON cal.d = daily.d
+    WITH {_sql_daily_series(table, ts_col, where)}, xseries AS (
+        SELECT datediff('day', DATE '{_EPOCH}', d) AS x, c FROM series
     ), pairs AS (
         SELECT (CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE))
                / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS s
-        FROM series a JOIN series b ON a.x < b.x
+        FROM xseries a JOIN xseries b ON a.x < b.x
     )
     SELECT count(*) AS n_pairs,
         round(quantile_cont(s, 0.5), 6) AS theilsen_slope
@@ -667,7 +645,11 @@ def rolling_median_by_key(
         .orderBy(F.col(ts_col), F.col(id_col))
         .rowsBetween(-(window_rows - 1), 0)
     )
-    return df.filter(F.col(value_col).isNotNull()).select(
+    # ts must be non-null too: it is the window ORDER key, and Spark
+    # sorts NULLs FIRST while DuckDB sorts them LAST — frames diverge
+    return df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col).alias("key"),
         F.col(id_col).alias("id"),
         F.round(F.percentile(cents, F.lit(0.5)).over(w) / 100.0, 6).alias(
@@ -698,6 +680,7 @@ def sql_rolling_median_by_key(
                        ROWS BETWEEN {window_rows - 1} PRECEDING
                        AND CURRENT ROW) AS n_in_window
     FROM {table} WHERE ({where}) AND {value_col} IS NOT NULL
+        AND {ts_col} IS NOT NULL
     """
 
 

@@ -107,6 +107,7 @@ from asctb_ct_label_mapper_spark.streaming.events import tumbling_counts
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
+_QUERY_IDENTITIES: dict[str, tuple] = {}
 ORACLES: dict[str, str] = {}
 
 
@@ -134,18 +135,30 @@ def query(name: str, oracle: str | None = None):
         # the same name by a DIFFERENT function silently replaced the
         # first in r9 (the stratified_sample collision precedent —
         # later def wins, the earlier operator vanishes from the
-        # registry with no failing test). Same-function re-registration
-        # (module re-import) stays legal.
-        prior = QUERIES.get(name)
-        if prior is not None and (
-            getattr(prior, "__module__", None),
-            getattr(prior, "__qualname__", None),
-        ) != (fn.__module__, fn.__qualname__):
+        # registry with no failing test). Identity is
+        # (module, qualname, def line): the line number catches the
+        # same-module copy-paste duplicate (same qualname, different
+        # def site — the most common collision) while staying legal
+        # under module re-import, where the re-executed defs keep
+        # their source positions.
+        # re-registering a previously returned wrapper (module
+        # re-import / idempotent setup) must present the ORIGINAL def's
+        # identity, not the shared entry() code object's
+        ident = getattr(fn, "__query_identity__", None) or (
+            fn.__module__,
+            fn.__qualname__,
+            getattr(getattr(fn, "__code__", None), "co_firstlineno", None),
+        )
+        prior = _QUERY_IDENTITIES.get(name)
+        if prior is not None and prior != ident:
             raise ValueError(
                 f"query name {name!r} is already registered by "
-                f"{prior.__module__}.{prior.__qualname__}; duplicate "
-                f"registration from {fn.__module__}.{fn.__qualname__}"
+                f"{prior[0]}.{prior[1]} (line {prior[2]}); duplicate "
+                f"registration from {ident[0]}.{ident[1]} "
+                f"(line {ident[2]})"
             )
+        _QUERY_IDENTITIES[name] = ident
+        entry.__query_identity__ = ident
         QUERIES[name] = entry
         if oracle is not None:
             ORACLES[name] = oracle

@@ -248,6 +248,18 @@ def test_funnel_fold_equals_joins(spark):
                 )
             )
             assert fold == joins, (steps, within, fold, joins)
+    # EMPTY-INPUT parity (review finding): no funnel-step events at all
+    # must give users=0 on both impls, not NULL sums from an empty agg
+    none_df = spark.createDataFrame(
+        [(1, d(1), 1, "unrelated")], EV_SCHEMA
+    )
+    fold0 = sorted(map(tuple, funnel_steps(
+        none_df, ["signup", "view"]).collect()))
+    joins0 = sorted(map(tuple, funnel_steps(
+        none_df, ["signup", "view"], impl="joins").collect()))
+    assert fold0 == joins0
+    assert all(r[2] == 0 for r in fold0), fold0
+
     # spot-check the repeated-type chain: u1 has view@d2+view@d3 (ok),
     # u2's only post-signup view is single (not ok)
     got = {

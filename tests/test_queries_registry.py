@@ -1,37 +1,199 @@
-"""Registry hygiene (VERDICT r9 #7): the r9 round found a
-same-name @query registration silently shadowing an earlier operator
-(later def wins). These checks fail on drift instead:
-
-- the decorator now raises on a duplicate name from a different
-  function (re-registration by the SAME function, i.e. module
-  re-import, stays legal);
-- every row of the committed LOCAL_CORRECTNESS sweep still resolves in
-  the registry (a rename/deletion without regenerating the sweep
-  fails loudly);
-- every oracle key has a query, and the documented rows-only set is
-  exactly the queries without oracles.
-"""
+"""Registry-level invariants: every query runs at sf0.001 with a stable
+schema; oracle SQL exists for everything SQL-expressible; plans keep their
+performance contracts (broadcasts, pushed filters)."""
 
 from __future__ import annotations
 
-import re
-from pathlib import Path
+import pytest
+from pyspark.sql import functions as F
 
-from asctb_ct_label_mapper_spark.queries import (
-    all_oracles,
-    all_queries,
-    query,
+from asctb_ct_label_mapper_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    formatted_plan,
 )
+from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries
 
-REPO = Path(__file__).resolve().parent.parent
+EXPECTED_ROWS_ONLY = {
+    # non-SQL-expressible by nature; everything else must carry an oracle.
+    # viz_projection -> driver-side SVD (eigendecomposition has no SQL
+    # replay). Everything else graduated to value oracles over the rounds:
+    # mapping_report (hex-chained sha256 stub replayed in SQL),
+    # multimodal_features (sha256 over payload bytes), cos_topk_lsh /
+    # dedup_embedding (seeded hyperplane literals), cos_topk_ivf (seeded
+    # spherical centroid literals), dedup_minhash (md5-affine family
+    # literals), dedup_simhash / winnowing_docs (md5-prefix token hash).
+    "viz_projection",
+    # distinct_users_sketch -> DataSketches HLL_4 estimates; DuckDB's
+    # approx_count_distinct is a different HLL implementation and cannot
+    # hash-match. Error contract test-enforced in tests/test_sketches.py.
+    "distinct_users_sketch",
+}
 
-# the two registrations that are rows-only BY DESIGN (non-replayable in
-# ANSI SQL: live projection layout; JVM-private HLL sketch binaries)
-ROWS_ONLY = {"viz_projection", "distinct_users_sketch"}
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    missing = set(all_queries()) - set(all_oracles())
+    assert missing == EXPECTED_ROWS_ONLY
+
+
+def test_oracles_reference_only_registered_queries():
+    assert set(all_oracles()) <= set(all_queries())
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_runs_and_returns_rows(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0  # executes the plan end-to-end
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "match_score_1" in df.columns
+
+
+def test_q3_plan_pushes_segment_filter(spark, sf_dir):
+    df = all_queries()["q3_revenue_topn"](spark, sf_dir)
+    assert_pushed_filter(df, "c_mktsegment")
+
+
+def test_p4_plan_pushes_size_filter_and_prunes(spark, sf_dir):
+    df = all_queries()["p4_projection_filter"](spark, sf_dir)
+    assert_pushed_filter(df, "p_size")
+    plan = formatted_plan(df)
+    assert "p_retailprice" in plan and "p_brand" not in plan  # column pruning
+
+
+def test_q5_plan_broadcasts_dims(spark, sf_dir):
+    assert_broadcast_join(all_queries()["q5_region_revenue"](spark, sf_dir))
+
+
+def test_cos_topk_blocked_plan_has_no_shuffle(spark, sf_dir):
+    # The scoring path itself is shuffle-free: the ONLY allowed Exchange is
+    # the round-robin scan-width normalization below the mapInPandas
+    # (ensure_min_partitions — a no-op on real-scale scans, where the plan
+    # is scan -> mapInPandas with no Exchange at all). Nothing may shuffle
+    # AFTER the scoring operator.
+    plan = formatted_plan(all_queries()["cos_topk_blocked"](spark, sf_dir))
+    exchanges = plan.count("Exchange (")  # tree lines only, not detail headers
+    assert exchanges <= 1, plan
+    if exchanges:
+        assert "RoundRobinPartitioning" in plan, plan
+        map_pos = plan.find("MapInPandas")
+        assert map_pos != -1 and plan.find("Exchange", 0, map_pos) == -1, plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan; codegen markers only show then
+    plan = formatted_plan(df)
+    # formatted mode marks codegen stages with a '*' prefix
+    assert "* HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_merge_upsert_actions_partition_the_output(spark, sf_dir):
+    out = all_queries()["merge_upsert_orders"](spark, sf_dir)
+    from asctb_ct_label_mapper_spark.schemas import load_table
+
+    n_base = load_table(spark, sf_dir, "orders").count()
+    n_region = load_table(spark, sf_dir, "region").count()
+    counts = {r["merge_action"]: r["n"] for r in
+              out.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("inserted", 0) == n_region
+    assert counts.get("updated", 0) == sum(
+        1 for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0).collect()
+    )
+    assert sum(counts.values()) == n_base + n_region
+
+
+class TestPersistHygiene:
+    def test_registry_queries_do_not_accumulate_cache(self, spark, sf_dir):
+        """VERDICT r6 #9: the pooled persists of one registry query are
+        released when the next query starts, and an explicit drain leaves
+        ZERO persisted RDDs — a long-lived session stays bounded."""
+        from asctb_ct_label_mapper_spark.plans.cache import drain_persist_pool
+        from asctb_ct_label_mapper_spark.queries import all_queries
+
+        reg = all_queries()
+        spark.catalog.clearCache()
+        drain_persist_pool()
+
+        def n_persisted() -> int:
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        reg["q20_heavy_red_shippers"](spark, sf_dir).count()
+        after_q20 = n_persisted()
+        assert after_q20 >= 1  # the pooled threshold intermediate is live
+        # next query's entry drains q20's pool entries
+        reg["q21_waiting_suppliers"](spark, sf_dir).count()
+        assert n_persisted() <= after_q20 + 1  # q21's own, q20's gone
+        # standalone drain -> no registry-pooled RDD survives
+        drain_persist_pool()
+        # (operator-internal persists outside the pool are covered by the
+        # harness clearCache contract; registry-level ones must be zero)
+        reg["q11_important_stock"](spark, sf_dir).count()
+        before = n_persisted()
+        drain_persist_pool()
+        assert n_persisted() < before or before == 0
+
+
+def test_sql_surface_views_are_lazy_and_match_dataframe_plan(spark, sf_dir):
+    """The SQL text and the DataFrame formulation must agree
+    row-for-row (registration reads footers only; data scans happen at
+    query time — the plan-level claim PLANS.md's explain output backs)."""
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.schemas import load_table
+    from asctb_ct_label_mapper_spark.sql_surface import (
+        SHARED_SQL_NATION_REVENUE,
+        run_sql,
+    )
+
+    got = {
+        r["n_name"]: (r["n_lines"], r["revenue"])
+        for r in run_sql(spark, sf_dir, SHARED_SQL_NATION_REVENUE).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    want = {
+        r["n_name"]: (r["n_lines"], r["revenue"])
+        for r in (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+# ---- r10 hygiene additions (VERDICT r9 #7) --------------------------------
 
 
 def test_duplicate_registration_raises():
-    import pytest
+    """The r9 stratified_sample precedent: a second @query registration
+    under an existing name by a DIFFERENT function silently replaced
+    the earlier operator. The decorator now raises; same-function
+    re-registration (module re-import) stays legal."""
+    from asctb_ct_label_mapper_spark.queries import query
 
     @query("__registry_hygiene_probe__")
     def probe_a(spark, sf_dir):  # pragma: no cover - never executed
@@ -45,28 +207,37 @@ def test_duplicate_registration_raises():
         def probe_b(spark, sf_dir):  # pragma: no cover - never executed
             raise AssertionError
 
+    # same-module copy-paste duplicate: same NAME from a different def
+    # site must also raise (identity includes the def line)
+    src = (
+        "@query('__registry_hygiene_probe__')\n"
+        "def probe_a(spark, sf_dir):\n"
+        "    raise AssertionError\n"
+    )
+    ns = {"query": query}
+    with pytest.raises(ValueError, match="already registered"):
+        exec(compile(src, probe_a.__code__.co_filename, "exec"), ns)
+
     # cleanup so other tests see the real registry
     from asctb_ct_label_mapper_spark import queries as qmod
 
     del qmod.QUERIES["__registry_hygiene_probe__"]
+    del qmod._QUERY_IDENTITIES["__registry_hygiene_probe__"]
 
 
 def test_local_correctness_rows_resolve_in_registry():
+    """Every row of the committed LOCAL_CORRECTNESS sweep still
+    resolves in the registry — a rename/deletion without regenerating
+    the sweep fails loudly instead of leaving a stale artifact."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
     qs = set(all_queries())
-    text = (REPO / "LOCAL_CORRECTNESS.md").read_text()
+    text = (repo / "LOCAL_CORRECTNESS.md").read_text()
     rows = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
     assert rows, "LOCAL_CORRECTNESS.md rows not parseable"
     missing = rows - qs
     assert not missing, (
         f"LOCAL_CORRECTNESS rows no longer in registry: {sorted(missing)}"
-    )
-
-
-def test_oracle_keys_subset_and_rows_only_documented():
-    qs = set(all_queries())
-    os_ = set(all_oracles())
-    assert os_ <= qs, f"oracles without queries: {sorted(os_ - qs)}"
-    assert qs - os_ == ROWS_ONLY, (
-        "rows-only set drifted — document the change here AND in "
-        f"README/LOCAL_CORRECTNESS: {sorted(qs - os_)}"
     )
