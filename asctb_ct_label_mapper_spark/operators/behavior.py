@@ -448,7 +448,12 @@ def event_path_ngrams(
     concat_ws on both engines, so ('a', NULL, 'c') used to collide
     with genuine 2-step 'a>c' paths. Windows containing a NULL type
     now emit nothing; NULL-typed events still advance the sequence
-    (they occupy a position, they just can't be named)."""
+    (they occupy a position, they just can't be named).
+
+    NULL-ts events are excluded BEFORE the windows (r10 second review
+    pass): ts is the window order key and the engines place NULLs at
+    opposite ends (Spark NULLS FIRST, DuckDB NULLS LAST), which would
+    change the consecutive-window set."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, n)
@@ -456,7 +461,7 @@ def event_path_ngrams(
     full = steps[0].isNotNull()
     for st in steps[1:]:
         full = full & st.isNotNull()
-    pathed = df.select(
+    pathed = df.filter(F.col(ts_col).isNotNull()).select(
         F.concat_ws(">", *steps).alias("path"),
         full.alias("_full"),
     )
@@ -489,7 +494,7 @@ def sql_event_path_ngrams(
     WITH pathed AS (
         SELECT concat_ws('>', {concat}) AS path,
             ({all_non_null}) AS full_path
-        FROM {table} WHERE {where}
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
         WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
     )
     SELECT path, CAST(count(*) AS BIGINT) AS n_paths

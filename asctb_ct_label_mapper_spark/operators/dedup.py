@@ -1584,7 +1584,15 @@ def dedup_debounce(
             "dedup_debounce reserves the internal column name "
             "'__debounce_prev'; rename it"
         )
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    # asc_nulls_last: Spark defaults NULLS FIRST, DuckDB NULLS LAST —
+    # without the explicit placement a NULL-ts row gets a NULL lag on
+    # Spark (kept) but a real lag on DuckDB (dropped). NULLS LAST on
+    # both ⇒ NULL-ts rows land after every timed row and are dropped by
+    # the interval predicate (NULL > x is NULL) — deterministic and
+    # engine-agnostic (r10 second review pass).
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(id_col)
+    )
     prev = F.lag(ts_col).over(w)
     return (
         df.withColumn("__debounce_prev", prev)
@@ -1612,7 +1620,7 @@ def sql_dedup_debounce(
     return f"""
     SELECT * EXCLUDE (prev) FROM (
         SELECT *, lag({ts_col}) OVER (PARTITION BY {key_col}
-            ORDER BY {ts_col}, {id_col}) AS prev
+            ORDER BY {ts_col} NULLS LAST, {id_col}) AS prev
         FROM {table} WHERE {where}
     )
     WHERE prev IS NULL OR {ts_col} > prev + INTERVAL {delay}

@@ -373,7 +373,12 @@ def markov_transitions(
     """
     seq_w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     trans = (
-        events.select(
+        # NULL-ts events are excluded BEFORE the lag: ts is the window
+        # order key and the engines place NULLs at opposite ends (Spark
+        # NULLS FIRST, DuckDB NULLS LAST), which would change the
+        # consecutive-pair set — same guard as behavior.markov_transitions
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
             F.col(type_col).alias("next_type"),
             F.lag(type_col).over(seq_w).alias("prev_type"),
         )
@@ -407,7 +412,7 @@ def sql_markov_transitions(
             lag({type_col}) OVER (
                 PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
             ) AS prev_type
-        FROM {table}
+        FROM {table} WHERE {ts_col} IS NOT NULL
     ),
     trans AS (
         SELECT prev_type, next_type, count(*) AS n

@@ -586,8 +586,15 @@ def theilsen_daily_trend(
     path. Slopes are exact rationals (integer count deltas over integer
     day deltas); the median interpolates between them — computed at
     6dp on both engines."""
-    series = _daily_series(df, ts_col).select(
-        F.datediff("d", F.lit(_EPOCH)).alias("x"), "c"
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # both self-join sides read the same calendar-sized series —
+    # persisted so the raw-stream date aggregate runs once, not twice
+    # (the autocorr pooled_persist precedent, r10 second review pass)
+    series = pooled_persist(
+        _daily_series(df, ts_col).select(
+            F.datediff("d", F.lit(_EPOCH)).alias("x"), "c"
+        )
     )
     a = series.alias("a")
     b = series.alias("b")

@@ -1907,11 +1907,16 @@ def time_weighted_avg(
     counts) + a combinable aggregate. Returns (key, n_obs, twa) with
     twa rounded 6dp (the weighted sums' partition order differs across
     engines at the last ulp)."""
+    # NULL-ts observations are excluded on BOTH engines (r10 second
+    # review pass): they carry no duration and no position in the LOCF
+    # order, and ts is the window order key where Spark places NULLs
+    # FIRST but DuckDB LAST — filtering keeps n_obs and the dt chain
+    # engine-agnostic.
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
     dt = (
         F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
     ).cast("double")
-    stepped = df.select(
+    stepped = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(value_col).cast("double").alias("v"),
         dt.alias("dt"),
@@ -1940,7 +1945,7 @@ def sql_time_weighted_avg(
             CAST(epoch_us(lead({ts_col}) OVER (PARTITION BY {key_col}
                      ORDER BY {ts_col}, {id_col}))
                  - epoch_us({ts_col}) AS DOUBLE) AS dt
-        FROM {table} WHERE {where}
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
     )
     SELECT key, count(*) AS n_obs,
         round(sum(v * dt) / sum(dt), 6) AS twa

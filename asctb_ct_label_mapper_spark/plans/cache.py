@@ -27,12 +27,27 @@ from pyspark.storagelevel import StorageLevel
 
 _POOL: list[DataFrame] = []
 
+# Backstop for callers that never hit a registry-query entry (direct
+# operator calls from tests or user pipelines): the pool is FIFO-bounded,
+# so the Nth+1 persist releases the oldest entry instead of accumulating
+# cached RDDs forever. Unpersisting early is always safe — a consumer of
+# an evicted frame just recomputes its plan. No single registry query
+# pools anywhere near this many frames, so drain-on-entry behavior is
+# unchanged.
+_MAX_POOL = 32
+
 
 def pooled_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     """Persist ``df`` and register it for release at the next registry
-    query entry (or an explicit ``drain_persist_pool()``)."""
+    query entry (or an explicit ``drain_persist_pool()``; sessions that
+    never enter a registry query are bounded by FIFO eviction)."""
     df = df.persist(level) if level is not None else df.persist()
     _POOL.append(df)
+    while len(_POOL) > _MAX_POOL:
+        try:
+            _POOL.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
     return df
 
 

@@ -110,6 +110,22 @@ QUERIES: dict[str, QueryFn] = {}
 _QUERY_IDENTITIES: dict[str, tuple] = {}
 ORACLES: dict[str, str] = {}
 
+# Per-module "execution pass" tracking for the shadow guard. Within one
+# top-to-bottom module execution, @query def lines strictly increase; a
+# registration whose def line is <= the module's last-seen line therefore
+# marks the start of a NEW pass (importlib.reload / re-exec). Names
+# registered in the CURRENT pass live in _MODULE_PASS_NAMES — a repeat
+# within one pass is a copy-paste duplicate (raise); a repeat across
+# passes by the same (module, qualname) is a legal reload re-registration
+# even when an edit shifted its def line. Conservative edge: a module
+# with a SINGLE @query whose def moved strictly DOWN re-registers before
+# any backward line is seen, so it reads as a same-pass duplicate and
+# raises — the guard errs toward raising, and the message names both def
+# sites; any module with >= 2 queries resets the pass on its first
+# re-registration (the previous pass's last line is the module's bottom).
+_MODULE_PASS_NAMES: dict[str, set[str]] = {}
+_MODULE_PASS_LAST_LINE: dict[str, int] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.schemas import load_table
@@ -136,11 +152,12 @@ def query(name: str, oracle: str | None = None):
         # first in r9 (the stratified_sample collision precedent —
         # later def wins, the earlier operator vanishes from the
         # registry with no failing test). Identity is
-        # (module, qualname, def line): the line number catches the
+        # (module, qualname, def line); the def line catches the
         # same-module copy-paste duplicate (same qualname, different
-        # def site — the most common collision) while staying legal
-        # under module re-import, where the re-executed defs keep
-        # their source positions.
+        # def site — the most common collision). To keep module
+        # re-import legal even when an EDIT shifts def lines (r10
+        # second review pass), line mismatches are only fatal within
+        # one execution PASS of the module — see _MODULE_PASS_NAMES.
         # re-registering a previously returned wrapper (module
         # re-import / idempotent setup) must present the ORIGINAL def's
         # identity, not the shared entry() code object's
@@ -149,14 +166,27 @@ def query(name: str, oracle: str | None = None):
             fn.__qualname__,
             getattr(getattr(fn, "__code__", None), "co_firstlineno", None),
         )
+        mod = ident[0]
+        line = ident[2]
+        if line is not None and line <= _MODULE_PASS_LAST_LINE.get(mod, -1):
+            # def lines went backwards: the module restarted executing
+            # from the top (reload) — previous pass's names are stale
+            _MODULE_PASS_NAMES[mod] = set()
+        if line is not None:
+            _MODULE_PASS_LAST_LINE[mod] = line
+        pass_names = _MODULE_PASS_NAMES.setdefault(mod, set())
         prior = _QUERY_IDENTITIES.get(name)
         if prior is not None and prior != ident:
-            raise ValueError(
-                f"query name {name!r} is already registered by "
-                f"{prior[0]}.{prior[1]} (line {prior[2]}); duplicate "
-                f"registration from {ident[0]}.{ident[1]} "
-                f"(line {ident[2]})"
-            )
+            same_def = prior[0] == ident[0] and prior[1] == ident[1]
+            reload_reregistration = same_def and name not in pass_names
+            if not reload_reregistration:
+                raise ValueError(
+                    f"query name {name!r} is already registered by "
+                    f"{prior[0]}.{prior[1]} (line {prior[2]}); duplicate "
+                    f"registration from {ident[0]}.{ident[1]} "
+                    f"(line {ident[2]})"
+                )
+        pass_names.add(name)
         _QUERY_IDENTITIES[name] = ident
         entry.__query_identity__ = ident
         QUERIES[name] = entry

@@ -336,3 +336,55 @@ def test_activity_gaps_span_and_coverage(spark):
     assert r["span_days"] == 5 and r["active_days"] == 3
     assert r["missing_days"] == 2 and r["coverage"] == 0.6
     assert r["first_day"] == "2024-01-01" and r["last_day"] == "2024-01-05"
+
+
+def test_null_ts_guards_across_sequence_ops(spark):
+    """r10 second review pass: ts is the window ORDER key in four
+    sequence operators, and Spark places NULLs FIRST where DuckDB
+    places them LAST — each op must neutralize NULL-ts rows the same
+    way on both engines. Markov/n-grams/TWA exclude them; debounce
+    orders them LAST so the interval predicate drops them."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        event_path_ngrams,
+    )
+    from asctb_ct_label_mapper_spark.operators.dedup import dedup_debounce
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        markov_transitions,
+    )
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, d(1), 1, "a"), (2, d(2), 1, "b"), (3, d(3), 1, "c"),
+        (4, None, 1, "x"),  # NULL ts: must not join or break the a>b>c chain
+        (5, d(1), 2, "a"), (6, None, 2, "b"),  # key 2: one timed, one not
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+
+    # markov: pairs come only from the timed sequence a->b->c
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in markov_transitions(df).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+    # n-grams: the NULL-ts row neither extends nor splits the path
+    bi = {r["path"]: r["n_paths"]
+          for r in event_path_ngrams(df, n=2).collect()}
+    assert bi == {"a>b": 1, "b>c": 1}
+
+    # TWA: NULL-ts observations are excluded from n_obs and the chain
+    vdf = df.withColumn("value", F.col("event_id").cast("double"))
+    twa = {r["key"]: r["n_obs"]
+           for r in time_weighted_avg(vdf).collect()}
+    assert twa == {1: 3, 2: 1}
+
+    # debounce (2h delay): key 1 keeps d(1) and d(3) (d(2) within 2h?
+    # no - days apart, all kept), NULL-ts rows are dropped whenever the
+    # key has timed rows (NULLS LAST -> real lag -> NULL predicate)
+    kept = dedup_debounce(df, delay="2 hours").collect()
+    kept_ids = sorted(r["event_id"] for r in kept)
+    assert kept_ids == [1, 2, 3, 5]
+
+    # all-NULL-ts key: nothing to debounce against, rows pass through
+    only_null = spark.createDataFrame([(7, None, 3, "a")], EV_SCHEMA)
+    assert [r["event_id"] for r in dedup_debounce(only_null).collect()] == [7]

@@ -207,22 +207,77 @@ def test_duplicate_registration_raises():
         def probe_b(spark, sf_dir):  # pragma: no cover - never executed
             raise AssertionError
 
-    # same-module copy-paste duplicate: same NAME from a different def
-    # site must also raise (identity includes the def line)
-    src = (
-        "@query('__registry_hygiene_probe__')\n"
-        "def probe_a(spark, sf_dir):\n"
-        "    raise AssertionError\n"
-    )
-    ns = {"query": query}
-    with pytest.raises(ValueError, match="already registered"):
-        exec(compile(src, probe_a.__code__.co_filename, "exec"), ns)
-
     # cleanup so other tests see the real registry
     from asctb_ct_label_mapper_spark import queries as qmod
 
     del qmod.QUERIES["__registry_hygiene_probe__"]
     del qmod._QUERY_IDENTITIES["__registry_hygiene_probe__"]
+
+
+def _fake_mod_fn(mod: str, blank_lines: int, fname: str = "probe"):
+    """Build a function whose __module__/__qualname__/def-line are fully
+    controlled: exec'd at module top level in a namespace whose __name__
+    is ``mod``, with the def pushed down ``blank_lines`` lines."""
+    src = "\n" * blank_lines + (
+        f"def {fname}(spark, sf_dir):\n    raise AssertionError\n"
+    )
+    ns = {"__name__": mod}
+    exec(compile(src, f"<{mod}>", "exec"), ns)
+    return ns[fname]
+
+
+def test_same_pass_copy_paste_duplicate_raises():
+    """The def-line component of the identity: two defs with the SAME
+    module and qualname at DIFFERENT lines, registered in one
+    top-to-bottom execution pass, are a copy-paste duplicate and must
+    raise — (module, qualname) alone cannot tell them apart."""
+    from asctb_ct_label_mapper_spark import queries as qmod
+    from asctb_ct_label_mapper_spark.queries import query
+
+    mod = "__registry_fake_mod_dup__"
+    f1 = _fake_mod_fn(mod, 0)
+    f2 = _fake_mod_fn(mod, 3)
+    assert (f1.__module__, f1.__qualname__) == (f2.__module__, f2.__qualname__)
+    assert f1.__code__.co_firstlineno < f2.__code__.co_firstlineno
+
+    query("__registry_line_probe__")(f1)
+    try:
+        with pytest.raises(ValueError, match="already registered"):
+            query("__registry_line_probe__")(f2)
+    finally:
+        del qmod.QUERIES["__registry_line_probe__"]
+        del qmod._QUERY_IDENTITIES["__registry_line_probe__"]
+        qmod._MODULE_PASS_NAMES.pop(mod, None)
+        qmod._MODULE_PASS_LAST_LINE.pop(mod, None)
+
+
+def test_reload_with_shifted_lines_is_legal():
+    """Module re-import after an edit that SHIFTS def lines stays legal
+    (the r10 second-review finding): the re-execution pass is detected
+    by the def lines restarting from the top, so the shifted identities
+    replace the stale ones instead of raising."""
+    from asctb_ct_label_mapper_spark import queries as qmod
+    from asctb_ct_label_mapper_spark.queries import query
+
+    mod = "__registry_fake_mod_reload__"
+    try:
+        # pass 1: two queries at lines 1 and 5
+        query("__reload_probe_x__")(_fake_mod_fn(mod, 0, "probe_x"))
+        query("__reload_probe_y__")(_fake_mod_fn(mod, 4, "probe_y"))
+        # pass 2 ("an edit inserted a line above both"): lines 2 and 6.
+        # probe_x's line (2) <= the module's last seen line (5) marks
+        # the new pass; both re-registrations must succeed.
+        query("__reload_probe_x__")(_fake_mod_fn(mod, 1, "probe_x"))
+        query("__reload_probe_y__")(_fake_mod_fn(mod, 5, "probe_y"))
+        # and the refreshed identities are the pass-2 lines
+        assert qmod._QUERY_IDENTITIES["__reload_probe_x__"][2] == 2
+        assert qmod._QUERY_IDENTITIES["__reload_probe_y__"][2] == 6
+    finally:
+        for n in ("__reload_probe_x__", "__reload_probe_y__"):
+            qmod.QUERIES.pop(n, None)
+            qmod._QUERY_IDENTITIES.pop(n, None)
+        qmod._MODULE_PASS_NAMES.pop(mod, None)
+        qmod._MODULE_PASS_LAST_LINE.pop(mod, None)
 
 
 def test_local_correctness_rows_resolve_in_registry():
