@@ -6941,3 +6941,151 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_matches(
         _t(spark, sf_dir, "part"), "p_name", max_dist=2
     )
+
+
+# =============================================================================
+# Graph analytics (r10): co-purchase graph + nation trade PageRank
+# =============================================================================
+
+
+def _degree_hist_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_copurchase_edges,
+        sql_degree_distribution,
+    )
+
+    return f"WITH {sql_copurchase_edges()}, {sql_degree_distribution()}"
+
+
+@query("copurchase_degree_hist", _degree_hist_oracle())
+def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-purchase graph
+    (graph.copurchase_edges -> degree_distribution): the ONE fact pass
+    is the order-key self-join pair aggregate (min_count=2 prunes the
+    one-off tail); both degree aggregates run on the edge list."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+        degree_distribution,
+    )
+
+    return degree_distribution(
+        copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
+def _triangles_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_copurchase_edges,
+        sql_triangle_count,
+    )
+
+    return f"WITH {sql_copurchase_edges()}, {sql_triangle_count()}"
+
+
+@query("copurchase_triangles", _triangles_oracle())
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (graph.triangle_count):
+    oriented a<b<c two-hop join on the aggregated edge list, wedge
+    count from undirected degrees, global clustering 3T/W."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+        triangle_count,
+    )
+
+    return triangle_count(copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def _pagerank_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_nation_trade_edges,
+        sql_pagerank,
+    )
+
+    return f"WITH {sql_nation_trade_edges()}, {sql_pagerank(25)}"
+
+
+@query("pagerank_nation_trade", _pagerank_oracle())
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade digraph (graph.pagerank):
+    the q7 join tree rolls 100 TB of lineitem up to a <=25-node /
+    <=625-edge graph in one pass; 10 damped iterations then run as
+    dimension-sized joins (oracle: the same recurrence unrolled into
+    chained CTEs)."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        nation_trade_edges,
+        pagerank,
+    )
+
+    edges = nation_trade_edges(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+    return pagerank(edges, 25, iters=10)
+
+
+# =============================================================================
+# Experimentation analytics (r10): SRM gate, Welch t, CUPED
+# =============================================================================
+
+
+def _srm_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_srm_check,
+    )
+
+    return sql_srm_check("events")
+
+
+@query("srm_check_users", _srm_oracle())
+def srm_check_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (experiment.srm_check): distinct
+    users per user_id%2 arm vs the 50/50 expectation as a 1-dof
+    chi-square — one distinct-user aggregate, then 1-row arithmetic."""
+    from asctb_ct_label_mapper_spark.operators.experiment import srm_check
+
+    return srm_check(_t(spark, sf_dir, "events"))
+
+
+def _welch_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_ab_welch_ttest,
+    )
+
+    return sql_ab_welch_ttest("events")
+
+
+@query("ab_welch_purchase", _welch_oracle())
+def ab_welch_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test on per-user purchase value by user_id%2 arm
+    (experiment.ab_welch_ttest): one user-grain aggregate (zero for
+    non-converters — randomized units stay in the denominator), then
+    the 1-row Welch arithmetic with try_divide guards."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        ab_welch_ttest,
+    )
+
+    return ab_welch_ttest(_t(spark, sf_dir, "events"))
+
+
+def _cuped_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cuped_adjustment,
+    )
+
+    return sql_cuped_adjustment("events", "2024-01-16")
+
+
+@query("cuped_purchase_value", _cuped_oracle())
+def cuped_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (experiment.cuped_adjustment): Jan 1-15
+    purchase value as the pre-period covariate for the Jan 16+ metric;
+    pooled theta from one 1-row covariance aggregate, per-arm post vs
+    adjusted means and variances."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cuped_adjustment,
+    )
+
+    return cuped_adjustment(_t(spark, sf_dir, "events"), "2024-01-16")

@@ -1,0 +1,96 @@
+"""Experimentation analytics — SRM chi-square against hand-computed
+counts, Welch t against closed-form arithmetic, CUPED against an
+independent numpy replay."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def d(day: int, hour: int = 0):
+    return datetime(2024, 1, day, hour)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_srm_check_balanced_and_skewed(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import srm_check
+
+    # 2 even + 2 odd users -> chi2 = 0, no mismatch
+    rows = [(i, d(1), u, "view", 1.0) for i, u in enumerate([1, 2, 3, 4])]
+    [r] = srm_check(_ev(spark, rows)).collect()
+    assert (r["n0"], r["n1"], r["chi2"], r["srm"]) == (2, 2, 0.0, False)
+
+    # 10 even + 0 odd -> chi2 = (5^2 + 5^2)/5 = 10 > 3.841 -> SRM
+    rows = [(i, d(1), 2 * i, "view", 1.0) for i in range(10)]
+    [r] = srm_check(_ev(spark, rows)).collect()
+    assert (r["n0"], r["n1"]) == (10, 0)
+    assert abs(r["chi2"] - 10.0) < 1e-9 and r["srm"] is True
+
+
+def test_ab_welch_ttest_closed_form(spark):
+    """arm0 (even users 2,4): metrics 1, 3 -> mean 2, var 2.
+    arm1 (odd users 1,3): metrics 2, 6 -> mean 4, var 8.
+    t = 2/sqrt(1+4) = 0.894427; dof = 25/17 = 1.470588.
+    User 6 (even) never purchases -> metric 0 joins arm0."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        ab_welch_ttest,
+    )
+
+    rows = [
+        (1, d(1), 2, "purchase", 1.0),
+        (2, d(1), 4, "purchase", 3.0),
+        (3, d(1), 1, "purchase", 2.0),
+        (4, d(1), 3, "purchase", 6.0),
+    ]
+    [r] = ab_welch_ttest(_ev(spark, rows)).collect()
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert (r["mean0"], r["mean1"]) == (2.0, 4.0)
+    assert abs(r["t_stat"] - 0.894427) < 1e-6
+    assert abs(r["dof"] - 1.470588) < 1e-6
+
+    # zero-metric users stay in the denominator
+    rows.append((5, d(1), 6, "view", 99.0))
+    [r] = ab_welch_ttest(_ev(spark, rows)).collect()
+    assert r["n0"] == 3 and abs(r["mean0"] - 4.0 / 3) < 1e-6
+
+
+def test_cuped_adjustment_matches_numpy(spark):
+    import numpy as np
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cuped_adjustment,
+    )
+
+    # (user, pre, post): pre on Jan 5, post on Jan 20; split Jan 16
+    spec = [(1, 2.0, 5.0), (2, 4.0, 9.0), (3, 1.0, 2.0), (4, 3.0, 8.0)]
+    rows = []
+    eid = 0
+    for u, pre, post in spec:
+        rows.append((eid, d(5), u, "purchase", pre)); eid += 1
+        rows.append((eid, d(20), u, "purchase", post)); eid += 1
+    got = {r["arm"]: r for r in
+           cuped_adjustment(_ev(spark, rows), "2024-01-16").collect()}
+
+    pre = np.array([s[1] for s in spec])
+    post = np.array([s[2] for s in spec])
+    arm = np.array([s[0] % 2 for s in spec])
+    theta = np.cov(pre, post, ddof=1)[0, 1] / np.var(pre, ddof=1)
+    adj = post - theta * (pre - pre.mean())
+    for a in (0, 1):
+        m = arm == a
+        assert got[a]["n"] == int(m.sum())
+        assert abs(got[a]["mean_post"] - round(post[m].mean(), 6)) < 1e-6
+        assert abs(got[a]["mean_adj"] - round(adj[m].mean(), 6)) < 1e-6
+        assert abs(
+            got[a]["var_adj"] - round(np.var(adj[m], ddof=1), 6)
+        ) < 1e-6
+    # CUPED shrinks the pooled variance on this correlated fixture
+    assert np.var(adj, ddof=1) < np.var(post, ddof=1)

@@ -1,0 +1,95 @@
+"""Graph analytics operators — hand-computable fixtures: a basket set
+with a known pair census, the triangle-plus-pendant graph, and
+PageRank against an independent numpy fixed-point iteration."""
+
+from __future__ import annotations
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_copurchase_edges_threshold(spark):
+    """Pairs: AB in 3 orders, AC and BC in 1 — min_count prunes the
+    one-off tail; src < dst orientation holds."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (3, 10),  # duplicate line in the same order: counted once
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges(li, min_count=1).collect()
+    }
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+    got2 = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges(li, min_count=2).collect()
+    }
+    assert got2 == {(10, 20): 3}
+
+
+def test_degree_distribution_and_triangles(spark):
+    """Triangle 1-2-3 with pendant 4 on node 3: degrees {1:2, 2:2,
+    3:3, 4:1}, wedges ΣC(d,2) = 1+1+3+0 = 5, one triangle,
+    clustering 3·1/5 = 0.6."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        degree_distribution,
+        triangle_count,
+    )
+
+    e = _edges(spark, [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1)])
+    hist = {r["degree"]: r["n_nodes"]
+            for r in degree_distribution(e).collect()}
+    assert hist == {1: 1, 2: 2, 3: 1}
+    [t] = triangle_count(e).collect()
+    assert t["n_nodes"] == 4 and t["n_edges"] == 4
+    assert t["n_wedges"] == 5 and t["n_triangles"] == 1
+    assert abs(t["global_clustering"] - 0.6) < 1e-9
+
+
+def test_triangle_count_no_wedges_null_clustering(spark):
+    """A single edge has no wedges: clustering is NULL (try_divide),
+    not a crash under the ANSI session."""
+    from asctb_ct_label_mapper_spark.operators.graph import triangle_count
+
+    [t] = triangle_count(_edges(spark, [(1, 2, 1)])).collect()
+    assert t["n_triangles"] == 0 and t["n_wedges"] == 0
+    assert t["global_clustering"] is None
+
+
+def test_pagerank_matches_numpy_iteration(spark):
+    """Weighted 3-node digraph vs an independent numpy run of the same
+    simplified (no dangling redistribution) recurrence."""
+    import numpy as np
+
+    from asctb_ct_label_mapper_spark.operators.graph import pagerank
+
+    rows = [(1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 1)]
+    e = _edges(spark, rows)
+    got = {r["node"]: r["pr"] for r in pagerank(e, 3, iters=10).collect()}
+    # the distributed loop computes the identical recurrence
+    frames = {r["node"]: r["pr"]
+              for r in pagerank(e, 3, iters=10, impl="frames").collect()}
+    assert frames == got
+
+    d, n = 0.85, 3
+    r = {k: 1.0 / n for k in (1, 2, 3)}
+    outw = {1: 4.0, 2: 1.0, 3: 1.0}
+    for _ in range(10):
+        nxt = {k: (1 - d) / n for k in r}
+        for s, t, w in rows:
+            nxt[t] += d * r[s] * (w / outw[s])
+        r = nxt
+    for k in r:
+        assert abs(got[k] - round(r[k], 6)) < 2e-6, (k, got[k], r[k])
+    # symmetric 2-cycle: exact 1/2 each at every iteration
+    cyc = _edges(spark, [(1, 2, 1), (2, 1, 1)])
+    got2 = {x["node"]: x["pr"] for x in pagerank(cyc, 2, iters=5).collect()}
+    assert got2 == {1: 0.5, 2: 0.5}
