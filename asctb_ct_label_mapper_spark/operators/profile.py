@@ -877,6 +877,60 @@ def sql_k_anonymity_report(
     """
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    et al., ICDE 2006): a quasi-identifier group is safe only when it
+    contains at least ``l`` DISTINCT values of the sensitive attribute
+    (a k-anonymous group whose members all share one diagnosis still
+    leaks it). One two-level fold: (quasi, sensitive) grain, then quasi
+    grain counting distinct sensitives — both combinable; nothing
+    data-sized past the first.
+
+    Returns one row (n_groups, violating_groups, min_l, l_diverse)."""
+    per_sens = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    groups = per_sens.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("nd") < l).cast("long")).alias("violating_groups"),
+        F.min("nd").alias("min_l"),
+        (F.min("nd") >= l).alias("l_diverse"),
+    )
+
+
+def sql_l_diversity_report(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``l_diversity_report``."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+    WITH ps AS (
+        SELECT {qc}, {sensitive_col}, count(*) AS _n
+        FROM {table} WHERE {where} GROUP BY {qc}, {sensitive_col}
+    ), g AS (
+        SELECT {qc}, count(*) AS nd FROM ps GROUP BY {qc}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(sum(CASE WHEN nd < {l} THEN 1 ELSE 0 END) AS BIGINT)
+            AS violating_groups,
+        CAST(min(nd) AS BIGINT) AS min_l,
+        min(nd) >= {l} AS l_diverse
+    FROM g
+    """
+
+
 def benford_audit(df: DataFrame, int_col) -> DataFrame:
     """Benford's-law first-digit audit — the forensic data-quality gate
     (fabricated or truncated numeric columns drift from the log

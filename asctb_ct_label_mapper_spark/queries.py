@@ -7089,3 +7089,52 @@ def cuped_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cuped_adjustment(_t(spark, sf_dir, "events"), "2024-01-16")
+
+
+def _assoc_rules_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_association_rules,
+    )
+
+    return sql_association_rules(min_count=3, min_confidence=0.05)
+
+
+@query("assoc_rules_parts", _assoc_rules_oracle())
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (graph.association_rules): support >= 3, confidence >= 0.05;
+    one persisted distinct pass feeds item counts, the basket total,
+    and the HOF pair census; rules close over both directions with
+    broadcast dimension joins."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+    )
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem"), min_count=3, min_confidence=0.05
+    )
+
+
+def _ldiv_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_l_diversity_report,
+    )
+
+    return sql_l_diversity_report(
+        "documents", ["lang", "n_chars"], "source", l=2
+    )
+
+
+@query("l_diversity_docs", _ldiv_oracle())
+def l_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (profile.l_diversity_report): (lang, n_chars)
+    quasi-identifier groups must span >= 2 distinct sources — the
+    sensitive-attribute strengthening of the k_anonymity_docs gate;
+    two combinable folds, nothing data-sized past the first."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        l_diversity_report,
+    )
+
+    return l_diversity_report(
+        _t(spark, sf_dir, "documents"), ["lang", "n_chars"], "source", l=2
+    )

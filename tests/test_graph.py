@@ -93,3 +93,37 @@ def test_pagerank_matches_numpy_iteration(spark):
     cyc = _edges(spark, [(1, 2, 1), (2, 1, 1)])
     got2 = {x["node"]: x["pr"] for x in pagerank(cyc, 2, iters=5).collect()}
     assert got2 == {1: 0.5, 2: 0.5}
+
+
+def test_association_rules_closed_form(spark):
+    """Baskets {A,B}, {A,B}, {A,C}, {B}: n=4 baskets, n_A=3, n_B=3,
+    n_C=1, AB pairs=2, AC=1. With min_count=1: conf(A->B)=2/3,
+    lift = 2*4/(3*3) = 0.888889; conf(C->A)=1, lift = 4/3."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+    )
+
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 20),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["antecedent"], r["consequent"]):
+            (r["support_n"], r["confidence"], r["lift"])
+        for r in association_rules(li, min_count=1).collect()
+    }
+    assert got[(10, 20)] == (2, round(2 / 3, 6), 0.888889)
+    assert got[(20, 10)] == (2, round(2 / 3, 6), 0.888889)
+    assert got[(30, 10)] == (1, 1.0, round(4 / 3, 6))
+    assert got[(10, 30)] == (1, round(1 / 3, 6), round(4 / 3, 6))
+    # confidence threshold prunes the weak direction only
+    got2 = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(
+            li, min_count=1, min_confidence=0.5
+        ).collect()
+    }
+    assert (30, 10) in got2 and (10, 30) not in got2

@@ -438,3 +438,20 @@ def test_woe_iv_binning_signs_and_degenerate_bins(spark):
     assert out[2]["woe"] == 0.0
     assert out[2]["iv_total"] == 0.0  # only the middle contributes, 0
     assert all(out[b]["iv_total"] == out[1]["iv_total"] for b in out)
+
+
+def test_l_diversity_report(spark):
+    """Group (en): sources {a, b} -> l=2 ok; group (fr): all rows one
+    source -> violating; min_l = 1."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        l_diversity_report,
+    )
+
+    rows = [
+        ("en", "a"), ("en", "b"), ("en", "a"),
+        ("fr", "a"), ("fr", "a"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
+    assert r["n_groups"] == 2 and r["violating_groups"] == 1
+    assert r["min_l"] == 1 and r["l_diverse"] is False
