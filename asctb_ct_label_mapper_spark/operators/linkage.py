@@ -112,32 +112,56 @@ def co_occurrence_pairs(
     unordered actor pair with the number of groups they share.
 
     Plan shape (the set-similarity-join formulation, same family as the
-    n-gram Jaccard dedup): distinct (group, actor) memberships, a
-    SELF-EQUI-JOIN on the group key with ``a1 < a2`` (each unordered
-    pair once), then one combinable count — candidates scale with
-    sum_g degree(g)^2, never |actors|^2.
+    n-gram Jaccard dedup): distinct per-group actor sets, each
+    unordered ``a1 < a2`` pair emitted once, then one combinable count
+    — candidates scale with sum_g degree(g)^2, never |actors|^2.
 
     The quadratic-per-group term IS the skew risk: ``max_group_degree``
     (the documented coverage trade, default off so the oracle replay
-    stays exact) drops groups larger than the cap BEFORE the self-join,
+    stays exact) drops groups larger than the cap BEFORE pairing,
     the standard frequent-item prune of the co-occurrence literature.
 
+    r10 plan upgrade (shared with graph.copurchase_edges, which
+    delegates here): ONE group-keyed aggregate collects each group's
+    distinct actor set, the pair set is generated in-row with
+    whole-stage-codegen HOFs (indexed transform × slice), then one
+    pair-keyed count — two Exchanges where the previous
+    distinct×2 + self-join + count plan paid four. NULL handling
+    matches the old join semantics exactly (and the SQL mirror's):
+    NULL group keys are filtered (a join on g drops them; groupBy
+    would silently keep them as one merged pseudo-group — the r9
+    NULL-group trap in reverse), and NULL actors never pair (a < b is
+    NULL; collect_set drops them).
+
+    The compact per-group frame gets AQE-coalesced to ~1 partition,
+    which would serialize the pair explosion — the explicit
+    repartition spreads it; its exchange moves only the arrays.
+
     Returns (a1, a2, n_shared) with n_shared >= ``min_shared``."""
-    m = df.select(
-        F.col(group_col).alias("g"), F.col(actor_col).alias("a")
-    ).distinct()
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    per_group = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.sort_array(F.collect_set(actor_col)).alias("items"))
+    )
     if max_group_degree is not None:
-        deg = m.groupBy("g").agg(F.count(F.lit(1)).alias("_deg"))
-        m = (
-            m.join(deg, "g")
-            .filter(F.col("_deg") <= max_group_degree)
-            .drop("_deg")
+        # degree == distinct actors per group == size(items)
+        per_group = per_group.filter(
+            F.size("items") <= max_group_degree
         )
-    left = m.select("g", F.col("a").alias("a1"))
-    right = m.select("g", F.col("a").alias("a2"))
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(items, (x, i) -> transform("
+                "slice(items, i + 2, size(items)),"
+                " y -> struct(x AS a1, y AS a2)))"
+            )
+        )
+    ).alias("p")
     return (
-        left.join(right, "g")
-        .filter(F.col("a1") < F.col("a2"))
+        per_group.repartition(spread)
+        .select(pair)
+        .select("p.a1", "p.a2")
         .groupBy("a1", "a2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -891,9 +891,17 @@ def l_diversity_report(
     grain counting distinct sensitives — both combinable; nothing
     data-sized past the first.
 
+    NULL sensitive values are EXCLUDED on both engines (r10 review):
+    missing data is not a disclosed value, and counting the NULL
+    pseudo-group toward ``l`` would report a group whose every real
+    member shares one value as diverse. A group that is entirely NULL
+    therefore disappears from the audit (nothing is disclosed there).
+
     Returns one row (n_groups, violating_groups, min_l, l_diverse)."""
-    per_sens = df.groupBy(*quasi_cols, sensitive_col).agg(
-        F.count(F.lit(1)).alias("_n")
+    per_sens = (
+        df.filter(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     groups = per_sens.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("nd")
@@ -918,7 +926,9 @@ def sql_l_diversity_report(
     return f"""
     WITH ps AS (
         SELECT {qc}, {sensitive_col}, count(*) AS _n
-        FROM {table} WHERE {where} GROUP BY {qc}, {sensitive_col}
+        FROM {table}
+        WHERE ({where}) AND {sensitive_col} IS NOT NULL
+        GROUP BY {qc}, {sensitive_col}
     ), g AS (
         SELECT {qc}, count(*) AS nd FROM ps GROUP BY {qc}
     )

@@ -127,3 +127,21 @@ def test_association_rules_closed_form(spark):
         ).collect()
     }
     assert (30, 10) in got2 and (10, 30) not in got2
+
+
+def test_copurchase_null_order_key_excluded(spark):
+    """NULL order keys never form a basket (join semantics, mirrored
+    by the shared pair census): two NULL-keyed rows must not pair —
+    a groupBy would have silently merged every NULL row into one
+    pseudo-basket (r10 review)."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    rows = [(None, 10), (None, 20), (1, 10), (1, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges(li, min_count=1).collect()
+    }
+    assert got == {(10, 30): 1}

@@ -455,3 +455,22 @@ def test_l_diversity_report(spark):
     [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
     assert r["n_groups"] == 2 and r["violating_groups"] == 1
     assert r["min_l"] == 1 and r["l_diverse"] is False
+
+
+def test_l_diversity_null_sensitive_excluded(spark):
+    """NULL sensitive values are missing data, not disclosed values:
+    they must not count toward l (r10 review — a group of one real
+    value plus NULLs is NOT diverse), and an all-NULL group vanishes."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        l_diversity_report,
+    )
+
+    rows = [
+        ("en", "a"), ("en", None),       # one real value -> violating
+        ("fr", None), ("fr", None),      # nothing disclosed -> absent
+        ("de", "a"), ("de", "b"),        # genuinely diverse
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
+    assert r["n_groups"] == 2  # fr dropped entirely
+    assert r["violating_groups"] == 1 and r["min_l"] == 1
