@@ -130,8 +130,9 @@ def co_occurrence_pairs(
     matches the old join semantics exactly (and the SQL mirror's):
     NULL group keys are filtered (a join on g drops them; groupBy
     would silently keep them as one merged pseudo-group — the r9
-    NULL-group trap in reverse), and NULL actors never pair (a < b is
-    NULL; collect_set drops them).
+    NULL-group trap in reverse), and NULL actors are dropped by
+    collect_set, so the degree cap counts distinct NON-NULL actors
+    (the SQL mirror filters them from its membership CTE to match).
 
     The compact per-group frame gets AQE-coalesced to ~1 partition,
     which would serialize the pair explosion — the explicit
@@ -177,7 +178,11 @@ def sql_co_occurrence_pairs(
     where: str = "1=1",
 ) -> str:
     """DuckDB replay of ``co_occurrence_pairs`` (same distinct
-    memberships, same degree cap, same a1 < a2 canonicalization)."""
+    memberships, same degree cap, same a1 < a2 canonicalization).
+    NULL actors are filtered from the membership CTE so the degree
+    cap counts distinct NON-NULL actors — exactly what the Spark
+    plan's size(collect_set) sees (r10 second review pass: without
+    the filter the two cap semantics diverged on NULL actors)."""
     cap = ""
     if max_group_degree is not None:
         cap = f"""
@@ -188,7 +193,8 @@ def sql_co_occurrence_pairs(
     return f"""
     WITH m AS (
         SELECT DISTINCT {group_expr} AS g, {actor_col} AS a
-        FROM {table} WHERE {where}
+        FROM {table}
+        WHERE ({where}) AND {actor_col} IS NOT NULL
     ){cap}
     SELECT l.a AS a1, r.a AS a2, CAST(count(*) AS BIGINT) AS n_shared
     FROM {src} l JOIN {src} r ON l.g = r.g AND l.a < r.a

@@ -896,6 +896,10 @@ def l_diversity_report(
     pseudo-group toward ``l`` would report a group whose every real
     member shares one value as diverse. A group that is entirely NULL
     therefore disappears from the audit (nothing is disclosed there).
+    When NOTHING is disclosed anywhere (zero audited groups) the
+    verdict is vacuously l-diverse with violating_groups = 0 and a
+    NULL min_l — coalesced on both engines so the gate never returns
+    a NULL verdict.
 
     Returns one row (n_groups, violating_groups, min_l, l_diverse)."""
     per_sens = (
@@ -908,9 +912,11 @@ def l_diversity_report(
     )
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum((F.col("nd") < l).cast("long")).alias("violating_groups"),
+        F.coalesce(
+            F.sum((F.col("nd") < l).cast("long")), F.lit(0)
+        ).alias("violating_groups"),
         F.min("nd").alias("min_l"),
-        (F.min("nd") >= l).alias("l_diverse"),
+        F.coalesce(F.min("nd") >= l, F.lit(True)).alias("l_diverse"),
     )
 
 
@@ -933,10 +939,10 @@ def sql_l_diversity_report(
         SELECT {qc}, count(*) AS nd FROM ps GROUP BY {qc}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_groups,
-        CAST(sum(CASE WHEN nd < {l} THEN 1 ELSE 0 END) AS BIGINT)
-            AS violating_groups,
+        CAST(coalesce(sum(CASE WHEN nd < {l} THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS violating_groups,
         CAST(min(nd) AS BIGINT) AS min_l,
-        min(nd) >= {l} AS l_diverse
+        coalesce(min(nd) >= {l}, TRUE) AS l_diverse
     FROM g
     """
 

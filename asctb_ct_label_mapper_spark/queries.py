@@ -6313,10 +6313,10 @@ def _cooc_oracle() -> str:
 @query("cooccur_error_users", _cooc_oracle())
 def cooccur_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User co-occurrence graph (linkage.co_occurrence_pairs): pairs of
-    users with errors in the same hour, counted across hours — the
-    set-similarity-join formulation (distinct memberships, group-key
-    self-equi-join with a1 < a2, one combinable count) with the
-    documented frequent-group prune (degree cap 50) bounding the
+    users with errors in the same hour, counted across hours — one
+    hour-keyed collect of the distinct user set, in-row codegen HOF
+    pairing (a1 < a2, no join), one pair count (two Exchanges), with
+    the documented frequent-group prune (degree cap 50) bounding the
     per-group quadratic term. Never an actors^2 cross join."""
     from asctb_ct_label_mapper_spark.operators.linkage import (
         co_occurrence_pairs,

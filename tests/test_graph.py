@@ -145,3 +145,37 @@ def test_copurchase_null_order_key_excluded(spark):
         for r in copurchase_edges(li, min_count=1).collect()
     }
     assert got == {(10, 30): 1}
+
+
+def test_assoc_rules_null_order_excluded_from_denominators(spark):
+    """A NULL-order membership can never pair, so it must not count in
+    n_a (r10 second review pass): with the NULL row, conf(10->30)
+    would deflate to 2/3 — both engines now exclude it: 2/2 = 1.0."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+    )
+
+    rows = [(None, 10), (1, 10), (1, 30), (2, 10), (2, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["antecedent"], r["consequent"]): (r["confidence"], r["lift"])
+        for r in association_rules(li, min_count=1).collect()
+    }
+    assert got[(10, 30)] == (1.0, 1.0)
+    assert got[(30, 10)] == (1.0, 1.0)
+
+
+def test_copurchase_basket_cap_forwarded(spark):
+    """max_basket_size reaches the census: capping at 2 drops the
+    3-item basket's pairs entirely."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    capped = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges(li, min_count=1, max_basket_size=2).collect()
+    }
+    assert capped == {(10, 20): 1}

@@ -108,3 +108,39 @@ def test_co_occurrence_pairs_counts_and_cap(spark):
         ).collect()
     }
     assert high == {(1, 2): 2}
+
+
+def test_cooccurrence_degree_cap_ignores_null_actors(spark):
+    """r10 second review pass: the degree cap counts distinct NON-NULL
+    actors on BOTH engines — a NULL membership must not push a group
+    over the cap (Spark's size(collect_set) never saw it; the SQL
+    mirror now filters it from the membership CTE)."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        co_occurrence_pairs,
+        sql_co_occurrence_pairs,
+    )
+
+    rows = [("g", "u1"), ("g", "u2"), ("g", None)]
+    df = spark.createDataFrame(rows, "grp string, actor string")
+    got = sorted(
+        (r["a1"], r["a2"], r["n_shared"])
+        for r in co_occurrence_pairs(
+            df, "grp", "actor", max_group_degree=2
+        ).collect()
+    )
+    assert got == [("u1", "u2", 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES"
+        " ('g','u1'), ('g','u2'), ('g',NULL)) v(grp, actor)"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_co_occurrence_pairs("t", "grp", "actor", max_group_degree=2)
+        ).fetchall()
+    )
+    assert oracle == got

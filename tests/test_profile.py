@@ -474,3 +474,19 @@ def test_l_diversity_null_sensitive_excluded(spark):
     [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
     assert r["n_groups"] == 2  # fr dropped entirely
     assert r["violating_groups"] == 1 and r["min_l"] == 1
+
+
+def test_l_diversity_all_null_vacuous_verdict(spark):
+    """Zero audited groups (every sensitive value NULL) returns the
+    vacuous verdict, not NULLs: (0 groups, 0 violating, NULL min_l,
+    l_diverse TRUE) — the gate must never emit a NULL verdict."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        l_diversity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("en", None), ("fr", None)], "lang string, source string"
+    )
+    [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
+    assert (r["n_groups"], r["violating_groups"]) == (0, 0)
+    assert r["min_l"] is None and r["l_diverse"] is True
