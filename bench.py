@@ -233,6 +233,31 @@ BENCH_QUERIES = [
     "dedup_debounce_clicks",
     "pareto_sources_tokens",
     "e_sessionize_native",
+    # r10 additions — one representative per new family (pure variants
+    # of already-benched shapes stay out to bound the fixed-cost band)
+    "ols_trend_users",
+    "autocorr_daily_events",
+    "theilsen_daily_trend",
+    "bollinger_daily_events",
+    "rolling_median_purchases",
+    "gini_purchase_users",
+    "entropy_user_event_types",
+    "mad_outliers_values",
+    "rfm_user_segments",
+    "activity_gaps_users",
+    "kaplan_meier_retention",
+    "jaccard_event_types",
+    "pmi_collocations_docs",
+    "woe_iv_doclen",
+    "fuzzy_part_names",
+    "copurchase_degree_hist",
+    "copurchase_triangles",
+    "pagerank_nation_trade",
+    "assoc_rules_parts",
+    "srm_check_users",
+    "ab_welch_purchase",
+    "cuped_purchase_value",
+    "l_diversity_docs",
 ]
 
 

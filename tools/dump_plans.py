@@ -59,6 +59,12 @@ TARGETS = {
     "j_interval_overlap": "interval-overlap join (r9): both sides bucket-exploded to a hash EQUI-join; canonical first-shared-bucket keep, no post-join distinct, no nested loop",
     "j_asof_bucketed": "skew-safe as-of (r9): per-(key,month) window + per-key carry over bucket summaries - a hot key's sort splits across its months; result-identical to the plain window",
     "holt_winters_classical_users": "classical-primed Holt-Winters (r9): bounded per-bucket bottom-p aggregate -> keys-sized seed join -> the same fused-Arrow segmented fold",
+    "funnel_signup_purchase_7d": "one-pass funnel (r10): type-IN filter pushed to scan, ONE user-keyed Exchange, greedy K-slot fold over each user's sorted funnel events - vs the r9 K-scan join chain",
+    "copurchase_degree_hist": "pair census (r10): one basket-keyed collect, in-row HOF pair explode (repartitioned past the AQE 1-partition coalesce), one pair count - 2 Exchanges, no self-join",
+    "copurchase_triangles": "triangle census (r10): persisted aggregated edge list feeds 3 oriented join legs + degree branches; a<b<c orientation counts each triangle once",
+    "assoc_rules_parts": "association rules (r10): persisted distinct memberships -> pair census + two broadcast item-count joins + 1-row totals cross join; integer counts divide once",
+    "ab_welch_purchase": "Welch t (r10): one user-grain conditional aggregate (only fact pass) -> 1-row arm statistics; try_divide-guarded scalar arithmetic",
+    "cuped_purchase_value": "CUPED (r10): user-grain pre/post conditional aggregate -> 1-row pooled-theta broadcast back -> 2-row arm aggregate",
 }
 
 
