@@ -429,13 +429,17 @@ def kmv_sketch_by(
     )
     if safety is not None and prefilter_min_pairs > 0:
         # ZERO-JOB size gate (r10): Catalyst's plan-size estimate comes
-        # straight from parquet footer sizes — no job runs. An input
-        # estimated under ~128 MB cannot carry enough (group, hash)
-        # pairs for the prefilter's 3 extra jobs to pay, so small-scale
-        # calls keep the exact r8 single-window plan with ZERO added
-        # cost; TB-scale scans blow past this and fall through to the
-        # est-based gate below. prefilter_min_pairs=0 bypasses both
-        # gates (tests / forced engagement).
+        # from parquet footer sizes — no job runs. CALIBRATION TRAP
+        # (r10 bench finding): the OPTIMIZED plan's estimate reflects
+        # COLUMN PRUNING, so a 205 MB events file projected to
+        # (day, user) estimates at ~92 MB — an earlier 128 MB threshold
+        # therefore disabled the prefilter at the very 100x tier it was
+        # built for (11.4 s vs 4.9 s engaged). 16 MB leaves margin both
+        # ways on the PRUNED width: sf0.1 estimates ~0.9 MB (17x under,
+        # zero-job skip), events100x ~92 MB (5.8x over, falls through
+        # to the est-based gate below, which decides on real per-group
+        # cardinalities). prefilter_min_pairs=0 bypasses both gates
+        # (tests / forced engagement).
         try:
             size = (
                 df._jdf.queryExecution()
@@ -445,7 +449,7 @@ def kmv_sketch_by(
             )
             # py4j maps scala BigInt to Python int; older bridges hand
             # back the object — normalize through str
-            if int(str(size)) < 128 * 1024 * 1024:
+            if int(str(size)) < 16 * 1024 * 1024:
                 safety = None
         except Exception:
             pass  # unknown stats -> fall through to the est-based gate

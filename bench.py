@@ -359,6 +359,35 @@ SCALE100_QUERIES = [
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"
 
+
+def _tier_cache_ready(scale_dir: str, expect: str) -> bool:
+    """Validate a cached scale tier against its SOURCE fingerprint.
+
+    The _DONE marker now records source row counts + factor: a marker
+    that exists but doesn't match means the tier was generated from a
+    DIFFERENT source (r10 finding: an events10x dir built from a
+    debug-run sf0.001 source — 10k rows instead of 1M — survived via
+    the old existence-only marker and silently poisoned the tier's
+    timings across rounds). On mismatch the stale dir is removed and
+    the caller regenerates."""
+    import shutil
+
+    done_marker = os.path.join(scale_dir, "_DONE")
+    try:
+        if open(done_marker).read().strip() == expect:
+            return True
+    except OSError:
+        pass
+    if os.path.isdir(scale_dir):
+        shutil.rmtree(scale_dir, ignore_errors=True)
+    return False
+
+
+def _src_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
 # Fourth tier (VERDICT r5 #5's other half): sf1-equivalent RELATIONAL data —
 # 10x the sf0.1 star schema (6M lineitem / 1.5M orders / 150k customers),
 # built by stacking key-shifted copies so referential integrity holds and
@@ -420,7 +449,11 @@ def ensure_relational_scale(src_dir: str, factor: int) -> str:
 
     scale_dir = os.path.join(_SCALE_ROOT, f"rel{factor}x")
     done_marker = os.path.join(scale_dir, "_DONE")
-    if os.path.exists(done_marker):
+    expect = (
+        f"lineitem={_src_rows(os.path.join(src_dir, 'lineitem.parquet'))}"
+        f" factor={factor}"
+    )
+    if _tier_cache_ready(scale_dir, expect):
         return scale_dir
     os.makedirs(scale_dir, exist_ok=True)
 
@@ -459,7 +492,7 @@ def ensure_relational_scale(src_dir: str, factor: int) -> str:
             row_group_size=65536,
         )
     with open(done_marker, "w") as f:
-        f.write("ok")
+        f.write(expect)
     return scale_dir
 
 
@@ -486,7 +519,11 @@ def ensure_events_scale(src_dir: str, factor: int) -> str:
 
     scale_dir = os.path.join(_SCALE_ROOT, f"events{factor}x")
     done_marker = os.path.join(scale_dir, "_DONE")
-    if os.path.exists(done_marker):
+    expect = (
+        f"events={_src_rows(os.path.join(src_dir, 'events.parquet'))}"
+        f" factor={factor}"
+    )
+    if _tier_cache_ready(scale_dir, expect):
         return scale_dir
     os.makedirs(scale_dir, exist_ok=True)
     src = pd.read_parquet(os.path.join(src_dir, "events.parquet"))
@@ -504,7 +541,7 @@ def ensure_events_scale(src_dir: str, factor: int) -> str:
         row_group_size=65536,
     )
     with open(done_marker, "w") as f:
-        f.write("ok")
+        f.write(expect)
     return scale_dir
 
 
@@ -522,7 +559,16 @@ def ensure_docs_scale(src_dir: str, factor: int) -> str:
     scale_dir = os.path.join(_SCALE_ROOT, f"docs{factor}x")
     docs_path = os.path.join(scale_dir, "documents.parquet")
     emb_path = os.path.join(scale_dir, "embeddings.parquet")
-    if os.path.exists(docs_path) and os.path.exists(emb_path):
+    expect = (
+        f"docs={_src_rows(os.path.join(src_dir, 'documents.parquet'))}"
+        f" emb={_src_rows(os.path.join(src_dir, 'embeddings.parquet'))}"
+        f" factor={factor}"
+    )
+    if (
+        _tier_cache_ready(scale_dir, expect)
+        and os.path.exists(docs_path)
+        and os.path.exists(emb_path)
+    ):
         return scale_dir
     os.makedirs(scale_dir, exist_ok=True)
 
@@ -569,6 +615,8 @@ def ensure_docs_scale(src_dir: str, factor: int) -> str:
             "label": (np.arange(n_emb) % 16).astype(np.int32),
         }
     ).to_parquet(emb_path, index=False, row_group_size=8192)
+    with open(os.path.join(scale_dir, "_DONE"), "w") as f:
+        f.write(expect)
     return scale_dir
 
 
