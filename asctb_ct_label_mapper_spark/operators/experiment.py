@@ -270,3 +270,120 @@ def sql_cuped_adjustment(
         round(var_samp(post - theta * (pre - pre_mean)), 6) AS var_adj
     FROM um, th GROUP BY arm
     """
+
+
+def mann_whitney_u(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) on the per-user metric —
+    the non-parametric sibling of :func:`ab_welch_ttest` for skewed
+    metrics (revenue-per-user famously violates Welch's normality).
+    Average ranks for ties; the normal approximation's z uses the
+    standard tie correction. One row:
+    (n0, n1, u1, z) with u1 = R1 − n1(n1+1)/2 for arm 1 and
+    z = (u1 − n0·n1/2) / σ_tie, NULL when σ degenerates (all values
+    tied — try_divide).
+
+    Plan: the user-grain aggregate (the only fact pass), then ranking
+    over the USER-METRIC frame. Ranking needs a global order: at this
+    grain the frame is |users|-sized; for billion-user scale swap in
+    the bucketed global-rank pattern (per-bucket row_number + offset
+    broadcast — `curriculum_rank_docs`' shipped precedent) — the U
+    arithmetic is unchanged."""
+    from pyspark.sql import Window
+
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    w_all = Window.orderBy("m")
+    w_tie = Window.partitionBy("m")
+    ranked = um.select(
+        "arm",
+        "m",
+        (
+            F.rank().over(w_all).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast("double")
+            / F.lit(2.0)
+        ).alias("avg_rank"),
+        F.count(F.lit(1)).over(w_tie).alias("_t"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("avg_rank"))).alias("r1"),
+        # Σ(t³−t) over distinct tied values: each group of size t
+        # contributes t rows, so divide the per-row contribution by t
+        F.sum(
+            (
+                F.col("_t").cast("double") * F.col("_t") * F.col("_t")
+                - F.col("_t")
+            )
+            / F.col("_t")
+        ).alias("tie_term"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    nn = n0 + n1
+    u1 = F.col("r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    sigma = F.sqrt(
+        n0 * n1 / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.try_divide(F.col("tie_term"), nn * (nn - F.lit(1.0)))
+        )
+    )
+    z = F.try_divide(u1 - n0 * n1 / F.lit(2.0), sigma)
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(u1, 6).alias("u1"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def sql_mann_whitney_u(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of ``mann_whitney_u`` (same average ranks, same
+    tie-corrected normal approximation)."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} AS u, {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY 1, 2
+    ), ranked AS (
+        SELECT arm, m,
+            rank() OVER (ORDER BY m)
+                + (count(*) OVER (PARTITION BY m) - 1) / 2.0 AS avg_rank,
+            count(*) OVER (PARTITION BY m) AS t
+        FROM um
+    ), s AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            sum(CASE WHEN arm = 1 THEN avg_rank END) AS r1,
+            sum((CAST(t AS DOUBLE) * t * t - t) / t) AS tie_term
+        FROM ranked
+    )
+    SELECT n0, n1,
+        round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u1,
+        round(
+            (r1 - n1 * (n1 + 1.0) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0)
+            / sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0
+                   * ((n0 + n1 + 1.0)
+                      - tie_term / (CAST(n0 + n1 AS DOUBLE)
+                                    * (n0 + n1 - 1.0)))),
+            6) AS z
+    FROM s
+    """

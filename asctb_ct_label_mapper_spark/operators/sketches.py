@@ -841,3 +841,106 @@ def sql_cm_join_size_estimate(
     SELECT e.join_size_est{exact_sel}
     FROM e{", ex" if with_exact else ""}
     """
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_expr,
+    phi: float = 0.001,
+    k_counters: int | None = None,
+) -> DataFrame:
+    """φ-heavy hitters with EXACT counts: every item whose frequency
+    exceeds ``phi`` of the stream, found via per-partition Misra-Gries
+    candidate sketches and verified with one exact aggregate restricted
+    to the candidate set.
+
+    Guarantee (the mergeable-summaries bound, Agarwal et al., PODS'12):
+    per-partition MG with k counters under-counts any item by at most
+    n_p/(k+1); summed across partitions the total error is ≤ n/(k+1),
+    so with k = ceil(1/φ) every TRUE φ-heavy item survives in at least
+    one partition's sketch — the candidate union is a guaranteed
+    superset, and the exact verify pass makes the output exact (no
+    false positives either). Returns (item, cnt, share) for
+    cnt > φ·n, share rounded 6dp.
+
+    Scale shape: the MG pass is one Arrow-batched scan producing ≤k
+    rows PER PARTITION (no shuffle of the raw stream); the verify
+    aggregate shuffles only rows matching candidates (broadcast
+    semi-join), and the total count rides the same scan as a 1-row
+    aggregate. The oracle replays the exact definition (HAVING
+    count > φ·total) — the sketch changes the PLAN, never the answer.
+    """
+    import math
+
+    k = k_counters or max(1, math.ceil(1.0 / phi))
+    items = df.select(item_expr.alias("item") if not isinstance(
+        item_expr, str) else F.col(item_expr).alias("item"))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    # decrement-all; drop zeros (classic MG step,
+                    # dict-batched)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    cands = items.mapInPandas(mg, schema=items.schema).distinct()
+    total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        items.join(F.broadcast(cands), ["item"], "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("double")
+            > F.lit(float(phi)) * F.col("n_total").cast("double")
+        )
+        .select(
+            "item",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def sql_heavy_hitters_exact(
+    table: str,
+    item_expr: str,
+    phi: float = 0.001,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``heavy_hitters_exact`` — the exact definition
+    (the MG sketch only prunes the Spark plan; the answer is the
+    HAVING-threshold query)."""
+    return f"""
+    WITH it AS (
+        SELECT {item_expr} AS item FROM {table} WHERE {where}
+    ), tot AS (SELECT count(*) AS n_total FROM it)
+    SELECT item, count(*) AS cnt,
+        round(CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+            AS share
+    FROM it, tot t
+    GROUP BY item, t.n_total
+    HAVING CAST(count(*) AS DOUBLE)
+           > CAST({phi!r} AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+    """

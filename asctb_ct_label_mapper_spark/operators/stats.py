@@ -935,3 +935,159 @@ def sql_jaccard_category_overlap(
     JOIN sizes sa ON inter.cat_a = sa.cat
     JOIN sizes sb ON inter.cat_b = sb.cat
     """
+
+
+def spearman_daily(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Spearman rank correlation between two event types' daily count
+    series — the monotone-association readout ("do error days track
+    purchase days?") robust to the outliers that wreck Pearson.
+    Average ranks for ties; ρ computed explicitly as
+    covar_samp(rx, ry)/(σ_rx·σ_ry) on BOTH engines (the repo's
+    standing ANSI-F.corr trap: its internal division raises where the
+    oracle's degrades to NULL — try_divide keeps the degenerate
+    constant-series case NULL on both). One row (n_days, rho).
+
+    Plan: one conditional date aggregate off the raw stream (the only
+    fact pass), then ranks + moments on the CALENDAR-SIZED frame."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(type_a, type_b)
+        )
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(
+            F.sum((F.col(type_col) == type_a).cast("long")).alias("ca"),
+            F.sum((F.col(type_col) == type_b).cast("long")).alias("cb"),
+        )
+    )
+
+    def _avg_rank(c: str):
+        return (
+            F.rank().over(Window.orderBy(c)).cast("double")
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy(c)) - F.lit(1)
+            ).cast("double")
+            / F.lit(2.0)
+        )
+
+    ranked = daily.select(
+        _avg_rank("ca").alias("ra"), _avg_rank("cb").alias("rb")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("ra", "rb"),
+                F.stddev_samp("ra") * F.stddev_samp("rb"),
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+def sql_spearman_daily(
+    type_a: str,
+    type_b: str,
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of ``spearman_daily`` (same average ranks, same
+    explicit moment arithmetic)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d,
+            CAST(sum(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+            CAST(sum(CASE WHEN {type_col} = '{type_b}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+          AND {type_col} IN ('{type_a}', '{type_b}')
+        GROUP BY 1
+    ), ranked AS (
+        SELECT
+            rank() OVER (ORDER BY ca)
+                + (count(*) OVER (PARTITION BY ca) - 1) / 2.0 AS ra,
+            rank() OVER (ORDER BY cb)
+                + (count(*) OVER (PARTITION BY cb) - 1) / 2.0 AS rb
+        FROM daily
+    )
+    SELECT count(*) AS n_days,
+        round(covar_samp(ra, rb)
+              / (stddev_samp(ra) * stddev_samp(rb)), 6) AS rho
+    FROM ranked
+    """
+
+
+def trimmed_means_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean of values INSIDE the
+    [lo, hi] quantile band (interpolated cuts, boundary-inclusive) —
+    the robust location estimate reported next to the raw mean. One
+    row per group: (group, n, mean_raw, mean_trimmed, p_lo, p_hi),
+    6dp.
+
+    Plan: one grouped percentile aggregate (cuts), broadcast back,
+    one conditional re-aggregate — two passes over the grouped rows,
+    nothing wider than the group count in between."""
+    cuts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.percentile(value_col, F.lit(lo)).alias("p_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("p_hi"),
+    )
+    joined = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).join(F.broadcast(cuts), ["g"])
+    inside = (F.col("v") >= F.col("p_lo")) & (F.col("v") <= F.col("p_hi"))
+    return joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_raw"),
+        F.round(F.avg(F.when(inside, F.col("v"))), 6).alias(
+            "mean_trimmed"
+        ),
+        F.round(F.first("p_lo"), 6).alias("p_lo"),
+        F.round(F.first("p_hi"), 6).alias("p_hi"),
+    )
+
+
+def sql_trimmed_means_by_group(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``trimmed_means_by_group`` (quantile_cont
+    mirrors Spark's interpolated percentile; same inclusive band)."""
+    return f"""
+    WITH cuts AS (
+        SELECT {group_col} AS g,
+            quantile_cont({value_col}, {lo!r}) AS p_lo,
+            quantile_cont({value_col}, {hi!r}) AS p_hi
+        FROM {table} WHERE {where} GROUP BY 1
+    )
+    SELECT t.{group_col} AS g, count(*) AS n,
+        round(avg(t.{value_col}), 6) AS mean_raw,
+        round(avg(CASE WHEN t.{value_col} >= c.p_lo
+                        AND t.{value_col} <= c.p_hi
+                       THEN t.{value_col} END), 6) AS mean_trimmed,
+        round(first(c.p_lo), 6) AS p_lo,
+        round(first(c.p_hi), 6) AS p_hi
+    FROM {table} t JOIN cuts c ON t.{group_col} = c.g
+    WHERE {where}
+    GROUP BY 1
+    """

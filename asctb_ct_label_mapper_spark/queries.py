@@ -7138,3 +7138,99 @@ def l_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(
         _t(spark, sf_dir, "documents"), ["lang", "n_chars"], "source", l=2
     )
+
+
+def _mwu_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_mann_whitney_u,
+    )
+
+    return sql_mann_whitney_u("events")
+
+
+@query("mann_whitney_purchase", _mwu_oracle())
+def mann_whitney_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on per-user purchase value by arm
+    (experiment.mann_whitney_u): the non-parametric companion of the
+    Welch readout — average ranks over the user-metric frame, tie-
+    corrected normal approximation; the billion-user rank path is the
+    bucketed global-rank precedent (curriculum_rank_docs)."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    return mann_whitney_u(_t(spark, sf_dir, "events"))
+
+
+def _spearman_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_spearman_daily,
+    )
+
+    return sql_spearman_daily("view", "purchase")
+
+
+@query("spearman_view_purchase", _spearman_oracle())
+def spearman_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily view and purchase
+    count series (stats.spearman_daily): one conditional date
+    aggregate, ranks + explicit moment arithmetic on the calendar-sized
+    frame (the ANSI-corr trap avoided on both engines)."""
+    from asctb_ct_label_mapper_spark.operators.stats import spearman_daily
+
+    return spearman_daily(_t(spark, sf_dir, "events"), "view", "purchase")
+
+
+def _trimmed_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_trimmed_means_by_group,
+    )
+
+    return sql_trimmed_means_by_group(
+        "events", "event_type", "value", where="value IS NOT NULL"
+    )
+
+
+@query("trimmed_mean_values", _trimmed_oracle())
+def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 5-95% trimmed means (stats.trimmed_means_by_group):
+    grouped percentile cuts broadcast back into one conditional
+    re-aggregate — the robust location estimate next to the raw mean."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        trimmed_means_by_group,
+    )
+
+    return trimmed_means_by_group(
+        _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()),
+        "event_type",
+        "value",
+    )
+
+
+def _hh_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_heavy_hitters_exact,
+    )
+
+    return sql_heavy_hitters_exact(
+        "documents", "unnest(string_split(text, ' '))", phi=0.002
+    )
+
+
+@query("heavy_hitter_tokens", _hh_oracle())
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ=0.002 heavy-hitter tokens with EXACT counts
+    (sketches.heavy_hitters_exact): per-partition Misra-Gries candidate
+    sketches (≤1/φ rows per partition, no raw-stream shuffle) then one
+    exact verify aggregate semi-joined to the candidates — the sketch
+    prunes the plan, the oracle replays the exact HAVING-threshold
+    definition."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", phi=0.002)

@@ -258,6 +258,10 @@ BENCH_QUERIES = [
     "ab_welch_purchase",
     "cuped_purchase_value",
     "l_diversity_docs",
+    "mann_whitney_purchase",
+    "spearman_view_purchase",
+    "trimmed_mean_values",
+    "heavy_hitter_tokens",
 ]
 
 

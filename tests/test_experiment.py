@@ -94,3 +94,27 @@ def test_cuped_adjustment_matches_numpy(spark):
         ) < 1e-6
     # CUPED shrinks the pooled variance on this correlated fixture
     assert np.var(adj, ddof=1) < np.var(post, ddof=1)
+
+
+def test_mann_whitney_closed_form(spark):
+    """Metrics: arm0 users 2,4 -> [1, 3]; arm1 users 1,3 -> [2, 2].
+    Sorted ranks: 1->1, {2,2}->2.5 avg, 3->4. R1 = 5, U1 = 5-3 = 2 =
+    n0*n1/2, so z = 0 exactly; tie term = 2^3-2 = 6."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    rows = [
+        (1, d(1), 2, "purchase", 1.0),
+        (2, d(1), 4, "purchase", 3.0),
+        (3, d(1), 1, "purchase", 2.0),
+        (4, d(1), 3, "purchase", 2.0),
+    ]
+    [r] = mann_whitney_u(_ev(spark, rows)).collect()
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert r["u1"] == 2.0 and r["z"] == 0.0
+
+    # all metrics tied: sigma degenerates -> z NULL, not a crash
+    rows = [(i, d(1), u, "purchase", 5.0) for i, u in enumerate(range(4))]
+    [r] = mann_whitney_u(_ev(spark, rows)).collect()
+    assert r["z"] is None

@@ -644,3 +644,23 @@ def test_kmv_sketch_by_null_group_survives_prefilter(spark):
     ref = kmv_sketch_by(df, ["g"], "it", k=8, safety=None).collect()
     assert canon(got) == canon(ref)
     assert sum(1 for r in got if r["g"] is None) == 8
+
+
+def test_heavy_hitters_exact_counts(spark):
+    """Stream: 'a' x 50, 'b' x 30, 20 singletons (n = 100). phi = 0.2
+    -> exactly {a, b}, with EXACT counts even though per-partition
+    Misra-Gries (k = 5) runs decrement rounds along the way."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    data = ["a"] * 50 + ["b"] * 30 + [f"s{i}" for i in range(20)]
+    df = spark.createDataFrame([(x,) for x in data], "item string")
+    got = {r["item"]: (r["cnt"], r["share"])
+           for r in heavy_hitters_exact(df, "item", phi=0.2).collect()}
+    assert got == {"a": (50, 0.5), "b": (30, 0.3)}
+
+    # threshold is strict: an item at exactly phi*n stays out
+    got2 = {r["item"]
+            for r in heavy_hitters_exact(df, "item", phi=0.5).collect()}
+    assert got2 == set()  # 'a' = 0.5 exactly, not > 0.5

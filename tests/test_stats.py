@@ -244,3 +244,52 @@ def test_jaccard_category_overlap_counts(spark):
     assert set(out) == {("a", "b")}
     assert out[("a", "b")]["n_both"] == 2
     assert out[("a", "b")]["jaccard"] == round(2 / 3, 6)
+
+
+def test_spearman_daily_monotone(spark):
+    """Perfectly co-monotone daily counts -> rho = 1; constant series
+    -> NULL (try_divide on zero stddev)."""
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.stats import spearman_daily
+
+    rows = []
+    eid = 0
+    for day, (nv, np_) in enumerate([(1, 2), (2, 4), (3, 6)], start=1):
+        for _ in range(nv):
+            rows.append((eid, datetime(2024, 1, day), 1, "view", 1.0)); eid += 1
+        for _ in range(np_):
+            rows.append((eid, datetime(2024, 1, day), 1, "purchase", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = spearman_daily(df, "view", "purchase").collect()
+    assert r["n_days"] == 3 and r["rho"] == 1.0
+
+    const = df.filter(F.col("event_type") == "view")
+    [r] = spearman_daily(const, "view", "purchase").collect()
+    # purchase series constant 0 -> zero variance -> NULL rho
+    assert r["rho"] is None
+
+
+def test_trimmed_means_matches_numpy(spark):
+    import numpy as np
+
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        trimmed_means_by_group,
+    )
+
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, v double"
+    )
+    [r] = trimmed_means_by_group(df, "grp", "v").collect()
+    arr = np.array(vals, dtype=float)
+    p_lo, p_hi = np.percentile(arr, [5, 95])  # linear interpolation
+    inside = arr[(arr >= p_lo) & (arr <= p_hi)]
+    assert abs(r["p_lo"] - round(p_lo, 6)) < 1e-9
+    assert abs(r["p_hi"] - round(p_hi, 6)) < 1e-9
+    assert abs(r["mean_trimmed"] - round(inside.mean(), 6)) < 1e-9
+    assert r["n"] == 10
