@@ -296,19 +296,16 @@ def mann_whitney_u(
     arithmetic is unchanged."""
     from pyspark.sql import Window
 
+    from asctb_ct_label_mapper_spark.operators.stats import avg_rank
+
     um = _user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
     )
-    w_all = Window.orderBy("m")
     w_tie = Window.partitionBy("m")
     ranked = um.select(
         "arm",
         "m",
-        (
-            F.rank().over(w_all).cast("double")
-            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast("double")
-            / F.lit(2.0)
-        ).alias("avg_rank"),
+        avg_rank("m").alias("avg_rank"),
         F.count(F.lit(1)).over(w_tie).alias("_t"),
     )
     agg = ranked.agg(
@@ -329,14 +326,20 @@ def mann_whitney_u(
     n1 = F.col("n1").cast("double")
     nn = n0 + n1
     u1 = F.col("r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
-    sigma = F.sqrt(
-        n0 * n1 / F.lit(12.0)
-        * (
-            (nn + F.lit(1.0))
-            - F.try_divide(F.col("tie_term"), nn * (nn - F.lit(1.0)))
-        )
+    # greatest(·, 0): when EVERY metric ties, (N+1) − Σ(t³−t)/(N(N−1))
+    # is exactly 0 analytically but lands fractionally NEGATIVE once
+    # N³ > 2^53 (verified −1e-6 at N=1e6) — Spark sqrt(neg) is NaN and
+    # DuckDB sqrt(neg) RAISES, so both engines clamp; a zero σ then
+    # degrades to NULL z through the division guard on both.
+    bracket = F.greatest(
+        (nn + F.lit(1.0))
+        - F.try_divide(F.col("tie_term"), nn * (nn - F.lit(1.0))),
+        F.lit(0.0),
     )
-    z = F.try_divide(u1 - n0 * n1 / F.lit(2.0), sigma)
+    sigma = F.sqrt(n0 * n1 / F.lit(12.0) * bracket)
+    z = F.try_divide(
+        u1 - n0 * n1 / F.lit(2.0), F.nullif(sigma, F.lit(0.0))
+    )
     return agg.select(
         "n0",
         "n1",
@@ -352,8 +355,11 @@ def sql_mann_whitney_u(
     type_col: str = "event_type",
     metric_type: str = "purchase",
 ) -> str:
-    """DuckDB replay of ``mann_whitney_u`` (same average ranks, same
-    tie-corrected normal approximation)."""
+    """DuckDB replay of ``mann_whitney_u`` (same average ranks via
+    :func:`stats.sql_avg_rank`, same clamped tie-corrected normal
+    approximation)."""
+    from asctb_ct_label_mapper_spark.operators.stats import sql_avg_rank
+
     return f"""
     WITH um AS (
         SELECT {user_col} AS u, {user_col} % 2 AS arm,
@@ -362,8 +368,7 @@ def sql_mann_whitney_u(
         FROM {table} GROUP BY 1, 2
     ), ranked AS (
         SELECT arm, m,
-            rank() OVER (ORDER BY m)
-                + (count(*) OVER (PARTITION BY m) - 1) / 2.0 AS avg_rank,
+            {sql_avg_rank('m')} AS avg_rank,
             count(*) OVER (PARTITION BY m) AS t
         FROM um
     ), s AS (
@@ -380,10 +385,10 @@ def sql_mann_whitney_u(
         round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u1,
         round(
             (r1 - n1 * (n1 + 1.0) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0)
-            / sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0
-                   * ((n0 + n1 + 1.0)
+            / nullif(sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0
+                   * greatest((n0 + n1 + 1.0)
                       - tie_term / (CAST(n0 + n1 AS DOUBLE)
-                                    * (n0 + n1 - 1.0)))),
+                                    * (n0 + n1 - 1.0)), 0.0)), 0.0),
             6) AS z
     FROM s
     """

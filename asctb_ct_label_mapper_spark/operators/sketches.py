@@ -863,39 +863,52 @@ def heavy_hitters_exact(
     false positives either). Returns (item, cnt, share) for
     cnt > φ·n, share rounded 6dp.
 
-    Scale shape: the MG pass is one Arrow-batched scan producing ≤k
-    rows PER PARTITION (no shuffle of the raw stream); the verify
-    aggregate shuffles only rows matching candidates (broadcast
-    semi-join), and the total count rides the same scan as a 1-row
-    aggregate. The oracle replays the exact definition (HAVING
-    count > φ·total) — the sketch changes the PLAN, never the answer.
+    NULL items are filtered on BOTH engines (r10 review: the semi-join
+    is null-unsafe and numeric NULLs become fresh NaN dict keys in the
+    sketch — the oracle mirrors the filter, so NULL is simply not a
+    rankable item). ``k_counters`` below ceil(1/φ) would void the
+    superset guarantee, so it is clamped up, never trusted.
+
+    Scale shape: the (persisted) item frame is scanned by the MG pass
+    — vectorized per Arrow batch: value_counts, merge, reduce to k by
+    subtracting the (k+1)-th largest (the Agarwal et al. MERGE step,
+    same bound, no per-row Python) — producing ≤k rows PER PARTITION
+    with no raw-stream shuffle; the verify aggregate shuffles only
+    rows matching candidates (broadcast semi-join); the 1-row total
+    reads the same persisted frame. The oracle replays the exact
+    definition (HAVING count > φ·total) — the sketch changes the
+    PLAN, never the answer.
     """
     import math
 
-    k = k_counters or max(1, math.ceil(1.0 / phi))
-    items = df.select(item_expr.alias("item") if not isinstance(
-        item_expr, str) else F.col(item_expr).alias("item"))
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    k = max(
+        1, math.ceil(1.0 / phi), k_counters if k_counters else 1
+    )
+    col = (
+        F.col(item_expr) if isinstance(item_expr, str) else item_expr
+    )
+    items = pooled_persist(
+        df.select(col.alias("item")).filter(F.col("item").isNotNull())
+    )
 
     def mg(batches):
         import pandas as pd
 
         counters: dict = {}
         for pdf in batches:
-            for it in pdf["item"]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < k:
-                    counters[it] = 1
-                else:
-                    # decrement-all; drop zeros (classic MG step,
-                    # dict-batched)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for it, c in pdf["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-summaries reduce: subtract the (k+1)-th
+                # largest count from all, drop non-positive — each
+                # reduce removes >= (k+1)*sub occurrences, so total
+                # subtraction per partition is <= n_p/(k+1)
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - sub for i, c in counters.items() if c > sub
+                }
         yield pd.DataFrame({"item": list(counters.keys())})
 
     cands = items.mapInPandas(mg, schema=items.schema).distinct()
@@ -933,8 +946,10 @@ def sql_heavy_hitters_exact(
     (the MG sketch only prunes the Spark plan; the answer is the
     HAVING-threshold query)."""
     return f"""
-    WITH it AS (
+    WITH it0 AS (
         SELECT {item_expr} AS item FROM {table} WHERE {where}
+    ), it AS (
+        SELECT item FROM it0 WHERE item IS NOT NULL
     ), tot AS (SELECT count(*) AS n_total FROM it)
     SELECT item, count(*) AS cnt,
         round(CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)

@@ -937,6 +937,27 @@ def sql_jaccard_category_overlap(
     """
 
 
+def avg_rank(col: str):
+    """Average rank with ties (the Spearman/Mann-Whitney convention):
+    rank() + (tie-group size − 1)/2. ONE definition shared by every
+    rank-statistic operator (r10 review: the formula appeared four
+    times) — the SQL twin is :func:`sql_avg_rank`."""
+    return (
+        F.rank().over(Window.orderBy(col)).cast("double")
+        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - F.lit(1))
+        .cast("double")
+        / F.lit(2.0)
+    )
+
+
+def sql_avg_rank(col: str) -> str:
+    """DuckDB twin of :func:`avg_rank` (same rank()+ties/2 form)."""
+    return (
+        f"rank() OVER (ORDER BY {col})"
+        f" + (count(*) OVER (PARTITION BY {col}) - 1) / 2.0"
+    )
+
+
 def spearman_daily(
     df: DataFrame,
     type_a: str,
@@ -947,17 +968,23 @@ def spearman_daily(
     """Spearman rank correlation between two event types' daily count
     series — the monotone-association readout ("do error days track
     purchase days?") robust to the outliers that wreck Pearson.
-    Average ranks for ties; ρ computed explicitly as
-    covar_samp(rx, ry)/(σ_rx·σ_ry) on BOTH engines (the repo's
-    standing ANSI-F.corr trap: its internal division raises where the
-    oracle's degrades to NULL — try_divide keeps the degenerate
-    constant-series case NULL on both). One row (n_days, rho).
+    Average ranks for ties (the shared :func:`avg_rank`); ρ computed
+    explicitly as covar_samp(rx, ry)/(σ_rx·σ_ry) on BOTH engines (the
+    repo's standing ANSI-F.corr trap: its internal division raises
+    where the oracle's degrades to NULL — try_divide keeps the
+    degenerate constant-series case NULL on both). One row
+    (n_days, rho).
+
+    Calendar-spined like every daily operator in this module (r10
+    review: the first cut grouped only ACTIVE days, silently dropping
+    the (0, 0) tied pairs an outage week contributes — the exact drift
+    the shared-spine contract forbids): days inside [min, max] with no
+    qualifying events are genuine (0, 0) observations.
 
     Plan: one conditional date aggregate off the raw stream (the only
-    fact pass), then ranks + moments on the CALENDAR-SIZED frame."""
-    from pyspark.sql import Window
-
-    daily = (
+    fact pass), spine join, then ranks + moments on the
+    CALENDAR-SIZED frame."""
+    counts = (
         df.filter(
             F.col(ts_col).isNotNull()
             & F.col(type_col).isin(type_a, type_b)
@@ -968,18 +995,14 @@ def spearman_daily(
             F.sum((F.col(type_col) == type_b).cast("long")).alias("cb"),
         )
     )
-
-    def _avg_rank(c: str):
-        return (
-            F.rank().over(Window.orderBy(c)).cast("double")
-            + (
-                F.count(F.lit(1)).over(Window.partitionBy(c)) - F.lit(1)
-            ).cast("double")
-            / F.lit(2.0)
-        )
-
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    daily = cal.join(counts, "d", "left").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
     ranked = daily.select(
-        _avg_rank("ca").alias("ra"), _avg_rank("cb").alias("rb")
+        avg_rank("ca").alias("ra"), avg_rank("cb").alias("rb")
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -1000,10 +1023,11 @@ def sql_spearman_daily(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> str:
-    """DuckDB replay of ``spearman_daily`` (same average ranks, same
-    explicit moment arithmetic)."""
+    """DuckDB replay of ``spearman_daily`` (same calendar spine, same
+    average ranks via :func:`sql_avg_rank`, same explicit moment
+    arithmetic)."""
     return f"""
-    WITH daily AS (
+    WITH counts AS (
         SELECT CAST({ts_col} AS DATE) AS d,
             CAST(sum(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END)
                  AS BIGINT) AS ca,
@@ -1013,12 +1037,17 @@ def sql_spearman_daily(
         WHERE {ts_col} IS NOT NULL
           AND {type_col} IN ('{type_a}', '{type_b}')
         GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), daily AS (
+        SELECT coalesce(counts.ca, 0) AS ca, coalesce(counts.cb, 0) AS cb
+        FROM cal LEFT JOIN counts ON cal.d = counts.d
     ), ranked AS (
         SELECT
-            rank() OVER (ORDER BY ca)
-                + (count(*) OVER (PARTITION BY ca) - 1) / 2.0 AS ra,
-            rank() OVER (ORDER BY cb)
-                + (count(*) OVER (PARTITION BY cb) - 1) / 2.0 AS rb
+            {sql_avg_rank('ca')} AS ra,
+            {sql_avg_rank('cb')} AS rb
         FROM daily
     )
     SELECT count(*) AS n_days,

@@ -664,3 +664,34 @@ def test_heavy_hitters_exact_counts(spark):
     got2 = {r["item"]
             for r in heavy_hitters_exact(df, "item", phi=0.5).collect()}
     assert got2 == set()  # 'a' = 0.5 exactly, not > 0.5
+
+
+def test_heavy_hitters_null_items_and_k_clamp(spark):
+    """NULL items are not rankable on either engine (the semi-join is
+    null-unsafe — both filter them); an under-provisioned k_counters
+    is clamped up to ceil(1/phi) so the superset guarantee holds."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        heavy_hitters_exact,
+        sql_heavy_hitters_exact,
+    )
+
+    data = [("a",)] * 3 + [(None,)] * 3 + [("b",)] * 1
+    df = spark.createDataFrame(data, "item string")
+    # k_counters=1 would lose 'a' without the clamp (phi=0.4 -> k>=3)
+    got = {(r["item"], r["cnt"], r["share"])
+           for r in heavy_hitters_exact(
+               df, "item", phi=0.4, k_counters=1).collect()}
+    assert got == {("a", 3, 0.75)}  # share over NON-NULL n=4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('a'),('a'),('a'),"
+        "(NULL),(NULL),(NULL),('b')) v(x)"
+    )
+    oracle = set(
+        tuple(r) for r in con.execute(
+            sql_heavy_hitters_exact("t", "x", phi=0.4)).fetchall()
+    )
+    assert oracle == got

@@ -293,3 +293,29 @@ def test_trimmed_means_matches_numpy(spark):
     assert abs(r["p_hi"] - round(p_hi, 6)) < 1e-9
     assert abs(r["mean_trimmed"] - round(inside.mean(), 6)) < 1e-9
     assert r["n"] == 10
+
+
+def test_spearman_daily_calendar_spine(spark):
+    """A zero-activity day inside the span is a genuine (0, 0) pair —
+    the shared-spine contract: days 1 and 3 active, day 2 silent ->
+    n_days = 3, and the tied (0,0) day enters the ranks."""
+    from datetime import datetime
+
+    from asctb_ct_label_mapper_spark.operators.stats import spearman_daily
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view", 1.0),
+        (2, datetime(2024, 1, 1), 1, "purchase", 1.0),
+        (3, datetime(2024, 1, 3), 1, "view", 1.0),
+        (4, datetime(2024, 1, 3), 1, "view", 1.0),
+        (5, datetime(2024, 1, 3), 1, "purchase", 1.0),
+        (6, datetime(2024, 1, 3), 1, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    [r] = spearman_daily(df, "view", "purchase").collect()
+    assert r["n_days"] == 3  # includes the silent Jan 2
+    assert r["rho"] == 1.0   # series co-monotone incl. the (0,0) day
