@@ -337,9 +337,9 @@ def mann_whitney_u(
         F.lit(0.0),
     )
     sigma = F.sqrt(n0 * n1 / F.lit(12.0) * bracket)
-    z = F.try_divide(
-        u1 - n0 * n1 / F.lit(2.0), F.nullif(sigma, F.lit(0.0))
-    )
+    # try_divide alone guards sigma = 0 (zero divisor -> NULL); the
+    # DuckDB mirror needs its explicit nullif because plain '/' is used
+    z = F.try_divide(u1 - n0 * n1 / F.lit(2.0), sigma)
     return agg.select(
         "n0",
         "n1",

@@ -866,8 +866,12 @@ def heavy_hitters_exact(
     NULL items are filtered on BOTH engines (r10 review: the semi-join
     is null-unsafe and numeric NULLs become fresh NaN dict keys in the
     sketch — the oracle mirrors the filter, so NULL is simply not a
-    rankable item). ``k_counters`` below ceil(1/φ) would void the
-    superset guarantee, so it is clamped up, never trusted.
+    rankable item). Float item columns additionally drop NaN (pandas
+    value_counts silently excludes NaN, which would void the superset
+    guarantee while both engines' n_total still counted it — the SQL
+    mirror must pass ``float_items=True`` to apply the same filter).
+    ``k_counters`` below ceil(1/φ) would void the superset guarantee,
+    so it is clamped up, never trusted.
 
     Scale shape: the (persisted) item frame is scanned by the MG pass
     — vectorized per Arrow batch: value_counts, merge, reduce to k by
@@ -889,9 +893,12 @@ def heavy_hitters_exact(
     col = (
         F.col(item_expr) if isinstance(item_expr, str) else item_expr
     )
-    items = pooled_persist(
-        df.select(col.alias("item")).filter(F.col("item").isNotNull())
+    items = df.select(col.alias("item")).filter(
+        F.col("item").isNotNull()
     )
+    if items.schema["item"].dataType.typeName() in ("double", "float"):
+        items = items.filter(~F.isnan("item"))
+    items = pooled_persist(items)
 
     def mg(batches):
         import pandas as pd
@@ -941,15 +948,19 @@ def sql_heavy_hitters_exact(
     item_expr: str,
     phi: float = 0.001,
     where: str = "1=1",
+    float_items: bool = False,
 ) -> str:
     """DuckDB replay of ``heavy_hitters_exact`` — the exact definition
     (the MG sketch only prunes the Spark plan; the answer is the
-    HAVING-threshold query)."""
+    HAVING-threshold query). Pass ``float_items=True`` when the item
+    expression is DOUBLE/FLOAT so NaN is filtered like the engine
+    does."""
+    nan_filter = " AND NOT isnan(item)" if float_items else ""
     return f"""
     WITH it0 AS (
         SELECT {item_expr} AS item FROM {table} WHERE {where}
     ), it AS (
-        SELECT item FROM it0 WHERE item IS NOT NULL
+        SELECT item FROM it0 WHERE item IS NOT NULL{nan_filter}
     ), tot AS (SELECT count(*) AS n_total FROM it)
     SELECT item, count(*) AS cnt,
         round(CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)

@@ -27,10 +27,28 @@ from pyspark.sql import functions as F
 _EPOCH = "1970-01-01"
 
 
+def _calendar_fill(counts: DataFrame, fill_cols: list[str]) -> DataFrame:
+    """THE calendar spine (single definition — r10 second review pass
+    factored it out of its second inline copy): given a per-date frame
+    (d, *fill_cols), fill every day in [min(d), max(d)] with the
+    ``fill_cols`` coalesced to 0 — missing days are genuine zero
+    observations. The per-date ``counts`` frame feeds BOTH the bounds
+    aggregate and the spine join, so it is pooled-persisted here: the
+    upstream fact aggregate runs once, not per branch."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = pooled_persist(counts)
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return cal.join(counts, "d", "left").select(
+        "d", *[F.coalesce(c, F.lit(0)).alias(c) for c in fill_cols]
+    )
+
+
 def _daily_series(df: DataFrame, ts_col: str) -> DataFrame:
     """Shared calendar-spined daily-count series (d, c): one date
-    aggregate off the raw stream, min/max bounds, explode(sequence)
-    spine, left-join with coalesce-0 — missing days are genuine zero
+    aggregate off the raw stream, then the single spine definition
+    (:func:`_calendar_fill`) — missing days are genuine zero
     observations (the seasonal_decompose contract). Single definition
     for every daily-series operator so spine semantics cannot drift."""
     daily = (
@@ -38,11 +56,24 @@ def _daily_series(df: DataFrame, ts_col: str) -> DataFrame:
         .groupBy(F.to_date(ts_col).alias("d"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    return cal.join(daily, "d", "left").select(
-        "d", F.coalesce("c", F.lit(0)).alias("c")
+    return _calendar_fill(daily, ["c"])
+
+
+def _sql_calendar_fill(src: str, out: str, fill_cols: list[str]) -> str:
+    """DuckDB twin of :func:`_calendar_fill` — emits the ``cal`` +
+    ``{out}`` CTE bodies over a per-date CTE ``src`` (d, *fill_cols);
+    single spine definition on the SQL side too."""
+    filled = ", ".join(
+        f"coalesce({src}.{c}, 0) AS {c}" for c in fill_cols
     )
+    return f"""cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM {src}
+    ), {out} AS (
+        SELECT cal.d, {filled}
+        FROM cal LEFT JOIN {src} ON cal.d = {src}.d
+    )"""
 
 
 def _sql_daily_series(table: str, ts_col: str, where: str) -> str:
@@ -51,14 +82,7 @@ def _sql_daily_series(table: str, ts_col: str, where: str) -> str:
     return f"""daily AS (
         SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
         FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL GROUP BY 1
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM daily
-    ), series AS (
-        SELECT cal.d, coalesce(daily.c, 0) AS c
-        FROM cal LEFT JOIN daily ON cal.d = daily.d
-    )"""
+    ), {_sql_calendar_fill('daily', 'series', ['c'])}"""
 
 
 def ols_trend_by_key(
@@ -995,12 +1019,7 @@ def spearman_daily(
             F.sum((F.col(type_col) == type_b).cast("long")).alias("cb"),
         )
     )
-    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    daily = cal.join(counts, "d", "left").select(
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
+    daily = _calendar_fill(counts, ["ca", "cb"]).select("ca", "cb")
     ranked = daily.select(
         avg_rank("ca").alias("ra"), avg_rank("cb").alias("rb")
     )
@@ -1037,14 +1056,7 @@ def sql_spearman_daily(
         WHERE {ts_col} IS NOT NULL
           AND {type_col} IN ('{type_a}', '{type_b}')
         GROUP BY 1
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM counts
-    ), daily AS (
-        SELECT coalesce(counts.ca, 0) AS ca, coalesce(counts.cb, 0) AS cb
-        FROM cal LEFT JOIN counts ON cal.d = counts.d
-    ), ranked AS (
+    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])}, ranked AS (
         SELECT
             {sql_avg_rank('ca')} AS ra,
             {sql_avg_rank('cb')} AS rb

@@ -695,3 +695,32 @@ def test_heavy_hitters_null_items_and_k_clamp(spark):
             sql_heavy_hitters_exact("t", "x", phi=0.4)).fetchall()
     )
     assert oracle == got
+
+
+def test_heavy_hitters_float_nan_parity(spark):
+    """Float item columns: NaN is excluded on BOTH engines (pandas
+    value_counts would silently drop it from candidates while n_total
+    counted it — the superset guarantee requires the shared filter)."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        heavy_hitters_exact,
+        sql_heavy_hitters_exact,
+    )
+
+    data = [(1.0,)] * 3 + [(float("nan"),)] * 4 + [(2.0,)]
+    df = spark.createDataFrame(data, "item double")
+    got = {(r["item"], r["cnt"], r["share"])
+           for r in heavy_hitters_exact(df, "item", phi=0.5).collect()}
+    assert got == {(1.0, 3, 0.75)}  # n = 4 non-NaN items
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1.0::DOUBLE),(1.0),"
+        "(1.0),('nan'::DOUBLE),('nan'::DOUBLE),('nan'::DOUBLE),"
+        "('nan'::DOUBLE),(2.0)) v(x)"
+    )
+    oracle = set(tuple(r) for r in con.execute(
+        sql_heavy_hitters_exact("t", "x", phi=0.5, float_items=True)
+    ).fetchall())
+    assert oracle == got
