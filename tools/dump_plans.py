@@ -65,6 +65,7 @@ TARGETS = {
     "assoc_rules_parts": "association rules (r10): persisted distinct memberships -> pair census + two broadcast item-count joins + 1-row totals cross join; integer counts divide once",
     "ab_welch_purchase": "Welch t (r10): one user-grain conditional aggregate (only fact pass) -> 1-row arm statistics; try_divide-guarded scalar arithmetic",
     "cuped_purchase_value": "CUPED (r10): user-grain pre/post conditional aggregate -> 1-row pooled-theta broadcast back -> 2-row arm aggregate",
+    "heavy_hitter_tokens": "exact heavy hitters (r10): persisted token frame -> per-partition Misra-Gries mapInPandas candidates (<=1/phi rows each, no raw shuffle) -> broadcast semi-join exact verify + 1-row total",
 }
 
 
