@@ -388,3 +388,21 @@ def test_null_ts_guards_across_sequence_ops(spark):
     # all-NULL-ts key: nothing to debounce against, rows pass through
     only_null = spark.createDataFrame([(7, None, 3, "a")], EV_SCHEMA)
     assert [r["event_id"] for r in dedup_debounce(only_null).collect()] == [7]
+
+
+def test_funnel_one_pass_plan_two_exchanges(spark, sf_dir):
+    """The r10 one-pass funnel contract pinned as a plan assertion:
+    <= 2 Exchanges (one user-keyed shuffle + the final single-partition
+    aggregate) and the type-IN filter pushed to the parquet scan."""
+    from asctb_ct_label_mapper_spark.operators.behavior import funnel_steps
+    from asctb_ct_label_mapper_spark.plans.audit import formatted_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = formatted_plan(
+        funnel_steps(ev, ["signup", "view", "purchase"], within="7 days")
+    )
+    import re
+
+    n_exchange_ops = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange_ops <= 2, plan
+    assert "PushedFilters" in plan and "In(event_type" in plan, plan

@@ -179,3 +179,27 @@ def test_copurchase_basket_cap_forwarded(spark):
         for r in copurchase_edges(li, min_count=1, max_basket_size=2).collect()
     }
     assert capped == {(10, 20): 1}
+
+
+def test_pair_census_plan_has_no_join(spark, sf_dir):
+    """The r10 pair-census plan contract: NO join anywhere — one
+    group-keyed aggregate, the in-row HOF pair explode, one pair
+    count. A regression back to the self-join shape fails here."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        copurchase_edges,
+    )
+    from asctb_ct_label_mapper_spark.plans.audit import (
+        assert_not_in_plan,
+        formatted_plan,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan_df = copurchase_edges(li)
+    assert_not_in_plan(plan_df, "SortMergeJoin", "BroadcastHashJoin")
+    # exactly three Exchange operators: the basket groupBy, the
+    # explicit explode-spreading repartition, and the pair count
+    import re
+
+    plan = formatted_plan(plan_df)
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, plan
