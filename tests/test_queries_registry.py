@@ -296,3 +296,11 @@ def test_local_correctness_rows_resolve_in_registry():
     assert not missing, (
         f"LOCAL_CORRECTNESS rows no longer in registry: {sorted(missing)}"
     )
+    # and the other direction (r10: full-equality drift gate) — a query
+    # added without re-running the sweep fails here instead of shipping
+    # an artifact that silently under-reports coverage
+    unswept = qs - rows
+    assert not unswept, (
+        f"registry queries missing from LOCAL_CORRECTNESS (regenerate "
+        f"the sweep): {sorted(unswept)}"
+    )
