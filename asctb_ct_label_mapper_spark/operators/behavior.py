@@ -610,8 +610,14 @@ def rfm_segments(
         "_freq",
         "_spend",
     )
+    # a key whose purchases all have NULL ts has NULL _recency; Spark's
+    # default ASC window order is NULLS FIRST while DuckDB's is NULLS
+    # LAST, so the ordering is pinned NULLS LAST on both engines (r10
+    # advice) — undated purchasers tile worst-recency, matching the
+    # "least recently seen" reading, and every downstream boundary
+    # agrees across engines
     r_tile = F.ntile(n_tiles).over(
-        Window.orderBy(F.col("_recency"), F.col("key"))
+        Window.orderBy(F.col("_recency").asc_nulls_last(), F.col("key"))
     )
     f_tile = F.ntile(n_tiles).over(
         Window.orderBy(F.col("_freq").desc(), F.col("key"))
@@ -660,7 +666,7 @@ def sql_rfm_segments(
         FROM per_key
     ), tiled AS (
         SELECT
-            ntile({n_tiles}) OVER (ORDER BY recency, key) AS r,
+            ntile({n_tiles}) OVER (ORDER BY recency NULLS LAST, key) AS r,
             ntile({n_tiles}) OVER (ORDER BY freq DESC, key) AS f,
             ntile({n_tiles}) OVER (ORDER BY spend DESC, key) AS m
         FROM scored

@@ -38,7 +38,16 @@ def funnel_steps(
     gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
     ts = F.col(ts_col)
 
-    df = events.select(user_col, type_col, ts_col)
+    # only step-type rows can satisfy any window condition, and the
+    # post-window distinct collapses the per-user result to the same
+    # rows either way — so the step-set filter is semantics-identical
+    # (pinned by a hash-equality test) and runs BEFORE the user
+    # Exchange, cutting scan output and shuffle volume by the non-step
+    # fraction. At 100 TB with dozens of event types this is the
+    # difference between shuffling three types and shuffling the log.
+    df = events.select(user_col, type_col, ts_col).filter(
+        F.col(type_col).isin(*steps)
+    )
     prev: Column | None = None
     step_cols = []
     for step in steps:

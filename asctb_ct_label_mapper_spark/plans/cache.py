@@ -41,6 +41,13 @@ def pooled_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFram
     """Persist ``df`` and register it for release at the next registry
     query entry (or an explicit ``drain_persist_pool()``; sessions that
     never enter a registry query are bounded by FIFO eviction)."""
+    # already-cached frames pass through untouched: composites hand
+    # persisted frames to operators that defensively pooled_persist
+    # their inputs (graph_family_report → degree_distribution), and
+    # re-persisting would only warn and double-register — the original
+    # registrant keeps release responsibility
+    if df.is_cached:
+        return df
     df = df.persist(level) if level is not None else df.persist()
     _POOL.append(df)
     while len(_POOL) > _MAX_POOL:

@@ -7115,6 +7115,33 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_family_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_graph_family_report,
+    )
+
+    return sql_graph_family_report(min_count=2, rule_min_confidence=0.25)
+
+
+@query("graph_family_report", _graph_family_oracle())
+def graph_family_report_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every graph-family readout from ONE shared pair census
+    (graph.graph_family_report — the r10 shared-census seam): degree
+    histogram + node/edge/wedge/triangle counts + the rule count at
+    confidence >= 0.25, all fed by one persisted group_memberships
+    aggregate and one persisted edge list. Standalone, the three graph
+    queries pay the census once each; composed here the family costs
+    one census plus edge-grain probes."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        graph_family_report,
+    )
+
+    return graph_family_report(
+        _t(spark, sf_dir, "lineitem"), min_count=2,
+        rule_min_confidence=0.25,
+    )
+
+
 def _ldiv_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.profile import (
         sql_l_diversity_report,

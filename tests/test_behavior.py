@@ -320,6 +320,35 @@ def test_rfm_segments_deterministic_tiles(spark):
     assert (4, 4, 4) in segs
 
 
+def test_rfm_null_ts_purchaser_tiles_worst_recency(spark):
+    """r10 advice pinned: a purchaser whose every purchase has NULL ts
+    has NULL _recency; the window order is asc_nulls_last (matching the
+    oracle's NULLS LAST), so they tile WORST recency on both engines —
+    and their freq/spend tiles are unaffected."""
+    from asctb_ct_label_mapper_spark.operators.behavior import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(1, 4):  # three dated purchasers, recency order 3<2<1
+        eid += 1
+        rows.append((eid, d(u), u, "purchase", 10.0 * u))
+    # user 9: undated, but most frequent and biggest spend
+    for i in range(5):
+        eid += 1
+        rows.append((eid, None, 9, "purchase", 100.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    segs = {
+        (r["r"], r["f"], r["m"])
+        for r in rfm_segments(df, n_tiles=4).collect()
+    }
+    # NULL recency -> last r tile; best freq/spend -> first f/m tiles
+    assert (4, 1, 1) in segs
+
+
 def test_activity_gaps_span_and_coverage(spark):
     """Active days 1, 2, 5 -> span 5, active 3, missing 2, coverage
     0.6; duplicate events per day count once."""

@@ -203,3 +203,86 @@ def test_pair_census_plan_has_no_join(spark, sf_dir):
     plan = formatted_plan(plan_df)
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 3, plan
+
+
+def test_assoc_rules_single_census_subtree(spark, sf_dir):
+    """r10 verdict #1 pinned: the direction union must read a PERSISTED
+    edge table, not re-derive the census per branch — exactly ONE
+    Generate (the HOF pair explode) in the whole plan."""
+    import re
+
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+    )
+    from asctb_ct_label_mapper_spark.plans.audit import formatted_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = formatted_plan(association_rules(li, min_count=3))
+    n_generate = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_generate == 1, plan
+
+
+def test_graph_family_report_shared_census(spark, sf_dir):
+    """The shared-census composite agrees with the standalone queries
+    it subsumes (same min_count): degree rows == degree_distribution,
+    triangle scalars == triangle_count, rule count == association_rules
+    at the shared support floor."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+        copurchase_edges,
+        degree_distribution,
+        graph_family_report,
+        triangle_count,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = {
+        (r["family"], r["k"]): r["v"]
+        for r in graph_family_report(
+            li, min_count=2, rule_min_confidence=0.25
+        ).collect()
+    }
+    edges = copurchase_edges(li, min_count=2)
+    dh = {
+        ("degree", r["degree"]): r["n_nodes"]
+        for r in degree_distribution(edges).collect()
+    }
+    tri = triangle_count(edges).collect()[0]
+    n_rules = association_rules(
+        li, min_count=2, min_confidence=0.25
+    ).count()
+    expect = dict(dh)
+    for c in ("n_nodes", "n_edges", "n_wedges", "n_triangles"):
+        expect[(c, 0)] = tri[c]
+    expect[("n_rules", 0)] = n_rules
+    assert rep == expect
+
+
+def test_assoc_rules_memberships_seam_identical(spark, sf_dir):
+    """The caller-supplied census seam is a pure plan-sharing device:
+    association_rules(memberships=...) returns exactly the standalone
+    result."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        association_rules,
+    )
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        group_memberships,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mem = group_memberships(
+        li.filter(F.col("l_partkey").isNotNull()),
+        "l_orderkey",
+        "l_partkey",
+    ).persist()
+    try:
+        base = association_rules(li, min_count=3, min_confidence=0.05)
+        seam = association_rules(
+            li, min_count=3, min_confidence=0.05, memberships=mem
+        )
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, seam.collect())
+        )
+    finally:
+        mem.unpersist()

@@ -145,6 +145,37 @@ class TestFunnelSteps:
         assert r["click_ts"] is None  # 11:05 is past 10:00 + 30 min
         assert r["stage"] == 1
 
+    def test_step_filter_is_semantics_free(self, spark, sf_dir):
+        """r10 verdict #2 pinned: the pre-shuffle type-IN-steps filter
+        is hash-identical to running the window chain over every event
+        type — appending a copy of the corpus relabeled to a non-step
+        type must not change one output row."""
+        from asctb_ct_label_mapper_spark.operators.funnel import (
+            funnel_steps,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "ts"
+        )
+        noise = ev.withColumn("event_type", F.lit("noise_type"))
+        base = sorted(map(tuple, funnel_steps(ev).collect()))
+        aug = sorted(
+            map(tuple, funnel_steps(ev.unionByName(noise)).collect())
+        )
+        assert base == aug
+
+    def test_step_filter_pushed_to_scan(self, spark, sf_dir):
+        """The step-set filter runs BEFORE the user Exchange and
+        reaches the parquet scan as a pushed In(event_type) filter."""
+        from asctb_ct_label_mapper_spark.operators.funnel import (
+            funnel_steps,
+        )
+        from asctb_ct_label_mapper_spark.plans.audit import formatted_plan
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plan = formatted_plan(funnel_steps(ev))
+        assert "PushedFilters" in plan and "In(event_type" in plan, plan
+
     def test_one_shuffle_plan(self, spark):
         from asctb_ct_label_mapper_spark.operators.funnel import funnel_steps
 
