@@ -1044,6 +1044,8 @@ def woe_iv_binning(
     target: Column,
     id_col: str,
     n_bins: int = 10,
+    impl: str = "ntile",
+    rank_buckets: int = 32,
 ) -> DataFrame:
     """Weight-of-evidence feature audit: equal-population bins of
     ``value_col`` (ntile, ties broken by ``id_col`` — the standing
@@ -1055,18 +1057,67 @@ def woe_iv_binning(
 
     A bin with zero goods or zero bads has undefined WOE: emitted NULL
     and excluded from IV (coalesce 0) — stated, not smoothed; callers
-    wanting Laplace smoothing can pre-aggregate. One ntile window over
-    the raw rows + one bins-sized aggregate; the IV total is attached
-    in-plan (bins-sized cross join)."""
+    wanting Laplace smoothing can pre-aggregate.
+
+    ``impl='ntile'`` bins with one global window over the raw rows —
+    the exact-semantics oracle anchor, and a single-task sort at row
+    grain. ``impl='bucketed'`` (r10 verdict #3) computes the SAME bins
+    without any single-partition window: the two-phase
+    ``curation.global_rank`` (approxQuantile-sampled range buckets,
+    per-bucket row_number + broadcast offsets) yields every row's exact
+    global rank, and SQL ntile's bucket rule (the first N mod n bins
+    carry one extra row) is then pure integer arithmetic on that rank —
+    bit-identical bins, hash-checkable against the SAME ntile oracle.
+    That is the flavor to run at the 100x tier; IV arithmetic is shared
+    verbatim."""
     # NULL values are excluded on BOTH engines before the ntile: Spark
     # orders NULLS FIRST (bin 1), DuckDB NULLS LAST (bin n) — leaving
     # them in shifts every bin boundary differently per engine
-    binned = df.filter(F.col(value_col).isNotNull()).select(
-        F.ntile(n_bins)
-        .over(Window.orderBy(F.col(value_col), F.col(id_col)))
-        .alias("bin"),
-        target.cast("int").alias("_g"),
-    )
+    base = df.filter(F.col(value_col).isNotNull())
+    if impl == "bucketed":
+        from asctb_ct_label_mapper_spark.operators.curation import (
+            global_rank,
+            rank_buckets_from_sample,
+        )
+
+        sel = base.select(
+            F.col(value_col).alias("_v"),
+            F.col(id_col).alias("_id"),
+            target.cast("int").alias("_g"),
+        )
+        ranked = global_rank(
+            sel,
+            bucket=rank_buckets_from_sample(sel, "_v", rank_buckets),
+            order_cols=["_v", "_id"],
+            rank_col="_rk",
+        )
+        tot = sel.agg(F.count(F.lit(1)).alias("_N"))
+        # ntile(n) over N rows: q = N div n full bins, the first
+        # r = N mod n bins take one extra row — replayed from the
+        # 0-based global rank with exact integer division (div, never
+        # float). q = 0 (N < n) keeps every row in the THEN branch, so
+        # the div-by-zero arm is never evaluated.
+        binned = (
+            ranked.crossJoin(F.broadcast(tot))
+            .withColumn("_q", F.expr(f"_N div {int(n_bins)}"))
+            .withColumn("_r", F.col("_N") % int(n_bins))
+            .select(
+                F.expr(
+                    "CAST(CASE WHEN (_rk - 1) < _r * (_q + 1)"
+                    " THEN (_rk - 1) div (_q + 1)"
+                    " ELSE _r + ((_rk - 1) - _r * (_q + 1)) div _q"
+                    " END + 1 AS INT)"
+                ).alias("bin"),
+                "_g",
+            )
+        )
+    else:
+        binned = base.select(
+            F.ntile(n_bins)
+            .over(Window.orderBy(F.col(value_col), F.col(id_col)))
+            .alias("bin"),
+            target.cast("int").alias("_g"),
+        )
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_g").alias("n_good"),

@@ -1234,6 +1234,150 @@ def sql_vocab_growth(
     """
 
 
+def vocab_growth_sketch(
+    df: DataFrame,
+    n: int = 2,
+    n_shards: int = 10,
+    k: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate vocabulary-growth curve via mergeable per-shard KMV
+    sketches — the 100x-tier flavor of :func:`vocab_growth` (r10
+    verdict #5). The exact operator's one unavoidable heavy stage is
+    the exact-distinct shuffle of the full gram stream (groupBy(gram)
+    min(shard) — 5.7 s at docs10x, excluded from docs100x); here each
+    shard keeps only its k smallest distinct gram hashes
+    (``sketches.kmv_sketch_by`` — threshold-prefiltered, so the
+    distinct touches ~safety·k survivors per shard, not the gram
+    stream), and every PREFIX estimate is a re-cut of the union of its
+    shards' sketches (bottom-k of a union == bottom-k of the unions'
+    bottom-ks — exact set algebra, the approximation lives only in the
+    (k−1)·D/h_k estimator).
+
+    Everything past the sketch build is parameter-sized
+    (n_shards · k rows): the prefix spine join, the per-prefix re-rank,
+    and the estimator. Token volume stays EXACT (a combinable count —
+    no distinct involved). Deterministic md5 arithmetic end-to-end, so
+    the DuckDB oracle replays it hash-for-hash.
+
+    Returns (shard, n_kept, vocab_estimate, corpus_grams) — one row
+    per ingest prefix."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        _KMV_DOMAIN,
+        kmv_sketch_by,
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.explode(grams_arr).alias("gram"),
+    )
+    tok_per_shard = grams.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    sk = kmv_sketch_by(grams, ["shard"], "gram", k=k)
+    # prefix merge: shard s's vocabulary state is the union of sketches
+    # 0..s, re-cut to k — a broadcast spine join over parameter-sized
+    # frames (n_shards * k rows before the distinct)
+    spine = tok_per_shard.select(F.col("shard").alias("s"))
+    merged = (
+        sk.join(F.broadcast(spine), F.col("shard") <= F.col("s"))
+        .select("s", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    cut = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = cut.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("_hk")
+    )
+    vocab_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("_hk").cast("double")
+    )
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_shard.join(est, F.col("shard") == F.col("s"))
+        .select(
+            "shard",
+            "n_kept",
+            F.round(vocab_est, 4).alias("vocab_estimate"),
+            F.sum("n_grams").over(w_sh).alias("corpus_grams"),
+        )
+    )
+
+
+def sql_vocab_growth_sketch(
+    table: str = "documents",
+    n: int = 2,
+    n_shards: int = 10,
+    k: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``vocab_growth_sketch`` (same md5-prefix hash,
+    same per-shard bottom-k, same prefix re-cut and estimator)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import _KMV_DOMAIN
+
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} % {n_shards} AS shard,
+            string_split({text_col}, ' ') AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT shard, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+        FROM toks, unnest(generate_series(1, len(t) - {n} + 1)) AS g(i)
+    ),
+    hashes AS (
+        SELECT DISTINCT shard,
+            CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM grams
+    ),
+    sk AS (
+        SELECT shard, h FROM (
+            SELECT shard, h,
+                row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+            FROM hashes
+        ) WHERE rn <= {k}
+    ),
+    tok_per_shard AS (
+        SELECT shard, count(*) AS n_grams FROM grams GROUP BY shard
+    ),
+    merged AS (
+        SELECT DISTINCT sp.shard AS s, sk.h
+        FROM sk JOIN (SELECT shard FROM tok_per_shard) sp
+            ON sk.shard <= sp.shard
+    ),
+    cut AS (
+        SELECT s, h FROM (
+            SELECT s, h,
+                row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+            FROM merged
+        ) WHERE rn <= {k}
+    ),
+    est AS (
+        SELECT s, count(*) AS n_kept, max(h) AS hk FROM cut GROUP BY s
+    )
+    SELECT t.shard, CAST(e.n_kept AS BIGINT) AS n_kept,
+        round(CASE WHEN e.n_kept < {k} THEN CAST(e.n_kept AS DOUBLE)
+              ELSE {float(k - 1)} * {_KMV_DOMAIN}
+                   / CAST(e.hk AS DOUBLE) END, 4) AS vocab_estimate,
+        CAST(sum(t.n_grams) OVER (ORDER BY t.shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS corpus_grams
+    FROM tok_per_shard t JOIN est e ON t.shard = e.s
+    """
+
+
 def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFrame:
     """Zipf's-law fit over the corpus frequency spectrum: least-squares
     slope/intercept of ln(freq) against ln(rank) for the ``top_n`` most

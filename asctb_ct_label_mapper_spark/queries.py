@@ -4941,6 +4941,32 @@ def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_t(spark, sf_dir, "documents"), n=2, n_shards=10)
 
 
+def _vocab_sketch_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_vocab_growth_sketch,
+    )
+
+    return sql_vocab_growth_sketch("documents", n=2, n_shards=10, k=256)
+
+
+@query("vocab_growth_sketch", _vocab_sketch_oracle())
+def vocab_growth_sketch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Heaps-law curve via mergeable per-shard KMV sketches
+    (textstats.vocab_growth_sketch): each shard keeps its k=256 smallest
+    distinct bigram hashes, every prefix estimate is an exact re-cut of
+    the prefix's sketch union — the gram stream is never exact-distinct
+    shuffled, which is what keeps the exact flavor out of docs100x.
+    Deterministic md5 arithmetic, replayed hash-for-hash by the
+    oracle."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        vocab_growth_sketch,
+    )
+
+    return vocab_growth_sketch(
+        _t(spark, sf_dir, "documents"), n=2, n_shards=10, k=256
+    )
+
+
 def _bloom_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.dedup import sql_bloom_prefilter
 
@@ -6920,6 +6946,21 @@ def woe_iv_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("woe_iv_doclen_bucketed", _woe_iv_oracle())
+def woe_iv_doclen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale flavor of woe_iv_doclen (impl='bucketed'): bins from
+    the two-phase bucketed global rank (approxQuantile range buckets +
+    per-bucket row_number + broadcast offsets) and exact integer ntile
+    arithmetic — NO single-partition window anywhere, yet bit-identical
+    bins, checked against the SAME ntile oracle."""
+    from asctb_ct_label_mapper_spark.operators.profile import woe_iv_binning
+
+    docs = _t(spark, sf_dir, "documents")
+    return woe_iv_binning(
+        docs, "n_chars", F.col("lang") == "en", "doc_id", impl="bucketed"
+    )
+
+
 def _fuzzy_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.dedup import (
         sql_fuzzy_name_matches,
@@ -7187,6 +7228,22 @@ def mann_whitney_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return mann_whitney_u(_t(spark, sf_dir, "events"))
+
+
+@query("mann_whitney_purchase_bucketed", _mwu_oracle())
+def mann_whitney_purchase_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The billion-user flavor of mann_whitney_purchase
+    (impl='bucketed', r10 verdict #4): the user-metric frame collapses
+    to VALUE grain, ranks come from per-bucket cumulative tie counts +
+    broadcast offsets (the curriculum_rank_docs precedent) — no global
+    window at any grain; same U/z arithmetic, same oracle."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    return mann_whitney_u(_t(spark, sf_dir, "events"), impl="bucketed")
 
 
 def _spearman_oracle() -> str:

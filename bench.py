@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     # corpus-composition + sketch + ranking additions: Heaps-law curve,
     # bloom-ledger prefilter, count-min heavy hitters, two-phase global rank
     "vocab_growth_docs",
+    "vocab_growth_sketch",
     "dedup_bloom_prefilter",
     "countmin_topk_docs",
     "curriculum_rank_docs",
@@ -312,6 +313,9 @@ SCALE_QUERIES = [
     "countmin_topk_docs",
     "dedup_bloom_prefilter",
     "vocab_growth_docs",
+    # r11: the mergeable-sketch Heaps-curve flavor measured NEXT TO the
+    # exact one it replaces at scale
+    "vocab_growth_sketch",
     # r8: KMV distinct sketch — k-row state at any corpus size
     "kmv_distinct_docs",
 ]
@@ -359,6 +363,9 @@ SCALE100_QUERIES = [
     "dedup_bloom_prefilter",
     # r8: sketch flatness at the largest tier
     "kmv_distinct_docs",
+    # r11 (verdict #5): the sketch vocabulary curve IS the 100x path —
+    # the exact flavor's gram-stream distinct stays excluded here
+    "vocab_growth_sketch",
 ]
 
 _SCALE_ROOT = "/tmp/spark_graft_scale/v2"

@@ -118,3 +118,30 @@ def test_mann_whitney_closed_form(spark):
     rows = [(i, d(1), u, "purchase", 5.0) for i, u in enumerate(range(4))]
     [r] = mann_whitney_u(_ev(spark, rows)).collect()
     assert r["z"] is None
+
+
+def test_mann_whitney_bucketed_equals_exact(spark, sf_dir):
+    """r10 verdict #4: the bucketed (value-grain, no-global-window)
+    rank path reproduces the exact impl bit-for-bit — fixture corpus
+    AND a crafted frame dense with ties."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = mann_whitney_u(ev).collect()[0]
+    buck = mann_whitney_u(ev, impl="bucketed", rank_buckets=8).collect()[0]
+    assert tuple(exact) == tuple(buck)
+
+    rows = [
+        # (event_id, user_id, event_type, value) — heavy ties: every
+        # metric lands on 0, 5 or 10
+        (i, u, "purchase", float(5 * (u % 3)))
+        for i, u in enumerate(range(1, 41))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    e2 = mann_whitney_u(df).collect()[0]
+    b2 = mann_whitney_u(df, impl="bucketed", rank_buckets=4).collect()[0]
+    assert tuple(e2) == tuple(b2)

@@ -490,3 +490,54 @@ def test_l_diversity_all_null_vacuous_verdict(spark):
     [r] = l_diversity_report(df, ["lang"], "source", l=2).collect()
     assert (r["n_groups"], r["violating_groups"]) == (0, 0)
     assert r["min_l"] is None and r["l_diverse"] is True
+
+
+def test_woe_iv_bucketed_equals_ntile(spark, sf_dir):
+    """r10 verdict #3: the bucketed-global-rank binning reproduces SQL
+    ntile bin-for-bin — fixture corpus plus the two ntile edge shapes
+    (N not divisible by n_bins; N < n_bins)."""
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        woe_iv_binning,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = F.col("lang") == "en"
+    a = sorted(
+        map(tuple, woe_iv_binning(docs, "n_chars", tgt, "doc_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            woe_iv_binning(
+                docs, "n_chars", tgt, "doc_id",
+                impl="bucketed", rank_buckets=8,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    # N = 23, n_bins = 10 -> first 3 bins take 3 rows; N = 4 < n_bins
+    # -> one row per bin (q = 0 branch)
+    for n_rows in (23, 4):
+        df = spark.createDataFrame(
+            [(i, float(i % 7), i % 2 == 0) for i in range(n_rows)],
+            "doc_id long, v double, t boolean",
+        )
+        x = sorted(
+            map(
+                tuple,
+                woe_iv_binning(df, "v", F.col("t"), "doc_id").collect(),
+            )
+        )
+        y = sorted(
+            map(
+                tuple,
+                woe_iv_binning(
+                    df, "v", F.col("t"), "doc_id",
+                    impl="bucketed", rank_buckets=4,
+                ).collect(),
+            )
+        )
+        assert x == y, n_rows
