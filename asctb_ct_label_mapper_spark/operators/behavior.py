@@ -739,3 +739,76 @@ def sql_activity_gaps_by_key(
               6) AS coverage
     FROM agg
     """
+
+
+def order_streaks(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Gaps-and-islands consecutive-activity streaks: for each key, the
+    longest run of CONSECUTIVE calendar months with at least one order,
+    rolled up to a histogram (streak_months, n_keys) — the
+    engagement-consistency readout (distinct from activity_gaps_by_key,
+    which measures day coverage, not consecutiveness).
+
+    The classic islands trick, fully parallel by key: distinct
+    (key, month_index) rows; island id = month_index − row_number()
+    (constant within a consecutive run); run length = count per
+    (key, island); longest = max per key. Three combinable aggregates
+    + one per-key window — no joins, no global sort."""
+    from pyspark.sql import Window
+
+    months = (
+        orders.filter(F.col(date_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            (
+                F.year(date_col) * 12 + F.month(date_col)
+            ).alias("m_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("m_idx")
+    islands = months.select(
+        "key",
+        (F.col("m_idx") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("key", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    longest = runs.groupBy("key").agg(
+        F.max("run_len").alias("streak_months")
+    )
+    return longest.groupBy("streak_months").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+def sql_order_streaks(
+    table: str = "orders",
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+) -> str:
+    """DuckDB replay of ``order_streaks`` (same month index, same
+    islands difference)."""
+    return f"""
+    WITH months AS (
+        SELECT DISTINCT {key_col} AS key,
+            year({date_col}) * 12 + month({date_col}) AS m_idx
+        FROM {table} WHERE {date_col} IS NOT NULL
+    ), islands AS (
+        SELECT key,
+            m_idx - row_number() OVER (PARTITION BY key ORDER BY m_idx)
+                AS island
+        FROM months
+    ), runs AS (
+        SELECT key, island, count(*) AS run_len
+        FROM islands GROUP BY 1, 2
+    ), longest AS (
+        SELECT key, max(run_len) AS streak_months FROM runs GROUP BY key
+    )
+    SELECT CAST(streak_months AS BIGINT) AS streak_months,
+        count(*) AS n_keys
+    FROM longest GROUP BY 1
+    """

@@ -464,3 +464,475 @@ def sql_mann_whitney_u(
             6) AS z
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+def ks_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on the per-user metric by arm —
+    the distribution-level companion of Welch (means) and Mann-Whitney
+    (ranks): D = sup_v |F0(v) − F1(v)| over the two arms' empirical
+    CDFs, plus the scaled statistic z = D·√(n0·n1/(n0+n1)) the
+    Kolmogorov distribution is evaluated at. One row
+    (n0, n1, d_stat, ks_z).
+
+    Plan: the user-grain aggregate (the only fact pass), then a
+    VALUE-grain collapse (t0/t1 per distinct metric) — the CDF
+    difference needs one cumulative window over the value-dimension
+    frame (aggregate grain, the `gini` contract; the bucketed
+    cumulative rewrite of mann_whitney_u(impl='bucketed') applies
+    verbatim if the metric is near-continuous at billion-user
+    scale)."""
+    from pyspark.sql import Window
+
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    val = um.groupBy("m").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    val = pooled_persist(val)  # feeds the cumulative pass AND the totals
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = val.select(
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+    )
+    tot = val.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    stat = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max(
+            F.abs(
+                F.col("f0").cast("double") / F.col("n0").cast("double")
+                - F.col("f1").cast("double") / F.col("n1").cast("double")
+            )
+        ).alias("_d"),
+    )
+    return stat.select(
+        "n0",
+        "n1",
+        F.round("_d", 6).alias("d_stat"),
+        F.round(
+            F.col("_d")
+            * F.sqrt(
+                F.col("n0").cast("double") * F.col("n1")
+                / (F.col("n0") + F.col("n1")).cast("double")
+            ),
+            6,
+        ).alias("ks_z"),
+    )
+
+
+def sql_ks_test(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of ``ks_test`` (same per-user metric, same
+    value-grain cumulative CDF difference)."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} AS u, {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY 1, 2
+    ), val AS (
+        SELECT m,
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+        FROM um GROUP BY m
+    ), cum AS (
+        SELECT
+            sum(c0) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS f0,
+            sum(c1) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS f1
+        FROM val
+    ), tot AS (
+        SELECT CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1 FROM val
+    ), s AS (
+        SELECT max(n0) AS n0, max(n1) AS n1,
+            max(abs(CAST(f0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                    - CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS d
+        FROM cum, tot
+    )
+    SELECT n0, n1, round(d, 6) AS d_stat,
+        round(d * sqrt(CAST(n0 AS DOUBLE) * n1
+                       / CAST(n0 + n1 AS DOUBLE)), 6) AS ks_z
+    FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
+# multiple-testing control: Benjamini-Hochberg over per-metric Welch z
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 26.2.17 normal-CDF polynomial — |err| < 7.5e-8,
+# and BOTH engines replay the SAME literals, so parity is exact (there
+# is no native erf in Spark SQL)
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_PHI_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_upper_sql(x: str) -> str:
+    """SQL text for the upper-tail normal probability P(Z > x), x >= 0
+    (A&S 26.2.17) — shared verbatim by the Spark side via F.expr."""
+    t = f"(1.0 / (1.0 + {_PHI_T!r} * {x}))"
+    poly = (
+        f"({_PHI_B[0]!r} * {t} + {_PHI_B[1]!r} * {t} * {t}"
+        f" + {_PHI_B[2]!r} * {t} * {t} * {t}"
+        f" + {_PHI_B[3]!r} * {t} * {t} * {t} * {t}"
+        f" + {_PHI_B[4]!r} * {t} * {t} * {t} * {t} * {t})"
+    )
+    return f"({_INV_SQRT_2PI!r} * exp(-0.5 * {x} * {x}) * {poly})"
+
+
+def fdr_bh(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control across one Welch z-test PER EVENT
+    TYPE (metric: the user's event count of that type; every assigned
+    user is in every metric's denominator with 0 when inactive — the
+    all-randomized-units rule, WITHOUT materializing the user x type
+    grid: zeros enter the moments through the arm totals, so the only
+    fact pass is the (user, type) count aggregate).
+
+    Readout per type: z, the two-sided normal p (A&S 26.2.17
+    polynomial — identical literals on both engines), BH rank, the
+    step-up significance verdict (largest k with p_(k) <= k·q/m gates
+    every rank <= k), and the monotone adjusted p
+    (p_adj_(i) = min_{j>=i} p_(j)·m/j, capped at 1).
+
+    Scale: everything past the (user, type) aggregate is
+    TYPE-dimension-sized — the BH windows order a frame with one row
+    per metric."""
+    from pyspark.sql import Window
+
+    per_ut = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("typ")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_ut = per_ut.select(
+        "typ", "c", _arm("user").alias("arm")
+    )
+    stats = per_ut.groupBy("typ").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("s0"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("c") * F.col("c"))
+        ).alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("s1"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("c") * F.col("c"))
+        ).alias("ss1"),
+    )
+    arm_n = events.select(F.col(user_col).alias("user")).distinct().agg(
+        F.sum(F.when(_arm("user") == 0, 1).otherwise(0)).alias("N0"),
+        F.sum(F.when(_arm("user") == 1, 1).otherwise(0)).alias("N1"),
+    )
+    j = stats.crossJoin(F.broadcast(arm_n))
+    n0 = F.col("N0").cast("double")
+    n1 = F.col("N1").cast("double")
+    s0 = F.coalesce(F.col("s0"), F.lit(0)).cast("double")
+    s1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double")
+    ss0 = F.coalesce(F.col("ss0"), F.lit(0)).cast("double")
+    ss1 = F.coalesce(F.col("ss1"), F.lit(0)).cast("double")
+    # sample variance including the zero rows: (ss - s^2/N) / (N - 1)
+    v0 = F.try_divide(ss0 - s0 * s0 / n0, n0 - F.lit(1.0))
+    v1 = F.try_divide(ss1 - s1 * s1 / n1, n1 - F.lit(1.0))
+    z = F.try_divide(
+        s1 / n1 - s0 / n0,
+        F.sqrt(F.try_divide(v0, n0) + F.try_divide(v1, n1)),
+    )
+    scored = j.select(
+        "typ",
+        F.round(z, 6).alias("z"),
+        F.abs(z).alias("_az"),
+    ).withColumn(
+        "p",
+        F.expr("2.0 * " + _phi_upper_sql("_az")),
+    )
+    # NULL p (degenerate z) must rank LAST on both engines: Spark's
+    # default ASC is NULLS FIRST, DuckDB's is NULLS LAST
+    w_rank = Window.orderBy(F.col("p").asc_nulls_last(), F.col("typ"))
+    m = Window.partitionBy()
+    ranked = scored.select(
+        "typ",
+        "z",
+        "p",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(m).alias("_m"),
+    )
+    thresh = (
+        F.col("rank").cast("double")
+        * F.lit(float(q))
+        / F.col("_m").cast("double")
+    )
+    w_rev = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = ranked.select(
+        "typ",
+        "z",
+        "p",
+        "rank",
+        F.max(F.when(F.col("p") <= thresh, F.col("rank"))).over(m).alias(
+            "_kmax"
+        ),
+        F.min(
+            F.col("p") * F.col("_m").cast("double")
+            / F.col("rank").cast("double")
+        )
+        .over(w_rev)
+        .alias("_padj"),
+    )
+    return out.select(
+        "typ",
+        "z",
+        F.round("p", 6).alias("p"),
+        "rank",
+        F.coalesce(
+            F.col("rank") <= F.col("_kmax"), F.lit(False)
+        ).alias("significant"),
+        F.round(F.least(F.col("_padj"), F.lit(1.0)), 6).alias("p_adj"),
+    )
+
+
+def sql_fdr_bh(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    q: float = 0.05,
+) -> str:
+    """DuckDB replay of ``fdr_bh`` (same moment arithmetic, same
+    polynomial normal CDF, same step-up rule)."""
+    return f"""
+    WITH per_ut AS (
+        SELECT {type_col} AS typ, {user_col} % 2 AS arm,
+            count(*) AS c
+        FROM {table} GROUP BY {type_col}, {user_col}
+    ), stats AS (
+        SELECT typ,
+            sum(CASE WHEN arm = 0 THEN c END) AS s0,
+            sum(CASE WHEN arm = 0 THEN c * c END) AS ss0,
+            sum(CASE WHEN arm = 1 THEN c END) AS s1,
+            sum(CASE WHEN arm = 1 THEN c * c END) AS ss1
+        FROM per_ut GROUP BY typ
+    ), arm_n AS (
+        SELECT
+            CAST(sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS N0,
+            CAST(sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS N1
+        FROM (SELECT DISTINCT {user_col} AS u FROM {table})
+    ), zs AS (
+        SELECT typ,
+            (coalesce(s1, 0) / CAST(N1 AS DOUBLE)
+             - coalesce(s0, 0) / CAST(N0 AS DOUBLE))
+            / nullif(sqrt(
+                ((coalesce(ss0, 0) - coalesce(s0, 0) * coalesce(s0, 0)
+                  / CAST(N0 AS DOUBLE)) / (N0 - 1.0)) / N0
+                + ((coalesce(ss1, 0) - coalesce(s1, 0) * coalesce(s1, 0)
+                    / CAST(N1 AS DOUBLE)) / (N1 - 1.0)) / N1), 0.0)
+                AS z
+        FROM stats, arm_n
+    ), scored AS (
+        SELECT typ, z, 2.0 * {_phi_upper_sql('abs(z)')} AS p FROM zs
+    ), ranked AS (
+        SELECT typ, z, p,
+            row_number() OVER (ORDER BY p, typ) AS rank,
+            count(*) OVER () AS m
+        FROM scored
+    ), marked AS (
+        SELECT typ, z, p, rank, m,
+            max(CASE WHEN p <= rank * CAST({q!r} AS DOUBLE) / m
+                     THEN rank END) OVER () AS kmax,
+            min(p * m / rank) OVER (ORDER BY rank DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS padj
+        FROM ranked
+    )
+    SELECT typ, round(z, 6) AS z, round(p, 6) AS p,
+        CAST(rank AS INT) AS rank,
+        coalesce(rank <= kmax, FALSE) AS significant,
+        round(least(padj, 1.0), 6) AS p_adj
+    FROM marked
+    """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF cutoffs P(X <= k), k = 0..8 (weights cap at 9;
+# P(X > 8) ~ 1.1e-6). Literal constants shared verbatim by both engines.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def bootstrap_ci(
+    events: DataFrame,
+    n_resamples: int = 200,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean per-user metric —
+    THE distributed bootstrap (resampling n of n rows needs a global
+    coordinated draw; giving every (unit, resample) an independent
+    Poisson(1) weight needs none — the classic trick for CIs over
+    cluster-sized data). Deterministic: the weight for (user, b) is the
+    Poisson(1) inverse CDF at u = md5-hash60(user || '#' || b)/2^60 —
+    the repo's shared uniform-hash idiom, replayed bit-for-bit by the
+    oracle; no rand(), reruns agree.
+
+    Plan: ONE user-grain aggregate (the only fact pass), a bounded
+    ``n_resamples``-way in-row explode of that aggregate (the method's
+    stated cost — fan-out B on the USER-grain frame, never the raw
+    log), one combinable (b)-keyed aggregate to B rows, then order
+    statistics on the B-row frame. Returns one row
+    (n_resamples, point_mean, ci_lo, ci_hi), 6dp.
+
+    Percentile convention: k-th smallest resample mean with
+    k = ceil(q · B) (the inverse-ECDF / type-1 estimator), pinned by
+    explicit row_number selection on both engines."""
+    from pyspark.sql import Window
+
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(int(n_resamples)))
+    ).alias("b")
+    drawn = um.select("user", "m", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("user"), F.col("b"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    wexpr = F.lit(len(_POIS1_CDF))
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        wexpr = F.when(u < F.lit(_POIS1_CDF[i]), F.lit(i)).otherwise(wexpr)
+    means = (
+        drawn.select("b", "m", wexpr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.try_divide(
+                F.sum(F.col("w").cast("double") * F.col("m")),
+                F.sum("w").cast("double"),
+            ).alias("mean_b")
+        )
+    )
+    import math
+
+    k_lo = max(1, math.ceil(lo * n_resamples))
+    k_hi = max(1, math.ceil(hi * n_resamples))
+    w_ord = Window.orderBy(
+        F.col("mean_b").asc_nulls_last(), F.col("b")
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(w_ord).alias("rn")
+    )
+    point = um.agg(F.avg("m").alias("point_mean"))
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_resamples"),
+            F.max(F.when(F.col("rn") == k_lo, F.col("mean_b"))).alias(
+                "_lo"
+            ),
+            F.max(F.when(F.col("rn") == k_hi, F.col("mean_b"))).alias(
+                "_hi"
+            ),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            "n_resamples",
+            F.round("point_mean", 6).alias("point_mean"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+        )
+    )
+
+
+def sql_bootstrap_ci(
+    table: str = "events",
+    n_resamples: int = 200,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of ``bootstrap_ci`` (same md5 uniform, same
+    Poisson(1) cutoffs, same type-1 percentile selection)."""
+    import math
+
+    k_lo = max(1, math.ceil(lo * n_resamples))
+    k_hi = max(1, math.ceil(hi * n_resamples))
+    wcase = f"{len(_POIS1_CDF)}"
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        wcase = f"CASE WHEN u < {_POIS1_CDF[i]!r} THEN {i} ELSE {wcase} END"
+    return f"""
+    WITH um AS (
+        SELECT {user_col} AS u_id,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY 1
+    ), drawn AS (
+        SELECT u_id, m, b,
+            CAST(('0x' || substr(md5(CAST(u_id AS VARCHAR) || '#'
+                 || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                / CAST({float(1 << 60)!r} AS DOUBLE) AS u
+        FROM um, unnest(generate_series(1, {int(n_resamples)})) AS g(b)
+    ), means AS (
+        SELECT b,
+            sum(({wcase}) * m) / nullif(sum({wcase}), 0) AS mean_b
+        FROM drawn GROUP BY b
+    ), ranked AS (
+        SELECT mean_b,
+            row_number() OVER (ORDER BY mean_b NULLS LAST, b) AS rn
+        FROM means
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+        round((SELECT avg(m) FROM um), 6) AS point_mean,
+        round(max(CASE WHEN rn = {k_lo} THEN mean_b END), 6) AS ci_lo,
+        round(max(CASE WHEN rn = {k_hi} THEN mean_b END), 6) AS ci_hi
+    FROM ranked
+    """

@@ -433,3 +433,127 @@ def sql_markov_transitions(
             AS p
     FROM trans
     """
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+def attribution_position(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every touch
+    event is assigned to the user's NEXT conversion within
+    ``lookback_days``; a conversion's credit splits 40% first touch,
+    40% last touch, 20% evenly across the middles (100%/50-50 for 1-
+    and 2-touch paths) — the standard marketing-mix readout between
+    last-touch (the ``j_view_click_attribution`` sibling) and Shapley.
+
+    Returns per touch type: (touch_type, n_touches, credit), credit
+    rounded 6dp.
+
+    Plan: ONE user-keyed shuffle for the next-conversion window (a
+    conditional min over FOLLOWING rows — the funnel family's
+    total-order contract (ts, id)), one (user, conversion)-keyed
+    window pair for position/size, then a type-dimension aggregate.
+    NULL-ts rows are excluded up front (no order position)."""
+    w_next = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts = F.col(ts_col)
+    base = events.select(user_col, type_col, ts_col, id_col).filter(
+        ts.isNotNull()
+        & F.col(type_col).isin(*(list(touch_types) + [conversion_type]))
+    )
+    with_conv = base.withColumn(
+        "_conv",
+        F.min(
+            F.when(F.col(type_col) == conversion_type, ts)
+        ).over(w_next),
+    )
+    touches = with_conv.filter(
+        F.col(type_col).isin(*touch_types)
+        & F.col("_conv").isNotNull()
+        & (
+            F.col("_conv")
+            <= ts + F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    w_grp = Window.partitionBy(user_col, "_conv")
+    w_pos = w_grp.orderBy(F.col(ts_col), F.col(id_col))
+    scored = touches.select(
+        F.col(type_col).alias("touch_type"),
+        F.row_number().over(w_pos).alias("_pos"),
+        F.count(F.lit(1)).over(w_grp).alias("_n"),
+    )
+    credit = (
+        F.when(F.col("_n") == 1, F.lit(1.0))
+        .when(F.col("_n") == 2, F.lit(0.5))
+        .when(F.col("_pos") == 1, F.lit(0.4))
+        .when(F.col("_pos") == F.col("_n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("_n") - 2).cast("double"))
+    )
+    return (
+        scored.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(credit), 6).alias("credit"),
+        )
+    )
+
+
+def sql_attribution_position(
+    table: str = "events",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay of ``attribution_position`` (same next-conversion
+    window, same U-shaped weights)."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH base AS (
+        SELECT {user_col} AS u, {type_col} AS typ, {ts_col} AS ts,
+            {id_col} AS eid
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+            AND {type_col} IN ({tt}, '{conversion_type}')
+    ), with_conv AS (
+        SELECT u, typ, ts, eid,
+            min(CASE WHEN typ = '{conversion_type}' THEN ts END) OVER (
+                PARTITION BY u ORDER BY ts, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            ) AS conv
+        FROM base
+    ), touches AS (
+        SELECT u, typ, ts, eid, conv FROM with_conv
+        WHERE typ IN ({tt}) AND conv IS NOT NULL
+            AND conv <= ts + INTERVAL {int(lookback_days)} DAY
+    ), scored AS (
+        SELECT typ AS touch_type,
+            row_number() OVER (PARTITION BY u, conv
+                               ORDER BY ts, eid) AS pos,
+            count(*) OVER (PARTITION BY u, conv) AS n
+        FROM touches
+    )
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        round(sum(CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN pos = 1 THEN 0.4
+                       WHEN pos = n THEN 0.4
+                       ELSE 0.2 / (n - 2) END), 6) AS credit
+    FROM scored GROUP BY touch_type
+    """

@@ -1551,3 +1551,123 @@ def sql_pmi_collocations(
     JOIN uc u2 ON bi.w2 = u2.w, nb, nu
     WHERE n >= {min_count}
     """
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 2,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph — nodes are whitespace tokens, an
+    undirected edge joins words that appear consecutively, weighted by
+    corpus-wide adjacency count (thresholded at ``min_count`` — the
+    standard sparsifier), ranks from the shared :func:`graph.pagerank`
+    recurrence (impl='frames': the distributed loop, since a real
+    corpus's vocabulary is no dimension table), top ``top_n`` words by
+    (rounded) rank with lexical tie-break.
+
+    Plan: one token-adjacency explode + combinable pair count (the
+    only corpus-sized stage), then everything runs on the
+    VOCABULARY-grain edge list. The node-count probe is one eager
+    count (the `negative_samples` count-probe precedent): both engines
+    must agree on N exactly, and the oracle derives it in-query."""
+    from asctb_ct_label_mapper_spark.operators.graph import pagerank
+
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    adj = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.length("a") > 0)
+            & (F.length("b") > 0)
+        )
+    )
+    e0 = (
+        adj.select(
+            F.least("a", "b").alias("s"), F.greatest("a", "b").alias("d")
+        )
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_count)
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    e0 = pooled_persist(e0)  # both union branches + the node count
+    edges = e0.select(
+        F.col("s").alias("src"), F.col("d").alias("dst"), "w"
+    ).unionAll(
+        e0.select(F.col("d").alias("src"), F.col("s").alias("dst"), "w")
+    )
+    # undirected: every node appears as a src
+    n_nodes = edges.select("src").distinct().count()
+    if n_nodes == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "word string, pr double"
+        )
+    pr = pagerank(edges, n_nodes, damping, iters, impl="frames")
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(top_n)
+        .select(F.col("node").alias("word"), "pr")
+    )
+
+
+def sql_textrank_keywords(
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 2,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> str:
+    """DuckDB replay of ``textrank_keywords`` (same adjacency graph,
+    same unrolled recurrence via ``sql_pagerank_dynamic``, same
+    rounded-rank ordering)."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_pagerank_dynamic,
+    )
+
+    pr_body = sql_pagerank_dynamic(damping, iters)
+    tail = f"SELECT node, round(r, 6) AS pr FROM r{int(iters)}"
+    assert pr_body.rstrip().endswith(tail)
+    ctes = pr_body[: pr_body.rfind(tail)].rstrip()
+    return f"""
+    WITH toks AS (
+        SELECT string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    adj AS (
+        SELECT t[i] AS a, t[i+1] AS b
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    e0 AS (
+        SELECT least(a, b) AS s, greatest(a, b) AS d, count(*) AS w
+        FROM adj
+        WHERE a <> b AND len(a) > 0 AND len(b) > 0
+        GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}
+    ),
+    edges AS (
+        SELECT s AS src, d AS dst, w FROM e0
+        UNION ALL SELECT d, s, w FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    {ctes}
+    SELECT node AS word, round(r, 6) AS pr FROM r{int(iters)}
+    ORDER BY pr DESC, word LIMIT {int(top_n)}
+    """

@@ -2253,3 +2253,130 @@ def sql_weighted_median_by_group(
     FROM marked WHERE cw * 2 >= tw
     GROUP BY g
     """
+
+
+# ---------------------------------------------------------------------------
+# single-changepoint detection (binary-segmentation step)
+# ---------------------------------------------------------------------------
+
+def changepoint_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Single change-point detection on the daily event-count series —
+    one step of binary segmentation (Scott & Knott): the split
+    minimizing the two-segment squared error
+    SSE(t) = Σ_{≤t}(x−x̄₁)² + Σ_{>t}(x−x̄₂)², evaluated in closed form
+    from prefix sums (ss − s²/n per segment — no per-split rescan).
+    Returns one row: (split_day = last day of the left segment,
+    n_before, n_after, mean_before, mean_after, sse_total, sse_split),
+    6dp. Recursing on the winning halves = full binary segmentation;
+    one level is the alarm most monitoring wants.
+
+    Plan: ONE fact pass to daily counts, then prefix-sum windows over
+    the DAY-dimension frame (aggregate grain, the family contract) and
+    an argmin by (sse, day) — deterministic: both engines order the
+    same closed-form doubles."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(daily)  # prefix pass + totals
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss1"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = pre.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("nd"))
+    i = F.col("i").cast("double")
+    rest = (F.col("nd") - F.col("i")).cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = (F.col("s") - F.col("s1")).cast("double")
+    sse = (
+        F.col("ss1").cast("double")
+        - s1 * s1 / i
+        + (F.col("ss") - F.col("ss1")).cast("double")
+        - s2 * s2 / rest
+    )
+    sse_tot = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("nd").cast("double")
+    )
+    scored = j.select(
+        "day",
+        F.col("i").alias("n_before"),
+        (F.col("nd") - F.col("i")).alias("n_after"),
+        (s1 / i).alias("_mb"),
+        (s2 / rest).alias("_ma"),
+        sse_tot.alias("_sse_tot"),
+        sse.alias("_sse"),
+    )
+    w_best = Window.orderBy(F.col("_sse").asc(), F.col("day").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("day").alias("split_day"),
+            "n_before",
+            "n_after",
+            F.round("_mb", 6).alias("mean_before"),
+            F.round("_ma", 6).alias("mean_after"),
+            F.round("_sse_tot", 6).alias("sse_total"),
+            F.round("_sse", 6).alias("sse_split"),
+        )
+    )
+
+
+def sql_changepoint_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``changepoint_daily`` (same prefix-sum closed
+    form, same (sse, day) argmin)."""
+    return f"""
+    WITH daily AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+            count(*) AS n
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), pre AS (
+        SELECT day,
+            row_number() OVER (ORDER BY day) AS i,
+            sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS s1,
+            sum(n * n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS ss1
+        FROM daily
+    ), tot AS (
+        SELECT count(*) AS nd, sum(n) AS s, sum(n * n) AS ss FROM daily
+    ), scored AS (
+        SELECT day,
+            CAST(i AS BIGINT) AS n_before,
+            CAST(nd - i AS BIGINT) AS n_after,
+            CAST(s1 AS DOUBLE) / i AS mb,
+            CAST(s - s1 AS DOUBLE) / (nd - i) AS ma,
+            CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd AS sse_tot,
+            CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / i
+                + CAST(ss - ss1 AS DOUBLE)
+                - CAST(s - s1 AS DOUBLE) * (s - s1) / (nd - i) AS sse
+        FROM pre, tot
+        WHERE i < nd
+    )
+    SELECT day AS split_day, n_before, n_after,
+        round(mb, 6) AS mean_before, round(ma, 6) AS mean_after,
+        round(sse_tot, 6) AS sse_total, round(sse, 6) AS sse_split
+    FROM scored ORDER BY sse, day LIMIT 1
+    """

@@ -7183,6 +7183,49 @@ def graph_family_report_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _item_cf_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import sql_item_cf_topk
+
+    return sql_item_cf_topk(min_count=2, top_k=3)
+
+
+@query("item_cf_parts", _item_cf_oracle())
+def item_cf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets
+    (graph.item_cf_topk): cosine on co-occurrence counts from the
+    shared pair census, top-3 neighbors per item via a PER-ITEM rank
+    window — the Amazon-style recommender readout."""
+    from asctb_ct_label_mapper_spark.operators.graph import item_cf_topk
+
+    return item_cf_topk(
+        _t(spark, sf_dir, "lineitem"), min_count=2, top_k=3
+    )
+
+
+def _textrank_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_textrank_keywords,
+    )
+
+    return sql_textrank_keywords("documents", top_n=20, min_count=2)
+
+
+@query("textrank_keywords_docs", _textrank_oracle())
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords over the corpus (textstats.textrank_keywords):
+    PageRank (the shared graph.pagerank recurrence, impl='frames' —
+    the distributed loop) on the word-adjacency graph; the oracle
+    replays the unrolled recurrence with the node count derived
+    in-query (sql_pagerank_dynamic)."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), top_n=20, min_count=2
+    )
+
+
 def _ldiv_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.profile import (
         sql_l_diversity_report,
@@ -7244,6 +7287,131 @@ def mann_whitney_purchase_bucketed(
     )
 
     return mann_whitney_u(_t(spark, sf_dir, "events"), impl="bucketed")
+
+
+def _attrib_pos_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        sql_attribution_position,
+    )
+
+    return sql_attribution_position("events", lookback_days=7)
+
+
+@query("attribution_position_events", _attrib_pos_oracle())
+def attribution_position_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution
+    (funnel.attribution_position): touches assigned to the next
+    conversion within 7 days via a conditional-min-over-FOLLOWING
+    window on ONE user shuffle; 40/20/40 credit split; per-touch-type
+    rollup — the step between last-touch and Shapley."""
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        attribution_position,
+    )
+
+    return attribution_position(
+        _t(spark, sf_dir, "events"), lookback_days=7
+    )
+
+
+def _changepoint_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_changepoint_daily,
+    )
+
+    return sql_changepoint_daily("events")
+
+
+@query("changepoint_daily_events", _changepoint_oracle())
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point on the daily event-count series
+    (timeseries.changepoint_daily): closed-form two-segment SSE from
+    prefix sums over the day-dimension frame, argmin by (sse, day) —
+    one binary-segmentation step, the monitoring alarm primitive."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        changepoint_daily,
+    )
+
+    return changepoint_daily(_t(spark, sf_dir, "events"))
+
+
+def _streaks_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_order_streaks,
+    )
+
+    return sql_order_streaks("orders")
+
+
+@query("order_streaks_customers", _streaks_oracle())
+def order_streaks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands longest consecutive-month order streak per
+    customer, rolled to a histogram (behavior.order_streaks): the
+    islands m_idx − row_number trick, fully parallel by key — no
+    joins, no global sort."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        order_streaks,
+    )
+
+    return order_streaks(_t(spark, sf_dir, "orders"))
+
+
+def _ks_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import sql_ks_test
+
+    return sql_ks_test("events")
+
+
+@query("ks_test_purchase", _ks_oracle())
+def ks_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on per-user purchase value by arm
+    (experiment.ks_test): the distribution-level A/B readout next to
+    Welch (means) and Mann-Whitney (ranks) — one user-grain fact pass,
+    a value-grain CDF-difference sup, D and the scaled ks_z."""
+    from asctb_ct_label_mapper_spark.operators.experiment import ks_test
+
+    return ks_test(_t(spark, sf_dir, "events"))
+
+
+def _fdr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import sql_fdr_bh
+
+    return sql_fdr_bh("events", q=0.05)
+
+
+@query("fdr_bh_event_types", _fdr_oracle())
+def fdr_bh_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR across one Welch z per event type
+    (experiment.fdr_bh): per-user type counts in one fact pass, zeros
+    entering through arm totals (no user x type grid), polynomial
+    normal CDF shared literal-for-literal with the oracle, step-up
+    verdict + monotone adjusted p over the type-dimension frame."""
+    from asctb_ct_label_mapper_spark.operators.experiment import fdr_bh
+
+    return fdr_bh(_t(spark, sf_dir, "events"), q=0.05)
+
+
+def _bootstrap_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_bootstrap_ci,
+    )
+
+    return sql_bootstrap_ci("events", n_resamples=200)
+
+
+@query("bootstrap_ci_purchase", _bootstrap_oracle())
+def bootstrap_ci_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean per-user purchase value
+    (experiment.bootstrap_ci): deterministic md5-uniform Poisson(1)
+    weights per (user, resample) — the coordinated-draw-free bootstrap
+    that actually distributes; B=200 fan-out on the USER-grain
+    aggregate, then order statistics on the B-row frame."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        bootstrap_ci,
+    )
+
+    return bootstrap_ci(_t(spark, sf_dir, "events"), n_resamples=200)
 
 
 def _spearman_oracle() -> str:

@@ -435,3 +435,20 @@ def test_funnel_one_pass_plan_two_exchanges(spark, sf_dir):
     n_exchange_ops = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange_ops <= 2, plan
     assert "PushedFilters" in plan and "In(event_type" in plan, plan
+
+
+def test_order_streaks_longest_island(spark):
+    """Months 2024-01..03 + 2024-05 -> longest streak 3; a single-month
+    key -> 1; duplicate orders in a month count once."""
+    from asctb_ct_label_mapper_spark.operators.behavior import order_streaks
+
+    rows = [
+        (1, "2024-01-15"), (1, "2024-02-01"), (1, "2024-02-20"),
+        (1, "2024-03-31"), (1, "2024-05-05"),
+        (2, "2024-07-07"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    out = {r["streak_months"]: r["n_keys"] for r in order_streaks(df).collect()}
+    assert out == {3: 1, 1: 1}

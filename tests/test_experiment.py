@@ -145,3 +145,77 @@ def test_mann_whitney_bucketed_equals_exact(spark, sf_dir):
     e2 = mann_whitney_u(df).collect()[0]
     b2 = mann_whitney_u(df, impl="bucketed", rank_buckets=4).collect()[0]
     assert tuple(e2) == tuple(b2)
+
+
+def test_ks_disjoint_arms_d_is_one(spark):
+    """Arm 0 metrics all below arm 1 metrics -> D = 1 exactly."""
+    from asctb_ct_label_mapper_spark.operators.experiment import ks_test
+
+    rows = []
+    for u in range(1, 21):
+        v = 1.0 if u % 2 == 0 else 100.0  # arm0 (even) low, arm1 high
+        rows.append((u, u, "purchase", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    r = ks_test(df).collect()[0]
+    assert r["n0"] == 10 and r["n1"] == 10
+    assert r["d_stat"] == 1.0
+
+
+def test_ks_identical_arms_d_is_zero(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import ks_test
+
+    rows = [(u, u, "purchase", 7.0) for u in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    r = ks_test(df).collect()[0]
+    assert r["d_stat"] == 0.0 and r["ks_z"] == 0.0
+
+
+def test_fdr_bh_flags_the_planted_effect(spark):
+    """One type with a big arm imbalance is significant; a balanced
+    type is not; p_adj is monotone in rank."""
+    from asctb_ct_label_mapper_spark.operators.experiment import fdr_bh
+
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        eid += 1
+        rows.append((eid, u, "balanced"))  # one per user
+        # 'effect': ~5-9 events for arm-1 users, 0-1 for arm 0 (the
+        # within-arm spread keeps the Welch variance nonzero — a
+        # constant metric degenerates to z = x/0 = NULL by design)
+        n_eff = (5 + u % 5) if u % 2 == 1 else (1 if u % 4 == 0 else 0)
+        for _ in range(n_eff):
+            eid += 1
+            rows.append((eid, u, "effect"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    out = {r["typ"]: r for r in fdr_bh(df, q=0.05).collect()}
+    assert out["effect"]["significant"] is True
+    assert out["balanced"]["significant"] is False
+    by_rank = sorted(out.values(), key=lambda r: r["rank"])
+    adj = [r["p_adj"] for r in by_rank]
+    assert adj == sorted(adj)  # step-up min makes p_adj monotone
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        bootstrap_ci,
+    )
+
+    rows = [
+        (u, u, "purchase", float(10 + (u % 7)))
+        for u in range(1, 101)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    a = bootstrap_ci(df, n_resamples=100).collect()[0]
+    b = bootstrap_ci(df, n_resamples=100).collect()[0]
+    assert tuple(a) == tuple(b)  # md5 draw -> rerun-identical
+    assert a["ci_lo"] <= a["point_mean"] <= a["ci_hi"]
+    assert a["n_resamples"] == 100

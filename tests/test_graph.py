@@ -286,3 +286,28 @@ def test_assoc_rules_memberships_seam_identical(spark, sf_dir):
         )
     finally:
         mem.unpersist()
+
+
+def test_item_cf_hand_cosine(spark):
+    """Items 10,20 share 2 of their baskets -> cosine 2/sqrt(3*2);
+    rank windows cut per item."""
+    from asctb_ct_label_mapper_spark.operators.graph import item_cf_topk
+
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r["item"], r["neighbor"]): r
+        for r in item_cf_topk(li, min_count=1, top_k=2).collect()
+    }
+    import math
+
+    exp = round(2 / math.sqrt(3 * 2), 6)
+    assert out[(10, 20)]["cosine"] == exp
+    assert out[(20, 10)]["cosine"] == exp
+    assert out[(10, 20)]["cooc"] == 2
+    # per-item rank: item 10's best neighbor is 20 (higher cosine)
+    assert out[(10, 20)]["rnk"] == 1

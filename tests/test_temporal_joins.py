@@ -528,3 +528,60 @@ def test_asof_bucketed_equals_plain(spark):
     assert got[3] == (2.0, datetime(2024, 1, 25))  # carried across Feb
     assert got[4] == (3.0, datetime(2024, 3, 1))   # inclusive tie
     assert got[6] == (None, None)
+
+
+class TestAttributionPosition:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_u_shape_weights(self, spark):
+        """3 touches before one conversion -> 0.4 / 0.2 / 0.4 by
+        position; a touch AFTER the conversion gets nothing."""
+        from asctb_ct_label_mapper_spark.operators.funnel import (
+            attribution_position,
+        )
+
+        ev = self._ev(spark, [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "view", "2024-01-01 12:00:00"),
+            (1, "purchase", "2024-01-02 09:00:00"),
+            (1, "click", "2024-01-03 09:00:00"),  # after conv, no credit
+        ])
+        out = {r["touch_type"]: r for r in attribution_position(ev).collect()}
+        assert out["view"]["credit"] == 0.4 + 0.4
+        assert out["click"]["credit"] == 0.2
+        assert out["view"]["n_touches"] == 2
+
+    def test_lookback_excludes_stale_touches(self, spark):
+        from asctb_ct_label_mapper_spark.operators.funnel import (
+            attribution_position,
+        )
+
+        ev = self._ev(spark, [
+            (1, "view", "2024-01-01 10:00:00"),   # 9 days before conv
+            (1, "click", "2024-01-09 10:00:00"),  # inside 7d
+            (1, "purchase", "2024-01-10 09:00:00"),
+        ])
+        out = {r["touch_type"]: r for r in attribution_position(ev).collect()}
+        assert "view" not in out
+        assert out["click"]["credit"] == 1.0
+
+    def test_single_and_double_touch_paths(self, spark):
+        from asctb_ct_label_mapper_spark.operators.funnel import (
+            attribution_position,
+        )
+
+        ev = self._ev(spark, [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "purchase", "2024-01-01 11:00:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            (2, "click", "2024-01-01 10:30:00"),
+            (2, "purchase", "2024-01-01 11:00:00"),
+        ])
+        out = {r["touch_type"]: r for r in attribution_position(ev).collect()}
+        assert out["view"]["credit"] == 1.0 + 0.5
+        assert out["click"]["credit"] == 0.5

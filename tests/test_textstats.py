@@ -341,3 +341,33 @@ def test_vocab_growth_sketch_prefix_monotone(spark, sf_dir):
     assert all(r["n_kept"] <= 64 for r in rows)
     kept = [r["n_kept"] for r in rows]
     assert kept == sorted(kept)  # sketch fill level only ever grows
+
+
+def test_textrank_hub_word_wins(spark):
+    """A hub word adjacent to every other word out-ranks the leaves."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "hub alpha hub beta hub gamma"),
+            (3, "alpha beta"),
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, top_n=10, min_count=2).collect()
+    assert out[0]["word"] == "hub"
+    words = [r["word"] for r in out]
+    assert set(words) >= {"hub", "alpha", "beta", "gamma"}
+
+
+def test_textrank_empty_graph(spark):
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert textrank_keywords(docs, min_count=2).count() == 0

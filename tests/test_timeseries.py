@@ -661,3 +661,27 @@ def test_weighted_median_ignores_null_values(spark):
     df = spark.createDataFrame(rows, "g string, id long, v double, w double")
     [r] = weighted_median_by_group(df, "g", "v", "w", "id").collect()
     assert r["total_w"] == 2.0 and r["wmedian"] == 1.0
+
+
+def test_changepoint_finds_the_level_shift(spark):
+    """Counts 5/day for Jan 1-5, then 50/day for Jan 6-10: the split
+    lands on Jan 5 with near-zero within-segment SSE."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        changepoint_daily,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 5 if d <= 5 else 50
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 10:00:00"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = changepoint_daily(df).collect()[0]
+    assert r["split_day"] == "2024-01-05"
+    assert r["n_before"] == 5 and r["n_after"] == 5
+    assert r["mean_before"] == 5.0 and r["mean_after"] == 50.0
+    assert r["sse_split"] == 0.0 and r["sse_total"] > 0
