@@ -308,6 +308,8 @@ def mann_whitney_u(
 
     from asctb_ct_label_mapper_spark.operators.stats import avg_rank
 
+    if impl not in ("exact", "bucketed"):
+        raise ValueError(f"unknown impl {impl!r}")
     um = _user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
     )
@@ -319,9 +321,20 @@ def mann_whitney_u(
         # value-grain collapse: every rank statistic below depends on
         # the metric VALUE only (t = tie size, t1 = arm-1 rows at the
         # value), so the ranked frame shrinks to |distinct metrics|
-        val = um.groupBy("m").agg(
-            F.count(F.lit(1)).alias("_t"),
-            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("_t1"),
+        from asctb_ct_label_mapper_spark.plans.cache import (
+            pooled_persist,
+        )
+
+        # three consumers of the um->val subtree: the eager
+        # approxQuantile sample, the broadcast offsets build (its own
+        # job), and the ranked pass — persist or pay three fact passes
+        val = pooled_persist(
+            um.groupBy("m").agg(
+                F.count(F.lit(1)).alias("_t"),
+                F.sum(
+                    F.when(F.col("arm") == 1, 1).otherwise(0)
+                ).alias("_t1"),
+            )
         )
         work = val.withColumn(
             "_bk", rank_buckets_from_sample(val, "m", rank_buckets)
@@ -514,10 +527,16 @@ def ks_test(
     stat = cum.crossJoin(F.broadcast(tot)).agg(
         F.max("n0").alias("n0"),
         F.max("n1").alias("n1"),
+        # try_divide: a one-arm-empty input degrades to NULL like the
+        # oracle's /0 (ANSI sessions raise on plain /) — module contract
         F.max(
             F.abs(
-                F.col("f0").cast("double") / F.col("n0").cast("double")
-                - F.col("f1").cast("double") / F.col("n1").cast("double")
+                F.try_divide(
+                    F.col("f0").cast("double"), F.col("n0").cast("double")
+                )
+                - F.try_divide(
+                    F.col("f1").cast("double"), F.col("n1").cast("double")
+                )
             )
         ).alias("_d"),
     )
@@ -528,8 +547,10 @@ def ks_test(
         F.round(
             F.col("_d")
             * F.sqrt(
-                F.col("n0").cast("double") * F.col("n1")
-                / (F.col("n0") + F.col("n1")).cast("double")
+                F.try_divide(
+                    F.col("n0").cast("double") * F.col("n1"),
+                    (F.col("n0") + F.col("n1")).cast("double"),
+                )
             ),
             6,
         ).alias("ks_z"),
@@ -628,13 +649,18 @@ def fdr_bh(
     per metric."""
     from pyspark.sql import Window
 
-    per_ut = events.groupBy(
-        F.col(user_col).alias("user"), F.col(type_col).alias("typ")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    per_ut = per_ut.select(
-        "typ", "c", _arm("user").alias("arm")
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # pooled: the (user, type) aggregate feeds BOTH the per-type
+    # moments and the arm-total census below — the ONE fact pass
+    per_ut = pooled_persist(
+        events.groupBy(
+            F.col(user_col).alias("user"), F.col(type_col).alias("typ")
+        ).agg(F.count(F.lit(1)).alias("c"))
     )
-    stats = per_ut.groupBy("typ").agg(
+    stats = per_ut.select(
+        "typ", "c", _arm("user").alias("arm")
+    ).groupBy("typ").agg(
         F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("s0"),
         F.sum(
             F.when(F.col("arm") == 0, F.col("c") * F.col("c"))
@@ -644,7 +670,10 @@ def fdr_bh(
             F.when(F.col("arm") == 1, F.col("c") * F.col("c"))
         ).alias("ss1"),
     )
-    arm_n = events.select(F.col(user_col).alias("user")).distinct().agg(
+    # the user universe is exactly per_ut's distinct user column (any
+    # user with any event has >= 1 (user, type) row) — no second
+    # events scan
+    arm_n = per_ut.select("user").distinct().agg(
         F.sum(F.when(_arm("user") == 0, 1).otherwise(0)).alias("N0"),
         F.sum(F.when(_arm("user") == 1, 1).otherwise(0)).alias("N1"),
     )
@@ -828,8 +857,14 @@ def bootstrap_ci(
     explicit row_number selection on both engines."""
     from pyspark.sql import Window
 
-    um = _user_metric(
-        events, user_col, value_col, F.col(type_col) == metric_type
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # um feeds the B-way explode AND the broadcast point-mean build
+    # (its own job) — persist or the fact aggregate runs twice
+    um = pooled_persist(
+        _user_metric(
+            events, user_col, value_col, F.col(type_col) == metric_type
+        )
     )
     b = F.explode(
         F.sequence(F.lit(1), F.lit(int(n_resamples)))

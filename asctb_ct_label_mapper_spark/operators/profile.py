@@ -1073,6 +1073,8 @@ def woe_iv_binning(
     # NULL values are excluded on BOTH engines before the ntile: Spark
     # orders NULLS FIRST (bin 1), DuckDB NULLS LAST (bin n) — leaving
     # them in shifts every bin boundary differently per engine
+    if impl not in ("ntile", "bucketed"):
+        raise ValueError(f"unknown impl {impl!r}")
     base = df.filter(F.col(value_col).isNotNull())
     if impl == "bucketed":
         from asctb_ct_label_mapper_spark.operators.curation import (

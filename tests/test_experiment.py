@@ -219,3 +219,39 @@ def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
     assert tuple(a) == tuple(b)  # md5 draw -> rerun-identical
     assert a["ci_lo"] <= a["point_mean"] <= a["ci_hi"]
     assert a["n_resamples"] == 100
+
+
+def test_ks_one_arm_empty_degrades_to_null(spark):
+    """All-even user ids -> arm 1 empty -> d_stat/ks_z NULL (try_divide),
+    not an ANSI DIVIDE_BY_ZERO crash (review fix, r11)."""
+    from asctb_ct_label_mapper_spark.operators.experiment import ks_test
+
+    rows = [(u, 2 * u, "purchase", 5.0) for u in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    r = ks_test(df).collect()[0]
+    assert r["n1"] == 0
+    assert r["d_stat"] is None and r["ks_z"] is None
+
+
+def test_mwu_and_woe_reject_unknown_impl(spark):
+    import pytest as _pytest
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        woe_iv_binning,
+    )
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(1, 1, "purchase", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    with _pytest.raises(ValueError, match="unknown impl"):
+        mann_whitney_u(df, impl="buckted")
+    with _pytest.raises(ValueError, match="unknown impl"):
+        woe_iv_binning(df, "value", SF.lit(True), "event_id", impl="exact")
