@@ -218,8 +218,13 @@ def test_assoc_rules_single_census_subtree(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     plan = formatted_plan(association_rules(li, min_count=3))
-    n_generate = len(re.findall(r"\(\d+\) Generate", plan))
-    assert n_generate == 1, plan
+    # the census's pair-generation HOF (flatten(transform(items, ...)))
+    # appears in exactly ONE Generate; the r11 one-aggregate rewrite
+    # adds a second, cheap Generate (explode(items) for item counts)
+    # that reads the same cached membership frame — count the census
+    # explode specifically
+    n_census = plan.count("flatten(transform(items")
+    assert n_census == 1, plan
 
 
 def test_graph_family_report_shared_census(spark, sf_dir):
