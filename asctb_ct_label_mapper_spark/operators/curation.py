@@ -1396,3 +1396,71 @@ def sql_pareto_coverage(
     WINDOW w AS (ORDER BY wt DESC, g ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def mixture_temperature(
+    df: DataFrame,
+    total_budget: int,
+    temperature: float = 2.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-pretraining
+    rebalance, Conneau & Lample 2019): raw source shares p_s (by token
+    volume) are flattened to p_s^(1/T) / Σ p^(1/T) — T=1 keeps natural
+    proportions, T→∞ approaches uniform — then turned into per-source
+    token budgets for ``mixture_budget_sample`` to consume. One
+    fact-table aggregate; everything after is source-dimension-sized.
+
+    Returns (source, n_tokens, p_raw, p_temp, budget_tokens) — shares
+    6dp, budget 4dp (kept as a rounded double: an integer floor would
+    flip on last-ulp pow() differences across engines)."""
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    inv_t = 1.0 / float(temperature)
+    p_raw = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    powed = F.pow(p_raw, F.lit(inv_t))
+    p_temp = powed / F.sum(powed).over(w)
+    return counts.select(
+        group_col,
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp * F.lit(float(total_budget)), 4).alias(
+            "budget_tokens"
+        ),
+    )
+
+
+def sql_mixture_temperature(
+    table: str = "documents",
+    total_budget: int = 100000,
+    temperature: float = 2.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``mixture_temperature`` (same pow/normalize
+    arithmetic over the source-dimension frame)."""
+    inv_t = 1.0 / float(temperature)
+    return f"""
+    WITH counts AS (
+        SELECT {group_col},
+            sum(len(string_split({text_col}, ' '))) AS n_tokens
+        FROM {table} GROUP BY 1
+    ), tot AS (SELECT sum(n_tokens) AS t FROM counts),
+    powed AS (
+        SELECT {group_col}, n_tokens,
+            CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p_raw,
+            pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE),
+                CAST({inv_t!r} AS DOUBLE)) AS pw
+        FROM counts, tot
+    ), z AS (SELECT sum(pw) AS z FROM powed)
+    SELECT {group_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(p_raw, 6) AS p_raw,
+        round(pw / z.z, 6) AS p_temp,
+        round(pw / z.z * CAST({float(total_budget)!r} AS DOUBLE), 4)
+            AS budget_tokens
+    FROM powed, z
+    """

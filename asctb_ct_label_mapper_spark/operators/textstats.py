@@ -1671,3 +1671,90 @@ def sql_textrank_keywords(
     SELECT node AS word, round(r, 6) AS pr FROM r{int(iters)}
     ORDER BY pr DESC, word LIMIT {int(top_n)}
     """
+
+
+def script_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition per group: average per-document
+    fractions of ASCII letters, digits, spaces, and everything else —
+    the cheap encoding/garbage/mojibake detector a corpus audit runs
+    next to language ID (a 'en' shard whose letter fraction collapses
+    is mislabeled or binary-polluted).
+
+    Counting idiom shared verbatim with the oracle:
+    ``length(regexp_replace(text, '[^CLASS]', ''))`` — the
+    Java/RE2-common character-class subset, the pii_scrub contract.
+    One scan, one group-dimension aggregate; empty docs are excluded
+    (no denominator)."""
+    n = F.length(text_col).cast("double")
+
+    def frac(pat: str) -> Column:
+        return (
+            F.length(F.regexp_replace(F.col(text_col), pat, ""))
+            .cast("double")
+            / n
+        )
+    f_alpha = frac("[^A-Za-z]")
+    f_digit = frac("[^0-9]")
+    f_space = frac("[^ ]")
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    return (
+        base.select(
+            F.col(group_col).alias("grp"),
+            f_alpha.alias("_a"),
+            f_digit.alias("_d"),
+            f_space.alias("_s"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_a"), 6).alias("frac_alpha"),
+            F.round(F.avg("_d"), 6).alias("frac_digit"),
+            F.round(F.avg("_s"), 6).alias("frac_space"),
+            # +0.0: the residual average rounds to NEGATIVE zero when
+            # the classes cover everything (float cancellation) and
+            # -0.0 vs 0.0 hash-diverges across engines (standing trap)
+            (
+                F.round(
+                    F.avg(
+                        F.lit(1.0) - F.col("_a") - F.col("_d") - F.col("_s")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("frac_other"),
+        )
+    )
+
+
+def sql_script_profile(
+    table: str = "documents",
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``script_profile`` (same regexp_replace
+    char-class counting, same per-doc fractions)."""
+    return f"""
+    WITH per_doc AS (
+        SELECT {group_col} AS grp,
+            CAST(len(regexp_replace({text_col}, '[^A-Za-z]', '', 'g'))
+                 AS DOUBLE) / len({text_col}) AS a,
+            CAST(len(regexp_replace({text_col}, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / len({text_col}) AS d,
+            CAST(len(regexp_replace({text_col}, '[^ ]', '', 'g'))
+                 AS DOUBLE) / len({text_col}) AS s
+        FROM {table}
+        WHERE {text_col} IS NOT NULL AND len({text_col}) > 0
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        round(avg(a), 6) AS frac_alpha,
+        round(avg(d), 6) AS frac_digit,
+        round(avg(s), 6) AS frac_space,
+        round(avg(1.0 - a - d - s), 6) + 0.0 AS frac_other
+    FROM per_doc GROUP BY grp
+    """

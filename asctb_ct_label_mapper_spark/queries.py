@@ -7183,6 +7183,55 @@ def graph_family_report_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_temp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_mixture_temperature,
+    )
+
+    return sql_mixture_temperature(
+        "documents", total_budget=100000, temperature=2.0
+    )
+
+
+@query("mixture_temperature_docs", _mix_temp_oracle())
+def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights
+    (curation.mixture_temperature, T=2): raw token shares flattened to
+    p^(1/T)/Σp^(1/T) and turned into per-source token budgets — the
+    multilingual-rebalance front half of mixture_budget_docs. One fact
+    aggregate, then source-dimension windows."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    return mixture_temperature(
+        _t(spark, sf_dir, "documents"), total_budget=100000,
+        temperature=2.0,
+    )
+
+
+def _script_profile_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_script_profile,
+    )
+
+    return sql_script_profile("documents")
+
+
+@query("script_profile_docs", _script_profile_oracle())
+def script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class composition
+    (textstats.script_profile): average per-doc fractions of ASCII
+    letters / digits / spaces / other via the shared
+    regexp_replace-length counting idiom — the encoding/mojibake audit
+    next to lang_id_docs. One scan, one group-dimension aggregate."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        script_profile,
+    )
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
 def _item_cf_oracle() -> str:
     from asctb_ct_label_mapper_spark.operators.graph import sql_item_cf_topk
 

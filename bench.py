@@ -263,6 +263,22 @@ BENCH_QUERIES = [
     "spearman_view_purchase",
     "trimmed_mean_values",
     "heavy_hitter_tokens",
+    # r11 additions — the scale flavors of the rank statistics, the
+    # shared-census composite + item CF, and the new experimentation /
+    # behavioral / text operators
+    "graph_family_report",
+    "item_cf_parts",
+    "mann_whitney_purchase_bucketed",
+    "woe_iv_doclen_bucketed",
+    "ks_test_purchase",
+    "fdr_bh_event_types",
+    "bootstrap_ci_purchase",
+    "textrank_keywords_docs",
+    "attribution_position_events",
+    "changepoint_daily_events",
+    "order_streaks_customers",
+    "mixture_temperature_docs",
+    "script_profile_docs",
 ]
 
 

@@ -607,3 +607,20 @@ def test_pareto_coverage_minimal_set(spark):
     assert not out["c"]["in_pareto"] and not out["d"]["in_pareto"]
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
     assert out["d"]["cum_share"] == 1.0
+
+
+def test_mixture_temperature_flattens_shares(spark):
+    """T=1 reproduces raw shares; higher T pulls shares toward
+    uniform; budgets sum to ~the total."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        mixture_temperature,
+    )
+
+    rows = [(i, "big" if i < 90 else "small", "w " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    t1 = {r["source"]: r for r in mixture_temperature(df, 1000, 1.0).collect()}
+    assert t1["big"]["p_temp"] == t1["big"]["p_raw"] == 0.9
+    t4 = {r["source"]: r for r in mixture_temperature(df, 1000, 4.0).collect()}
+    assert t1["small"]["p_temp"] < t4["small"]["p_temp"] < 0.5
+    total = sum(r["budget_tokens"] for r in t4.values())
+    assert abs(total - 1000) < 0.01

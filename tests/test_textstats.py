@@ -371,3 +371,22 @@ def test_textrank_empty_graph(spark):
 
     docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert textrank_keywords(docs, min_count=2).count() == 0
+
+
+def test_script_profile_hand_fractions(spark):
+    """'ab1 2' -> alpha 2/5, digit 2/5, space 1/5, other 0; an
+    all-punct doc lands fully in frac_other; empty docs are excluded."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "ab1 2"), (2, "x", "!!!!"), (3, "x", "")],
+        "doc_id long, lang string, text string",
+    )
+    r = script_profile(df).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["frac_alpha"] == round((0.4 + 0.0) / 2, 6)
+    assert r["frac_digit"] == round((0.4 + 0.0) / 2, 6)
+    assert r["frac_space"] == round((0.2 + 0.0) / 2, 6)
+    assert r["frac_other"] == 0.5

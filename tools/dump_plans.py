@@ -66,6 +66,16 @@ TARGETS = {
     "ab_welch_purchase": "Welch t (r10): one user-grain conditional aggregate (only fact pass) -> 1-row arm statistics; try_divide-guarded scalar arithmetic",
     "cuped_purchase_value": "CUPED (r10): user-grain pre/post conditional aggregate -> 1-row pooled-theta broadcast back -> 2-row arm aggregate",
     "heavy_hitter_tokens": "exact heavy hitters (r10): persisted token frame -> per-partition Misra-Gries mapInPandas candidates (<=1/phi rows each, no raw shuffle) -> broadcast semi-join exact verify + 1-row total",
+    "graph_family_report": "shared census (r11): ONE persisted group_memberships aggregate + ONE persisted edge list feed degree/triangle/rule readouts - the whole family for one census",
+    "item_cf_parts": "item-item CF (r11): census edges + broadcast item counts + PER-ITEM rank window - no global sort, candidates bounded by the census",
+    "mann_whitney_purchase_bucketed": "bucketed rank stats (r11): value-grain collapse, per-bucket cumulative tie counts + broadcast offsets - NO single-partition row-grain window",
+    "woe_iv_doclen_bucketed": "bucketed WOE bins (r11): two-phase global rank (range buckets + offsets) + integer ntile arithmetic - bit-identical bins, no global window",
+    "vocab_growth_sketch": "KMV Heaps curve (r11): per-shard bottom-k gram hashes (threshold-prefiltered), prefix re-cut over parameter-sized sketch unions - the gram stream is never exact-distinct shuffled",
+    "bootstrap_ci_purchase": "Poisson bootstrap (r11): persisted user-grain aggregate -> B-way in-row explode -> combinable per-resample means -> order stats on the B-row frame",
+    "fdr_bh_event_types": "BH-FDR (r11): ONE (user,type) fact aggregate feeds per-type moments AND arm totals; BH windows run on the type-dimension frame",
+    "attribution_position_events": "U-shaped attribution (r11): conditional-min-over-FOLLOWING window on one user Exchange; position/size windows per (user, conversion)",
+    "funnel_3step": "window-chain funnel (r11): type-IN-steps filter pushed to the scan BEFORE the single user Exchange (r10 verdict #2)",
+    "textrank_keywords_docs": "TextRank (r11): corpus-sized stage is ONE adjacency-pair count; PageRank loop runs per-iteration broadcast joins on the vocabulary-grain edge list",
 }
 
 
