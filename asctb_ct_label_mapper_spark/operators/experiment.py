@@ -870,10 +870,23 @@ def bootstrap_ci(
         F.sequence(F.lit(1), F.lit(int(n_resamples)))
     ).alias("b")
     drawn = um.select("user", "m", b)
+    # F.concat, NOT concat_ws: a NULL user key must propagate NULL
+    # through the hash (concat_ws silently drops NULL parts, hashing
+    # just the resample index) so the weight CASE falls through to the
+    # cap on BOTH engines — the oracle's || operator is NULL-strict
+    # (r11 second review pass)
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("#", F.col("user"), F.col("b"))), 1, 15
+                F.md5(
+                    F.concat(
+                        F.col("user").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
             ),
             16,
             10,
