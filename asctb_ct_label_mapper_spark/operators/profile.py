@@ -947,6 +947,159 @@ def sql_l_diversity_report(
     """
 
 
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+    ordered: bool = False,
+) -> DataFrame:
+    """t-closeness audit — the distributional strengthening of
+    [k-anonymity, l-diversity] (Li, Li & Venkatasubramanian, ICDE
+    2007): an l-diverse group can still leak when its sensitive-value
+    DISTRIBUTION diverges from the table's (a group that is 90% one
+    diagnosis discloses a belief update even with l distinct values).
+    A quasi-identifier group passes when the distance between its
+    sensitive distribution and the GLOBAL distribution is <= ``t``:
+
+    - ``ordered=False`` (categorical): total variational distance
+      ``0.5 * sum_i |p_i - q_i|``;
+    - ``ordered=True`` (ordinal/numeric domain): Earth Mover's
+      Distance with unit ground steps, which for sorted values
+      reduces to ``sum_i |cumsum(p - q)_i| / (m - 1)`` (m = distinct
+      sensitive values; 0 when m = 1).
+
+    NULL sensitive values are excluded exactly as in
+    :func:`l_diversity_report` (nothing is disclosed by missing data).
+
+    Scale shape: one combinable (quasi, sensitive) fold, then
+    everything derives from that cell frame — class sizes by a second
+    combinable fold, the global distribution by a sensitive-grain fold
+    re-attached via BROADCAST (the sensitive DOMAIN is bounded vocab
+    by contract — an audit over a million-value sensitive column is a
+    different problem), and the per-class distance over a spine of
+    (classes x m) rows whose per-class window partitions hold exactly
+    m rows. Nothing data-sized past the first fold; the verdict
+    aggregate is one row. Distances compare at 6dp on both engines so
+    IEEE partial-sum order cannot flip a boundary group.
+
+    Returns one row (n_groups, violating_groups, max_dist, t_close)."""
+    cells = (
+        df.filter(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)
+    class_n = cells.groupBy(*quasi_cols).agg(F.sum("_n").alias("_cn"))
+    glob = cells.groupBy(sensitive_col).agg(F.sum("_n").alias("_gn"))
+    tot = cells.agg(
+        F.sum("_n").alias("_tot"),
+        F.count_distinct(F.col(sensitive_col)).alias("_m"),
+    )
+    spine = class_n.crossJoin(
+        F.broadcast(glob.crossJoin(tot))
+    ).join(cells, [*quasi_cols, sensitive_col], "left")
+    p = F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.col("_cn")
+    q = F.col("_gn").cast("double") / F.col("_tot")
+    if ordered:
+        w = (
+            Window.partitionBy(*quasi_cols)
+            .orderBy(F.col(sensitive_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = spine.select(
+            *quasi_cols,
+            F.col("_m"),
+            F.sum(p - q).over(w).alias("_cum"),
+        )
+        per_class = cum.groupBy(*quasi_cols).agg(
+            F.round(
+                F.sum(F.abs(F.col("_cum")))
+                / F.greatest(F.max("_m") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("_dist")
+        )
+    else:
+        per_class = spine.groupBy(*quasi_cols).agg(
+            F.round(F.sum(F.abs(p - q)) * 0.5, 6).alias("_dist")
+        )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum((F.col("_dist") > t).cast("long")), F.lit(0)
+        ).alias("violating_groups"),
+        F.max("_dist").alias("max_dist"),
+        F.coalesce(F.max("_dist") <= t, F.lit(True)).alias("t_close"),
+    )
+
+
+def sql_t_closeness_report(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+    ordered: bool = False,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``t_closeness_report`` (same NULL exclusion,
+    same variational / unit-step-EMD arithmetic, same 6dp compare)."""
+    qc = ", ".join(quasi_cols)
+    s = sensitive_col
+    if ordered:
+        cum_cte = f""",
+    cum_t AS (
+        SELECT {qc}, {s}, _m,
+            sum(p - q) OVER (
+                PARTITION BY {qc} ORDER BY {s}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum
+        FROM spine
+    ),
+    dists AS (
+        SELECT {qc},
+            round(sum(abs(cum))
+                / CAST(greatest(max(_m) - 1, 1) AS DOUBLE), 6) AS _dist
+        FROM cum_t GROUP BY {qc}
+    )"""
+    else:
+        cum_cte = f""",
+    dists AS (
+        SELECT {qc},
+            round(sum(abs(p - q)) * 0.5, 6) AS _dist
+        FROM spine GROUP BY {qc}
+    )"""
+    return f"""
+    WITH cells AS (
+        SELECT {qc}, {s}, count(*) AS _n
+        FROM {table}
+        WHERE ({where}) AND {s} IS NOT NULL
+        GROUP BY {qc}, {s}
+    ),
+    class_n AS (SELECT {qc}, sum(_n) AS _cn FROM cells GROUP BY {qc}),
+    gdist AS (SELECT {s}, sum(_n) AS _gn FROM cells GROUP BY {s}),
+    tot AS (
+        SELECT sum(_n) AS _tot, count(DISTINCT {s}) AS _m FROM cells
+    ),
+    spine AS (
+        SELECT c.*, g.{s}, g._gn, tot._tot, tot._m,
+            CAST(coalesce(e._n, 0) AS DOUBLE) / c._cn AS p,
+            CAST(g._gn AS DOUBLE) / tot._tot AS q
+        FROM class_n c CROSS JOIN gdist g CROSS JOIN tot
+        LEFT JOIN cells e
+            ON {' AND '.join(f'c.{x} = e.{x}' for x in quasi_cols)}
+            AND g.{s} = e.{s}
+    ){cum_cte}
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(coalesce(sum(CASE WHEN _dist > {t} THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS violating_groups,
+        max(_dist) AS max_dist,
+        coalesce(max(_dist) <= {t}, TRUE) AS t_close
+    FROM dists
+    """
+
+
 def benford_audit(df: DataFrame, int_col) -> DataFrame:
     """Benford's-law first-digit audit — the forensic data-quality gate
     (fabricated or truncated numeric columns drift from the log

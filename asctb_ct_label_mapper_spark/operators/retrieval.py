@@ -33,7 +33,7 @@ all-to-all shuffle anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 K1_DEFAULT = 1.2
@@ -310,4 +310,147 @@ def sql_rrf_hybrid(
     FROM ra FULL OUTER JOIN rb ON ra.{id_col} = rb.{id_col}
     ORDER BY rrf DESC, coalesce(ra.{id_col}, rb.{id_col})
     LIMIT {k}
+    """
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Offline ranking-quality evaluation — the gate a retrieval change
+    ships through (BM25 tuning, hybrid fusion weights, an ANN recall
+    knob): given a ``run`` of ranked results (query, doc, 1-based rank)
+    and graded ``qrels`` (query, doc, rel >= 0), report per query
+
+    - ``ndcg`` — DCG@k / IDCG@k with the exponential gain
+      ``(2^rel - 1) / log2(rank + 1)``; 0 when the query has no
+      relevant documents at all,
+    - ``mrr`` — 1 / first rank holding rel > 0 (0 if none retrieved),
+    - ``p_at_k`` / ``r_at_k`` — precision (over k) and recall (over
+      the query's total relevant count) of rel > 0 docs in the top k,
+
+    each rounded 6dp. Scale shape: one broadcast-or-shuffle equi-join
+    run⟕qrels on (query, doc) — both sides are top-k- or label-grain,
+    never corpus-grain — then per-query windows whose partitions are
+    bounded by k (run side) and the per-query label count (ideal side).
+    Nothing global; adding a million queries adds partitions, not
+    partition size. Mirrors the TREC trec_eval contract so judges and
+    runs from any engine can be replayed (reference has no evaluation
+    harness; this extends its similarity-report surface, cf.
+    reference main.py:96-118 mapping report).
+    """
+    q, d, rk, rl = query_col, doc_col, rank_col, rel_col
+    run = run.select(q, d, rk).filter(F.col(rk) <= k)
+    qrels = qrels.filter(F.col(rl).isNotNull())
+    # per-query relevant universe (recall denominator + IDCG source)
+    totals = qrels.filter(F.col(rl) > 0).groupBy(q).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    ideal_w = Window.partitionBy(q).orderBy(F.desc(rl), F.col(d))
+    idcg = (
+        qrels.filter(F.col(rl) > 0)
+        .withColumn("_irank", F.row_number().over(ideal_w))
+        .filter(F.col("_irank") <= k)
+        .groupBy(q)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(rl)) - 1.0)
+                / F.log2(F.col("_irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    hits = run.join(qrels, [q, d], "left").select(
+        q,
+        F.col(rk).alias("_rank"),
+        F.coalesce(F.col(rl), F.lit(0)).alias("_rel"),
+    )
+    per_q = hits.groupBy(q).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+            / F.log2(F.col("_rank") + 1.0)
+        ).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("_n_hit"),
+    )
+    return (
+        per_q.join(idcg, [q], "left")
+        .join(totals, [q], "left")
+        .select(
+            F.col(q),
+            F.round(
+                F.when(
+                    F.col("idcg").isNotNull(),
+                    F.col("_dcg") / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("_n_hit") / F.lit(float(k)), 6).alias("p_at_k"),
+            F.round(
+                F.coalesce(
+                    F.col("_n_hit") / F.col("n_rel").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("r_at_k"),
+        )
+    )
+
+
+def sql_ranking_metrics(
+    run_cte: str,
+    qrels_cte: str,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> str:
+    """DuckDB replay of ``ranking_metrics`` — same exponential gain, same
+    (rel DESC, doc ASC) ideal tie-break, same zero-fills. ``run_cte`` /
+    ``qrels_cte`` are SELECT bodies producing the two frames."""
+    q, d, rk, rl = query_col, doc_col, rank_col, rel_col
+    return f"""
+    WITH run AS ({run_cte}),
+    qrels AS (SELECT * FROM ({qrels_cte}) WHERE {rl} IS NOT NULL),
+    totals AS (
+        SELECT {q}, count(*) AS n_rel FROM qrels WHERE {rl} > 0 GROUP BY {q}
+    ),
+    idcg AS (
+        SELECT {q}, sum((power(2.0, {rl}) - 1.0) / log2(_irank + 1.0)) AS idcg
+        FROM (
+            SELECT {q}, {rl}, row_number() OVER (
+                PARTITION BY {q} ORDER BY {rl} DESC, {d}
+            ) AS _irank
+            FROM qrels WHERE {rl} > 0
+        ) WHERE _irank <= {k} GROUP BY {q}
+    ),
+    per_q AS (
+        SELECT r.{q},
+            sum((power(2.0, coalesce(e.{rl}, 0)) - 1.0)
+                / log2(r.{rk} + 1.0)) AS _dcg,
+            min(CASE WHEN coalesce(e.{rl}, 0) > 0 THEN r.{rk} END) AS _first,
+            sum(CASE WHEN coalesce(e.{rl}, 0) > 0 THEN 1 ELSE 0 END) AS _n_hit
+        FROM run r LEFT JOIN qrels e
+            ON r.{q} = e.{q} AND r.{d} = e.{d}
+        WHERE r.{rk} <= {k}
+        GROUP BY r.{q}
+    )
+    SELECT p.{q},
+        round(CASE WHEN i.idcg IS NOT NULL THEN p._dcg / i.idcg
+              ELSE 0.0 END, 6) AS ndcg,
+        round(coalesce(1.0 / p._first, 0.0), 6) AS mrr,
+        round(p._n_hit / CAST({k} AS DOUBLE), 6) AS p_at_k,
+        round(coalesce(p._n_hit / CAST(t.n_rel AS DOUBLE), 0.0), 6)
+            AS r_at_k
+    FROM per_q p
+    LEFT JOIN idcg i ON p.{q} = i.{q}
+    LEFT JOIN totals t ON p.{q} = t.{q}
     """

@@ -27,7 +27,7 @@ of lgConfigK=12 (~1.6% σ, tests assert 5%).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LG_CONFIG_K = 12
@@ -969,4 +969,119 @@ def sql_heavy_hitters_exact(
     GROUP BY item, t.n_total
     HAVING CAST(count(*) AS DOUBLE)
            > CAST({phi!r} AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+    """
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch — the family's
+    answer to "what is p99 of a 100 TB column without a global sort":
+    bin counts are COMBINABLE (they add across partitions, days, and
+    merge-on-read shards exactly like the KMV/count-min partials in
+    this module), and any quantile then reads off the cumulative
+    histogram with error bounded by ONE BIN WIDTH ``(hi-lo)/n_bins``
+    — deterministic, engine-reproducible, no sampling randomness
+    (unlike t-digest/GK, whose compaction order makes cross-engine
+    hash-parity impossible; exactness-first is this repo's standing
+    rule, cf. percentile_approx being avoided in length_quantiles).
+
+    ``[lo, hi)`` is the caller's declared domain (same contract as
+    profile.psi_drift's shared binning); values outside clamp into the
+    edge bins so the estimate degrades, never errors. NULLs are
+    excluded. The estimate convention is the bin's UPPER edge of the
+    first bin where the running count reaches ``ceil(q * n)`` —
+    nearest-rank semantics at histogram resolution.
+
+    Plan shape: one combinable groupBy(bin) fold (<= n_bins rows out
+    of the map side), a single-partition cumulative window over the
+    <= n_bins rows (bounded by the PARAMETER, not the data — the same
+    bounded-window argument as countmin_estimate_topk), and a bins x
+    qs join. Returns (q, estimate) rounded 6dp, one row per quantile.
+    """
+    if hi <= lo:
+        raise ValueError("binned_quantiles needs hi > lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_id = F.least(
+        F.greatest(
+            F.floor((v - lo) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(bin_id.alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "_bin",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    spark = df.sparkSession
+    q_df = spark.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hits = cum.join(
+        F.broadcast(q_df),
+        F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")),
+    )
+    return (
+        hits.groupBy("q")
+        .agg(F.min("_bin").alias("_b"))
+        .select(
+            "q",
+            F.round(F.lit(lo) + (F.col("_b") + 1) * F.lit(width), 6).alias(
+                "estimate"
+            ),
+        )
+    )
+
+
+def sql_binned_quantiles(
+    table: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple = (0.5, 0.9, 0.99),
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``binned_quantiles`` (same clamped equi-width
+    binning, same ceil(q*n) nearest-rank-at-resolution convention)."""
+    width = (hi - lo) / n_bins
+    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+    WITH counts AS (
+        SELECT least(greatest(
+                   CAST(floor(({value_col} - CAST({lo!r} AS DOUBLE))
+                        / CAST({width!r} AS DOUBLE)) AS BIGINT),
+                   0), {n_bins - 1}) AS _bin,
+               count(*) AS _c
+        FROM {table}
+        WHERE ({where}) AND {value_col} IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT _bin,
+            sum(_c) OVER (ORDER BY _bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+            sum(_c) OVER () AS _n
+        FROM counts
+    ),
+    quants AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {q_rows}) v(q))
+    SELECT q, round(CAST({lo!r} AS DOUBLE)
+        + (min(_bin) + 1) * CAST({width!r} AS DOUBLE), 6) AS estimate
+    FROM cum JOIN quants ON _cum >= ceil(q * _n)
+    GROUP BY q
     """

@@ -2380,3 +2380,110 @@ def sql_changepoint_daily(
         round(sse_tot, 6) AS sse_total, round(sse, 6) AS sse_split
     FROM scored ORDER BY sse, day LIMIT 1
     """
+
+
+def ewma_backtest(
+    series: DataFrame,
+    time_col: str = "d",
+    value_col: str = "y",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One-step-ahead EWMA backtest over an AGGREGATE-GRAIN series
+    (e.g. the daily-count rollup of an event log): the forecast for
+    step t is the EWMA state after step t-1, and the readout is the
+    error profile a forecasting change ships against — MAE, RMSE and
+    SMAPE (the 2|e|/(|y|+|yhat|) flavor) over every step that has a
+    prior state, plus n_steps. One row out, all metrics rounded 6dp.
+
+    The recurrence s_t = alpha*x_t + r*s_{t-1} (r = 1-alpha, s_1 =
+    x_1) is evaluated as a RESCALED PREFIX SUM, not a loop: with
+    S_t = s_t / r^t the recurrence telescopes to the cumulative sum
+    S_t = x_1/r + sum_{i=2..t} alpha * x_i * r^{-i}, one ordered
+    window over the series. With the default ``alpha = 0.5`` every
+    rescale factor is an exact power of two, so Spark and the DuckDB
+    oracle produce BIT-IDENTICAL doubles (the same trick that makes
+    this family's other anchors hash-checkable); other alphas are
+    fine for Spark-side use but cross-engine parity then depends on
+    libm pow agreement. Rescaling bounds the series length: r^-t
+    must stay finite, i.e. ~1000 steps at alpha=0.5 — the operator's
+    contract is aggregate grain (daily/hourly rollups), where that is
+    years of history; for event-grain EWMA use the segmented
+    ``ewma_by_key`` scan instead.
+
+    Scale shape: the input is already dimension-sized (the caller's
+    rollup did the data-sized work); the window is one ordered pass
+    over it, and the metric fold is one row out."""
+    r = 1.0 - alpha
+    x = F.col(value_col).cast("double")
+    numbered = series.select(
+        F.col(time_col).alias("_t"),
+        x.alias("_y"),
+        F.row_number().over(Window.orderBy(time_col)).alias("_rn"),
+    )
+    term = F.when(F.col("_rn") == 1, F.col("_y") / F.lit(r)).otherwise(
+        F.lit(alpha) * F.col("_y") * F.pow(F.lit(r), -F.col("_rn"))
+    )
+    cumw = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scaled = numbered.select(
+        "_t", "_y", "_rn", F.sum(term).over(cumw).alias("_S")
+    )
+    lagw = Window.orderBy("_t")
+    pred = F.lag(F.col("_S") * F.pow(F.lit(r), F.col("_rn"))).over(lagw)
+    errs = scaled.select(
+        "_y", pred.alias("_p")
+    ).filter(F.col("_p").isNotNull())
+    e = F.col("_y") - F.col("_p")
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.round(F.avg(F.abs(e)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(e * e)), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                2.0 * F.abs(e)
+                / (F.abs(F.col("_y")) + F.abs(F.col("_p")))
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+def sql_ewma_backtest(
+    series_cte: str,
+    time_col: str = "d",
+    value_col: str = "y",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB replay of ``ewma_backtest`` — same rescaled prefix sum,
+    same lag-one prediction, same metric rounding. ``series_cte`` is a
+    SELECT body producing the (time, value) series."""
+    r = 1.0 - alpha
+    return f"""
+    WITH series AS ({series_cte}),
+    numbered AS (
+        SELECT {time_col} AS _t, CAST({value_col} AS DOUBLE) AS _y,
+            row_number() OVER (ORDER BY {time_col}) AS _rn
+        FROM series
+    ),
+    scanned AS (
+        SELECT _t, _y, _rn,
+            sum(CASE WHEN _rn = 1 THEN _y / {r!r}
+                     ELSE {alpha!r} * _y * power({r!r}, -_rn) END)
+                OVER (ORDER BY _t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS _S
+        FROM numbered
+    ),
+    preds AS (
+        SELECT _y,
+            lag(_S * power({r!r}, _rn)) OVER (ORDER BY _t) AS _p
+        FROM scanned
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_steps,
+        round(avg(abs(_y - _p)), 6) AS mae,
+        round(sqrt(avg((_y - _p) * (_y - _p))), 6) AS rmse,
+        round(avg(2.0 * abs(_y - _p) / (abs(_y) + abs(_p))), 6) AS smape
+    FROM preds
+    WHERE _p IS NOT NULL
+    """

@@ -7535,3 +7535,234 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     return heavy_hitters_exact(toks, "token", phi=0.002)
+
+
+def _tclose_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_t_closeness_report,
+    )
+
+    return sql_t_closeness_report(
+        "documents", ["lang", "n_chars"], "source", t=0.4
+    )
+
+
+@query("t_closeness_docs", _tclose_oracle())
+def t_closeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (profile.t_closeness_report): the
+    distributional strengthening of the k_anonymity_docs /
+    l_diversity_docs gates — every (lang, n_chars) group's SOURCE
+    distribution must sit within variational distance 0.4 of the
+    corpus-wide one. One (quasi, sensitive) fold, global distribution
+    re-attached by bounded-vocab broadcast, per-class distance over
+    m-row window partitions."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    return t_closeness_report(
+        _t(spark, sf_dir, "documents"), ["lang", "n_chars"], "source", t=0.4
+    )
+
+
+def _tclose_ord_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_t_closeness_report,
+    )
+
+    return sql_t_closeness_report(
+        "(SELECT event_type, CAST(least(greatest(floor(value / 10.0), 0),"
+        " 9) AS BIGINT) AS vdec FROM events WHERE value IS NOT NULL) t",
+        ["event_type"],
+        "vdec",
+        t=0.1,
+        ordered=True,
+    )
+
+
+@query("t_closeness_events_ordered", _tclose_ord_oracle())
+def t_closeness_events_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-domain t-closeness (profile.t_closeness_report,
+    ordered=True): per event type, the value-DECILE distribution must
+    sit within unit-step Earth-Mover's Distance 0.1 of the global one
+    — the numeric-sensitive-attribute flavor, where EMD reduces to the
+    normalized |cumulative difference| sum over the sorted domain."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("vdec"),
+    )
+    return t_closeness_report(
+        binned, ["event_type"], "vdec", t=0.1, ordered=True
+    )
+
+
+def _rankeval_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        sql_bm25_topk,
+        sql_ranking_metrics,
+        _sql_tf_cte,
+    )
+
+    runs = " UNION ALL ".join(
+        f"""SELECT '{t}' AS query, doc_id,
+            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM ({sql_bm25_topk("documents", terms=[t], k=10)})"""
+        for t in _BM25_TERMS
+    )
+    qrels = " UNION ALL ".join(
+        f"""SELECT '{t}' AS query, doc_id,
+            least(tf_0, 3) AS rel
+        FROM ({_sql_tf_cte("documents", [t], "doc_id", "text")})
+        WHERE tf_0 > 0"""
+        for t in _BM25_TERMS
+    )
+    return sql_ranking_metrics(runs, qrels, k=10)
+
+
+@query("ranking_eval_docs", _rankeval_oracle())
+def ranking_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (retrieval.ranking_metrics):
+    NDCG@10 / MRR / P@10 / R@10 of the BM25 channel against graded
+    term-frequency judgments (rel = min(tf, 3)), one row per query
+    term — the trec_eval-shaped gate a ranking change ships through.
+    The run side is top-k-grain, judgments label-grain; metrics are
+    per-query windows over <= k rows. Three single-term runs here
+    means three corpus tf passes (honest per-query cost); a batched
+    eval would share one _per_doc_tf pass across queries."""
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        _per_doc_tf,
+        bm25_topk,
+        ranking_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    runs = None
+    qrels = None
+    for t in _BM25_TERMS:
+        topk = bm25_topk(docs, terms=[t], k=10).select(
+            F.lit(t).alias("query"),
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
+            .alias("rank"),
+        )
+        rels = (
+            _per_doc_tf(docs, [t], "doc_id", "text")
+            .filter(F.col("tf_0") > 0)
+            .select(
+                F.lit(t).alias("query"),
+                "doc_id",
+                F.least(F.col("tf_0"), F.lit(3)).alias("rel"),
+            )
+        )
+        runs = topk if runs is None else runs.unionAll(topk)
+        qrels = rels if qrels is None else qrels.unionAll(rels)
+    return ranking_metrics(runs, qrels, k=10)
+
+
+def _qbins_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_binned_quantiles,
+    )
+
+    return sql_binned_quantiles(
+        "events", "value", lo=0.0, hi=400.0, n_bins=200,
+        qs=(0.25, 0.5, 0.9, 0.99),
+    )
+
+
+@query("quantile_bins_events", _qbins_oracle())
+def quantile_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch (sketches.binned_quantiles):
+    p25/p50/p90/p99 of event value from ONE combinable bin fold over
+    the declared [0, 400) domain — error bounded by the 2.0-wide bin,
+    no global sort, partials merge like every other sketch in the
+    family. The 100 TB p99 without ordering anything data-sized."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    return binned_quantiles(
+        _t(spark, sf_dir, "events"), "value", lo=0.0, hi=400.0, n_bins=200,
+        qs=(0.25, 0.5, 0.9, 0.99),
+    )
+
+
+def _lpa_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_label_propagation,
+        sql_nation_trade_edges_count,
+    )
+
+    return (
+        f"WITH {sql_nation_trade_edges_count()}, "
+        f"{sql_label_propagation(iters=4)}"
+    )
+
+
+@query("label_prop_trade_communities", _lpa_oracle())
+def label_prop_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (graph.label_propagation) on the COUNT-weighted nation trade graph
+    — 4 synchronous min-tie-break iterations; count weights keep the
+    argmax exact-in-double so both engines converge identically. The
+    trade-bloc readout next to pagerank_nation_trade's centrality."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        label_propagation,
+        nation_trade_edges_count,
+    )
+
+    edges = nation_trade_edges_count(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+    return label_propagation(edges, iters=4)
+
+
+def _ewma_bt_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_ewma_backtest,
+    )
+
+    return sql_ewma_backtest(
+        "SELECT CAST(ts AS DATE) AS d, count(*) AS y FROM events"
+        " WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1",
+        time_col="d",
+        value_col="y",
+        alpha=0.5,
+    )
+
+
+@query("ewma_backtest_purchases", _ewma_bt_oracle())
+def ewma_backtest_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast backtest
+    (timeseries.ewma_backtest): MAE/RMSE/SMAPE of the alpha=0.5 EWMA
+    predicting each day's purchase count from the prior state — the
+    error readout a forecasting change ships against. The recurrence
+    runs as an exact rescaled prefix sum over the daily rollup
+    (aggregate grain; the data-sized work is the one groupBy)."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return ewma_backtest(daily, time_col="d", value_col="y", alpha=0.5)

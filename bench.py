@@ -279,6 +279,14 @@ BENCH_QUERIES = [
     "order_streaks_customers",
     "mixture_temperature_docs",
     "script_profile_docs",
+    # r11 second batch — privacy distribution gate, retrieval eval,
+    # mergeable quantile sketch, community detection, forecast backtest
+    "t_closeness_docs",
+    "t_closeness_events_ordered",
+    "ranking_eval_docs",
+    "quantile_bins_events",
+    "label_prop_trade_communities",
+    "ewma_backtest_purchases",
 ]
 
 

@@ -1,0 +1,354 @@
+"""Unit tests for the round-11 second batch: t-closeness, ranking
+metrics, binned quantile sketch, label propagation, EWMA backtest."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_categorical_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    # global: a 50/50 over {x, y}; group g1 is 100% x -> dist 0.5;
+    # group g2 is 50/50 -> dist 0.0
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g2", "x"), ("g2", "y"),
+         ("g3", "y"), ("g3", "y")],
+        "qc string, s string",
+    )
+    row = t_closeness_report(df, ["qc"], "s", t=0.3).collect()[0]
+    assert row["n_groups"] == 3
+    assert row["violating_groups"] == 2  # g1 and g3, each dist 0.5
+    assert row["max_dist"] == pytest.approx(0.5)
+    assert not row["t_close"]
+
+
+def test_t_closeness_ordered_emd_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    # domain {1,2,3} global uniform (2 each); group a = all 1s:
+    # p-q cum = (1-1/3, -1/3+1-1/3... ) -> cum after v1=2/3, v2=1/3, v3=0
+    # EMD = (2/3 + 1/3 + 0) / (3-1) = 0.5
+    rows = [("a", 1), ("a", 1)] + [("b", v) for v in (1, 2, 2, 3, 3)]
+    # global counts: 1->3, 2->2, 3->2 (7 rows)
+    df = spark.createDataFrame(rows, "qc string, s int")
+    got = {
+        r["qc"]: None
+        for r in df.select("qc").distinct().collect()
+    }
+    rep = t_closeness_report(df, ["qc"], "s", t=10.0, ordered=True)
+    row = rep.collect()[0]
+    # hand-computed: q = (3/7, 2/7, 2/7); group a p=(1,0,0):
+    # cum = 4/7, 2/7, 0 -> emd = (4/7+2/7)/2 = 3/7
+    assert row["max_dist"] == pytest.approx(3.0 / 7.0, abs=1e-6)
+    assert row["t_close"]
+    assert row["n_groups"] == len(got)
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", None), ("g2", "x")], "qc string, s string"
+    )
+    row = t_closeness_report(df, ["qc"], "s", t=0.1).collect()[0]
+    # with NULLs excluded both groups are 100% x = the global dist
+    assert row["violating_groups"] == 0
+    assert row["t_close"]
+
+
+def test_t_closeness_single_value_domain_ordered(spark):
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 5), ("g2", 5)], "qc string, s int"
+    )
+    row = t_closeness_report(df, ["qc"], "s", t=0.0, ordered=True).collect()[0]
+    # m = 1: EMD defined as 0 (greatest(m-1,1) guard)
+    assert row["max_dist"] == pytest.approx(0.0)
+    assert row["t_close"]
+
+
+# ---------------------------------------------------------------------------
+# ranking metrics
+# ---------------------------------------------------------------------------
+
+def _run_qrels(spark):
+    run = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 1, 1), ("q2", 2, 2)],
+        "query string, doc_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3), ("q1", 3, 1), ("q1", 9, 2),
+         ("q2", 7, 1)],
+        "query string, doc_id int, rel int",
+    )
+    return run, qrels
+
+
+def test_ranking_metrics_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    run, qrels = _run_qrels(spark)
+    rows = {
+        r["query"]: r
+        for r in ranking_metrics(run, qrels, k=3).collect()
+    }
+    # q1: dcg = 7/log2(2) + 0 + 1/log2(4) = 7 + 0.5 = 7.5
+    # ideal order rel desc: 3,2,1 -> idcg = 7 + 3/log2(3) + 1/2
+    idcg = 7.0 + 3.0 / math.log2(3.0) + 0.5
+    assert rows["q1"]["ndcg"] == pytest.approx(7.5 / idcg, abs=1e-6)
+    assert rows["q1"]["mrr"] == pytest.approx(1.0)
+    assert rows["q1"]["p_at_k"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert rows["q1"]["r_at_k"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    # q2 retrieved nothing relevant
+    assert rows["q2"]["ndcg"] == 0.0
+    assert rows["q2"]["mrr"] == 0.0
+    assert rows["q2"]["r_at_k"] == 0.0
+
+
+def test_ranking_metrics_rank_filter(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    run, qrels = _run_qrels(spark)
+    # k=1 keeps only rank 1: q1 hits its rel-3 doc
+    rows = {
+        r["query"]: r for r in ranking_metrics(run, qrels, k=1).collect()
+    }
+    assert rows["q1"]["ndcg"] == pytest.approx(1.0)
+    assert rows["q1"]["p_at_k"] == pytest.approx(1.0)
+
+
+def test_ranking_metrics_query_with_no_judgments(spark):
+    from asctb_ct_label_mapper_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [("qx", 1, 1)], "query string, doc_id int, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [], "query string, doc_id int, rel int"
+    )
+    row = ranking_metrics(run, qrels, k=5).collect()[0]
+    assert row["ndcg"] == 0.0 and row["r_at_k"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# binned quantiles
+# ---------------------------------------------------------------------------
+
+def test_binned_quantiles_within_bin_width(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {
+        r["q"]: r["estimate"]
+        for r in binned_quantiles(
+            ev, "value", lo=0.0, hi=400.0, n_bins=400,
+            qs=(0.5, 0.9)
+        ).collect()
+    }
+    vals = sorted(
+        r["value"] for r in ev.select("value").collect()
+        if r["value"] is not None
+    )
+    for q in (0.5, 0.9):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(est[q] - exact) <= 1.0 + 1e-9  # one bin width
+
+
+def test_binned_quantiles_clamps_out_of_domain(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (99.0,)], "value double"
+    )
+    rows = binned_quantiles(
+        df, "value", lo=0.0, hi=10.0, n_bins=10, qs=(0.25,)
+    ).collect()
+    # -5 clamps into bin 0; 99 into bin 9; p25 (rank 1 of 4) = bin 0
+    assert rows[0]["estimate"] == pytest.approx(1.0)
+
+
+def test_binned_quantiles_rejects_bad_domain(spark):
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        binned_quantiles(df, "value", lo=5.0, hi=5.0)
+
+
+def test_binned_quantiles_merge_property(spark):
+    """Bin counts are combinable: quantiles of a union equal quantiles
+    computed from the summed histograms (trivially true by plan shape,
+    pinned here as the mergeability contract)."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    a = spark.range(0, 500).select((F.col("id") % 100).cast("double").alias("value"))
+    b = spark.range(0, 300).select((F.col("id") % 50).cast("double").alias("value"))
+    u = a.unionAll(b)
+    direct = {
+        r["q"]: r["estimate"]
+        for r in binned_quantiles(
+            u, "value", 0.0, 100.0, n_bins=100, qs=(0.5,)
+        ).collect()
+    }
+    # a holds 0..99 x5, b holds 0..49 x6 -> n=800, ceil(.5*800)=400;
+    # cum at bin k<50 is 11(k+1): first >=400 is bin 36 -> upper edge 37
+    assert direct[0.5] == pytest.approx(37.0)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+def _lpa_edges(spark):
+    # two cliques {a,b,c} and {x,y,z} joined by one weak bridge c-x
+    rows = [
+        ("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0),
+        ("x", "y", 5.0), ("y", "z", 5.0), ("x", "z", 5.0),
+        ("c", "x", 1.0),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, w double")
+
+
+def test_label_propagation_two_cliques(spark):
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        label_propagation,
+    )
+
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(_lpa_edges(spark), iters=4).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_label_propagation_frames_matches_local(spark):
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _lpa_edges(spark)
+    local = sorted(
+        (r["node"], r["community"])
+        for r in label_propagation(edges, iters=3, impl="local").collect()
+    )
+    frames = sorted(
+        (r["node"], r["community"])
+        for r in label_propagation(edges, iters=3, impl="frames").collect()
+    )
+    assert local == frames
+
+
+def test_label_propagation_pair_oscillates(spark):
+    """Synchronous LPA swaps labels every iteration on a bipartite
+    pair — the documented sync artifact; odd iters = swapped, even
+    iters = back to identity, deterministically on both impls."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("m", "n", 1.0)], "src string, dst string, w double"
+    )
+    after1 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=1).collect()
+    }
+    after2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    assert after1 == {"m": "n", "n": "m"}
+    assert after2 == {"m": "m", "n": "n"}
+
+
+def test_label_propagation_rejects_bad_impl(spark):
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        label_propagation,
+    )
+
+    with pytest.raises(ValueError):
+        label_propagation(_lpa_edges(spark), impl="nope")
+
+
+# ---------------------------------------------------------------------------
+# EWMA backtest
+# ---------------------------------------------------------------------------
+
+def test_ewma_backtest_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 10.0)], "d int, y double"
+    )
+    row = ewma_backtest(df, "d", "y", alpha=0.5).collect()[0]
+    # s1=10; pred2=10, e=10; s2=15; pred3=15, e=-5
+    assert row["n_steps"] == 2
+    assert row["mae"] == pytest.approx(7.5)
+    assert row["rmse"] == pytest.approx(math.sqrt((100 + 25) / 2), abs=1e-6)
+    smape = (2 * 10 / (20 + 10) + 2 * 5 / (10 + 15)) / 2
+    assert row["smape"] == pytest.approx(smape, abs=1e-6)
+
+
+def test_ewma_backtest_single_point_empty_metrics(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    df = spark.createDataFrame([(1, 10.0)], "d int, y double")
+    row = ewma_backtest(df, "d", "y").collect()[0]
+    assert row["n_steps"] == 0
+    assert row["mae"] is None
+
+
+def test_ewma_backtest_matches_loop(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    ys = [3.0, 7.0, 1.0, 9.0, 4.0, 4.0, 8.0, 2.0]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "d int, y double"
+    )
+    row = ewma_backtest(df, "d", "y", alpha=0.5).collect()[0]
+    s = ys[0]
+    errs = []
+    for y in ys[1:]:
+        errs.append(y - s)
+        s = 0.5 * y + 0.5 * s
+    mae = sum(abs(e) for e in errs) / len(errs)
+    assert row["mae"] == pytest.approx(mae, abs=1e-6)
