@@ -454,3 +454,74 @@ def sql_ranking_metrics(
     LEFT JOIN idcg i ON p.{q} = i.{q}
     LEFT JOIN totals t ON p.{q} = t.{q}
     """
+
+
+def bm25_runs(
+    docs: DataFrame,
+    queries: dict,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """BM25 runs for MANY queries from ONE corpus tf pass — the batched
+    evaluation path :func:`ranking_metrics` consumes. ``queries`` maps a
+    query label to its term list; the union of all terms is computed
+    column-wise in a single :func:`_per_doc_tf` scan (persisted), corpus
+    stats (N, avgdl, every df) reduce to ONE broadcast row, and each
+    query's top-k then reads the in-memory tf frame — q queries cost
+    one corpus scan + q tiny TakeOrderedAndProject jobs instead of q
+    full scans. Scoring is arithmetic-identical to :func:`bm25_topk`
+    (same idf floor, same fixed per-query term order), so a run built
+    here hash-matches one built by q separate calls.
+
+    Returns (query, id_col, bm25, rank) with rank 1-based in
+    (bm25 DESC, id ASC) order — ranking_metrics' run contract."""
+    _require_terms(sorted({t for ts in queries.values() for t in ts}))
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    idx = {t: i for i, t in enumerate(all_terms)}
+    per_doc = pooled_persist(_per_doc_tf(docs, all_terms, id_col, text_col))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(all_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    runs = None
+    for qlabel, terms in queries.items():
+        contribs: Column | None = None
+        for t in terms:  # the QUERY's term order (bm25_topk parity)
+            i = idx[t]
+            tf = F.col(f"tf_{i}").cast("double")
+            idf = F.log(
+                (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+                + 1.0
+            )
+            denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            c = idf * (tf * (k1 + 1.0)) / denom
+            contribs = c if contribs is None else contribs + c
+        any_hit = sum(F.col(f"tf_{idx[t]}") for t in terms) > 0
+        topk = (
+            scored.filter(any_hit)
+            .select(
+                F.lit(qlabel).alias("query"),
+                F.col(id_col),
+                F.round(contribs, 6).alias("bm25"),
+            )
+            .orderBy(F.desc("bm25"), F.col(id_col))
+            .limit(k)
+        )
+        runs = topk if runs is None else runs.unionAll(topk)
+    rank_w = Window.partitionBy("query").orderBy(
+        F.desc("bm25"), F.col(id_col)
+    )
+    return runs.select(
+        "query", id_col, "bm25", F.row_number().over(rank_w).alias("rank")
+    )

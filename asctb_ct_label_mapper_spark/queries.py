@@ -7634,37 +7634,35 @@ def ranking_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDCG@10 / MRR / P@10 / R@10 of the BM25 channel against graded
     term-frequency judgments (rel = min(tf, 3)), one row per query
     term — the trec_eval-shaped gate a ranking change ships through.
-    The run side is top-k-grain, judgments label-grain; metrics are
-    per-query windows over <= k rows. Three single-term runs here
-    means three corpus tf passes (honest per-query cost); a batched
-    eval would share one _per_doc_tf pass across queries."""
+    The run side comes from retrieval.bm25_runs' BATCHED path: one
+    persisted corpus tf pass scores all three queries (vs three full
+    scans query-by-query), and the judgments read the SAME cached
+    frame (Spark's cache manager matches the canonicalized plan).
+    Metrics are per-query windows over <= k rows."""
     from asctb_ct_label_mapper_spark.operators.retrieval import (
         _per_doc_tf,
-        bm25_topk,
+        bm25_runs,
         ranking_metrics,
     )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     docs = _t(spark, sf_dir, "documents")
-    runs = None
+    runs = bm25_runs(docs, {t: [t] for t in _BM25_TERMS}, k=10)
+    all_terms = sorted(set(_BM25_TERMS))
+    idx = {t: i for i, t in enumerate(all_terms)}
+    per_doc = pooled_persist(
+        _per_doc_tf(docs, all_terms, "doc_id", "text")
+    )
     qrels = None
     for t in _BM25_TERMS:
-        topk = bm25_topk(docs, terms=[t], k=10).select(
-            F.lit(t).alias("query"),
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
-            .alias("rank"),
-        )
         rels = (
-            _per_doc_tf(docs, [t], "doc_id", "text")
-            .filter(F.col("tf_0") > 0)
+            per_doc.filter(F.col(f"tf_{idx[t]}") > 0)
             .select(
                 F.lit(t).alias("query"),
                 "doc_id",
-                F.least(F.col("tf_0"), F.lit(3)).alias("rel"),
+                F.least(F.col(f"tf_{idx[t]}"), F.lit(3)).alias("rel"),
             )
         )
-        runs = topk if runs is None else runs.unionAll(topk)
         qrels = rels if qrels is None else qrels.unionAll(rels)
     return ranking_metrics(runs, qrels, k=10)
 
