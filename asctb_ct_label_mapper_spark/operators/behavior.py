@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -811,4 +811,157 @@ def sql_order_streaks(
     SELECT CAST(streak_months AS BIGINT) AS streak_months,
         count(*) AS n_keys
     FROM longest GROUP BY 1
+    """
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_where: Column | None = None,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion of
+    cohort_retention: users are cohorted by the ``granularity`` bucket
+    ('day' / 'week' / 'month') of their FIRST event (any type —
+    acquisition), and each cohort's cumulative value per acquired user
+    is tracked by age in buckets (``age = 0`` is the acquisition
+    bucket). ``value_where`` restricts which events MONETIZE (e.g.
+    purchases only); the cohort assignment always uses every event, so
+    a user who only ever viewed still dilutes the denominator — that
+    is what "per acquired user" means.
+
+    Returns (cohort_start, age, n_users, period_value, cum_value,
+    ltv) where cohort_start renders the bucket's first calendar day,
+    ltv = cum_value / n_users, money rounded 4dp.
+
+    Scale shape: one map-side-combinable min(bucket) fold at user
+    grain, one fact pass joined to the (user, cohort) frame on the
+    user key, a (cohort, age) fold — dimension-grain from here — and
+    the cumulative window partitioned by cohort over <= periods rows.
+    Bucket arithmetic is integer days-since-epoch (weeks = floor(d/7),
+    months = year*12+month), exact on both engines — no
+    months_between float semantics."""
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(f"unknown granularity {granularity!r}")
+    epoch = F.lit("1970-01-01").cast("date")
+    dd = F.datediff(F.to_date(F.col(ts_col)), epoch)
+    if granularity == "day":
+        bucket = dd
+        start = F.date_add(epoch, F.col("_cm"))
+    elif granularity == "week":
+        bucket = F.floor(dd / 7).cast("int")
+        start = F.date_add(epoch, F.col("_cm") * 7)
+    else:
+        bucket = (
+            F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1
+        ).cast("int")
+        start = F.to_date(
+            F.concat_ws(
+                "-",
+                F.floor(F.col("_cm") / 12).cast("int"),
+                F.lpad((F.col("_cm") % 12 + 1).cast("string"), 2, "0"),
+                F.lit("01"),
+            )
+        )
+    firsts = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(bucket).alias("_cm"))
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    firsts = pooled_persist(firsts)
+    cohort_sizes = firsts.groupBy("_cm").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    monetized = events.filter(F.col(ts_col).isNotNull())
+    if value_where is not None:
+        monetized = monetized.filter(value_where)
+    per_age = (
+        monetized.filter(F.col(value_col).isNotNull())
+        .join(firsts, [user_col])
+        .select(
+            F.col("_cm"),
+            (bucket - F.col("_cm")).alias("age"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_cm", "age")
+        .agg(F.sum("_v").alias("_pv"))
+    )
+    w = (
+        Window.partitionBy("_cm")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = per_age.select(
+        "_cm",
+        "age",
+        F.col("_pv"),
+        F.sum("_pv").over(w).alias("_cv"),
+    ).join(F.broadcast(cohort_sizes), ["_cm"])
+    return curve.select(
+        start.cast("string").alias("cohort_start"),
+        "age",
+        "n_users",
+        F.round("_pv", 4).alias("period_value"),
+        F.round("_cv", 4).alias("cum_value"),
+        F.round(F.col("_cv") / F.col("n_users"), 4).alias("ltv"),
+    )
+
+
+def sql_cohort_ltv(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_where: str = "1=1",
+    granularity: str = "week",
+) -> str:
+    """DuckDB replay of ``cohort_ltv`` (same integer bucket encoding,
+    same any-event cohorting / filtered monetization split)."""
+    if granularity == "day":
+        bucket = f"date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE))"
+        start = "CAST(DATE '1970-01-01' + c._cm AS VARCHAR)"
+    elif granularity == "week":
+        bucket = (
+            "CAST(floor(date_diff('day', DATE '1970-01-01',"
+            f" CAST({ts_col} AS DATE)) / 7) AS INT)"
+        )
+        start = "CAST(DATE '1970-01-01' + c._cm * 7 AS VARCHAR)"
+    elif granularity == "month":
+        bucket = f"CAST(year({ts_col}) * 12 + month({ts_col}) - 1 AS INT)"
+        start = (
+            "CAST(floor(c._cm / 12) AS INT) || '-' ||"
+            " lpad(CAST(c._cm % 12 + 1 AS VARCHAR), 2, '0') || '-01'"
+        )
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    return f"""
+    WITH firsts AS (
+        SELECT {user_col} AS u, min({bucket}) AS _cm
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ),
+    sizes AS (SELECT _cm, count(*) AS n_users FROM firsts GROUP BY _cm),
+    per_age AS (
+        SELECT f._cm, ({bucket}) - f._cm AS age,
+            sum(CAST({value_col} AS DOUBLE)) AS _pv
+        FROM {table} e JOIN firsts f ON e.{user_col} = f.u
+        WHERE e.{ts_col} IS NOT NULL AND ({value_where})
+              AND e.{value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT _cm, age, _pv,
+            sum(_pv) OVER (PARTITION BY _cm ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cv
+        FROM per_age
+    )
+    SELECT {start} AS cohort_start,
+        c.age, s.n_users,
+        round(c._pv, 4) AS period_value,
+        round(c._cv, 4) AS cum_value,
+        round(c._cv / s.n_users, 4) AS ltv
+    FROM curve c JOIN sizes s ON c._cm = s._cm
     """

@@ -984,3 +984,197 @@ def sql_bootstrap_ci(
         round(max(CASE WHEN rn = {k_hi} THEN mean_b END), 6) AS ci_hi
     FROM ranked
     """
+
+
+def agreement_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelers — the
+    inter-annotator (or model-vs-declared-metadata) agreement gate a
+    labeling pipeline ships through: observed agreement corrected for
+    the agreement two independent raters with these marginals would
+    reach by chance,
+
+        kappa = (po - pe) / (1 - pe),
+        po = sum_i n_ii / N,   pe = sum_i (row_i * col_i) / N^2.
+
+    Rows where either label is NULL are excluded (no judgment was
+    made). Returns one row (n, po, pe, kappa) rounded 6dp; kappa is
+    NULL when pe = 1 (both raters constant — agreement is undefined,
+    not perfect).
+
+    Scale shape: ONE combinable (a, b) contingency fold; the marginals
+    re-derive from the cells exactly like categorical_association's
+    (pooled, no second scan), and the readout is a one-row aggregate
+    over the label-domain-sized cell frame."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    row_m = cells.groupBy(a_col).agg(F.sum("_n").alias("_ra"))
+    col_m = cells.groupBy(b_col).agg(F.sum("_n").alias("_cb"))
+    # chance agreement: label-domain-sized equi-join of the marginals
+    pe_f = (
+        row_m.join(
+            col_m, F.col(a_col) == F.col(b_col)
+        ).agg(F.sum(F.col("_ra").cast("double") * F.col("_cb")).alias("_pe_num"))
+    )
+    base = cells.agg(
+        F.sum("_n").alias("n"),
+        F.sum(
+            F.when(F.col(a_col) == F.col(b_col), F.col("_n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_agree"),
+    )
+    j = base.crossJoin(F.broadcast(pe_f))
+    po = F.col("_agree").cast("double") / F.col("n")
+    pe = F.coalesce(F.col("_pe_num"), F.lit(0.0)) / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return j.select(
+        F.col("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias(
+            "kappa"
+        ),
+    )
+
+
+def sql_agreement_kappa(table: str, a_col: str, b_col: str) -> str:
+    """DuckDB replay of ``agreement_kappa`` (same cell fold, same pooled
+    marginals, same nullif guard)."""
+    return f"""
+    WITH cells AS (
+        SELECT {a_col} AS a, {b_col} AS b, count(*) AS _n
+        FROM {table}
+        WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_m AS (SELECT a, sum(_n) AS _ra FROM cells GROUP BY a),
+    col_m AS (SELECT b, sum(_n) AS _cb FROM cells GROUP BY b),
+    pe_f AS (
+        SELECT sum(CAST(_ra AS DOUBLE) * _cb) AS _pe_num
+        FROM row_m JOIN col_m ON a = b
+    ),
+    base AS (
+        SELECT sum(_n) AS n,
+            sum(CASE WHEN a = b THEN _n ELSE 0 END) AS _agree
+        FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+        round(CAST(_agree AS DOUBLE) / n, 6) AS po,
+        round(coalesce(_pe_num, 0.0) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+        round((CAST(_agree AS DOUBLE) / n
+               - coalesce(_pe_num, 0.0) / (CAST(n AS DOUBLE) * n))
+              / nullif(1.0 - coalesce(_pe_num, 0.0)
+                       / (CAST(n AS DOUBLE) * n), 0.0), 6) AS kappa
+    FROM base CROSS JOIN pe_f
+    """
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration readout — the reliability-diagram table
+    plus the two scalar gates (Brier score, expected calibration
+    error) a probabilistic scorer ships through: rows where a model
+    says 0.8 should be positive ~80% of the time. ``prob_col`` must be
+    in [0, 1] (values clamp into the edge bins); ``label_col`` is a
+    boolean/0-1 outcome; NULL prob or label rows are excluded.
+
+    Per equi-width bin: (bin, n, mean_prob, frac_pos); every row also
+    carries brier = avg((p - y)^2) and ece = sum_b (n_b/N) *
+    |frac_pos_b - mean_prob_b| so the output stays one flat table
+    (the benford_audit chi2_total convention). All floats rounded 6dp.
+
+    Scale shape: ONE combinable bin fold (sum p, sum y, count per
+    bin <= n_bins rows), the scalar gates re-attached by a one-row
+    broadcast cross join derived from the SAME cells — the corpus is
+    scanned exactly once."""
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor(p * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    cells = (
+        df.filter(p.isNotNull() & y.isNotNull())
+        .select(
+            bin_id.alias("bin"),
+            p.alias("_p"),
+            y.alias("_y"),
+            ((p - y) * (p - y)).alias("_sq"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_p").alias("_sp"),
+            F.sum("_y").alias("_sy"),
+            F.sum("_sq").alias("_ssq"),
+        )
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)
+    mean_p = F.col("_sp") / F.col("n")
+    frac_pos = F.col("_sy") / F.col("n")
+    gates = cells.agg(
+        F.sum("n").alias("_N"),
+        F.sum("_ssq").alias("_ssq_t"),
+        F.sum(F.abs(F.col("_sy") - F.col("_sp"))).alias("_ece_num"),
+    )
+    out = cells.crossJoin(F.broadcast(gates))
+    return out.select(
+        "bin",
+        "n",
+        F.round(mean_p, 6).alias("mean_prob"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(F.col("_ssq_t") / F.col("_N"), 6).alias("brier"),
+        F.round(F.col("_ece_num") / F.col("_N"), 6).alias("ece"),
+    )
+
+
+def sql_calibration_report(
+    table: str,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``calibration_report`` (same clamped binning,
+    same |sum_y - sum_p| ECE numerator, same rounding)."""
+    return f"""
+    WITH src AS (
+        SELECT CAST({prob_col} AS DOUBLE) AS _p,
+               CAST({label_col} AS DOUBLE) AS _y
+        FROM {table}
+        WHERE ({where}) AND {prob_col} IS NOT NULL
+              AND {label_col} IS NOT NULL
+    ),
+    cells AS (
+        SELECT least(greatest(CAST(floor(_p * {n_bins}) AS INT), 0),
+                     {n_bins - 1}) AS bin,
+            count(*) AS n, sum(_p) AS _sp, sum(_y) AS _sy,
+            sum((_p - _y) * (_p - _y)) AS _ssq
+        FROM src GROUP BY 1
+    ),
+    gates AS (
+        SELECT sum(n) AS _N, sum(_ssq) AS _ssq_t,
+            sum(abs(_sy - _sp)) AS _ece_num
+        FROM cells
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+        round(_sp / n, 6) AS mean_prob,
+        round(_sy / n, 6) AS frac_pos,
+        round(_ssq_t / _N, 6) AS brier,
+        round(_ece_num / _N, 6) AS ece
+    FROM cells CROSS JOIN gates
+    """

@@ -7764,3 +7764,94 @@ def ewma_backtest_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return ewma_backtest(daily, time_col="d", value_col="y", alpha=0.5)
+
+
+def _kappa_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_agreement_kappa,
+    )
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_lang_id
+
+    return sql_agreement_kappa(
+        f"""(SELECT d.lang, p.lang_pred
+             FROM documents d
+             JOIN ({sql_lang_id("documents")}) p USING (doc_id)) t""",
+        "lang",
+        "lang_pred",
+    )
+
+
+@query("kappa_langid_docs", _kappa_oracle())
+def kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between declared and predicted language
+    (experiment.agreement_kappa over the lang_confusion join) — the
+    chance-corrected scalar behind the confusion matrix; one
+    contingency fold, marginals pooled from the cells."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        agreement_kappa,
+    )
+    from asctb_ct_label_mapper_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return agreement_kappa(joined, "lang", "lang_pred")
+
+
+def _calib_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_calibration_report,
+    )
+
+    return sql_calibration_report(
+        "(SELECT least(n_chars, 2000) / 2000.0 AS p_en,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en"
+        " FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL) t",
+        "p_en",
+        "is_en",
+        n_bins=10,
+    )
+
+
+@query("calibration_doclen_en", _calib_oracle())
+def calibration_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier/ECE (experiment.calibration_report)
+    for a deterministic toy scorer (scaled doc length as P(lang=en))
+    — the calibration gate every probabilistic curation scorer ships
+    through; exercises the clamped equi-width binning and the pooled
+    one-scan Brier/ECE gates on exact rational probabilities."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        calibration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        (F.least(F.col("n_chars"), F.lit(2000)) / 2000.0).alias("p_en"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return calibration_report(scored, "p_en", "is_en", n_bins=10)
+
+
+def _ltv_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import sql_cohort_ltv
+
+    return sql_cohort_ltv(
+        "events", value_where="event_type = 'purchase'"
+    )
+
+
+@query("cohort_ltv_events", _ltv_oracle())
+def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (behavior.cohort_ltv): acquisition-week
+    cohorts, purchase-only monetization, cumulative value per acquired
+    user by age in weeks — the revenue sibling of
+    cohort_retention_events; integer epoch-week arithmetic keeps both
+    engines exact."""
+    from asctb_ct_label_mapper_spark.operators.behavior import cohort_ltv
+
+    return cohort_ltv(
+        _t(spark, sf_dir, "events"),
+        value_where=F.col("event_type") == "purchase",
+    )

@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "quantile_bins_events",
     "label_prop_trade_communities",
     "ewma_backtest_purchases",
+    "kappa_langid_docs",
+    "calibration_doclen_en",
+    "cohort_ltv_events",
 ]
 
 

@@ -352,3 +352,155 @@ def test_ewma_backtest_matches_loop(spark):
         s = 0.5 * y + 0.5 * s
     mae = sum(abs(e) for e in errs) / len(errs)
     assert row["mae"] == pytest.approx(mae, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# agreement kappa
+# ---------------------------------------------------------------------------
+
+def test_agreement_kappa_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        agreement_kappa,
+    )
+
+    # classic 2x2: a=yes/no vs b, n=10
+    rows = (
+        [("y", "y")] * 4 + [("y", "n")] * 1
+        + [("n", "y")] * 2 + [("n", "n")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    po = 7 / 10
+    pe = (5 * 6 + 5 * 4) / 100  # row_y*col_y + row_n*col_n over N^2
+    assert r["n"] == 10
+    assert r["po"] == pytest.approx(po)
+    assert r["pe"] == pytest.approx(pe)
+    assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_agreement_kappa_constant_raters_null(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        agreement_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    assert r["pe"] == pytest.approx(1.0)
+    assert r["kappa"] is None  # undefined, not perfect
+
+
+def test_agreement_kappa_null_labels_excluded(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        agreement_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "x"), ("y", "y")],
+        "a string, b string",
+    )
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 2
+    assert r["po"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# calibration report
+# ---------------------------------------------------------------------------
+
+def test_calibration_report_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        calibration_report,
+    )
+
+    # two bins: probs .1/.1 labels 0,1 ; probs .9/.9 labels 1,1
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.1, 1), (0.9, 1), (0.9, 1)], "p double, y int"
+    )
+    rows = {r["bin"]: r for r in calibration_report(df, "p", "y", 10).collect()}
+    assert rows[1]["mean_prob"] == pytest.approx(0.1)
+    assert rows[1]["frac_pos"] == pytest.approx(0.5)
+    assert rows[9]["frac_pos"] == pytest.approx(1.0)
+    brier = ((0.1 - 0) ** 2 + (0.1 - 1) ** 2 + 2 * (0.9 - 1) ** 2) / 4
+    assert rows[1]["brier"] == pytest.approx(brier, abs=1e-6)
+    # ece: bin1 |1-0.2|/4? -> sum|sy-sp|/N = (|1-0.2| + |2-1.8|)/4
+    ece = (abs(1 - 0.2) + abs(2 - 1.8)) / 4
+    assert rows[9]["ece"] == pytest.approx(ece, abs=1e-6)
+
+
+def test_calibration_report_clamps_prob_one(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame([(1.0, 1), (0.0, 0)], "p double, y int")
+    rows = {r["bin"]: r for r in calibration_report(df, "p", "y", 10).collect()}
+    assert set(rows) == {0, 9}  # p=1.0 clamps into the last bin
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV
+# ---------------------------------------------------------------------------
+
+def test_cohort_ltv_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import cohort_ltv
+
+    rows = [
+        # user 1: first event day 0 (week 0), buys 10 in w0, 20 in w1
+        (1, "2024-01-01 00:00:00", "purchase", 10.0),
+        (1, "2024-01-08 00:00:00", "purchase", 20.0),
+        # user 2: first event day 1 (week 0) is a view, never buys
+        (2, "2024-01-02 00:00:00", "view", 99.0),
+        # user 3: first event week 1, buys 30 same week
+        (3, "2024-01-09 00:00:00", "purchase", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["cohort_start"], r["age"]): r
+        for r in cohort_ltv(
+            df, value_where=F.col("event_type") == "purchase"
+        ).collect()
+    }
+    # 2024-01-01 is a Monday; epoch-week buckets are not ISO weeks but
+    # consistent: day 19723 // 7 = 2817 -> starts 2023-12-28
+    (w0_key,) = {k for k in out if k[1] == 0 and out[k]["n_users"] == 2}
+    w0 = out[w0_key]
+    assert w0["period_value"] == pytest.approx(10.0)
+    assert w0["ltv"] == pytest.approx(5.0)  # 10 / 2 acquired users
+    w0a1 = out[(w0_key[0], 1)]
+    assert w0a1["cum_value"] == pytest.approx(30.0)
+    assert w0a1["ltv"] == pytest.approx(15.0)
+    # user 3's own cohort
+    (w1_key,) = {k for k in out if out[k]["n_users"] == 1}
+    assert out[w1_key]["ltv"] == pytest.approx(30.0)
+
+
+def test_cohort_ltv_rejects_bad_granularity(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import cohort_ltv
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "x", 1.0)],
+        "user_id int, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError):
+        cohort_ltv(df, granularity="fortnight")
+
+
+def test_cohort_ltv_month_granularity(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import cohort_ltv
+
+    rows = [
+        (1, "2024-01-15 00:00:00", "purchase", 5.0),
+        (1, "2024-03-02 00:00:00", "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["age"]: r for r in cohort_ltv(df, granularity="month").collect()
+    }
+    assert out[0]["cohort_start"] == "2024-01-01"
+    assert out[2]["cum_value"] == pytest.approx(12.0)
