@@ -857,10 +857,16 @@ def cohort_ltv(
         bucket = (
             F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col)) - 1
         ).cast("int")
+        # year lpad'd to 4: ANSI to_date rejects 3-digit years and the
+        # oracle renders '0985-...' (r11 review)
         start = F.to_date(
             F.concat_ws(
                 "-",
-                F.floor(F.col("_cm") / 12).cast("int"),
+                F.lpad(
+                    F.floor(F.col("_cm") / 12).cast("int").cast("string"),
+                    4,
+                    "0",
+                ),
                 F.lpad((F.col("_cm") % 12 + 1).cast("string"), 2, "0"),
                 F.lit("01"),
             )
@@ -932,9 +938,12 @@ def sql_cohort_ltv(
         start = "CAST(DATE '1970-01-01' + c._cm * 7 AS VARCHAR)"
     elif granularity == "month":
         bucket = f"CAST(year({ts_col}) * 12 + month({ts_col}) - 1 AS INT)"
+        # year zero-padded to 4 so a junk year-985 timestamp renders
+        # identically to Spark's date-cast '0985-03-01' (r11 review)
         start = (
-            "CAST(floor(c._cm / 12) AS INT) || '-' ||"
-            " lpad(CAST(c._cm % 12 + 1 AS VARCHAR), 2, '0') || '-01'"
+            "lpad(CAST(CAST(floor(c._cm / 12) AS INT) AS VARCHAR), 4, '0')"
+            " || '-' || lpad(CAST(c._cm % 12 + 1 AS VARCHAR), 2, '0')"
+            " || '-01'"
         )
     else:
         raise ValueError(f"unknown granularity {granularity!r}")

@@ -998,9 +998,25 @@ def t_closeness_report(
         F.sum("_n").alias("_tot"),
         F.count_distinct(F.col(sensitive_col)).alias("_m"),
     )
-    spine = class_n.crossJoin(
-        F.broadcast(glob.crossJoin(tot))
-    ).join(cells, [*quasi_cols, sensitive_col], "left")
+    # NULL-SAFE cell re-join (r11 review): a quasi GROUP KEY may itself
+    # be NULL (k_anonymity/l_diversity audit such groups via plain
+    # groupBy) — non-null-safe equality would never match that group's
+    # own cells, score its distribution as all-zeros, and flag a
+    # perfectly-close group as maximally distant. The sensitive side
+    # needs no null-safety (NULL sensitives are excluded above).
+    cells_r = cells.select(
+        *[F.col(c).alias(f"_e_{c}") for c in quasi_cols],
+        F.col(sensitive_col).alias("_e_s"),
+        "_n",
+    )
+    cond = F.col(sensitive_col) == F.col("_e_s")
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_e_{c}"))
+    spine = (
+        class_n.crossJoin(F.broadcast(glob.crossJoin(tot)))
+        .join(cells_r, cond, "left")
+        .drop("_e_s", *[f"_e_{c}" for c in quasi_cols])
+    )
     p = F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.col("_cn")
     q = F.col("_gn").cast("double") / F.col("_tot")
     if ordered:
@@ -1088,7 +1104,7 @@ def sql_t_closeness_report(
             CAST(g._gn AS DOUBLE) / tot._tot AS q
         FROM class_n c CROSS JOIN gdist g CROSS JOIN tot
         LEFT JOIN cells e
-            ON {' AND '.join(f'c.{x} = e.{x}' for x in quasi_cols)}
+            ON {' AND '.join(f'c.{x} IS NOT DISTINCT FROM e.{x}' for x in quasi_cols)}
             AND g.{s} = e.{s}
     ){cum_cte}
     SELECT CAST(count(*) AS BIGINT) AS n_groups,

@@ -478,7 +478,9 @@ def bm25_runs(
 
     Returns (query, id_col, bm25, rank) with rank 1-based in
     (bm25 DESC, id ASC) order — ranking_metrics' run contract."""
-    _require_terms(sorted({t for ts in queries.values() for t in ts}))
+    for qlabel, terms in queries.items():
+        _require_terms(list(terms))  # per query: an empty term list
+        # would otherwise slip past a union-only check (r11 review)
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     all_terms = sorted({t for ts in queries.values() for t in ts})

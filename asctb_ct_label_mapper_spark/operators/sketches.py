@@ -1029,13 +1029,23 @@ def binned_quantiles(
         F.sum("_c").over(Window.partitionBy()).alias("_n"),
     )
     spark = df.sparkSession
+    # INTEGER-EXACT nearest rank (r11 review): float ceil(q*n) overshoots
+    # when q*n lands one ulp above an integer (0.07*100 ->
+    # 7.000000000000001 -> rank 8) — q is parsed to an exact decimal
+    # fraction and the rank is (num*n + den - 1) DIV den, pure BIGINT
+    # arithmetic on both engines.
+    from fractions import Fraction
+
     q_df = spark.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+        [
+            (float(q), frac.numerator, frac.denominator)
+            for q in qs
+            for frac in [Fraction(str(float(q)))]
+        ],
+        "q double, _qn long, _qd long",
     )
-    hits = cum.join(
-        F.broadcast(q_df),
-        F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")),
-    )
+    rank = F.expr("(_qn * _n + _qd - 1) DIV _qd")
+    hits = cum.join(F.broadcast(q_df), F.col("_cum") >= rank)
     return (
         hits.groupBy("q")
         .agg(F.min("_bin").alias("_b"))
@@ -1060,7 +1070,13 @@ def sql_binned_quantiles(
     """DuckDB replay of ``binned_quantiles`` (same clamped equi-width
     binning, same ceil(q*n) nearest-rank-at-resolution convention)."""
     width = (hi - lo) / n_bins
-    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    from fractions import Fraction
+
+    q_rows = ", ".join(
+        f"({float(q)!r}, {Fraction(str(float(q))).numerator},"
+        f" {Fraction(str(float(q))).denominator})"
+        for q in qs
+    )
     return f"""
     WITH counts AS (
         SELECT least(greatest(
@@ -1079,9 +1095,10 @@ def sql_binned_quantiles(
             sum(_c) OVER () AS _n
         FROM counts
     ),
-    quants AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {q_rows}) v(q))
+    quants AS (SELECT CAST(q AS DOUBLE) AS q, _qn, _qd
+               FROM (VALUES {q_rows}) v(q, _qn, _qd))
     SELECT q, round(CAST({lo!r} AS DOUBLE)
         + (min(_bin) + 1) * CAST({width!r} AS DOUBLE), 6) AS estimate
-    FROM cum JOIN quants ON _cum >= ceil(q * _n)
+    FROM cum JOIN quants ON _cum >= (_qn * _n + _qd - 1) // _qd
     GROUP BY q
     """

@@ -2413,6 +2413,11 @@ def ewma_backtest(
     Scale shape: the input is already dimension-sized (the caller's
     rollup did the data-sized work); the window is one ordered pass
     over it, and the metric fold is one row out."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(
+            "ewma_backtest needs 0 < alpha < 1 (alpha=1 has no history "
+            "to rescale; use lag(y) directly for the naive forecast)"
+        )
     r = 1.0 - alpha
     x = F.col(value_col).cast("double")
     numbered = series.select(
@@ -2440,9 +2445,18 @@ def ewma_backtest(
         F.round(F.avg(F.abs(e)), 6).alias("mae"),
         F.round(F.sqrt(F.avg(e * e)), 6).alias("rmse"),
         F.round(
+            # 0/0 steps (y = yhat = 0) are DEFINED as 0, the SMAPE
+            # convention — otherwise NULL would silently drop them from
+            # the average while n_steps/mae/rmse still count them (r11
+            # review)
             F.avg(
-                2.0 * F.abs(e)
-                / (F.abs(F.col("_y")) + F.abs(F.col("_p")))
+                F.when(
+                    F.abs(F.col("_y")) + F.abs(F.col("_p")) == 0.0,
+                    F.lit(0.0),
+                ).otherwise(
+                    2.0 * F.abs(e)
+                    / (F.abs(F.col("_y")) + F.abs(F.col("_p")))
+                )
             ),
             6,
         ).alias("smape"),
@@ -2483,7 +2497,9 @@ def sql_ewma_backtest(
     SELECT CAST(count(*) AS BIGINT) AS n_steps,
         round(avg(abs(_y - _p)), 6) AS mae,
         round(sqrt(avg((_y - _p) * (_y - _p))), 6) AS rmse,
-        round(avg(2.0 * abs(_y - _p) / (abs(_y) + abs(_p))), 6) AS smape
+        round(avg(CASE WHEN abs(_y) + abs(_p) = 0 THEN 0.0
+                 ELSE 2.0 * abs(_y - _p) / (abs(_y) + abs(_p)) END), 6)
+            AS smape
     FROM preds
     WHERE _p IS NOT NULL
     """

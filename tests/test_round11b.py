@@ -504,3 +504,124 @@ def test_cohort_ltv_month_granularity(spark):
     }
     assert out[0]["cohort_start"] == "2024-01-01"
     assert out[2]["cum_value"] == pytest.approx(12.0)
+
+
+# ---------------------------------------------------------------------------
+# r11 review-fix regressions
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_null_quasi_group_matches_own_cells(spark):
+    """A NULL quasi-key group whose sensitive distribution equals the
+    global one must NOT be flagged (null-safe cell re-join)."""
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("g", "x"), ("g", "y")],
+        "qc string, s string",
+    )
+    row = t_closeness_report(df, ["qc"], "s", t=0.1).collect()[0]
+    assert row["n_groups"] == 2
+    assert row["violating_groups"] == 0
+    assert row["max_dist"] == pytest.approx(0.0)
+
+
+def test_t_closeness_null_quasi_oracle_parity(spark, tmp_path):
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.profile import (
+        sql_t_closeness_report,
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("g", "x"), ("g", "x"), ("h", "y")],
+        "qc string, s string",
+    )
+    pq = str(tmp_path / "tc.parquet")
+    df.write.parquet(pq)
+    got = t_closeness_report(
+        spark.read.parquet(pq), ["qc"], "s", t=0.3
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{pq}/*.parquet'")
+    want = con.sql(
+        sql_t_closeness_report("t", ["qc"], "s", t=0.3)
+    ).fetchone()
+    assert (got["n_groups"], got["violating_groups"]) == want[:2]
+    assert got["max_dist"] == pytest.approx(want[2])
+
+
+def test_binned_quantiles_integer_exact_rank(spark):
+    """q*n float overshoot (0.07*100 = 7.000000000000001) must not
+    bump the nearest rank from 7 to 8."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        binned_quantiles,
+    )
+
+    # 100 values: 7 in bin 0, 93 in bin 9 -> rank 7 is still bin 0
+    vals = [0.5] * 7 + [9.5] * 93
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    rows = binned_quantiles(
+        df, "value", lo=0.0, hi=10.0, n_bins=10, qs=(0.07,)
+    ).collect()
+    assert rows[0]["estimate"] == pytest.approx(1.0)  # bin 0 upper edge
+
+
+def test_ewma_backtest_rejects_degenerate_alpha(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "d int, y double")
+    for bad in (0.0, 1.0, 1.5, -0.2):
+        with pytest.raises(ValueError):
+            ewma_backtest(df, "d", "y", alpha=bad)
+
+
+def test_ewma_backtest_smape_zero_over_zero_counts(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        ewma_backtest,
+    )
+
+    # y: 0,0,4 -> preds: 0 (0/0 step), 0 -> smape = (0 + 2*4/4)/2 = 1
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 4.0)], "d int, y double"
+    )
+    row = ewma_backtest(df, "d", "y", alpha=0.5).collect()[0]
+    assert row["n_steps"] == 2
+    assert row["smape"] == pytest.approx(1.0)
+
+
+def test_bm25_runs_rejects_empty_query(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.retrieval import bm25_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        bm25_runs(docs, {"q1": ["spark"], "q2": []})
+
+
+def test_cohort_ltv_month_oracle_pads_small_years(spark, tmp_path):
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        cohort_ltv,
+        sql_cohort_ltv,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "0985-03-02 00:00:00", "purchase", 3.0)],
+        "user_id int, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pq = str(tmp_path / "ltv.parquet")
+    df.write.parquet(pq)
+    got = cohort_ltv(
+        spark.read.parquet(pq), granularity="month"
+    ).collect()[0]["cohort_start"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM '{pq}/*.parquet'")
+    want = con.sql(
+        sql_cohort_ltv("ev", granularity="month")
+    ).fetchone()[0]
+    assert got == want == "0985-03-01"
