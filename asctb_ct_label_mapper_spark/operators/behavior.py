@@ -143,7 +143,7 @@ def funnel_steps(
     )
 
 
-def _funnel_steps_fold(
+def _funnel_reach(
     df: DataFrame,
     steps: Sequence[str],
     ts_col: str,
@@ -151,20 +151,23 @@ def _funnel_steps_fold(
     type_col: str,
     within: str | None,
 ) -> DataFrame:
-    """One-pass funnel engine (see funnel_steps impl='fold'). 2 Exchanges
-    total: the user-keyed partial-aggregated collect, then the K-column
-    single-row rollup (bytes-sized) unpivoted to K rows."""
+    """The fold engine's per-user frame: (key, _reach array<timestamp>
+    of first-touch step reach times, _present step-1 flag) — shared by
+    the funnel counts and the time-to-convert readout so the greedy
+    fill can never diverge between them.
+
+    step-1 presence: the join plan's first frame is "users with
+    >= 1 step-1 event" (even all-NULL-ts ones, whose group row
+    exists with t = NULL) — NOT "users with any funnel event".
+    Expressions are GENERATED SQL throughout: the Column-object
+    formulation costs ~700 py4j round-trips (~0.4 s) per plan build."""
     k = len(steps)
     ev = df.filter(F.col(type_col).isin(list(steps))).select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("_t"),
         F.col(type_col).alias("_y"),
     )
-    # step-1 presence: the join plan's first frame is "users with
-    # >= 1 step-1 event" (even all-NULL-ts ones, whose group row
-    # exists with t = NULL) — NOT "users with any funnel event".
-    # Expressions are GENERATED SQL throughout: the Column-object
-    # formulation costs ~700 py4j round-trips (~0.4 s) per plan build.
+
     def q(lit: str) -> str:
         return "'" + lit.replace("'", "''") + "'"
 
@@ -194,9 +197,27 @@ def _funnel_steps_fold(
         + ", ".join(slots)
         + "))"
     )
-    per_user = collected.selectExpr(
+    return collected.selectExpr(
         "key", f"{fold_sql} AS _reach", "_has0 = 1 AS _present"
     )
+
+
+def _funnel_steps_fold(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    within: str | None,
+) -> DataFrame:
+    """One-pass funnel engine (see funnel_steps impl='fold'). 2 Exchanges
+    total: the user-keyed partial-aggregated collect, then the K-column
+    single-row rollup (bytes-sized) unpivoted to K rows."""
+    k = len(steps)
+    per_user = _funnel_reach(df, steps, ts_col, key_col, type_col, within)
+
+    def q(lit: str) -> str:
+        return "'" + lit.replace("'", "''") + "'"
     # coalesce: on an input with NO funnel-step events per_user is
     # EMPTY and bare sums would emit NULL counts — impl='joins' and the
     # SQL oracle both emit 0 there (count() over an empty frame)
@@ -973,4 +994,138 @@ def sql_cohort_ltv(
         round(c._cv, 4) AS cum_value,
         round(c._cv / s.n_users, 4) AS ltv
     FROM curve c JOIN sizes s ON c._cm = s._cm
+    """
+
+
+def funnel_time_to_convert(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    within: str | None = None,
+    qs: Sequence[float] = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution for the users who complete the
+    funnel — the latency half of the conversion readout (counts say
+    HOW MANY convert; this says HOW LONG the journey takes, which is
+    what SLAs, nudge timing, and within-window tuning read). Shares
+    :func:`_funnel_reach`'s greedy first-touch fill with funnel_steps,
+    so "converted" means exactly the users funnel_steps counts at the
+    last step; the latency is last-step reach minus step-1 reach in
+    whole seconds (exact integer on both engines).
+
+    Returns ONE row: (n_converted, mean_s, then one ``q_<pct>`` column
+    per requested quantile — nearest-rank, the group_quantiles
+    convention). Scale: the reach frame is ONE user-keyed Exchange
+    (the funnel fold itself); the quantile window then sorts only the
+    CONVERTED-user latencies — a frame conversion-rate-times smaller
+    than the log. For corpus-scale converted sets swap the exact
+    window for sketches.binned_quantiles (the documented mergeable
+    flavor)."""
+    if len(steps) < 2:
+        raise ValueError("time-to-convert needs at least two steps")
+    k = len(steps)
+    per_user = _funnel_reach(df, steps, ts_col, key_col, type_col, within)
+    lat = per_user.filter(
+        F.expr(f"_reach[{k - 1}] IS NOT NULL")
+    ).selectExpr(
+        f"unix_timestamp(_reach[{k - 1}]) - unix_timestamp(_reach[0])"
+        " AS secs"
+    )
+    ranked = lat.select(
+        "secs",
+        F.row_number().over(Window.orderBy("secs")).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    aggs = [
+        F.max("_n").alias("n_converted"),
+        F.round(F.avg("secs"), 2).alias("mean_s"),
+    ]
+    # nearest rank in exact integer arithmetic (the binned_quantiles
+    # r11 rule: float ceil(q*n) overshoots when q*n lands one ulp
+    # above an integer, e.g. 0.9*10)
+    from fractions import Fraction
+
+    for q in qs:
+        pct = int(round(q * 100))
+        frac = Fraction(str(float(q)))
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn")
+                    == F.expr(
+                        f"({frac.numerator} * _n + {frac.denominator} - 1)"
+                        f" DIV {frac.denominator}"
+                    ),
+                    F.col("secs"),
+                )
+            ).alias(f"q_{pct}")
+        )
+    out = ranked.agg(*aggs)
+    # empty converted set: n_converted = 0 (not NULL), quantiles NULL
+    return out.select(
+        F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+        "mean_s",
+        *[f"q_{int(round(q * 100))}" for q in qs],
+    )
+
+
+def sql_funnel_time_to_convert(
+    table: str = "events",
+    steps: Sequence[str] = ("signup", "view", "purchase"),
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    where: str = "1=1",
+    within: str | None = None,
+    qs: Sequence[float] = (0.25, 0.5, 0.9),
+) -> str:
+    """DuckDB replay of ``funnel_time_to_convert`` — the chained
+    min-after CTEs (sql_funnel_steps' plan) give the same first-touch
+    reach times, then the same nearest-rank quantile arithmetic."""
+    ctes = [
+        f"s1 AS (SELECT {key_col} AS key, min({ts_col}) AS t FROM {table} "
+        f"WHERE ({where}) AND {type_col} = '{steps[0]}' GROUP BY {key_col})"
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.{key_col} AS key, min(e.{ts_col}) AS t "
+            f"FROM {table} e JOIN s{i - 1} p ON e.{key_col} = p.key "
+            f"WHERE ({where}) AND e.{type_col} = '{s}' AND e.{ts_col} > p.t "
+            + (
+                f"AND e.{ts_col} <= p.t + INTERVAL {within} "
+                if within is not None
+                else ""
+            )
+            + f"GROUP BY e.{key_col})"
+        )
+    k = len(steps)
+    from fractions import Fraction
+
+    qcols = []
+    for q in qs:
+        pct = int(round(q * 100))
+        frac = Fraction(str(float(q)))
+        qcols.append(
+            f"max(CASE WHEN _rn = ({frac.numerator} * _n"
+            f" + {frac.denominator} - 1) // {frac.denominator}"
+            f" THEN secs END) AS q_{pct}"
+        )
+    return f"""
+    WITH {', '.join(ctes)},
+    lat AS (
+        SELECT date_diff('second', s1.t, s{k}.t) AS secs
+        FROM s{k} JOIN s1 ON s{k}.key = s1.key
+    ),
+    ranked AS (
+        SELECT secs,
+            row_number() OVER (ORDER BY secs) AS _rn,
+            count(*) OVER () AS _n
+        FROM lat
+    )
+    SELECT CAST(coalesce(max(_n), 0) AS BIGINT) AS n_converted,
+        round(avg(secs), 2) AS mean_s,
+        {', '.join(qcols)}
+    FROM ranked
     """

@@ -17,7 +17,7 @@ engines (NULL at n<2 on both); outputs round 6dp.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1177,4 +1177,210 @@ def sql_calibration_report(
         round(_ssq_t / _N, 6) AS brier,
         round(_ece_num / _N, 6) AS ece
     FROM cells CROSS JOIN gates
+    """
+
+
+Z_ALPHA_05_TWO_SIDED = 1.959963984540054  # Phi^-1(0.975)
+Z_POWER_80 = 0.8416212335729143  # Phi^-1(0.80)
+
+
+def ab_mde(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    z_alpha: float = Z_ALPHA_05_TWO_SIDED,
+    z_power: float = Z_POWER_80,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample — the power
+    readout every experiment plan pairs with ab_welch_ttest's verdict:
+    with these arm sizes and metric variances, the smallest true lift
+    the test would detect at significance z_alpha (default two-sided
+    5%) with power z_power (default 80%) is
+
+        mde_abs = (z_alpha + z_power) * sqrt(v0/n0 + v1/n1)
+
+    and mde_rel = mde_abs / mean0 (relative to control; NULL when the
+    control mean is 0). The z constants are fixed quantiles of the
+    normal — neither engine has an inverse CDF, and the two standard
+    operating points cover the convention.
+
+    Same scale shape as the Welch readout it complements: ONE
+    user-grain aggregate (zero-filled non-converters — randomized
+    units stay in the denominator), then one-row arithmetic. Returns
+    (n0, n1, mean0, se_diff, mde_abs, mde_rel) rounded 6dp."""
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    per_arm = um.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("mean0"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("m"))).alias("v0"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("m"))).alias("v1"),
+    )
+    se = F.sqrt(
+        F.try_divide(F.col("v0"), F.col("n0").cast("double"))
+        + F.try_divide(F.col("v1"), F.col("n1").cast("double"))
+    )
+    mde = F.lit(z_alpha + z_power) * se
+    return per_arm.select(
+        "n0",
+        "n1",
+        F.round("mean0", 6).alias("mean0"),
+        F.round(se, 6).alias("se_diff"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.try_divide(mde, F.nullif(F.col("mean0"), F.lit(0.0))), 6
+        ).alias("mde_rel"),
+    )
+
+
+def sql_ab_mde(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    z_alpha: float = Z_ALPHA_05_TWO_SIDED,
+    z_power: float = Z_POWER_80,
+) -> str:
+    """DuckDB replay of ``ab_mde`` (same zero-filled user metric, same
+    z operating points, same NULL guards)."""
+    zsum = z_alpha + z_power
+    return f"""
+    WITH um AS (
+        SELECT {user_col} AS u, {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                         THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY {user_col}
+    ),
+    pa AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            avg(CASE WHEN arm = 0 THEN m END) AS mean0,
+            var_samp(CASE WHEN arm = 0 THEN m END) AS v0,
+            var_samp(CASE WHEN arm = 1 THEN m END) AS v1
+        FROM um
+    )
+    SELECT n0, n1, round(mean0, 6) AS mean0,
+        round(sqrt(v0 / n0 + v1 / n1), 6) AS se_diff,
+        round({zsum!r} * sqrt(v0 / n0 + v1 / n1), 6) AS mde_abs,
+        round({zsum!r} * sqrt(v0 / n0 + v1 / n1)
+              / nullif(mean0, 0.0), 6) AS mde_rel
+    FROM pa
+    """
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the targeting readout
+    next to calibration_report (calibration asks "are the
+    probabilities honest?"; lift asks "if I act on the top k%, what
+    do I capture?"): rank rows by score descending, cut into
+    ``n_tiles`` equal tiles, and per tile report size, positives,
+    positive rate, cumulative capture share, and lift vs the base
+    rate. NULL score or label rows are excluded; ties break on
+    ``id_col`` so both engines tile identically.
+
+    Returns (tile, n, n_pos, pos_rate, cum_capture, lift) rounded
+    6dp; cum_capture/lift are NULL when there are no positives at all
+    (nothing to capture — NULL, not div-by-zero noise).
+
+    Scale note: the ntile window is GLOBAL over the scored frame —
+    fine at the aggregate/user grain this readout runs at; the
+    billion-row path is the id-bucketed global_rank precedent
+    (curation.py global_rank) feeding the same tile arithmetic."""
+    p = F.col(score_col)
+    y = F.col(label_col).cast("double")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    tiled = base.select(
+        y.alias("_y"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(p.desc(), F.col(id_col)))
+        .alias("tile"),
+    )
+    cells = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)
+    tot = cells.agg(
+        F.sum("n").alias("_N"), F.sum("n_pos").alias("_P")
+    )
+    w = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = cells.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("_cum_pos"),
+    ).crossJoin(F.broadcast(tot))
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    overall = F.col("_P").cast("double") / F.col("_N")
+    return out.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(
+            F.col("_cum_pos").cast("double")
+            / F.nullif(F.col("_P").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            F.try_divide(pos_rate, F.nullif(overall, F.lit(0.0))), 6
+        ).alias("lift"),
+    )
+
+
+def sql_lift_table(
+    table: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``lift_table`` (same DESC+id tiling, same
+    NULL-when-no-positives convention)."""
+    return f"""
+    WITH base AS (
+        SELECT CAST({label_col} AS DOUBLE) AS _y,
+            ntile({n_tiles}) OVER (
+                ORDER BY {score_col} DESC, {id_col}
+            ) AS tile
+        FROM {table}
+        WHERE ({where}) AND {score_col} IS NOT NULL
+              AND {label_col} IS NOT NULL
+    ),
+    cells AS (
+        SELECT tile, count(*) AS n, CAST(sum(_y) AS BIGINT) AS n_pos
+        FROM base GROUP BY tile
+    ),
+    tot AS (SELECT sum(n) AS _N, sum(n_pos) AS _P FROM cells),
+    cum AS (
+        SELECT tile, n, n_pos,
+            sum(n_pos) OVER (ORDER BY tile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS _cum_pos
+        FROM cells
+    )
+    SELECT c.tile, c.n, c.n_pos,
+        round(CAST(c.n_pos AS DOUBLE) / c.n, 6) AS pos_rate,
+        round(CAST(c._cum_pos AS DOUBLE)
+              / nullif(CAST(t._P AS DOUBLE), 0.0), 6) AS cum_capture,
+        round((CAST(c.n_pos AS DOUBLE) / c.n)
+              / nullif(CAST(t._P AS DOUBLE) / t._N, 0.0), 6) AS lift
+    FROM cum c CROSS JOIN tot t
     """

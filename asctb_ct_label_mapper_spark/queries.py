@@ -7855,3 +7855,82 @@ def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"),
         value_where=F.col("event_type") == "purchase",
     )
+
+
+def _ttc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_funnel_time_to_convert,
+    )
+
+    return sql_funnel_time_to_convert(
+        "events", ["signup", "view", "purchase"]
+    )
+
+
+@query("funnel_time_to_convert", _ttc_oracle())
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the signup->view->purchase
+    funnel (behavior.funnel_time_to_convert): n_converted, mean and
+    nearest-rank p25/p50/p90 seconds from first signup to purchase
+    reach — shares the one-pass fold's reach frame with
+    funnel_signup_purchase so the converted set is identical."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        funnel_time_to_convert as _op,
+    )
+
+    return _op(
+        _t(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+def _mde_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import sql_ab_mde
+
+    return sql_ab_mde("events")
+
+
+@query("ab_mde_purchase", _mde_oracle())
+def ab_mde_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the current sample
+    (experiment.ab_mde): the power readout next to ab_welch_purchase —
+    same zero-filled per-user metric frame, one-row z-quantile
+    arithmetic; absolute and control-relative MDE."""
+    from asctb_ct_label_mapper_spark.operators.experiment import ab_mde
+
+    return ab_mde(_t(spark, sf_dir, "events"))
+
+
+def _lift_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_lift_table,
+    )
+
+    return sql_lift_table(
+        "(SELECT doc_id, least(n_chars, 2000) / 2000.0 AS p_en,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en"
+        " FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL) t",
+        "p_en",
+        "is_en",
+        "doc_id",
+        n_tiles=10,
+    )
+
+
+@query("lift_table_doclen_en", _lift_oracle())
+def lift_table_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table (experiment.lift_table)
+    for the calibration_doclen_en scorer — pos rate, capture share,
+    and lift per score decile; the targeting readout a curation
+    scorer ships with (calibration says the probabilities are honest,
+    lift says what acting on the top decile buys)."""
+    from asctb_ct_label_mapper_spark.operators.experiment import lift_table
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        (F.least(F.col("n_chars"), F.lit(2000)) / 2000.0).alias("p_en"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return lift_table(scored, "p_en", "is_en", "doc_id", n_tiles=10)

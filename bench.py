@@ -290,6 +290,9 @@ BENCH_QUERIES = [
     "kappa_langid_docs",
     "calibration_doclen_en",
     "cohort_ltv_events",
+    "funnel_time_to_convert",
+    "ab_mde_purchase",
+    "lift_table_doclen_en",
 ]
 
 

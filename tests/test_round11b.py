@@ -625,3 +625,153 @@ def test_cohort_ltv_month_oracle_pads_small_years(spark, tmp_path):
         sql_cohort_ltv("ev", granularity="month")
     ).fetchone()[0]
     assert got == want == "0985-03-01"
+
+
+# ---------------------------------------------------------------------------
+# funnel time-to-convert
+# ---------------------------------------------------------------------------
+
+def _ttc_events(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 00:01:40", "purchase"),   # 100 s
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:05:00", "purchase"),   # 300 s
+        (3, "2024-01-01 00:00:00", "signup"),     # never converts
+        (4, "2024-01-01 00:00:00", "purchase"),   # purchase before signup
+        (4, "2024-01-01 00:10:00", "signup"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id int, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_time_to_convert_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        funnel_time_to_convert,
+    )
+
+    row = funnel_time_to_convert(
+        _ttc_events(spark), ["signup", "purchase"], qs=(0.5,)
+    ).collect()[0]
+    assert row["n_converted"] == 2
+    assert row["mean_s"] == pytest.approx(200.0)
+    assert row["q_50"] == 100  # nearest rank ceil(0.5*2)=1 -> 100 s
+
+
+def test_funnel_time_to_convert_empty(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        funnel_time_to_convert,
+    )
+
+    df = _ttc_events(spark).filter(F.col("event_type") == "signup")
+    row = funnel_time_to_convert(
+        df, ["signup", "purchase"], qs=(0.5,)
+    ).collect()[0]
+    assert row["n_converted"] == 0
+    assert row["mean_s"] is None
+
+
+def test_funnel_time_to_convert_needs_two_steps(spark):
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        funnel_time_to_convert,
+    )
+
+    with pytest.raises(ValueError):
+        funnel_time_to_convert(_ttc_events(spark), ["signup"])
+
+
+def test_funnel_time_to_convert_matches_funnel_counts(spark, sf_dir):
+    """'Converted' must mean exactly what funnel_steps counts at the
+    last step (shared reach frame)."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        funnel_steps,
+        funnel_time_to_convert,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    steps = ["signup", "view", "purchase"]
+    last = [
+        r["users"]
+        for r in funnel_steps(ev, steps).collect()
+        if r["step"] == 3
+    ][0]
+    ttc = funnel_time_to_convert(ev, steps).collect()[0]
+    assert ttc["n_converted"] == last
+
+
+# ---------------------------------------------------------------------------
+# MDE
+# ---------------------------------------------------------------------------
+
+def test_ab_mde_closed_form(spark):
+    import math
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        Z_ALPHA_05_TWO_SIDED,
+        Z_POWER_80,
+        ab_mde,
+    )
+
+    # arm 0 (even users): metrics 0, 10 -> var 50; arm 1: 4, 8 -> var 8
+    rows = [
+        (2, "purchase", 10.0), (4, "x", 1.0),
+        (1, "purchase", 4.0), (3, "purchase", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, value double"
+    )
+    r = ab_mde(df).collect()[0]
+    se = math.sqrt(50.0 / 2 + 8.0 / 2)
+    assert r["n0"] == 2 and r["n1"] == 2
+    assert r["se_diff"] == pytest.approx(se, abs=1e-6)
+    assert r["mde_abs"] == pytest.approx(
+        (Z_ALPHA_05_TWO_SIDED + Z_POWER_80) * se, abs=1e-5
+    )
+    assert r["mde_rel"] == pytest.approx(r["mde_abs"] / 5.0, abs=1e-5)
+
+
+def test_ab_mde_zero_control_mean_null_rel(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import ab_mde
+
+    rows = [
+        (2, "x", 1.0), (4, "x", 1.0),
+        (1, "purchase", 4.0), (3, "purchase", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, value double"
+    )
+    r = ab_mde(df).collect()[0]
+    assert r["mean0"] == 0.0
+    assert r["mde_rel"] is None
+
+
+# ---------------------------------------------------------------------------
+# lift table
+# ---------------------------------------------------------------------------
+
+def test_lift_table_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import lift_table
+
+    # scores 10..1, positives are the top 3 scores
+    rows = [(i, float(11 - i), 1 if i <= 3 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id int, s double, y int")
+    out = {r["tile"]: r for r in lift_table(df, "s", "y", "id", 5).collect()}
+    # tile 1 = scores 10,9 -> both positive
+    assert out[1]["n_pos"] == 2
+    assert out[1]["pos_rate"] == pytest.approx(1.0)
+    assert out[1]["lift"] == pytest.approx(1.0 / 0.3, abs=1e-6)
+    assert out[1]["cum_capture"] == pytest.approx(2 / 3, abs=1e-6)
+    # tile 2 = scores 8,7 -> one positive (score 8 = id 3)
+    assert out[2]["n_pos"] == 1
+    assert out[5]["cum_capture"] == pytest.approx(1.0)
+
+
+def test_lift_table_no_positives_null(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import lift_table
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 0), (2, 0.1, 0)], "id int, s double, y int"
+    )
+    out = lift_table(df, "s", "y", "id", 2).collect()
+    assert all(r["cum_capture"] is None and r["lift"] is None for r in out)
