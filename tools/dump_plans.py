@@ -76,6 +76,12 @@ TARGETS = {
     "attribution_position_events": "U-shaped attribution (r11): conditional-min-over-FOLLOWING window on one user Exchange; position/size windows per (user, conversion)",
     "funnel_3step": "window-chain funnel (r11): type-IN-steps filter pushed to the scan BEFORE the single user Exchange (r10 verdict #2)",
     "textrank_keywords_docs": "TextRank (r11): corpus-sized stage is ONE adjacency-pair count; PageRank loop runs per-iteration broadcast joins on the vocabulary-grain edge list",
+    "t_closeness_docs": "t-closeness (r11b): ONE persisted (quasi,sensitive) cell fold; class sizes, global distribution, and the null-safe spine re-join all derive from the cached cells - the table is scanned once",
+    "quantile_bins_events": "binned quantile sketch (r11b): one combinable bin fold (<= n_bins rows out of the map side), bounded cumulative window, integer-exact rank join against the broadcast quantile spine",
+    "ranking_eval_docs": "batched ranking eval (r11b): ONE persisted corpus tf pass scores all queries (q tiny TakeOrderedAndProject jobs), qrels read the same cache; metrics are per-query bounded windows",
+    "funnel_time_to_convert": "funnel latency (r11b): the shared one-pass reach fold (type-IN pushed, one user Exchange) -> converted-only latency frame -> nearest-rank window over the conversion-rate-times-smaller set",
+    "lift_table_doclen_en": "decile gains (r11b): scored-frame ntile (DESC+id total order) -> tile-grain cells persisted -> one-row totals broadcast + bounded cumulative window",
+    "cohort_ltv_events": "cohort LTV (r11b): user-grain min-bucket fold persisted, fact pass joins it on the user key, (cohort, age) fold + per-cohort cumulative window - dimension-grain past the join",
 }
 
 
