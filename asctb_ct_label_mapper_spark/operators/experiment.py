@@ -1384,3 +1384,109 @@ def sql_lift_table(
               / nullif(CAST(t._P AS DOUBLE) / t._N, 0.0), 6) AS lift
     FROM cum c CROSS JOIN tot t
     """
+
+
+def segment_uplift_scan(
+    df: DataFrame,
+    dims: list[str],
+    label_col: str,
+    min_n: int = 30,
+    k: int = 20,
+) -> DataFrame:
+    """Segment-discovery stump scan — the "where does the metric
+    differ?" insight miner run before any targeted experiment: for
+    every value of every candidate dimension, compare the segment's
+    positive rate to the overall rate and rank segments by the 1-dof
+    proportion chi-square. Segments under ``min_n`` rows are dropped
+    (noise floor), top ``k`` returned by (chi2 DESC, dim, value).
+
+    Returns (dim, value, n, pos_rate, lift, chi2) rounded 6dp; lift is
+    NULL when the overall rate is 0.
+
+    Scale shape: ONE table scan — the candidate dimensions unpivot via
+    ``stack`` into a (dim, value, y) long stream (k_dims x rows, the
+    same shape profile_table uses), then one combinable (dim, value)
+    fold; overall totals re-derive from ONE dimension's marginals
+    (pooled — no second scan), attach by 1-row broadcast. The top-k is
+    a TakeOrderedAndProject over the segment-dimension-sized frame."""
+    if not dims:
+        raise ValueError("segment_uplift_scan needs at least one dim")
+    y = F.col(label_col).cast("double")
+    stack_args = ", ".join(
+        f"'{d}', CAST({d} AS STRING)" for d in dims
+    )
+    longf = df.filter(y.isNotNull()).select(
+        F.expr(f"stack({len(dims)}, {stack_args}) AS (dim, value)"),
+        y.alias("_y"),
+    )
+    cells = longf.groupBy("dim", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("_pos"),
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)
+    tot = cells.filter(F.col("dim") == dims[0]).agg(
+        F.sum("n").alias("_N"), F.sum("_pos").alias("_P")
+    )
+    j = cells.filter(F.col("n") >= min_n).crossJoin(F.broadcast(tot))
+    rate = F.col("_pos") / F.col("n")
+    overall = F.col("_P") / F.col("_N")
+    var = overall * (1.0 - overall)
+    chi2 = F.try_divide(
+        (F.col("_pos") - F.col("n") * overall)
+        * (F.col("_pos") - F.col("n") * overall),
+        F.col("n") * var,
+    )
+    return (
+        j.select(
+            "dim",
+            "value",
+            "n",
+            F.round(rate, 6).alias("pos_rate"),
+            F.round(
+                F.try_divide(rate, F.nullif(overall, F.lit(0.0))), 6
+            ).alias("lift"),
+            F.round(chi2, 6).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "dim", "value")
+        .limit(k)
+    )
+
+
+def sql_segment_uplift_scan(
+    table: str,
+    dims: list[str],
+    label_col: str,
+    min_n: int = 30,
+    k: int = 20,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``segment_uplift_scan`` (union-of-selects
+    unpivot, same marginal-derived totals, same tie-break)."""
+    branches = " UNION ALL ".join(
+        f"SELECT '{d}' AS dim, CAST({d} AS VARCHAR) AS value,"
+        f" CAST({label_col} AS DOUBLE) AS _y"
+        f" FROM {table} WHERE ({where}) AND {label_col} IS NOT NULL"
+        for d in dims
+    )
+    return f"""
+    WITH longf AS ({branches}),
+    cells AS (
+        SELECT dim, value, count(*) AS n, sum(_y) AS _pos
+        FROM longf GROUP BY dim, value
+    ),
+    tot AS (
+        SELECT sum(n) AS _N, sum(_pos) AS _P
+        FROM cells WHERE dim = '{dims[0]}'
+    )
+    SELECT dim, value, CAST(n AS BIGINT) AS n,
+        round(_pos / n, 6) AS pos_rate,
+        round((_pos / n) / nullif(_P / _N, 0.0), 6) AS lift,
+        round((_pos - n * (_P / _N)) * (_pos - n * (_P / _N))
+              / nullif(n * (_P / _N) * (1.0 - _P / _N), 0.0), 6) AS chi2
+    FROM cells CROSS JOIN tot
+    WHERE n >= {min_n}
+    ORDER BY chi2 DESC NULLS LAST, dim, value
+    LIMIT {k}
+    """

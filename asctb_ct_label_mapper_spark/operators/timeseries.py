@@ -2503,3 +2503,122 @@ def sql_ewma_backtest(
     FROM preds
     WHERE _p IS NOT NULL
     """
+
+
+def backtest_baselines(
+    series: DataFrame,
+    time_col: str = "d",
+    value_col: str = "y",
+    season: int = 7,
+) -> DataFrame:
+    """One-step-ahead error profile of the THREE classic forecasting
+    baselines (Hyndman's nomenclature) over an aggregate-grain series
+    — the floor every model backtest (ewma_backtest, the Holt family)
+    must beat to justify itself:
+
+    - ``naive``: yhat_t = y_{t-1}
+    - ``snaive``: yhat_t = y_{t-season} (seasonal naive)
+    - ``drift``: yhat_t = y_{t-1} + (y_{t-1} - y_1)/(t - 2) for t >= 3
+      (the first/last-point line extended one step)
+
+    Returns one row per method: (method, n_steps, mae, rmse, smape),
+    SMAPE with the 0/0-is-0 convention, floats rounded 6dp. Each
+    method is scored over exactly the steps where its prediction
+    exists (naive: t>=2, snaive: t>season, drift: t>=3) — n_steps per
+    row says which.
+
+    Scale shape: the input is the caller's dimension-grain rollup;
+    three lag windows over one ordered pass, then a per-method fold of
+    the unpivoted (method, y, yhat) stream. Lag arithmetic only —
+    exact engine parity without any rescaling trick."""
+    w = Window.orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    numbered = series.select(
+        F.col(time_col).alias("_t"),
+        x.alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.lag(x, 1).over(w).alias("_l1"),
+        F.lag(x, season).over(w).alias("_ls"),
+        F.first(x).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_y1"),
+    )
+    drift = F.when(
+        F.col("_rn") >= 3,
+        F.col("_l1")
+        + (F.col("_l1") - F.col("_y1"))
+        / (F.col("_rn").cast("double") - 2.0),
+    )
+    longf = numbered.select(
+        "_y",
+        F.expr("stack(3, 'naive', _l1, 'snaive', _ls, 'drift', NULL)")
+        .alias("method", "_p0"),
+        drift.alias("_drift"),
+    ).select(
+        "method",
+        "_y",
+        F.when(F.col("method") == "drift", F.col("_drift"))
+        .otherwise(F.col("_p0"))
+        .alias("_p"),
+    ).filter(F.col("_p").isNotNull())
+    e = F.col("_y") - F.col("_p")
+    denom = F.abs(F.col("_y")) + F.abs(F.col("_p"))
+    return longf.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.round(F.avg(F.abs(e)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(e * e)), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    2.0 * F.abs(e) / denom
+                )
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+def sql_backtest_baselines(
+    series_cte: str,
+    time_col: str = "d",
+    value_col: str = "y",
+    season: int = 7,
+) -> str:
+    """DuckDB replay of ``backtest_baselines`` (same lags, same drift
+    line, same per-method step sets and SMAPE convention)."""
+    return f"""
+    WITH series AS ({series_cte}),
+    numbered AS (
+        SELECT {time_col} AS _t, CAST({value_col} AS DOUBLE) AS _y,
+            row_number() OVER (ORDER BY {time_col}) AS _rn,
+            lag(CAST({value_col} AS DOUBLE), 1)
+                OVER (ORDER BY {time_col}) AS _l1,
+            lag(CAST({value_col} AS DOUBLE), {season})
+                OVER (ORDER BY {time_col}) AS _ls,
+            first_value(CAST({value_col} AS DOUBLE))
+                OVER (ORDER BY {time_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS _y1
+        FROM series
+    ),
+    longf AS (
+        SELECT 'naive' AS method, _y, _l1 AS _p FROM numbered
+        UNION ALL
+        SELECT 'snaive', _y, _ls FROM numbered
+        UNION ALL
+        SELECT 'drift', _y,
+            CASE WHEN _rn >= 3
+                 THEN _l1 + (_l1 - _y1) / (CAST(_rn AS DOUBLE) - 2.0)
+            END
+        FROM numbered
+    )
+    SELECT method, CAST(count(*) AS BIGINT) AS n_steps,
+        round(avg(abs(_y - _p)), 6) AS mae,
+        round(sqrt(avg((_y - _p) * (_y - _p))), 6) AS rmse,
+        round(avg(CASE WHEN abs(_y) + abs(_p) = 0 THEN 0.0
+                 ELSE 2.0 * abs(_y - _p) / (abs(_y) + abs(_p)) END), 6)
+            AS smape
+    FROM longf
+    WHERE _p IS NOT NULL
+    GROUP BY method
+    """

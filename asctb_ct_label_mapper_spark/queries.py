@@ -7934,3 +7934,73 @@ def lift_table_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
     )
     return lift_table(scored, "p_en", "is_en", "doc_id", n_tiles=10)
+
+
+def _uplift_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_segment_uplift_scan,
+    )
+
+    return sql_segment_uplift_scan(
+        "(SELECT lang, source,"
+        " CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS is_long"
+        " FROM documents) t",
+        ["lang", "source"],
+        "is_long",
+        min_n=30,
+        k=15,
+    )
+
+
+@query("segment_uplift_docs", _uplift_oracle())
+def segment_uplift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-discovery stump scan (experiment.segment_uplift_scan):
+    which language/source segments over- or under-index on long
+    documents, ranked by 1-dof proportion chi-square — ONE scan
+    unpivoted via stack, one combinable (dim, value) fold, totals
+    pooled from a single dimension's marginals."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        segment_uplift_scan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.when(F.col("n_chars") > 500, 1).otherwise(0).alias("is_long"),
+    )
+    return segment_uplift_scan(
+        docs, ["lang", "source"], "is_long", min_n=30, k=15
+    )
+
+
+def _baselines_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_backtest_baselines,
+    )
+
+    return sql_backtest_baselines(
+        "SELECT CAST(ts AS DATE) AS d, count(*) AS y FROM events"
+        " WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1",
+        season=7,
+    )
+
+
+@query("backtest_baselines_purchases", _baselines_oracle())
+def backtest_baselines_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive / seasonal-naive / drift one-step backtest
+    (timeseries.backtest_baselines) on the daily purchase counts — the
+    error floor ewma_backtest_purchases and the Holt family must beat;
+    three lag windows over the day-grain rollup, one per-method fold."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        backtest_baselines,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return backtest_baselines(daily, season=7)

@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "ab_mde_purchase",
     "lift_table_doclen_en",
+    "segment_uplift_docs",
+    "backtest_baselines_purchases",
 ]
 
 

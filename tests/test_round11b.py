@@ -775,3 +775,89 @@ def test_lift_table_no_positives_null(spark):
     )
     out = lift_table(df, "s", "y", "id", 2).collect()
     assert all(r["cum_capture"] is None and r["lift"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# segment uplift scan
+# ---------------------------------------------------------------------------
+
+def test_segment_uplift_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        segment_uplift_scan,
+    )
+
+    # dim 'g': segment a is 100% positive (4/4), b is 0% (0/4);
+    # overall rate 0.5
+    rows = [("a", "x", 1)] * 4 + [("b", "x", 0)] * 4
+    df = spark.createDataFrame(rows, "g string, h string, y int")
+    out = {
+        (r["dim"], r["value"]): r
+        for r in segment_uplift_scan(
+            df, ["g", "h"], "y", min_n=1, k=10
+        ).collect()
+    }
+    a = out[("g", "a")]
+    assert a["pos_rate"] == pytest.approx(1.0)
+    assert a["lift"] == pytest.approx(2.0)
+    # chi2 = (4 - 4*0.5)^2 / (4*0.25) = 4
+    assert a["chi2"] == pytest.approx(4.0)
+    # the all-rows segment h=x has rate == overall -> chi2 0
+    assert out[("h", "x")]["chi2"] == pytest.approx(0.0)
+
+
+def test_segment_uplift_min_n_floor_and_k(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        segment_uplift_scan,
+    )
+
+    rows = [("a", 1)] * 40 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = segment_uplift_scan(df, ["g"], "y", min_n=30, k=10).collect()
+    assert [r["value"] for r in out] == ["a"]  # b under the floor
+
+
+def test_segment_uplift_requires_dims(spark):
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        segment_uplift_scan,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, y int")
+    with pytest.raises(ValueError):
+        segment_uplift_scan(df, [], "y")
+
+
+# ---------------------------------------------------------------------------
+# baseline backtests
+# ---------------------------------------------------------------------------
+
+def test_backtest_baselines_closed_form(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        backtest_baselines,
+    )
+
+    ys = [10.0, 12.0, 11.0, 15.0]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "d int, y double"
+    )
+    out = {
+        r["method"]: r
+        for r in backtest_baselines(df, season=2).collect()
+    }
+    # naive: preds 10,12,11 vs 12,11,15 -> |e| = 2,1,4
+    assert out["naive"]["n_steps"] == 3
+    assert out["naive"]["mae"] == pytest.approx(7.0 / 3.0, abs=1e-6)
+    # snaive (m=2): preds 10,12 vs 11,15 -> |e| = 1,3
+    assert out["snaive"]["n_steps"] == 2
+    assert out["snaive"]["mae"] == pytest.approx(2.0)
+    # drift: t=3: 12+(12-10)/1=14 vs 11 -> 3; t=4: 11+(11-10)/2=11.5 vs 15
+    assert out["drift"]["n_steps"] == 2
+    assert out["drift"]["mae"] == pytest.approx((3.0 + 3.5) / 2.0, abs=1e-6)
+
+
+def test_backtest_baselines_short_series(spark):
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        backtest_baselines,
+    )
+
+    df = spark.createDataFrame([(1, 5.0)], "d int, y double")
+    assert backtest_baselines(df, season=7).collect() == []
