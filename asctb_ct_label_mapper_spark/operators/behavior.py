@@ -25,6 +25,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _q_lit(lit: str) -> str:
+    """Escape a string literal for generated Spark-SQL expressions —
+    ONE definition (r11 second review: two identical nested copies)."""
+    return "'" + lit.replace("'", "''") + "'"
+
+
+def _q_label(q) -> str:
+    """Column label for a quantile: q_25 for 0.25, q_12_5 for 0.125 —
+    injective on distinct quantiles (int(round(q*100)) collided:
+    0.125 and 0.12 both labeled q_12, and banker's rounding mislabeled
+    halves; r11 second review)."""
+    return "q_" + ("%g" % (float(q) * 100)).replace(".", "_").replace(
+        "-", "m"
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     steps: Sequence[str],
@@ -167,10 +183,7 @@ def _funnel_reach(
         F.col(ts_col).alias("_t"),
         F.col(type_col).alias("_y"),
     )
-
-    def q(lit: str) -> str:
-        return "'" + lit.replace("'", "''") + "'"
-
+    q = _q_lit
     collected = ev.groupBy("key").agg(
         F.expr(
             "array_sort(collect_list(struct(_t, _y)))"
@@ -215,9 +228,7 @@ def _funnel_steps_fold(
     single-row rollup (bytes-sized) unpivoted to K rows."""
     k = len(steps)
     per_user = _funnel_reach(df, steps, ts_col, key_col, type_col, within)
-
-    def q(lit: str) -> str:
-        return "'" + lit.replace("'", "''") + "'"
+    q = _q_lit
     # coalesce: on an input with NO funnel-step events per_user is
     # EMPTY and bare sums would emit NULL counts — impl='joins' and the
     # SQL oracle both emit 0 there (count() over an empty frame)
@@ -1042,32 +1053,34 @@ def funnel_time_to_convert(
         F.max("_n").alias("n_converted"),
         F.round(F.avg("secs"), 2).alias("mean_s"),
     ]
-    # nearest rank in exact integer arithmetic (the binned_quantiles
-    # r11 rule: float ceil(q*n) overshoots when q*n lands one ulp
-    # above an integer, e.g. 0.9*10)
-    from fractions import Fraction
+    # nearest rank via the family's shared exact-integer definition
+    # (sketches.exact_nearest_rank — float ceil(q*n) overshoots by one
+    # ulp at e.g. 0.9*10); labels via _q_label so q=0.125 cannot
+    # collide with q=0.12 (r11 second review)
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        exact_nearest_rank,
+    )
 
-    for q in qs:
-        pct = int(round(q * 100))
-        frac = Fraction(str(float(q)))
+    labels = [_q_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels from qs={qs!r}")
+    for q, label in zip(qs, labels):
+        num, den = exact_nearest_rank(q)
         aggs.append(
             F.max(
                 F.when(
                     F.col("_rn")
-                    == F.expr(
-                        f"({frac.numerator} * _n + {frac.denominator} - 1)"
-                        f" DIV {frac.denominator}"
-                    ),
+                    == F.expr(f"({num} * _n + {den} - 1) DIV {den}"),
                     F.col("secs"),
                 )
-            ).alias(f"q_{pct}")
+            ).alias(label)
         )
     out = ranked.agg(*aggs)
     # empty converted set: n_converted = 0 (not NULL), quantiles NULL
     return out.select(
         F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
         "mean_s",
-        *[f"q_{int(round(q * 100))}" for q in qs],
+        *labels,
     )
 
 
@@ -1101,16 +1114,17 @@ def sql_funnel_time_to_convert(
             + f"GROUP BY e.{key_col})"
         )
     k = len(steps)
-    from fractions import Fraction
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        exact_nearest_rank,
+    )
 
     qcols = []
     for q in qs:
-        pct = int(round(q * 100))
-        frac = Fraction(str(float(q)))
+        num, den = exact_nearest_rank(q)
         qcols.append(
-            f"max(CASE WHEN _rn = ({frac.numerator} * _n"
-            f" + {frac.denominator} - 1) // {frac.denominator}"
-            f" THEN secs END) AS q_{pct}"
+            f"max(CASE WHEN _rn = ({num} * _n"
+            f" + {den} - 1) // {den}"
+            f" THEN secs END) AS {_q_label(q)}"
         )
     return f"""
     WITH {', '.join(ctes)},

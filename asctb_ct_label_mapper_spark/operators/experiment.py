@@ -99,6 +99,21 @@ def _user_metric(
     ).select("user", _arm("user").alias("arm"), "m")
 
 
+def _arm_stats(um: DataFrame) -> DataFrame:
+    """ONE-row per-arm statistics off the zero-filled user-metric frame
+    — the shared aggregate behind ab_welch_ttest AND ab_mde (r11
+    second review: the 'same as the Welch readout' claim is now
+    structural, not duplicated): (n0, n1, mean0, mean1, v0, v1)."""
+    return um.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("mean0"),
+        F.avg(F.when(F.col("arm") == 1, F.col("m"))).alias("mean1"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("m"))).alias("v0"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("m"))).alias("v1"),
+    )
+
+
 def ab_welch_ttest(
     events: DataFrame,
     user_col: str = "user_id",
@@ -114,14 +129,7 @@ def ab_welch_ttest(
     um = _user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
     )
-    per_arm = um.agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
-        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("mean0"),
-        F.avg(F.when(F.col("arm") == 1, F.col("m"))).alias("mean1"),
-        F.var_samp(F.when(F.col("arm") == 0, F.col("m"))).alias("v0"),
-        F.var_samp(F.when(F.col("arm") == 1, F.col("m"))).alias("v1"),
-    )
+    per_arm = _arm_stats(um)
     se0 = F.try_divide(F.col("v0"), F.col("n0").cast("double"))
     se1 = F.try_divide(F.col("v1"), F.col("n1").cast("double"))
     sev = se0 + se1
@@ -1213,13 +1221,7 @@ def ab_mde(
     um = _user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
     )
-    per_arm = um.agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
-        F.avg(F.when(F.col("arm") == 0, F.col("m"))).alias("mean0"),
-        F.var_samp(F.when(F.col("arm") == 0, F.col("m"))).alias("v0"),
-        F.var_samp(F.when(F.col("arm") == 1, F.col("m"))).alias("v1"),
-    )
+    per_arm = _arm_stats(um)
     se = F.sqrt(
         F.try_divide(F.col("v0"), F.col("n0").cast("double"))
         + F.try_divide(F.col("v1"), F.col("n1").cast("double"))
@@ -1266,11 +1268,11 @@ def sql_ab_mde(
         FROM um
     )
     SELECT n0, n1, round(mean0, 6) AS mean0,
-        round(sqrt(v0 / n0 + v1 / n1), 6) AS se_diff,
-        round({zsum!r} * sqrt(v0 / n0 + v1 / n1), 6) AS mde_abs,
-        round({zsum!r} * sqrt(v0 / n0 + v1 / n1)
-              / nullif(mean0, 0.0), 6) AS mde_rel
-    FROM pa
+        round(se, 6) AS se_diff,
+        round({zsum!r} * se, 6) AS mde_abs,
+        round({zsum!r} * se / nullif(mean0, 0.0), 6) AS mde_rel
+    FROM (SELECT n0, n1, mean0,
+          sqrt(v0 / n0 + v1 / n1) AS se FROM pa)
     """
 
 
@@ -1449,7 +1451,14 @@ def segment_uplift_scan(
             ).alias("lift"),
             F.round(chi2, 6).alias("chi2"),
         )
-        .orderBy(F.desc("chi2"), "dim", "value")
+        .orderBy(
+            F.desc("chi2"),
+            "dim",
+            # NULL segment values sort LAST on both engines (Spark ASC
+            # defaults NULLS FIRST, DuckDB NULLS LAST — the repo's
+            # standing ordering trap; r11 second review)
+            F.col("value").asc_nulls_last(),
+        )
         .limit(k)
     )
 
@@ -1487,6 +1496,6 @@ def sql_segment_uplift_scan(
               / nullif(n * (_P / _N) * (1.0 - _P / _N), 0.0), 6) AS chi2
     FROM cells CROSS JOIN tot
     WHERE n >= {min_n}
-    ORDER BY chi2 DESC NULLS LAST, dim, value
+    ORDER BY chi2 DESC NULLS LAST, dim, value ASC NULLS LAST
     LIMIT {k}
     """

@@ -478,6 +478,8 @@ def bm25_runs(
 
     Returns (query, id_col, bm25, rank) with rank 1-based in
     (bm25 DESC, id ASC) order — ranking_metrics' run contract."""
+    if not queries:
+        raise ValueError("bm25_runs needs at least one query")
     for qlabel, terms in queries.items():
         _require_terms(list(terms))  # per query: an empty term list
         # would otherwise slip past a union-only check (r11 review)

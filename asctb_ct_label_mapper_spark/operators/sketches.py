@@ -972,6 +972,39 @@ def sql_heavy_hitters_exact(
     """
 
 
+def exact_nearest_rank(q) -> tuple[int, int]:
+    """The family's ONE definition of the exact nearest-rank fraction
+    (r11 second review — previously four hand-kept copies): parse the
+    quantile's decimal literal to an exact Fraction and return
+    (numerator, denominator) so rank = (num * n + den - 1) DIV den in
+    pure BIGINT arithmetic on both engines (float ceil(q*n) overshoots
+    by one ulp at e.g. 0.07*100).
+
+    Guard rails: the denominator is capped at 10^6 — a quantile like
+    1/3 has a 16-digit numerator whose num*n product would overflow
+    BIGINT at ~2,800 rows (ANSI Spark and DuckDB both throw); callers
+    must pass decimal-representable quantiles (0.25, 0.999, ...). With
+    den <= 10^6 the product stays in-range up to n ~ 9.2e12 rows."""
+    from fractions import Fraction
+
+    frac = Fraction(str(float(q)))
+    if frac.denominator > 10**6:
+        raise ValueError(
+            f"quantile {q!r} is not a short decimal (denominator "
+            f"{frac.denominator}); use a decimal-representable q "
+            "so the exact-rank BIGINT arithmetic cannot overflow"
+        )
+    return frac.numerator, frac.denominator
+
+
+def exact_rank_sql(q, n_expr: str = "_n") -> str:
+    """The (engine-shared) rank expression for :func:`exact_nearest_rank`
+    — Spark reads it via F.expr (DIV), DuckDB via the // spelling the
+    caller substitutes; both are BIGINT-exact."""
+    num, den = exact_nearest_rank(q)
+    return f"({num} * {n_expr} + {den} - 1) DIV {den}"
+
+
 def binned_quantiles(
     df: DataFrame,
     value_col: str,
@@ -1029,18 +1062,12 @@ def binned_quantiles(
         F.sum("_c").over(Window.partitionBy()).alias("_n"),
     )
     spark = df.sparkSession
-    # INTEGER-EXACT nearest rank (r11 review): float ceil(q*n) overshoots
-    # when q*n lands one ulp above an integer (0.07*100 ->
-    # 7.000000000000001 -> rank 8) — q is parsed to an exact decimal
-    # fraction and the rank is (num*n + den - 1) DIV den, pure BIGINT
-    # arithmetic on both engines.
-    from fractions import Fraction
-
+    # INTEGER-EXACT nearest rank: see exact_nearest_rank (the shared
+    # definition; float ceil(q*n) overshoots by one ulp at 0.07*100)
     q_df = spark.createDataFrame(
         [
-            (float(q), frac.numerator, frac.denominator)
+            (float(q), *exact_nearest_rank(q))
             for q in qs
-            for frac in [Fraction(str(float(q)))]
         ],
         "q double, _qn long, _qd long",
     )
@@ -1070,11 +1097,8 @@ def sql_binned_quantiles(
     """DuckDB replay of ``binned_quantiles`` (same clamped equi-width
     binning, same ceil(q*n) nearest-rank-at-resolution convention)."""
     width = (hi - lo) / n_bins
-    from fractions import Fraction
-
     q_rows = ", ".join(
-        f"({float(q)!r}, {Fraction(str(float(q))).numerator},"
-        f" {Fraction(str(float(q))).denominator})"
+        "({!r}, {}, {})".format(float(q), *exact_nearest_rank(q))
         for q in qs
     )
     return f"""

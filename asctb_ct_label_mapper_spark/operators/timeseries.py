@@ -2472,6 +2472,11 @@ def sql_ewma_backtest(
     """DuckDB replay of ``ewma_backtest`` — same rescaled prefix sum,
     same lag-one prediction, same metric rounding. ``series_cte`` is a
     SELECT body producing the (time, value) series."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(
+            "sql_ewma_backtest needs 0 < alpha < 1 (same guard as the "
+            "Spark half — alpha=1 renders a divide-by-zero rescale)"
+        )
     r = 1.0 - alpha
     return f"""
     WITH series AS ({series_cte}),

@@ -861,3 +861,44 @@ def test_backtest_baselines_short_series(spark):
 
     df = spark.createDataFrame([(1, 5.0)], "d int, y double")
     assert backtest_baselines(df, season=7).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# r11 second-review regressions
+# ---------------------------------------------------------------------------
+
+def test_exact_nearest_rank_rejects_long_decimals():
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        exact_nearest_rank,
+    )
+
+    assert exact_nearest_rank(0.07) == (7, 100)
+    assert exact_nearest_rank(0.999) == (999, 1000)
+    with pytest.raises(ValueError):
+        exact_nearest_rank(1 / 3)  # 16-digit numerator would overflow
+
+
+def test_q_label_injective():
+    from asctb_ct_label_mapper_spark.operators.behavior import _q_label
+
+    assert _q_label(0.25) == "q_25"
+    assert _q_label(0.125) == "q_12_5"
+    assert _q_label(0.12) == "q_12"
+    assert _q_label(0.125) != _q_label(0.12)
+
+
+def test_bm25_runs_rejects_empty_dict(spark, sf_dir):
+    from asctb_ct_label_mapper_spark.operators.retrieval import bm25_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        bm25_runs(docs, {})
+
+
+def test_sql_ewma_backtest_rejects_degenerate_alpha():
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_ewma_backtest,
+    )
+
+    with pytest.raises(ValueError):
+        sql_ewma_backtest("SELECT 1 AS d, 1.0 AS y", alpha=1.0)
