@@ -82,6 +82,8 @@ TARGETS = {
     "funnel_time_to_convert": "funnel latency (r11b): the shared one-pass reach fold (type-IN pushed, one user Exchange) -> converted-only latency frame -> nearest-rank window over the conversion-rate-times-smaller set",
     "lift_table_doclen_en": "decile gains (r11b): scored-frame ntile (DESC+id total order) -> tile-grain cells persisted -> one-row totals broadcast + bounded cumulative window",
     "cohort_ltv_events": "cohort LTV (r11b): user-grain min-bucket fold persisted, fact pass joins it on the user key, (cohort, age) fold + per-cohort cumulative window - dimension-grain past the join",
+    "segment_uplift_docs": "segment uplift (r11b): ONE scan stack-unpivoted to (dim, value, y), one combinable fold, totals pooled from one dim's marginals, chi2 TakeOrderedAndProject",
+    "ewma_backtest_purchases": "EWMA backtest (r11b): day-grain rollup -> rescaled prefix-sum window (exact powers of two) -> lag-one predictions -> one-row error fold",
 }
 
 
