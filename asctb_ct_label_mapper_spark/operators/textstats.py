@@ -1560,6 +1560,7 @@ def textrank_keywords(
     min_count: int = 2,
     damping: float = 0.85,
     iters: int = 10,
+    impl: str = "local",
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     over the word-adjacency graph — nodes are whitespace tokens, an
@@ -1577,21 +1578,22 @@ def textrank_keywords(
     must agree on N exactly, and the oracle derives it in-query."""
     from asctb_ct_label_mapper_spark.operators.graph import pagerank
 
+    # adjacent pairs NATIVELY: zip the token array against itself
+    # shifted by one (two slices) — arrays_zip/slice stay in codegen,
+    # where the previous transform/element_at lambda chain evaluated
+    # interpreted per element (r11 bench: the corpus-sized stage
+    # dominated textrank's wall at 60k docs)
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
     pairs = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + 1).alias("b"),
-            ),
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("b"),
         ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    )
     adj = (
         df.select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .filter(
             (F.col("a") != F.col("b"))
             & (F.length("a") > 0)
@@ -1621,7 +1623,7 @@ def textrank_keywords(
         return spark.createDataFrame(
             [], "word string, pr double"
         )
-    pr = pagerank(edges, n_nodes, damping, iters, impl="frames")
+    pr = pagerank(edges, n_nodes, damping, iters, impl=impl)
     return (
         pr.orderBy(F.desc("pr"), F.asc("node"))
         .limit(top_n)
