@@ -1464,3 +1464,112 @@ def sql_mixture_temperature(
             AS budget_tokens
     FROM powed, z
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_width: int = 512,
+) -> DataFrame:
+    """Quantile normalization of ``value_col`` across the levels of
+    ``group_col``: every group's distribution is mapped ONTO the pooled
+    distribution by rank — source-specific length/quality scales become
+    comparable before mixture weighting (the cross-source calibration
+    step in front of ``mixture_budget``-style curation; genomics'
+    quantile-normalize applied to corpus stats).
+
+    Rank arithmetic is INTEGER-exact end to end: within-group rank r of
+    n maps to pooled position  p = 1 + floor((r−1)·(N−1)/(n−1))
+    (singleton groups map to the pooled median position (N+1)//2), and
+    p joins back to the pooled order statistic. Order is made total
+    with the id column, so both engines rank identically.
+
+    Scale posture: the within-group ranks are keyed windows; the pooled
+    order statistic uses the id-bucketed two-phase
+    :func:`global_rank` (bucket width over the leading order column —
+    monotone, deterministic), NOT a single-partition row_number. The
+    readout aggregates back to group grain: (group, n, mean_before,
+    mean_after), 6dp."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(id_col).alias("_id"),
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    vals = pooled_persist(vals)
+    pooled = global_rank(
+        vals,
+        F.floor(F.col("v") / F.lit(float(bucket_width))),
+        ["v", "_id"],
+        rank_col="_p",
+    ).select(F.col("_p"), F.col("v").alias("_pv"))
+    n_tot = vals.agg(F.count(F.lit(1)).alias("_n"))
+    w_in = Window.partitionBy("g").orderBy("v", "_id")
+    sizes = Window.partitionBy("g")
+    ranked = (
+        vals.withColumn("_r", F.row_number().over(w_in))
+        .withColumn("_ng", F.count(F.lit(1)).over(sizes))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pos = F.when(
+        F.col("_ng") > 1,
+        1
+        + F.floor(
+            (F.col("_r") - 1)
+            * (F.col("_n") - 1)
+            / (F.col("_ng") - 1)
+        ),
+    ).otherwise(F.floor((F.col("_n") + 1) / 2)).cast("long")
+    mapped = ranked.withColumn("_p", pos).join(pooled, "_p")
+    return (
+        mapped.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_before"),
+            F.round(F.avg("_pv"), 6).alias("mean_after"),
+        )
+        .select(F.col("g").alias(group_col), "n", "mean_before", "mean_after")
+    )
+
+
+def sql_quantile_normalize(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> str:
+    """DuckDB replay of :func:`quantile_normalize` — same integer rank
+    mapping, same total order, single-sort pooled rank (the oracle
+    anchor; the Spark side buckets it)."""
+    return f"""
+    WITH vals AS (
+        SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v,
+               {id_col} AS id
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ), pooled AS (
+        SELECT row_number() OVER (ORDER BY v, id) AS p, v AS pv
+        FROM vals
+    ), ranked AS (
+        SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
+            count(*) OVER (PARTITION BY g) AS ng,
+            (SELECT count(*) FROM vals) AS n
+        FROM vals
+    ), mapped AS (
+        SELECT g, v,
+            CASE WHEN ng > 1
+                 THEN 1 + CAST(floor((r - 1) * (n - 1)
+                                     * 1.0 / (ng - 1)) AS BIGINT)
+                 ELSE CAST(floor((n + 1) / 2.0) AS BIGINT)
+            END AS p
+        FROM ranked
+    )
+    SELECT m.g AS {group_col}, count(*) AS n,
+        round(avg(m.v), 6) AS mean_before,
+        round(avg(pooled.pv), 6) AS mean_after
+    FROM mapped m JOIN pooled USING (p)
+    GROUP BY 1
+    """

@@ -1698,3 +1698,110 @@ def sql_fuzzy_name_matches(
         ON a.blk = b.blk AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {max_dist}
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """DIRECTED n-gram containment pairs within a blocking key:
+    c(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    asymmetric near-dup measure that catches a short document embedded
+    inside a long one, where symmetric Jaccard (resemblance) stays far
+    below any dedup threshold (Broder's containment, the quote /
+    boilerplate-inclusion detector next to ``ngram_jaccard_pairs``).
+
+    Plan: ONE undirected candidate census (the same shared-shingle
+    equi-join discipline as the Jaccard operator — work proportional to
+    shingle collisions, never |block|²), then BOTH directions project
+    from the counted pair — the census runs once, not per direction
+    (the association-rules persist lesson, graph.py r11 #1). Documents
+    with zero shingles (< n tokens) cannot anchor a containment and are
+    excluded by construction.
+
+    Returns (block, id_src, id_dst, containment ≥ threshold), 6dp."""
+    shingle_col = shingles_udf(shingle_n)(F.col(text_col))
+    sh = ensure_min_partitions(df).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        shingle_col.alias("_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    sizes = sh.select("_blk", "_id", F.size("_sh").alias("_sz"))
+    tok = sh.select("_blk", "_id", F.explode("_sh").alias("_s"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._s") == F.col("b._s")),
+        )
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._blk").alias("_blk"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a")
+    )
+    sb = sizes.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b")
+    )
+    counted = common.join(sa, ["_blk", "id_a"]).join(sb, ["_blk", "id_b"])
+    fwd = counted.select(
+        "_blk",
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("_common") / F.col("_sz_a")).alias("_c"),
+    )
+    rev = counted.select(
+        "_blk",
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("_common") / F.col("_sz_b")).alias("_c"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("_c") >= threshold)
+        .select(
+            F.col("_blk").alias(block_col),
+            "id_src",
+            "id_dst",
+            F.round("_c", 6).alias("containment"),
+        )
+    )
+
+
+def sql_containment_pairs(
+    block_col: str = "source",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replay of :func:`containment_pairs` over ``documents``
+    (word-3-gram shingles, same slice arithmetic as the Jaccard
+    oracle)."""
+    return f"""
+    WITH sh AS (
+        SELECT {block_col} AS blk, doc_id,
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks) - 2, 0) + 1)])
+                AS shingles
+        FROM (SELECT {block_col}, doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    )
+    SELECT a.blk AS {block_col}, a.doc_id AS id_src, b.doc_id AS id_dst,
+        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(a.shingles), 6) AS containment
+    FROM sh a JOIN sh b
+        ON a.blk = b.blk AND a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(a.shingles) >= {threshold!r}
+    """

@@ -1178,3 +1178,67 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .drop("_ref_vec", query_vec_col)
     )
+
+
+def hard_negatives_topk(
+    queries: DataFrame,
+    reference: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    ref_id_col: str,
+    lo: float = 0.30,
+    hi: float = 0.90,
+    query_vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k reference neighbors whose cosine lands in the
+    [lo, hi) band — similar enough to be informative negatives, below
+    the near-duplicate ceiling that would make them false negatives
+    (the standard dense-retrieval / contrastive-pair recipe; hi is the
+    same kind of threshold the dedup ladder uses as a DUP floor).
+
+    Physically this is the broadcast-reference exact scorer
+    (:func:`top_k_similarity_join`'s shape — norms hoisted per side,
+    per-pair work one dot product) with the band filter applied BEFORE
+    the per-query window, so banded-out pairs never enter the rank
+    shuffle. Banding and ranking use the 6dp-ROUNDED score: the band
+    edge and tie decisions are then identical across engines (raw
+    doubles differ in summation order at the last ulp).
+
+    Scale path: swap the exact scorer for any rung of the ANN ladder
+    (LSH/IVF) upstream — the band filter and window are unchanged.
+
+    Returns (query ids, ref_id, score, rank ≤ k)."""
+    ref = reference.select(
+        F.col(ref_id_col).alias("ref_id"),
+        F.col(ref_vec_col).alias("_ref_vec"),
+    ).withColumn("_rnorm", norm_expr(F.col("_ref_vec")))
+    q = ensure_min_partitions(queries).withColumn(
+        "_qnorm", norm_expr(F.col(query_vec_col))
+    )
+    denom = F.col("_qnorm") * F.col("_rnorm")
+    scored = (
+        q.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "score",
+            F.round(
+                F.when(
+                    denom != 0,
+                    dot_expr(F.col(query_vec_col), F.col("_ref_vec"))
+                    / denom,
+                ),
+                6,
+            ),
+        )
+        .filter((F.col("score") >= lo) & (F.col("score") < hi))
+        .drop("_ref_vec", "_qnorm", "_rnorm")
+    )
+    w = Window.partitionBy(*query_id_cols).orderBy(
+        F.desc("score"), F.asc("ref_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec_col)
+    )

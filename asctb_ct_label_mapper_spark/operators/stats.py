@@ -1132,3 +1132,443 @@ def sql_trimmed_means_by_group(
     WHERE {where}
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r11c: one-way ANOVA, contingency effect sizes, empirical-Bayes rates,
+# burstiness
+# ---------------------------------------------------------------------------
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA decomposition of ``value_col`` across the levels of
+    ``group_col``: F statistic, effect size (eta-squared), and the
+    between/within sums of squares. The does-the-group-matter gate in
+    front of segment-level curation decisions (is doc quality actually
+    different across sources, or is the split noise?).
+
+    Closed-form from per-group sufficient statistics (n, Σx, Σx²):
+        SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N
+        SSW = Σ_g (Σx²_g − (Σx_g)²/n_g)
+        F   = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/(SSB+SSW)
+
+    100 TB posture: ONE combinable grouped aggregate (the shuffle
+    carries one row per group), then a k-row fold — the same
+    sufficient-statistic shape as the OLS/Welch operators. NULL values
+    are excluded (they carry no measurement).
+
+    Returns one row (k, n, ss_between, ss_within, f_stat, eta_sq), 6dp.
+    """
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col(value_col).cast("double")).alias("s_g"),
+            F.sum(
+                F.col(value_col).cast("double")
+                * F.col(value_col).cast("double")
+            ).alias("ss_g"),
+        )
+    )
+    folded = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb_raw"),
+        F.sum(
+            F.col("ss_g") - F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).alias("ssw"),
+    )
+    ssb = F.col("sb_raw") - F.col("s") * F.col("s") / F.col("n")
+    f_stat = (ssb / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n") - F.col("k"))
+    )
+    return folded.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+def sql_anova_oneway(
+    table: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB replay of :func:`anova_oneway` — the same sufficient
+    statistics, divisions last, 6dp."""
+    return f"""
+    WITH per AS (
+        SELECT {group_col} AS g, count(*) AS n_g,
+            sum(CAST({value_col} AS DOUBLE)) AS s_g,
+            sum(CAST({value_col} AS DOUBLE)
+                * CAST({value_col} AS DOUBLE)) AS ss_g
+        FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), folded AS (
+        SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+            sum(s_g * s_g / n_g) AS sb_raw,
+            sum(ss_g - s_g * s_g / n_g) AS ssw
+        FROM per
+    )
+    SELECT k, n,
+        round(sb_raw - s * s / n, 6) AS ss_between,
+        round(ssw, 6) AS ss_within,
+        round(((sb_raw - s * s / n) / (k - 1))
+              / (ssw / (n - k)), 6) AS f_stat,
+        round((sb_raw - s * s / n)
+              / ((sb_raw - s * s / n) + ssw), 6) AS eta_sq
+    FROM folded
+    """
+
+
+def contingency_effects(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Effect sizes for a two-way contingency table: chi-square,
+    G-statistic (likelihood-ratio), degrees of freedom, and Cramér's V —
+    the bounded-[0,1] association strength that
+    ``profile.categorical_association`` (chi2 + MI) deliberately leaves
+    out. V is what you compare ACROSS tables of different shape when
+    ranking candidate leakage features.
+
+    Identities that avoid materializing empty cells:
+        chi² = Σ_cells o²/e − N          (o=0 cells contribute 0 to Σo²/e)
+        G    = 2·Σ_{{o>0}} o·ln(o/e)
+        V    = sqrt(chi² / (N·(min(r,c)−1)))
+
+    Plan: ONE combinable contingency aggregate; marginals re-derive
+    from the persisted cells (cardinality-sized); everything downstream
+    is cell-count-sized. NULL levels route through a sentinel, matching
+    the categorical_association contract."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    cells = pooled_persist(
+        df.groupBy(a.alias("a"), b.alias("b")).agg(
+            F.count(F.lit(1)).alias("o")
+        )
+    )
+    ma = cells.groupBy("a").agg(F.sum("o").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("o").alias("n_b"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("r"),
+        F.count_distinct("b").alias("c"),
+    )
+    e = F.col("n_a") * F.col("n_b") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("r").alias("r"),
+            F.first("c").alias("c"),
+            F.sum(F.col("o") * F.col("o") / e).alias("o2e"),
+            F.sum(
+                2.0 * F.col("o") * F.log(F.col("o") / e)
+            ).alias("g_stat"),
+        )
+    )
+    chi2 = F.col("o2e") - F.col("n")
+    min_rc = F.least(F.col("r"), F.col("c"))
+    return terms.select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round("g_stat", 6).alias("g_stat"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n") * (min_rc - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+def sql_contingency_effects(
+    table: str, col_a: str, col_b: str
+) -> str:
+    """DuckDB replay of :func:`contingency_effects` — same identities,
+    same sentinel, divisions last, 6dp."""
+    return f"""
+    WITH cells AS (
+        SELECT coalesce(CAST({col_a} AS VARCHAR), '<null>') AS a,
+               coalesce(CAST({col_b} AS VARCHAR), '<null>') AS b,
+               count(*) AS o
+        FROM {table} GROUP BY 1, 2
+    ), ma AS (SELECT a, sum(o) AS n_a FROM cells GROUP BY 1),
+    mb AS (SELECT b, sum(o) AS n_b FROM cells GROUP BY 1),
+    tot AS (
+        SELECT sum(o) AS n, count(DISTINCT a) AS r,
+               count(DISTINCT b) AS c
+        FROM cells
+    ), terms AS (
+        SELECT first(tot.n) AS n, first(tot.r) AS r, first(tot.c) AS c,
+            sum(CAST(o AS DOUBLE) * o / (CAST(n_a AS DOUBLE) * n_b / tot.n))
+                AS o2e,
+            sum(2.0 * o * ln(CAST(o AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * n_b / tot.n))) AS g_stat
+        FROM cells
+        JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    )
+    SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        round(o2e - n, 6) AS chi2,
+        round(g_stat, 6) AS g_stat,
+        round(sqrt((o2e - n) / (n * (least(r, c) - 1))), 6) AS cramers_v
+    FROM terms
+    """
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    key_col: str,
+    success_col,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-key success
+    rates — the CTR-smoothing workhorse: keys with few trials get pulled
+    toward the corpus prior, keys with many keep their raw rate. The
+    prior (α, β) is fit by method of moments on the per-key raw rates:
+
+        m  = mean(rate),  s² = var(rate)           (sample variance)
+        M  = max(m(1−m)/s² − 1, 1)                 (α+β, floored: MoM is
+                                                    undefined when the
+                                                    rate variance exceeds
+                                                    the binomial bound)
+        α  = m·M,  β = (1−m)·M,  shrunk = (k+α)/(n+M)
+
+    ``success_col`` is a 0/1 integer Column (e.g.
+    ``(event_type == 'purchase').cast('int')``).
+
+    Plan: one combinable per-key aggregate (n, k); moments fold to ONE
+    broadcast row; shrunk rates are a scalar-join projection over the
+    key-grain frame. Output is bucketed by trial count (fixed integer
+    boundaries — deterministic across engines) so the readout is
+    bucket-sized: (n_bucket, keys, avg_raw, avg_shrunk, avg_abs_shift,
+    alpha, beta), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    per = pooled_persist(
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(success_col).alias("k"),
+        )
+        .filter(F.col("n") >= min_trials)
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    mom = per.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum(rate).alias("sr"),
+        F.sum(rate * rate).alias("srr"),
+    ).select(
+        (F.col("sr") / F.col("g")).alias("m"),
+        (
+            (F.col("srr") - F.col("sr") * F.col("sr") / F.col("g"))
+            / (F.col("g") - 1)
+        ).alias("s2"),
+    )
+    big_m = F.greatest(
+        F.col("m") * (1.0 - F.col("m")) / F.col("s2") - 1.0, F.lit(1.0)
+    )
+    prior = mom.select(
+        (F.col("m") * big_m).alias("alpha"),
+        ((1.0 - F.col("m")) * big_m).alias("beta"),
+        big_m.alias("mm"),
+    )
+    shrunk = per.crossJoin(F.broadcast(prior)).select(
+        "n",
+        rate.alias("raw"),
+        (
+            (F.col("k") + F.col("alpha")) / (F.col("n") + F.col("mm"))
+        ).alias("shrunk"),
+        "alpha",
+        "beta",
+    )
+    bucket = (
+        F.when(F.col("n") <= 2, "01_le2")
+        .when(F.col("n") <= 5, "02_3_5")
+        .when(F.col("n") <= 10, "03_6_10")
+        .when(F.col("n") <= 20, "04_11_20")
+        .otherwise("05_gt20")
+    )
+    return (
+        shrunk.groupBy(bucket.alias("n_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.round(F.avg("raw"), 6).alias("avg_raw"),
+            F.round(F.avg("shrunk"), 6).alias("avg_shrunk"),
+            F.round(
+                F.avg(F.abs(F.col("shrunk") - F.col("raw"))), 6
+            ).alias("avg_abs_shift"),
+            F.round(F.first("alpha"), 6).alias("alpha"),
+            F.round(F.first("beta"), 6).alias("beta"),
+        )
+    )
+
+
+def sql_eb_rate_shrinkage(
+    table: str,
+    key_col: str,
+    success_expr: str,
+    min_trials: int = 1,
+) -> str:
+    """DuckDB replay of :func:`eb_rate_shrinkage` — same moments, same
+    floor, same fixed buckets, divisions last, 6dp."""
+    return f"""
+    WITH per AS (
+        SELECT {key_col} AS key, count(*) AS n,
+               sum({success_expr}) AS k
+        FROM {table} GROUP BY 1 HAVING count(*) >= {min_trials}
+    ), mom AS (
+        SELECT sum(CAST(k AS DOUBLE) / n) / count(*) AS m,
+            (sum((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n))
+             - sum(CAST(k AS DOUBLE) / n) * sum(CAST(k AS DOUBLE) / n)
+               / count(*)) / (count(*) - 1) AS s2
+        FROM per
+    ), prior AS (
+        SELECT m * greatest(m * (1.0 - m) / s2 - 1.0, 1.0) AS alpha,
+            (1.0 - m) * greatest(m * (1.0 - m) / s2 - 1.0, 1.0) AS beta,
+            greatest(m * (1.0 - m) / s2 - 1.0, 1.0) AS mm
+        FROM mom
+    ), shrunk AS (
+        SELECT per.n, CAST(per.k AS DOUBLE) / per.n AS raw,
+            (per.k + prior.alpha) / (per.n + prior.mm) AS shrunk,
+            prior.alpha, prior.beta
+        FROM per CROSS JOIN prior
+    )
+    SELECT CASE WHEN n <= 2 THEN '01_le2'
+                WHEN n <= 5 THEN '02_3_5'
+                WHEN n <= 10 THEN '03_6_10'
+                WHEN n <= 20 THEN '04_11_20'
+                ELSE '05_gt20' END AS n_bucket,
+        count(*) AS keys,
+        round(avg(raw), 6) AS avg_raw,
+        round(avg(shrunk), 6) AS avg_shrunk,
+        round(avg(abs(shrunk - raw)), 6) AS avg_abs_shift,
+        round(first(alpha), 6) AS alpha,
+        round(first(beta), 6) AS beta
+    FROM shrunk
+    GROUP BY 1
+    """
+
+
+def burstiness_histogram(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bin_width: float = 0.25,
+) -> DataFrame:
+    """Per-key burstiness of inter-arrival times, folded to a fixed-bin
+    histogram. Burstiness (Goh & Barabási 2008):
+
+        B = (σ − μ) / (σ + μ)   over a key's inter-arrival gaps
+
+    B → −1 for a perfectly regular (periodic) stream, 0 for Poisson,
+    → +1 for extreme bursts — the behavioural fingerprint that separates
+    schedulers/bots (B≈−1) from humans (B>0) in event logs.
+
+    Only keys with ≥3 events (≥2 gaps, so the sample σ exists)
+    contribute. Gaps come from a per-key lag window ordered by the
+    timestamp alone: ties contribute the same sorted-timestamp multiset
+    (hence the same gap multiset) under any tiebreak, so the statistic
+    is deterministic without an injective order.
+
+    Plan: one keyed window (the only shuffle — by key), a per-key
+    sufficient-statistic aggregate, then a bin-sized histogram fold.
+    Output (bin_lo, n_keys, avg_b), 6dp; bins clamp to [−1, 1]."""
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        )
+        .withColumn(
+            "gap",
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(
+                Window.partitionBy("key").orderBy("ts")
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    per = (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        )
+        .filter(F.col("ng") >= 2)
+    )
+    mu = F.col("sg") / F.col("ng")
+    sigma = F.sqrt(
+        (F.col("sgg") - F.col("sg") * F.col("sg") / F.col("ng"))
+        / (F.col("ng") - 1)
+    )
+    b = F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)).otherwise(
+        F.lit(0.0)
+    )
+    binned = per.select(
+        (
+            F.least(
+                F.greatest(
+                    F.floor((b + 1.0) / bin_width), F.lit(0)
+                ),
+                F.lit(int(round(2.0 / bin_width)) - 1),
+            )
+            * bin_width
+            - 1.0
+        ).alias("bin_lo"),
+        b.alias("b"),
+    )
+    return binned.groupBy("bin_lo").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("b"), 6).alias("avg_b"),
+    )
+
+
+def sql_burstiness_histogram(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    bin_width: float = 0.25,
+) -> str:
+    """DuckDB replay of :func:`burstiness_histogram` — same gaps
+    (epoch-second doubles), same sufficient statistics, same clamped
+    bins, 6dp."""
+    n_bins = int(round(2.0 / bin_width))
+    return f"""
+    WITH gaps AS (
+        SELECT {key_col} AS key,
+            epoch({ts_col}) - lag(epoch({ts_col})) OVER (
+                PARTITION BY {key_col} ORDER BY {ts_col}
+            ) AS gap
+        FROM {table} WHERE {ts_col} IS NOT NULL
+    ), per AS (
+        SELECT key, count(*) AS ng, sum(gap) AS sg,
+               sum(gap * gap) AS sgg
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+        HAVING count(*) >= 2
+    ), stats AS (
+        SELECT
+            sqrt((sgg - sg * sg / ng) / (ng - 1)) AS sigma,
+            sg / ng AS mu
+        FROM per
+    ), bvals AS (
+        SELECT CASE WHEN sigma + mu > 0
+                    THEN (sigma - mu) / (sigma + mu)
+                    ELSE 0.0 END AS b
+        FROM stats
+    )
+    SELECT least(greatest(floor((b + 1.0) / {bin_width!r}), 0),
+                 {n_bins - 1}) * {bin_width!r} - 1.0 AS bin_lo,
+        count(*) AS n_keys,
+        round(avg(b), 6) AS avg_b
+    FROM bvals
+    GROUP BY 1
+    """

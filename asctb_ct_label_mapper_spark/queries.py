@@ -8004,3 +8004,331 @@ def backtest_baselines_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return backtest_baselines(daily, season=7)
+
+
+# ---------------------------------------------------------------------------
+# round-11c batch: variance decomposition, effect sizes, empirical-Bayes
+# rates, burstiness, HITS / k-core / assortativity / structural similarity,
+# containment dedup, hard-negative mining, quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def _anova_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_anova_oneway
+
+    return sql_anova_oneway("events", "event_type", "value")
+
+
+@query("anova_value_by_type", _anova_oracle())
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types
+    (stats.anova_oneway): does the type explain the value at all?
+    One combinable grouped sufficient-statistic aggregate, then a
+    k-row fold — F, eta-squared, and both sums of squares in one row."""
+    from asctb_ct_label_mapper_spark.operators.stats import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _contingency_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_contingency_effects,
+    )
+
+    return sql_contingency_effects(
+        "(SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow"
+        " FROM events) t",
+        "event_type",
+        "dow",
+    )
+
+
+@query("contingency_type_dow", _contingency_oracle())
+def contingency_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency effect sizes (stats.contingency_effects) for
+    event type x day-of-week: chi-square, G-statistic, dof, and
+    Cramér's V — the bounded association strength
+    categorical_association's chi2+MI readout leaves out. One
+    contingency aggregate; marginals re-derive from the persisted
+    cells. Day-of-week uses the assoc_type_dow_events parity shim
+    (Spark dayofweek = DuckDB dayofweek + 1)."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        contingency_effects,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    )
+    return contingency_effects(ev, "event_type", "dow")
+
+
+def _eb_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_eb_rate_shrinkage,
+    )
+
+    return sql_eb_rate_shrinkage(
+        "events",
+        "user_id",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+    )
+
+
+@query("eb_shrunk_purchase_rate", _eb_oracle())
+def eb_shrunk_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (stats.eb_rate_shrinkage): method-of-moments prior fit on the
+    key-grain aggregate, one broadcast prior row, bucket-grain readout
+    of how far low-evidence users get pulled toward the corpus rate."""
+    from asctb_ct_label_mapper_spark.operators.stats import eb_rate_shrinkage
+
+    return eb_rate_shrinkage(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+def _burstiness_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_burstiness_histogram,
+    )
+
+    return sql_burstiness_histogram("events", "user_id", "ts")
+
+
+@query("burstiness_hist_users", _burstiness_oracle())
+def burstiness_hist_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness histogram (stats.burstiness_histogram):
+    B = (sigma-mu)/(sigma+mu) over inter-arrival gaps — the
+    bot-vs-human behavioural fingerprint, folded to fixed [-1,1] bins.
+    One keyed window shuffle, then sufficient-statistic aggregates."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        burstiness_histogram,
+    )
+
+    return burstiness_histogram(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        nation_trade_edges,
+    )
+
+    return nation_trade_edges(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def _trade_edges_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-weight trade edges: the 25-nation rollup is a
+    near-complete digraph, so every topology readout (k-core peeling,
+    assortativity variance, neighbor-set similarity) degenerates on it;
+    thresholding at the mean edge weight keeps the STRONG-trade
+    subgraph where structure exists. One edge-grain aggregate, one
+    broadcast scalar — the filter is deterministic on both engines."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    edges = pooled_persist(_trade_edges(spark, sf_dir))
+    aw = edges.agg(F.avg("w").alias("_aw"))
+    return (
+        edges.crossJoin(F.broadcast(aw))
+        .filter(F.col("w") >= F.col("_aw"))
+        .select("src", "dst", "w")
+    )
+
+
+def _sql_trade_edges_filtered() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_nation_trade_edges,
+    )
+
+    raw = sql_nation_trade_edges().replace("edges AS (", "edges_raw AS (", 1)
+    return (
+        raw
+        + """, edges AS (
+        SELECT src, dst, w FROM edges_raw
+        WHERE w >= (SELECT avg(w) FROM edges_raw)
+    )"""
+    )
+
+
+def _hits_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_hits,
+        sql_nation_trade_edges,
+    )
+
+    return f"WITH {sql_nation_trade_edges()}, {sql_hits(iters=8)}"
+
+
+@query("hits_nation_trade", _hits_oracle())
+def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the nation trade digraph
+    (graph.hits_scores): exporter-hub vs importer-authority centrality
+    next to pagerank_nation_trade; L1-normalized power iteration folded
+    on the driver over the dimension-grain edge list (pagerank-local
+    precedent), oracle = the same iteration unrolled into CTEs."""
+    from asctb_ct_label_mapper_spark.operators.graph import hits_scores
+
+    return hits_scores(_trade_edges(spark, sf_dir), iters=8)
+
+
+def _kcore_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import sql_k_core
+
+    return f"WITH {_sql_trade_edges_filtered()}, {sql_k_core(k=12, iters=15)}"
+
+
+@query("kcore_nation_trade", _kcore_oracle())
+def kcore_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-core of the strong-trade nation graph (graph.k_core):
+    iterative peeling to the dense trading bloc, unrolled to a fixed
+    point on both engines; degree = distinct strong-trade partners
+    among survivors."""
+    from asctb_ct_label_mapper_spark.operators.graph import k_core
+
+    return k_core(_trade_edges_filtered(spark, sf_dir), k=12, iters=15)
+
+
+def _assort_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_degree_assortativity,
+    )
+
+    return f"WITH {_sql_trade_edges_filtered()}, {sql_degree_assortativity()}"
+
+
+@query("assortativity_trade", _assort_oracle())
+def assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-trade graph
+    (graph.degree_assortativity): do high-degree trading nations link
+    to each other or to the periphery? Edge-grain closed-form moments
+    over the symmetrized distinct pair set."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_trade_edges_filtered(spark, sf_dir))
+
+
+def _njacc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_neighbor_jaccard_topk,
+    )
+
+    return f"WITH {_sql_trade_edges_filtered()}, {sql_neighbor_jaccard_topk(topk=15)}"
+
+
+@query("neighbor_jaccard_nations", _njacc_oracle())
+def neighbor_jaccard_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence top pairs (graph.neighbor_jaccard_topk):
+    which exporter nations sell into the most similar strong-trade
+    markets — shared-successor candidate join (never all-pairs),
+    injective (jaccard DESC, a, b) order."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        neighbor_jaccard_topk,
+    )
+
+    return neighbor_jaccard_topk(_trade_edges_filtered(spark, sf_dir), topk=15)
+
+
+def _containment_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        sql_containment_pairs,
+    )
+
+    return sql_containment_pairs("source", threshold=0.5)
+
+
+@query("containment_pairs_docs", _containment_oracle())
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-3-gram containment pairs within the source block
+    (dedup.containment_pairs): |A∩B|/|A| — the sub-document/boilerplate
+    inclusion detector that symmetric Jaccard misses; one undirected
+    shared-shingle census, both directions projected from the counted
+    pair."""
+    from asctb_ct_label_mapper_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "source",
+        threshold=0.5,
+    )
+
+
+_HARD_NEG_ORACLE = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 = 0),
+         r AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 <> 0),
+         s AS (SELECT q.vec_id, r.rid,
+                      round(list_cosine_similarity(q.e, r.e), 6) AS sc
+               FROM q CROSS JOIN r),
+         banded AS (SELECT * FROM s WHERE sc >= 0.30 AND sc < 0.90),
+         ranked AS (SELECT vec_id, rid, sc,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY sc DESC, rid) AS rn
+                    FROM banded)
+    SELECT vec_id, rid AS ref_id, sc AS score, rn AS rank
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("hard_negatives_embeddings", _HARD_NEG_ORACLE)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives_topk): per query
+    vector, the top-3 reference neighbors with cosine in [0.30, 0.90) —
+    informative contrastive negatives below the near-dup ceiling; exact
+    broadcast scorer with the band applied before the rank window."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        hard_negatives_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    return hard_negatives_topk(
+        queries,
+        reference,
+        k=3,
+        query_id_cols=["vec_id"],
+        ref_id_col="vec_id",
+        lo=0.30,
+        hi=0.90,
+    ).select("vec_id", "ref_id", "score", "rank")
+
+
+def _qnorm_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_quantile_normalize,
+    )
+
+    return sql_quantile_normalize("documents", "source", "n_chars", "doc_id")
+
+
+@query("quantile_normalize_doclen", _qnorm_oracle())
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources
+    (curation.quantile_normalize): each source's length distribution is
+    rank-mapped onto the pooled distribution (integer-exact positions;
+    pooled order statistic via the id-bucketed global_rank, never a
+    single-partition sort) — the cross-source calibration step before
+    mixture weighting."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
+    )

@@ -295,6 +295,19 @@ BENCH_QUERIES = [
     "lift_table_doclen_en",
     "segment_uplift_docs",
     "backtest_baselines_purchases",
+    # r11c: variance/effect statistics, EB rates, burstiness, graph
+    # topology, containment dedup, hard negatives, quantile normalize
+    "anova_value_by_type",
+    "contingency_type_dow",
+    "eb_shrunk_purchase_rate",
+    "burstiness_hist_users",
+    "hits_nation_trade",
+    "kcore_nation_trade",
+    "assortativity_trade",
+    "neighbor_jaccard_nations",
+    "containment_pairs_docs",
+    "hard_negatives_embeddings",
+    "quantile_normalize_doclen",
 ]
 
 

@@ -84,6 +84,13 @@ TARGETS = {
     "cohort_ltv_events": "cohort LTV (r11b): user-grain min-bucket fold persisted, fact pass joins it on the user key, (cohort, age) fold + per-cohort cumulative window - dimension-grain past the join",
     "segment_uplift_docs": "segment uplift (r11b): ONE scan stack-unpivoted to (dim, value, y), one combinable fold, totals pooled from one dim's marginals, chi2 TakeOrderedAndProject",
     "ewma_backtest_purchases": "EWMA backtest (r11b): day-grain rollup -> rescaled prefix-sum window (exact powers of two) -> lag-one predictions -> one-row error fold",
+    "anova_value_by_type": "one-way ANOVA (r11c): ONE combinable grouped sufficient-statistic aggregate, k-row fold, divisions last - no second table scan",
+    "contingency_type_dow": "contingency effects (r11c): one contingency fold persisted; marginals re-derive from cells; Sum(o^2/e)-N identity keeps empty cells unmaterialized",
+    "eb_shrunk_purchase_rate": "EB shrinkage (r11c): key-grain (n,k) fold persisted -> one-row MoM prior broadcast -> bucket-grain readout; raw stream scanned once",
+    "burstiness_hist_users": "burstiness (r11c): ONE keyed window Exchange (gaps), per-key sufficient-statistic fold, bin-sized histogram",
+    "containment_pairs_docs": "directed containment (r11c): one shared-shingle census (never all-pairs), BOTH directions projected from the counted pair - census runs once",
+    "hard_negatives_embeddings": "hard negatives (r11c): broadcast-reference exact scorer, 6dp band filter BEFORE the per-query rank window - banded-out pairs never shuffle",
+    "quantile_normalize_doclen": "quantile normalize (r11c): keyed within-group ranks + id-bucketed two-phase global_rank for the pooled order statistic - no single-partition sort of the data",
 }
 
 
