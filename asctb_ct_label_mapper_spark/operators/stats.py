@@ -1572,3 +1572,313 @@ def sql_burstiness_histogram(
     FROM bvals
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r11d: rolling correlation, lag cross-correlation, Simpson's-paradox check
+# ---------------------------------------------------------------------------
+
+def _daily_pair(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shared calendar-spined (d, ca, cb) daily pair series — the
+    spearman_daily construction factored out for the rolling/lagged
+    correlation family: one conditional date aggregate (the only fact
+    pass), then the single spine definition."""
+    counts = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(type_a, type_b)
+        )
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(
+            F.sum((F.col(type_col) == type_a).cast("long")).alias("ca"),
+            F.sum((F.col(type_col) == type_b).cast("long")).alias("cb"),
+        )
+    )
+    return _calendar_fill(counts, ["ca", "cb"])
+
+
+def rolling_corr_daily(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    window: int = 14,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Rolling Pearson correlation between two event types' daily count
+    series over a trailing ``window``-day frame — the co-movement
+    monitor ("are views still driving purchases this fortnight?") whose
+    drops flag regime changes a single full-period corr averages away.
+
+    Closed form from rolling sufficient statistics (Σx, Σy, Σxy, Σxx,
+    Σyy, n over the frame), divisions last; windows shorter than
+    ``window`` days (the series head) are suppressed, degenerate
+    constant-series windows degrade to NULL via try_divide on both
+    engines.
+
+    Scale: the windows run on the CALENDAR-GRAIN frame (one row per
+    day — years are thousands of rows), ordered by date without a
+    partition key; the fact table is touched exactly once by the date
+    aggregate. Returns (d, corr), 6dp."""
+    daily = _daily_pair(df, type_a, type_b, ts_col, type_col)
+    w = Window.orderBy("d").rowsBetween(-(window - 1), 0)
+    x = F.col("ca").cast("double")
+    y = F.col("cb").cast("double")
+    rolled = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+    ).filter(F.col("n") == window)
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return rolled.select(
+        "d",
+        F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("corr"),
+    )
+
+
+def sql_rolling_corr_daily(
+    type_a: str,
+    type_b: str,
+    window: int = 14,
+    table: str = "events",
+) -> str:
+    """DuckDB replay of :func:`rolling_corr_daily` — same frame, same
+    sums, NULL on degenerate windows (NULLIF of a zero variance)."""
+    frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d,
+            sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS ca,
+            sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS cb
+        FROM {table}
+        WHERE ts IS NOT NULL AND event_type IN ('{type_a}', '{type_b}')
+        GROUP BY 1
+    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])}, rolled AS (
+        SELECT d,
+            count(*) OVER w AS n,
+            sum(CAST(ca AS DOUBLE)) OVER w AS sx,
+            sum(CAST(cb AS DOUBLE)) OVER w AS sy,
+            sum(CAST(ca AS DOUBLE) * cb) OVER w AS sxy,
+            sum(CAST(ca AS DOUBLE) * ca) OVER w AS sxx,
+            sum(CAST(cb AS DOUBLE) * cb) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY d {frame})
+    )
+    SELECT d,
+        round((n * sxy - sx * sy)
+              / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                       0.0), 6) AS corr
+    FROM rolled WHERE n = {window}
+    """
+
+
+def xcorr_daily(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Lagged cross-correlation between two daily count series:
+    Pearson corr of (a(t), b(t+lag)) for lag 0..``max_lag`` — does
+    today's view volume predict purchases 0, 1, ... 7 days out, and
+    which lag couples tightest? The lead-indicator probe in front of
+    any forecasting feature.
+
+    Each lag correlates over its own overlap (n shrinks by one day per
+    lag); closed-form moment sums per lag, divisions last, NULL on
+    degenerate overlap via try_divide.
+
+    Plan: ONE fact pass (the date aggregate), calendar spine, then a
+    lag-spine cross join and a self-join on shifted dates — everything
+    past the aggregate is (calendar × lags)-sized. Returns
+    (lag, n_days, corr), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(
+        _daily_pair(df, type_a, type_b, ts_col, type_col)
+    )
+    lags = daily.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("d", F.col("ca").cast("double").alias("x"))
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("cb").cast("double").alias("y")
+    )
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("corr"),
+    )
+
+
+def sql_xcorr_daily(
+    type_a: str,
+    type_b: str,
+    max_lag: int = 7,
+    table: str = "events",
+) -> str:
+    """DuckDB replay of :func:`xcorr_daily` — same spine, same shifted
+    self-join, same sums."""
+    return f"""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d,
+            sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS ca,
+            sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS cb
+        FROM {table}
+        WHERE ts IS NOT NULL AND event_type IN ('{type_a}', '{type_b}')
+        GROUP BY 1
+    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])},
+    lags AS (SELECT unnest(generate_series(0, {max_lag})) AS lag),
+    pairs AS (
+        SELECT lags.lag, CAST(a.ca AS DOUBLE) AS x, CAST(b.cb AS DOUBLE) AS y
+        FROM daily a CROSS JOIN lags
+        JOIN daily b ON b.d = a.d + to_days(lags.lag::INT)
+    ), m AS (
+        SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT lag, n AS n_days,
+        round((n * sxy - sx * sy)
+              / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                       0.0), 6) AS corr
+    FROM m
+    """
+
+
+def simpson_slope_check(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col: str,
+) -> DataFrame:
+    """Simpson's-paradox probe for a trend: the pooled OLS slope of
+    y on x next to the per-group slopes — how many groups trend in the
+    OPPOSITE direction of the pooled line? A nonzero count means the
+    pooled trend is a composition artifact (the classic aggregation
+    trap in any segment-blind dashboard).
+
+    ONE grouped sufficient-statistic aggregate serves both grains: the
+    pooled sums are the COLUMN SUMS of the per-group sums, so the fact
+    table is scanned once and the fold is group-count-sized. Groups
+    with zero x-variance have no slope and are excluded from the flip
+    census (but still feed the pooled line). Returns one row
+    (pooled_slope, n_groups, n_opposite, min_group_slope,
+    max_group_slope), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    x = x.cast("double")
+    y = F.col(y_col).cast("double")
+    per = pooled_persist(
+        df.filter(y.isNotNull() & x.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        return F.try_divide(
+            n * sxy - sx * sy, n * sxx - sx * sx
+        )
+
+    g_slope = slope(
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    slopes = per.select(g_slope.alias("b"))
+    pooled = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).select(
+        slope(
+            F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+        ).alias("pb")
+    )
+    return (
+        slopes.crossJoin(F.broadcast(pooled))
+        .agg(
+            F.round(F.first("pb"), 6).alias("pooled_slope"),
+            F.sum(F.col("b").isNotNull().cast("long")).alias("n_groups"),
+            F.sum(
+                (
+                    F.col("b").isNotNull()
+                    & (F.signum("b") == -F.signum("pb"))
+                    & (F.signum("b") != 0)
+                ).cast("long")
+            ).alias("n_opposite"),
+            F.round(F.min("b"), 6).alias("min_group_slope"),
+            F.round(F.max("b"), 6).alias("max_group_slope"),
+        )
+    )
+
+
+def sql_simpson_slope_check(
+    table: str,
+    group_col: str,
+    x_expr: str,
+    y_col: str,
+) -> str:
+    """DuckDB replay of :func:`simpson_slope_check` — same single
+    aggregate, same column-sum pooling, same sign census."""
+    return f"""
+    WITH per AS (
+        SELECT {group_col} AS g, count(*) AS n,
+            sum(CAST({x_expr} AS DOUBLE)) AS sx,
+            sum(CAST({y_col} AS DOUBLE)) AS sy,
+            sum(CAST({x_expr} AS DOUBLE) * {y_col}) AS sxy,
+            sum(CAST({x_expr} AS DOUBLE) * {x_expr}) AS sxx
+        FROM {table}
+        WHERE {y_col} IS NOT NULL AND {x_expr} IS NOT NULL
+        GROUP BY 1
+    ), slopes AS (
+        SELECT (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS b
+        FROM per
+    ), pooled AS (
+        SELECT (sum(n) * sum(sxy) - sum(sx) * sum(sy))
+               / NULLIF(sum(n) * sum(sxx) - sum(sx) * sum(sx), 0.0) AS pb
+        FROM per
+    )
+    SELECT round(first(pb), 6) AS pooled_slope,
+        sum(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS n_groups,
+        sum(CASE WHEN b IS NOT NULL AND sign(b) = -sign(pb)
+                  AND sign(b) <> 0 THEN 1 ELSE 0 END) AS n_opposite,
+        round(min(b), 6) AS min_group_slope,
+        round(max(b), 6) AS max_group_slope
+    FROM slopes CROSS JOIN pooled
+    """

@@ -1760,3 +1760,76 @@ def sql_script_profile(
         round(avg(1.0 - a - d - s), 6) + 0.0 AS frac_other
     FROM per_doc GROUP BY grp
     """
+
+
+def readability_by_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language Flesch-reading-ease profile with a deterministic
+    syllable PROXY (vowel-group runs ``[aeiouy]+`` over the lowercased
+    text — the standard cheap stand-in; real hyphenation dictionaries
+    are engine-external). The curation readout: a language whose
+    average score collapses flags boilerplate/gibberish inflow before
+    any model sees it.
+
+        flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+
+    W = non-space token count, S = sentence-punctuation runs
+    ``[.!?]+`` floored at 1 (punctuation-free docs are one sentence),
+    Syl = vowel-group runs. Documents with zero words are excluded.
+
+    Plan: three regexp_count projections inside one narrow scan — no
+    Generate/explode, zero shuffle before the lang-grain fold. Returns
+    (lang, n_docs, avg_words, avg_wps, avg_flesch), 6dp."""
+    words = F.regexp_count(F.col(text_col), F.lit(r"[^ ]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syls = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+    scored = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            words.cast("double").alias("w"),
+            sents.cast("double").alias("s"),
+            syls.cast("double").alias("sy"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("w") / F.col("s"))
+        - 84.6 * (F.col("sy") / F.col("w"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 6).alias("avg_words"),
+        F.round(F.avg(F.col("w") / F.col("s")), 6).alias("avg_wps"),
+        F.round(F.avg(flesch), 6).alias("avg_flesch"),
+    )
+
+
+def sql_readability_by_lang(table: str = "documents") -> str:
+    """DuckDB replay of :func:`readability_by_lang` — same regex
+    classes (RE2/DuckDB and Java agree on these literal classes), same
+    floors, divisions last."""
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+            CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS w,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS DOUBLE) AS s,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS DOUBLE) AS sy
+        FROM {table} WHERE text IS NOT NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+        round(avg(w), 6) AS avg_words,
+        round(avg(w / s), 6) AS avg_wps,
+        round(avg(206.835 - 1.015 * (w / s) - 84.6 * (sy / w)), 6)
+            AS avg_flesch
+    FROM scored WHERE w > 0
+    GROUP BY 1
+    """

@@ -8332,3 +8332,127 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(
         _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11d batch: co-movement monitors, Simpson's check, readability,
+# ORC interop
+# ---------------------------------------------------------------------------
+
+
+def _rolling_corr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_rolling_corr_daily,
+    )
+
+    return sql_rolling_corr_daily("view", "purchase", window=14)
+
+
+@query("rolling_corr_view_purchase", _rolling_corr_oracle())
+def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between the daily view and
+    purchase series (stats.rolling_corr_daily): regime-change monitor
+    from rolling sufficient-statistic windows on the calendar-grain
+    frame; one fact pass."""
+    from asctb_ct_label_mapper_spark.operators.stats import rolling_corr_daily
+
+    return rolling_corr_daily(
+        _t(spark, sf_dir, "events"), "view", "purchase", window=14
+    )
+
+
+def _xcorr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_xcorr_daily
+
+    return sql_xcorr_daily("view", "purchase", max_lag=7)
+
+
+@query("xcorr_view_purchase", _xcorr_oracle())
+def xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation, views leading purchases by 0..7 days
+    (stats.xcorr_daily): the lead-indicator probe — one fact pass, then
+    a lag-spine shifted self-join on the calendar-grain series."""
+    from asctb_ct_label_mapper_spark.operators.stats import xcorr_daily
+
+    return xcorr_daily(
+        _t(spark, sf_dir, "events"), "view", "purchase", max_lag=7
+    )
+
+
+def _simpson_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_simpson_slope_check,
+    )
+
+    return sql_simpson_slope_check(
+        "events",
+        "event_type",
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        "value",
+    )
+
+
+@query("simpson_value_trend", _simpson_oracle())
+def simpson_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox probe (stats.simpson_slope_check): pooled OLS
+    slope of event value over time vs the per-event-type slopes — a
+    nonzero opposite-sign census means the pooled trend is a mixture
+    artifact. One grouped sufficient-statistic aggregate serves both
+    grains."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        simpson_slope_check,
+    )
+
+    return simpson_slope_check(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")),
+        "value",
+    )
+
+
+def _readability_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_readability_by_lang,
+    )
+
+    return sql_readability_by_lang("documents")
+
+
+@query("readability_docs", _readability_oracle())
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch profile (textstats.readability_by_lang) with
+    the deterministic vowel-group syllable proxy — three regexp_count
+    projections in one narrow scan, zero shuffle before the lang fold."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        readability_by_lang,
+    )
+
+    return readability_by_lang(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "orc_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 ORC flavor (sinks.write_orc): write an orders subset through
+    the native ORC sink, read it back, and aggregate — the oracle
+    computes the same rollup from the ORIGINAL parquet, proving the
+    Hive-interop columnar round-trip is lossless for longs, decimals,
+    strings, and dates."""
+    from asctb_ct_label_mapper_spark.sources.sinks import write_orc
+
+    path = "/tmp/spark_graft_fixtures/orders_orc_roundtrip"
+    src = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    write_orc(src, path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -25,6 +25,15 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC flavor of the columnar sink: Spark ships a native ORC
+    reader/writer (Hive-ecosystem interop — the other columnar format a
+    lake migration actually encounters), schema- and type-preserving
+    like the parquet sink, with the same predicate-pushdown/column-
+    pruning behavior at scan time."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -308,6 +308,12 @@ BENCH_QUERIES = [
     "containment_pairs_docs",
     "hard_negatives_embeddings",
     "quantile_normalize_doclen",
+    # r11d: co-movement monitors, Simpson's check, readability, ORC
+    "rolling_corr_view_purchase",
+    "xcorr_view_purchase",
+    "simpson_value_trend",
+    "readability_docs",
+    "orc_roundtrip",
 ]
 
 

@@ -91,6 +91,9 @@ TARGETS = {
     "containment_pairs_docs": "directed containment (r11c): one shared-shingle census (never all-pairs), BOTH directions projected from the counted pair - census runs once",
     "hard_negatives_embeddings": "hard negatives (r11c): broadcast-reference exact scorer, 6dp band filter BEFORE the per-query rank window - banded-out pairs never shuffle",
     "quantile_normalize_doclen": "quantile normalize (r11c): keyed within-group ranks + id-bucketed two-phase global_rank for the pooled order statistic - no single-partition sort of the data",
+    "rolling_corr_view_purchase": "rolling corr (r11d): one fact pass -> calendar-grain frame; rolling sufficient-statistic windows, divisions last",
+    "xcorr_view_purchase": "lagged xcorr (r11d): one fact pass; lag-spine cross join + shifted self-join on the calendar-grain series",
+    "readability_docs": "readability (r11d): three regexp_count projections in ONE narrow scan, zero shuffle before the lang fold",
 }
 
 
