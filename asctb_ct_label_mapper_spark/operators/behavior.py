@@ -1143,3 +1143,205 @@ def sql_funnel_time_to_convert(
         {', '.join(qcols)}
     FROM ranked
     """
+
+
+# ---------------------------------------------------------------------------
+# r11e: product-analytics decompositions — new vs returning, stickiness,
+# power-user curve
+# ---------------------------------------------------------------------------
+
+def new_vs_returning_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users decomposed into FIRST-SEEN vs RETURNING — the
+    growth-accounting readout under every DAU chart (is the line new
+    acquisition or retention?).
+
+    Plan: distinct (day, key) pairs (one Exchange), the key-grain
+    first-day fold off that SAME deduplicated frame (persisted — the
+    fact table is scanned once), a key-keyed join (co-partitioned with
+    the dedup shuffle), then a day-grain fold. Returns
+    (d, active_users, new_users, returning_users) for active days."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    pairs = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("d"), F.col(key_col).alias("key")
+        )
+        .distinct()
+    )
+    first = pairs.groupBy("key").agg(F.min("d").alias("d0"))
+    return (
+        pairs.join(first, "key")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum((F.col("d") == F.col("d0")).cast("long")).alias(
+                "new_users"
+            ),
+            F.sum((F.col("d") != F.col("d0")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+def sql_new_vs_returning_daily(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`new_vs_returning_daily`."""
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST({ts_col} AS DATE) AS d, {key_col} AS key
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    ), first AS (
+        SELECT key, min(d) AS d0 FROM pairs GROUP BY 1
+    )
+    SELECT pairs.d, count(*) AS active_users,
+        sum(CASE WHEN pairs.d = first.d0 THEN 1 ELSE 0 END) AS new_users,
+        sum(CASE WHEN pairs.d <> first.d0 THEN 1 ELSE 0 END)
+            AS returning_users
+    FROM pairs JOIN first USING (key)
+    GROUP BY 1
+    """
+
+
+def stickiness_monthly(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Monthly stickiness = avg(DAU)/MAU — the habit metric (what
+    fraction of the month's users show up on an average day). Both
+    numerator and denominator are EXACT distinct counts derived from
+    ONE deduplicated (day, key) frame: DAU re-aggregates it per day,
+    MAU per month — the fact table is scanned once.
+
+    Returns (month, mau, avg_dau, stickiness) per calendar month, 6dp;
+    avg(DAU) averages over the month's ACTIVE days (documented choice —
+    zero-activity days would need the calendar spine, and a month with
+    zero activity has no MAU to divide by anyway)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    pairs = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("d"), F.col(key_col).alias("key")
+        )
+        .distinct()
+    )
+    dau = pairs.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    dau_m = dau.groupBy(F.date_trunc("month", "d").cast("date").alias("month")).agg(
+        F.avg("dau").alias("avg_dau")
+    )
+    mau = pairs.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("month")
+    ).agg(F.count_distinct("key").alias("mau"))
+    return (
+        mau.join(dau_m, "month")
+        .select(
+            "month",
+            "mau",
+            F.round("avg_dau", 6).alias("avg_dau"),
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def sql_stickiness_monthly(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`stickiness_monthly`."""
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST({ts_col} AS DATE) AS d, {key_col} AS key
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    ), dau AS (
+        SELECT d, count(*) AS dau FROM pairs GROUP BY 1
+    ), dau_m AS (
+        SELECT date_trunc('month', d)::DATE AS month, avg(dau) AS avg_dau
+        FROM dau GROUP BY 1
+    ), mau AS (
+        SELECT date_trunc('month', d)::DATE AS month,
+               count(DISTINCT key) AS mau
+        FROM pairs GROUP BY 1
+    )
+    SELECT month, mau, round(avg_dau, 6) AS avg_dau,
+        round(avg_dau / mau, 6) AS stickiness
+    FROM mau JOIN dau_m USING (month)
+    """
+
+
+def power_user_curve(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Power-user curve: histogram of ACTIVE DAYS per user per month
+    (the L-curve / smile chart — a right-shifted hump means a habit
+    product, a wall at 1 means drive-by traffic). Fixed integer
+    buckets (1, 2-3, 4-7, 8-15, 16+) keep the readout deterministic
+    and engine-identical.
+
+    Plan: the same single deduplicated (day, key) frame as the
+    stickiness family, a (month, key) fold, then a bucket-grain
+    histogram. Returns (month, days_bucket, users)."""
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("d"), F.col(key_col).alias("key")
+        )
+        .distinct()
+    )
+    per = pairs.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("month"), "key"
+    ).agg(F.count(F.lit(1)).alias("days"))
+    bucket = (
+        F.when(F.col("days") <= 1, "1")
+        .when(F.col("days") <= 3, "2-3")
+        .when(F.col("days") <= 7, "4-7")
+        .when(F.col("days") <= 15, "8-15")
+        .otherwise("16+")
+    )
+    return per.groupBy("month", bucket.alias("days_bucket")).agg(
+        F.count(F.lit(1)).alias("users")
+    )
+
+
+def sql_power_user_curve(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`power_user_curve` — same buckets."""
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST({ts_col} AS DATE) AS d, {key_col} AS key
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    ), per AS (
+        SELECT date_trunc('month', d)::DATE AS month, key,
+               count(*) AS days
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT month,
+        CASE WHEN days <= 1 THEN '1'
+             WHEN days <= 3 THEN '2-3'
+             WHEN days <= 7 THEN '4-7'
+             WHEN days <= 15 THEN '8-15'
+             ELSE '16+' END AS days_bucket,
+        count(*) AS users
+    FROM per
+    GROUP BY 1, 2
+    """

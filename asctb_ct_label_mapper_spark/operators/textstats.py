@@ -1833,3 +1833,90 @@ def sql_readability_by_lang(table: str = "documents") -> str:
     FROM scored WHERE w > 0
     GROUP BY 1
     """
+
+
+def oov_rate_by_group(
+    df: DataFrame,
+    ref_group: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a REFERENCE group's
+    vocabulary: what fraction of each source's token OCCURRENCES never
+    appears in the reference — the tokenizer-coverage / domain-shift
+    probe run before committing a vocab trained on one slice to the
+    whole corpus.
+
+    Plan: one tokenized pass builds (group, token, count) cells
+    (combinable — the explode collapses map-side); the reference
+    vocabulary is the cells' ref slice (distinct tokens), joined back
+    LEFT so unseen tokens count as OOV; everything past the cell fold
+    is vocabulary-sized. Returns (group, total_tokens, oov_tokens,
+    oov_rate) for non-reference groups, 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ref_vocab = (
+        cells.filter(F.col("g") == ref_group)
+        .select("tok")
+        .distinct()
+        .withColumn("_in_ref", F.lit(1))
+    )
+    probe = cells.filter(F.col("g") != ref_group).join(
+        ref_vocab, "tok", "left"
+    )
+    return probe.groupBy("g").agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum(F.when(F.col("_in_ref").isNull(), F.col("c")).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+    ).select(
+        F.col("g").alias(group_col),
+        "total_tokens",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens") / F.col("total_tokens"), 6
+        ).alias("oov_rate"),
+    )
+
+
+def sql_oov_rate_by_group(
+    ref_group: str,
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`oov_rate_by_group` — same tokenization
+    (space split, empties dropped), same left-join OOV census."""
+    return f"""
+    WITH cells AS (
+        SELECT {group_col} AS g, tok, count(*) AS c
+        FROM (
+            SELECT {group_col},
+                unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table} WHERE {text_col} IS NOT NULL
+        )
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    ), ref_vocab AS (
+        SELECT DISTINCT tok FROM cells WHERE g = '{ref_group}'
+    )
+    SELECT cells.g AS {group_col},
+        sum(c) AS total_tokens,
+        sum(CASE WHEN ref_vocab.tok IS NULL THEN c ELSE 0 END)
+            AS oov_tokens,
+        round(sum(CASE WHEN ref_vocab.tok IS NULL THEN c ELSE 0 END)
+              * 1.0 / sum(c), 6) AS oov_rate
+    FROM cells LEFT JOIN ref_vocab ON cells.tok = ref_vocab.tok
+    WHERE cells.g <> '{ref_group}'
+    GROUP BY 1
+    """

@@ -2627,3 +2627,140 @@ def sql_backtest_baselines(
     WHERE _p IS NOT NULL
     GROUP BY method
     """
+
+
+# ---------------------------------------------------------------------------
+# r11e: period-over-period report, attribute control chart
+# ---------------------------------------------------------------------------
+
+def period_over_period_weekly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    trailing: int = 4,
+) -> DataFrame:
+    """Week-over-week growth report: weekly event counts with the WoW
+    percent change and a trailing ``trailing``-week moving average —
+    the standing growth dashboard row. Weeks are ISO date_trunc
+    buckets (Monday start on both engines).
+
+    Plan: one week-grain fold off the raw stream, then lag/avg windows
+    on the WEEK-grain frame (a year is 52 rows). Returns
+    (week, n, wow_pct, avg_4w), 6dp; the first week's WoW is NULL."""
+    weekly = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc("week", ts_col).cast("date").alias("week")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("week")
+    wma = Window.orderBy("week").rowsBetween(-(trailing - 1), 0)
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "n",
+        F.round(
+            F.try_divide((F.col("n") - prev) * 100.0, prev), 6
+        ).alias("wow_pct"),
+        F.round(F.avg("n").over(wma), 6).alias(f"avg_{trailing}w"),
+    )
+
+
+def sql_period_over_period_weekly(
+    table: str = "events",
+    ts_col: str = "ts",
+    trailing: int = 4,
+) -> str:
+    """DuckDB replay of :func:`period_over_period_weekly` — same week
+    truncation, same frames, NULL-on-first-week parity."""
+    return f"""
+    WITH weekly AS (
+        SELECT date_trunc('week', {ts_col})::DATE AS week,
+               count(*) AS n
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    )
+    SELECT week, n,
+        round((n - lag(n) OVER (ORDER BY week)) * 100.0
+              / NULLIF(lag(n) OVER (ORDER BY week), 0), 6) AS wow_pct,
+        round(avg(n) OVER (ORDER BY week
+                           ROWS BETWEEN {trailing - 1} PRECEDING
+                           AND CURRENT ROW), 6) AS avg_{trailing}w
+    FROM weekly
+    """
+
+
+def p_chart_daily(
+    df: DataFrame,
+    success_col,
+    ts_col: str = "ts",
+    z: float = 3.0,
+) -> DataFrame:
+    """Attribute (p-) control chart on a daily success proportion:
+    center line = pooled rate p̄, limits = p̄ ± z·sqrt(p̄(1−p̄)/n_d)
+    per day (binomial sigma at each day's own sample size), flag =
+    outside the limits — the SPC gate that separates routine daily
+    wobble from a real shift (deploy regressions, data outages).
+
+    ``success_col`` is a 0/1 integer Column. Plan: ONE day-grain fold
+    (n, k), a one-row pooled-rate broadcast, then day-grain
+    arithmetic. Returns (d, n, rate, lcl, ucl, flag), 6dp; LCL floors
+    at 0, UCL caps at 1 (proportions)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(success_col).alias("k"),
+        )
+    )
+    pooled = daily.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("pbar")
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    half = F.lit(z) * F.sqrt(
+        F.col("pbar") * (1.0 - F.col("pbar")) / F.col("n")
+    )
+    lcl = F.greatest(F.col("pbar") - half, F.lit(0.0))
+    ucl = F.least(F.col("pbar") + half, F.lit(1.0))
+    return daily.crossJoin(F.broadcast(pooled)).select(
+        "d",
+        "n",
+        F.round(rate, 6).alias("rate"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        ((rate < lcl) | (rate > ucl)).cast("int").alias("flag"),
+    )
+
+
+def sql_p_chart_daily(
+    table: str,
+    success_expr: str,
+    ts_col: str = "ts",
+    z: float = 3.0,
+) -> str:
+    """DuckDB replay of :func:`p_chart_daily` — same pooled rate, same
+    clamped limits; the flag compares the UNROUNDED rate to the
+    UNROUNDED limits on both engines."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS n,
+               sum({success_expr}) AS k
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ), pooled AS (
+        SELECT sum(k) * 1.0 / sum(n) AS pbar FROM daily
+    )
+    SELECT d, n,
+        round(CAST(k AS DOUBLE) / n, 6) AS rate,
+        round(greatest(pbar - {z!r} * sqrt(pbar * (1.0 - pbar) / n),
+                       0.0), 6) AS lcl,
+        round(least(pbar + {z!r} * sqrt(pbar * (1.0 - pbar) / n),
+                    1.0), 6) AS ucl,
+        CASE WHEN CAST(k AS DOUBLE) / n
+                  < greatest(pbar - {z!r} * sqrt(pbar * (1.0 - pbar) / n), 0.0)
+              OR CAST(k AS DOUBLE) / n
+                  > least(pbar + {z!r} * sqrt(pbar * (1.0 - pbar) / n), 1.0)
+             THEN 1 ELSE 0 END AS flag
+    FROM daily CROSS JOIN pooled
+    """

@@ -8456,3 +8456,138 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11e batch: growth accounting, stickiness, power-user curve,
+# WoW report, SPC control chart, OOV coverage
+# ---------------------------------------------------------------------------
+
+
+def _nvr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_new_vs_returning_daily,
+    )
+
+    return sql_new_vs_returning_daily("events")
+
+
+@query("new_vs_returning_daily", _nvr_oracle())
+def new_vs_returning_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (behavior.new_vs_returning_daily): daily
+    actives split into first-seen vs returning — one deduplicated
+    (day, user) frame feeds both the first-day fold and the day
+    census; the fact table is scanned once."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        new_vs_returning_daily,
+    )
+
+    return new_vs_returning_daily(_t(spark, sf_dir, "events"))
+
+
+def _stickiness_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_stickiness_monthly,
+    )
+
+    return sql_stickiness_monthly("events")
+
+
+@query("stickiness_monthly", _stickiness_oracle())
+def stickiness_monthly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly avg(DAU)/MAU stickiness (behavior.stickiness_monthly):
+    exact distinct counts, both grains re-aggregated from ONE
+    deduplicated (day, user) frame."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        stickiness_monthly,
+    )
+
+    return stickiness_monthly(_t(spark, sf_dir, "events"))
+
+
+def _puc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_power_user_curve,
+    )
+
+    return sql_power_user_curve("events")
+
+
+@query("power_user_curve", _puc_oracle())
+def power_user_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (behavior.power_user_curve): active-days-per-
+    user-per-month histogram in fixed integer buckets — the
+    habit-vs-drive-by shape readout."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        power_user_curve,
+    )
+
+    return power_user_curve(_t(spark, sf_dir, "events"))
+
+
+def _wow_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_period_over_period_weekly,
+    )
+
+    return sql_period_over_period_weekly("events")
+
+
+@query("weekly_growth_events", _wow_oracle())
+def weekly_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth report
+    (timeseries.period_over_period_weekly): weekly counts, WoW percent
+    change, trailing 4-week average — windows on the week-grain frame
+    only."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        period_over_period_weekly,
+    )
+
+    return period_over_period_weekly(_t(spark, sf_dir, "events"))
+
+
+def _pchart_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_p_chart_daily,
+    )
+
+    return sql_p_chart_daily(
+        "events", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+    )
+
+
+@query("pchart_purchase_rate", _pchart_oracle())
+def pchart_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart on the daily purchase proportion
+    (timeseries.p_chart_daily): pooled center line, per-day binomial
+    3-sigma limits, out-of-control flags — one day-grain fold plus a
+    one-row broadcast."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        p_chart_daily,
+    )
+
+    return p_chart_daily(
+        _t(spark, sf_dir, "events"),
+        (F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+def _oov_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_oov_rate_by_group,
+    )
+
+    return sql_oov_rate_by_group("src0")
+
+
+@query("oov_rate_docs", _oov_oracle())
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of every source against src0's
+    vocabulary (textstats.oov_rate_by_group): tokenizer-coverage /
+    domain-shift probe — one combinable (source, token) cell fold,
+    vocabulary-sized everything after."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        oov_rate_by_group,
+    )
+
+    return oov_rate_by_group(_t(spark, sf_dir, "documents"), "src0")

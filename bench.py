@@ -314,6 +314,13 @@ BENCH_QUERIES = [
     "simpson_value_trend",
     "readability_docs",
     "orc_roundtrip",
+    # r11e: growth accounting, stickiness, WoW, SPC chart, OOV coverage
+    "new_vs_returning_daily",
+    "stickiness_monthly",
+    "power_user_curve",
+    "weekly_growth_events",
+    "pchart_purchase_rate",
+    "oov_rate_docs",
 ]
 
 

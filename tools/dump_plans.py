@@ -94,6 +94,9 @@ TARGETS = {
     "rolling_corr_view_purchase": "rolling corr (r11d): one fact pass -> calendar-grain frame; rolling sufficient-statistic windows, divisions last",
     "xcorr_view_purchase": "lagged xcorr (r11d): one fact pass; lag-spine cross join + shifted self-join on the calendar-grain series",
     "readability_docs": "readability (r11d): three regexp_count projections in ONE narrow scan, zero shuffle before the lang fold",
+    "new_vs_returning_daily": "growth accounting (r11e): ONE deduplicated (day,user) frame persisted; first-day fold + day census share it - fact scanned once",
+    "pchart_purchase_rate": "p-chart (r11e): one day-grain fold, one-row pooled-rate broadcast, day-grain limit arithmetic",
+    "oov_rate_docs": "OOV coverage (r11e): one combinable (group,token) cell fold; ref vocab and probe both re-aggregate the persisted cells",
 }
 
 
