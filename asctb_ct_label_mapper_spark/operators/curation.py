@@ -1514,11 +1514,16 @@ def quantile_normalize(
         .withColumn("_ng", F.count(F.lit(1)).over(sizes))
         .crossJoin(F.broadcast(n_tot))
     )
+    # the first factor goes to double BEFORE the product: (r-1)*(N-1)
+    # as raw longs wraps int64 past ~3e9 rows (the exact_nearest_rank
+    # overflow-guard class, sketches.py); the double product is exact
+    # up to 2^53 — beyond any N whose positions a rank map can resolve
+    # at double precision anyway (r11 review finding)
     pos = F.when(
         F.col("_ng") > 1,
         1
         + F.floor(
-            (F.col("_r") - 1)
+            (F.col("_r") - 1).cast("double")
             * (F.col("_n") - 1)
             / (F.col("_ng") - 1)
         ),
@@ -1561,8 +1566,8 @@ def sql_quantile_normalize(
     ), mapped AS (
         SELECT g, v,
             CASE WHEN ng > 1
-                 THEN 1 + CAST(floor((r - 1) * (n - 1)
-                                     * 1.0 / (ng - 1)) AS BIGINT)
+                 THEN 1 + CAST(floor((r - 1) * 1.0 * (n - 1)
+                                     / (ng - 1)) AS BIGINT)
                  ELSE CAST(floor((n + 1) / 2.0) AS BIGINT)
             END AS p
         FROM ranked

@@ -1723,7 +1723,18 @@ def containment_pairs(
     with zero shingles (< n tokens) cannot anchor a containment and are
     excluded by construction.
 
+    ``threshold`` must be > 0: the census only surfaces pairs sharing
+    ≥1 shingle, so zero-containment pairs are unrepresentable here
+    (the SQL mirror, which enumerates the block quadratically, WOULD
+    emit them at threshold 0 — validated away rather than silently
+    divergent; r11 review finding).
+
     Returns (block, id_src, id_dst, containment ≥ threshold), 6dp."""
+    if threshold <= 0:
+        raise ValueError(
+            "containment_pairs requires threshold > 0 (zero-overlap "
+            "pairs never enter the shared-shingle census)"
+        )
     shingle_col = shingles_udf(shingle_n)(F.col(text_col))
     sh = ensure_min_partitions(df).select(
         F.col(block_col).alias("_blk"),

@@ -1008,18 +1008,9 @@ def spearman_daily(
     Plan: one conditional date aggregate off the raw stream (the only
     fact pass), spine join, then ranks + moments on the
     CALENDAR-SIZED frame."""
-    counts = (
-        df.filter(
-            F.col(ts_col).isNotNull()
-            & F.col(type_col).isin(type_a, type_b)
-        )
-        .groupBy(F.to_date(ts_col).alias("d"))
-        .agg(
-            F.sum((F.col(type_col) == type_a).cast("long")).alias("ca"),
-            F.sum((F.col(type_col) == type_b).cast("long")).alias("cb"),
-        )
+    daily = _daily_pair(df, type_a, type_b, ts_col, type_col).select(
+        "ca", "cb"
     )
-    daily = _calendar_fill(counts, ["ca", "cb"]).select("ca", "cb")
     ranked = daily.select(
         avg_rank("ca").alias("ra"), avg_rank("cb").alias("rb")
     )
@@ -1035,6 +1026,31 @@ def spearman_daily(
     )
 
 
+def _sql_daily_pair(
+    type_a: str,
+    type_b: str,
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`_daily_pair` — emits the ``counts`` +
+    ``daily`` CTE bodies. ONE definition shared by the spearman /
+    rolling-corr / xcorr oracles (r11 review: three hand-kept copies of
+    the same construction is the drift class the shared spine exists to
+    prevent)."""
+    return f"""counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d,
+            CAST(sum(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+            CAST(sum(CASE WHEN {type_col} = '{type_b}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+          AND {type_col} IN ('{type_a}', '{type_b}')
+        GROUP BY 1
+    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])}"""
+
+
 def sql_spearman_daily(
     type_a: str,
     type_b: str,
@@ -1046,17 +1062,7 @@ def sql_spearman_daily(
     average ranks via :func:`sql_avg_rank`, same explicit moment
     arithmetic)."""
     return f"""
-    WITH counts AS (
-        SELECT CAST({ts_col} AS DATE) AS d,
-            CAST(sum(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END)
-                 AS BIGINT) AS ca,
-            CAST(sum(CASE WHEN {type_col} = '{type_b}' THEN 1 ELSE 0 END)
-                 AS BIGINT) AS cb
-        FROM {table}
-        WHERE {ts_col} IS NOT NULL
-          AND {type_col} IN ('{type_a}', '{type_b}')
-        GROUP BY 1
-    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])}, ranked AS (
+    WITH {_sql_daily_pair(type_a, type_b, table, ts_col, type_col)}, ranked AS (
         SELECT
             {sql_avg_rank('ca')} AS ra,
             {sql_avg_rank('cb')} AS rb
@@ -1259,7 +1265,10 @@ def contingency_effects(
         F.count_distinct("a").alias("r"),
         F.count_distinct("b").alias("c"),
     )
-    e = F.col("n_a") * F.col("n_b") / F.col("n")
+    # doubles BEFORE the products: n_a*n_b (and o*o) as raw longs wrap
+    # int64 around ~3e9-row marginals in non-ANSI Spark while the SQL
+    # mirror already multiplies doubles (r11 review finding)
+    e = F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
     terms = (
         cells.join(F.broadcast(ma), "a")
         .join(F.broadcast(mb), "b")
@@ -1268,7 +1277,7 @@ def contingency_effects(
             F.first("n").alias("n"),
             F.first("r").alias("r"),
             F.first("c").alias("c"),
-            F.sum(F.col("o") * F.col("o") / e).alias("o2e"),
+            F.sum(F.col("o").cast("double") * F.col("o") / e).alias("o2e"),
             F.sum(
                 2.0 * F.col("o") * F.log(F.col("o") / e)
             ).alias("g_stat"),
@@ -1585,10 +1594,11 @@ def _daily_pair(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Shared calendar-spined (d, ca, cb) daily pair series — the
-    spearman_daily construction factored out for the rolling/lagged
-    correlation family: one conditional date aggregate (the only fact
-    pass), then the single spine definition."""
+    """Shared calendar-spined (d, ca, cb) daily pair series: one
+    conditional date aggregate (the only fact pass), then the single
+    spine definition. THE one construction behind spearman_daily,
+    rolling_corr_daily, and xcorr_daily (r11 review pass consolidated
+    spearman's inline copy onto it)."""
     counts = (
         df.filter(
             F.col(ts_col).isNotNull()
@@ -1658,14 +1668,7 @@ def sql_rolling_corr_daily(
     sums, NULL on degenerate windows (NULLIF of a zero variance)."""
     frame = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
     return f"""
-    WITH counts AS (
-        SELECT CAST(ts AS DATE) AS d,
-            sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS ca,
-            sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS cb
-        FROM {table}
-        WHERE ts IS NOT NULL AND event_type IN ('{type_a}', '{type_b}')
-        GROUP BY 1
-    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])}, rolled AS (
+    WITH {_sql_daily_pair(type_a, type_b, table)}, rolled AS (
         SELECT d,
             count(*) OVER w AS n,
             sum(CAST(ca AS DOUBLE)) OVER w AS sx,
@@ -1748,14 +1751,7 @@ def sql_xcorr_daily(
     """DuckDB replay of :func:`xcorr_daily` — same spine, same shifted
     self-join, same sums."""
     return f"""
-    WITH counts AS (
-        SELECT CAST(ts AS DATE) AS d,
-            sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS ca,
-            sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS cb
-        FROM {table}
-        WHERE ts IS NOT NULL AND event_type IN ('{type_a}', '{type_b}')
-        GROUP BY 1
-    ), {_sql_calendar_fill('counts', 'daily', ['ca', 'cb'])},
+    WITH {_sql_daily_pair(type_a, type_b, table)},
     lags AS (SELECT unnest(generate_series(0, {max_lag})) AS lag),
     pairs AS (
         SELECT lags.lag, CAST(a.ca AS DOUBLE) AS x, CAST(b.cb AS DOUBLE) AS y

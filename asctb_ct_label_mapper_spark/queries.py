@@ -8130,14 +8130,18 @@ def _trade_edges_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     assortativity variance, neighbor-set similarity) degenerates on it;
     thresholding at the mean edge weight keeps the STRONG-trade
     subgraph where structure exists. One edge-grain aggregate, one
-    broadcast scalar — the filter is deterministic on both engines."""
+    broadcast scalar. BOTH comparands are 6dp-ROUNDED before the cut
+    (the hard_negatives banding convention): raw-double w and avg(w)
+    differ across engines/partitionings at the last ulp, so a boundary
+    edge could otherwise flip in or out of the subgraph three
+    hash-verified queries consume (r11 review finding)."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     edges = pooled_persist(_trade_edges(spark, sf_dir))
-    aw = edges.agg(F.avg("w").alias("_aw"))
+    aw = edges.agg(F.round(F.avg("w"), 6).alias("_aw"))
     return (
         edges.crossJoin(F.broadcast(aw))
-        .filter(F.col("w") >= F.col("_aw"))
+        .filter(F.round(F.col("w"), 6) >= F.col("_aw"))
         .select("src", "dst", "w")
     )
 
@@ -8152,7 +8156,7 @@ def _sql_trade_edges_filtered() -> str:
         raw
         + """, edges AS (
         SELECT src, dst, w FROM edges_raw
-        WHERE w >= (SELECT avg(w) FROM edges_raw)
+        WHERE round(w, 6) >= (SELECT round(avg(w), 6) FROM edges_raw)
     )"""
     )
 

@@ -287,3 +287,28 @@ def test_quantile_normalize_rank_mapping(spark):
     assert out["g2"]["mean_before"] == 20.0
     assert out["g1"]["mean_after"] == after
     assert out["g2"]["mean_after"] == after
+
+
+def test_hits_empty_graph_returns_empty(spark):
+    """Zero edges -> zero rows (the SQL oracle's shape), not a
+    ZeroDivisionError (r11 review finding)."""
+    from asctb_ct_label_mapper_spark.operators.graph import hits_scores
+
+    df = spark.createDataFrame([], "src string, dst string, w double")
+    out = hits_scores(df, iters=3)
+    assert out.collect() == []
+    assert out.columns == ["node", "hub", "auth"]
+
+
+def test_containment_rejects_nonpositive_threshold(spark):
+    """threshold <= 0 would silently diverge from the quadratic SQL
+    mirror (zero-overlap pairs never enter the census) -> ValueError."""
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="threshold > 0"):
+        containment_pairs(docs, "text", "doc_id", "source", threshold=0.0)
