@@ -1499,3 +1499,277 @@ def sql_segment_uplift_scan(
     ORDER BY chi2 DESC NULLS LAST, dim, value ASC NULLS LAST
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# r11f: two-proportion test + sample-size readout, difference-in-differences
+# ---------------------------------------------------------------------------
+
+def two_prop_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Two-proportion z-test on per-user CONVERSION (did the user have
+    ≥1 ``metric_type`` event) with Wilson 95% intervals per arm and the
+    required-n-per-arm readout at 80% power for the OBSERVED delta —
+    the binary-metric sibling of ab_welch_ttest, and the "how much
+    longer must this run" answer in the same row.
+
+        z  = (p1−p0) / √(p̄(1−p̄)(1/n0+1/n1))        (pooled)
+        Wilson: (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+        n_req = (z_α·√(2p̄(1−p̄)) + z_β·√(p0(1−p0)+p1(1−p1)))² / δ²
+
+    Plan: one user-grain conversion fold (the only fact shuffle), then
+    a 2-arm conditional aggregate and one-row arithmetic — the
+    _user_metric/_arm_stats shape specialized to a binary metric.
+    Returns one row (n0, n1, p0, p1, z_stat, p0_lo, p0_hi, p1_lo,
+    p1_hi, n_required), 6dp; degenerate (zero-variance / zero-delta)
+    terms degrade to NULL via try_divide."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max((F.col(type_col) == metric_type).cast("int")).alias("conv")
+    ).select(_arm("user").alias("arm"), "conv")
+    folded = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "k0"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "k1"
+        ),
+    )
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pbar = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(
+            pbar
+            * (1.0 - pbar)
+            * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        ),
+    )
+
+    def wilson(p, n, lo: bool):
+        za2 = z_alpha * z_alpha
+        center = p + F.lit(za2) / (2.0 * n)
+        half = F.lit(z_alpha) * F.sqrt(
+            p * (1.0 - p) / n + F.lit(za2) / (4.0 * n * n)
+        )
+        denom = 1.0 + F.lit(za2) / n
+        return ((center - half) if lo else (center + half)) / denom
+
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    delta = p1 - p0
+    n_req = F.try_divide(
+        F.pow(
+            F.lit(z_alpha) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+            + F.lit(z_beta)
+            * F.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)),
+            F.lit(2.0),
+        ),
+        delta * delta,
+    )
+    return folded.select(
+        "n0",
+        "n1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(wilson(p0, n0d, True), 6).alias("p0_lo"),
+        F.round(wilson(p0, n0d, False), 6).alias("p0_hi"),
+        F.round(wilson(p1, n1d, True), 6).alias("p1_lo"),
+        F.round(wilson(p1, n1d, False), 6).alias("p1_hi"),
+        F.ceil(n_req).cast("long").alias("n_required"),
+    )
+
+
+def sql_two_prop_test(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> str:
+    """DuckDB replay of :func:`two_prop_test` — same fold, same Wilson
+    arithmetic, same ceil."""
+    za2 = z_alpha * z_alpha
+    return f"""
+    WITH per_user AS (
+        SELECT CAST({user_col} % 2 AS INT) AS arm,
+            max(CASE WHEN {type_col} = '{metric_type}' THEN 1 ELSE 0 END)
+                AS conv
+        FROM {table} GROUP BY {user_col}
+    ), folded AS (
+        SELECT
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS k0,
+            sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS k1
+        FROM per_user
+    ), terms AS (
+        SELECT n0, n1,
+            CAST(k0 AS DOUBLE) / n0 AS p0,
+            CAST(k1 AS DOUBLE) / n1 AS p1,
+            CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS pbar
+        FROM folded
+    )
+    SELECT n0, n1, round(p0, 6) AS p0, round(p1, 6) AS p1,
+        round((p1 - p0) / NULLIF(sqrt(pbar * (1.0 - pbar)
+              * (1.0 / n0 + 1.0 / n1)), 0.0), 6) AS z_stat,
+        round((p0 + {za2!r} / (2.0 * n0)
+               - {z_alpha!r} * sqrt(p0 * (1.0 - p0) / n0
+                                    + {za2!r} / (4.0 * n0 * n0)))
+              / (1.0 + {za2!r} / n0), 6) AS p0_lo,
+        round((p0 + {za2!r} / (2.0 * n0)
+               + {z_alpha!r} * sqrt(p0 * (1.0 - p0) / n0
+                                    + {za2!r} / (4.0 * n0 * n0)))
+              / (1.0 + {za2!r} / n0), 6) AS p0_hi,
+        round((p1 + {za2!r} / (2.0 * n1)
+               - {z_alpha!r} * sqrt(p1 * (1.0 - p1) / n1
+                                    + {za2!r} / (4.0 * n1 * n1)))
+              / (1.0 + {za2!r} / n1), 6) AS p1_lo,
+        round((p1 + {za2!r} / (2.0 * n1)
+               + {z_alpha!r} * sqrt(p1 * (1.0 - p1) / n1
+                                    + {za2!r} / (4.0 * n1 * n1)))
+              / (1.0 + {za2!r} / n1), 6) AS p1_hi,
+        CAST(ceil(pow({z_alpha!r} * sqrt(2.0 * pbar * (1.0 - pbar))
+                      + {z_beta!r} * sqrt(p0 * (1.0 - p0)
+                                          + p1 * (1.0 - p1)), 2.0)
+                  / NULLIF((p1 - p0) * (p1 - p0), 0.0)) AS BIGINT)
+            AS n_required
+    FROM terms
+    """
+
+
+def did_estimate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Difference-in-differences on the event-level metric: treatment =
+    the standing arm hash, period = pre/post the MIDPOINT of the
+    observed date range (deterministic on both engines: min + half the
+    day span), estimate = (treat_post − treat_pre) − (ctrl_post −
+    ctrl_pre) — the parallel-trends causal readout when a feature
+    launches mid-window for one arm.
+
+    Plan: one narrow metric projection persisted; a one-row min/max
+    date fold broadcast back as the split; then ONE 2×2 conditional
+    aggregate. Returns one row (split_date, 4 cell means, 4 cell
+    counts, did), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    base = pooled_persist(
+        events.filter(
+            (F.col(type_col) == metric_type)
+            & F.col(value_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        ).select(
+            _arm(user_col).alias("treat"),
+            F.to_date(ts_col).alias("d"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+    )
+    split = base.agg(
+        F.date_add(
+            F.min("d"),
+            (F.datediff(F.max("d"), F.min("d")) / 2).cast("int"),
+        ).alias("split_d")
+    )
+    cells = base.crossJoin(F.broadcast(split)).withColumn(
+        "post", (F.col("d") > F.col("split_d")).cast("int")
+    )
+
+    def cell(t: int, p: int, agg):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return agg(F.when(cond, F.col("v")))
+
+    folded = cells.agg(
+        F.first("split_d").alias("split_date"),
+        cell(0, 0, F.avg).alias("m_c_pre"),
+        cell(0, 1, F.avg).alias("m_c_post"),
+        cell(1, 0, F.avg).alias("m_t_pre"),
+        cell(1, 1, F.avg).alias("m_t_post"),
+        cell(0, 0, F.count).alias("n_c_pre"),
+        cell(0, 1, F.count).alias("n_c_post"),
+        cell(1, 0, F.count).alias("n_t_pre"),
+        cell(1, 1, F.count).alias("n_t_post"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return folded.select(
+        "split_date",
+        F.round("m_c_pre", 6).alias("m_c_pre"),
+        F.round("m_c_post", 6).alias("m_c_post"),
+        F.round("m_t_pre", 6).alias("m_t_pre"),
+        F.round("m_t_post", 6).alias("m_t_post"),
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        F.round(did, 6).alias("did"),
+    )
+
+
+def sql_did_estimate(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`did_estimate` — same midpoint split
+    (integer half-span day offset), same 2×2 conditional fold."""
+    return f"""
+    WITH base AS (
+        SELECT CAST({user_col} % 2 AS INT) AS treat,
+            CAST({ts_col} AS DATE) AS d,
+            CAST({value_col} AS DOUBLE) AS v
+        FROM {table}
+        WHERE {type_col} = '{metric_type}'
+          AND {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ), split AS (
+        -- ::DATE: DuckDB's date + INTERVAL promotes to TIMESTAMP while
+        -- Spark's date_add stays DATE (hash parity)
+        SELECT (min(d) + to_days(CAST(floor(
+                   date_diff('day', min(d), max(d)) / 2.0) AS INT)))::DATE
+               AS split_d
+        FROM base
+    ), cells AS (
+        SELECT treat, CASE WHEN d > split_d THEN 1 ELSE 0 END AS post, v
+        FROM base CROSS JOIN split
+    )
+    SELECT first((SELECT split_d FROM split)) AS split_date,
+        round(avg(CASE WHEN treat = 0 AND post = 0 THEN v END), 6)
+            AS m_c_pre,
+        round(avg(CASE WHEN treat = 0 AND post = 1 THEN v END), 6)
+            AS m_c_post,
+        round(avg(CASE WHEN treat = 1 AND post = 0 THEN v END), 6)
+            AS m_t_pre,
+        round(avg(CASE WHEN treat = 1 AND post = 1 THEN v END), 6)
+            AS m_t_post,
+        count(CASE WHEN treat = 0 AND post = 0 THEN v END) AS n_c_pre,
+        count(CASE WHEN treat = 0 AND post = 1 THEN v END) AS n_c_post,
+        count(CASE WHEN treat = 1 AND post = 0 THEN v END) AS n_t_pre,
+        count(CASE WHEN treat = 1 AND post = 1 THEN v END) AS n_t_post,
+        round((avg(CASE WHEN treat = 1 AND post = 1 THEN v END)
+               - avg(CASE WHEN treat = 1 AND post = 0 THEN v END))
+              - (avg(CASE WHEN treat = 0 AND post = 1 THEN v END)
+                 - avg(CASE WHEN treat = 0 AND post = 0 THEN v END)),
+              6) AS did
+    FROM cells
+    """

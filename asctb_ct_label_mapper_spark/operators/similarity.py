@@ -1242,3 +1242,108 @@ def hard_negatives_topk(
         .filter(F.col("rank") <= k)
         .drop(query_vec_col)
     )
+
+
+def silhouette_seeded(
+    df: DataFrame,
+    dim: int = 64,
+    n_lists: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-distance) silhouette over the SEEDED
+    centroid set the IVF family uses: per vector, a = cosine distance
+    to its nearest centroid, b = distance to the second-nearest,
+    s = (b − a)/max(a, b) — the cluster-quality gauge that tells you
+    whether the IVF list count actually fits the corpus geometry
+    before you commit the index layout.
+
+    Centroid-distance silhouette (Pampalk's simplified variant), not
+    the pairwise-point original: the classic needs all intra/inter
+    pair distances (quadratic); against fixed centroids it is ONE
+    narrow projection — exactly the statistic that scales and exactly
+    what an IVF layout decision needs.
+
+    Plan: per-row struct-array sort over n_lists literal dot products
+    (whole-stage codegen, zero shuffle), then a list-grain fold.
+    Returns (list_id, n, avg_silhouette), 6dp; ties between equidistant
+    centroids break to the lower list id (the IVF assignment rule);
+    degenerate a=b=0 rows degrade to NULL and drop from the average."""
+    cents = seeded_centroids(dim, n_lists, seed)
+    v = F.col(vec_col)
+    vnorm = norm_expr(v)
+    dists = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        1.0
+                        - F.try_divide(
+                            dot_expr(
+                                v,
+                                F.array(
+                                    *[F.lit(float(x)) for x in c]
+                                ),
+                            ),
+                            vnorm,
+                        )
+                    ).alias("d"),
+                    F.lit(i).alias("lid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    a = F.col("_ds")[0]["d"]
+    b = F.col("_ds")[1]["d"]
+    lid = F.col("_ds")[0]["lid"]
+    scored = df.select(dists.alias("_ds")).select(
+        lid.alias("list_id"),
+        F.try_divide(b - a, F.greatest(a, b)).alias("s"),
+    )
+    return scored.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("s"), 6).alias("avg_silhouette"),
+    )
+
+
+def sql_silhouette_seeded(
+    dim: int = 64,
+    n_lists: int = 8,
+    seed: int = 11,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of :func:`silhouette_seeded`: the SAME seeded
+    centroids as float literals in per-centroid UNION branches (the
+    _ivf_topk_oracle technique), distances ranked (d ASC, lid) per
+    vector, a = rank 1, b = rank 2."""
+    cents = seeded_centroids(dim, n_lists, seed)
+    parts = []
+    for i, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        parts.append(
+            f"SELECT vec_id, {i} AS lid,\n"
+            f"       1.0 - list_dot_product(e, {lit})\n"
+            f"             / NULLIF(sqrt(list_dot_product(e, e)), 0.0) AS d\n"
+            f"  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e\n"
+            f"        FROM {table})"
+        )
+    branches = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH dists AS (
+        {branches}
+    ), ranked AS (
+        SELECT vec_id, lid, d,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+        FROM dists
+    ), ab AS (
+        SELECT a.vec_id, a.lid AS list_id, a.d AS a_d, b.d AS b_d
+        FROM ranked a JOIN ranked b
+            ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT list_id, count(*) AS n,
+        round(avg((b_d - a_d) / NULLIF(greatest(a_d, b_d), 0.0)), 6)
+            AS avg_silhouette
+    FROM ab
+    GROUP BY 1
+    """

@@ -8595,3 +8595,74 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return oov_rate_by_group(_t(spark, sf_dir, "documents"), "src0")
+
+
+# ---------------------------------------------------------------------------
+# round-11f batch: binary-metric experimentation, causal DiD,
+# cluster-quality gauge
+# ---------------------------------------------------------------------------
+
+
+def _two_prop_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_two_prop_test,
+    )
+
+    return sql_two_prop_test("events")
+
+
+@query("two_prop_test_purchase", _two_prop_oracle())
+def two_prop_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user purchase conversion with
+    Wilson 95% intervals and required-n-at-80%-power
+    (experiment.two_prop_test): the binary-metric sibling of the Welch
+    readout — one user-grain conversion fold, then one-row
+    arithmetic."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        two_prop_test,
+    )
+
+    return two_prop_test(_t(spark, sf_dir, "events"))
+
+
+def _did_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_did_estimate,
+    )
+
+    return sql_did_estimate("events")
+
+
+@query("did_purchase_value", _did_oracle())
+def did_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value
+    (experiment.did_estimate): arm-hash treatment, deterministic
+    midpoint pre/post split, one 2x2 conditional fold — the
+    parallel-trends causal readout."""
+    from asctb_ct_label_mapper_spark.operators.experiment import did_estimate
+
+    return did_estimate(_t(spark, sf_dir, "events"))
+
+
+def _silhouette_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        sql_silhouette_seeded,
+    )
+
+    return sql_silhouette_seeded(dim=64, n_lists=8, seed=11)
+
+
+@query("silhouette_embeddings", _silhouette_oracle())
+def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette against the IVF family's seeded centroids
+    (similarity.silhouette_seeded): does the list count fit the corpus
+    geometry? Per-row literal dot products + struct-array sort (zero
+    shuffle), list-grain fold; oracle replays the same centroids as
+    literals."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        silhouette_seeded,
+    )
+
+    return silhouette_seeded(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_lists=8, seed=11
+    )

@@ -321,6 +321,10 @@ BENCH_QUERIES = [
     "weekly_growth_events",
     "pchart_purchase_rate",
     "oov_rate_docs",
+    # r11f: binary-metric experimentation, causal DiD, cluster quality
+    "two_prop_test_purchase",
+    "did_purchase_value",
+    "silhouette_embeddings",
 ]
 
 

@@ -97,6 +97,8 @@ TARGETS = {
     "new_vs_returning_daily": "growth accounting (r11e): ONE deduplicated (day,user) frame persisted; first-day fold + day census share it - fact scanned once",
     "pchart_purchase_rate": "p-chart (r11e): one day-grain fold, one-row pooled-rate broadcast, day-grain limit arithmetic",
     "oov_rate_docs": "OOV coverage (r11e): one combinable (group,token) cell fold; ref vocab and probe both re-aggregate the persisted cells",
+    "silhouette_embeddings": "seeded silhouette (r11f): per-row literal dot products + struct-array sort, zero shuffle before the list-grain fold",
+    "did_purchase_value": "diff-in-diff (r11f): persisted narrow metric projection, one-row midpoint broadcast, ONE 2x2 conditional fold",
 }
 
 
