@@ -1345,3 +1345,99 @@ def sql_power_user_curve(
     FROM per
     GROUP BY 1, 2
     """
+
+
+def churn_rate_periodic(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """Periodic churn: of the users active in period p, the fraction
+    with NO activity in period p+1 — the attrition readout dual to the
+    retention cohort matrix (cohort_retention tracks a cohort forward;
+    churn conditions on the previous period's whole active base).
+    ``period`` is 'month' or 'week' (date_trunc units, engine-aligned).
+
+    The last observed period has no p+1 and is excluded (its churn is
+    not yet knowable — the standard right-censoring rule, same as
+    kaplan_meier's).
+
+    Plan: ONE deduplicated (period, key) frame (the stickiness family's
+    shape, persisted), a self left-join shifted one period on the
+    co-partitioned key, then a period-grain fold. Returns
+    (month, mau, churned, churn_rate), 6dp."""
+    if period not in ("month", "week"):
+        raise ValueError(f"unknown period {period!r}")
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    pairs = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.date_trunc(period, ts_col).cast("date").alias("month"),
+            F.col(key_col).alias("key"),
+        )
+        .distinct()
+    )
+    shift = (
+        F.add_months(F.col("month"), -1)
+        if period == "month"
+        else F.date_sub(F.col("month"), 7)
+    )
+    nxt = pairs.select(
+        shift.alias("month_n"),
+        F.col("key").alias("key2"),
+    )
+    last = pairs.agg(F.max("month").alias("last_m"))
+    flagged = pairs.join(
+        nxt,
+        (pairs["month"] == nxt["month_n"]) & (pairs["key"] == nxt["key2"]),
+        "left",
+    )
+    return (
+        flagged.crossJoin(F.broadcast(last))
+        .filter(F.col("month") < F.col("last_m"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("mau"),
+            F.sum(F.col("key2").isNull().cast("long")).alias("churned"),
+        )
+        .select(
+            "month",
+            "mau",
+            "churned",
+            F.round(F.col("churned") / F.col("mau"), 6).alias(
+                "churn_rate"
+            ),
+        )
+    )
+
+
+def sql_churn_rate_periodic(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> str:
+    """DuckDB replay of :func:`churn_rate_periodic`."""
+    step = "INTERVAL 1 MONTH" if period == "month" else "INTERVAL 7 DAY"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT date_trunc('{period}', {ts_col})::DATE AS month,
+               {key_col} AS key
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+    ), nxt AS (
+        SELECT (month - {step})::DATE AS month, key AS key2
+        FROM pairs
+    ), last AS (SELECT max(month) AS last_m FROM pairs)
+    SELECT pairs.month, count(*) AS mau,
+        sum(CASE WHEN nxt.key2 IS NULL THEN 1 ELSE 0 END) AS churned,
+        round(sum(CASE WHEN nxt.key2 IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / count(*), 6) AS churn_rate
+    FROM pairs
+    LEFT JOIN nxt ON pairs.month = nxt.month AND pairs.key = nxt.key2
+    CROSS JOIN last
+    WHERE pairs.month < last.last_m
+    GROUP BY 1
+    """

@@ -1878,3 +1878,199 @@ def sql_simpson_slope_check(
         round(max(b), 6) AS max_group_slope
     FROM slopes CROSS JOIN pooled
     """
+
+
+# ---------------------------------------------------------------------------
+# r11g: Kendall's tau-b, Lorenz concentration curve
+# ---------------------------------------------------------------------------
+
+def kendall_tau_daily(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kendall's tau-b between two event types' daily count series —
+    the third rung of the correlation family (Pearson rolling_corr,
+    Spearman rank, Kendall concordance): the most outlier-proof
+    monotone-association readout, with the tie correction the count
+    data needs.
+
+        tau_b = (C − D) / √((n0 − t_x)(n0 − t_y)),  n0 = n(n−1)/2
+
+    C − D folds sign((x_j−x_i))·sign((y_j−y_i)) over day pairs i<j;
+    tie terms t = Σ c(c−1)/2 per tied value. All arithmetic is exact
+    integers until the final division.
+
+    Scale: the pair join is QUADRATIC in days by design — the operator
+    contract is calendar-grain input (a decade is ~3.7k rows → 7M
+    pairs, one broadcast self-join); the raw stream is touched once by
+    the date aggregate. Returns one row (n_days, concordant_minus_
+    discordant, tau_b), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(
+        _daily_pair(df, type_a, type_b, ts_col, type_col)
+    )
+    a = daily.select(
+        F.col("d").alias("d1"),
+        F.col("ca").alias("x1"),
+        F.col("cb").alias("y1"),
+    )
+    b = daily.select(
+        F.col("d").alias("d2"),
+        F.col("ca").alias("x2"),
+        F.col("cb").alias("y2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    cd = pairs.agg(
+        F.sum(
+            F.signum((F.col("x2") - F.col("x1")).cast("double"))
+            * F.signum((F.col("y2") - F.col("y1")).cast("double"))
+        ).cast("long").alias("cmd")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+
+    def tie_term(col: str):
+        per = daily.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("t")
+        )
+    tx = tie_term("ca").select(F.col("t").alias("tx"))
+    ty = tie_term("cb").select(F.col("t").alias("ty"))
+    joined = (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return joined.select(
+        F.col("n").alias("n_days"),
+        F.col("cmd").alias("c_minus_d"),
+        F.round(
+            F.try_divide(
+                F.col("cmd").cast("double"),
+                F.sqrt((n0 - F.col("tx")) * (n0 - F.col("ty"))),
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def sql_kendall_tau_daily(
+    type_a: str,
+    type_b: str,
+    table: str = "events",
+) -> str:
+    """DuckDB replay of :func:`kendall_tau_daily` — same pair fold,
+    same tie terms, division last."""
+    return f"""
+    WITH {_sql_daily_pair(type_a, type_b, table)},
+    cd AS (
+        SELECT CAST(sum(sign(CAST(b.ca - a.ca AS DOUBLE))
+                        * sign(CAST(b.cb - a.cb AS DOUBLE))) AS BIGINT)
+               AS cmd
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    nn AS (SELECT count(*) AS n FROM daily),
+    tx AS (
+        SELECT sum(c * (c - 1) / 2) AS t FROM (
+            SELECT count(*) AS c FROM daily GROUP BY ca
+        )
+    ),
+    ty AS (
+        SELECT sum(c * (c - 1) / 2) AS t FROM (
+            SELECT count(*) AS c FROM daily GROUP BY cb
+        )
+    )
+    SELECT nn.n AS n_days, cd.cmd AS c_minus_d,
+        round(CAST(cd.cmd AS DOUBLE)
+              / NULLIF(sqrt((nn.n * (nn.n - 1) / 2 - tx.t)
+                            * (nn.n * (nn.n - 1) / 2 - ty.t)), 0.0),
+              6) AS tau_b
+    FROM cd CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+    """
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    value_filter=None,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Lorenz concentration curve: per-key value totals cut into
+    ``n_tiles`` ascending tiles, each tile's share and cumulative share
+    of the grand total — the decile table behind the Gini number
+    ("the top decile of users carries 62% of revenue"). The
+    completeness complement to :func:`gini`.
+
+    The ntile runs over the KEY-GRAIN aggregate with an injective
+    (total, key) order (the RFM/ntile precedent: key-grain global sorts
+    are the documented aggregate-grain exception; the id-bucketed
+    global_rank is the named alternative at billion-key scale).
+
+    Returns (tile, keys, value_share, cum_share), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    filtered = df if value_filter is None else df.filter(value_filter)
+    per = pooled_persist(
+        filtered.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("v"))
+    )
+    w = Window.orderBy("v", "key")
+    tiled = per.select(
+        F.ntile(n_tiles).over(w).alias("tile"), F.col("v")
+    )
+    cells = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("keys"), F.sum("v").alias("tv")
+    )
+    tot = cells.agg(F.sum("tv").alias("gt"))
+    w_cum = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "tile",
+            "keys",
+            F.round(F.col("tv") / F.col("gt"), 6).alias("value_share"),
+            F.round(
+                F.sum("tv").over(w_cum) / F.col("gt"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def sql_lorenz_curve(
+    table: str,
+    key_col: str,
+    value_col: str,
+    where: str = "1=1",
+    n_tiles: int = 10,
+) -> str:
+    """DuckDB replay of :func:`lorenz_curve` — same injective ntile
+    order, same cumulative frame."""
+    return f"""
+    WITH per AS (
+        SELECT {key_col} AS key,
+               sum(CAST({value_col} AS DOUBLE)) AS v
+        FROM {table}
+        WHERE ({where}) AND {value_col} IS NOT NULL
+        GROUP BY 1
+    ), tiled AS (
+        SELECT ntile({n_tiles}) OVER (ORDER BY v, key) AS tile, v
+        FROM per
+    ), cells AS (
+        SELECT tile, count(*) AS keys, sum(v) AS tv
+        FROM tiled GROUP BY 1
+    ), tot AS (SELECT sum(tv) AS gt FROM cells)
+    SELECT tile, keys,
+        round(tv / gt, 6) AS value_share,
+        round(sum(tv) OVER (ORDER BY tile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / gt, 6) AS cum_share
+    FROM cells CROSS JOIN tot
+    """

@@ -1920,3 +1920,76 @@ def sql_oov_rate_by_group(
     WHERE cells.g <> '{ref_group}'
     GROUP BY 1
     """
+
+
+def lexical_diversity_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical diversity per group: type-token ratio (distinct tokens /
+    total occurrences) and the hapax-legomena share (fraction of the
+    vocabulary seen exactly once) — the pointwise companions to the
+    vocab_growth Heaps curve, and the fast tell for templated /
+    machine-generated slices (low TTR, thin hapax tail).
+
+    Plan: ONE combinable (group, token, count) cell fold (the OOV
+    operator's shape); both readouts are cell re-aggregations —
+    vocabulary-sized past the fold. Returns (group, total_tokens,
+    distinct_tokens, hapax, ttr, hapax_share), 6dp."""
+    cells = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cells.groupBy("g").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+    ).select(
+        F.col("g").alias(group_col),
+        "total_tokens",
+        "distinct_tokens",
+        "hapax",
+        F.round(
+            F.col("distinct_tokens") / F.col("total_tokens"), 6
+        ).alias("ttr"),
+        F.round(F.col("hapax") / F.col("distinct_tokens"), 6).alias(
+            "hapax_share"
+        ),
+    )
+
+
+def sql_lexical_diversity_by_group(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`lexical_diversity_by_group` — same
+    tokenization, same cell fold."""
+    return f"""
+    WITH cells AS (
+        SELECT {group_col} AS g, tok, count(*) AS c
+        FROM (
+            SELECT {group_col},
+                unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table} WHERE {text_col} IS NOT NULL
+        )
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    )
+    SELECT g AS {group_col},
+        sum(c) AS total_tokens,
+        count(*) AS distinct_tokens,
+        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+        round(count(*) * 1.0 / sum(c), 6) AS ttr,
+        round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+              6) AS hapax_share
+    FROM cells
+    GROUP BY 1
+    """

@@ -8666,3 +8666,98 @@ def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_seeded(
         _t(spark, sf_dir, "embeddings"), dim=64, n_lists=8, seed=11
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11g batch: concordance correlation, concentration curve, churn,
+# lexical diversity
+# ---------------------------------------------------------------------------
+
+
+def _kendall_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_kendall_tau_daily,
+    )
+
+    return sql_kendall_tau_daily("view", "purchase")
+
+
+@query("kendall_tau_view_purchase", _kendall_oracle())
+def kendall_tau_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the daily view and purchase series
+    (stats.kendall_tau_daily): the correlation family's concordance
+    rung — exact integer pair fold on the calendar-grain frame, tie
+    corrections per margin."""
+    from asctb_ct_label_mapper_spark.operators.stats import kendall_tau_daily
+
+    return kendall_tau_daily(_t(spark, sf_dir, "events"), "view", "purchase")
+
+
+def _lorenz_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_lorenz_curve
+
+    return sql_lorenz_curve(
+        "events",
+        "user_id",
+        "value",
+        where="event_type = 'purchase'",
+    )
+
+
+@query("lorenz_purchase_users", _lorenz_oracle())
+def lorenz_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of per-user purchase value
+    (stats.lorenz_curve): tile shares + cumulative shares — the curve
+    behind gini_purchase_users' single number; injective key-grain
+    ntile (the RFM precedent)."""
+    from asctb_ct_label_mapper_spark.operators.stats import lorenz_curve
+
+    return lorenz_curve(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "value",
+        value_filter=F.col("event_type") == "purchase",
+    )
+
+
+def _churn_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_churn_rate_periodic,
+    )
+
+    return sql_churn_rate_periodic("events", period="week")
+
+
+@query("churn_rate_weekly", _churn_oracle())
+def churn_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn (behavior.churn_rate_periodic): of each week's
+    active users, the share silent the NEXT week — the attrition dual
+    of the retention matrix, right-censored at the last observed
+    week. One deduplicated (week, user) frame, one shifted self
+    left-join on the co-partitioned key."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        churn_rate_periodic,
+    )
+
+    return churn_rate_periodic(_t(spark, sf_dir, "events"), period="week")
+
+
+def _ttr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_lexical_diversity_by_group,
+    )
+
+    return sql_lexical_diversity_by_group("documents")
+
+
+@query("lexical_diversity_docs", _ttr_oracle())
+def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio + hapax share
+    (textstats.lexical_diversity_by_group): the pointwise companions to
+    the vocab_growth Heaps curve — one combinable (source, token) cell
+    fold, vocabulary-sized re-aggregation."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        lexical_diversity_by_group,
+    )
+
+    return lexical_diversity_by_group(_t(spark, sf_dir, "documents"))

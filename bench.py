@@ -325,6 +325,11 @@ BENCH_QUERIES = [
     "two_prop_test_purchase",
     "did_purchase_value",
     "silhouette_embeddings",
+    # r11g: concordance, concentration curve, churn, lexical diversity
+    "kendall_tau_view_purchase",
+    "lorenz_purchase_users",
+    "churn_rate_weekly",
+    "lexical_diversity_docs",
 ]
 
 

@@ -99,6 +99,8 @@ TARGETS = {
     "oov_rate_docs": "OOV coverage (r11e): one combinable (group,token) cell fold; ref vocab and probe both re-aggregate the persisted cells",
     "silhouette_embeddings": "seeded silhouette (r11f): per-row literal dot products + struct-array sort, zero shuffle before the list-grain fold",
     "did_purchase_value": "diff-in-diff (r11f): persisted narrow metric projection, one-row midpoint broadcast, ONE 2x2 conditional fold",
+    "kendall_tau_view_purchase": "Kendall tau-b (r11g): broadcast self-join on the CALENDAR-grain frame (quadratic in days by contract), exact integer folds, division last",
+    "churn_rate_weekly": "weekly churn (r11g): one deduplicated (week,user) frame persisted, shifted self left-join co-partitioned on the key, week-grain fold",
 }
 
 
