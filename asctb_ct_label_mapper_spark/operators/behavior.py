@@ -1419,7 +1419,11 @@ def sql_churn_rate_periodic(
     ts_col: str = "ts",
     period: str = "month",
 ) -> str:
-    """DuckDB replay of :func:`churn_rate_periodic`."""
+    """DuckDB replay of :func:`churn_rate_periodic` — validates
+    ``period`` like its Spark twin (an unknown unit would otherwise
+    emit plausible-looking wrong SQL; r11 second review finding)."""
+    if period not in ("month", "week"):
+        raise ValueError(f"unknown period {period!r}")
     step = "INTERVAL 1 MONTH" if period == "month" else "INTERVAL 7 DAY"
     return f"""
     WITH pairs AS (

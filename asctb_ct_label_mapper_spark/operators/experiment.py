@@ -1542,31 +1542,34 @@ def two_prop_test(
             "k1"
         ),
     )
-    p0 = F.col("k0").cast("double") / F.col("n0")
-    p1 = F.col("k1").cast("double") / F.col("n1")
-    pbar = (F.col("k0") + F.col("k1")).cast("double") / (
-        F.col("n0") + F.col("n1")
+    # every division by an arm size goes through try_divide: an empty
+    # arm (all user ids one parity) is n=0, which under the session's
+    # ANSI mode crashes a plain `/` where the DuckDB oracle degrades to
+    # NULL (r11 second review finding — reproduced as DIVIDE_BY_ZERO)
+    p0 = F.try_divide(F.col("k0").cast("double"), F.col("n0"))
+    p1 = F.try_divide(F.col("k1").cast("double"), F.col("n1"))
+    pbar = F.try_divide(
+        (F.col("k0") + F.col("k1")).cast("double"),
+        F.col("n0") + F.col("n1"),
     )
+    inv0 = F.try_divide(F.lit(1.0), F.col("n0"))
+    inv1 = F.try_divide(F.lit(1.0), F.col("n1"))
     z = F.try_divide(
         p1 - p0,
-        F.sqrt(
-            pbar
-            * (1.0 - pbar)
-            * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
-        ),
+        F.sqrt(pbar * (1.0 - pbar) * (inv0 + inv1)),
     )
 
-    def wilson(p, n, lo: bool):
+    def wilson(p, inv, lo: bool):
         za2 = z_alpha * z_alpha
-        center = p + F.lit(za2) / (2.0 * n)
+        center = p + F.lit(za2) * inv / 2.0
         half = F.lit(z_alpha) * F.sqrt(
-            p * (1.0 - p) / n + F.lit(za2) / (4.0 * n * n)
+            p * (1.0 - p) * inv + F.lit(za2) * inv * inv / 4.0
         )
-        denom = 1.0 + F.lit(za2) / n
-        return ((center - half) if lo else (center + half)) / denom
+        denom = 1.0 + F.lit(za2) * inv
+        return F.try_divide(
+            (center - half) if lo else (center + half), denom
+        )
 
-    n0d = F.col("n0").cast("double")
-    n1d = F.col("n1").cast("double")
     delta = p1 - p0
     n_req = F.try_divide(
         F.pow(
@@ -1583,10 +1586,10 @@ def two_prop_test(
         F.round(p0, 6).alias("p0"),
         F.round(p1, 6).alias("p1"),
         F.round(z, 6).alias("z_stat"),
-        F.round(wilson(p0, n0d, True), 6).alias("p0_lo"),
-        F.round(wilson(p0, n0d, False), 6).alias("p0_hi"),
-        F.round(wilson(p1, n1d, True), 6).alias("p1_lo"),
-        F.round(wilson(p1, n1d, False), 6).alias("p1_hi"),
+        F.round(wilson(p0, inv0, True), 6).alias("p0_lo"),
+        F.round(wilson(p0, inv0, False), 6).alias("p0_hi"),
+        F.round(wilson(p1, inv1, True), 6).alias("p1_lo"),
+        F.round(wilson(p1, inv1, False), 6).alias("p1_hi"),
         F.ceil(n_req).cast("long").alias("n_required"),
     )
 

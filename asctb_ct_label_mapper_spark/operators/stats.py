@@ -1188,8 +1188,12 @@ def anova_oneway(
         ).alias("ssw"),
     )
     ssb = F.col("sb_raw") - F.col("s") * F.col("s") / F.col("n")
-    f_stat = (ssb / (F.col("k") - 1)) / (
-        F.col("ssw") / (F.col("n") - F.col("k"))
+    # try_divide throughout: k=1 (one group) or n=k (all singleton
+    # groups) or zero total variance are ANSI plain-/ crashes where the
+    # oracle degrades to NULL (r11 second review finding)
+    f_stat = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.try_divide(F.col("ssw"), (F.col("n") - F.col("k")).cast("double")),
     )
     return folded.select(
         "k",
@@ -1197,7 +1201,7 @@ def anova_oneway(
         F.round(ssb, 6).alias("ss_between"),
         F.round("ssw", 6).alias("ss_within"),
         F.round(f_stat, 6).alias("f_stat"),
-        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+        F.round(F.try_divide(ssb, ssb + F.col("ssw")), 6).alias("eta_sq"),
     )
 
 
@@ -1222,10 +1226,10 @@ def sql_anova_oneway(
     SELECT k, n,
         round(sb_raw - s * s / n, 6) AS ss_between,
         round(ssw, 6) AS ss_within,
-        round(((sb_raw - s * s / n) / (k - 1))
-              / (ssw / (n - k)), 6) AS f_stat,
+        round(((sb_raw - s * s / n) / NULLIF(k - 1, 0))
+              / NULLIF(ssw / NULLIF(n - k, 0), 0.0), 6) AS f_stat,
         round((sb_raw - s * s / n)
-              / ((sb_raw - s * s / n) + ssw), 6) AS eta_sq
+              / NULLIF((sb_raw - s * s / n) + ssw, 0.0), 6) AS eta_sq
     FROM folded
     """
 
@@ -1293,7 +1297,10 @@ def contingency_effects(
         F.round(chi2, 6).alias("chi2"),
         F.round("g_stat", 6).alias("g_stat"),
         F.round(
-            F.sqrt(chi2 / (F.col("n") * (min_rc - 1))), 6
+            F.sqrt(
+                F.try_divide(chi2, (F.col("n") * (min_rc - 1)).cast("double"))
+            ),
+            6,
         ).alias("cramers_v"),
     )
 
@@ -1327,7 +1334,8 @@ def sql_contingency_effects(
     SELECT n, r, c, (r - 1) * (c - 1) AS dof,
         round(o2e - n, 6) AS chi2,
         round(g_stat, 6) AS g_stat,
-        round(sqrt((o2e - n) / (n * (least(r, c) - 1))), 6) AS cramers_v
+        round(sqrt((o2e - n) / NULLIF(n * (least(r, c) - 1), 0)), 6)
+            AS cramers_v
     FROM terms
     """
 
@@ -1376,13 +1384,19 @@ def eb_rate_shrinkage(
         F.sum(rate * rate).alias("srr"),
     ).select(
         (F.col("sr") / F.col("g")).alias("m"),
-        (
-            (F.col("srr") - F.col("sr") * F.col("sr") / F.col("g"))
-            / (F.col("g") - 1)
+        # try_divide: a single key (g=1) has no sample variance — ANSI
+        # plain-/ crash where the oracle degrades (r11 second review)
+        F.try_divide(
+            F.col("srr") - F.col("sr") * F.col("sr") / F.col("g"),
+            (F.col("g") - 1).cast("double"),
         ).alias("s2"),
     )
+    # try_divide + greatest: s2=0 (all rates identical) must fall to
+    # the floor M=1 on both engines (greatest skips NULL on both),
+    # never crash
     big_m = F.greatest(
-        F.col("m") * (1.0 - F.col("m")) / F.col("s2") - 1.0, F.lit(1.0)
+        F.try_divide(F.col("m") * (1.0 - F.col("m")), F.col("s2")) - 1.0,
+        F.lit(1.0),
     )
     prior = mom.select(
         (F.col("m") * big_m).alias("alpha"),
@@ -1962,11 +1976,13 @@ def sql_kendall_tau_daily(
     type_a: str,
     type_b: str,
     table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
 ) -> str:
     """DuckDB replay of :func:`kendall_tau_daily` — same pair fold,
     same tie terms, division last."""
     return f"""
-    WITH {_sql_daily_pair(type_a, type_b, table)},
+    WITH {_sql_daily_pair(type_a, type_b, table, ts_col, type_col)},
     cd AS (
         SELECT CAST(sum(sign(CAST(b.ca - a.ca AS DOUBLE))
                         * sign(CAST(b.cb - a.cb AS DOUBLE))) AS BIGINT)
@@ -2036,9 +2052,14 @@ def lorenz_curve(
         .select(
             "tile",
             "keys",
-            F.round(F.col("tv") / F.col("gt"), 6).alias("value_share"),
+            # try_divide: a zero grand total (values netting to 0) is a
+            # plain-/ ANSI crash where the oracle degrades to NULL
+            # (r11 second review finding)
+            F.round(F.try_divide(F.col("tv"), F.col("gt")), 6).alias(
+                "value_share"
+            ),
             F.round(
-                F.sum("tv").over(w_cum) / F.col("gt"), 6
+                F.try_divide(F.sum("tv").over(w_cum), F.col("gt")), 6
             ).alias("cum_share"),
         )
     )

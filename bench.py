@@ -586,6 +586,11 @@ EVENTS_SCALE_QUERIES = [
     "kmv_daily_users",
     "histogram_event_values",
     "holt_winters_users",
+    # r11 additions: one keyed-window pass, one dedup-frame composite,
+    # one day-grain fold — the new behavioral family's scale posture
+    "burstiness_hist_users",
+    "new_vs_returning_daily",
+    "pchart_purchase_rate",
 ]
 
 

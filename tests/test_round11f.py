@@ -87,3 +87,16 @@ def test_silhouette_separated_clusters(spark):
     out = {r["list_id"]: r for r in silhouette_seeded(df, dim=8, n_lists=4).collect()}
     assert out[0]["n"] == 2 and out[2]["n"] == 1
     assert all(r["avg_silhouette"] == 1.0 for r in out.values())
+
+
+def test_two_prop_empty_arm_degrades_null(spark):
+    """All users one parity -> arm 1 empty: NULL statistics, no
+    ANSI DIVIDE_BY_ZERO (r11 second review finding)."""
+    from asctb_ct_label_mapper_spark.operators.experiment import two_prop_test
+
+    rows = [(i, 2 * i, "view") for i in range(5)]  # even users only
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = two_prop_test(df).collect()[0]
+    assert out["n1"] == 0
+    assert out["p1"] is None and out["z_stat"] is None
+    assert out["p1_lo"] is None and out["n_required"] is None

@@ -112,3 +112,70 @@ def test_lexical_diversity_hand_computed(spark):
     assert out["hapax"] == 2
     assert out["ttr"] == 0.75
     assert out["hapax_share"] == round(2 / 3, 6)
+
+
+def test_lorenz_zero_total_degrades_null(spark):
+    """Values netting to zero -> NULL shares, no ANSI crash."""
+    from asctb_ct_label_mapper_spark.operators.stats import lorenz_curve
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "user_id long, value double"
+    )
+    out = lorenz_curve(df, "user_id", "value", n_tiles=2).collect()
+    assert len(out) == 2
+    assert all(r["value_share"] is None and r["cum_share"] is None for r in out)
+
+
+def test_anova_single_group_degrades_null(spark):
+    """k=1 -> no between-group dof: NULL F, no ANSI crash."""
+    from asctb_ct_label_mapper_spark.operators.stats import anova_oneway
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    out = anova_oneway(df, "g", "v").collect()[0]
+    assert out["k"] == 1 and out["f_stat"] is None
+
+
+def test_eb_identical_rates_hits_floor(spark):
+    """All keys the same rate -> zero rate variance: the MoM ratio is
+    NULL and greatest() falls to the floor M=1 on both engines."""
+    from asctb_ct_label_mapper_spark.operators.stats import eb_rate_shrinkage
+
+    rows = []
+    for u in (1, 2, 3):
+        rows += [(10 * u, u, "purchase"), (10 * u + 1, u, "view")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = eb_rate_shrinkage(
+        df, "user_id", (F.col("event_type") == "purchase").cast("int")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["alpha"] == 0.5 and r["beta"] == 0.5  # m=.5, M=1
+    assert r["avg_abs_shift"] == 0.0
+
+
+def test_assortativity_regular_graph_degrades_null(spark):
+    """A 3-cycle is degree-regular (zero degree variance): NULL
+    assortativity, no ANSI crash."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "C", 1.0), ("C", "A", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = degree_assortativity(df).collect()[0]
+    assert out["assortativity"] is None
+
+
+def test_sql_churn_rejects_unknown_period():
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_churn_rate_periodic,
+    )
+
+    with pytest.raises(ValueError, match="unknown period"):
+        sql_churn_rate_periodic("events", period="day")
