@@ -398,3 +398,39 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enriched_tumbling_counts(
+    events: DataFrame,
+    user_dim: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-static enrichment + windowed aggregate: the event stream
+    broadcast-joined to a STATIC user dimension (segment lookup), then
+    tumbling-window counts per segment — the canonical "enrich the
+    stream against the warehouse dim, then aggregate" pipeline shape
+    (SURVEY §2.8). The join side is stateless (static broadcast); ONLY
+    the windowed aggregate carries state, bounded by
+    segments × open windows, never stream history.
+
+    ``user_dim`` must be (user_id, segment); the same plan compiles as
+    a batch query (streaming=False) for the row-for-row tier gate."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    joined = src.join(F.broadcast(user_dim), "user_id")
+    return (
+        joined.groupBy(F.window("ts", window_len).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )

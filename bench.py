@@ -1035,6 +1035,141 @@ def bench_streaming_session(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_enrich(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """Fourth streaming-tier row (r11): stream-STATIC broadcast
+    enrichment + watermarked tumbling aggregate
+    (streaming/events.enriched_tumbling_counts) — the "join the stream
+    to the warehouse dim, then window" pipeline shape. The join is
+    stateless; only the windowed aggregate holds state (segments ×
+    open windows). Same harness as the session tier: time-ordered
+    micro-batches, a sentinel event 30 days past max ts to flush the
+    final windows, and a row-for-row gate against the batch plan."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.events import (
+        enriched_tumbling_counts,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    user_dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 10).alias("segment"))
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    work = tempfile.mkdtemp(prefix="graft_enrich_bench_")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        dim_path = os.path.join(work, "user_dim")
+        user_dim.write.parquet(dim_path)
+        static_dim = spark.read.parquet(dim_path)
+        us = F.unix_micros("ts")
+        sliced = ev.withColumn(
+            "_slice",
+            ((us - F.lit(lo)) * n_batches / F.lit(span)).cast("long"),
+        )
+
+        def land(df, name):
+            stage = os.path.join(work, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            fs = glob.glob(os.path.join(stage, "*.parquet"))
+            if fs:
+                [f] = fs
+                shutil.copy(f, os.path.join(landing, f"{name}.parquet"))
+
+        for i in range(n_batches):
+            land(
+                sliced.filter(F.col("_slice") == i).drop("_slice"),
+                f"slice_{i:03d}",
+            )
+        # sentinel user -999 is NOT in the dim: the inner join drops
+        # it (no phantom output row to filter) but its event time still
+        # advances the watermark past every real window
+        sentinel = spark.createDataFrame(
+            [(int(-1), int(-999), float(0.0))],
+            "event_id long, user_id long, value double",
+        ).select(
+            "event_id",
+            F.timestamp_micros(
+                F.lit(hi + 30 * 86400 * 1_000_000)
+            ).alias("ts"),
+            "user_id",
+            "value",
+        )
+        land(sentinel, f"slice_{n_batches:03d}_sentinel")
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = os.path.join(work, "out")
+        t0 = time.perf_counter()
+        q = (
+            enriched_tumbling_counts(
+                stream, static_dim, window_len="1 hour",
+                watermark="2 hours", streaming=True,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise TimeoutError("enrich tier did not drain in 600s")
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        state_rows = [
+            int(p["stateOperators"][0]["numRowsTotal"]) if p["stateOperators"]
+            else None
+            for p in prog
+        ]
+        streamed = spark.read.parquet(out)
+        got = sorted(map(tuple, streamed.collect()))
+        want = sorted(
+            map(
+                tuple,
+                enriched_tumbling_counts(
+                    ev, static_dim, window_len="1 hour",
+                    watermark="2 hours", streaming=False,
+                ).collect(),
+            )
+        )
+        return {
+            "loop": "stream_static_enrich_tumbling",
+            "n_batches": len(per_batch),
+            "rows_in": int(sum(p["numInputRows"] for p in prog)),
+            "windows_out": len(got),
+            "matches_batch": got == want,
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(
+                sum(per_batch) / max(len(per_batch), 1), 4
+            ),
+            "state_rows_per_batch": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _tier_median3(spark, registry, names, tier_dir, label):
     """Shared tier methodology (r10, extending the r8/r9 docs100x
     prescription to EVERY scale tier): median-of-3 per query with the
@@ -1266,6 +1401,13 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["streaming_session"] = {"error": str(e)[:200]}
+        try:
+            spark.catalog.clearCache()
+            result["scales"]["streaming_enrich"] = bench_streaming_enrich(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["streaming_enrich"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a

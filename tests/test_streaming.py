@@ -692,3 +692,37 @@ def test_transform_with_state_matches_batch(spark, events_batch, events_stream):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_enriched_tumbling_counts_batch(spark):
+    """Stream-static enrichment shape (batch compile): events join the
+    static segment dim, tumbling 1h windows count per segment; a user
+    missing from the dim drops (inner join semantics)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.events import (
+        enriched_tumbling_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 5), 1, 2.0),
+            (2, datetime(2024, 1, 1, 10, 55), 11, 3.0),
+            (3, datetime(2024, 1, 1, 11, 5), 1, 4.0),
+            (4, datetime(2024, 1, 1, 10, 30), 999, 9.0),  # not in dim
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    dim = spark.createDataFrame(
+        [(1, 1), (11, 1)], "user_id long, segment int"
+    )
+    out = {
+        (r["window_start"], r["segment"]): r
+        for r in enriched_tumbling_counts(ev, dim).collect()
+    }
+    assert out[("2024-01-01 10:00:00", 1)]["n_events"] == 2
+    assert out[("2024-01-01 10:00:00", 1)]["sum_value"] == 5.0
+    assert out[("2024-01-01 11:00:00", 1)]["n_events"] == 1
+    assert len(out) == 2  # user 999 dropped
