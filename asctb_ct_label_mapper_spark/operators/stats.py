@@ -2095,3 +2095,155 @@ def sql_lorenz_curve(
                             AND CURRENT ROW) / gt, 6) AS cum_share
     FROM cells CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# r11h: distribution moments, extreme studentized deviate
+# ---------------------------------------------------------------------------
+
+def moments_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group distribution shape from POWER SUMS: mean, population
+    skewness g1 = M3/M2^1.5, population excess kurtosis g2 = M4/M2²−3,
+    and the coefficient of variation — the shape profile that tells a
+    curation gate whether a metric is near-normal (z-scores mean
+    something) or heavy-tailed (switch to the MAD/quantile family).
+
+    Built from Σx..Σx⁴ explicitly rather than the engines' built-in
+    skewness/kurtosis, whose bias corrections differ between Spark and
+    DuckDB — the power-sum formulation is the same arithmetic on both:
+
+        M2 = Σx²/n − m²
+        M3 = Σx³/n − 3m·Σx²/n + 2m³
+        M4 = Σx⁴/n − 4m·Σx³/n + 6m²·Σx²/n − 3m⁴
+
+    One combinable grouped aggregate; degenerate groups (zero variance,
+    zero mean for CV) degrade to NULL via try_divide. Returns
+    (group, n, mean, stddev_pop, skewness, ex_kurtosis, cv), 6dp."""
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+            F.sum(x * x * x).alias("s3"),
+            F.sum(x * x * x * x).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3.0 * m * F.col("s2") / n + 2.0 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * m * F.col("s3") / n
+        + 6.0 * m * m * F.col("s2") / n
+        - 3.0 * m * m * m * m
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.round(F.try_divide(m3, F.pow(m2, F.lit(1.5))), 6).alias(
+            "skewness"
+        ),
+        F.round(F.try_divide(m4, m2 * m2) - 3.0, 6).alias("ex_kurtosis"),
+        F.round(F.try_divide(F.sqrt(m2), m), 6).alias("cv"),
+    )
+
+
+def sql_moments_by_group(
+    table: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB replay of :func:`moments_by_group` — same power sums,
+    same central-moment algebra, NULLIF degradation."""
+    return f"""
+    WITH per AS (
+        SELECT {group_col} AS g, count(*) AS n,
+            sum(CAST({value_col} AS DOUBLE)) AS s1,
+            sum(CAST({value_col} AS DOUBLE) * {value_col}) AS s2,
+            sum(CAST({value_col} AS DOUBLE) * {value_col} * {value_col})
+                AS s3,
+            sum(CAST({value_col} AS DOUBLE) * {value_col} * {value_col}
+                * {value_col}) AS s4
+        FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), mom AS (
+        SELECT g, n, s1 / n AS m,
+            s2 / n - (s1 / n) * (s1 / n) AS m2,
+            s3 / n - 3.0 * (s1 / n) * s2 / n
+                + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+            s4 / n - 4.0 * (s1 / n) * s3 / n
+                + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM per
+    )
+    SELECT g AS {group_col}, n,
+        round(m, 6) AS mean,
+        round(sqrt(m2), 6) AS stddev_pop,
+        round(m3 / NULLIF(pow(m2, 1.5), 0.0), 6) AS skewness,
+        round(m4 / NULLIF(m2 * m2, 0.0) - 3.0, 6) AS ex_kurtosis,
+        round(sqrt(m2) / NULLIF(m, 0.0), 6) AS cv
+    FROM mom
+    """
+
+
+def esd_max_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Maximum studentized deviate of the daily event-count series —
+    the one-shot extreme-value readout (the first round of a
+    generalized-ESD test): which day sticks out most, and by how many
+    sample standard deviations. Pairs with the MAD anomaly gate: ESD
+    assumes near-normal counts, MAD survives heavy tails.
+
+    Calendar-spined like every daily operator here (a silent outage
+    day IS the anomaly). One date aggregate, a one-row moment
+    broadcast, then a 1-row TakeOrdered (|z| DESC, d — injective).
+    Returns one row (d, c, n_days, z), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(_daily_series(df, ts_col))
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.avg("c").alias("m"),
+        F.stddev_samp(F.col("c").cast("double")).alias("sd"),
+    )
+    z = F.try_divide(F.abs(F.col("c") - F.col("m")), F.col("sd"))
+    return (
+        daily.crossJoin(F.broadcast(mom))
+        .select(
+            "d",
+            "c",
+            F.col("nd").alias("n_days"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.desc("z"), "d")
+        .limit(1)
+    )
+
+
+def sql_esd_max_daily(table: str = "events", ts_col: str = "ts") -> str:
+    """DuckDB replay of :func:`esd_max_daily` — same spine, same
+    sample-stddev studentization, same injective order."""
+    return f"""
+    WITH counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ), {_sql_calendar_fill('counts', 'daily', ['c'])}, mom AS (
+        SELECT count(*) AS nd, avg(c) AS m,
+               stddev_samp(CAST(c AS DOUBLE)) AS sd
+        FROM daily
+    )
+    SELECT d, c, nd AS n_days,
+        round(abs(c - m) / NULLIF(sd, 0.0), 6) AS z
+    FROM daily CROSS JOIN mom
+    -- order on the ROUNDED z (matching the Spark side): a raw-double
+    -- tie-break could pick different argmax rows across engines
+    ORDER BY round(abs(c - m) / NULLIF(sd, 0.0), 6) DESC NULLS LAST, d
+    LIMIT 1
+    """

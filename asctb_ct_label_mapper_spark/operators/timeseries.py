@@ -2764,3 +2764,112 @@ def sql_p_chart_daily(
              THEN 1 ELSE 0 END AS flag
     FROM daily CROSS JOIN pooled
     """
+
+
+def interpolate_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_filter=None,
+) -> DataFrame:
+    """Linear interpolation of a daily metric over calendar gaps: days
+    inside [min, max] with no observation get the straight line between
+    their nearest observed neighbors — the imputation flavor next to
+    gapfill's zero-fill (zero-fill is right for counts, interpolation
+    for LEVELS like averages or balances).
+
+    Per day: observed = avg(value); missing days take
+        prev + (next − prev) · (d − prev_d) / (next_d − prev_d)
+    via ignore-null window walks in both directions. The spine's ends
+    are observed by construction (the calendar spans observed days), so
+    every gap is interior and the division is never by zero.
+
+    Scale: the windows run on the CALENDAR-grain frame (the daily
+    module contract); one fact pass. Returns
+    (d, value, interpolated), 6dp."""
+    filtered = df if value_filter is None else df.filter(value_filter)
+    daily = (
+        filtered.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("v"))
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = pooled_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    spine = cal.join(daily, "d", "left")
+    w_back = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(w_back)
+    prev_d = F.last(
+        F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True
+    ).over(w_back)
+    next_v = F.first("v", ignorenulls=True).over(w_fwd)
+    next_d = F.first(
+        F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True
+    ).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * F.datediff(
+        F.col("d"), prev_d
+    ) / F.datediff(next_d, prev_d)
+    return spine.select(
+        "d",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp),
+            6,
+        ).alias("value"),
+        F.col("v").isNull().cast("int").alias("interpolated"),
+    )
+
+
+def sql_interpolate_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of :func:`interpolate_daily` — same spine, same
+    ignore-null window walks, same straight line."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d,
+               avg(CAST({value_col} AS DOUBLE)) AS v
+        FROM {table}
+        WHERE ({where}) AND {ts_col} IS NOT NULL
+          AND {value_col} IS NOT NULL
+        GROUP BY 1
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM daily
+    ), spine AS (
+        SELECT cal.d, daily.v FROM cal LEFT JOIN daily USING (d)
+    ), walked AS (
+        SELECT d, v,
+            last_value(v IGNORE NULLS) OVER
+                (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS prev_v,
+            last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS prev_d,
+            first_value(v IGNORE NULLS) OVER
+                (ORDER BY d ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS next_d
+        FROM spine
+    )
+    SELECT d,
+        round(CASE WHEN v IS NOT NULL THEN v
+                   ELSE prev_v + (next_v - prev_v)
+                        * date_diff('day', prev_d, d)
+                        / date_diff('day', prev_d, next_d)
+              END, 6) AS value,
+        CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM walked
+    """

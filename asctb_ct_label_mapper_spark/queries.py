@@ -8761,3 +8761,74 @@ def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lexical_diversity_by_group(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round-11h batch: distribution shape, extreme-value anomaly, linear
+# interpolation
+# ---------------------------------------------------------------------------
+
+
+def _moments_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_moments_by_group,
+    )
+
+    return sql_moments_by_group("events", "event_type", "value")
+
+
+@query("moments_value_by_type", _moments_oracle())
+def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape per event type (stats.moments_by_group):
+    skewness / excess kurtosis / CV from explicit power sums — the
+    near-normal-or-heavy-tailed gate in front of z-score-based
+    anomaly rules; engine-builtin skewness/kurtosis differ in bias
+    correction, the power-sum algebra does not."""
+    from asctb_ct_label_mapper_spark.operators.stats import moments_by_group
+
+    return moments_by_group(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _esd_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_esd_max_daily
+
+    return sql_esd_max_daily("events")
+
+
+@query("esd_max_daily_events", _esd_oracle())
+def esd_max_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum studentized deviate of the daily event counts
+    (stats.esd_max_daily): which calendar day sticks out most — the
+    extreme-value anomaly readout next to the MAD gate; injective
+    rounded-z argmax on both engines."""
+    from asctb_ct_label_mapper_spark.operators.stats import esd_max_daily
+
+    return esd_max_daily(_t(spark, sf_dir, "events"))
+
+
+def _interp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_interpolate_daily,
+    )
+
+    return sql_interpolate_daily(
+        "events",
+        where="event_type = 'purchase' AND value > 95",
+    )
+
+
+@query("interpolate_daily_values", _interp_oracle())
+def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps of a sparse daily level
+    series — high-value purchases (timeseries.interpolate_daily): the
+    imputation flavor next to gapfill's zero-fill; ignore-null window
+    walks on the calendar-grain frame."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        interpolate_daily,
+    )
+
+    return interpolate_daily(
+        _t(spark, sf_dir, "events"),
+        value_filter=(F.col("event_type") == "purchase")
+        & (F.col("value") > 95),
+    )

@@ -330,6 +330,10 @@ BENCH_QUERIES = [
     "lorenz_purchase_users",
     "churn_rate_weekly",
     "lexical_diversity_docs",
+    # r11h: distribution shape, extreme-value anomaly, interpolation
+    "moments_value_by_type",
+    "esd_max_daily_events",
+    "interpolate_daily_values",
 ]
 
 

@@ -101,6 +101,8 @@ TARGETS = {
     "did_purchase_value": "diff-in-diff (r11f): persisted narrow metric projection, one-row midpoint broadcast, ONE 2x2 conditional fold",
     "kendall_tau_view_purchase": "Kendall tau-b (r11g): broadcast self-join on the CALENDAR-grain frame (quadratic in days by contract), exact integer folds, division last",
     "churn_rate_weekly": "weekly churn (r11g): one deduplicated (week,user) frame persisted, shifted self left-join co-partitioned on the key, week-grain fold",
+    "moments_value_by_type": "moments (r11h): ONE combinable power-sum aggregate, group-grain central-moment algebra, divisions last",
+    "interpolate_daily_values": "interpolation (r11h): one fact pass, calendar spine, ignore-null window walks on the day-grain frame",
 }
 
 
