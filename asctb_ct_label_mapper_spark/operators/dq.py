@@ -267,3 +267,109 @@ def assert_group_bound(
             f"exceed {max_rows} rows — worst {sample}: {worst}"
         )
     return df
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge: child rows, orphan
+    rows (child key absent from the parent), NULL keys, and distinct
+    orphan keys — the warehouse-contract check that runs before any
+    join-based metric is trusted (an orphan silently drops from every
+    inner join that consumes the edge).
+
+    Plan: one LEFT ANTI join on the key (broadcast when the parent is
+    dimension-sized is Catalyst's call) + narrow counts. Returns one
+    row (relation, child_rows, null_keys, orphan_rows, orphan_keys)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    keyed = pooled_persist(
+        child.select(F.col(child_key).alias("_k"))
+    )
+    totals = keyed.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.sum(F.col("_k").isNull().cast("long")).alias("null_keys"),
+    )
+    orphans = (
+        keyed.filter(F.col("_k").isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias("_pk")),
+            F.col("_k") == F.col("_pk"),
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.count_distinct("_k").alias("orphan_keys"),
+        )
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(relation).alias("relation"),
+        "child_rows",
+        "null_keys",
+        "orphan_rows",
+        "orphan_keys",
+    )
+
+
+def fk_audit_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Star-schema referential-integrity report: every FK edge of the
+    TPC-H-ish schema audited (:func:`fk_audit`), one row per edge —
+    the one-glance answer to "can I trust inner joins on this
+    snapshot". Edges: lineitem→orders/part/supplier, orders→customer,
+    customer/supplier→nation, nation→region."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for c_tab, c_key, p_tab, p_key in edges:
+        row = fk_audit(
+            tables[c_tab],
+            tables[p_tab],
+            c_key,
+            p_key,
+            f"{c_tab}.{c_key}->{p_tab}.{p_key}",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def sql_fk_audit_report() -> str:
+    """DuckDB replay of :func:`fk_audit_report` — same edges, same
+    anti-join census per edge."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for c_tab, c_key, p_tab, p_key in edges:
+        parts.append(f"""
+    SELECT '{c_tab}.{c_key}->{p_tab}.{p_key}' AS relation,
+        (SELECT count(*) FROM {c_tab}) AS child_rows,
+        (SELECT count(*) FROM {c_tab} WHERE {c_key} IS NULL)
+            AS null_keys,
+        (SELECT count(*) FROM {c_tab}
+         WHERE {c_key} IS NOT NULL
+           AND {c_key} NOT IN (SELECT {p_key} FROM {p_tab}
+                               WHERE {p_key} IS NOT NULL))
+            AS orphan_rows,
+        (SELECT count(DISTINCT {c_key}) FROM {c_tab}
+         WHERE {c_key} IS NOT NULL
+           AND {c_key} NOT IN (SELECT {p_key} FROM {p_tab}
+                               WHERE {p_key} IS NOT NULL))
+            AS orphan_keys""")
+    return "\nUNION ALL\n".join(parts)

@@ -2247,3 +2247,115 @@ def sql_esd_max_daily(table: str = "events", ts_col: str = "ts") -> str:
     ORDER BY round(abs(c - m) / NULLIF(sd, 0.0), 6) DESC NULLS LAST, d
     LIMIT 1
     """
+
+
+def corr_matrix_daily_types(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of EVERY event type's daily
+    count series — the co-movement overview whose individual cells the
+    rolling/lagged operators zoom into. One conditional date aggregate
+    pivots the types to columns on the calendar spine; every pair's
+    moments then fold from the same frame (type-count² pairs of
+    calendar-grain sums — dimension-sized work).
+
+    Pairs are emitted once (type_a < type_b), divisions last, NULL on
+    constant series via try_divide. Returns
+    (type_a, type_b, n_days, corr), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    types = sorted(
+        r["t"]
+        for r in df.filter(F.col(type_col).isNotNull())
+        .select(F.col(type_col).alias("t"))
+        .distinct()
+        .collect()
+    )
+    counts = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(
+            *[
+                F.sum((F.col(type_col) == t).cast("long")).alias(f"c{i}")
+                for i, t in enumerate(types)
+            ]
+        )
+    )
+    daily = pooled_persist(
+        _calendar_fill(counts, [f"c{i}" for i in range(len(types))])
+    )
+    rows = None
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            x = F.col(f"c{i}").cast("double")
+            y = F.col(f"c{j}").cast("double")
+            m = daily.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * y).alias("sxy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"),
+            )
+            cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+            vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+            row = m.select(
+                F.lit(types[i]).alias("type_a"),
+                F.lit(types[j]).alias("type_b"),
+                F.col("n").alias("n_days"),
+                F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias(
+                    "corr"
+                ),
+            )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def sql_corr_matrix_daily_types(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`corr_matrix_daily_types` — the pivot and
+    pair fold expressed dynamically over the type dimension (a
+    type-grain correlated list; the calendar spine and the moment
+    arithmetic match the Spark side exactly)."""
+    return f"""
+    WITH types AS (
+        SELECT DISTINCT {type_col} AS t FROM {table}
+        WHERE {type_col} IS NOT NULL
+    ), counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS t,
+               count(*) AS c
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), spine AS (
+        SELECT cal.d, types.t,
+               coalesce(counts.c, 0) AS c
+        FROM cal CROSS JOIN types
+        LEFT JOIN counts ON cal.d = counts.d AND types.t = counts.t
+    ), pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b,
+            count(*) AS n,
+            sum(CAST(a.c AS DOUBLE)) AS sx,
+            sum(CAST(b.c AS DOUBLE)) AS sy,
+            sum(CAST(a.c AS DOUBLE) * b.c) AS sxy,
+            sum(CAST(a.c AS DOUBLE) * a.c) AS sxx,
+            sum(CAST(b.c AS DOUBLE) * b.c) AS syy
+        FROM spine a JOIN spine b ON a.d = b.d AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n AS n_days,
+        round((n * sxy - sx * sy)
+              / NULLIF(sqrt((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 0.0), 6) AS corr
+    FROM pairs
+    """

@@ -8832,3 +8832,58 @@ def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_filter=(F.col("event_type") == "purchase")
         & (F.col("value") > 95),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11i batch: referential-integrity audit, correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def _fk_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dq import sql_fk_audit_report
+
+    return sql_fk_audit_report()
+
+
+@query("fk_audit_star", _fk_oracle())
+def fk_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report over every FK edge of the star
+    schema (dq.fk_audit_report): orphan/NULL-key censuses via LEFT ANTI
+    joins — the contract check that inner-join metrics silently depend
+    on."""
+    from asctb_ct_label_mapper_spark.operators.dq import fk_audit_report
+
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for t in (
+            "lineitem",
+            "orders",
+            "part",
+            "supplier",
+            "customer",
+            "nation",
+            "region",
+        )
+    }
+    return fk_audit_report(tables)
+
+
+def _corr_matrix_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_corr_matrix_daily_types,
+    )
+
+    return sql_corr_matrix_daily_types("events")
+
+
+@query("corr_matrix_event_types", _corr_matrix_oracle())
+def corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix of every event type's daily count series
+    (stats.corr_matrix_daily_types): the co-movement overview above the
+    rolling/lagged zoom-ins; one pivoted date aggregate, pair folds on
+    the calendar-grain frame."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        corr_matrix_daily_types,
+    )
+
+    return corr_matrix_daily_types(_t(spark, sf_dir, "events"))

@@ -334,6 +334,9 @@ BENCH_QUERIES = [
     "moments_value_by_type",
     "esd_max_daily_events",
     "interpolate_daily_values",
+    # r11i: referential-integrity audit, correlation matrix
+    "fk_audit_star",
+    "corr_matrix_event_types",
 ]
 
 

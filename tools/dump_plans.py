@@ -103,6 +103,7 @@ TARGETS = {
     "churn_rate_weekly": "weekly churn (r11g): one deduplicated (week,user) frame persisted, shifted self left-join co-partitioned on the key, week-grain fold",
     "moments_value_by_type": "moments (r11h): ONE combinable power-sum aggregate, group-grain central-moment algebra, divisions last",
     "interpolate_daily_values": "interpolation (r11h): one fact pass, calendar spine, ignore-null window walks on the day-grain frame",
+    "fk_audit_star": "FK audit (r11i): one LEFT ANTI join + narrow counts per edge; parent side broadcast at dimension size",
 }
 
 
