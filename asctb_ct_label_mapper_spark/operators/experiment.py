@@ -1776,3 +1776,148 @@ def sql_did_estimate(
               6) AS did
     FROM cells
     """
+
+
+def ab_ratio_metric(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    num_type: str = "purchase",
+    den_type: str = "view",
+) -> DataFrame:
+    """Ratio-of-sums metric per arm with DELTA-METHOD standard errors —
+    the revenue-per-view / CTR-class readout. The naive per-user-ratio
+    average is biased (users with tiny denominators dominate) and the
+    pooled ratio's variance is NOT a mean's variance because numerator
+    and denominator are correlated within user; the delta method is the
+    standard fix (Deng et al., KDD 2018):
+
+        R = Σx / Σy,   Var(R) ≈ (s_x² + R²·s_y² − 2R·s_xy) / (n·ȳ²)
+
+    with x = per-user numerator sum, y = per-user denominator sum
+    (both zero-filled — every randomized user stays in), and s_· the
+    per-user sample (co)variances within the arm.
+
+    Plan: ONE user-grain fold (the only fact shuffle), a 2-row
+    conditional arm aggregate of the sufficient statistics, then
+    closed-form arithmetic — the _arm_stats shape extended to the
+    bivariate case. Returns one row (n0, n1, r0, r1, se0, se1,
+    z_stat), 6dp; degenerate arms degrade to NULL via try_divide."""
+    per = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col(type_col) == num_type, F.col(value_col))
+            ),
+            F.lit(0.0),
+        ).alias("x"),
+        F.sum((F.col(type_col) == den_type).cast("long"))
+        .cast("double")
+        .alias("y"),
+    ).select(_arm("user").alias("arm"), "x", "y")
+
+    def arm_agg(a: int, name):
+        cond = F.col("arm") == a
+        return [
+            F.sum(cond.cast("long")).alias(f"n{a}"),
+            F.sum(F.when(cond, F.col("x"))).alias(f"sx{a}"),
+            F.sum(F.when(cond, F.col("y"))).alias(f"sy{a}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x"))).alias(f"sxx{a}"),
+            F.sum(F.when(cond, F.col("y") * F.col("y"))).alias(f"syy{a}"),
+            F.sum(F.when(cond, F.col("x") * F.col("y"))).alias(f"sxy{a}"),
+        ]
+
+    folded = per.agg(*(arm_agg(0, None) + arm_agg(1, None)))
+
+    def ratio_and_var(a: int):
+        # association order matches the SQL mirror EXACTLY (sum the raw
+        # centered moments first, divide by (n-1) once, then by n*ybar^2)
+        # so both engines round the same double at 6dp
+        n = F.col(f"n{a}").cast("double")
+        r = F.try_divide(F.col(f"sx{a}"), F.col(f"sy{a}"))
+        ybar = F.try_divide(F.col(f"sy{a}"), n)
+        raw_x = F.col(f"sxx{a}") - F.col(f"sx{a}") * F.col(f"sx{a}") / n
+        raw_y = F.col(f"syy{a}") - F.col(f"sy{a}") * F.col(f"sy{a}") / n
+        raw_xy = F.col(f"sxy{a}") - F.col(f"sx{a}") * F.col(f"sy{a}") / n
+        var_r = F.try_divide(
+            F.try_divide(
+                raw_x + r * r * raw_y - 2.0 * r * raw_xy, n - 1
+            ),
+            n * ybar * ybar,
+        )
+        return r, var_r
+
+    r0, v0 = ratio_and_var(0)
+    r1, v1 = ratio_and_var(1)
+    z = F.try_divide(r1 - r0, F.sqrt(v0 + v1))
+    return folded.select(
+        "n0",
+        "n1",
+        F.round(r0, 6).alias("r0"),
+        F.round(r1, 6).alias("r1"),
+        F.round(F.sqrt(v0), 6).alias("se0"),
+        F.round(F.sqrt(v1), 6).alias("se1"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def sql_ab_ratio_metric(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    num_type: str = "purchase",
+    den_type: str = "view",
+) -> str:
+    """DuckDB replay of :func:`ab_ratio_metric` — same bivariate
+    sufficient statistics, same delta-method algebra, NULLIF
+    degradation."""
+    return f"""
+    WITH per AS (
+        SELECT CAST({user_col} % 2 AS INT) AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{num_type}'
+                              THEN {value_col} END), 0.0) AS x,
+            CAST(sum(CASE WHEN {type_col} = '{den_type}'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        FROM {table} GROUP BY {user_col}
+    ), folded AS (
+        SELECT
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN arm = 0 THEN x END) AS sx0,
+            sum(CASE WHEN arm = 0 THEN y END) AS sy0,
+            sum(CASE WHEN arm = 0 THEN x * x END) AS sxx0,
+            sum(CASE WHEN arm = 0 THEN y * y END) AS syy0,
+            sum(CASE WHEN arm = 0 THEN x * y END) AS sxy0,
+            sum(CASE WHEN arm = 1 THEN x END) AS sx1,
+            sum(CASE WHEN arm = 1 THEN y END) AS sy1,
+            sum(CASE WHEN arm = 1 THEN x * x END) AS sxx1,
+            sum(CASE WHEN arm = 1 THEN y * y END) AS syy1,
+            sum(CASE WHEN arm = 1 THEN x * y END) AS sxy1
+        FROM per
+    ), terms AS (
+        SELECT n0, n1,
+            sx0 / NULLIF(sy0, 0.0) AS r0,
+            sx1 / NULLIF(sy1, 0.0) AS r1,
+            ((sxx0 - sx0 * sx0 / n0)
+             + (sx0 / NULLIF(sy0, 0.0)) * (sx0 / NULLIF(sy0, 0.0))
+               * (syy0 - sy0 * sy0 / n0)
+             - 2.0 * (sx0 / NULLIF(sy0, 0.0))
+               * (sxy0 - sx0 * sy0 / n0))
+            / NULLIF(n0 - 1, 0)
+            / NULLIF(n0 * (sy0 / n0) * (sy0 / n0), 0.0) AS v0,
+            ((sxx1 - sx1 * sx1 / n1)
+             + (sx1 / NULLIF(sy1, 0.0)) * (sx1 / NULLIF(sy1, 0.0))
+               * (syy1 - sy1 * sy1 / n1)
+             - 2.0 * (sx1 / NULLIF(sy1, 0.0))
+               * (sxy1 - sx1 * sy1 / n1))
+            / NULLIF(n1 - 1, 0)
+            / NULLIF(n1 * (sy1 / n1) * (sy1 / n1), 0.0) AS v1
+        FROM folded
+    )
+    SELECT n0, n1,
+        round(r0, 6) AS r0, round(r1, 6) AS r1,
+        round(sqrt(v0), 6) AS se0, round(sqrt(v1), 6) AS se1,
+        round((r1 - r0) / NULLIF(sqrt(v0 + v1), 0.0), 6) AS z_stat
+    FROM terms
+    """

@@ -8887,3 +8887,26 @@ def corr_matrix_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return corr_matrix_daily_types(_t(spark, sf_dir, "events"))
+
+
+def _ratio_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_ab_ratio_metric,
+    )
+
+    return sql_ab_ratio_metric("events")
+
+
+@query("ab_ratio_purchase_per_view", _ratio_oracle())
+def ab_ratio_purchase_per_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-of-sums metric (purchase value per view) per arm with
+    DELTA-METHOD standard errors (experiment.ab_ratio_metric): the
+    revenue-per-session-class readout whose naive variance is wrong
+    because numerator and denominator correlate within user; one
+    user-grain fold, a 2-row bivariate arm aggregate, closed-form
+    arithmetic."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        ab_ratio_metric,
+    )
+
+    return ab_ratio_metric(_t(spark, sf_dir, "events"))

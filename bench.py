@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     # r11i: referential-integrity audit, correlation matrix
     "fk_audit_star",
     "corr_matrix_event_types",
+    "ab_ratio_purchase_per_view",
 ]
 
 

@@ -56,3 +56,57 @@ def test_corr_matrix_pairs(spark):
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] == -1.0
     assert out[("b", "c")] == -1.0
+
+
+def test_ab_ratio_metric_hand_computed(spark):
+    """Two users per arm with known (x, y): ratios and delta-method
+    variances match the closed forms."""
+    import math
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        ab_ratio_metric,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(user, purchases, views):
+        nonlocal eid
+        for v in purchases:
+            eid += 1
+            rows.append((eid, user, "purchase", v))
+        for _ in range(views):
+            eid += 1
+            rows.append((eid, user, "view", 0.0))
+
+    # arm 0 (even users): (x=10, y=2), (x=20, y=2)
+    add(2, [10.0], 2)
+    add(4, [20.0], 2)
+    # arm 1 (odd users): (x=30, y=2), (x=10, y=4)
+    add(1, [30.0], 2)
+    add(3, [10.0], 4)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = ab_ratio_metric(df).collect()[0]
+    assert out["n0"] == 2 and out["n1"] == 2
+    assert out["r0"] == 7.5  # 30 / 4
+    assert out["r1"] == round(40 / 6, 6)
+
+    def var(xs, ys):
+        n = len(xs)
+        r = sum(xs) / sum(ys)
+        ybar = sum(ys) / n
+        sxx = sum(x * x for x in xs) - sum(xs) ** 2 / n
+        syy = sum(y * y for y in ys) - sum(ys) ** 2 / n
+        sxy = sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys) / n
+        return ((sxx + r * r * syy - 2 * r * sxy) / (n - 1)) / (
+            n * ybar * ybar
+        )
+
+    v0 = var([10, 20], [2, 2])
+    v1 = var([30, 10], [2, 4])
+    assert abs(out["se0"] - round(math.sqrt(v0), 6)) < 1e-9
+    assert abs(out["se1"] - round(math.sqrt(v1), 6)) < 1e-9
+    z = (40 / 6 - 7.5) / math.sqrt(v0 + v1)
+    assert abs(out["z_stat"] - round(z, 6)) < 1e-9
