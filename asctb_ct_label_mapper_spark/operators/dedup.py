@@ -1797,7 +1797,15 @@ def sql_containment_pairs(
 ) -> str:
     """DuckDB replay of :func:`containment_pairs` over ``documents``
     (word-3-gram shingles, same slice arithmetic as the Jaccard
-    oracle)."""
+    oracle).  Mirrors the Spark twin's threshold > 0 guard: at
+    threshold <= 0 the quadratic mirror would emit zero-overlap pairs
+    the shared-shingle census can never produce (silent divergence)."""
+    if threshold <= 0:
+        raise ValueError(
+            "sql_containment_pairs requires threshold > 0 (matches "
+            "containment_pairs — zero-overlap pairs are census-"
+            "unrepresentable)"
+        )
     return f"""
     WITH sh AS (
         SELECT {block_col} AS blk, doc_id,

@@ -2263,7 +2263,9 @@ def corr_matrix_daily_types(
 
     Pairs are emitted once (type_a < type_b), divisions last, NULL on
     constant series via try_divide. Returns
-    (type_a, type_b, n_days, corr), 6dp."""
+    (type_a, type_b, n_days, corr), 6dp.  Fewer than 2 distinct types
+    means no pairs exist: an EMPTY frame with the same schema is
+    returned (matching the SQL mirror's zero rows) rather than None."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     types = sorted(
@@ -2273,6 +2275,11 @@ def corr_matrix_daily_types(
         .distinct()
         .collect()
     )
+    if len(types) < 2:
+        return df.sparkSession.createDataFrame(
+            [],
+            "type_a string, type_b string, n_days bigint, corr double",
+        )
     counts = (
         df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
         .groupBy(F.to_date(ts_col).alias("d"))

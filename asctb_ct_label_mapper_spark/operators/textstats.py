@@ -1241,6 +1241,8 @@ def vocab_growth_sketch(
     k: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gate_fraction: float = 0.05,
+    prefilter_min_pairs: int = 500_000,
 ) -> DataFrame:
     """Approximate vocabulary-growth curve via mergeable per-shard KMV
     sketches — the 100x-tier flavor of :func:`vocab_growth` (r10
@@ -1260,6 +1262,20 @@ def vocab_growth_sketch(
     and the estimator. Token volume stays EXACT (a combinable count —
     no distinct involved). Deterministic md5 arithmetic end-to-end, so
     the DuckDB oracle replays it hash-for-hash.
+
+    ONE gram-stream scan (r12 verdict #1 — was TWO): the prefilter's
+    cardinality gate used to re-explode the full ~1e8-row gram stream
+    just to size the keep-threshold (29-32 s of the 91-93 s docs100x
+    tier).  Now the gate reads a ``gate_fraction`` DOC-level sample
+    exploded separately (``kmv_sketch_by(gate_df=...)``): the sampled
+    per-shard estimate only UNDERESTIMATES, so the threshold only
+    GROWS (Heaps' law puts the 5% sample's vocab at ~20-25% of the
+    full vocab → ~4-5·safety·k survivors per shard instead of
+    safety·k — still parameter-sized), the kept>=k guard still checks
+    exactness loudly, and the full explode now runs exactly once (the
+    sketch build).  ``gate_fraction=None``/1.0 restores the full-scan
+    gate.  The RESULT is gate-independent: thresholds decide only how
+    much the prefilter cuts, never which bottom-k survives.
 
     Returns (shard, n_kept, vocab_estimate, corpus_grams) — one row
     per ingest prefix."""
@@ -1292,7 +1308,19 @@ def vocab_growth_sketch(
         .groupBy("shard")
         .agg(F.sum("_ng").alias("n_grams"))
     )
-    sk = kmv_sketch_by(grams, ["shard"], "gram", k=k)
+    gate_df = None
+    gate_scale = 1.0
+    if gate_fraction is not None and 0.0 < gate_fraction < 1.0:
+        gate_df = df.sample(fraction=gate_fraction, seed=7).select(
+            (F.col(id_col) % n_shards).alias("shard"),
+            F.explode(grams_arr).alias("gram"),
+        )
+        gate_scale = 1.0 / gate_fraction
+    sk = kmv_sketch_by(
+        grams, ["shard"], "gram", k=k,
+        prefilter_min_pairs=prefilter_min_pairs,
+        gate_df=gate_df, gate_scale=gate_scale,
+    )
     # prefix merge: shard s's vocabulary state is the union of sketches
     # 0..s, re-cut to k — a broadcast spine join over parameter-sized
     # frames (n_shards * k rows before the distinct)

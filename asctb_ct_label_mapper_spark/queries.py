@@ -133,6 +133,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _fixture_dir(name: str) -> str:
+    """Per-PROCESS fixture directory for write→read-back round-trip
+    queries.  A fixed shared path under mode=overwrite lets two
+    concurrent sessions (bench + correctness run) clobber the directory
+    while the other's lazy read-back is scanning it (r12 ADVICE item on
+    orc_roundtrip); the pid suffix makes the path unique per session
+    while staying stable ACROSS calls within one session (so write-once
+    markers and re-runs still hit their own files)."""
+    import os
+
+    return f"/tmp/spark_graft_fixtures/{name}_pid{os.getpid()}"
+
+
 def query(name: str, oracle: str | None = None):
     def wrap(fn: QueryFn) -> QueryFn:
         import functools
@@ -2802,7 +2815,7 @@ def csv_skiprows_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.sources.csv_skip import read_csv_skiprows
     from asctb_ct_label_mapper_spark.sources.sinks import write_csv_utf8_sig
 
-    base = "/tmp/spark_graft_fixtures/csv_skip"
+    base = _fixture_dir("csv_skip")
     src = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 7 == 0)
@@ -2845,7 +2858,7 @@ def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar round-trip is lossless."""
     from asctb_ct_label_mapper_spark.sources.sinks import write_parquet
 
-    path = "/tmp/spark_graft_fixtures/emb_roundtrip"
+    path = _fixture_dir("emb_roundtrip")
     src = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     write_parquet(src, path)  # S7
     back = spark.read.parquet(path)  # S5
@@ -3163,7 +3176,7 @@ def dedup_incremental_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_fixtures/minhash_sigs_{tag}"
+    path = _fixture_dir(f"minhash_sigs_{tag}")
     # WRITE-ONCE per corpus state (marker records the doc count): the
     # steady-state query path is a signature-table READ — rebuilding every
     # call would both time the ingest write in the bench and race
@@ -3645,7 +3658,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_jsonl,
     )
 
-    base = "/tmp/spark_graft_fixtures/jsonl_rt"
+    base = _fixture_dir("jsonl_rt")
     src = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
@@ -5809,7 +5822,14 @@ def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketches.kmv_sketch_by/kmv_estimate_by) — the hash-green mergeable
     counterpart of the HLL daily rollup: k=32 rows of state per day,
     group-partitioned rank (parallel across days), estimator arithmetic
-    replayed exactly by the oracle."""
+    replayed exactly by the oracle.
+
+    The prefilter's cardinality gate reads a 2% ROW sample instead of
+    re-scanning the full events frame (the vocab_growth_sketch sampled-
+    gate seam, r12 verdict #5 — shared code path, no second gate
+    implementation): sampled per-day distincts underestimate, so the
+    keep-threshold only grows and the kept>=k guard still proves the
+    bottom-k exact; the result is gate-independent."""
     from asctb_ct_label_mapper_spark.operators.sketches import (
         kmv_estimate_by,
         kmv_sketch_by,
@@ -5819,7 +5839,12 @@ def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
     )
     return kmv_estimate_by(
-        kmv_sketch_by(ev, ["day"], "user_id", k=32), ["day"], k=32
+        kmv_sketch_by(
+            ev, ["day"], "user_id", k=32,
+            gate_df=ev.sample(fraction=0.02, seed=7), gate_scale=50.0,
+        ),
+        ["day"],
+        k=32,
     )
 
 
@@ -8452,7 +8477,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, and dates."""
     from asctb_ct_label_mapper_spark.sources.sinks import write_orc
 
-    path = "/tmp/spark_graft_fixtures/orders_orc_roundtrip"
+    path = _fixture_dir("orders_orc_roundtrip")
     src = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     write_orc(src, path)
     back = spark.read.orc(path)

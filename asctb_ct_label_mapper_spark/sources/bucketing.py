@@ -39,10 +39,32 @@ DEFAULT_FACTS: tuple[tuple[str, str], ...] = (
 
 def bucket_table_name(sf_dir: str, table: str, n_buckets: int) -> str:
     """Deterministic catalog name for the bucketed copy of ``table`` from
-    ``sf_dir`` — a sanitized tag plus a path hash so tiers never collide."""
+    ``sf_dir`` — a sanitized tag plus a path hash so tiers never collide,
+    plus the pid: the in-memory catalog dies with the process so the
+    layout is rebuilt per process regardless, but the WAREHOUSE directory
+    is shared — without the pid, two concurrent sessions (bench +
+    correctness run) rmtree/rewrite the same location while the other is
+    reading it (the orc_roundtrip flaky-failure class, r12 ADVICE)."""
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1].lower())
     h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:6]
-    return f"bkt{n_buckets}_{tag}_{h}_{table}"
+    return f"bkt{n_buckets}_{tag}_{h}_p{os.getpid()}_{table}"
+
+
+def bucketed_tables_ready(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[tuple[str, str], ...] = DEFAULT_FACTS,
+    n_buckets: int = 32,
+) -> bool:
+    """True iff EVERY bucketed fact for ``sf_dir`` is already in this
+    session's catalog — the zero-job probe behind ``impl='auto'`` seams
+    (q21_plan): a steady-state session that already paid the ingest
+    should read the layout; a cold session should not charge a full
+    bucketing ingest to one ad-hoc query."""
+    return all(
+        spark.catalog.tableExists(bucket_table_name(sf_dir, t, n_buckets))
+        for t, _ in tables
+    )
 
 
 def ensure_bucketed_tables(

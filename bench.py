@@ -1178,6 +1178,145 @@ def bench_streaming_enrich(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_join(spark, sf_dir: str, n_batches: int = 10) -> dict:
+    """Fifth streaming-tier row (r12 verdict #4): stream-STREAM
+    watermarked interval join (streaming/events.view_click_pairs) —
+    impression↔click attribution, the one stateful shape the
+    stream-static enrich tier cannot express.  Both sides of the
+    self-join are watermarked (1 h); the event-time range predicate
+    bounds view-state retention to watermark + attribution window, so
+    state is arrival-rate × delay, never stream history.  Same harness
+    as the other tiers: time-ordered micro-batches, two partner-less
+    sentinel events 30 days out (one view, one click, different users —
+    they advance BOTH sides' watermarks to flush state without emitting
+    a phantom pair), and a row-for-row gate against the batch compile
+    of the identical plan."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.events import view_click_pairs
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    work = tempfile.mkdtemp(prefix="graft_ssjoin_bench_")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        us = F.unix_micros("ts")
+        sliced = ev.withColumn(
+            "_slice",
+            ((us - F.lit(lo)) * n_batches / F.lit(span)).cast("long"),
+        )
+
+        def land(df, name):
+            stage = os.path.join(work, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            fs = glob.glob(os.path.join(stage, "*.parquet"))
+            if fs:
+                [f] = fs
+                shutil.copy(f, os.path.join(landing, f"{name}.parquet"))
+
+        for i in range(n_batches):
+            land(
+                sliced.filter(F.col("_slice") == i).drop("_slice"),
+                f"slice_{i:03d}",
+            )
+        far = hi + 30 * 86400 * 1_000_000
+        sentinels = spark.createDataFrame(
+            [
+                (int(-1), int(-999), "view"),
+                (int(-2), int(-998), "click"),
+            ],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.lit(far)).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        land(sentinels, f"slice_{n_batches:03d}_sentinel")
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = os.path.join(work, "out")
+        # State-partition sizing: the interval join keeps FOUR state
+        # stores per side-pair (keyToNumValues + keyWithIndexToValue,
+        # each side), so at the session's 32 shuffle partitions every
+        # micro-batch pays ~128 store commits for ~10k rows — measured
+        # 4.4 s/batch, store overhead not data.  8 partitions keeps the
+        # 32 cores busy (file-source batches are one file) and cuts the
+        # commit count 4x; the stream pins its own partitioning at
+        # start, so restore the session value right after .start().
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        q = (
+            view_click_pairs(
+                stream, attribution_window="10 minutes",
+                watermark="1 hour", streaming=True,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise TimeoutError("stream-stream tier did not drain in 600s")
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        state_rows = [
+            int(p["stateOperators"][0]["numRowsTotal"])
+            if p["stateOperators"]
+            else None
+            for p in prog
+        ]
+        streamed = spark.read.parquet(out)
+        got = sorted(map(tuple, streamed.collect()))
+        want = sorted(
+            map(
+                tuple,
+                view_click_pairs(
+                    ev, attribution_window="10 minutes", streaming=False
+                ).collect(),
+            )
+        )
+        return {
+            "loop": "stream_stream_interval_join",
+            "n_batches": len(per_batch),
+            "rows_in": int(sum(p["numInputRows"] for p in prog)),
+            "pairs_out": len(got),
+            "matches_batch": got == want,
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(
+                sum(per_batch) / max(len(per_batch), 1), 4
+            ),
+            "state_rows_per_batch": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _tier_median3(spark, registry, names, tier_dir, label):
     """Shared tier methodology (r10, extending the r8/r9 docs100x
     prescription to EVERY scale tier): median-of-3 per query with the
@@ -1189,6 +1328,20 @@ def _tier_median3(spark, registry, names, tier_dir, label):
     spread: dict[str, list[float]] = {}
     for name in names:
         fn = registry[name]
+        # IN-TIER session scrub (r12 verdict #2): the r11 driver run
+        # measured dedup_incremental at 14.8 s inside the full docs100x
+        # tier vs 7.0 s isolated — the heavy vocab_growth_sketch
+        # predecessor wears the session (executor-memory history + old
+        # gen garbage), the exact failure mode SCALING's r8 methodology
+        # section documents for tier ENTRY order, now applied between
+        # queries too: drop every cache entry AND force a full JVM GC
+        # barrier so each query starts from the same heap state its
+        # isolated measurement saw.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
         # Per-query warm-up (r10 spread triage): the cold first
         # execution of a plan pays codegen + Python-worker spawn (the
         # pandas-UDF shingle stages) + broadcast build — measured 27.5 s
@@ -1416,6 +1569,13 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["streaming_enrich"] = {"error": str(e)[:200]}
+        try:
+            spark.catalog.clearCache()
+            result["scales"]["streaming_join"] = bench_streaming_join(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["streaming_join"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
