@@ -502,7 +502,9 @@ def kmv_sketch_by(
         #       cluster, so cutting it cannot pay. At 100x scales both
         #       conditions hold and the prefilter engages as before.
         gate = est.agg(
-            F.max("_n").alias("m"), F.sum("_n").alias("s")
+            F.max("_n").alias("m"),
+            F.sum("_n").alias("s"),
+            F.count(F.lit(1)).alias("g"),
         ).first()
         # condition (a) stays UNSCALED: if even the (under-estimating)
         # sampled max can't clear safety*k, every threshold degenerates
@@ -527,46 +529,80 @@ def kmv_sketch_by(
                 * F.lit(_KMV_DOMAIN)
             ).cast("long")
         )
-        # NULL-SAFE group equality: a NULL group key is a real group to
-        # Window.partitionBy, so the prefilter join must not drop it
-        # (plain equality would cut every NULL-group hash and then
-        # either silently lose the group or trip the guard)
-        thr_tbl = est.select(
-            *[F.col(c).alias(f"__t_{c}") for c in group_cols],
-            thr.alias("_thr"),
-        )
-        cond = None
-        for c in group_cols:
-            e = hashes_raw[c].eqNullSafe(thr_tbl[f"__t_{c}"])
-            cond = e if cond is None else cond & e
-        # LEFT join with DOMAIN default: a group the (possibly sampled)
-        # gate never saw must pass UNFILTERED, not be silently dropped
-        # by an inner join — with a full-data gate every group is
-        # present and the plan is unchanged.
-        hashes_raw = (
-            hashes_raw.join(F.broadcast(thr_tbl), cond, "left")
-            .filter(
-                F.col("h")
-                < F.coalesce(F.col("_thr"), F.lit(int(_KMV_DOMAIN)))
+        if len(group_cols) == 1 and int(gate["g"] or 0) <= 1024:
+            # LITERAL-MAP threshold (r12): for a single dimension-grain
+            # group key the thresholds fit in a map literal, so the
+            # filter stays inside whole-stage codegen — measured 0.8 s
+            # vs 1.7 s for the null-safe broadcast hash join over the
+            # 10M-row events100x stream.  An absent key (NULL group, or
+            # a group the sampled gate never saw) looks up NULL and
+            # coalesces to DOMAIN — unfiltered, never dropped.
+            key = group_cols[0]
+            thr_rows = est.select(
+                F.col(key).alias("_g"), thr.alias("_thr")
+            ).collect()
+            pairs = [
+                x
+                for r in thr_rows
+                if r["_g"] is not None
+                for x in (F.lit(r["_g"]), F.lit(r["_thr"]))
+            ]
+            lookup = (
+                F.create_map(*pairs)[F.col(key)]
+                if pairs
+                else F.lit(None).cast("long")
             )
-            .select(*group_cols, "h")
+            hashes_raw = hashes_raw.filter(
+                F.col("h") < F.coalesce(lookup, F.lit(int(_KMV_DOMAIN)))
+            )
+        else:
+            # NULL-SAFE group equality: a NULL group key is a real
+            # group to Window.partitionBy, so the prefilter join must
+            # not drop it (plain equality would cut every NULL-group
+            # hash and then either silently lose the group or trip the
+            # guard).  LEFT join with DOMAIN default: a group the
+            # (possibly sampled) gate never saw passes UNFILTERED.
+            thr_tbl = est.select(
+                *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+                thr.alias("_thr"),
+            )
+            cond = None
+            for c in group_cols:
+                e = hashes_raw[c].eqNullSafe(thr_tbl[f"__t_{c}"])
+                cond = e if cond is None else cond & e
+            hashes_raw = (
+                hashes_raw.join(F.broadcast(thr_tbl), cond, "left")
+                .filter(
+                    F.col("h")
+                    < F.coalesce(F.col("_thr"), F.lit(int(_KMV_DOMAIN)))
+                )
+                .select(*group_cols, "h")
+            )
+        # FUSED single-shuffle build (r12): dense_rank over the
+        # survivor stream dedupes and cuts in ONE wide exchange — the
+        # old distinct-then-row_number pair shuffled the survivors
+        # twice.  dense_rank gives duplicate (group, h) rows the same
+        # rank, so the <= k cut keeps the bottom-k DISTINCT hashes
+        # (plus their duplicates), and the dropDuplicates runs on the
+        # parameter-sized cut.  Skew bound: survivors per group are
+        # ~safety*k*(gate underestimate), never the raw stream.
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        sketch = pooled_persist(
+            hashes_raw.withColumn("_dr", F.dense_rank().over(w))
+            .filter(F.col("_dr") <= k)
+            .drop("_dr")
+            .dropDuplicates([*group_cols, "h"])
         )
-    hashes = hashes_raw.select(*group_cols, "h").distinct()
-    if safety is not None:
-        # loud exactness check over the parameter-sized survivor frame
-        # (one small eager job — the negative_samples count-probe
-        # precedent): a FILTERED group must retain >= k survivors or a
-        # true bottom-k member may have been cut
-        from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
-
-        hashes = pooled_persist(hashes)  # feeds the guard AND the rank
-        kept = hashes.groupBy(*group_cols).agg(
+        # loud exactness check ON THE CUT sketch (one small eager job):
+        # n_kept = min(k, distinct survivors), so n_kept < k iff the
+        # group kept < k survivors — the same property the old pre-cut
+        # count checked, now read off the frame we return anyway.
+        # est-side NULL-SAFE LEFT join: a group whose EVERY hash was
+        # cut has no kept row at all — exactly the worst violation, so
+        # it must not fall out of the check (nor may a NULL group).
+        kept_tbl = sketch.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("_kept")
-        )
-        # est-side NULL-SAFE LEFT join: a group whose EVERY hash was cut
-        # has no kept row at all — exactly the worst violation, so it
-        # must not fall out of the check (nor may a NULL group)
-        kept_tbl = kept.select(
+        ).select(
             *[F.col(c).alias(f"__k_{c}") for c in group_cols],
             F.col("_kept"),
         )
@@ -587,6 +623,8 @@ def kmv_sketch_by(
                 f"kmv_sketch_by prefilter kept < k hashes for "
                 f"{n_bad} group(s) — raise safety (= {safety})"
             )
+        return sketch
+    hashes = hashes_raw.select(*group_cols, "h").distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashes.withColumn("_rn", F.row_number().over(w))

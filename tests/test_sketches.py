@@ -610,7 +610,10 @@ def test_kmv_sketch_by_adaptive_gate_skips_prefilter(spark):
     )
     assert got == ref and len(got) == 48
 
-    # and the engaged branch still joins (cardinality >> safety*k)
+    # and the engaged branch still filters (cardinality >> safety*k):
+    # single group key -> the r12 LITERAL-MAP threshold (codegen filter,
+    # no join at all — measured 2x over the null-safe broadcast join);
+    # the guard against regression is the map lookup in the plan
     big = spark.createDataFrame(
         [(f"g{i % 3}", f"item{i}") for i in range(3000)],
         "g string, it string",
@@ -619,7 +622,15 @@ def test_kmv_sketch_by_adaptive_gate_skips_prefilter(spark):
         big, ["g"], "it", k=16, safety=8.0, prefilter_min_pairs=0
     )
     eplan = engaged._jdf.queryExecution().optimizedPlan().toString()
-    assert "Join" in eplan, eplan
+    assert "map(keys:" in eplan and "Join" not in eplan, eplan
+
+    # multi-column groups keep the null-safe broadcast-join path
+    big2 = big.withColumn("g2", F.lit("x"))
+    engaged2 = kmv_sketch_by(
+        big2, ["g", "g2"], "it", k=16, safety=8.0, prefilter_min_pairs=0
+    )
+    eplan2 = engaged2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in eplan2, eplan2
 
 
 def test_kmv_sketch_by_null_group_survives_prefilter(spark):
