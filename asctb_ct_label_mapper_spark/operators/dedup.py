@@ -1824,3 +1824,74 @@ def sql_containment_pairs(
       AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(a.shingles) >= {threshold!r}
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: LSH parameter planner (the banding S-curve)
+# ---------------------------------------------------------------------------
+
+def lsh_scurve(
+    spark,
+    n_hashes: int = 16,
+    similarities: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """The MinHash-LSH banding S-curve as a queryable table: for every
+    factorization n_hashes = bands × rows_per_band and every Jaccard
+    similarity s in ``similarities``, the candidate probability
+
+        P(candidate | s) = 1 − (1 − s^r)^b
+
+    — the planner that justifies this module's (bands, rows) defaults:
+    reading the table shows where each configuration's threshold
+    s* ≈ (1/b)^(1/r) sits and how sharp the transition is, which is
+    exactly the trade a 100 TB dedup run tunes BEFORE paying for a full
+    pass (missed-dup rate vs verify-join fan-in).  Pure closed-form
+    arithmetic on a parameter-sized grid — no data scan at all; both
+    engines evaluate the same pow/round literals.
+
+    Returns (bands, rows_per_band, s, p_candidate), 6dp, ordered
+    factorizations × similarities."""
+    rows = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        for s in similarities:
+            rows.append((b, r, float(s)))
+    grid = spark.createDataFrame(
+        rows, "bands int, rows_per_band int, s double"
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("s"), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        F.round("s", 6).alias("s"),
+        F.round(p, 6).alias("p_candidate"),
+    )
+
+
+def sql_lsh_scurve(
+    n_hashes: int = 16,
+    similarities: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> str:
+    """DuckDB replay of ``lsh_scurve`` (same factorization grid, same
+    pow arithmetic)."""
+    facts = ", ".join(
+        f"({b}, {n_hashes // b})"
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    )
+    sims = ", ".join(f"({float(s)!r})" for s in similarities)
+    return f"""
+    WITH factorizations(bands, rows_per_band) AS (VALUES {facts}),
+    sims(s) AS (VALUES {sims})
+    SELECT CAST(bands AS INTEGER) AS bands,
+        CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        round(s, 6) AS s,
+        round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 6)
+            AS p_candidate
+    FROM factorizations CROSS JOIN sims
+    """

@@ -1921,3 +1921,327 @@ def sql_ab_ratio_metric(
         round((r1 - r0) / NULLIF(sqrt(v0 + v1), 0.0), 6) AS z_stat
     FROM terms
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: Bayesian A/B (beta-binomial) + always-valid sequential test (mSPRT)
+# ---------------------------------------------------------------------------
+
+def bayes_ab_conversion(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    prior_alpha: float = 1.0,
+    prior_beta: float = 1.0,
+) -> DataFrame:
+    """Bayesian A/B on the per-user conversion flag (any ``metric_type``
+    event) under independent Beta(``prior_alpha``, ``prior_beta``)
+    priors: the posterior-summary readout product teams actually ship
+    next to the frequentist Welch/two-prop pair — "what is the
+    probability B beats A, and by how much" — with no peeking penalty.
+
+    Posterior per arm a: Beta(α + cₐ, β + nₐ − cₐ); P(B > A) via the
+    normal approximation of the posterior difference —
+    Φ((μ₁ − μ₀) / √(v₀ + v₁)) with the Beta mean/variance in closed
+    form — computed with the SAME A&S 26.2.17 polynomial literals on
+    both engines (`_phi_upper_sql`), so parity is exact.  The normal
+    approximation is the industry default at experiment scale (n in the
+    thousands; the exact integral needs special functions neither
+    engine has natively).
+
+    Scale: one (user, converted) aggregate is the only fact pass; the
+    readout is a 1-row closed-form fold.  Output:
+    (n0, conv0, n1, conv1, post_mean0, post_mean1, lift,
+    prob_b_beats_a), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(
+            (F.col(type_col) == metric_type).cast("int")
+        ).alias("conv")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(_arm("u") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(_arm("u") == 0, F.col("conv"))).alias("conv0"),
+        F.sum(F.when(_arm("u") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(_arm("u") == 1, F.col("conv"))).alias("conv1"),
+    )
+    pa, pb = float(prior_alpha), float(prior_beta)
+    a0 = F.lit(pa) + F.coalesce(F.col("conv0"), F.lit(0)).cast("double")
+    b0 = F.lit(pb) + (F.col("n0") - F.coalesce(F.col("conv0"), F.lit(0))).cast("double")
+    a1 = F.lit(pa) + F.coalesce(F.col("conv1"), F.lit(0)).cast("double")
+    b1 = F.lit(pb) + (F.col("n1") - F.coalesce(F.col("conv1"), F.lit(0))).cast("double")
+    m0, m1 = a0 / (a0 + b0), a1 / (a1 + b1)
+    v0 = a0 * b0 / ((a0 + b0) * (a0 + b0) * (a0 + b0 + F.lit(1.0)))
+    v1 = a1 * b1 / ((a1 + b1) * (a1 + b1) * (a1 + b1 + F.lit(1.0)))
+    scored = agg.select(
+        "n0",
+        F.coalesce(F.col("conv0"), F.lit(0)).alias("conv0"),
+        "n1",
+        F.coalesce(F.col("conv1"), F.lit(0)).alias("conv1"),
+        F.round(m0, 6).alias("post_mean0"),
+        F.round(m1, 6).alias("post_mean1"),
+        F.round(m1 - m0, 6).alias("lift"),
+        F.try_divide(m1 - m0, F.sqrt(v0 + v1)).alias("_z"),
+    )
+    prob = (
+        "CASE WHEN _z IS NULL THEN NULL"
+        " WHEN _z >= 0.0 THEN 1.0 - " + _phi_upper_sql("_z") +
+        " ELSE " + _phi_upper_sql("(-_z)") + " END"
+    )
+    return scored.select(
+        "n0", "conv0", "n1", "conv1", "post_mean0", "post_mean1", "lift",
+        F.round(F.expr(prob), 6).alias("prob_b_beats_a"),
+    )
+
+
+def sql_bayes_ab_conversion(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    prior_alpha: float = 1.0,
+    prior_beta: float = 1.0,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``bayes_ab_conversion`` (same Beta-posterior
+    closed forms, same A&S polynomial literals, same op order)."""
+    pa, pb = float(prior_alpha), float(prior_beta)
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} AS u,
+            max(CASE WHEN {type_col} = '{metric_type}' THEN 1 ELSE 0 END)
+                AS conv
+        FROM {table} WHERE ({where})
+        GROUP BY 1
+    ), agg AS (
+        SELECT
+            sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+            coalesce(sum(CASE WHEN u % 2 = 0 THEN conv END), 0) AS conv0,
+            sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+            coalesce(sum(CASE WHEN u % 2 = 1 THEN conv END), 0) AS conv1
+        FROM per_user
+    ), post AS (
+        SELECT n0, conv0, n1, conv1,
+            {pa!r} + CAST(conv0 AS DOUBLE) AS a0,
+            {pb!r} + CAST(n0 - conv0 AS DOUBLE) AS b0,
+            {pa!r} + CAST(conv1 AS DOUBLE) AS a1,
+            {pb!r} + CAST(n1 - conv1 AS DOUBLE) AS b1
+        FROM agg
+    ), moments AS (
+        SELECT n0, conv0, n1, conv1,
+            a0 / (a0 + b0) AS m0, a1 / (a1 + b1) AS m1,
+            a0 * b0 / ((a0 + b0) * (a0 + b0) * (a0 + b0 + 1.0)) AS v0,
+            a1 * b1 / ((a1 + b1) * (a1 + b1) * (a1 + b1 + 1.0)) AS v1
+        FROM post
+    ), z AS (
+        SELECT n0, conv0, n1, conv1,
+            round(m0, 6) AS post_mean0, round(m1, 6) AS post_mean1,
+            round(m1 - m0, 6) AS lift,
+            (m1 - m0) / NULLIF(sqrt(v0 + v1), 0.0) AS _z
+        FROM moments
+    )
+    SELECT n0, conv0, n1, conv1, post_mean0, post_mean1, lift,
+        round(CASE WHEN _z IS NULL THEN NULL
+                   WHEN _z >= 0.0 THEN 1.0 - {_phi_upper_sql("_z")}
+                   ELSE {_phi_upper_sql("(-_z)")} END, 6)
+            AS prob_b_beats_a
+    FROM z
+    """
+
+
+def msprt_conversion_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    tau: float = 0.01,
+) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT, normal mixture with
+    mixing variance ``tau``²) on the daily cumulative conversion-rate
+    difference — the anytime-peeking counterpart of the fixed-horizon
+    two-prop z: the experimenter may stop the FIRST day the always-
+    valid p crosses α without inflating the false-positive rate.
+
+        Λ_t = √(V_t / (V_t + τ²)) · exp(θ̂_t² · τ² / (2 V_t (V_t + τ²)))
+        p_t = min(1, 1 / max_{s≤t} Λ_s)      (monotone by construction)
+
+    with θ̂_t = p̂₁ − p̂₀ over users ENTERED by day t (first event day)
+    and converted by day t (first metric event day), and V_t the pooled
+    binomial variance p̄(1−p̄)(1/n₀+1/n₁).  Entry/conversion censoring
+    makes each day's snapshot exactly what the experimenter saw that
+    evening.
+
+    Scale: one (user → arm, entry day, conversion day) aggregate is the
+    only fact pass; both cumulative series are running sums on the
+    DAY-grain spine, and the Λ/p folds are day-grain window arithmetic
+    (≤ observation-span rows).  Output one row per day:
+    (day, n0, c0, n1, c1, theta, lam, p_always_valid), 6dp."""
+    from pyspark.sql import Window
+
+    per_user = events.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.col(user_col).alias("u")
+    ).agg(
+        F.min(F.to_date(ts_col)).alias("entry_d"),
+        F.min(
+            F.when(
+                F.col(type_col) == metric_type, F.to_date(ts_col)
+            )
+        ).alias("conv_d"),
+    )
+    spine = per_user.select(F.col("entry_d").alias("day")).distinct()
+    entries = per_user.groupBy(F.col("entry_d").alias("day")).agg(
+        F.sum(F.when(_arm("u") == 0, 1).otherwise(0)).alias("_e0"),
+        F.sum(F.when(_arm("u") == 1, 1).otherwise(0)).alias("_e1"),
+    )
+    convs = (
+        per_user.filter(F.col("conv_d").isNotNull())
+        .groupBy(F.col("conv_d").alias("day"))
+        .agg(
+            F.sum(F.when(_arm("u") == 0, 1).otherwise(0)).alias("_c0"),
+            F.sum(F.when(_arm("u") == 1, 1).otherwise(0)).alias("_c1"),
+        )
+    )
+    daily = (
+        spine.join(entries, "day", "left")
+        .join(convs, "day", "left")
+        .select(
+            "day",
+            F.coalesce("_e0", F.lit(0)).alias("_e0"),
+            F.coalesce("_e1", F.lit(0)).alias("_e1"),
+            F.coalesce("_c0", F.lit(0)).alias("_c0"),
+            F.coalesce("_c1", F.lit(0)).alias("_c1"),
+        )
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("_e0").over(w_run).alias("n0"),
+        F.sum("_c0").over(w_run).alias("c0"),
+        F.sum("_e1").over(w_run).alias("n1"),
+        F.sum("_c1").over(w_run).alias("c1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    theta = F.try_divide(F.col("c1").cast("double"), n1d) - F.try_divide(
+        F.col("c0").cast("double"), n0d
+    )
+    pbar = F.try_divide(
+        (F.col("c0") + F.col("c1")).cast("double"), n0d + n1d
+    )
+    v = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.try_divide(F.lit(1.0), n0d) + F.try_divide(F.lit(1.0), n1d))
+    )
+    t2 = float(tau) * float(tau)
+    lam = F.when(
+        v.isNotNull() & (v > 0),
+        F.sqrt(v / (v + F.lit(t2)))
+        * F.exp(
+            theta * theta * F.lit(t2)
+            / (F.lit(2.0) * v * (v + F.lit(t2)))
+        ),
+    )
+    scored = cum.select(
+        "day", "n0", "c0", "n1", "c1",
+        F.round(theta, 6).alias("theta"),
+        lam.alias("_lam"),
+    )
+    w_max = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run_max = F.max("_lam").over(w_max)
+    return scored.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n0", "c0", "n1", "c1", "theta",
+        F.round(F.coalesce(F.col("_lam"), F.lit(1.0)), 6).alias("lam"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.try_divide(F.lit(1.0), F.coalesce(run_max, F.lit(1.0))),
+            ),
+            6,
+        ).alias("p_always_valid"),
+    )
+
+
+def sql_msprt_conversion_daily(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    tau: float = 0.01,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``msprt_conversion_daily`` (same entry/
+    conversion censoring, same pooled-variance mixture-LR arithmetic,
+    same running-max monotonization)."""
+    t2 = float(tau) * float(tau)
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} AS u,
+            min(CAST({ts_col} AS DATE)) AS entry_d,
+            min(CASE WHEN {type_col} = '{metric_type}'
+                     THEN CAST({ts_col} AS DATE) END) AS conv_d
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), spine AS (
+        SELECT DISTINCT entry_d AS day FROM per_user
+    ), entries AS (
+        SELECT entry_d AS day,
+            sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS e0,
+            sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS e1
+        FROM per_user GROUP BY 1
+    ), convs AS (
+        SELECT conv_d AS day,
+            sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS cc0,
+            sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS cc1
+        FROM per_user WHERE conv_d IS NOT NULL GROUP BY 1
+    ), daily AS (
+        SELECT s.day,
+            coalesce(e.e0, 0) AS e0, coalesce(e.e1, 0) AS e1,
+            coalesce(c.cc0, 0) AS cc0, coalesce(c.cc1, 0) AS cc1
+        FROM spine s
+        LEFT JOIN entries e ON s.day = e.day
+        LEFT JOIN convs c ON s.day = c.day
+    ), cum AS (
+        SELECT day,
+            sum(e0) OVER w AS n0, sum(cc0) OVER w AS c0,
+            sum(e1) OVER w AS n1, sum(cc1) OVER w AS c1
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), terms AS (
+        SELECT day, n0, c0, n1, c1,
+            CAST(c1 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0.0)
+            - CAST(c0 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+                AS theta,
+            (CAST(c0 + c1 AS DOUBLE) / NULLIF(CAST(n0 + n1 AS DOUBLE), 0.0))
+            * (1.0 - CAST(c0 + c1 AS DOUBLE)
+               / NULLIF(CAST(n0 + n1 AS DOUBLE), 0.0))
+            * (1.0 / NULLIF(CAST(n0 AS DOUBLE), 0.0)
+               + 1.0 / NULLIF(CAST(n1 AS DOUBLE), 0.0)) AS v
+        FROM cum
+    ), lr AS (
+        -- theta stays RAW here: DuckDB's lateral alias reuse would
+        -- otherwise feed the 6dp-rounded theta into lam while the
+        -- Spark twin folds the unrounded value
+        SELECT day, n0, c0, n1, c1, theta,
+            CASE WHEN v IS NOT NULL AND v > 0 THEN
+                sqrt(v / (v + {t2!r}))
+                * exp(theta * theta * {t2!r} / (2.0 * v * (v + {t2!r})))
+            END AS lam
+        FROM terms
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n0, c0, n1, c1,
+        round(theta, 6) AS theta,
+        round(coalesce(lam, 1.0), 6) AS lam,
+        round(least(1.0, 1.0 / coalesce(
+            max(lam) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 1.0)), 6) AS p_always_valid
+    FROM lr
+    """

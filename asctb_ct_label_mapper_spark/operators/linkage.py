@@ -228,3 +228,152 @@ def sql_co_occurrence_pairs(
     GROUP BY l.a, r.a
     HAVING count(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: Fellegi-Sunter probabilistic match scoring over the blocked census
+# ---------------------------------------------------------------------------
+
+def fs_linkage_weights(
+    df: DataFrame,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    fields: tuple = ("p_brand", "p_type", "p_size"),
+    m_probs: tuple = (0.9, 0.9, 0.85),
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over a blocked
+    candidate census: each candidate pair gets the classic
+    log-likelihood match score
+
+        score = Σ_k  agree_k · log₂(m_k / u_k)
+               + (1 − agree_k) · log₂((1 − m_k) / (1 − u_k))
+
+    where ``m_k`` (P(agree | match)) are supplied per field and ``u_k``
+    (P(agree | non-match)) are ESTIMATED FROM THE DATA as the random-
+    agreement probability Σ_v (n_v/N)² over field ``k``'s value
+    frequencies — the frequency-based u of the FS literature, computed
+    as one dimension-sized aggregate per field and broadcast as a 1-row
+    frame.  This is the principled scoring layer ABOVE the
+    edit-distance census (``fuzzy_name_pairs``): agreement on a rare
+    brand is worth more bits than agreement on a ubiquitous one.
+
+    Blocking (part of the operator's DEFINITION, replayed by the
+    oracle): candidates share the FIRST whitespace token of
+    ``name_col`` — the cheap deterministic key; a production deployment
+    swaps in the least-frequent token or a phonetic key, same plan
+    shape.  Census discipline as everywhere: an equi-join on the block
+    key over the distinct record table, work ∝ Σ block², never N².
+
+    NULL fields disagree (CASE a=b semantics on both engines).
+    Returns (id_a, id_b, agree flags per field, score ≥ ``threshold``),
+    6dp, id_a < id_b."""
+    if len(fields) != len(m_probs):
+        raise ValueError("fields and m_probs must align")
+    recs = df.select(
+        F.col(id_col).alias("_id"),
+        F.element_at(F.split(F.col(name_col), " "), 1).alias("_blk"),
+        *[F.col(c) for c in fields],
+    ).filter(F.col("_blk").isNotNull())
+    n_tot = F.count(F.lit(1))
+    u_aggs = []
+    for k in fields:
+        per_v = recs.groupBy(k).agg(F.count(F.lit(1)).alias("_c"))
+        u_aggs.append(
+            per_v.agg(
+                (
+                    F.sum(F.col("_c").cast("double") * F.col("_c"))
+                    / (F.sum("_c") * F.sum("_c")).cast("double")
+                ).alias(f"_u_{k}")
+            )
+        )
+    u_row = u_aggs[0]
+    for other in u_aggs[1:]:
+        u_row = u_row.crossJoin(other)
+    a = recs.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in fields],
+    )
+    b = recs.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in fields],
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.crossJoin(F.broadcast(u_row))
+    score = F.lit(0.0)
+    out_cols = []
+    for k, m in zip(fields, m_probs):
+        agree = F.when(
+            F.col(f"_a_{k}") == F.col(f"_b_{k}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        u = F.col(f"_u_{k}")
+        mf = F.lit(float(m))
+        score = score + F.when(
+            agree == 1, F.log2(mf / u)
+        ).otherwise(F.log2((F.lit(1.0) - mf) / (F.lit(1.0) - u)))
+        out_cols.append(agree.alias(f"agree_{k}"))
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            *out_cols,
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") >= float(threshold))
+    )
+
+
+def sql_fs_linkage_weights(
+    table: str = "part",
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    fields: tuple = ("p_brand", "p_type", "p_size"),
+    m_probs: tuple = (0.9, 0.9, 0.85),
+    threshold: float = 0.0,
+) -> str:
+    """DuckDB replay of ``fs_linkage_weights`` (same first-token
+    blocking, same frequency-based u estimation, same log₂ weight
+    arithmetic and NULL-disagrees semantics)."""
+    u_ctes = ",\n    ".join(
+        f"""u_{k} AS (
+        SELECT sum(CAST(c AS DOUBLE) * c) / CAST(sum(c) * sum(c) AS DOUBLE)
+            AS u
+        FROM (SELECT {k}, count(*) AS c FROM recs GROUP BY 1)
+    )"""
+        for k in fields
+    )
+    agree_exprs = ", ".join(
+        f"CASE WHEN a._a_{k} = b._b_{k} THEN 1 ELSE 0 END AS agree_{k}"
+        for k in fields
+    )
+    score_terms = " + ".join(
+        f"""CASE WHEN agree_{k} = 1
+             THEN log2({float(m)!r} / (SELECT u FROM u_{k}))
+             ELSE log2({1.0 - float(m)!r} / (1.0 - (SELECT u FROM u_{k})))
+           END"""
+        for k, m in zip(fields, m_probs)
+    )
+    a_cols = ", ".join(f"{k} AS _a_{k}" for k in fields)
+    b_cols = ", ".join(f"{k} AS _b_{k}" for k in fields)
+    agree_out = ", ".join(f"agree_{k}" for k in fields)
+    return f"""
+    WITH recs AS (
+        SELECT {id_col} AS _id, string_split({name_col}, ' ')[1] AS _blk,
+            {", ".join(fields)}
+        FROM {table}
+        WHERE string_split({name_col}, ' ')[1] IS NOT NULL
+    ),
+    {u_ctes},
+    pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, {agree_exprs}
+        FROM (SELECT _id, _blk, {a_cols} FROM recs) a
+        JOIN (SELECT _id, _blk, {b_cols} FROM recs) b
+            ON a._blk = b._blk AND a._id < b._id
+    )
+    SELECT id_a, id_b, {agree_out},
+        round({score_terms}, 6) AS score
+    FROM pairs
+    WHERE round({score_terms}, 6) >= {float(threshold)!r}
+    """

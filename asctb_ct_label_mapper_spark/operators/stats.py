@@ -715,33 +715,22 @@ def sql_rolling_median_by_key(
     """
 
 
-def kaplan_meier_survival(
+def _time_to_event_grain(
     df: DataFrame,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
-    type_col: str = "event_type",
-    start_type: str = "signup",
-    event_type: str = "purchase",
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
 ) -> DataFrame:
-    """Kaplan-Meier time-to-event curve: per key, t₀ = first
-    ``start_type`` day; the event is the first ``event_type`` ON OR
-    AFTER t₀ (duration in days, observed); keys that never convert are
-    CENSORED at the corpus max date. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
-    observed durations tᵢ with nᵢ = keys whose duration ≥ tᵢ — the
-    textbook estimator, and the conversion-velocity curve funnels can't
-    give you (funnels count, KM says HOW FAST, correcting for users
-    still in flight).
-
-    The product is computed as exp(Σ ln(1 − d/n)) with the running sum
-    ordered by duration — a window over the DURATION-GRAIN table
-    (≤ observation-span rows), so the float op order is pinned on both
-    engines. Keys without a start event drop. Output: one row per
-    observed duration (duration_days, n_risk, n_events, survival).
-
-    Scale: two filtered min-aggregates per key + one broadcast scalar +
-    suffix/running windows on the tiny duration grain; the raw stream
-    is scanned once per event class with the type filter pushed to the
-    scan."""
+    """Shared duration-grain risk-set builder behind BOTH survival
+    estimators (Kaplan-Meier product-limit and Nelson-Aalen cumulative
+    hazard, r12): per key, t0 = first ``start_type`` day, event = first
+    ``event_type`` ON OR AFTER t0, never-converters censored at the
+    corpus max date; returns one row per observed duration
+    (t, n_events, n_risk) with n_risk the suffix sum of all lifetimes
+    >= t.  Two filtered min-aggregates per key + one broadcast scalar +
+    a suffix window on the tiny duration grain."""
     dated = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(type_col).alias("_y"),
@@ -785,13 +774,45 @@ def kaplan_meier_survival(
     w_suffix = Window.orderBy("t").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
-    w_run = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    at_risk = grain.select(
+    return grain.select(
         "t",
         "n_events",
         F.sum("_n_all").over(w_suffix).alias("n_risk"),
+    )
+
+
+def kaplan_meier_survival(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier time-to-event curve: per key, t₀ = first
+    ``start_type`` day; the event is the first ``event_type`` ON OR
+    AFTER t₀ (duration in days, observed); keys that never convert are
+    CENSORED at the corpus max date. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    observed durations tᵢ with nᵢ = keys whose duration ≥ tᵢ — the
+    textbook estimator, and the conversion-velocity curve funnels can't
+    give you (funnels count, KM says HOW FAST, correcting for users
+    still in flight).
+
+    The product is computed as exp(Σ ln(1 − d/n)) with the running sum
+    ordered by duration — a window over the DURATION-GRAIN table
+    (≤ observation-span rows), so the float op order is pinned on both
+    engines. Keys without a start event drop. Output: one row per
+    observed duration (duration_days, n_risk, n_events, survival).
+
+    Scale: two filtered min-aggregates per key + one broadcast scalar +
+    suffix/running windows on the tiny duration grain; the raw stream
+    is scanned once per event class with the type filter pushed to the
+    scan."""
+    at_risk = _time_to_event_grain(
+        df, ts_col, key_col, type_col, start_type, event_type
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     # the absorbing zero: at the last observed duration every
     # remaining at-risk key can convert (d == n), where ln(1-d/n) is
@@ -880,6 +901,116 @@ def sql_kaplan_meier_survival(
     )
     SELECT t AS duration_days, n_risk, CAST(n_events AS BIGINT) AS n_events,
         survival
+    FROM curve WHERE n_events > 0
+    """
+
+
+def nelson_aalen_hazard(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the
+    SAME duration-grain risk sets as :func:`kaplan_meier_survival`
+    (shared ``_time_to_event_grain`` builder, r12): the estimator of
+    choice when the quantity of interest is the hazard itself — rate
+    comparisons, proportional-hazards eyeballing, and the
+    log-cumulative-hazard plot whose slope diagnoses Weibull shape —
+    where KM's product form obscures the increments.  Also reported:
+    the KM-equivalent survival exp(−H) (the Breslow/Fleming-Harrington
+    estimator, always ≥ the KM step curve), making the pair directly
+    comparable.
+
+    Plain running sum of d/n — no ln(0) absorbing-zero special case
+    (d = n contributes d/n = 1, perfectly finite), so the arithmetic
+    replays on both engines without the KM mirror's hit-zero flag.
+
+    Scale: identical to KM — per-key min-aggregates, then windows over
+    the duration grain (≤ observation-span rows).
+
+    Output: (duration_days, n_risk, n_events, cum_hazard, surv_fh),
+    observed-event durations only, 6dp."""
+    at_risk = _time_to_event_grain(
+        df, ts_col, key_col, type_col, start_type, event_type
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = F.sum(
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    ).over(w_run)
+    return (
+        at_risk.select(
+            "t",
+            "n_risk",
+            "n_events",
+            F.round(h, 6).alias("cum_hazard"),
+            F.round(F.exp(-h), 6).alias("surv_fh"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            F.col("t").alias("duration_days"),
+            "n_risk",
+            "n_events",
+            "cum_hazard",
+            "surv_fh",
+        )
+    )
+
+
+def sql_nelson_aalen_hazard(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``nelson_aalen_hazard`` (same first-on-or-after
+    conversion, same censoring, same suffix-sum risk sets, same running
+    d/n accumulation order)."""
+    return f"""
+    WITH dated AS (
+        SELECT {key_col} AS key, {type_col} AS y, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+    ), starts AS (
+        SELECT key, min(d) AS t0 FROM dated
+        WHERE y = '{start_type}' GROUP BY 1
+    ), first_after AS (
+        SELECT s.key, s.t0, min(e.d) AS conv
+        FROM starts s LEFT JOIN (
+            SELECT key, d FROM dated WHERE y = '{event_type}'
+        ) e ON s.key = e.key AND e.d >= s.t0
+        GROUP BY 1, 2
+    ), lives AS (
+        SELECT CASE WHEN conv IS NOT NULL
+                    THEN datediff('day', t0, conv)
+                    ELSE datediff('day', t0, (SELECT max(d) FROM dated))
+               END AS t,
+            conv IS NOT NULL AS churned
+        FROM first_after
+    ), grain AS (
+        SELECT t, count(*) AS n_all,
+            sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+        FROM lives GROUP BY 1
+    ), at_risk AS (
+        SELECT t, n_events,
+            sum(n_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM grain
+    ), curve AS (
+        SELECT t, n_risk, n_events,
+            sum(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS h
+        FROM at_risk
+    )
+    SELECT t AS duration_days, n_risk, CAST(n_events AS BIGINT) AS n_events,
+        round(h, 6) AS cum_hazard, round(exp(-h), 6) AS surv_fh
     FROM curve WHERE n_events > 0
     """
 

@@ -2032,3 +2032,104 @@ def sql_lexical_diversity_by_group(
     FROM cells
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: pairwise source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+def vocab_overlap_sources(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — "which corpus
+    slices speak the same language": the mixture-design companion of
+    ``corpus_divergence`` (which compares frequency DISTRIBUTIONS; this
+    compares type SETS — a source can share every common word yet
+    contribute zero new vocabulary, and only the set view shows it).
+    Also reported: directed containment |A∩B|/|A| for the smaller-side
+    reading (a subcorpus wholly inside another).
+
+    Plan: ONE scan builds the distinct (source, token) census
+    (map-side-combinable distinct); the intersection is an equi-join on
+    token over that census — per-token fan-out bounded by n_sources²,
+    work ∝ token co-occurrence, never |vocab|·|sources|²; sizes
+    broadcast.  Output (source_a, source_b, n_common, jaccard,
+    containment_a_in_b), source_a < source_b, 6dp."""
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("src").alias("source_a"), "tok")
+    b = toks.select(F.col("src").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("_na").cast("double"),
+                6,
+            ).alias("containment_a_in_b"),
+        )
+    )
+
+
+def sql_vocab_overlap_sources(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB replay of ``vocab_overlap_sources`` (same single-space
+    split, same empty-token drop, same ordered pair join)."""
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT {source_col} AS src, tok
+        FROM (
+            SELECT {source_col},
+                unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table}
+            WHERE {text_col} IS NOT NULL AND {source_col} IS NOT NULL
+        ) WHERE tok <> ''
+    ), sizes AS (
+        SELECT src, count(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+        SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+        round(CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard,
+        round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+            AS containment_a_in_b
+    FROM inter
+    JOIN sizes sa ON inter.source_a = sa.src
+    JOIN sizes sb ON inter.source_b = sb.src
+    """

@@ -8944,3 +8944,160 @@ def ab_ratio_purchase_per_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ab_ratio_metric(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch: Bayesian A/B, always-valid sequential test, Nelson-Aalen
+# hazard, Fellegi-Sunter linkage, harmonic closeness, source vocab overlap,
+# LSH S-curve planner
+# ---------------------------------------------------------------------------
+
+
+def _bayes_ab_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_bayes_ab_conversion,
+    )
+
+    return sql_bayes_ab_conversion("events")
+
+
+@query("bayes_ab_purchase", _bayes_ab_oracle())
+def bayes_ab_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial Bayesian A/B on the per-user purchase-conversion
+    flag (experiment.bayes_ab_conversion): posterior means, lift, and
+    P(B>A) via the shared A&S normal polynomial — one (user, converted)
+    fact pass, a 1-row closed-form fold."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        bayes_ab_conversion,
+    )
+
+    return bayes_ab_conversion(_t(spark, sf_dir, "events"))
+
+
+def _msprt_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_msprt_conversion_daily,
+    )
+
+    return sql_msprt_conversion_daily("events")
+
+
+@query("msprt_purchase_daily", _msprt_oracle())
+def msprt_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT) on the daily
+    cumulative purchase-conversion difference
+    (experiment.msprt_conversion_daily): the anytime-peeking p-value
+    next to the fixed-horizon two-prop z — one user-grain fold, then
+    day-grain running windows."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        msprt_conversion_daily,
+    )
+
+    return msprt_conversion_daily(_t(spark, sf_dir, "events"))
+
+
+def _na_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_nelson_aalen_hazard,
+    )
+
+    return sql_nelson_aalen_hazard("events")
+
+
+@query("nelson_aalen_retention", _na_oracle())
+def nelson_aalen_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of signup->purchase conversion
+    (stats.nelson_aalen_hazard): the hazard-scale sibling of
+    kaplan_meier_retention off the SAME shared duration-grain risk
+    sets, plus the Fleming-Harrington survival exp(-H)."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        nelson_aalen_hazard,
+    )
+
+    return nelson_aalen_hazard(_t(spark, sf_dir, "events"))
+
+
+def _fs_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        sql_fs_linkage_weights,
+    )
+
+    return sql_fs_linkage_weights("part", threshold=3.0)
+
+
+@query("fs_linkage_parts", _fs_oracle())
+def fs_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scores over the first-token
+    blocked part census (linkage.fs_linkage_weights): frequency-based
+    u-probabilities, supplied m-probabilities, log2 agreement weights —
+    the principled scoring layer above fuzzy_part_names; threshold 3
+    bits keeps the strong-match tail."""
+    from asctb_ct_label_mapper_spark.operators.linkage import (
+        fs_linkage_weights,
+    )
+
+    return fs_linkage_weights(_t(spark, sf_dir, "part"), threshold=3.0)
+
+
+def _closeness_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_harmonic_closeness,
+    )
+
+    return (
+        f"WITH {_sql_trade_edges_filtered()}, "
+        f"{sql_harmonic_closeness(iters=8)}"
+    )
+
+
+@query("closeness_nation_trade", _closeness_oracle())
+def closeness_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality on the strong-trade nation graph
+    (graph.harmonic_closeness): the geodesic third centrality next to
+    pagerank/HITS/k-core, driver-local BFS over the dimension-grain
+    edge list, oracle = the same BFS unrolled into min-distance CTE
+    levels."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        harmonic_closeness,
+    )
+
+    return harmonic_closeness(_trade_edges_filtered(spark, sf_dir), iters=8)
+
+
+def _vocab_overlap_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_vocab_overlap_sources,
+    )
+
+    return sql_vocab_overlap_sources("documents")
+
+
+@query("vocab_overlap_sources", _vocab_overlap_oracle())
+def vocab_overlap_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary Jaccard + containment
+    (textstats.vocab_overlap_sources): the type-set companion of
+    corpus_divergence's frequency view — one distinct (source, token)
+    census, token equi-join intersection, broadcast sizes."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        vocab_overlap_sources,
+    )
+
+    return vocab_overlap_sources(_t(spark, sf_dir, "documents"))
+
+
+def _scurve_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.dedup import sql_lsh_scurve
+
+    return sql_lsh_scurve(n_hashes=16)
+
+
+@query("lsh_scurve_table", _scurve_oracle())
+def lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding S-curve planner (dedup.lsh_scurve):
+    P(candidate | s) = 1 - (1 - s^r)^b over every bands x rows
+    factorization of the module's 16-hash signature — the closed-form
+    table that justifies the dedup family's banding defaults before a
+    100 TB pass pays for them.  No data scan; parameter-sized grid."""
+    from asctb_ct_label_mapper_spark.operators.dedup import lsh_scurve
+
+    return lsh_scurve(spark, n_hashes=16)
