@@ -1578,3 +1578,101 @@ def sql_quantile_normalize(
     FROM mapped m JOIN pooled USING (p)
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: quality-threshold sweep (the curation planner table)
+# ---------------------------------------------------------------------------
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retention curve over the rule-based quality score: for every
+    threshold t in 0..5 ("document passes at least t of the five
+    Gopher/C4 rules"), how many documents and what token share survive
+    — the table a curation run reads BEFORE committing a cutoff, the
+    lsh_scurve planner's sibling for the quality axis (pick the
+    threshold where the doc loss is acceptable and the token loss
+    visible).
+
+    Plan: ONE ``quality_rules`` scan (per-row flags, no shuffle), a
+    6-row literal threshold grid joined by inequality on the
+    dimension-bounded (score ∈ 0..5) aggregate — the fact stream is
+    aggregated to the 6-row score grain BEFORE the grid join, so the
+    sweep costs one map-side-combinable aggregate regardless of corpus
+    size.  Output per threshold:
+    (min_rules_passed, n_docs, n_words, doc_frac, word_frac), 6dp."""
+    rules = quality_rules(df, text_col=text_col, id_col=id_col)
+    score = (
+        F.col("passes_word_count")
+        + F.col("passes_mean_len")
+        + F.col("passes_symbol")
+        + F.col("passes_alpha")
+        + F.col("passes_stopwords")
+    )
+    by_score = rules.select(
+        score.alias("_score"), F.col("n_words")
+    ).groupBy("_score").agg(
+        F.count(F.lit(1)).alias("_docs"), F.sum("n_words").alias("_words")
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(t,) for t in range(6)], "min_rules_passed int"
+    )
+    joined = grid.join(
+        F.broadcast(by_score), F.col("_score") >= F.col("min_rules_passed")
+    ).groupBy("min_rules_passed").agg(
+        F.sum("_docs").alias("n_docs"), F.sum("_words").alias("n_words")
+    )
+    totals = by_score.agg(
+        F.sum("_docs").alias("_td"), F.sum("_words").alias("_tw")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "min_rules_passed",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_td"), 6
+            ).alias("doc_frac"),
+            F.round(
+                F.col("n_words").cast("double") / F.col("_tw"), 6
+            ).alias("word_frac"),
+        )
+    )
+
+
+def sql_quality_threshold_sweep(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``quality_threshold_sweep`` (same rule flags via
+    sql_quality_rules, same score-grain aggregate and inequality
+    grid)."""
+    inner = sql_quality_rules(table, text_col=text_col, id_col=id_col)
+    return f"""
+    WITH qr AS ({inner}),
+    by_score AS (
+        SELECT passes_word_count + passes_mean_len + passes_symbol
+               + passes_alpha + passes_stopwords AS score,
+            count(*) AS docs, sum(n_words) AS words
+        FROM qr GROUP BY 1
+    ), grid(min_rules_passed) AS (VALUES (0), (1), (2), (3), (4), (5)),
+    joined AS (
+        SELECT g.min_rules_passed,
+            sum(b.docs) AS n_docs, sum(b.words) AS n_words
+        FROM grid g JOIN by_score b ON b.score >= g.min_rules_passed
+        GROUP BY 1
+    ), totals AS (
+        SELECT sum(docs) AS td, sum(words) AS tw FROM by_score
+    )
+    SELECT min_rules_passed,
+        coalesce(n_docs, 0) AS n_docs, coalesce(n_words, 0) AS n_words,
+        round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_frac,
+        round(CAST(n_words AS DOUBLE) / tw, 6) AS word_frac
+    FROM joined CROSS JOIN totals
+    """

@@ -2245,3 +2245,126 @@ def sql_msprt_conversion_daily(
                            AND CURRENT ROW), 1.0)), 6) AS p_always_valid
     FROM lr
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: quantile treatment effects
+# ---------------------------------------------------------------------------
+
+_QTE_QS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def qte_metric(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    qs: tuple = _QTE_QS,
+) -> DataFrame:
+    """Quantile treatment effects: Δ(q) = Q₁(q) − Q₀(q) of the per-user
+    metric at each decile — WHERE in the outcome distribution the
+    treatment moves users, which a mean-difference (Welch) readout
+    averages away (a treatment that lifts the top decile and hurts the
+    median shows Δ(0.9) > 0 > Δ(0.5) here and ≈0 there).  The metric is
+    the zero-filled per-user value sum (all-randomized-units rule, the
+    ``_user_metric`` contract).
+
+    Parity discipline: values are quantized to CENTS (bigint) before
+    the quantile, because exact linear-interpolation quantiles on raw
+    doubles differ across engines at the last ulp (the rolling_median
+    precedent); Spark's exact ``percentile(col, array(...))`` and
+    DuckDB's ``quantile_cont`` share the same interpolation definition
+    on the quantized integers.
+
+    Plan: ONE user-grain fact fold, then a 2-row exact-percentile
+    aggregate (one sort per arm inside the aggregate) and a
+    parameter-sized unpivot.  Output one row per q:
+    (q, n0, n1, q0, q1, qte), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    um = pooled_persist(
+        _user_metric(
+            events,
+            user_col,
+            value_col,
+            F.col(type_col) == metric_type,
+        ).select(
+            "arm", F.round(F.col("m") * 100).cast("bigint").alias("_cents")
+        )
+    )
+    q_arr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
+    per_arm = um.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(_cents, {q_arr})").alias("_qv"),
+    )
+    qs_df = per_arm.select(
+        "arm",
+        "n",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(q)) for q in qs]).alias("q"),
+                F.col("_qv").alias("v"),
+            )
+        ).alias("_pos", "_z"),
+    ).select(
+        "arm",
+        "n",
+        F.col("_z.q").alias("q"),
+        (F.col("_z.v") / F.lit(100.0)).alias("_val"),
+    )
+    a0 = qs_df.filter(F.col("arm") == 0).select(
+        "q", F.col("n").alias("n0"), F.col("_val").alias("_v0")
+    )
+    a1 = qs_df.filter(F.col("arm") == 1).select(
+        "q", F.col("n").alias("n1"), F.col("_val").alias("_v1")
+    )
+    return a0.join(a1, "q").select(
+        F.round("q", 2).alias("q"),
+        "n0",
+        "n1",
+        F.round("_v0", 6).alias("q0"),
+        F.round("_v1", 6).alias("q1"),
+        F.round(F.col("_v1") - F.col("_v0"), 6).alias("qte"),
+    )
+
+
+def sql_qte_metric(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    qs: tuple = _QTE_QS,
+) -> str:
+    """DuckDB replay of ``qte_metric`` (same cents quantization, same
+    linear-interpolation quantile definition, same unpivot)."""
+    per_q = "\n        UNION ALL\n".join(
+        f"""        SELECT {float(q)!r} AS q,
+            quantile_cont(CASE WHEN arm = 0 THEN _cents END, {float(q)!r})
+                / 100.0 AS v0,
+            quantile_cont(CASE WHEN arm = 1 THEN _cents END, {float(q)!r})
+                / 100.0 AS v1
+        FROM um"""
+        for q in qs
+    )
+    return f"""
+    WITH um AS (
+        SELECT {user_col} % 2 AS arm,
+            CAST(round(coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                THEN {value_col} END), 0.0) * 100) AS BIGINT) AS _cents
+        FROM {table}
+        GROUP BY {user_col}
+    ), counts AS (
+        SELECT
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+        FROM um
+    ), per_q AS (
+{per_q}
+    )
+    SELECT round(q, 2) AS q, counts.n0, counts.n1,
+        round(v0, 6) AS q0, round(v1, 6) AS q1,
+        round(v1 - v0, 6) AS qte
+    FROM per_q CROSS JOIN counts
+    """

@@ -2873,3 +2873,228 @@ def sql_interpolate_daily(
         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated
     FROM walked
     """
+
+
+# ---------------------------------------------------------------------------
+# r12: split-conformal forecast intervals + Page-Hinkley drift
+# ---------------------------------------------------------------------------
+
+def conformal_daily_forecast(
+    events: DataFrame,
+    ts_col: str = "ts",
+    alpha: float = 0.1,
+    calib_frac: float = 0.7,
+    season: int = 7,
+) -> DataFrame:
+    """Split-conformal prediction intervals on the daily event-count
+    series with a seasonal-naive point forecast (ŷ_t = y_{t-season}):
+    nonconformity = |y − ŷ| on the first ``calib_frac`` of forecastable
+    days, the interval half-width is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    calibration score (the finite-sample-valid split-conformal order
+    statistic, Vovk/Lei-Wasserman), and every later day reports its
+    interval plus a coverage flag — distribution-free ≥(1−α) marginal
+    coverage with NO model assumptions, which is exactly what a
+    monitoring pipeline wants around a cheap baseline forecast.
+
+    Plan: ONE fact pass to daily counts, then lag/rank windows over the
+    DAY-grain frame (the family contract); the calibration quantile is
+    an order statistic of the day-grain score series — deterministic
+    integer rank, no interpolation, so both engines agree exactly.
+
+    Output (test days only): (day, y, yhat, lo, hi, covered), 6dp-free
+    integers except the bounds."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w_lag = Window.orderBy("day")
+    fc = daily.select(
+        "day", "y", F.lag("y", season).over(w_lag).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    fc = pooled_persist(
+        fc.withColumn("_rn", F.row_number().over(w_lag)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    )
+    # calibration = the first floor(calib_frac * n) forecastable days
+    n_cal = F.floor(F.col("_n") * F.lit(float(calib_frac))).cast("int")
+    calib = fc.filter(F.col("_rn") <= n_cal).select(
+        F.abs(F.col("y") - F.col("yhat")).alias("_score")
+    )
+    # ceil((n_cal + 1) * (1 - alpha))-th smallest score, clamped to
+    # n_cal (the standard finite-sample index; clamp = infinite-width
+    # guard is unreachable for alpha * (n_cal + 1) >= 1)
+    w_s = Window.orderBy("_score")
+    q = (
+        calib.withColumn("_r", F.row_number().over(w_s))
+        .withColumn("_nc", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            F.col("_r")
+            == F.least(
+                F.ceil(
+                    (F.col("_nc") + 1) * F.lit(1.0 - float(alpha))
+                ).cast("int"),
+                F.col("_nc"),
+            )
+        )
+        .select(F.col("_score").alias("_q"))
+    )
+    return (
+        fc.filter(F.col("_rn") > n_cal)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "day",
+            "y",
+            "yhat",
+            (F.col("yhat") - F.col("_q")).alias("lo"),
+            (F.col("yhat") + F.col("_q")).alias("hi"),
+            (
+                (F.col("y") >= F.col("yhat") - F.col("_q"))
+                & (F.col("y") <= F.col("yhat") + F.col("_q"))
+            ).cast("int").alias("covered"),
+        )
+    )
+
+
+def sql_conformal_daily_forecast(
+    table: str = "events",
+    ts_col: str = "ts",
+    alpha: float = 0.1,
+    calib_frac: float = 0.7,
+    season: int = 7,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``conformal_daily_forecast`` (same seasonal-naive
+    lag, same floor split, same integer-rank order statistic)."""
+    return f"""
+    WITH daily AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+            count(*) AS y
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), fc AS (
+        SELECT day, y, lag(y, {season}) OVER (ORDER BY day) AS yhat
+        FROM daily
+        QUALIFY yhat IS NOT NULL
+    ), idx AS (
+        SELECT day, y, yhat,
+            row_number() OVER (ORDER BY day) AS rn,
+            count(*) OVER () AS n
+        FROM fc
+    ), calib AS (
+        SELECT abs(y - yhat) AS score FROM idx
+        WHERE rn <= CAST(floor(n * {float(calib_frac)!r}) AS INTEGER)
+    ), q AS (
+        SELECT score AS qv FROM (
+            SELECT score, row_number() OVER (ORDER BY score) AS r,
+                count(*) OVER () AS nc
+            FROM calib
+        ) WHERE r = least(CAST(ceil((nc + 1) * {1.0 - float(alpha)!r})
+                               AS INTEGER), nc)
+    )
+    SELECT day, y, yhat,
+        yhat - (SELECT qv FROM q) AS lo,
+        yhat + (SELECT qv FROM q) AS hi,
+        CAST(y >= yhat - (SELECT qv FROM q)
+             AND y <= yhat + (SELECT qv FROM q) AS INTEGER) AS covered
+    FROM idx
+    WHERE rn > CAST(floor(n * {float(calib_frac)!r}) AS INTEGER)
+    """
+
+
+def page_hinkley_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley drift detector on the daily event-count series: the
+    SEQUENTIAL mean-shift monitor (the online cousin of the offline
+    ``changepoint_daily`` split) — cumulative deviation from the
+    running mean, alarmed when it climbs ``lam`` above its running
+    minimum:
+
+        U_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = U_t − min_{s≤t} U_s,
+        drift_t = PH_t > λ
+
+    with x̄_i the running mean THROUGH i (each term uses the mean the
+    detector had seen at that point — the streaming formulation, so a
+    backfill replay gives byte-identical alarms to the live monitor).
+
+    Plan: one fact pass to daily counts, then three stacked running
+    windows on the DAY-grain frame.  Output per day:
+    (day, y, run_mean, u, ph, drift), 6dp."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = daily.select(
+        "day",
+        "y",
+        F.avg("y").over(w_run).alias("_m"),
+    ).select(
+        "day",
+        "y",
+        "_m",
+        (F.col("y") - F.col("_m") - F.lit(float(delta))).alias("_term"),
+    )
+    u = F.sum("_term").over(w_run)
+    with_u = stepped.select("day", "y", "_m", u.alias("_u"))
+    ph = F.col("_u") - F.min("_u").over(w_run)
+    return with_u.select(
+        "day",
+        "y",
+        F.round("_m", 6).alias("run_mean"),
+        F.round("_u", 6).alias("u"),
+        F.round(ph, 6).alias("ph"),
+        (ph > F.lit(float(lam))).cast("int").alias("drift"),
+    )
+
+
+def sql_page_hinkley_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    delta: float = 0.0,
+    lam: float = 50.0,
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of ``page_hinkley_daily`` (same running-mean-
+    through-i formulation, same window stack and rounding)."""
+    return f"""
+    WITH daily AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+            count(*) AS y
+        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), stepped AS (
+        SELECT day, y,
+            avg(y) OVER w AS m,
+            y - avg(y) OVER w - {float(delta)!r} AS term
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), cum AS (
+        SELECT day, y, m,
+            sum(term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS u
+        FROM stepped
+    )
+    SELECT day, y, round(m, 6) AS run_mean, round(u, 6) AS u,
+        round(u - min(u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW), 6) AS ph,
+        CAST((u - min(u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)) > {float(lam)!r} AS INTEGER)
+            AS drift
+    FROM cum
+    """

@@ -9101,3 +9101,89 @@ def lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.dedup import lsh_scurve
 
     return lsh_scurve(spark, n_hashes=16)
+
+
+def _conformal_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_conformal_daily_forecast,
+    )
+
+    return sql_conformal_daily_forecast("events")
+
+
+@query("conformal_daily_forecast", _conformal_oracle())
+def conformal_daily_forecast_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal intervals around a seasonal-naive daily forecast
+    (timeseries.conformal_daily_forecast): distribution-free >=90%
+    coverage from the calibration order statistic — day-grain windows
+    after one fact pass."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        conformal_daily_forecast,
+    )
+
+    return conformal_daily_forecast(_t(spark, sf_dir, "events"))
+
+
+def _ph_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_page_hinkley_daily,
+    )
+
+    return sql_page_hinkley_daily("events")
+
+
+@query("page_hinkley_daily", _ph_oracle())
+def page_hinkley_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector on daily event counts
+    (timeseries.page_hinkley_daily): the streaming mean-shift monitor
+    next to the offline changepoint split — three stacked running
+    windows on the day grain."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        page_hinkley_daily,
+    )
+
+    return page_hinkley_daily(_t(spark, sf_dir, "events"))
+
+
+def _qte_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_qte_metric,
+    )
+
+    return sql_qte_metric("events")
+
+
+@query("qte_purchase_value", _qte_oracle())
+def qte_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects on per-user purchase value
+    (experiment.qte_metric): where in the outcome distribution the arms
+    differ — cents-quantized exact percentiles per arm off one
+    user-grain fold."""
+    from asctb_ct_label_mapper_spark.operators.experiment import qte_metric
+
+    return qte_metric(_t(spark, sf_dir, "events"))
+
+
+def _qsweep_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_quality_threshold_sweep,
+    )
+
+    return sql_quality_threshold_sweep("documents")
+
+
+@query("quality_sweep_docs", _qsweep_oracle())
+def quality_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve over the Gopher/C4 rule score
+    (curation.quality_threshold_sweep): docs and token share surviving
+    each min-rules-passed cutoff — the curation planner table; one
+    quality_rules scan + a 6-row grid fold."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        quality_threshold_sweep,
+    )
+
+    return quality_threshold_sweep(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
