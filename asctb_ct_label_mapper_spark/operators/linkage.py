@@ -259,11 +259,14 @@ def fs_linkage_weights(
     brand is worth more bits than agreement on a ubiquitous one.
 
     Blocking (part of the operator's DEFINITION, replayed by the
-    oracle): candidates share the FIRST whitespace token of
-    ``name_col`` — the cheap deterministic key; a production deployment
-    swaps in the least-frequent token or a phonetic key, same plan
-    shape.  Census discipline as everywhere: an equi-join on the block
-    key over the distinct record table, work ∝ Σ block², never N².
+    oracle): candidates share the FIRST TWO whitespace tokens of
+    ``name_col`` — one token alone has an 8-value vocabulary on this
+    corpus, which put 25M pairs through the scorer at sf0.1 (measured
+    14.6 s); the bigram key fans the census out to vocab² blocks while
+    keeping true near-matches together.  A production deployment swaps
+    in the least-frequent token or a phonetic key, same plan shape.
+    Census discipline as everywhere: an equi-join on the block key over
+    the distinct record table, work ∝ Σ block², never N².
 
     NULL fields disagree (CASE a=b semantics on both engines).
     Returns (id_a, id_b, agree flags per field, score ≥ ``threshold``),
@@ -272,7 +275,9 @@ def fs_linkage_weights(
         raise ValueError("fields and m_probs must align")
     recs = df.select(
         F.col(id_col).alias("_id"),
-        F.element_at(F.split(F.col(name_col), " "), 1).alias("_blk"),
+        F.array_join(
+            F.slice(F.split(F.col(name_col), " "), 1, 2), " "
+        ).alias("_blk"),
         *[F.col(c) for c in fields],
     ).filter(F.col("_blk").isNotNull())
     n_tot = F.count(F.lit(1))
@@ -333,7 +338,7 @@ def sql_fs_linkage_weights(
     m_probs: tuple = (0.9, 0.9, 0.85),
     threshold: float = 0.0,
 ) -> str:
-    """DuckDB replay of ``fs_linkage_weights`` (same first-token
+    """DuckDB replay of ``fs_linkage_weights`` (same first-two-token
     blocking, same frequency-based u estimation, same log₂ weight
     arithmetic and NULL-disagrees semantics)."""
     u_ctes = ",\n    ".join(
@@ -360,10 +365,13 @@ def sql_fs_linkage_weights(
     agree_out = ", ".join(f"agree_{k}" for k in fields)
     return f"""
     WITH recs AS (
-        SELECT {id_col} AS _id, string_split({name_col}, ' ')[1] AS _blk,
+        SELECT {id_col} AS _id,
+            array_to_string(string_split({name_col}, ' ')[1:2], ' ')
+                AS _blk,
             {", ".join(fields)}
         FROM {table}
-        WHERE string_split({name_col}, ' ')[1] IS NOT NULL
+        WHERE array_to_string(string_split({name_col}, ' ')[1:2], ' ')
+            IS NOT NULL
     ),
     {u_ctes},
     pairs AS (

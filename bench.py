@@ -338,6 +338,20 @@ BENCH_QUERIES = [
     "fk_audit_star",
     "corr_matrix_event_types",
     "ab_ratio_purchase_per_view",
+    # r12: Bayesian A/B + always-valid sequential + QTE, survival hazard,
+    # FS linkage, harmonic closeness, source vocab overlap, conformal
+    # intervals, Page-Hinkley drift, quality sweep, LSH planner
+    "bayes_ab_purchase",
+    "msprt_purchase_daily",
+    "qte_purchase_value",
+    "nelson_aalen_retention",
+    "fs_linkage_parts",
+    "closeness_nation_trade",
+    "vocab_overlap_sources",
+    "conformal_daily_forecast",
+    "page_hinkley_daily",
+    "quality_sweep_docs",
+    "lsh_scurve_table",
 ]
 
 

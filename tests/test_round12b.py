@@ -102,12 +102,12 @@ def test_fs_linkage_weights_ordering_and_guard(spark):
         fs_linkage_weights,
     )
 
-    rows = [
-        (1, "alpha widget", "B1", "T1", 5),
-        (2, "alpha widget", "B1", "T1", 5),   # full agreement with 1
-        (3, "alpha gadget", "B1", "T1", 9),   # size disagrees with 1
-        (4, "alpha thing", "B2", "T2", None),  # all disagree vs 1
-        (5, "beta widget", "B1", "T1", 5),    # different block
+    rows = [  # block = first TWO name tokens ("alpha widget")
+        (1, "alpha widget red", "B1", "T1", 5),
+        (2, "alpha widget blue", "B1", "T1", 5),   # full agreement w/ 1
+        (3, "alpha widget green", "B1", "T1", 9),  # size disagrees w/ 1
+        (4, "alpha widget grey", "B2", "T2", None),  # all disagree vs 1
+        (5, "beta widget red", "B1", "T1", 5),     # different block
     ]
     df = spark.createDataFrame(
         rows,
