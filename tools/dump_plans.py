@@ -53,7 +53,7 @@ TARGETS = {
     "holt_winters_users": "Holt-Winters (r9): fused-Arrow fold - ONE Exchange (shard by key), FlatMapGroupsInPandas does chain folds + carry in numpy, bit-equal to the r8 HOF anchor",
     "psi_drift_events": "PSI drift (r8): two combinable histogram folds + bins-sized full-outer join - nothing data-sized past the scans",
     "j_asof_forward": "forward as-of (r8): the backward union+window plan on negated micros - no extra Exchange for the direction flip",
-    "kmv_daily_users": "per-group KMV (r9): theta-style threshold prefilter - approx-cardinality broadcast -> keep hashes below safety*k/n of the domain -> distinct + rank over ~safety*k survivors per group (exactness guard); 11.1s -> 4-5s at events100x",
+    "kmv_daily_users": "per-group KMV (r9 prefilter, r12 rewrite): sampled-gate cardinality estimate (2% row sample), literal-map thresholds inside codegen (no broadcast join), fused dense_rank cut - ONE wide exchange over ~safety*k survivors; 11.1 (r8) -> 4.06 (r9) -> 2.33 s (r12) at events100x",
     "cusum_purchase_values": "CUSUM (r9): (max,+)-semiring segmented scan - same two-Exchange fold shape as EWMA with a closed 4-parameter map; all-JVM, bit-exact vs oracle",
     "m4_downsample_events": "M4 downsampling (r9): in-plan broadcast extent probe + one combinable struct-min/max aggregate per bucket - output 4 x n_buckets at any input size",
     "j_interval_overlap": "interval-overlap join (r9): both sides bucket-exploded to a hash EQUI-join; canonical first-shared-bucket keep, no post-join distinct, no nested loop",
@@ -70,7 +70,7 @@ TARGETS = {
     "item_cf_parts": "item-item CF (r11): census edges + broadcast item counts + PER-ITEM rank window - no global sort, candidates bounded by the census",
     "mann_whitney_purchase_bucketed": "bucketed rank stats (r11): value-grain collapse, per-bucket cumulative tie counts + broadcast offsets - NO single-partition row-grain window",
     "woe_iv_doclen_bucketed": "bucketed WOE bins (r11): two-phase global rank (range buckets + offsets) + integer ntile arithmetic - bit-identical bins, no global window",
-    "vocab_growth_sketch": "KMV Heaps curve (r11): per-shard bottom-k gram hashes (threshold-prefiltered), prefix re-cut over parameter-sized sketch unions - the gram stream is never exact-distinct shuffled",
+    "vocab_growth_sketch": "KMV Heaps curve (r11, r12 rewrite): doc-sampled gate explodes 5% of docs, the FULL gram stream explodes exactly once into the fused dense_rank sketch build; prefix re-cut over parameter-sized sketch unions; 29-32 -> 14.0 s at docs100x",
     "bootstrap_ci_purchase": "Poisson bootstrap (r11): persisted user-grain aggregate -> B-way in-row explode -> combinable per-resample means -> order stats on the B-row frame",
     "fdr_bh_event_types": "BH-FDR (r11): ONE (user,type) fact aggregate feeds per-type moments AND arm totals; BH windows run on the type-dimension frame",
     "attribution_position_events": "U-shaped attribution (r11): conditional-min-over-FOLLOWING window on one user Exchange; position/size windows per (user, conversion)",
@@ -104,6 +104,17 @@ TARGETS = {
     "moments_value_by_type": "moments (r11h): ONE combinable power-sum aggregate, group-grain central-moment algebra, divisions last",
     "interpolate_daily_values": "interpolation (r11h): one fact pass, calendar spine, ignore-null window walks on the day-grain frame",
     "fk_audit_star": "FK audit (r11i): one LEFT ANTI join + narrow counts per edge; parent side broadcast at dimension size",
+    "bayes_ab_purchase": "Bayesian A/B (r12): one user-grain conversion fold, 1-row Beta-posterior closed form, shared A&S polynomial for P(B>A)",
+    "msprt_purchase_daily": "mSPRT (r12): one user-grain entry/conversion fold, day-spine running sums, mixture-LR + running-max monotonization on the day grain",
+    "qte_purchase_value": "QTE (r12): one user-grain fold, cents-quantized exact percentile array per arm (2-row aggregate), 9-row unpivot join",
+    "nelson_aalen_retention": "Nelson-Aalen (r12): shared _time_to_event_grain risk sets (2 key min-aggs + suffix window), running d/n on the duration grain",
+    "fs_linkage_parts": "Fellegi-Sunter (r12): distinct-record census, bigram block equi-join (never N^2), per-field frequency-based u broadcast as a 1-row frame, log2 weights in codegen",
+    "closeness_nation_trade": "harmonic closeness (r12): dimension-grain edge collect behind the bounded-collect guard, driver BFS, unrolled min-distance CTE mirror",
+    "vocab_overlap_sources": "source vocab overlap (r12): ONE distinct (source,token) census, token equi-join intersection bounded by sources^2 fan-out, broadcast sizes",
+    "conformal_daily_forecast": "split conformal (r12): one fact pass to day counts, lag/rank windows, order-statistic calibration quantile broadcast to the test rows",
+    "page_hinkley_daily": "Page-Hinkley (r12): one fact pass, three stacked running windows on the day grain",
+    "quality_sweep_docs": "quality sweep (r12): one quality_rules scan aggregated to the 6-value score grain BEFORE the threshold grid join",
+    "lsh_scurve_table": "LSH S-curve planner (r12): closed-form grid, zero scans",
 }
 
 
