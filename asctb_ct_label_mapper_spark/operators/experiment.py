@@ -2368,3 +2368,312 @@ def sql_qte_metric(
         round(v1 - v0, 6) AS qte
     FROM per_q CROSS JOIN counts
     """
+
+
+# ---------------------------------------------------------------------------
+# r12d: McNemar's paired-proportion test — within-user period flips
+# ---------------------------------------------------------------------------
+
+
+def mcnemar_conversion_shift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """McNemar's test on PAIRED per-user conversion across the two
+    halves of the observation window: did the population's propensity
+    to convert SHIFT between periods, using each user as their own
+    control — the paired sibling of :func:`two_prop_test` (which
+    compares independent arms, not the same users twice).
+
+    The window splits at the midpoint between the global min and max
+    timestamp (one 2-value broadcast aggregate). Per user:
+    p1 = converted in the first half, p2 = in the second. The test
+    reads only the DISCORDANT cells b = |p1 ∧ ¬p2|, c = |¬p1 ∧ p2|:
+
+        chi2 = (|b − c| − 1)² / (b + c)        (continuity-corrected)
+
+    with the 1-dof chi-square p replayed as 2·Φ̄(√chi2) via the shared
+    A&S 26.2.17 polynomial (`_phi_upper_sql`) — identical literals on
+    both engines. b + c = 0 (no discordant users) degrades chi2 and p
+    to NULL via try_divide, matching the oracle's NULLIF.
+
+    Plan: one fact pass → user-grain fold keyed (user, half-flags) via
+    two conditional max's (the only fact shuffle), then a one-row cell
+    aggregate. Scale posture: user-grain is the natural shuffle key; no
+    user×period grid is materialized. Returns one row
+    (n_users, n11, n10, n01, n00, chi2, p_value), 6dp."""
+    # floor-division midpoint on epoch MICROS (both engines integer-//:
+    # a double `/2` then cast would TRUNCATE on Spark but ROUND on
+    # DuckDB — a 1-µs boundary divergence)
+    mid = events.agg(
+        F.timestamp_micros(
+            F.floor(
+                (
+                    F.unix_micros(F.min(ts_col))
+                    + F.unix_micros(F.max(ts_col))
+                )
+                / F.lit(2)
+            ).cast("long")
+        ).alias("_mid")
+    )
+    conv = F.col(type_col) == metric_type
+    per_user = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(
+                (conv & (F.col(ts_col) < F.col("_mid"))).cast("int")
+            ).alias("p1"),
+            F.max(
+                (conv & (F.col(ts_col) >= F.col("_mid"))).cast("int")
+            ).alias("p2"),
+        )
+    )
+    cells = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("p1") * F.col("p2")).alias("n11"),
+        F.sum(F.col("p1") * (1 - F.col("p2"))).alias("n10"),
+        F.sum((1 - F.col("p1")) * F.col("p2")).alias("n01"),
+        F.sum((1 - F.col("p1")) * (1 - F.col("p2"))).alias("n00"),
+    )
+    b = F.col("n10").cast("double")
+    c = F.col("n01").cast("double")
+    num = F.abs(b - c) - 1.0
+    chi2 = F.try_divide(num * num, b + c)
+    out = cells.withColumn("_z", F.sqrt(chi2))
+    return out.select(
+        "n_users",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.expr("2.0 * " + _phi_upper_sql("_z")), 6
+        ).alias("p_value"),
+    )
+
+
+def sql_mcnemar_conversion_shift(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`mcnemar_conversion_shift` — same epoch-
+    microsecond midpoint split, same discordant-cell arithmetic, same
+    A&S polynomial."""
+    return f"""
+    WITH mid AS (
+        SELECT make_timestamp((epoch_us(min({ts_col}))
+                               + epoch_us(max({ts_col}))) // 2) AS _mid
+        FROM {table}
+    ), per_user AS (
+        SELECT {user_col} AS usr,
+            max(CASE WHEN {type_col} = '{metric_type}'
+                     AND {ts_col} < mid._mid THEN 1 ELSE 0 END) AS p1,
+            max(CASE WHEN {type_col} = '{metric_type}'
+                     AND {ts_col} >= mid._mid THEN 1 ELSE 0 END) AS p2
+        FROM {table} CROSS JOIN mid
+        GROUP BY 1
+    ), cells AS (
+        -- CAST: DuckDB sum(INT) is HUGEINT (pandas float64); Spark's
+        -- is LONG — the driver's dtype-strict hash needs BIGINT
+        SELECT count(*) AS n_users,
+            CAST(sum(p1 * p2) AS BIGINT) AS n11,
+            CAST(sum(p1 * (1 - p2)) AS BIGINT) AS n10,
+            CAST(sum((1 - p1) * p2) AS BIGINT) AS n01,
+            CAST(sum((1 - p1) * (1 - p2)) AS BIGINT) AS n00
+        FROM per_user
+    ), stat AS (
+        SELECT *,
+            (abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+            * (abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+            / nullif(CAST(n10 AS DOUBLE) + n01, 0.0) AS chi2
+        FROM cells
+    )
+    SELECT n_users, n11, n10, n01, n00, round(chi2, 6) AS chi2,
+        round(2.0 * {_phi_upper_sql('sqrt(chi2)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12d: post-stratification — variance-reduced A/B estimate
+# ---------------------------------------------------------------------------
+
+
+def post_stratified_ab(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> DataFrame:
+    """Post-stratified treatment-effect estimate on per-user metric
+    value: re-weight within-stratum arm differences by stratum size —
+    the design-free cousin of :func:`cuped_adjusted` (CUPED needs a
+    pre-period covariate; post-stratification only needs a discrete
+    stratum label), removing the between-stratum component of the
+    outcome variance.
+
+        d_adj = Σ_s w_s·(ȳ1s − ȳ0s),  w_s = n_s/N
+        se²   = Σ_s w_s²·(v0s/n0s + v1s/n1s)
+
+    Strata: the user's activity tier ``least(floor(log2(n_events)),
+    max_stratum)`` — deterministic, engine-exact (log2 of a long is
+    integral only at exact powers of two, where IEEE log2 is exact).
+    NOTE the textbook caveat applies: activity is measured over the
+    experiment window, so this demonstrates the MECHANISM; a production
+    readout would stratify on a pre-assignment attribute.
+
+    Plan: one fact pass → user-grain fold (the only fact shuffle) →
+    ≤ (max_stratum+1)-row strata aggregate → one-row combine (the
+    strata frame cross-joins its own one-row total; nothing collects).
+    Degenerate strata (an arm with n<2) contribute NULL variance via
+    try_divide and degrade se/z/p to NULL, matching the oracle's
+    NULLIF. Returns one row (n_users, n_strata, diff_unadj, diff_adj,
+    se_adj, z, p_value), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.sum(
+            F.when(F.col(type_col) == metric_type, F.col(value_col))
+            .otherwise(0.0)
+        ).alias("y"),
+        F.count(F.lit(1)).alias("n_ev"),
+    ).select(
+        _arm("user").alias("arm"),
+        "y",
+        F.least(
+            F.floor(F.log2("n_ev")), F.lit(max_stratum)
+        ).cast("int").alias("stratum"),
+    )
+    strata = per_user.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0.0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0.0)).alias(
+            "s1"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("y") * F.col("y")).otherwise(0.0)
+        ).alias("ss0"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("y") * F.col("y")).otherwise(0.0)
+        ).alias("ss1"),
+    )
+    m0 = F.try_divide(F.col("s0"), F.col("n0"))
+    m1 = F.try_divide(F.col("s1"), F.col("n1"))
+    v0 = F.try_divide(
+        F.col("ss0") - F.try_divide(F.col("s0") * F.col("s0"), F.col("n0")),
+        F.col("n0") - 1,
+    )
+    v1 = F.try_divide(
+        F.col("ss1") - F.try_divide(F.col("s1") * F.col("s1"), F.col("n1")),
+        F.col("n1") - 1,
+    )
+    ns = (F.col("n0") + F.col("n1")).cast("double")
+    per_s = strata.select(
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        ns.alias("ns"),
+        (m1 - m0).alias("d"),
+        (
+            F.try_divide(v0, F.col("n0"))
+            + F.try_divide(v1, F.col("n1"))
+        ).alias("vsum"),
+    )
+    comb = per_s.agg(
+        F.sum("ns").alias("n_users"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n0").alias("tn0"),
+        F.sum("n1").alias("tn1"),
+        F.sum("s0").alias("ts0"),
+        F.sum("s1").alias("ts1"),
+        F.sum(F.col("ns") * F.col("d")).alias("wd"),
+        F.sum(F.col("ns") * F.col("ns") * F.col("vsum")).alias("wv"),
+    )
+    nu = F.col("n_users")
+    diff_unadj = F.try_divide(F.col("ts1"), F.col("tn1")) - F.try_divide(
+        F.col("ts0"), F.col("tn0")
+    )
+    diff_adj = F.col("wd") / nu
+    se = F.sqrt(F.col("wv")) / nu
+    z = F.try_divide(diff_adj, se)
+    out = comb.withColumn("_az", F.abs(z))
+    return out.select(
+        nu.cast("long").alias("n_users"),
+        "n_strata",
+        F.round(diff_unadj, 6).alias("diff_unadj"),
+        F.round(diff_adj, 6).alias("diff_adj"),
+        F.round(se, 6).alias("se_adj"),
+        F.round(z, 6).alias("z"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_post_stratified_ab(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> str:
+    """DuckDB replay of :func:`post_stratified_ab` — same log2 strata,
+    same sufficient-statistic combine, NULLIF degeneracy."""
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} % 2 AS arm,
+            sum(CASE WHEN {type_col} = '{metric_type}'
+                     THEN {value_col} ELSE 0.0 END) AS y,
+            least(CAST(floor(log2(count(*))) AS INT),
+                  {max_stratum}) AS stratum
+        FROM {table} GROUP BY {user_col}
+    ), strata AS (
+        SELECT stratum,
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN arm = 0 THEN y ELSE 0.0 END) AS s0,
+            sum(CASE WHEN arm = 1 THEN y ELSE 0.0 END) AS s1,
+            sum(CASE WHEN arm = 0 THEN y * y ELSE 0.0 END) AS ss0,
+            sum(CASE WHEN arm = 1 THEN y * y ELSE 0.0 END) AS ss1
+        FROM per_user GROUP BY 1
+    ), per_s AS (
+        SELECT n0, n1, s0, s1, CAST(n0 + n1 AS DOUBLE) AS ns,
+            s1 / nullif(n1, 0) - s0 / nullif(n0, 0) AS d,
+            (ss0 - s0 * s0 / nullif(n0, 0)) / nullif(n0 - 1, 0)
+                / nullif(n0, 0)
+            + (ss1 - s1 * s1 / nullif(n1, 0)) / nullif(n1 - 1, 0)
+                / nullif(n1, 0) AS vsum
+        FROM strata
+    ), comb AS (
+        SELECT sum(ns) AS n_users, count(*) AS n_strata,
+            sum(n0) AS tn0, sum(n1) AS tn1,
+            sum(s0) AS ts0, sum(s1) AS ts1,
+            sum(ns * d) AS wd, sum(ns * ns * vsum) AS wv
+        FROM per_s
+    ), stat AS (
+        SELECT CAST(n_users AS BIGINT) AS n_users, n_strata,
+            ts1 / nullif(tn1, 0) - ts0 / nullif(tn0, 0) AS diff_unadj,
+            wd / n_users AS diff_adj,
+            sqrt(wv) / n_users AS se_adj,
+            wd / n_users / nullif(sqrt(wv) / n_users, 0.0) AS z
+        FROM comb
+    )
+    SELECT n_users, n_strata, round(diff_unadj, 6) AS diff_unadj,
+        round(diff_adj, 6) AS diff_adj, round(se_adj, 6) AS se_adj,
+        round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """

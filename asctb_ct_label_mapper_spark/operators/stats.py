@@ -2497,3 +2497,392 @@ def sql_corr_matrix_daily_types(
                             * (n * syy - sy * sy)), 0.0), 6) AS corr
     FROM pairs
     """
+
+
+# ---------------------------------------------------------------------------
+# r12d: Mann-Kendall trend test — the nonparametric monotone-trend gate
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the calendar-spined daily
+    count series: the rank-based (distribution-free) answer to "is
+    this series trending at all", the significance gate in front of
+    :func:`theilsen_daily_trend`'s magnitude estimate (Sen's slope is
+    the canonical companion estimator).
+
+        S = Σ_{i<j} sign(c_j − c_i)
+        Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18
+        z = (S − sign(S)) / √Var(S)            (continuity-corrected)
+
+    with the tie term over the groups of equal counts and the p-value
+    from the shared A&S 26.2.17 polynomial — identical literals both
+    engines. Plan: ONE fact pass to daily counts, then an O(days²)
+    self-join on the DAY grain (365² ≈ 133k pairs for a year — theilsen
+    already set this precedent) plus a count-grain tie aggregate; no
+    second fact scan. Returns one row (n_days, s_stat, var_s, z,
+    p_value, trend ∈ {'increasing','decreasing','no trend'} at p<0.05),
+    6dp."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(_daily_series(df, ts_col))
+    a, bf = series.alias("a"), series.alias("b")
+    s_fold = (
+        a.join(bf, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.signum(
+                    F.col("b.c").cast("double") - F.col("a.c")
+                ).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        series.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    j = s_fold.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    z = F.try_divide(
+        F.col("s_stat") - F.signum(F.col("s_stat").cast("double")),
+        F.sqrt(var_s),
+    )
+    out = j.select(
+        n.cast("long").alias("n_days"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    p = F.expr("2.0 * " + _phi_upper_sql("_az"))
+    return out.select(
+        "n_days",
+        "s_stat",
+        "var_s",
+        "z",
+        F.round(p, 6).alias("p_value"),
+        F.when(p >= 0.05, F.lit("no trend"))
+        .when(F.col("_z") > 0, F.lit("increasing"))
+        .when(F.col("_z") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    )
+
+
+def sql_mann_kendall_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`mann_kendall_daily` — same spine, same
+    pair census, same tie correction and A&S polynomial."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, s_fold AS (
+        -- outer CAST: DuckDB sum(BIGINT) is HUGEINT (pandas float64);
+        -- Spark's is LONG — dtype parity for the driver's hash
+        SELECT CAST(sum(CAST(sign(CAST(b.c AS DOUBLE) - a.c) AS BIGINT))
+                    AS BIGINT) AS s_stat
+        FROM series a JOIN series b ON a.d < b.d
+    ), ties AS (
+        SELECT sum(t * (t - 1) * (2 * t + 5)) AS tie_term, sum(t) AS n
+        FROM (SELECT CAST(count(*) AS DOUBLE) AS t
+              FROM series GROUP BY c)
+    ), stat AS (
+        SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+            (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s,
+            (s_stat - sign(CAST(s_stat AS DOUBLE)))
+                / nullif(sqrt((n * (n - 1) * (2 * n + 5) - tie_term)
+                              / 18.0), 0.0) AS z
+        FROM s_fold CROSS JOIN ties
+    ), withp AS (
+        SELECT n_days, s_stat, round(var_s, 6) AS var_s,
+            round(z, 6) AS z, z AS _z,
+            2.0 * {_phi_upper_sql('abs(z)')} AS p
+        FROM stat
+    )
+    SELECT n_days, s_stat, var_s, z, round(p, 6) AS p_value,
+        CASE WHEN p >= 0.05 THEN 'no trend'
+             WHEN _z > 0 THEN 'increasing'
+             WHEN _z < 0 THEN 'decreasing'
+             ELSE 'no trend' END AS trend
+    FROM withp
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12d: Gumbel block maxima — extreme-value return levels
+# ---------------------------------------------------------------------------
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    ts_col: str = "ts",
+    block_days: int = 7,
+    return_periods: tuple = (4, 12, 52),
+) -> DataFrame:
+    """Extreme-value analysis of the daily count series: weekly block
+    maxima fitted to a Gumbel distribution by the method of moments —
+    the capacity-planning readout ("what daily peak should we expect
+    once a quarter / once a year") that a mean-based monitor
+    structurally cannot give.
+
+        β = s·√6/π,  μ = m − γ·β            (γ = Euler-Mascheroni)
+        level(T) = μ − β·ln(−ln(1 − 1/T))
+
+    over the block maxima's sample mean m and SAMPLE stddev s. Blocks
+    are ``block_days``-wide windows of the calendar spine anchored at
+    the first day (datediff // block_days — deterministic, both
+    engines integer-divide the same nonnegative values). The last
+    partial block is KEPT (documented bias toward lower maxima; the
+    oracle replays it identically).
+
+    Plan: one fact pass to daily counts, block-grain max aggregate,
+    1-row moment fold, then a broadcast grid join over the
+    ``return_periods`` literals. Returns one row per return period
+    (t_blocks, mu, beta, n_blocks, return_level), 6dp; a single block
+    (undefined stddev) degrades β and the levels to NULL via the
+    sample-variance try_divide."""
+    series = _daily_series(df, ts_col)
+    bounds = series.agg(F.min("d").alias("_d0"))
+    blocks = (
+        series.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("d"), F.col("_d0"))
+                / F.lit(block_days)
+            ).alias("blk")
+        )
+        .agg(F.max("c").cast("double").alias("mx"))
+    )
+    mom = blocks.agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.avg("mx").alias("m"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+        F.sum("mx").alias("sx"),
+    )
+    nb = F.col("nb")
+    var = F.try_divide(
+        F.col("sxx") - F.try_divide(F.col("sx") * F.col("sx"), nb),
+        nb - 1,
+    )
+    _EULER = 0.5772156649015329
+    _SQRT6_PI = 0.7796968012336293  # sqrt(6)/pi
+    beta = F.sqrt(var) * F.lit(_SQRT6_PI)
+    mu = F.col("m") - F.lit(_EULER) * beta
+    params = mom.select(
+        nb.cast("long").alias("n_blocks"),
+        F.round(mu, 6).alias("mu"),
+        F.round(beta, 6).alias("beta"),
+        mu.alias("_mu"),
+        beta.alias("_beta"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(t),) for t in return_periods], "t_blocks int"
+    )
+    level = F.col("_mu") - F.col("_beta") * F.log(
+        -F.log(1.0 - F.try_divide(F.lit(1.0), F.col("t_blocks")))
+    )
+    return (
+        grid.crossJoin(F.broadcast(params))
+        .select(
+            "t_blocks",
+            "n_blocks",
+            "mu",
+            "beta",
+            F.round(level, 6).alias("return_level"),
+        )
+        .orderBy("t_blocks")
+    )
+
+
+def sql_gumbel_block_maxima(
+    table: str = "events",
+    ts_col: str = "ts",
+    block_days: int = 7,
+    return_periods: tuple = (4, 12, 52),
+) -> str:
+    """DuckDB replay of :func:`gumbel_block_maxima` — same spine,
+    block anchor, moment algebra, and Euler/√6/π literals."""
+    periods = ", ".join(f"({int(t)})" for t in return_periods)
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, blocks AS (
+        SELECT CAST(floor(datediff('day', d0._d0, series.d)
+                          / {block_days}) AS BIGINT) AS blk,
+            CAST(max(c) AS DOUBLE) AS mx
+        FROM series CROSS JOIN
+            (SELECT min(d) AS _d0 FROM series) d0
+        GROUP BY 1
+    ), mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nb, avg(mx) AS m,
+            sum(mx * mx) AS sxx, sum(mx) AS sx
+        FROM blocks
+    ), params AS (
+        SELECT CAST(nb AS BIGINT) AS n_blocks,
+            m - 0.5772156649015329 *
+                (sqrt((sxx - sx * sx / nb) / nullif(nb - 1, 0.0))
+                 * 0.7796968012336293) AS _mu,
+            sqrt((sxx - sx * sx / nb) / nullif(nb - 1, 0.0))
+                * 0.7796968012336293 AS _beta
+        FROM mom
+    )
+    SELECT t.t_blocks, p.n_blocks, round(p._mu, 6) AS mu,
+        round(p._beta, 6) AS beta,
+        round(p._mu - p._beta
+              * ln(-ln(1.0 - 1.0 / t.t_blocks)), 6) AS return_level
+    FROM (VALUES {periods}) t(t_blocks) CROSS JOIN params p
+    ORDER BY t.t_blocks
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12d: two-feature OLS via normal equations — closed-form regression
+# ---------------------------------------------------------------------------
+
+
+def ols_two_feature(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    y_type: str = "purchase",
+    x1_type: str = "view",
+    x2_type: str = "click",
+) -> DataFrame:
+    """Two-feature ordinary least squares with intercept, fit in CLOSED
+    FORM from sufficient statistics: per-user purchase value regressed
+    on per-user view and click counts — the multivariate sibling of
+    :func:`ols_trend_by_key` (one regressor) that answers "which
+    engagement signal predicts spend, holding the other fixed".
+
+    The 3×3 normal equations X'X·b = X'y are solved by Cramer's rule —
+    nine shared sums, four 3×3 determinants, zero iteration — so both
+    engines replay the identical algebra and a singular design
+    (collinear or constant features) degrades every coefficient to
+    NULL via the det(X'X) try_divide, the nullif contract everywhere
+    else in this module. R² = 1 − SSE/SST with SSE = Σy² − b·X'y
+    (the standard quadratic-form identity; no residual pass).
+
+    Plan: one fact pass → user-grain conditional fold (the only fact
+    shuffle) → one 9-sum aggregate → one-row arithmetic. At 100 TB the
+    user fold is the natural shuffle; everything after is one row.
+    Returns one row (n_users, b0, b1, b2, r2), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.sum(
+            F.when(F.col(type_col) == y_type, F.col(value_col)).otherwise(
+                0.0
+            )
+        ).alias("y"),
+        F.sum((F.col(type_col) == x1_type).cast("int"))
+        .cast("double")
+        .alias("x1"),
+        F.sum((F.col(type_col) == x2_type).cast("int"))
+        .cast("double")
+        .alias("x2"),
+    )
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+        )
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    b0 = F.try_divide(det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22), det)
+    b1 = F.try_divide(det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22), det)
+    b2 = F.try_divide(det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y), det)
+    sse = F.col("syy") - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = F.col("syy") - F.try_divide(sy * sy, n)
+    r2 = 1.0 - F.try_divide(sse, sst)
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def sql_ols_two_feature(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    y_type: str = "purchase",
+    x1_type: str = "view",
+    x2_type: str = "click",
+) -> str:
+    """DuckDB replay of :func:`ols_two_feature` — same nine sums, same
+    Cramer determinants, NULLIF on the singular design."""
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    det = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    b0 = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    b1 = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    b2 = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    return f"""
+    WITH per_user AS (
+        SELECT
+            sum(CASE WHEN {type_col} = '{y_type}'
+                     THEN {value_col} ELSE 0.0 END) AS y,
+            CAST(sum(CASE WHEN {type_col} = '{x1_type}'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS x1,
+            CAST(sum(CASE WHEN {type_col} = '{x2_type}'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS x2
+        FROM {table} GROUP BY {user_col}
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            sum(x1) AS s1, sum(x2) AS s2,
+            sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+            sum(x2 * x2) AS s22, sum(y) AS sy,
+            sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+        FROM per_user
+    ), coefs AS (
+        SELECT n, sy, s1y, s2y, syy,
+            {b0} / nullif({det}, 0.0) AS b0,
+            {b1} / nullif({det}, 0.0) AS b1,
+            {b2} / nullif({det}, 0.0) AS b2
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+        round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                    / nullif(syy - sy * sy / n, 0.0), 6) AS r2
+    FROM coefs
+    """

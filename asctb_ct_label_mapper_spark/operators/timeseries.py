@@ -3098,3 +3098,140 @@ def sql_page_hinkley_daily(
             AS drift
     FROM cum
     """
+
+
+# ---------------------------------------------------------------------------
+# r12d: Theta-method forecast — the M3 benchmark classic
+# ---------------------------------------------------------------------------
+
+
+def theta_forecast_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    alpha: float = 0.2,
+    horizon: int = 7,
+) -> DataFrame:
+    """Classical two-line Theta forecast of the daily event-count
+    series (Assimakopoulos & Nikolopoulos; the M3-competition winner):
+    decompose into the θ=0 line (the pure linear trend, long-run
+    signal) and the θ=2 line z_t = 2·y_t − (a + b·t) (double-curvature,
+    short-run signal), forecast the first by extrapolation and the
+    second by simple exponential smoothing, and average:
+
+        ŷ(h) = ½·(a + b·(n−1+h)) + ½·SES_n(z)
+
+    SES_n is the CLOSED-FORM smoothed level — S_n = (1−α)^{n−1}·z_0 +
+    Σ_{t≥1} α(1−α)^{n−1−t}·z_t — a single weighted sum over the
+    day-grain frame, the sql_ewma_by_key power-weight precedent (no
+    recursion, so the DuckDB mirror replays identical arithmetic).
+
+    Plan: ONE fact pass to daily counts (the only fact shuffle), then
+    day-grain windows for the row index, a 1-row sufficient-statistic
+    fold for (a, b, S_n), and a ``horizon``-row broadcast grid join —
+    everything past the fact pass is dimension-sized, the conformal/
+    Page-Hinkley family contract. Returns (h, trend, ses, forecast)
+    for h = 1..horizon, 6dp."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "y", (F.row_number().over(w) - 1).cast("double").alias("t")
+    )
+    t, y = F.col("t"), F.col("y")
+    suff = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * t).alias("stt"),
+        F.sum(t * y).alias("sty"),
+    )
+    nn = F.col("n")
+    b = F.try_divide(
+        nn * F.col("sty") - F.col("st") * F.col("sy"),
+        nn * F.col("stt") - F.col("st") * F.col("st"),
+    )
+    a = (F.col("sy") - b * F.col("st")) / nn
+    params = suff.select(nn.alias("n"), a.alias("a"), b.alias("b"))
+    z = 2.0 * y - (F.col("a") + F.col("b") * t)
+    wgt = F.when(
+        t == 0.0, F.pow(F.lit(1.0 - alpha), F.col("n") - 1)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("n") - 1 - t)
+    )
+    ses = (
+        idx.crossJoin(F.broadcast(params))
+        .agg(
+            F.sum(z * wgt).alias("ses"),
+            F.first("n").alias("n"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+        )
+    )
+    spark = events.sparkSession
+    grid = spark.range(1, horizon + 1).select(
+        F.col("id").cast("int").alias("h")
+    )
+    trend = F.col("a") + F.col("b") * (F.col("n") - 1 + F.col("h"))
+    return (
+        grid.crossJoin(F.broadcast(ses))
+        .select(
+            "h",
+            F.round(trend, 6).alias("trend"),
+            F.round(F.col("ses"), 6).alias("ses"),
+            F.round(0.5 * trend + 0.5 * F.col("ses"), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+def sql_theta_forecast_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    alpha: float = 0.2,
+    horizon: int = 7,
+) -> str:
+    """DuckDB replay of :func:`theta_forecast_daily` — same row-index
+    spine, same sufficient statistics, same closed-form SES weights."""
+    return f"""
+    WITH daily AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+            CAST(count(*) AS DOUBLE) AS y
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ), idx AS (
+        SELECT y,
+            CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS t
+        FROM daily
+    ), suff AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(y) AS sy,
+            sum(t * t) AS stt, sum(t * y) AS sty
+        FROM idx
+    ), params AS (
+        SELECT n,
+            (sy - (n * sty - st * sy) / nullif(n * stt - st * st, 0.0)
+                  * st) / n AS a,
+            (n * sty - st * sy) / nullif(n * stt - st * st, 0.0) AS b
+        FROM suff
+    ), ses AS (
+        SELECT sum(
+                (2.0 * y - (p.a + p.b * t))
+                * CASE WHEN t = 0.0
+                       THEN power(1.0 - {alpha!r}, p.n - 1)
+                       ELSE {alpha!r} * power(1.0 - {alpha!r},
+                                              p.n - 1 - t) END
+            ) AS ses,
+            first(p.n) AS n, first(p.a) AS a, first(p.b) AS b
+        FROM idx CROSS JOIN params p
+    )
+    SELECT CAST(g.range AS INT) AS h,
+        round(s.a + s.b * (s.n - 1 + g.range), 6) AS trend,
+        round(s.ses, 6) AS ses,
+        round(0.5 * (s.a + s.b * (s.n - 1 + g.range))
+              + 0.5 * s.ses, 6) AS forecast
+    FROM range(1, {horizon} + 1) g CROSS JOIN ses s
+    ORDER BY h
+    """

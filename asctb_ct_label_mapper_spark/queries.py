@@ -9187,3 +9187,160 @@ def quality_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_threshold_sweep(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12d batch: eigenvector centrality, paired/post-stratified experiments,
+# Theta forecast, Mann-Kendall trend, Gumbel extremes, closed-form 2-OLS
+# ---------------------------------------------------------------------------
+
+
+def _eigen_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_eigenvector_centrality,
+        sql_nation_trade_edges,
+    )
+
+    return (
+        f"WITH {sql_nation_trade_edges()}, "
+        f"{sql_eigenvector_centrality(iters=12)}"
+    )
+
+
+@query("eigenvector_nation_trade", _eigen_oracle())
+def eigenvector_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the nation trade digraph
+    (graph.eigenvector_centrality): undamped prestige — central only if
+    your in-neighbors are central — next to pagerank's teleport floor;
+    L1 power iteration folded on the driver over the dimension-grain
+    edge list under the bounded-collect guard, oracle = the same
+    iteration unrolled into materialized CTEs."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    return eigenvector_centrality(_trade_edges(spark, sf_dir), iters=12)
+
+
+def _mcnemar_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_mcnemar_conversion_shift,
+    )
+
+    return sql_mcnemar_conversion_shift("events")
+
+
+@query("mcnemar_purchase_shift", _mcnemar_oracle())
+def mcnemar_purchase_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on per-user conversion across the two
+    halves of the window (experiment.mcnemar_conversion_shift): each
+    user as their own control, discordant cells only — one user-grain
+    fold, continuity-corrected chi2, shared A&S p-value."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mcnemar_conversion_shift,
+    )
+
+    return mcnemar_conversion_shift(_t(spark, sf_dir, "events"))
+
+
+def _poststrat_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_post_stratified_ab,
+    )
+
+    return sql_post_stratified_ab("events")
+
+
+@query("post_stratified_purchase", _poststrat_oracle())
+def post_stratified_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B estimate of per-user purchase value
+    (experiment.post_stratified_ab): activity-tier strata re-weighting
+    next to CUPED's covariate adjustment — one user fold, ≤6-row strata
+    aggregate, one-row combine."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        post_stratified_ab,
+    )
+
+    return post_stratified_ab(_t(spark, sf_dir, "events"))
+
+
+def _theta_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_theta_forecast_daily,
+    )
+
+    return sql_theta_forecast_daily("events")
+
+
+@query("theta_forecast_events", _theta_oracle())
+def theta_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 7-day forecast of daily event counts
+    (timeseries.theta_forecast_daily): trend line + closed-form SES of
+    the θ=2 line averaged — the M3 classic beside the Holt/HW/naive
+    backtest family; one fact pass, day-grain everything after."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        theta_forecast_daily,
+    )
+
+    return theta_forecast_daily(_t(spark, sf_dir, "events"))
+
+
+def _mk_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_mann_kendall_daily,
+    )
+
+    return sql_mann_kendall_daily("events")
+
+
+@query("mann_kendall_daily_events", _mk_oracle())
+def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily count series
+    (stats.mann_kendall_daily): the distribution-free significance gate
+    in front of theilsen_daily_trend's Sen-slope magnitude — day-grain
+    pair census, tie-corrected variance, shared A&S p-value."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        mann_kendall_daily,
+    )
+
+    return mann_kendall_daily(_t(spark, sf_dir, "events"))
+
+
+def _gumbel_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_gumbel_block_maxima,
+    )
+
+    return sql_gumbel_block_maxima("events")
+
+
+@query("gumbel_weekly_peaks", _gumbel_oracle())
+def gumbel_weekly_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel return levels from weekly block maxima of daily counts
+    (stats.gumbel_block_maxima): method-of-moments extreme-value fit —
+    the once-a-month/quarter/year peak the capacity plan budgets for;
+    block-grain max + one-row moments + parameter grid."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        gumbel_block_maxima,
+    )
+
+    return gumbel_block_maxima(_t(spark, sf_dir, "events"))
+
+
+def _ols2_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_ols_two_feature,
+    )
+
+    return sql_ols_two_feature("events")
+
+
+@query("ols_views_clicks_purchase", _ols2_oracle())
+def ols_views_clicks_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS (stats.ols_two_feature): per-user
+    purchase value on view and click counts via Cramer-solved normal
+    equations — which engagement signal predicts spend holding the
+    other fixed; nine sums, four determinants, no iteration."""
+    from asctb_ct_label_mapper_spark.operators.stats import ols_two_feature
+
+    return ols_two_feature(_t(spark, sf_dir, "events"))
