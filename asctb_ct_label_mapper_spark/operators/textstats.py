@@ -2133,3 +2133,258 @@ def sql_vocab_overlap_sources(
     JOIN sizes sa ON inter.source_a = sa.src
     JOIN sizes sb ON inter.source_b = sb.src
     """
+
+
+# ---------------------------------------------------------------------------
+# r12e: Monroe-Colaresi-Quinn weighted log-odds — distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def monroe_logodds(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha0: float = 1000.0,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-group DISTINCTIVE terms via the Monroe-Colaresi-Quinn
+    ("Fightin' Words") weighted log-odds with an informative Dirichlet
+    prior: for each (group, token), the log-odds of the token in the
+    group vs the REST of the corpus, shrunk toward the corpus-wide
+    distribution and standardized by its approximate variance —
+
+        δ = ln((y_gi+a_i)/(n_g+α0−y_gi−a_i))
+          − ln((y_ri+a_i)/(n_r+α0−y_ri−a_i)),   a_i = α0·y_i/N
+        z = δ / √(1/(y_gi+a_i) + 1/(y_ri+a_i))
+
+    The token-level companion to :func:`corpus_divergence`'s scalar JSD
+    (WHICH tokens make a source drift, not just how far), with the
+    prior damping the rare-word noise raw log-ratios amplify.
+
+    Plan: ONE (group, token) cell fold off the token stream (the
+    lexical_diversity shape — the only corpus-scale shuffle), a
+    token-grain global re-aggregate joined back on token, and a per-
+    group rank window at cell grain. Only tokens PRESENT in the group
+    are candidates (a token absent from g has z < 0 — never top-k
+    overrepresented). Returns the ``top_k`` rows per group by (z desc,
+    token asc — deterministic), (group, token, y_gi, z), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("y_gi"))
+    )
+    tok_tot = cells.groupBy("tok").agg(F.sum("y_gi").alias("y_i"))
+    grp_tot = cells.groupBy("g").agg(F.sum("y_gi").alias("n_g"))
+    grand = cells.agg(F.sum("y_gi").alias("N"))
+    full = (
+        cells.join(tok_tot, "tok")
+        .join(grp_tot, "g")
+        .crossJoin(F.broadcast(grand))
+    )
+    a_i = F.lit(alpha0) * F.col("y_i") / F.col("N")
+    y_g = F.col("y_gi").cast("double")
+    y_r = (F.col("y_i") - F.col("y_gi")).cast("double")
+    n_g = F.col("n_g").cast("double")
+    n_r = (F.col("N") - F.col("n_g")).cast("double")
+    delta = F.log(
+        (y_g + a_i) / (n_g + F.lit(alpha0) - y_g - a_i)
+    ) - F.log((y_r + a_i) / (n_r + F.lit(alpha0) - y_r - a_i))
+    z = delta / F.sqrt(
+        1.0 / (y_g + a_i) + 1.0 / (y_r + a_i)
+    )
+    scored = full.select(
+        "g", "tok", "y_gi", F.round(z, 6).alias("z")
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("z").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("tok").alias("token"),
+            F.col("y_gi").alias("count_in_group"),
+            "z",
+        )
+    )
+
+
+def sql_monroe_logodds(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha0: float = 1000.0,
+    top_k: int = 3,
+) -> str:
+    """DuckDB replay of :func:`monroe_logodds` — same cells, prior,
+    variance, and deterministic rank order."""
+    return f"""
+    WITH cells AS (
+        SELECT {group_col} AS g, tok, count(*) AS y_gi
+        FROM (
+            SELECT {group_col},
+                unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table} WHERE {text_col} IS NOT NULL
+        ) WHERE tok <> '' GROUP BY 1, 2
+    ), tok_tot AS (
+        SELECT tok, sum(y_gi) AS y_i FROM cells GROUP BY 1
+    ), grp_tot AS (
+        SELECT g, sum(y_gi) AS n_g FROM cells GROUP BY 1
+    ), grand AS (SELECT sum(y_gi) AS N FROM cells),
+    scored AS (
+        SELECT c.g, c.tok, c.y_gi,
+            round((
+                ln((c.y_gi + {alpha0!r} * t.y_i / gd.N)
+                   / (gt.n_g + {alpha0!r} - c.y_gi
+                      - {alpha0!r} * t.y_i / gd.N))
+                - ln(((t.y_i - c.y_gi) + {alpha0!r} * t.y_i / gd.N)
+                     / ((gd.N - gt.n_g) + {alpha0!r}
+                        - (t.y_i - c.y_gi)
+                        - {alpha0!r} * t.y_i / gd.N))
+            ) / sqrt(1.0 / (c.y_gi + {alpha0!r} * t.y_i / gd.N)
+                     + 1.0 / ((t.y_i - c.y_gi)
+                              + {alpha0!r} * t.y_i / gd.N)), 6) AS z
+        FROM cells c
+        JOIN tok_tot t ON c.tok = t.tok
+        JOIN grp_tot gt ON c.g = gt.g
+        CROSS JOIN grand gd
+    )
+    SELECT g AS {group_col}, tok AS token, y_gi AS count_in_group, z
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY g ORDER BY z DESC, tok ASC) AS _rk
+        FROM scored
+    ) WHERE _rk <= {top_k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12e: pairwise earth-mover's distance between length distributions
+# ---------------------------------------------------------------------------
+
+
+def emd_length_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Pairwise 1-D earth-mover's (Wasserstein-1) distance between
+    every two groups' document-LENGTH distributions:
+
+        W1(P,Q) = ∫ |F_P(x) − F_Q(x)| dx
+                = Σ_v |F_P(v) − F_Q(v)| · (next(v) − v)
+
+    exact on the discrete support — the transport-cost complement to
+    :func:`corpus_divergence`'s JSD (W1 sees HOW FAR mass moved along
+    the length axis, not just that it moved; two sources whose length
+    modes differ by 10 vs 1000 chars have similar JSD but wildly
+    different W1). The distribution-shift gauge for "did this feed
+    start sending much longer documents".
+
+    Plan: one fact pass to (group, len) counts; the support spine
+    (distinct lens × groups) is dimension-grain, per-group CDFs are
+    cumulative windows PARTITIONED BY GROUP, and the pair census joins
+    the spine to itself on len for group_a < group_b — |V|·G² rows at
+    worst, all dimension-sized. Returns (group_a, group_b, emd), 6dp,
+    one row per unordered pair."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = pooled_persist(
+        df.filter(F.col(len_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(len_col).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = counts.select("v").distinct()
+    groups = counts.select("g").distinct()
+    spine = grid.crossJoin(groups).join(
+        counts, ["g", "v"], "left"
+    ).select("g", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    w_cdf = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = counts.groupBy("g").agg(F.sum("c").alias("t"))
+    cdf = (
+        spine.withColumn("cum", F.sum("c").over(w_cdf))
+        .join(tot, "g")
+        .select(
+            "g", "v", (F.col("cum") / F.col("t")).alias("f")
+        )
+    )
+    w_next = Window.partitionBy("g").orderBy("v")
+    stepped = cdf.withColumn(
+        "gap",
+        (F.lead("v").over(w_next) - F.col("v")).cast("double"),
+    ).filter(F.col("gap").isNotNull())
+    a, b = stepped.alias("a"), stepped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("a.f") - F.col("b.f")) * F.col("a.gap")
+                ),
+                6,
+            ).alias("emd")
+        )
+    )
+
+
+def sql_emd_length_matrix(
+    table: str = "documents",
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB replay of :func:`emd_length_matrix` — same spine, CDFs,
+    step integration, and pair census."""
+    return f"""
+    WITH counts AS (
+        SELECT {group_col} AS g, {len_col} AS v, count(*) AS c
+        FROM {table} WHERE {len_col} IS NOT NULL GROUP BY 1, 2
+    ), spine AS (
+        SELECT gr.g, vv.v, coalesce(counts.c, 0) AS c
+        FROM (SELECT DISTINCT v FROM counts) vv
+        CROSS JOIN (SELECT DISTINCT g FROM counts) gr
+        LEFT JOIN counts ON counts.g = gr.g AND counts.v = vv.v
+    ), tot AS (
+        SELECT g, sum(c) AS t FROM counts GROUP BY 1
+    ), cdf AS (
+        SELECT spine.g, spine.v,
+            sum(spine.c) OVER (PARTITION BY spine.g ORDER BY spine.v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / CAST(tot.t AS DOUBLE) AS f
+        FROM spine JOIN tot ON spine.g = tot.g
+    ), stepped AS (
+        SELECT g, v, f,
+            CAST(lead(v) OVER (PARTITION BY g ORDER BY v) - v
+                 AS DOUBLE) AS gap
+        FROM cdf
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+        round(sum(abs(a.f - b.f) * a.gap), 6) AS emd
+    FROM stepped a JOIN stepped b ON a.v = b.v AND a.g < b.g
+    WHERE a.gap IS NOT NULL
+    GROUP BY 1, 2
+    """

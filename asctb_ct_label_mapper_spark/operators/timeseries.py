@@ -3235,3 +3235,116 @@ def sql_theta_forecast_daily(
     FROM range(1, {horizon} + 1) g CROSS JOIN ses s
     ORDER BY h
     """
+
+
+# ---------------------------------------------------------------------------
+# r12e: DFT seasonality strength — which period actually drives the series
+# ---------------------------------------------------------------------------
+
+
+def seasonality_strength_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    min_period: int = 2,
+    max_period: int = 14,
+) -> DataFrame:
+    """Spectral seasonality scan of the daily count series: for every
+    candidate period p, the share of (demeaned) variance explained by
+    the single sinusoid at frequency 1/p —
+
+        a_p = Σ ŷ_t·cos(2πt/p),  b_p = Σ ŷ_t·sin(2πt/p)
+        r2_p = 2·(a_p² + b_p²) / (n·Σŷ_t²)        (ŷ = y − ȳ)
+
+    the regression R² of fitting cos+sin at that frequency (the
+    classical periodogram ordinate, normalized) — the "is it weekly,
+    and how strongly" question :func:`seasonal_decompose_daily` ASSUMES
+    the answer to (it takes period=7 on faith; this measures it).
+
+    Plan: one fact pass to the calendar-spined daily series, a
+    row-index window, then a (periods × days) grid aggregate grouped by
+    period — dimension-sized (13·365 rows/yr). Both engines evaluate
+    the same cos/sin/π literals; 6dp rounding absorbs libm ulps (the
+    exp/ln precedent throughout). Zero-variance series degrade r2 to
+    NULL via try_divide. Returns (period, r2), one row per candidate,
+    ordered by period."""
+    from pyspark.sql import Window
+
+    import math
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col)
+    w = Window.orderBy("d")
+    idx = series.select(
+        F.col("c").cast("double").alias("y"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+    )
+    base = idx.agg(
+        F.avg("y").alias("ybar"), F.count(F.lit(1)).alias("n")
+    )
+    demeaned = idx.crossJoin(F.broadcast(base)).select(
+        (F.col("y") - F.col("ybar")).alias("yd"), "t", "n"
+    )
+    spark = events.sparkSession
+    periods = spark.range(min_period, max_period + 1).select(
+        F.col("id").cast("int").alias("period")
+    )
+    two_pi = F.lit(2.0 * math.pi)
+    ang = two_pi * F.col("t") / F.col("period")
+    per = (
+        demeaned.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("yd") * F.cos(ang)).alias("a"),
+            F.sum(F.col("yd") * F.sin(ang)).alias("b"),
+            F.sum(F.col("yd") * F.col("yd")).alias("ss"),
+            F.max("n").alias("n"),
+        )
+    )
+    r2 = F.try_divide(
+        2.0 * (F.col("a") * F.col("a") + F.col("b") * F.col("b")),
+        F.col("n") * F.col("ss"),
+    )
+    return per.select(
+        "period", F.round(r2, 6).alias("r2")
+    ).orderBy("period")
+
+
+def sql_seasonality_strength_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    min_period: int = 2,
+    max_period: int = 14,
+) -> str:
+    """DuckDB replay of :func:`seasonality_strength_daily` — same
+    spine, demeaning, and periodogram algebra."""
+    import math
+
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t
+        FROM series
+    ), base AS (
+        SELECT avg(y) AS ybar, count(*) AS n FROM idx
+    ), demeaned AS (
+        SELECT y - ybar AS yd, t, n FROM idx CROSS JOIN base
+    ), per AS (
+        SELECT p.period,
+            sum(yd * cos({2.0 * math.pi!r} * t / p.period)) AS a,
+            sum(yd * sin({2.0 * math.pi!r} * t / p.period)) AS b,
+            sum(yd * yd) AS ss, max(n) AS n
+        FROM demeaned CROSS JOIN (
+            SELECT CAST(range AS INT) AS period
+            FROM range({min_period}, {max_period} + 1)
+        ) p
+        GROUP BY 1
+    )
+    SELECT period,
+        round(2.0 * (a * a + b * b) / nullif(n * ss, 0.0), 6) AS r2
+    FROM per ORDER BY period
+    """

@@ -9344,3 +9344,72 @@ def ols_views_clicks_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.stats import ols_two_feature
 
     return ols_two_feature(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12e batch: Monroe log-odds, EMD length matrix, seasonality strength
+# ---------------------------------------------------------------------------
+
+
+def _monroe_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_monroe_logodds,
+    )
+
+    return sql_monroe_logodds("documents")
+
+
+@query("monroe_logodds_sources", _monroe_oracle())
+def monroe_logodds_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words distinctive tokens per source
+    (textstats.monroe_logodds): informative-Dirichlet-shrunk log-odds
+    z-scores, top-3 per source — WHICH tokens make a source drift,
+    the token-level companion to corpus_divergence's scalar JSD."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        monroe_logodds,
+    )
+
+    return monroe_logodds(_t(spark, sf_dir, "documents"))
+
+
+def _emd_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_emd_length_matrix,
+    )
+
+    return sql_emd_length_matrix("documents")
+
+
+@query("emd_doclen_sources", _emd_oracle())
+def emd_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Wasserstein-1 between source doc-length distributions
+    (textstats.emd_length_matrix): exact step-integrated CDF distance
+    on the discrete support — transport cost, not just divergence."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        emd_length_matrix,
+    )
+
+    return emd_length_matrix(_t(spark, sf_dir, "documents"))
+
+
+def _seastr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_seasonality_strength_daily,
+    )
+
+    return sql_seasonality_strength_daily("events")
+
+
+@query("seasonality_strength_events", _seastr_oracle())
+def seasonality_strength_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Periodogram seasonality scan of daily counts
+    (timeseries.seasonality_strength_daily): variance share explained
+    by each candidate period 2..14 — measures the period=7 assumption
+    seasonal_decompose takes on faith."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        seasonality_strength_daily,
+    )
+
+    return seasonality_strength_daily(_t(spark, sf_dir, "events"))
