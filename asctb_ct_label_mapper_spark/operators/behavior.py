@@ -1445,3 +1445,142 @@ def sql_churn_rate_periodic(
     WHERE pairs.month < last.last_m
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r12f: Markov steady state — where the event mix settles
+# ---------------------------------------------------------------------------
+
+
+def markov_steady_state(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = 30,
+    max_collect_rows: int = 100_000,
+) -> DataFrame:
+    """Long-run state distribution of the :func:`markov_transitions`
+    chain: iterate π ← πP from uniform over the observed states,
+    renormalizing each step (states with no outgoing pairs leak mass;
+    L1 renormalization keeps π a distribution — both engines replay
+    the identical division) — "if users keep behaving like this, what
+    share of activity lands on each event type", the one-number-per-
+    state summary the full transition matrix only implies.
+
+    Plan: the transition matrix is |types|² rows (dimension grain); the
+    iteration folds on the DRIVER over the collected matrix under the
+    bounded-collect contract (``dq.GroupBoundExceeded`` past
+    ``max_collect_rows`` — the graph-module hits/k_core seam; a million-
+    state chain would use pagerank's impl='frames' broadcast loop
+    instead). Returns (state, pi), 6dp."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
+
+    tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
+    n_cells = tm.count()
+    if n_cells > max_collect_rows:
+        raise GroupBoundExceeded(
+            f"markov_steady_state: {n_cells} transition cells > "
+            f"max_collect_rows={max_collect_rows}; the local impl folds "
+            "on the driver — this is a dimension-grain operator"
+        )
+    cells = sorted(
+        ((r["from_type"], r["to_type"], float(r["p"]))
+         for r in tm.select("from_type", "to_type", "p").collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    states = sorted({c[0] for c in cells} | {c[1] for c in cells})
+    if not states:
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("state", df.schema[type_col].dataType, True),
+                    StructField("pi", DoubleType(), True),
+                ]
+            ),
+        )
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    pi = [1.0 / n] * n
+    for _ in range(iters):
+        nxt = [0.0] * n
+        for frm, to, p in cells:
+            nxt[idx[to]] += pi[idx[frm]] * p
+        tot = sum(nxt)
+        pi = [v / tot for v in nxt] if tot > 0 else [1.0 / n] * n
+    return df.sparkSession.createDataFrame(
+        [(states[i], round(pi[i], 6)) for i in range(n)],
+        StructType(
+            [
+                StructField("state", df.schema[type_col].dataType, True),
+                StructField("pi", DoubleType(), True),
+            ]
+        ),
+    )
+
+
+def sql_markov_steady_state(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = 30,
+) -> str:
+    """DuckDB replay of :func:`markov_steady_state` — the transition
+    CTE (6dp p, matching the Spark side's rounded matrix) and the
+    power iteration UNROLLED into chained MATERIALIZED CTEs (the
+    sql_pagerank/sql_hits precedent, including the re-inlining pin)."""
+    parts = [
+        f"""
+    tm AS MATERIALIZED (
+        SELECT from_type, to_type,
+            round(CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM (
+            SELECT from_type, to_type, count(*) AS n FROM (
+                SELECT {type_col} AS from_type,
+                    lead({type_col}) OVER (PARTITION BY {key_col}
+                        ORDER BY {ts_col}, {id_col}) AS to_type
+                FROM {table} WHERE {ts_col} IS NOT NULL
+            ) WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ),
+    states AS MATERIALIZED (
+        SELECT DISTINCT s FROM (
+            SELECT from_type AS s FROM tm
+            UNION ALL SELECT to_type FROM tm
+        )
+    ),
+    p0 AS MATERIALIZED (
+        SELECT s, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    p{t}_raw AS MATERIALIZED (
+        SELECT states.s, coalesce(v.v, 0.0) AS v
+        FROM states LEFT JOIN (
+            SELECT tm.to_type AS s, sum(p.pi * tm.p) AS v
+            FROM tm JOIN p{t - 1} p ON tm.from_type = p.s
+            GROUP BY 1
+        ) v ON states.s = v.s
+    ),
+    p{t} AS MATERIALIZED (
+        SELECT s, CASE WHEN tot.t > 0 THEN v / tot.t
+                       ELSE 1.0 / (SELECT count(*) FROM states) END AS pi
+        FROM p{t}_raw CROSS JOIN (
+            SELECT sum(v) AS t FROM p{t}_raw
+        ) tot
+    )""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT s AS state, round(pi, 6) AS pi FROM p{iters}
+    """
+    )

@@ -1676,3 +1676,145 @@ def sql_quality_threshold_sweep(
         round(CAST(n_words AS DOUBLE) / tw, 6) AS word_frac
     FROM joined CROSS JOIN totals
     """
+
+
+# ---------------------------------------------------------------------------
+# r12f: Neyman allocation — variance-optimal stratified sampling plan
+# ---------------------------------------------------------------------------
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_total: int = 1000,
+    hash_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Variance-optimal stratified sampling: allocate a ``n_total``-row
+    budget across strata by Neyman's rule —
+
+        n_h = n_total · N_h·S_h / Σ_g N_g·S_g
+
+    (bigger and noisier strata get more rows — the allocation that
+    minimizes the variance of the stratified mean at fixed budget),
+    then DRAW the sample deterministically: a row is taken iff its
+    fine-grained md5 bucket (:func:`hash_bucket` at ``hash_buckets``
+    resolution) falls under the stratum's allocated fraction — the
+    :func:`stratified_sample` reproducibility contract (same corpus
+    every re-run/repartition/engine), so the draw is a hash filter, not
+    a rank: NO per-stratum global sort at fact grain, which is what
+    makes the plan survive 100 TB. The taken count is therefore
+    hash-binomial around n_h rather than exactly n_h (documented;
+    exact-n_h needs a per-stratum rank — the bucketed-window recipe —
+    and is rarely worth the sort).
+
+    Plan: one stratum-grain moment aggregate (N_h, S_h — map-side
+    combinable), a ≤|strata|-row allocation fold broadcast back onto
+    the fact stream, one hash-filter count. Zero-variance or
+    single-row strata have S_h = 0 and draw nothing (their mean needs
+    no sample); 6dp rounding pins the allocation arithmetic before the
+    integer floor on BOTH engines (a last-ulp Σ difference may not
+    flip a floor boundary). Returns one row per stratum
+    (stratum, n_rows, stddev, alloc, took)."""
+    mom = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(value_col).cast("double")).alias("_s"),
+            F.sum(
+                F.col(value_col).cast("double") * F.col(value_col)
+            ).alias("_ss"),
+        )
+    )
+    nh = F.col("n_rows").cast("double")
+    var = F.try_divide(
+        F.col("_ss") - F.try_divide(F.col("_s") * F.col("_s"), nh),
+        nh - 1.0,
+    )
+    sd = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    weighted = mom.select(
+        "stratum", "n_rows", sd.alias("stddev")
+    ).withColumn("_w", F.col("n_rows") * F.coalesce("stddev", F.lit(0.0)))
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    alloc = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc",
+            F.floor(
+                F.lit(float(n_total))
+                * F.round(F.try_divide(F.col("_w"), F.col("_tw")), 6)
+            ).cast("long"),
+        )
+        .select("stratum", "n_rows", "stddev", "alloc")
+    )
+    frac_bucket = F.floor(
+        F.col("alloc") * F.lit(float(hash_buckets))
+        / F.col("n_rows")
+    )
+    drawn = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            hash_bucket(F.col(id_col), hash_buckets).alias("_b"),
+        )
+        .join(F.broadcast(alloc), "stratum")
+        .filter(F.col("_b") < frac_bucket)
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("took"))
+    )
+    return alloc.join(drawn, "stratum", "left").select(
+        "stratum",
+        "n_rows",
+        "stddev",
+        "alloc",
+        F.coalesce("took", F.lit(0)).alias("took"),
+    )
+
+
+def sql_neyman_allocation(
+    table: str = "events",
+    stratum_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_total: int = 1000,
+    hash_buckets: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`neyman_allocation` — same moments,
+    rounded weights, floor allocation, and md5-bucket draw."""
+    return f"""
+    WITH mom AS (
+        SELECT {stratum_col} AS stratum, count(*) AS n_rows,
+            round(sqrt(greatest(
+                (sum(CAST({value_col} AS DOUBLE) * {value_col})
+                 - sum(CAST({value_col} AS DOUBLE))
+                   * sum(CAST({value_col} AS DOUBLE))
+                   / CAST(count(*) AS DOUBLE))
+                / nullif(CAST(count(*) AS DOUBLE) - 1.0, 0.0),
+                0.0)), 6) AS stddev
+        FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), weighted AS (
+        SELECT stratum, n_rows, stddev,
+            n_rows * coalesce(stddev, 0.0) AS _w
+        FROM mom
+    ), alloc AS (
+        SELECT stratum, n_rows, stddev,
+            CAST(floor({n_total}.0 * round(
+                _w / nullif((SELECT sum(_w) FROM weighted), 0.0), 6))
+                AS BIGINT) AS alloc
+        FROM weighted
+    ), drawn AS (
+        SELECT t.{stratum_col} AS stratum, count(*) AS took
+        FROM {table} t JOIN alloc a ON t.{stratum_col} = a.stratum
+        WHERE t.{value_col} IS NOT NULL
+          AND CAST(concat('0x', substr(
+                md5(CAST(t.{id_col} AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {hash_buckets}
+              < floor(a.alloc * {hash_buckets}.0 / a.n_rows)
+        GROUP BY 1
+    )
+    SELECT a.stratum, a.n_rows, a.stddev, a.alloc,
+        CAST(coalesce(d.took, 0) AS BIGINT) AS took
+    FROM alloc a LEFT JOIN drawn d ON a.stratum = d.stratum
+    """

@@ -3348,3 +3348,150 @@ def sql_seasonality_strength_daily(
         round(2.0 * (a * a + b * b) / nullif(n * ss, 0.0), 6) AS r2
     FROM per ORDER BY period
     """
+
+
+# ---------------------------------------------------------------------------
+# r12f: Chow test — is the trend the SAME trend on both sides of a break
+# ---------------------------------------------------------------------------
+
+
+def chow_test_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chow structural-break test on the daily count series at the
+    midpoint: fit the linear trend on the full series and on each half,
+    and test whether one line explains both —
+
+        F = ((SSE_pooled − SSE₁ − SSE₂) / p) / ((SSE₁ + SSE₂) / (n − 2p))
+
+    with p = 2 (intercept, slope) — the CONFIRMATORY companion to
+    :func:`changepoint_daily` (which SEARCHES for the best split, this
+    tests a GIVEN one; search-then-test on the same data inflates F —
+    use a held-out split or a known intervention date for inference).
+
+    Every SSE comes from the closed form SSE = Syy − a·Sy − b·Sxy over
+    each segment's sufficient statistics: one day-grain conditional
+    aggregate computes all three segments' sums (the segment flag is
+    row_number ≤ n/2), so both engines replay identical algebra; a
+    degenerate half (constant x) degrades to NULL via try_divide.
+
+    Plan: one fact pass to the spined daily series, a row-index window,
+    ONE 3-segment conditional sum aggregate, one-row arithmetic.
+    Returns one row (n_days, break_idx, sse_pooled, sse_split, f_stat,
+    df1, df2), 6dp — compare f_stat to F(df1, df2) upper quantiles
+    (3.0–3.1 at the 5% level for a year of days)."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col)
+    w = Window.orderBy("d")
+    idx = series.select(
+        F.col("c").cast("double").alias("y"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("_n"),
+    )
+    half = F.floor(F.col("_n") / 2).cast("double")
+    seg = (F.col("t") < half).cast("int")  # 1 = first half
+
+    def seg_sums(cond, tag):
+        return [
+            F.sum(F.when(cond, F.lit(1.0)).otherwise(0.0)).alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("t")).otherwise(0.0)).alias(f"sx{tag}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0.0)).alias(f"sy{tag}"),
+            F.sum(
+                F.when(cond, F.col("t") * F.col("t")).otherwise(0.0)
+            ).alias(f"sxx{tag}"),
+            F.sum(
+                F.when(cond, F.col("t") * F.col("y")).otherwise(0.0)
+            ).alias(f"sxy{tag}"),
+            F.sum(
+                F.when(cond, F.col("y") * F.col("y")).otherwise(0.0)
+            ).alias(f"syy{tag}"),
+        ]
+
+    agg = idx.agg(
+        *seg_sums(F.lit(True), "p"),
+        *seg_sums(seg == 1, "1"),
+        *seg_sums(seg == 0, "2"),
+        F.max(half).alias("break_idx"),
+    )
+
+    def sse(tag):
+        n = F.col(f"n{tag}")
+        sx, sy = F.col(f"sx{tag}"), F.col(f"sy{tag}")
+        sxx, sxy = F.col(f"sxx{tag}"), F.col(f"sxy{tag}")
+        syy = F.col(f"syy{tag}")
+        b = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        return syy - a * sy - b * sxy
+
+    sse_p, sse_1, sse_2 = sse("p"), sse("1"), sse("2")
+    n = F.col("np")
+    f_stat = F.try_divide(
+        (sse_p - sse_1 - sse_2) / F.lit(2.0),
+        F.try_divide(sse_1 + sse_2, n - 4.0),
+    )
+    return agg.select(
+        n.cast("long").alias("n_days"),
+        F.col("break_idx").cast("long").alias("break_idx"),
+        F.round(sse_p, 6).alias("sse_pooled"),
+        F.round(sse_1 + sse_2, 6).alias("sse_split"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.lit(2).alias("df1"),
+        (n - 4.0).cast("long").alias("df2"),
+    )
+
+
+def sql_chow_test_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`chow_test_daily` — same spine, segment
+    flag, sufficient statistics, and SSE identity."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    def seg_sums(cond, tag):
+        return f"""
+            sum(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END) AS n{tag},
+            sum(CASE WHEN {cond} THEN t ELSE 0.0 END) AS sx{tag},
+            sum(CASE WHEN {cond} THEN y ELSE 0.0 END) AS sy{tag},
+            sum(CASE WHEN {cond} THEN t * t ELSE 0.0 END) AS sxx{tag},
+            sum(CASE WHEN {cond} THEN t * y ELSE 0.0 END) AS sxy{tag},
+            sum(CASE WHEN {cond} THEN y * y ELSE 0.0 END) AS syy{tag}"""
+
+    def sse(tag):
+        b = (f"(n{tag} * sxy{tag} - sx{tag} * sy{tag})"
+             f" / nullif(n{tag} * sxx{tag} - sx{tag} * sx{tag}, 0.0)")
+        a = f"(sy{tag} - {b} * sx{tag}) / n{tag}"
+        return f"(syy{tag} - {a} * sy{tag} - {b} * sxy{tag})"
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t,
+            count(*) OVER () AS _n
+        FROM series
+    ), agg AS (
+        SELECT
+            {seg_sums('1=1', 'p')},
+            {seg_sums('t < floor(_n / 2.0)', '1')},
+            {seg_sums('t >= floor(_n / 2.0)', '2')},
+            max(floor(_n / 2.0)) AS break_idx
+        FROM idx
+    )
+    SELECT CAST(np AS BIGINT) AS n_days,
+        CAST(break_idx AS BIGINT) AS break_idx,
+        round({sse('p')}, 6) AS sse_pooled,
+        round({sse('1')} + {sse('2')}, 6) AS sse_split,
+        round((({sse('p')} - {sse('1')} - {sse('2')}) / 2.0)
+              / nullif(({sse('1')} + {sse('2')}) / nullif(np - 4.0, 0.0),
+                       0.0), 6) AS f_stat,
+        2 AS df1, CAST(np - 4.0 AS BIGINT) AS df2
+    FROM agg
+    """

@@ -9413,3 +9413,95 @@ def seasonality_strength_events(
     )
 
     return seasonality_strength_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12f batch: Markov steady state, Chow test, Adamic-Adar, Neyman sampling
+# ---------------------------------------------------------------------------
+
+
+def _steady_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_markov_steady_state,
+    )
+
+    return f"WITH {sql_markov_steady_state('events', iters=30)}"
+
+
+@query("markov_steady_state_events", _steady_oracle())
+def markov_steady_state_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Long-run event-type mix of the user transition chain
+    (behavior.markov_steady_state): π ← πP iterated from uniform over
+    the dimension-grain matrix — driver fold under the bounded-collect
+    guard, oracle = the same iteration unrolled into CTEs."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        markov_steady_state,
+    )
+
+    return markov_steady_state(_t(spark, sf_dir, "events"), iters=30)
+
+
+def _chow_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_chow_test_daily,
+    )
+
+    return sql_chow_test_daily("events")
+
+
+@query("chow_test_daily_events", _chow_oracle())
+def chow_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F-test at the window midpoint
+    (timeseries.chow_test_daily): does one trend line explain both
+    halves — the confirmatory companion to changepoint_daily_events;
+    one 3-segment conditional aggregate off the day spine."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        chow_test_daily,
+    )
+
+    return chow_test_daily(_t(spark, sf_dir, "events"))
+
+
+def _aa_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_adamic_adar_topk,
+    )
+
+    return (
+        f"WITH {_sql_trade_edges_filtered()}, "
+        f"{sql_adamic_adar_topk(topk=15)}"
+    )
+
+
+@query("adamic_adar_trade", _aa_oracle())
+def adamic_adar_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the symmetrized trade graph
+    (graph.adamic_adar_topk): common partners weighted 1/ln(degree) —
+    rarer shared partners say more; shared-neighbor census, never
+    all-pairs; is_edge flags already-connected pairs."""
+    from asctb_ct_label_mapper_spark.operators.graph import adamic_adar_topk
+
+    return adamic_adar_topk(_trade_edges_filtered(spark, sf_dir), topk=15)
+
+
+def _neyman_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        sql_neyman_allocation,
+    )
+
+    return sql_neyman_allocation("events")
+
+
+@query("neyman_sample_events", _neyman_oracle())
+def neyman_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling plan + deterministic draw
+    (curation.neyman_allocation): budget ∝ N_h·S_h per event type,
+    drawn by md5-bucket filter (the stratified_sample reproducibility
+    contract — no fact-grain sort)."""
+    from asctb_ct_label_mapper_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(_t(spark, sf_dir, "events"))

@@ -115,6 +115,18 @@ TARGETS = {
     "page_hinkley_daily": "Page-Hinkley (r12): one fact pass, three stacked running windows on the day grain",
     "quality_sweep_docs": "quality sweep (r12): one quality_rules scan aggregated to the 6-value score grain BEFORE the threshold grid join",
     "lsh_scurve_table": "LSH S-curve planner (r12): closed-form grid, zero scans",
+    "mcnemar_purchase_shift": "McNemar (r12d): 2-value broadcast midpoint, one user-grain fold, one-row discordant-cell aggregate",
+    "post_stratified_purchase": "post-stratification (r12d): user fold -> <=6-row strata agg -> one-row combine, no collect",
+    "theta_forecast_events": "Theta forecast (r12d): day counts -> row-index window -> 1-row (a,b,SES) fold -> broadcast horizon grid",
+    "mann_kendall_daily_events": "Mann-Kendall (r12d): day-grain pair self-join on the persisted spine + count-grain tie agg (never a fact^2 join)",
+    "gumbel_weekly_peaks": "Gumbel maxima (r12d): day counts -> block-grain max -> 1-row moments -> broadcast period grid",
+    "ols_views_clicks_purchase": "2-feature OLS (r12d): user fold -> one 9-sum aggregate -> one-row Cramer solve",
+    "monroe_logodds_sources": "Monroe log-odds (r12e): ONE (source,token) cell fold, vocabulary-grain joins, per-source rank window (partitioned, never global)",
+    "emd_doclen_sources": "length EMD (r12e): (source,len) fold -> per-source CDF windows on the support spine -> len equi-join pair census",
+    "seasonality_strength_events": "periodogram scan (r12e): day counts -> broadcast period grid -> 13-row grouped aggregate",
+    "chow_test_daily_events": "Chow test (r12f): day spine -> ONE 3-segment conditional aggregate -> one-row F arithmetic",
+    "adamic_adar_trade": "Adamic-Adar (r12f): symmetrized census join on the witness, broadcast degrees, parameter-sized rank window",
+    "neyman_sample_events": "Neyman sampling (r12f): moment fold -> broadcast allocation -> hash FILTER draw (no fact-grain sort)",
 }
 
 
