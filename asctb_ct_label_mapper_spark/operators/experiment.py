@@ -2677,3 +2677,122 @@ def sql_post_stratified_ab(
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
     FROM stat
     """
+
+
+# ---------------------------------------------------------------------------
+# r12g: instrumental-variable (Wald) estimate — causal dose effect
+# ---------------------------------------------------------------------------
+
+
+def iv_wald_estimate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+) -> DataFrame:
+    """Instrumental-variable (Wald / just-identified 2SLS) estimate of
+    the causal effect of EXPOSURE on OUTCOME, using the randomized arm
+    as the instrument: naive OLS of purchase value on view count is
+    confounded (engaged users view more AND buy more); the arm is
+    random, so scaling the intent-to-treat effect by how much the arm
+    actually moved exposure recovers the exposure effect for
+    instrument-compliers (the LATE):
+
+        β_IV = cov(z, y) / cov(z, x)
+             = (ȳ₁ − ȳ₀) / (x̄₁ − x̄₀)        (binary instrument)
+
+    Reads next to :func:`ab_welch_ttest` (the ITT this rescales) and
+    :func:`post_stratified_ab`. The readout keeps both reduced-form
+    pieces: itt_y (the ITT), first_stage (x̄₁ − x̄₀ — a weak instrument
+    means β_IV explodes; judge it before believing β), and beta_iv.
+    A null first stage degrades β to NULL via try_divide.
+
+    Plan: one fact pass → user-grain conditional fold (the only fact
+    shuffle) → 2-arm aggregate → one-row arithmetic. Returns one row
+    (n0, n1, x0, x1, y0, y1, first_stage, itt_y, beta_iv), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.sum((F.col(type_col) == exposure_type).cast("int"))
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col(type_col) == outcome_type, F.col(value_col))
+            .otherwise(0.0)
+        ).alias("y"),
+    ).select(_arm("user").alias("arm"), "x", "y")
+    folded = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0.0)).alias(
+            "sx0"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0.0)).alias(
+            "sx1"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0.0)).alias(
+            "sy0"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0.0)).alias(
+            "sy1"
+        ),
+    )
+    x0 = F.try_divide(F.col("sx0"), F.col("n0"))
+    x1 = F.try_divide(F.col("sx1"), F.col("n1"))
+    y0 = F.try_divide(F.col("sy0"), F.col("n0"))
+    y1 = F.try_divide(F.col("sy1"), F.col("n1"))
+    fs = x1 - x0
+    itt = y1 - y0
+    return folded.select(
+        "n0",
+        "n1",
+        F.round(x0, 6).alias("x0"),
+        F.round(x1, 6).alias("x1"),
+        F.round(y0, 6).alias("y0"),
+        F.round(y1, 6).alias("y1"),
+        F.round(fs, 6).alias("first_stage"),
+        F.round(itt, 6).alias("itt_y"),
+        F.round(F.try_divide(itt, fs), 6).alias("beta_iv"),
+    )
+
+
+def sql_iv_wald_estimate(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`iv_wald_estimate` — same fold, same
+    Wald ratio, NULLIF degeneracy."""
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} % 2 AS arm,
+            CAST(sum(CASE WHEN {type_col} = '{exposure_type}'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+            sum(CASE WHEN {type_col} = '{outcome_type}'
+                     THEN {value_col} ELSE 0.0 END) AS y
+        FROM {table} GROUP BY {user_col}
+    ), folded AS (
+        SELECT
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN arm = 0 THEN x ELSE 0.0 END) AS sx0,
+            sum(CASE WHEN arm = 1 THEN x ELSE 0.0 END) AS sx1,
+            sum(CASE WHEN arm = 0 THEN y ELSE 0.0 END) AS sy0,
+            sum(CASE WHEN arm = 1 THEN y ELSE 0.0 END) AS sy1
+        FROM per_user
+    ), means AS (
+        SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+            sx0 / nullif(n0, 0) AS x0, sx1 / nullif(n1, 0) AS x1,
+            sy0 / nullif(n0, 0) AS y0, sy1 / nullif(n1, 0) AS y1
+        FROM folded
+    )
+    SELECT n0, n1, round(x0, 6) AS x0, round(x1, 6) AS x1,
+        round(y0, 6) AS y0, round(y1, 6) AS y1,
+        round(x1 - x0, 6) AS first_stage,
+        round(y1 - y0, 6) AS itt_y,
+        round((y1 - y0) / nullif(x1 - x0, 0.0), 6) AS beta_iv
+    FROM means
+    """

@@ -2886,3 +2886,122 @@ def sql_ols_two_feature(
                     / nullif(syy - sy * sy / n, 0.0), 6) AS r2
     FROM coefs
     """
+
+
+# ---------------------------------------------------------------------------
+# r12g: partial autocorrelation — the AR-order probe
+# ---------------------------------------------------------------------------
+
+
+def pacf_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Partial autocorrelation of the daily count series at lags 1..3
+    via the Durbin-Levinson recursion UNROLLED to closed form — the
+    AR-order diagnostic next to :func:`autocorr_daily_counts` (ACF says
+    "correlated at lag k"; PACF says "correlated at lag k AFTER
+    controlling for the shorter lags", which is what picks p for an
+    AR(p) model):
+
+        φ₁₁ = r₁
+        φ₂₂ = (r₂ − r₁²) / (1 − r₁²),   φ₂₁ = r₁·(1 − φ₂₂)
+        φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁) / (1 − φ₂₁·r₁ − φ₂₂·r₂)
+
+    with r_k the global-mean autocovariance ratio
+    Σ_{t≥k}(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² (the standard stationary
+    form — one shared denominator, unlike the ACF operator's
+    per-window-margin pairs flavor; both are textbook, the contract
+    here is D-L compatibility). Degenerate series (zero variance, or
+    |r₁| = 1) degrade to NULL via try_divide.
+
+    Plan: one fact pass to the spined series, one 1-row mean broadcast,
+    THREE lag windows folded in ONE aggregate, one-row recursion
+    algebra, 3-row unpivot. Returns (lag, pacf), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(_daily_series(df, ts_col))
+    mean = series.agg(
+        (F.sum("c") / F.count(F.lit(1))).alias("ybar")
+    )
+    w = Window.orderBy("d")
+    dv = (
+        series.crossJoin(F.broadcast(mean))
+        .select((F.col("c") - F.col("ybar")).alias("y"), "d")
+        .select(
+            "y",
+            F.lag("y", 1).over(w).alias("l1"),
+            F.lag("y", 2).over(w).alias("l2"),
+            F.lag("y", 3).over(w).alias("l3"),
+        )
+    )
+    sums = dv.agg(
+        F.sum(F.col("y") * F.col("y")).alias("c0"),
+        F.sum(F.col("y") * F.col("l1")).alias("c1"),
+        F.sum(F.col("y") * F.col("l2")).alias("c2"),
+        F.sum(F.col("y") * F.col("l3")).alias("c3"),
+    )
+    r1 = F.try_divide(F.col("c1"), F.col("c0"))
+    r2 = F.try_divide(F.col("c2"), F.col("c0"))
+    r3 = F.try_divide(F.col("c3"), F.col("c0"))
+    p11 = r1
+    p22 = F.try_divide(r2 - r1 * r1, 1.0 - r1 * r1)
+    p21 = r1 * (1.0 - p22)
+    p33 = F.try_divide(
+        r3 - p21 * r2 - p22 * r1, 1.0 - p21 * r1 - p22 * r2
+    )
+    return sums.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lag"), F.round(p11, 6).alias("pacf")
+                ),
+                F.struct(
+                    F.lit(2).alias("lag"), F.round(p22, 6).alias("pacf")
+                ),
+                F.struct(
+                    F.lit(3).alias("lag"), F.round(p33, 6).alias("pacf")
+                ),
+            )
+        ).alias("s")
+    ).select("s.lag", "s.pacf")
+
+
+def sql_pacf_daily(table: str = "events", ts_col: str = "ts") -> str:
+    """DuckDB replay of :func:`pacf_daily` — same spine, global-mean
+    autocovariances, and unrolled Durbin-Levinson algebra."""
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, mean AS (
+        SELECT sum(c) / CAST(count(*) AS DOUBLE) AS ybar FROM series
+    ), dv AS (
+        SELECT y,
+            lag(y, 1) OVER (ORDER BY d) AS l1,
+            lag(y, 2) OVER (ORDER BY d) AS l2,
+            lag(y, 3) OVER (ORDER BY d) AS l3
+        FROM (SELECT series.d, series.c - mean.ybar AS y
+              FROM series CROSS JOIN mean)
+    ), sums AS (
+        SELECT sum(y * y) AS c0, sum(y * l1) AS c1,
+            sum(y * l2) AS c2, sum(y * l3) AS c3
+        FROM dv
+    ), rr AS (
+        SELECT c1 / nullif(c0, 0.0) AS r1, c2 / nullif(c0, 0.0) AS r2,
+            c3 / nullif(c0, 0.0) AS r3
+        FROM sums
+    ), dl AS (
+        SELECT r1, r2, r3,
+            (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p22
+        FROM rr
+    ), dl2 AS (
+        SELECT r1, r2, r3, p22, r1 * (1.0 - p22) AS p21 FROM dl
+    )
+    SELECT lag, pacf FROM (
+        SELECT 1 AS lag, round(r1, 6) AS pacf FROM dl2
+        UNION ALL
+        SELECT 2, round(p22, 6) FROM dl2
+        UNION ALL
+        SELECT 3, round((r3 - p21 * r2 - p22 * r1)
+                        / nullif(1.0 - p21 * r1 - p22 * r2, 0.0), 6)
+        FROM dl2
+    )
+    """

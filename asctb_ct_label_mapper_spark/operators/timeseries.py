@@ -3495,3 +3495,164 @@ def sql_chow_test_daily(
         2 AS df1, CAST(np - 4.0 AS BIGINT) AS df2
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# r12g: Hurst exponent via rescaled range — long-memory diagnostic
+# ---------------------------------------------------------------------------
+
+
+def hurst_rs_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    block_sizes: tuple = (5, 10, 15),
+) -> DataFrame:
+    """Hurst exponent of the daily count series by classical
+    rescaled-range (R/S) analysis: for each block size m, split the
+    series into ⌊n/m⌋ complete blocks, compute each block's range of
+    cumulative mean-deviations over its own standard deviation,
+
+        (R/S)_m = mean over blocks of (max Z − min Z) / S_block,
+        Z_t = Σ_{{u≤t}} (y_u − ȳ_block)
+
+    then H = the OLS slope of ln(R/S) on ln(m) — H ≈ 0.5 for a random
+    walk's increments, > 0.5 for trending/long-memory series, < 0.5
+    for mean-reverting ones; the persistence diagnostic next to
+    :func:`seasonality_strength_daily`'s periodicity scan.
+
+    Constant blocks (S = 0) contribute NULL via try_divide and drop
+    out of the block mean identically on both engines (avg ignores
+    NULL). Plan: one fact pass to the spined series, a (sizes × days)
+    grid, block-grain moment aggregates joined back for ONE
+    partitioned cumsum window (key (size, block) — never global), a
+    3-row per-size fold, and a 1-row log-log OLS broadcast back onto
+    the per-size detail. Returns one row per block size
+    (block_size, n_blocks, rs_mean, hurst — the shared slope), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(_daily_series(events, ts_col))
+    w = Window.orderBy("d")
+    idx = series.select(
+        F.col("c").cast("double").alias("y"),
+        (F.row_number().over(w) - 1).alias("t"),
+    )
+    spark = events.sparkSession
+    sizes = spark.createDataFrame(
+        [(int(m),) for m in block_sizes], "m int"
+    )
+    gridded = pooled_persist(
+        idx.crossJoin(F.broadcast(sizes)).select(
+            "m", F.floor(F.col("t") / F.col("m")).alias("blk"), "t", "y"
+        )
+    )
+    stats = gridded.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("y").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+        ).alias("s"),
+    )
+    w_cum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = (
+        gridded.join(stats, ["m", "blk"])
+        .filter(F.col("cnt") == F.col("m"))  # complete blocks only
+        .withColumn("z", F.sum(F.col("y") - F.col("mu")).over(w_cum))
+    )
+    per_block = z.groupBy("m", "blk").agg(
+        F.try_divide(
+            F.max("z") - F.min("z"), F.first("s")
+        ).alias("rs")
+    )
+    per_size = per_block.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.round(F.avg("rs"), 6).alias("rs_mean"),
+    )
+    lx = F.log(F.col("m").cast("double"))
+    ly = F.log(F.col("rs_mean"))
+    fit = per_size.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    ).select(
+        F.round(
+            F.try_divide(
+                F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            ),
+            6,
+        ).alias("hurst")
+    )
+    return (
+        per_size.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").alias("block_size"), "n_blocks", "rs_mean", "hurst"
+        )
+        .orderBy("block_size")
+    )
+
+
+def sql_hurst_rs_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    block_sizes: tuple = (5, 10, 15),
+) -> str:
+    """DuckDB replay of :func:`hurst_rs_daily` — same grid, block
+    moments, cumulative deviations, and log-log fit."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    vals = ", ".join(f"({int(m)})" for m in block_sizes)
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            row_number() OVER (ORDER BY d) - 1 AS t
+        FROM series
+    ), gridded AS (
+        SELECT s.m, CAST(floor(t / CAST(s.m AS DOUBLE)) AS BIGINT)
+                   AS blk, t, y
+        FROM idx CROSS JOIN (VALUES {vals}) s(m)
+    ), stats AS (
+        SELECT m, blk, count(*) AS cnt, avg(y) AS mu,
+            sqrt(avg(y * y) - avg(y) * avg(y)) AS s
+        FROM gridded GROUP BY 1, 2
+    ), z AS (
+        SELECT g.m, g.blk, stats.s,
+            sum(g.y - stats.mu) OVER (PARTITION BY g.m, g.blk
+                ORDER BY g.t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        FROM gridded g JOIN stats ON g.m = stats.m AND g.blk = stats.blk
+        WHERE stats.cnt = g.m
+    ), per_block AS (
+        SELECT m, blk,
+            (max(z) - min(z)) / nullif(first(s), 0.0) AS rs
+        FROM z GROUP BY 1, 2
+    ), per_size AS (
+        SELECT m, count(*) AS n_blocks, round(avg(rs), 6) AS rs_mean
+        FROM per_block GROUP BY 1
+    ), fit AS (
+        SELECT round(
+            (k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0), 6)
+            AS hurst
+        FROM (
+            SELECT CAST(count(*) AS DOUBLE) AS k,
+                sum(ln(CAST(m AS DOUBLE))) AS sx,
+                sum(ln(rs_mean)) AS sy,
+                sum(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE))) AS sxx,
+                sum(ln(CAST(m AS DOUBLE)) * ln(rs_mean)) AS sxy
+            FROM per_size
+        )
+    )
+    SELECT m AS block_size, n_blocks, rs_mean, fit.hurst
+    FROM per_size CROSS JOIN fit
+    ORDER BY block_size
+    """

@@ -9505,3 +9505,67 @@ def neyman_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return neyman_allocation(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12g batch: IV/Wald causal estimate, PACF, Hurst exponent
+# ---------------------------------------------------------------------------
+
+
+def _iv_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_iv_wald_estimate,
+    )
+
+    return sql_iv_wald_estimate("events")
+
+
+@query("iv_wald_view_purchase", _iv_oracle())
+def iv_wald_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable Wald estimate of view count's effect on
+    purchase value (experiment.iv_wald_estimate): arm as the random
+    instrument, ITT rescaled by the first stage — the causal dose
+    answer OLS confounds; one user fold, 2-arm aggregate."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        iv_wald_estimate,
+    )
+
+    return iv_wald_estimate(_t(spark, sf_dir, "events"))
+
+
+def _pacf_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_pacf_daily
+
+    return sql_pacf_daily("events")
+
+
+@query("pacf_daily_events", _pacf_oracle())
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 (stats.pacf_daily):
+    Durbin-Levinson unrolled to closed form over global-mean
+    autocovariances — the AR-order probe next to autocorr_daily_events;
+    three lag windows folded in one aggregate."""
+    from asctb_ct_label_mapper_spark.operators.stats import pacf_daily
+
+    return pacf_daily(_t(spark, sf_dir, "events"))
+
+
+def _hurst_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_hurst_rs_daily,
+    )
+
+    return sql_hurst_rs_daily("events")
+
+
+@query("hurst_daily_events", _hurst_oracle())
+def hurst_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis
+    (timeseries.hurst_rs_daily): per-block R/S over three block sizes,
+    log-log OLS slope — persistence vs mean reversion of the daily
+    series; partitioned block windows, never a global sort."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        hurst_rs_daily,
+    )
+
+    return hurst_rs_daily(_t(spark, sf_dir, "events"))

@@ -127,6 +127,9 @@ TARGETS = {
     "chow_test_daily_events": "Chow test (r12f): day spine -> ONE 3-segment conditional aggregate -> one-row F arithmetic",
     "adamic_adar_trade": "Adamic-Adar (r12f): symmetrized census join on the witness, broadcast degrees, parameter-sized rank window",
     "neyman_sample_events": "Neyman sampling (r12f): moment fold -> broadcast allocation -> hash FILTER draw (no fact-grain sort)",
+    "iv_wald_view_purchase": "IV/Wald (r12g): one user fold -> 2-arm aggregate -> one-row ratio",
+    "pacf_daily_events": "PACF (r12g): day spine -> three lag windows in ONE aggregate -> unrolled Durbin-Levinson -> 3-row unpivot",
+    "hurst_daily_events": "Hurst R/S (r12g): (sizes x days) grid, block-PARTITIONED cumsum windows, 3-row log-log fit broadcast back",
 }
 
 
