@@ -1480,16 +1480,22 @@ def markov_steady_state(
     from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
 
     tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
-    n_cells = tm.count()
-    if n_cells > max_collect_rows:
+    # limit-probe bounded collect (ONE job — the transition matrix's
+    # fact-grain lead window runs once, not count()-then-collect()
+    # twice; the graph module's _guard_local_collect shape)
+    probe = (
+        tm.select("from_type", "to_type", "p")
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(probe) > max_collect_rows:
         raise GroupBoundExceeded(
-            f"markov_steady_state: {n_cells} transition cells > "
-            f"max_collect_rows={max_collect_rows}; the local impl folds "
-            "on the driver — this is a dimension-grain operator"
+            f"markov_steady_state: > {max_collect_rows} transition "
+            "cells (max_collect_rows); the local impl folds on the "
+            "driver — this is a dimension-grain operator"
         )
     cells = sorted(
-        ((r["from_type"], r["to_type"], float(r["p"]))
-         for r in tm.select("from_type", "to_type", "p").collect()),
+        ((r["from_type"], r["to_type"], float(r["p"])) for r in probe),
         key=lambda t: (t[0], t[1]),
     )
     states = sorted({c[0] for c in cells} | {c[1] for c in cells})

@@ -1621,25 +1621,32 @@ def quality_threshold_sweep(
     grid = spark.createDataFrame(
         [(t,) for t in range(6)], "min_rules_passed int"
     )
+    # LEFT join (r12 review finding): a threshold NO document reaches
+    # must still emit its n_docs=0 row — "everything dies here" is the
+    # planner readout this table exists for
     joined = grid.join(
-        F.broadcast(by_score), F.col("_score") >= F.col("min_rules_passed")
+        F.broadcast(by_score),
+        F.col("_score") >= F.col("min_rules_passed"),
+        "left",
     ).groupBy("min_rules_passed").agg(
         F.sum("_docs").alias("n_docs"), F.sum("_words").alias("n_words")
     )
     totals = by_score.agg(
         F.sum("_docs").alias("_td"), F.sum("_words").alias("_tw")
     )
+    n_docs = F.coalesce("n_docs", F.lit(0))
+    n_words = F.coalesce("n_words", F.lit(0))
     return (
         joined.crossJoin(F.broadcast(totals))
         .select(
             "min_rules_passed",
-            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            n_docs.alias("n_docs"),
+            n_words.alias("n_words"),
             F.round(
-                F.col("n_docs").cast("double") / F.col("_td"), 6
+                n_docs.cast("double") / F.col("_td"), 6
             ).alias("doc_frac"),
             F.round(
-                F.col("n_words").cast("double") / F.col("_tw"), 6
+                n_words.cast("double") / F.col("_tw"), 6
             ).alias("word_frac"),
         )
     )
@@ -1665,15 +1672,15 @@ def sql_quality_threshold_sweep(
     joined AS (
         SELECT g.min_rules_passed,
             sum(b.docs) AS n_docs, sum(b.words) AS n_words
-        FROM grid g JOIN by_score b ON b.score >= g.min_rules_passed
+        FROM grid g LEFT JOIN by_score b ON b.score >= g.min_rules_passed
         GROUP BY 1
     ), totals AS (
         SELECT sum(docs) AS td, sum(words) AS tw FROM by_score
     )
     SELECT min_rules_passed,
         coalesce(n_docs, 0) AS n_docs, coalesce(n_words, 0) AS n_words,
-        round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_frac,
-        round(CAST(n_words AS DOUBLE) / tw, 6) AS word_frac
+        round(CAST(coalesce(n_docs, 0) AS DOUBLE) / td, 6) AS doc_frac,
+        round(CAST(coalesce(n_words, 0) AS DOUBLE) / tw, 6) AS word_frac
     FROM joined CROSS JOIN totals
     """
 

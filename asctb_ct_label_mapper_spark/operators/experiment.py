@@ -2089,7 +2089,22 @@ def msprt_conversion_daily(
             )
         ).alias("conv_d"),
     )
-    spine = per_user.select(F.col("entry_d").alias("day")).distinct()
+    # spine = every day anything CHANGES: entry days ∪ conversion days.
+    # Entry days alone silently dropped conversions landing on a
+    # non-entry day from the cumulative counts forever (r12 review
+    # finding — the oracle shared the bug, so parity stayed green while
+    # the statistic was wrong); between-change days carry no new
+    # information, so the snapshot grain is still exactly "what the
+    # experimenter saw that evening".
+    spine = (
+        per_user.select(F.col("entry_d").alias("day"))
+        .union(
+            per_user.filter(F.col("conv_d").isNotNull()).select(
+                F.col("conv_d").alias("day")
+            )
+        )
+        .distinct()
+    )
     entries = per_user.groupBy(F.col("entry_d").alias("day")).agg(
         F.sum(F.when(_arm("u") == 0, 1).otherwise(0)).alias("_e0"),
         F.sum(F.when(_arm("u") == 1, 1).otherwise(0)).alias("_e1"),
@@ -2190,7 +2205,12 @@ def sql_msprt_conversion_daily(
         FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
         GROUP BY 1
     ), spine AS (
-        SELECT DISTINCT entry_d AS day FROM per_user
+        -- entry days UNION conversion days (r12 review finding)
+        SELECT DISTINCT day FROM (
+            SELECT entry_d AS day FROM per_user
+            UNION ALL
+            SELECT conv_d FROM per_user WHERE conv_d IS NOT NULL
+        )
     ), entries AS (
         SELECT entry_d AS day,
             sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS e0,
@@ -2319,13 +2339,23 @@ def qte_metric(
     a1 = qs_df.filter(F.col("arm") == 1).select(
         "q", F.col("n").alias("n1"), F.col("_val").alias("_v1")
     )
-    return a0.join(a1, "q").select(
-        F.round("q", 2).alias("q"),
-        "n0",
-        "n1",
-        F.round("_v0", 6).alias("q0"),
-        F.round("_v1", 6).alias("q1"),
-        F.round(F.col("_v1") - F.col("_v0"), 6).alias("qte"),
+    # LEFT joins off the literal q grid (r12 review finding): an empty
+    # arm must yield all |qs| rows with n=0 and NULL quantiles — the
+    # oracle's conditional-sum shape — not an empty inner join.
+    grid = events.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        grid.join(a0, "q", "left")
+        .join(a1, "q", "left")
+        .select(
+            F.round("q", 2).alias("q"),
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.round("_v0", 6).alias("q0"),
+            F.round("_v1", 6).alias("q1"),
+            F.round(F.col("_v1") - F.col("_v0"), 6).alias("qte"),
+        )
     )
 
 

@@ -2905,12 +2905,16 @@ def conformal_daily_forecast(
     integers except the bounds."""
     from pyspark.sql import Window
 
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    daily = (
-        events.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("y"))
+    # CALENDAR-spined series (r12 review finding): lag(y, season) must
+    # be `season` DAYS back, not rows back — one missing calendar day
+    # would otherwise shift every later forecast off its weekday. Same
+    # zero-fill contract as the other daily operators.
+    daily = _daily_series(events, ts_col).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("y"),
     )
     w_lag = Window.orderBy("day")
     fc = daily.select(
@@ -2944,6 +2948,11 @@ def conformal_daily_forecast(
         )
         .select(F.col("_score").alias("_q"))
     )
+    # reduce to EXACTLY one row (NULL when the calibration set is
+    # empty) — the oracle's scalar subquery returns NULL there and
+    # still emits the test rows; an empty cross join would drop them
+    # (r12 review finding)
+    q = q.agg(F.min("_q").alias("_q"))
     return (
         fc.filter(F.col("_rn") > n_cal)
         .crossJoin(F.broadcast(q))
@@ -2969,17 +2978,19 @@ def sql_conformal_daily_forecast(
     season: int = 7,
     where: str = "1=1",
 ) -> str:
-    """DuckDB replay of ``conformal_daily_forecast`` (same seasonal-naive
-    lag, same floor split, same integer-rank order statistic)."""
+    """DuckDB replay of ``conformal_daily_forecast`` (same calendar
+    spine, same seasonal-naive day-lag, same floor split, same
+    integer-rank order statistic)."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
     return f"""
-    WITH daily AS (
-        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
-            count(*) AS y
-        FROM {table} WHERE ({where}) AND {ts_col} IS NOT NULL
-        GROUP BY 1
+    WITH {_sql_daily_series(table, ts_col, where)}, dstr AS (
+        SELECT strftime(d, '%Y-%m-%d') AS day, c AS y FROM series
     ), fc AS (
         SELECT day, y, lag(y, {season}) OVER (ORDER BY day) AS yhat
-        FROM daily
+        FROM dstr
         QUALIFY yhat IS NOT NULL
     ), idx AS (
         SELECT day, y, yhat,

@@ -140,9 +140,16 @@ def _fixture_dir(name: str) -> str:
     while the other's lazy read-back is scanning it (r12 ADVICE item on
     orc_roundtrip); the pid suffix makes the path unique per session
     while staying stable ACROSS calls within one session (so write-once
-    markers and re-runs still hit their own files)."""
+    markers and re-runs still hit their own files).  Dead processes'
+    leftovers are swept on entry (r12 second review pass — without it
+    every finished run leaks its fixture copies forever)."""
     import os
 
+    from asctb_ct_label_mapper_spark.sources.bucketing import (
+        sweep_stale_pid_dirs,
+    )
+
+    sweep_stale_pid_dirs("/tmp/spark_graft_fixtures", r"_pid(\d+)$")
     return f"/tmp/spark_graft_fixtures/{name}_pid{os.getpid()}"
 
 

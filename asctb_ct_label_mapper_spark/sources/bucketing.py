@@ -50,6 +50,38 @@ def bucket_table_name(sf_dir: str, table: str, n_buckets: int) -> str:
     return f"bkt{n_buckets}_{tag}_{h}_p{os.getpid()}_{table}"
 
 
+def sweep_stale_pid_dirs(root: str, pid_pattern: str) -> int:
+    """Remove sibling per-process artifact directories whose owning
+    process is DEAD — the pid suffix fixes concurrent clobbering
+    (bucket_table_name / queries._fixture_dir), but without a sweep
+    every crashed or finished bench/correctness process leaks one full
+    bucketed-fact copy into the shared directory forever (r12 second
+    review pass: gigabytes per run at the 100x tiers).  Called at
+    ingest time — the moment a new copy is about to be paid for is the
+    cheap moment to reclaim the dead ones.  Liveness = kill(pid, 0);
+    the CURRENT process's own dirs are never touched.  Returns the
+    number of directories removed."""
+    if not os.path.isdir(root):
+        return 0
+    me = os.getpid()
+    removed = 0
+    for entry in os.listdir(root):
+        m = re.search(pid_pattern, entry)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == me:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            removed += 1
+        except PermissionError:
+            continue  # pid alive under another uid — leave it
+    return removed
+
+
 def bucketed_tables_ready(
     spark: SparkSession,
     sf_dir: str,
@@ -93,6 +125,7 @@ def ensure_bucketed_tables(
             wh = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
+            sweep_stale_pid_dirs(wh, r"_p(\d+)_")
             loc = os.path.join(wh, name.lower())
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
