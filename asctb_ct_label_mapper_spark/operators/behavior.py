@@ -1590,3 +1590,272 @@ def sql_markov_steady_state(
     SELECT s AS state, round(pi, 6) AS pi FROM p{iters}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# r12h: shifted-beta-geometric retention projection (Fader-Hardie)
+# ---------------------------------------------------------------------------
+
+
+def sbg_retention_projection(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: int = 6,
+) -> DataFrame:
+    """Project the week-0 cohort's retention curve with the
+    shifted-beta-geometric model (Fader & Hardie, "How to project
+    customer retention"): each user has a latent weekly churn
+    probability θ ~ Beta(α, β), giving survival
+
+        S(t) = S(t−1) · (β + t − 1) / (α + β + t − 1),   S(0) = 1
+
+    — retention RATES RISE over time as the flaky users wash out, the
+    empirical signature a constant-rate geometric model cannot fit
+    (and the reason naive "average churn" extrapolations are always
+    too pessimistic). α, β come from the first two observed survival
+    shares in CLOSED FORM (u = S₁, v = S₂/S₁):
+
+        β = u(1 − v)/(v − u),   α = β(1 − u)/u
+
+    valid when v > u (rising retention — the sBG regime); flat or
+    falling early retention degrades the fit to NULL via the shared
+    guard on both engines rather than extrapolating a model whose
+    premise the data rejects.
+
+    Plan: one (user, week) distinct fold (the only fact pass), the
+    week-0 cohort filter, a week-grain share aggregate, a 1-row
+    closed-form solve, and a ``horizon``-row unrolled product grid.
+    Returns (week, s_observed, s_projected), 6dp — observed NULL past
+    the data window, projected NULL when the sBG regime fails."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    base = df.filter(F.col(ts_col).isNotNull())
+    bounds = base.agg(F.min(F.to_date(ts_col)).alias("_d0"))
+    user_weeks = pooled_persist(
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(user_col).alias("u"),
+            F.floor(
+                F.datediff(F.to_date(ts_col), F.col("_d0")) / F.lit(7)
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = user_weeks.groupBy("u").agg(F.min("wk").alias("_w0")).filter(
+        F.col("_w0") == 0
+    ).select("u")
+    shares = (
+        user_weeks.join(cohort, "u")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    n_cohort = cohort.count()
+    obs = shares.select(
+        "wk",
+        (F.col("n_active") / F.lit(float(n_cohort))).alias("s_obs"),
+    )
+    s1s2 = (
+        obs.filter(F.col("wk").isin(1, 2))
+        .agg(
+            F.max(F.when(F.col("wk") == 1, F.col("s_obs"))).alias("_s1"),
+            F.max(F.when(F.col("wk") == 2, F.col("s_obs"))).alias("_s2"),
+        )
+    )
+    u = F.col("_s1")
+    v = F.try_divide(F.col("_s2"), F.col("_s1"))
+    beta = F.when(
+        v > u, F.try_divide(u * (1.0 - v), v - u)
+    )
+    alpha = F.try_divide(beta * (1.0 - u), u)
+    params = s1s2.select(alpha.alias("_a"), beta.alias("_b"))
+    spark = df.sparkSession
+    grid = spark.range(0, horizon + 1).select(
+        F.col("id").cast("int").alias("week")
+    )
+    # unrolled survival product: S(t) = Π_{i=1..t} (β+i−1)/(α+β+i−1)
+    s_proj = F.lit(1.0)
+    for i in range(1, horizon + 1):
+        term = (F.col("_b") + (i - 1)) / (F.col("_a") + F.col("_b") + (i - 1))
+        s_proj = F.when(F.col("week") >= i, s_proj * term).otherwise(s_proj)
+    return (
+        grid.crossJoin(F.broadcast(params))
+        .join(obs.select(F.col("wk").cast("int").alias("week"), "s_obs"),
+              "week", "left")
+        .select(
+            "week",
+            F.round("s_obs", 6).alias("s_observed"),
+            F.round(s_proj, 6).alias("s_projected"),
+        )
+        .orderBy("week")
+    )
+
+
+def sql_sbg_retention_projection(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: int = 6,
+) -> str:
+    """DuckDB replay of :func:`sbg_retention_projection` — same cohort,
+    shares, closed-form solve, and unrolled survival product."""
+    prods = []
+    for t in range(0, horizon + 1):
+        factors = " * ".join(
+            f"((_b + {i - 1}) / (_a + _b + {i - 1}))"
+            for i in range(1, t + 1)
+        ) or "1.0"
+        prods.append(f"SELECT {t} AS week, {factors} AS sp FROM params")
+    proj_union = "\n        UNION ALL ".join(prods)
+    return f"""
+    WITH bounds AS (
+        SELECT CAST(min({ts_col}) AS DATE) AS _d0 FROM {table}
+        WHERE {ts_col} IS NOT NULL
+    ), user_weeks AS (
+        SELECT DISTINCT {user_col} AS u,
+            CAST(floor(datediff('day', bounds._d0,
+                                CAST({ts_col} AS DATE)) / 7.0)
+                 AS BIGINT) AS wk
+        FROM {table} CROSS JOIN bounds
+        WHERE {ts_col} IS NOT NULL
+    ), cohort AS (
+        SELECT u FROM user_weeks GROUP BY u HAVING min(wk) = 0
+    ), obs AS (
+        SELECT wk,
+            count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM cohort)
+                AS s_obs
+        FROM user_weeks JOIN cohort USING (u)
+        GROUP BY wk
+    ), s1s2 AS (
+        SELECT
+            max(CASE WHEN wk = 1 THEN s_obs END) AS _s1,
+            max(CASE WHEN wk = 2 THEN s_obs END) AS _s2
+        FROM obs
+    ), params AS (
+        SELECT
+            CASE WHEN _s2 / nullif(_s1, 0.0) > _s1
+                 THEN (_s1 * (1.0 - _s2 / nullif(_s1, 0.0)))
+                      / nullif(_s2 / nullif(_s1, 0.0) - _s1, 0.0)
+            END * (1.0 - _s1) / nullif(_s1, 0.0) AS _a,
+            CASE WHEN _s2 / nullif(_s1, 0.0) > _s1
+                 THEN (_s1 * (1.0 - _s2 / nullif(_s1, 0.0)))
+                      / nullif(_s2 / nullif(_s1, 0.0) - _s1, 0.0)
+            END AS _b
+        FROM s1s2
+    ), proj AS (
+        {proj_union}
+    )
+    SELECT CAST(proj.week AS INT) AS week,
+        round(obs.s_obs, 6) AS s_observed,
+        round(proj.sp, 6) AS s_projected
+    FROM proj LEFT JOIN obs ON obs.wk = proj.week
+    ORDER BY week
+    """
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = 30,
+    max_collect_rows: int = 100_000,
+) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain:
+
+        H = −Σ_i π_i Σ_j p_ij ln p_ij        (nats/step)
+
+    with π the :func:`markov_steady_state` distribution — how
+    PREDICTABLE the next event is once the chain has mixed, in one
+    number: H = 0 is a deterministic loop, ln|types| is uniform
+    chaos. ``perplexity = e^H`` reads as "effective branching factor"
+    (the language-model convention, same units as the bigram-ppl text
+    readout). The one-number summary on top of the transition matrix /
+    steady-state pair.
+
+    Plan: the steady-state driver fold (limit-probe bounded collect,
+    one fact pass) plus a cell-grain entropy sum folded on the same
+    collected cells. Returns one row (n_states, entropy_nats,
+    perplexity), 6dp."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
+
+    tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
+    probe = (
+        tm.select("from_type", "to_type", "p")
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(probe) > max_collect_rows:
+        raise GroupBoundExceeded(
+            f"markov_entropy_rate: > {max_collect_rows} transition "
+            "cells (max_collect_rows); dimension-grain operator"
+        )
+    cells = sorted(
+        ((r["from_type"], r["to_type"], float(r["p"])) for r in probe),
+        key=lambda t: (t[0], t[1]),
+    )
+    states = sorted({c[0] for c in cells} | {c[1] for c in cells})
+    schema = StructType(
+        [
+            StructField("n_states", LongType(), True),
+            StructField("entropy_nats", DoubleType(), True),
+            StructField("perplexity", DoubleType(), True),
+        ]
+    )
+    if not states:
+        return df.sparkSession.createDataFrame([], schema)
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    pi = [1.0 / n] * n
+    for _ in range(iters):
+        nxt = [0.0] * n
+        for frm, to, p in cells:
+            nxt[idx[to]] += pi[idx[frm]] * p
+        tot = sum(nxt)
+        pi = [x / tot for x in nxt] if tot > 0 else [1.0 / n] * n
+    h = -sum(
+        pi[idx[frm]] * p * math.log(p) for frm, _, p in cells if p > 0
+    )
+    return df.sparkSession.createDataFrame(
+        [(n, round(h, 6), round(math.exp(h), 6))], schema
+    )
+
+
+def sql_markov_entropy_rate(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = 30,
+) -> str:
+    """DuckDB replay of :func:`markov_entropy_rate` — the steady-state
+    CTE chain (sql_markov_steady_state, UNROUNDED π) with the entropy
+    fold as the final select.  π must stay raw here: the Spark fold
+    never rounds π internally either — only the steady-state QUERY's
+    output does."""
+    chain = sql_markov_steady_state(
+        table, ts_col, key_col, type_col, id_col, iters
+    )
+    # keep the CTE chain, swap the final SELECT for the entropy fold
+    body = chain.rsplit("SELECT s AS state", 1)[0]
+    return (
+        body
+        + f"""
+    SELECT (SELECT count(*) FROM states) AS n_states,
+        round(-sum(p.pi * tm.p * ln(tm.p)), 6) AS entropy_nats,
+        round(exp(-sum(p.pi * tm.p * ln(tm.p))), 6) AS perplexity
+    FROM tm JOIN p{iters} p ON tm.from_type = p.s
+    WHERE tm.p > 0
+    """
+    )

@@ -3005,3 +3005,153 @@ def sql_pacf_daily(table: str = "events", ts_col: str = "ts") -> str:
         FROM dl2
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# r12h: Granger-style predictive-causality F-test
+# ---------------------------------------------------------------------------
+
+
+def granger_daily(
+    df: DataFrame,
+    cause_type: str = "view",
+    effect_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Granger(1) predictive-causality test on the daily pair series:
+    does YESTERDAY's ``cause_type`` count improve today's
+    ``effect_type`` forecast beyond what yesterday's effect count
+    already gives —
+
+        restricted:    y_t ~ 1 + y_{t−1}                (SSE_r)
+        unrestricted:  y_t ~ 1 + y_{t−1} + x_{t−1}      (SSE_u)
+        F = (SSE_r − SSE_u) / (SSE_u / (n − 3))
+
+    the DIRECTIONAL upgrade of :func:`xcorr_daily` (correlation at a
+    lag is symmetric; Granger asks whether x adds information GIVEN
+    y's own history). Both regressions are closed-form: the restricted
+    from the five 1-feature sums, the unrestricted from the nine
+    2-feature sums via Cramer (the :func:`ols_two_feature` algebra) —
+    identical arithmetic on both engines; a singular design (constant
+    series) degrades to NULL via try_divide.
+
+    Plan: ONE conditional date aggregate (the shared `_daily_pair`
+    spine — the only fact pass), two lag windows, one 11-sum aggregate,
+    one-row algebra. Returns one row (n, sse_r, sse_u, f_stat, df2,
+    beta_cause), 6dp; beta_cause is the unrestricted x-lag coefficient
+    (sign and size of the flow)."""
+    from pyspark.sql import Window
+
+    pair = _daily_pair(df, cause_type, effect_type, ts_col, type_col)
+    w = Window.orderBy("d")
+    rows = pair.select(
+        F.col("cb").cast("double").alias("y"),
+        F.lag("cb").over(w).cast("double").alias("yl"),
+        F.lag("ca").over(w).cast("double").alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    s = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("yl").alias("s1"),
+        F.sum("xl").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s12"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("yl") * F.col("y")).alias("s1y"),
+        F.sum(F.col("xl") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+        )
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = (
+        F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    )
+    # restricted: y ~ 1 + yl
+    b_r = F.try_divide(n * s1y - s1 * sy, n * s11 - s1 * s1)
+    a_r = (sy - b_r * s1) / n
+    sse_r = syy - a_r * sy - b_r * s1y
+    # unrestricted: y ~ 1 + yl + xl (Cramer, the ols_two_feature algebra)
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    b0 = F.try_divide(det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22), det)
+    b1 = F.try_divide(det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22), det)
+    b2 = F.try_divide(det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y), det)
+    sse_u = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    f_stat = F.try_divide(
+        sse_r - sse_u, F.try_divide(sse_u, n - 3.0)
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(sse_r, 6).alias("sse_r"),
+        F.round(sse_u, 6).alias("sse_u"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (n - 3.0).cast("long").alias("df2"),
+        F.round(b2, 6).alias("beta_cause"),
+    )
+
+
+def sql_granger_daily(
+    cause_type: str = "view",
+    effect_type: str = "purchase",
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`granger_daily` — same spine, lags,
+    sums, Cramer determinants, and F arithmetic."""
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    det = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    b0 = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    b1 = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    b2 = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    return f"""
+    WITH {_sql_daily_pair(cause_type, effect_type, table, ts_col,
+                          type_col)}, lagged AS (
+        SELECT CAST(cb AS DOUBLE) AS y,
+            CAST(lag(cb) OVER (ORDER BY d) AS DOUBLE) AS yl,
+            CAST(lag(ca) OVER (ORDER BY d) AS DOUBLE) AS xl
+        FROM daily
+        QUALIFY yl IS NOT NULL
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            sum(yl) AS s1, sum(xl) AS s2,
+            sum(yl * yl) AS s11, sum(yl * xl) AS s12,
+            sum(xl * xl) AS s22, sum(y) AS sy,
+            sum(yl * y) AS s1y, sum(xl * y) AS s2y, sum(y * y) AS syy
+        FROM lagged
+    ), fits AS (
+        SELECT n, sy, s1y, s2y, syy,
+            (n * s1y - s1 * sy) / nullif(n * s11 - s1 * s1, 0.0) AS b_r,
+            {b0} / nullif({det}, 0.0) AS b0,
+            {b1} / nullif({det}, 0.0) AS b1,
+            {b2} / nullif({det}, 0.0) AS b2,
+            s1
+        FROM s
+    ), sses AS (
+        SELECT n,
+            syy - ((sy - b_r * s1) / n) * sy - b_r * s1y AS sse_r,
+            syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse_u,
+            b2
+        FROM fits
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+        round(sse_r, 6) AS sse_r, round(sse_u, 6) AS sse_u,
+        round((sse_r - sse_u)
+              / nullif(sse_u / nullif(n - 3.0, 0.0), 0.0), 6) AS f_stat,
+        CAST(n - 3.0 AS BIGINT) AS df2,
+        round(b2, 6) AS beta_cause
+    FROM sses
+    """

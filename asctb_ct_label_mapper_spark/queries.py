@@ -9576,3 +9576,71 @@ def hurst_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hurst_rs_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12h batch: Granger causality, sBG retention projection, entropy rate
+# ---------------------------------------------------------------------------
+
+
+def _granger_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_granger_daily
+
+    return sql_granger_daily("view", "purchase")
+
+
+@query("granger_view_purchase", _granger_oracle())
+def granger_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger(1) predictive causality from daily views to daily
+    purchases (stats.granger_daily): does yesterday's view count add
+    forecast power beyond purchase history — restricted-vs-Cramer
+    unrestricted SSEs off one 11-sum aggregate on the shared pair
+    spine; the directional upgrade of xcorr_view_purchase."""
+    from asctb_ct_label_mapper_spark.operators.stats import granger_daily
+
+    return granger_daily(_t(spark, sf_dir, "events"), "view", "purchase")
+
+
+def _sbg_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_sbg_retention_projection,
+    )
+
+    return sql_sbg_retention_projection("events")
+
+
+@query("sbg_retention_events", _sbg_oracle())
+def sbg_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted-beta-geometric retention projection
+    (behavior.sbg_retention_projection): closed-form Fader-Hardie fit
+    from the first two weekly survival shares, unrolled survival
+    product — the principled extrapolation next to the empirical
+    cohort_retention_events triangle."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sbg_retention_projection,
+    )
+
+    return sbg_retention_projection(_t(spark, sf_dir, "events"))
+
+
+def _mer_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_markov_entropy_rate,
+    )
+
+    return f"WITH {sql_markov_entropy_rate('events', iters=30)}"
+
+
+@query("markov_entropy_rate_events", _mer_oracle())
+def markov_entropy_rate_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the behavior chain (behavior.markov_entropy_rate):
+    −Σ π_i p_ij ln p_ij over the steady state — next-event
+    predictability as one number, perplexity = effective branching
+    factor; driver fold + unrolled-CTE oracle."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        markov_entropy_rate,
+    )
+
+    return markov_entropy_rate(_t(spark, sf_dir, "events"), iters=30)

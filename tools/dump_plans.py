@@ -130,6 +130,8 @@ TARGETS = {
     "iv_wald_view_purchase": "IV/Wald (r12g): one user fold -> 2-arm aggregate -> one-row ratio",
     "pacf_daily_events": "PACF (r12g): day spine -> three lag windows in ONE aggregate -> unrolled Durbin-Levinson -> 3-row unpivot",
     "hurst_daily_events": "Hurst R/S (r12g): (sizes x days) grid, block-PARTITIONED cumsum windows, 3-row log-log fit broadcast back",
+    "granger_view_purchase": "Granger (r12h): shared pair spine -> two lag windows -> ONE 11-sum aggregate -> one-row Cramer/F",
+    "sbg_retention_events": "sBG projection (r12h): (user,week) distinct fold -> cohort filter -> 1-row solve -> unrolled product grid",
 }
 
 
