@@ -1859,3 +1859,122 @@ def sql_markov_entropy_rate(
     WHERE tm.p > 0
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# r12i: week-over-week audience overlap — the exact sibling of the KMV
+# set-op estimates
+# ---------------------------------------------------------------------------
+
+
+def audience_overlap_weekly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Exact Jaccard overlap of the ACTIVE-USER sets of consecutive
+    weeks: |W_t ∩ W_{t+1}| / |W_t ∪ W_{t+1}| plus the directional
+    retention share (the stickiness_monthly construction at week
+    grain, and the EXACT ground truth the kmv_setops_user_days sketch
+    estimates).  Weeks are 7-day windows anchored at the first event
+    day (the sbg/gumbel block convention).
+
+    Plan: one (user, week) DISTINCT fold (the only fact pass), a
+    self-join on week = week+1 — work ∝ Σ_w |W_w| at user grain, never
+    users² — and a week-grain union-size identity |A∪B| = |A|+|B|−|A∩B|
+    (no second fact pass for the union). Returns
+    (week_a, week_b, n_a, n_b, n_common, jaccard, retained_share),
+    6dp, one row per consecutive pair."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    base = df.filter(F.col(ts_col).isNotNull())
+    bounds = base.agg(F.min(F.to_date(ts_col)).alias("_d0"))
+    uw = pooled_persist(
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(user_col).alias("u"),
+            F.floor(
+                F.datediff(F.to_date(ts_col), F.col("_d0")) / F.lit(7)
+            ).cast("int").alias("wk"),
+        )
+        .distinct()
+    )
+    sizes = uw.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
+    a, b = uw.alias("a"), uw.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+        )
+        .groupBy(F.col("a.wk").alias("week_a"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("wk").alias("week_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(
+        (F.col("wk") - 1).alias("week_a"), F.col("n").alias("n_b")
+    )
+    j = (
+        sa.join(sb, "week_a")
+        .join(common, "week_a", "left")
+        .select(
+            "week_a",
+            (F.col("week_a") + 1).alias("week_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return j.select(
+        "week_a",
+        "week_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(F.try_divide(F.col("n_common").cast("double"), union), 6)
+        .alias("jaccard"),
+        F.round(
+            F.try_divide(F.col("n_common").cast("double"), F.col("n_a")), 6
+        ).alias("retained_share"),
+    ).orderBy("week_a")
+
+
+def sql_audience_overlap_weekly(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> str:
+    """DuckDB replay of :func:`audience_overlap_weekly` — same anchor,
+    distinct fold, self-join, and union identity."""
+    return f"""
+    WITH bounds AS (
+        SELECT CAST(min({ts_col}) AS DATE) AS _d0 FROM {table}
+        WHERE {ts_col} IS NOT NULL
+    ), uw AS (
+        SELECT DISTINCT {user_col} AS u,
+            CAST(floor(datediff('day', bounds._d0,
+                                CAST({ts_col} AS DATE)) / 7.0) AS INT)
+                AS wk
+        FROM {table} CROSS JOIN bounds
+        WHERE {ts_col} IS NOT NULL
+    ), sizes AS (
+        SELECT wk, count(*) AS n FROM uw GROUP BY 1
+    ), common AS (
+        SELECT a.wk AS week_a, count(*) AS n_common
+        FROM uw a JOIN uw b ON a.u = b.u AND b.wk = a.wk + 1
+        GROUP BY 1
+    )
+    SELECT sa.wk AS week_a, sa.wk + 1 AS week_b,
+        sa.n AS n_a, sb.n AS n_b,
+        coalesce(c.n_common, 0) AS n_common,
+        round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+              / nullif(sa.n + sb.n - coalesce(c.n_common, 0), 0), 6)
+            AS jaccard,
+        round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+              / nullif(sa.n, 0), 6) AS retained_share
+    FROM sizes sa
+    JOIN sizes sb ON sb.wk = sa.wk + 1
+    LEFT JOIN common c ON c.week_a = sa.wk
+    ORDER BY week_a
+    """

@@ -557,3 +557,126 @@ def sql_attribution_position(
                        ELSE 0.2 / (n - 2) END), 6) AS credit
     FROM scored GROUP BY touch_type
     """
+
+
+# ---------------------------------------------------------------------------
+# r12i: journey edit-distance matrix — how far apart the common paths are
+# ---------------------------------------------------------------------------
+
+
+def journey_distance_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Pairwise Levenshtein distance between the ``top_k`` most common
+    per-(user, day) journeys, on the one-letter-per-event alphabet
+    (v/c/p/s/e…): the journey-SIMILARITY readout on top of
+    :func:`user_journeys`' assembly — which frequent paths are one
+    edit apart (a variant worth merging in a funnel definition) vs
+    structurally different behaviors.
+
+    Letters come from the event type's first character (injective on
+    this schema's vocabulary); similarity = 1 − lev/max(len) is the
+    usual normalized form. Both engines ship the SAME classical
+    Levenshtein, so parity is exact.
+
+    Plan: the user_journeys one-shuffle assembly, a path-grain count +
+    top-k rank (count desc, path asc — injective), then a k²/2 pair
+    cross of the BROADCAST top-k frame; the quadratic never touches
+    more than ``top_k`` rows. Returns (path_a, path_b, n_a, n_b,
+    lev, similarity), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cell = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col),
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.substring(F.col(type_col), 1, 1).alias("et"),
+        ).alias("s"),
+    )
+    # the user_journeys assembly (array_sort over (ts, id, letter)
+    # structs — one groupBy shuffle, oracle-identical ordering), on the
+    # one-letter alphabet
+    paths = cell.groupBy(user_col, "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")),
+                lambda x: x.getField("et"),
+            ),
+            "",
+        ).alias("p")
+    ).select("p")
+    top = pooled_persist(
+        paths.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("p").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+    a = top.select(F.col("p").alias("path_a"), F.col("n").alias("n_a"))
+    b = top.select(F.col("p").alias("path_b"), F.col("n").alias("n_b"))
+    lev = F.levenshtein(F.col("path_a"), F.col("path_b"))
+    mx = F.greatest(F.length("path_a"), F.length("path_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("path_a") < F.col("path_b"))
+        .select(
+            "path_a",
+            "path_b",
+            "n_a",
+            "n_b",
+            lev.alias("lev"),
+            F.round(
+                1.0 - F.try_divide(lev.cast("double"), mx), 6
+            ).alias("similarity"),
+        )
+    )
+
+
+def sql_journey_distance_matrix(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    top_k: int = 10,
+) -> str:
+    """DuckDB replay of :func:`journey_distance_matrix` — same path
+    assembly (ordered string_agg), letter compression, top-k rank, and
+    Levenshtein pairing."""
+    return f"""
+    WITH cell AS (
+        SELECT {user_col} AS u,
+            strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+            string_agg(substr({type_col}, 1, 1), ''
+                       ORDER BY {ts_col}, {id_col}) AS p
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT p, n FROM (
+            SELECT p, count(*) AS n,
+                row_number() OVER (ORDER BY count(*) DESC, p ASC) AS _rk
+            FROM cell GROUP BY p
+        ) WHERE _rk <= {top_k}
+    )
+    SELECT a.p AS path_a, b.p AS path_b, a.n AS n_a, b.n AS n_b,
+        levenshtein(a.p, b.p) AS lev,
+        round(1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE)
+              / nullif(greatest(length(a.p), length(b.p)), 0), 6)
+            AS similarity
+    FROM top a JOIN top b ON a.p < b.p
+    """

@@ -3155,3 +3155,141 @@ def sql_granger_daily(
         round(b2, 6) AS beta_cause
     FROM sses
     """
+
+
+# ---------------------------------------------------------------------------
+# r12i: index-of-dispersion test — is this count series even Poisson
+# ---------------------------------------------------------------------------
+
+
+def dispersion_test_by_type(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean) test per event type's
+    daily count series: D = s²/x̄ with the chi-square statistic
+    (n−1)·D ~ χ²_{n−1} under the Poisson null — the modeling GATE in
+    front of every "events are Poisson" assumption downstream (rate
+    CIs, anomaly thresholds, the p-chart): D ≫ 1 is overdispersion
+    (bursty, negative-binomial territory — burstiness_hist_users'
+    population-level sibling), D ≪ 1 under-dispersion (throttled or
+    deduplicated feeds).
+
+    The verdict uses the normal approximation to χ²_{n−1} via the
+    shared A&S polynomial (√(2χ²) − √(2(n−1)−1) ~ N(0,1), Fisher's
+    approximation — identical literals both engines).
+
+    Plan: one conditional date aggregate per type (single fact pass),
+    calendar-spined (missing days are genuine zeros), then a
+    type-grain moment fold. Returns one row per type
+    (event_type, n_days, mean, variance, dispersion, chi2, z, p_value),
+    6dp."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # spine per type: cross the global calendar with the type list so
+    # zero days count (the corr_matrix construction at cell grain)
+    counts = pooled_persist(counts)
+    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = counts.select("typ").distinct()
+    spine = cal.crossJoin(types).join(counts, ["d", "typ"], "left").select(
+        "typ", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    )
+    mom = spine.groupBy("typ").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n")
+    mean = F.col("s") / n
+    var = F.try_divide(
+        F.col("ss") - F.try_divide(F.col("s") * F.col("s"), n), n - 1.0
+    )
+    disp = F.try_divide(var, mean)
+    chi2 = (n - 1.0) * disp
+    z = F.sqrt(2.0 * chi2) - F.sqrt(2.0 * (n - 1.0) - 1.0)
+    out = mom.select(
+        F.col("typ").alias("event_type"),
+        n.cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    return out.select(
+        "event_type",
+        "n_days",
+        "mean",
+        "variance",
+        "dispersion",
+        "chi2",
+        "z",
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_dispersion_test_by_type(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`dispersion_test_by_type` — same spine,
+    moments, Fisher approximation, and A&S polynomial."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    return f"""
+    WITH counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
+            count(*) AS c
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), spine AS (
+        SELECT t.typ, CAST(coalesce(counts.c, 0) AS DOUBLE) AS c
+        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
+        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    ), mom AS (
+        SELECT typ, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+            sum(c * c) AS ss
+        FROM spine GROUP BY 1
+    ), stat AS (
+        SELECT typ, n, s / n AS mean,
+            (ss - s * s / n) / nullif(n - 1.0, 0.0) AS var
+        FROM mom
+    ), full_stat AS (
+        SELECT typ, n, mean, var,
+            var / nullif(mean, 0.0) AS disp,
+            (n - 1.0) * var / nullif(mean, 0.0) AS chi2,
+            sqrt(2.0 * (n - 1.0) * var / nullif(mean, 0.0))
+                - sqrt(2.0 * (n - 1.0) - 1.0) AS z
+        FROM stat
+    )
+    SELECT typ AS event_type, CAST(n AS BIGINT) AS n_days,
+        round(mean, 6) AS mean, round(var, 6) AS variance,
+        round(disp, 6) AS dispersion, round(chi2, 6) AS chi2,
+        round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM full_stat
+    """

@@ -2388,3 +2388,92 @@ def sql_emd_length_matrix(
     WHERE a.gap IS NOT NULL
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# r12i: Heaps-law fit — the vocabulary-growth exponent as numbers
+# ---------------------------------------------------------------------------
+
+
+def heaps_fit(
+    df: DataFrame,
+    n: int = 2,
+    n_shards: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit Heaps' law V = K·N^β to the :func:`vocab_growth` curve by
+    log-log OLS — the two numbers (K, β) that let a 100 TB ingest plan
+    EXTRAPOLATE vocabulary (and therefore sketch/dictionary sizing)
+    from a pilot shard, instead of eyeballing the curve: β ≈ 0.4–0.6
+    is natural text, β → 1 means near-unbounded novelty (ids, noise),
+    β → 0 a closed vocabulary.
+
+        ln V_s = ln K + β · ln N_s  over the shard-grain curve points
+
+    with r² as the usual fit gauge (Heaps is an asymptotic law; a low
+    r² here is itself the finding). Zero-vocab shards (no points) and
+    degenerate single-point curves degrade to NULL via try_divide.
+
+    Plan: the vocab_growth single-pass rewrite (one corpus pass) plus
+    an ``n_shards``-row OLS fold — nothing new touches the corpus.
+    Returns one row (n_points, k_coef, beta, r2), 6dp."""
+    curve = vocab_growth(df, n, n_shards, text_col, id_col).filter(
+        (F.col("vocab_size") > 0) & (F.col("corpus_grams") > 0)
+    )
+    lx = F.log(F.col("corpus_grams").cast("double"))
+    ly = F.log(F.col("vocab_size").cast("double"))
+    s = curve.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    nn = F.col("n")
+    cov = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = F.try_divide(cov, varx)
+    lnk = (F.col("sy") - beta * F.col("sx")) / nn
+    r2 = F.try_divide(cov * cov, varx * vary)
+    return s.select(
+        nn.cast("long").alias("n_points"),
+        F.round(F.exp(lnk), 6).alias("k_coef"),
+        F.round(beta, 6).alias("beta"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def sql_heaps_fit(
+    table: str = "documents",
+    n: int = 2,
+    n_shards: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`heaps_fit` — the vocab_growth oracle as
+    a CTE plus the same log-log sufficient statistics."""
+    vg = sql_vocab_growth(table, n, n_shards, text_col, id_col)
+    return f"""
+    WITH vg AS ({vg}), pts AS (
+        SELECT ln(CAST(corpus_grams AS DOUBLE)) AS x,
+            ln(CAST(vocab_size AS DOUBLE)) AS y
+        FROM vg WHERE vocab_size > 0 AND corpus_grams > 0
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+        round(exp((sy - (n * sxy - sx * sy)
+                        / nullif(n * sxx - sx * sx, 0.0) * sx) / n), 6)
+            AS k_coef,
+        round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+            AS beta,
+        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+            AS r2
+    FROM s
+    """

@@ -9644,3 +9644,90 @@ def markov_entropy_rate_events(
     )
 
     return markov_entropy_rate(_t(spark, sf_dir, "events"), iters=30)
+
+
+# ---------------------------------------------------------------------------
+# r12i batch: Heaps fit, audience overlap, dispersion test, journey distance
+# ---------------------------------------------------------------------------
+
+
+def _heaps_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import sql_heaps_fit
+
+    return sql_heaps_fit("documents")
+
+
+@query("heaps_fit_docs", _heaps_oracle())
+def heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law (K, β) fit of the vocabulary-growth curve
+    (textstats.heaps_fit): log-log OLS over the single-pass
+    vocab_growth shards — the extrapolation numbers a 100 TB ingest
+    sizes dictionaries and sketches with."""
+    from asctb_ct_label_mapper_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+def _overlap_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_audience_overlap_weekly,
+    )
+
+    return sql_audience_overlap_weekly("events")
+
+
+@query("audience_overlap_weeks", _overlap_oracle())
+def audience_overlap_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact week-over-week active-user Jaccard + retained share
+    (behavior.audience_overlap_weekly): the ground truth the
+    kmv_setops_user_days sketch estimates — one (user, week) distinct
+    fold, shifted self-join, union identity."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        audience_overlap_weekly,
+    )
+
+    return audience_overlap_weekly(_t(spark, sf_dir, "events"))
+
+
+def _disp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_dispersion_test_by_type,
+    )
+
+    return sql_dispersion_test_by_type("events")
+
+
+@query("dispersion_test_event_types", _disp_oracle())
+def dispersion_test_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-to-mean index-of-dispersion test per event type
+    (stats.dispersion_test_by_type): the is-it-even-Poisson gate in
+    front of rate CIs / p-charts; Fisher's χ² normal approximation via
+    the shared A&S polynomial."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        dispersion_test_by_type,
+    )
+
+    return dispersion_test_by_type(_t(spark, sf_dir, "events"))
+
+
+def _jdist_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        sql_journey_distance_matrix,
+    )
+
+    return sql_journey_distance_matrix("events")
+
+
+@query("journey_distance_events", _jdist_oracle())
+def journey_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein between the 10 most common daily journeys
+    (funnel.journey_distance_matrix): which frequent paths are one
+    edit apart — the user_journeys assembly on a one-letter alphabet,
+    then a broadcast k² pair cross."""
+    from asctb_ct_label_mapper_spark.operators.funnel import (
+        journey_distance_matrix,
+    )
+
+    return journey_distance_matrix(_t(spark, sf_dir, "events"))

@@ -132,6 +132,10 @@ TARGETS = {
     "hurst_daily_events": "Hurst R/S (r12g): (sizes x days) grid, block-PARTITIONED cumsum windows, 3-row log-log fit broadcast back",
     "granger_view_purchase": "Granger (r12h): shared pair spine -> two lag windows -> ONE 11-sum aggregate -> one-row Cramer/F",
     "sbg_retention_events": "sBG projection (r12h): (user,week) distinct fold -> cohort filter -> 1-row solve -> unrolled product grid",
+    "heaps_fit_docs": "Heaps fit (r12i): vocab_growth single pass -> n_shards-row log-log OLS fold",
+    "audience_overlap_weeks": "audience overlap (r12i): (user,week) distinct fold -> shifted self-join -> union identity from week sizes",
+    "dispersion_test_event_types": "dispersion test (r12i): (day,type) aggregate -> calendar x types spine -> type-grain moments",
+    "journey_distance_events": "journey distance (r12i): one-shuffle path assembly -> top-k rank -> broadcast k^2 levenshtein cross",
 }
 
 
