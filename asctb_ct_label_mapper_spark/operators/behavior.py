@@ -1452,6 +1452,57 @@ def sql_churn_rate_periodic(
 # ---------------------------------------------------------------------------
 
 
+def _markov_chain_fold(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    id_col: str,
+    iters: int,
+    max_collect_rows: int,
+    label: str,
+):
+    """THE shared driver fold behind :func:`markov_steady_state` and
+    :func:`markov_entropy_rate` (r12 second review pass: two hand-kept
+    copies of the probe/guard/power-iteration block is the _daily_pair
+    drift class): limit-probe bounded collect of the transition matrix
+    (ONE job — the fact-grain lead window runs once, the graph module's
+    _guard_local_collect shape), then the L1-renormalized power
+    iteration.  Returns (cells, states, pi) — cells sorted
+    (from, to, 6dp-p), states sorted, pi aligned to states."""
+    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
+
+    tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
+    probe = (
+        tm.select("from_type", "to_type", "p")
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(probe) > max_collect_rows:
+        raise GroupBoundExceeded(
+            f"{label}: > {max_collect_rows} transition cells "
+            "(max_collect_rows); the local impl folds on the driver — "
+            "this is a dimension-grain operator"
+        )
+    cells = sorted(
+        ((r["from_type"], r["to_type"], float(r["p"])) for r in probe),
+        key=lambda t: (t[0], t[1]),
+    )
+    states = sorted({c[0] for c in cells} | {c[1] for c in cells})
+    if not states:
+        return cells, states, []
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    pi = [1.0 / n] * n
+    for _ in range(iters):
+        nxt = [0.0] * n
+        for frm, to, p in cells:
+            nxt[idx[to]] += pi[idx[frm]] * p
+        tot = sum(nxt)
+        pi = [v / tot for v in nxt] if tot > 0 else [1.0 / n] * n
+    return cells, states, pi
+
+
 def markov_steady_state(
     df: DataFrame,
     ts_col: str = "ts",
@@ -1477,59 +1528,24 @@ def markov_steady_state(
     instead). Returns (state, pi), 6dp."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
-
-    tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
-    # limit-probe bounded collect (ONE job — the transition matrix's
-    # fact-grain lead window runs once, not count()-then-collect()
-    # twice; the graph module's _guard_local_collect shape)
-    probe = (
-        tm.select("from_type", "to_type", "p")
-        .limit(max_collect_rows + 1)
-        .collect()
+    cells, states, pi = _markov_chain_fold(
+        df, ts_col, key_col, type_col, id_col, iters, max_collect_rows,
+        "markov_steady_state",
     )
-    if len(probe) > max_collect_rows:
-        raise GroupBoundExceeded(
-            f"markov_steady_state: > {max_collect_rows} transition "
-            "cells (max_collect_rows); the local impl folds on the "
-            "driver — this is a dimension-grain operator"
-        )
-    cells = sorted(
-        ((r["from_type"], r["to_type"], float(r["p"])) for r in probe),
-        key=lambda t: (t[0], t[1]),
+    schema = StructType(
+        [
+            StructField("state", df.schema[type_col].dataType, True),
+            StructField("pi", DoubleType(), True),
+        ]
     )
-    states = sorted({c[0] for c in cells} | {c[1] for c in cells})
     if not states:
-        return df.sparkSession.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("state", df.schema[type_col].dataType, True),
-                    StructField("pi", DoubleType(), True),
-                ]
-            ),
-        )
-    idx = {s: i for i, s in enumerate(states)}
-    n = len(states)
-    pi = [1.0 / n] * n
-    for _ in range(iters):
-        nxt = [0.0] * n
-        for frm, to, p in cells:
-            nxt[idx[to]] += pi[idx[frm]] * p
-        tot = sum(nxt)
-        pi = [v / tot for v in nxt] if tot > 0 else [1.0 / n] * n
+        return df.sparkSession.createDataFrame([], schema)
     return df.sparkSession.createDataFrame(
-        [(states[i], round(pi[i], 6)) for i in range(n)],
-        StructType(
-            [
-                StructField("state", df.schema[type_col].dataType, True),
-                StructField("pi", DoubleType(), True),
-            ]
-        ),
+        [(s, round(pi[i], 6)) for i, s in enumerate(states)], schema
     )
 
 
-def sql_markov_steady_state(
+def _sql_markov_chain(
     table: str = "events",
     ts_col: str = "ts",
     key_col: str = "user_id",
@@ -1537,10 +1553,14 @@ def sql_markov_steady_state(
     id_col: str = "event_id",
     iters: int = 30,
 ) -> str:
-    """DuckDB replay of :func:`markov_steady_state` — the transition
-    CTE (6dp p, matching the Spark side's rounded matrix) and the
-    power iteration UNROLLED into chained MATERIALIZED CTEs (the
-    sql_pagerank/sql_hits precedent, including the re-inlining pin)."""
+    """The shared CTE CHAIN (no final select) behind
+    :func:`sql_markov_steady_state` and :func:`sql_markov_entropy_rate`
+    (r12 second review pass: the entropy oracle used to rsplit the
+    steady-state SQL on its final SELECT text — string surgery that
+    breaks silently on any rewording): the transition CTE (6dp p,
+    matching the Spark side's rounded matrix) and the power iteration
+    UNROLLED into chained MATERIALIZED CTEs (the sql_pagerank/sql_hits
+    precedent, including the re-inlining pin)."""
     parts = [
         f"""
     tm AS MATERIALIZED (
@@ -1584,8 +1604,21 @@ def sql_markov_steady_state(
             SELECT sum(v) AS t FROM p{t}_raw
         ) tot
     )""")
+    return ",".join(parts)
+
+
+def sql_markov_steady_state(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iters: int = 30,
+) -> str:
+    """DuckDB replay of :func:`markov_steady_state` — the shared
+    :func:`_sql_markov_chain` CTEs plus the state/π projection."""
     return (
-        ",".join(parts)
+        _sql_markov_chain(table, ts_col, key_col, type_col, id_col, iters)
         + f"""
     SELECT s AS state, round(pi, 6) AS pi FROM p{iters}
     """
@@ -1595,6 +1628,43 @@ def sql_markov_steady_state(
 # ---------------------------------------------------------------------------
 # r12h: shifted-beta-geometric retention projection (Fader-Hardie)
 # ---------------------------------------------------------------------------
+
+
+def _user_weeks(df: DataFrame, ts_col: str, user_col: str) -> DataFrame:
+    """THE anchored (user, week) DISTINCT fold shared by
+    :func:`sbg_retention_projection` and :func:`audience_overlap_weekly`
+    (r12 second review pass — two inline copies of the same
+    bounds/floor(datediff/7)/distinct construction is the _daily_pair
+    drift class): weeks are 7-day windows anchored at the first event
+    day.  One fact pass; returns (u, wk int)."""
+    base = df.filter(F.col(ts_col).isNotNull())
+    bounds = base.agg(F.min(F.to_date(ts_col)).alias("_d0"))
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(user_col).alias("u"),
+            F.floor(
+                F.datediff(F.to_date(ts_col), F.col("_d0")) / F.lit(7)
+            ).cast("int").alias("wk"),
+        )
+        .distinct()
+    )
+
+
+def _sql_user_weeks(table: str, ts_col: str, user_col: str) -> str:
+    """DuckDB twin of :func:`_user_weeks` — emits the ``bounds`` +
+    ``uw`` CTE bodies (caller wraps in WITH)."""
+    return f"""bounds AS (
+        SELECT CAST(min({ts_col}) AS DATE) AS _d0 FROM {table}
+        WHERE {ts_col} IS NOT NULL
+    ), uw AS (
+        SELECT DISTINCT {user_col} AS u,
+            CAST(floor(datediff('day', bounds._d0,
+                                CAST({ts_col} AS DATE)) / 7.0) AS INT)
+                AS wk
+        FROM {table} CROSS JOIN bounds
+        WHERE {ts_col} IS NOT NULL
+    )"""
 
 
 def sbg_retention_projection(
@@ -1630,18 +1700,7 @@ def sbg_retention_projection(
     the data window, projected NULL when the sBG regime fails."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    base = df.filter(F.col(ts_col).isNotNull())
-    bounds = base.agg(F.min(F.to_date(ts_col)).alias("_d0"))
-    user_weeks = pooled_persist(
-        base.crossJoin(F.broadcast(bounds))
-        .select(
-            F.col(user_col).alias("u"),
-            F.floor(
-                F.datediff(F.to_date(ts_col), F.col("_d0")) / F.lit(7)
-            ).alias("wk"),
-        )
-        .distinct()
-    )
+    user_weeks = pooled_persist(_user_weeks(df, ts_col, user_col))
     cohort = user_weeks.groupBy("u").agg(F.min("wk").alias("_w0")).filter(
         F.col("_w0") == 0
     ).select("u")
@@ -1678,13 +1737,27 @@ def sbg_retention_projection(
     for i in range(1, horizon + 1):
         term = (F.col("_b") + (i - 1)) / (F.col("_a") + F.col("_b") + (i - 1))
         s_proj = F.when(F.col("week") >= i, s_proj * term).otherwise(s_proj)
+    # in-window weeks with ZERO active cohort users are genuine 0.0
+    # observations; only weeks beyond the data window are NULL (r12
+    # second review pass — NULL used to conflate "missing" with "total
+    # churn")
+    maxwk = user_weeks.agg(
+        F.max("wk").cast("int").alias("_maxwk")
+    )
     return (
         grid.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(maxwk))
         .join(obs.select(F.col("wk").cast("int").alias("week"), "s_obs"),
               "week", "left")
         .select(
             "week",
-            F.round("s_obs", 6).alias("s_observed"),
+            F.round(
+                F.when(
+                    F.col("week") <= F.col("_maxwk"),
+                    F.coalesce("s_obs", F.lit(0.0)),
+                ),
+                6,
+            ).alias("s_observed"),
             F.round(s_proj, 6).alias("s_projected"),
         )
         .orderBy("week")
@@ -1708,23 +1781,13 @@ def sql_sbg_retention_projection(
         prods.append(f"SELECT {t} AS week, {factors} AS sp FROM params")
     proj_union = "\n        UNION ALL ".join(prods)
     return f"""
-    WITH bounds AS (
-        SELECT CAST(min({ts_col}) AS DATE) AS _d0 FROM {table}
-        WHERE {ts_col} IS NOT NULL
-    ), user_weeks AS (
-        SELECT DISTINCT {user_col} AS u,
-            CAST(floor(datediff('day', bounds._d0,
-                                CAST({ts_col} AS DATE)) / 7.0)
-                 AS BIGINT) AS wk
-        FROM {table} CROSS JOIN bounds
-        WHERE {ts_col} IS NOT NULL
-    ), cohort AS (
-        SELECT u FROM user_weeks GROUP BY u HAVING min(wk) = 0
+    WITH {_sql_user_weeks(table, ts_col, user_col)}, cohort AS (
+        SELECT u FROM uw GROUP BY u HAVING min(wk) = 0
     ), obs AS (
         SELECT wk,
             count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM cohort)
                 AS s_obs
-        FROM user_weeks JOIN cohort USING (u)
+        FROM uw JOIN cohort USING (u)
         GROUP BY wk
     ), s1s2 AS (
         SELECT
@@ -1746,7 +1809,8 @@ def sql_sbg_retention_projection(
         {proj_union}
     )
     SELECT CAST(proj.week AS INT) AS week,
-        round(obs.s_obs, 6) AS s_observed,
+        round(CASE WHEN proj.week <= (SELECT max(wk) FROM uw)
+                   THEN coalesce(obs.s_obs, 0.0) END, 6) AS s_observed,
         round(proj.sp, 6) AS s_projected
     FROM proj LEFT JOIN obs ON obs.wk = proj.week
     ORDER BY week
@@ -1787,24 +1851,10 @@ def markov_entropy_rate(
         StructType,
     )
 
-    from asctb_ct_label_mapper_spark.operators.dq import GroupBoundExceeded
-
-    tm = markov_transitions(df, ts_col, key_col, type_col, id_col)
-    probe = (
-        tm.select("from_type", "to_type", "p")
-        .limit(max_collect_rows + 1)
-        .collect()
+    cells, states, pi = _markov_chain_fold(
+        df, ts_col, key_col, type_col, id_col, iters, max_collect_rows,
+        "markov_entropy_rate",
     )
-    if len(probe) > max_collect_rows:
-        raise GroupBoundExceeded(
-            f"markov_entropy_rate: > {max_collect_rows} transition "
-            "cells (max_collect_rows); dimension-grain operator"
-        )
-    cells = sorted(
-        ((r["from_type"], r["to_type"], float(r["p"])) for r in probe),
-        key=lambda t: (t[0], t[1]),
-    )
-    states = sorted({c[0] for c in cells} | {c[1] for c in cells})
     schema = StructType(
         [
             StructField("n_states", LongType(), True),
@@ -1813,21 +1863,16 @@ def markov_entropy_rate(
         ]
     )
     if not states:
-        return df.sparkSession.createDataFrame([], schema)
+        # one (0, NULL, NULL) row — the oracle's ungrouped aggregate
+        # over an empty chain emits exactly one row, not zero (r12
+        # second review pass)
+        return df.sparkSession.createDataFrame([(0, None, None)], schema)
     idx = {s: i for i, s in enumerate(states)}
-    n = len(states)
-    pi = [1.0 / n] * n
-    for _ in range(iters):
-        nxt = [0.0] * n
-        for frm, to, p in cells:
-            nxt[idx[to]] += pi[idx[frm]] * p
-        tot = sum(nxt)
-        pi = [x / tot for x in nxt] if tot > 0 else [1.0 / n] * n
     h = -sum(
         pi[idx[frm]] * p * math.log(p) for frm, _, p in cells if p > 0
     )
     return df.sparkSession.createDataFrame(
-        [(n, round(h, 6), round(math.exp(h), 6))], schema
+        [(len(states), round(h, 6), round(math.exp(h), 6))], schema
     )
 
 
@@ -1839,18 +1884,13 @@ def sql_markov_entropy_rate(
     id_col: str = "event_id",
     iters: int = 30,
 ) -> str:
-    """DuckDB replay of :func:`markov_entropy_rate` — the steady-state
-    CTE chain (sql_markov_steady_state, UNROUNDED π) with the entropy
-    fold as the final select.  π must stay raw here: the Spark fold
-    never rounds π internally either — only the steady-state QUERY's
-    output does."""
-    chain = sql_markov_steady_state(
-        table, ts_col, key_col, type_col, id_col, iters
-    )
-    # keep the CTE chain, swap the final SELECT for the entropy fold
-    body = chain.rsplit("SELECT s AS state", 1)[0]
+    """DuckDB replay of :func:`markov_entropy_rate` — the shared
+    :func:`_sql_markov_chain` CTEs (UNROUNDED π) with the entropy fold
+    as the final select.  π stays raw here: the Spark fold never
+    rounds π internally either — only the steady-state QUERY's output
+    does."""
     return (
-        body
+        _sql_markov_chain(table, ts_col, key_col, type_col, id_col, iters)
         + f"""
     SELECT (SELECT count(*) FROM states) AS n_states,
         round(-sum(p.pi * tm.p * ln(tm.p)), 6) AS entropy_nats,
@@ -1887,19 +1927,19 @@ def audience_overlap_weekly(
     6dp, one row per consecutive pair."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    base = df.filter(F.col(ts_col).isNotNull())
-    bounds = base.agg(F.min(F.to_date(ts_col)).alias("_d0"))
-    uw = pooled_persist(
-        base.crossJoin(F.broadcast(bounds))
-        .select(
-            F.col(user_col).alias("u"),
-            F.floor(
-                F.datediff(F.to_date(ts_col), F.col("_d0")) / F.lit(7)
-            ).cast("int").alias("wk"),
-        )
-        .distinct()
+    uw = pooled_persist(_user_weeks(df, ts_col, user_col))
+    raw_sizes = uw.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
+    # FULL consecutive-week spine (r12 second review pass): a week with
+    # ZERO active users must still produce its pairs (jaccard 0 /
+    # NULL), not silently vanish — total churn is the readout, not a
+    # gap in the table
+    spine = (
+        raw_sizes.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("wk"))
     )
-    sizes = uw.groupBy("wk").agg(F.count(F.lit(1)).alias("n"))
+    sizes = spine.join(raw_sizes, "wk", "left").select(
+        "wk", F.coalesce("n", F.lit(0)).alias("n")
+    )
     a, b = uw.alias("a"), uw.alias("b")
     common = (
         a.join(
@@ -1948,18 +1988,14 @@ def sql_audience_overlap_weekly(
     """DuckDB replay of :func:`audience_overlap_weekly` — same anchor,
     distinct fold, self-join, and union identity."""
     return f"""
-    WITH bounds AS (
-        SELECT CAST(min({ts_col}) AS DATE) AS _d0 FROM {table}
-        WHERE {ts_col} IS NOT NULL
-    ), uw AS (
-        SELECT DISTINCT {user_col} AS u,
-            CAST(floor(datediff('day', bounds._d0,
-                                CAST({ts_col} AS DATE)) / 7.0) AS INT)
-                AS wk
-        FROM {table} CROSS JOIN bounds
-        WHERE {ts_col} IS NOT NULL
-    ), sizes AS (
+    WITH {_sql_user_weeks(table, ts_col, user_col)}, raw_sizes AS (
         SELECT wk, count(*) AS n FROM uw GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(min(wk), max(wk)))::INT AS wk
+        FROM raw_sizes
+    ), sizes AS (
+        SELECT spine.wk, coalesce(raw_sizes.n, 0) AS n
+        FROM spine LEFT JOIN raw_sizes ON spine.wk = raw_sizes.wk
     ), common AS (
         SELECT a.wk AS week_a, count(*) AS n_common
         FROM uw a JOIN uw b ON a.u = b.u AND b.wk = a.wk + 1

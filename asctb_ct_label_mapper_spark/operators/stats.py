@@ -3279,11 +3279,15 @@ def sql_dispersion_test_by_type(
             (ss - s * s / n) / nullif(n - 1.0, 0.0) AS var
         FROM mom
     ), full_stat AS (
+        -- n >= 2 guard on the Fisher term: sqrt(2(n-1)-1) is sqrt(-1)
+        -- at n = 1, which DuckDB raises on where Spark's NaN degrades
+        -- to NULL (r12 second review pass); var is NULL there anyway
         SELECT typ, n, mean, var,
             var / nullif(mean, 0.0) AS disp,
             (n - 1.0) * var / nullif(mean, 0.0) AS chi2,
-            sqrt(2.0 * (n - 1.0) * var / nullif(mean, 0.0))
-                - sqrt(2.0 * (n - 1.0) - 1.0) AS z
+            CASE WHEN n >= 2.0 THEN
+                sqrt(2.0 * (n - 1.0) * var / nullif(mean, 0.0))
+                - sqrt(2.0 * (n - 1.0) - 1.0) END AS z
         FROM stat
     )
     SELECT typ AS event_type, CAST(n AS BIGINT) AS n_days,

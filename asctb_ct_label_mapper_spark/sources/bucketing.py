@@ -66,10 +66,16 @@ def sweep_stale_pid_dirs(root: str, pid_pattern: str) -> int:
     me = os.getpid()
     removed = 0
     for entry in os.listdir(root):
-        m = re.search(pid_pattern, entry)
-        if not m:
+        # LAST match: the sf_dir-derived tag may itself contain a
+        # `_p<digits>_` token (an sf_dir named "data_p100_v2"); the
+        # real pid suffix is structurally the final occurrence
+        # (r12 second review pass — a first-match probe could check
+        # liveness of the WRONG number and rmtree a live session's
+        # bucket tables)
+        matches = list(re.finditer(pid_pattern, entry))
+        if not matches:
             continue
-        pid = int(m.group(1))
+        pid = int(matches[-1].group(1))
         if pid == me:
             continue
         try:

@@ -166,3 +166,129 @@ def test_sweep_stale_pid_dirs(tmp_path):
     assert f"bkt32_sf_abc_p{me}_orders" in left
     assert "minhash_signatures_shared" in left
     assert f"bkt32_sf_abc_p{dead}_orders" not in left
+
+
+# ---------------------------------------------------------------------------
+# second-pass findings (r12h/r12i batch review)
+# ---------------------------------------------------------------------------
+
+
+def test_markov_entropy_empty_chain_one_row(spark):
+    """No transitions (every user has one event): one (0, NULL, NULL)
+    row — the oracle's ungrouped-aggregate shape, not zero rows."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        markov_entropy_rate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "view", 0), (2, 11, "view", 0)],
+        "event_id long, user_id long, event_type string, day_idx int",
+    ).select(
+        "event_id", "user_id", "event_type",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=F.col("day_idx"))
+        ).alias("ts"),
+    )
+    out = markov_entropy_rate(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_states"] == 0
+    assert r["entropy_nats"] is None and r["perplexity"] is None
+
+
+def test_dispersion_single_day_null_not_crash(spark):
+    """A one-day dataset: Spark emits the row with NULL z/p (and the
+    SQL mirror must not raise on sqrt(-1) — its n>=2 guard)."""
+    import duckdb
+
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        dispersion_test_by_type,
+        sql_dispersion_test_by_type,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0), (3, "a", 0)],
+        "event_id long, event_type string, day_idx int",
+    ).select(
+        "event_id", "event_type",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    r = dispersion_test_by_type(df).collect()[0]
+    assert r["n_days"] == 1
+    assert r["z"] is None and r["p_value"] is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, 'a', TIMESTAMP '2024-01-01'), "
+        "(2, 'a', TIMESTAMP '2024-01-01')) t(event_id, event_type, ts)"
+    )
+    rows = con.execute(sql_dispersion_test_by_type("events")).fetchall()
+    assert len(rows) == 1 and rows[0][6] is None  # z NULL, no crash
+
+
+def test_audience_overlap_empty_week_pairs_survive(spark):
+    """Users active weeks 0 and 2, nobody in week 1: BOTH consecutive
+    pairs must appear, with jaccard 0 against the empty week."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        audience_overlap_weekly,
+    )
+
+    uw = {1: [0, 2], 2: [0]}
+    out = {r["week_a"]: r for r in
+           audience_overlap_weekly(_ev_weeks(spark, uw)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_b"] == 0 and out[0]["n_common"] == 0
+    assert out[0]["jaccard"] == pytest.approx(0.0)
+    assert out[1]["n_a"] == 0 and out[1]["n_b"] == 1
+    # empty-vs-nonempty: union 1, common 0 -> jaccard 0; retained NULL
+    assert out[1]["jaccard"] == pytest.approx(0.0)
+    assert out[1]["retained_share"] is None
+
+
+def test_sbg_zero_active_in_window_week_is_zero(spark):
+    """Cohort active weeks 0 and 2 only: week 1's s_observed is a
+    genuine 0.0 (total churn), weeks beyond the window stay NULL."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sbg_retention_projection,
+    )
+
+    uw = {1: [0, 2], 2: [0, 2], 3: [0]}
+    out = {r["week"]: r for r in
+           sbg_retention_projection(_ev_weeks(spark, uw)).collect()}
+    assert out[1]["s_observed"] == pytest.approx(0.0)
+    assert out[2]["s_observed"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[3]["s_observed"] is None  # beyond the data window
+
+
+def test_sweep_last_pid_match_wins(tmp_path):
+    """A tag containing a fake `_p<digits>_` token must not shadow the
+    real (live) pid suffix."""
+    from asctb_ct_label_mapper_spark.sources.bucketing import (
+        sweep_stale_pid_dirs,
+    )
+
+    me = os.getpid()
+    name = f"bkt32_data_p100_v2_abc123_p{me}_orders"
+    os.makedirs(os.path.join(str(tmp_path), name))
+    removed = sweep_stale_pid_dirs(str(tmp_path), r"_p(\d+)_")
+    assert removed == 0
+    assert name in os.listdir(str(tmp_path))
+
+
+def _ev_weeks(spark, user_weeks):
+    rows = []
+    eid = 0
+    for u, wks in user_weeks.items():
+        for w in wks:
+            rows.append((eid, u, "view", 7 * w)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, day_idx int"
+    )
+    return df.select(
+        "event_id", "user_id", "event_type",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=F.col("day_idx"))
+        ).alias("ts"),
+    )
