@@ -3297,3 +3297,575 @@ def sql_dispersion_test_by_type(
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
     FROM full_stat
     """
+
+
+# ---------------------------------------------------------------------------
+# r12j: Friedman test — do the event types rank the days the same way
+# ---------------------------------------------------------------------------
+
+
+def friedman_test_daily_types(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Friedman rank test across event types with DAYS as the repeated
+    blocks: within each day, rank the k types by their count (average
+    ranks on ties), then test whether some type consistently ranks
+    high —
+
+        χ²_F = 12n/(k(k+1)) · Σ_j (R̄_j − (k+1)/2)²   (k−1 dof)
+
+    the nonparametric repeated-measures ANOVA: the parametric
+    :func:`anova_oneway` compares LEVELS (error events may just be
+    rarer); this compares within-day ORDERINGS, immune to any
+    day-level scale effect (traffic spikes hit all types). Tie
+    correction: the average-rank (`avg_rank`-style) assignment keeps
+    the rank sum per day exactly k(k+1)/2, so the statistic stays
+    exact under ties; p via the shared Fisher χ² normal approximation
+    (A&S literals, the dispersion-test convention).
+
+    Plan: one (day, type) conditional aggregate (the only fact pass),
+    the (calendar × types) zero-filled spine, a per-day rank window
+    (PARTITIONED by day — never global), a type-grain mean-rank fold,
+    one-row χ². Returns one row (n_days, k_types, chi2, df, z,
+    p_value), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = counts.select("typ").distinct()
+    spine = cal.crossJoin(types).join(counts, ["d", "typ"], "left").select(
+        "d", "typ", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    # average rank under ties: rank + (count_of_equal - 1)/2 — the
+    # module's shared avg-rank identity, per-day partition
+    w_day = Window.partitionBy("d").orderBy("c")
+    w_tie = Window.partitionBy("d", "c")
+    ranked = spine.select(
+        "d",
+        "typ",
+        (
+            F.rank().over(w_day)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("r"),
+    )
+    per_type = ranked.groupBy("typ").agg(
+        F.avg("r").alias("rbar"), F.count(F.lit(1)).alias("n")
+    )
+    agg = per_type.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.max("n").cast("double").alias("n"),
+        F.sum(
+            (F.col("rbar") - F.lit(0.0)) * F.col("rbar")
+        ).alias("_srr"),  # Σ rbar² (center applied below)
+    )
+    k, n = F.col("k"), F.col("n")
+    center = (k + 1.0) / 2.0
+    # Σ (rbar − c)² = Σ rbar² − 2c·Σrbar + k·c²; Σrbar = k(k+1)/2 / 1
+    # exactly (rank sums per day are k(k+1)/2, so mean of means is c)
+    ssq = F.col("_srr") - k * center * center
+    # try_divide + k>=2 gate: ANSI double `/` RAISES on k=0 (empty
+    # input) and sqrt(2·dof−1) is sqrt(-1) at k=1 — degrade to NULL,
+    # the dispersion-test convention
+    chi2 = F.try_divide(12.0 * n, k * (k + 1.0)) * ssq
+    dof = k - 1.0
+    z = F.when(
+        k >= 2.0, F.sqrt(2.0 * chi2) - F.sqrt(2.0 * dof - 1.0)
+    )
+    out = agg.select(
+        n.cast("long").alias("n_days"),
+        k.cast("long").alias("k_types"),
+        F.round(chi2, 6).alias("chi2"),
+        dof.cast("long").alias("df"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    return out.select(
+        "n_days",
+        "k_types",
+        "chi2",
+        "df",
+        "z",
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_friedman_test_daily_types(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`friedman_test_daily_types` — same spine,
+    average ranks, centered sum identity, Fisher approximation."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    return f"""
+    WITH counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
+            count(*) AS c
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), spine AS (
+        SELECT cal.d, t.typ, coalesce(counts.c, 0) AS c
+        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
+        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    ), ranked AS (
+        SELECT d, typ,
+            rank() OVER (PARTITION BY d ORDER BY c)
+            + (count(*) OVER (PARTITION BY d, c) - 1) / 2.0 AS r
+        FROM spine
+    ), per_type AS (
+        SELECT typ, avg(r) AS rbar, count(*) AS n FROM ranked GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+            CAST(max(n) AS DOUBLE) AS n,
+            sum(rbar * rbar) AS srr
+        FROM per_type
+    ), stat AS (
+        SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
+            12.0 * n / nullif(k * (k + 1.0), 0.0)
+                * (srr - k * ((k + 1.0) / 2.0) * ((k + 1.0) / 2.0))
+                AS chi2,
+            CAST(k - 1.0 AS BIGINT) AS df,
+            CASE WHEN k >= 2.0 THEN
+                sqrt(2.0 * 12.0 * n / nullif(k * (k + 1.0), 0.0)
+                     * (srr - k * ((k + 1.0) / 2.0) * ((k + 1.0) / 2.0)))
+                - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
+        FROM agg
+    )
+    SELECT n_days, k_types, round(chi2, 6) AS chi2, df,
+        round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12j: Cronbach's alpha — do the type series measure one "activity" factor
+# ---------------------------------------------------------------------------
+
+
+def cronbach_alpha_daily_types(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cronbach's α over the event types' daily count series, treating
+    each type as an "item" and each day as a respondent:
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    where var_total is the variance of the daily SUM across types —
+    α near 1 means the types co-move (one underlying traffic factor:
+    any one series is a good proxy), α near 0 means they carry
+    independent signals (monitor all of them). The scalar companion to
+    :func:`corr_matrix_daily_types`' pairwise matrix.
+
+    Population variances on both engines (the moments convention —
+    the k/(k−1) factor already carries the small-sample correction).
+    Plan: one (day, type) conditional aggregate, the zero-filled
+    spine, one per-type moment fold + one day-sum moment fold.
+    Returns one row (n_days, k_types, sum_item_var, total_var, alpha),
+    6dp; a single type or zero total variance degrades α to NULL."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = counts.select("typ").distinct()
+    spine = pooled_persist(
+        cal.crossJoin(types)
+        .join(counts, ["d", "typ"], "left")
+        .select(
+            "d", "typ", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+        )
+    )
+    per_item = spine.groupBy("typ").agg(
+        (
+            F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c")
+        ).alias("v")
+    )
+    item_fold = per_item.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("v").alias("sv"),
+    )
+    day_tot = spine.groupBy("d").agg(F.sum("c").alias("s"))
+    tot_fold = day_tot.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.avg(F.col("s") * F.col("s")) - F.avg("s") * F.avg("s")
+        ).alias("vt"),
+    )
+    j = item_fold.crossJoin(tot_fold)
+    k = F.col("k")
+    alpha = F.try_divide(k, k - 1.0) * (
+        1.0 - F.try_divide(F.col("sv"), F.col("vt"))
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        k.cast("long").alias("k_types"),
+        F.round(F.col("sv"), 6).alias("sum_item_var"),
+        F.round(F.col("vt"), 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def sql_cronbach_alpha_daily_types(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`cronbach_alpha_daily_types` — same
+    spine, population variances, and NULLIF degeneracy."""
+    return f"""
+    WITH counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
+            count(*) AS c
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), spine AS (
+        SELECT cal.d, t.typ,
+            CAST(coalesce(counts.c, 0) AS DOUBLE) AS c
+        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
+        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    ), item_fold AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(v) AS sv FROM (
+            SELECT typ, avg(c * c) - avg(c) * avg(c) AS v
+            FROM spine GROUP BY 1
+        )
+    ), tot_fold AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            avg(s * s) - avg(s) * avg(s) AS vt
+        FROM (SELECT d, sum(c) AS s FROM spine GROUP BY 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
+        round(sv, 6) AS sum_item_var, round(vt, 6) AS total_var,
+        round(k / nullif(k - 1.0, 0.0)
+              * (1.0 - sv / nullif(vt, 0.0)), 6) AS alpha
+    FROM item_fold CROSS JOIN tot_fold
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12j: Ljung-Box — joint "is there ANY autocorrelation" portmanteau test
+# ---------------------------------------------------------------------------
+
+
+def ljung_box_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily count series: the JOINT
+    null "no autocorrelation at any lag ≤ h" —
+
+        Q = n(n+2) · Σ_{k=1..h} r_k² / (n−k)        (~χ²_h)
+
+    the one-number gate in front of the per-lag ACF/PACF readouts
+    (:func:`autocorr_daily_counts`, :func:`pacf_daily`): seven
+    individually-insignificant r_k can be jointly damning, and a
+    forecast-residual series that fails Ljung-Box still has structure
+    left to model. r_k is the global-mean autocovariance ratio (the
+    PACF convention — one shared denominator); p via the shared Fisher
+    χ² normal approximation.
+
+    Plan: one fact pass to the spined series, ``max_lag`` lag columns
+    folded in ONE aggregate, one-row Q arithmetic. Returns one row
+    (n_days, max_lag, q_stat, df, z, p_value), 6dp; a constant series
+    (zero c0) degrades to NULL."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(_daily_series(df, ts_col))
+    mean = series.agg((F.sum("c") / F.count(F.lit(1))).alias("ybar"))
+    w = Window.orderBy("d")
+    dv = series.crossJoin(F.broadcast(mean)).select(
+        (F.col("c") - F.col("ybar")).alias("y"), "d"
+    )
+    lags = dv.select(
+        "y",
+        *[
+            F.lag("y", k).over(w).alias(f"l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    sums = lags.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y") * F.col("y")).alias("c0"),
+        *[
+            F.sum(F.col("y") * F.col(f"l{k}")).alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("n")
+    q = None
+    for k in range(1, max_lag + 1):
+        rk = F.try_divide(F.col(f"c{k}"), F.col("c0"))
+        # try_divide: n <= max_lag makes (n − k) hit 0 and ANSI double
+        # `/` raises — degrade to NULL like everything else
+        term = F.try_divide(rk * rk, n - F.lit(float(k)))
+        q = term if q is None else q + term
+    import math
+
+    q_stat = n * (n + 2.0) * q
+    dof = float(max_lag)
+    z = F.sqrt(2.0 * q_stat) - F.lit(math.sqrt(2.0 * dof - 1.0))
+    out = sums.select(
+        n.cast("long").alias("n_days"),
+        F.lit(max_lag).alias("max_lag"),
+        F.round(q_stat, 6).alias("q_stat"),
+        F.lit(int(dof)).alias("df"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    return out.select(
+        "n_days",
+        "max_lag",
+        "q_stat",
+        "df",
+        "z",
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_ljung_box_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> str:
+    """DuckDB replay of :func:`ljung_box_daily` — same spine, lag sums,
+    Q arithmetic, Fisher approximation."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    lag_cols = ",\n            ".join(
+        f"lag(y, {k}) OVER (ORDER BY d) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    lag_sums = ",\n            ".join(
+        f"sum(y * l{k}) AS c{k}" for k in range(1, max_lag + 1)
+    )
+    q_terms = " + ".join(
+        f"(c{k} / nullif(c0, 0.0)) * (c{k} / nullif(c0, 0.0))"
+        f" / nullif(n - {k}, 0.0)"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, mean AS (
+        SELECT sum(c) / CAST(count(*) AS DOUBLE) AS ybar FROM series
+    ), dv AS (
+        SELECT series.c - mean.ybar AS y, series.d
+        FROM series CROSS JOIN mean
+    ), lags AS (
+        SELECT y,
+            {lag_cols}
+        FROM dv
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(y * y) AS c0,
+            {lag_sums}
+        FROM lags
+    ), stat AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+            n * (n + 2.0) * ({q_terms}) AS q_stat,
+            sqrt(2.0 * n * (n + 2.0) * ({q_terms}))
+                - sqrt(2.0 * {float(max_lag)!r} - 1.0) AS z
+        FROM sums
+    )
+    SELECT n_days, {max_lag} AS max_lag, round(q_stat, 6) AS q_stat,
+        {max_lag} AS df, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12j: Wald-Wolfowitz runs test — randomness of the daily series
+# ---------------------------------------------------------------------------
+
+
+def runs_test_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily count series against its
+    MEDIAN: too FEW runs of consecutive above/below-median days means
+    clustering (regimes, trends), too MANY means oscillation — the
+    sign-only randomness check that sees structure the
+    autocorrelation family can miss (and vice versa).
+
+        E[R] = 2·n₊·n₋/n + 1
+        Var[R] = 2n₊n₋(2n₊n₋ − n) / (n²(n−1))
+        z = (R − E[R]) / √Var[R]
+
+    Days exactly AT the median are dropped (the standard convention —
+    a sign test has no sign there); the median is the exact
+    order-statistic lower median of the day counts (deterministic
+    integer grain, both engines agree). p via the shared A&S
+    polynomial.
+
+    Plan: one fact pass to the spined series, an order-statistic
+    median (day-grain sort), one lag window for run boundaries, a
+    one-row moment fold. Returns one row (n_days, n_above, n_below,
+    n_runs, expected_runs, z, p_value), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(_daily_series(df, ts_col))
+    w_m = Window.orderBy("c")
+    med = (
+        series.withColumn("_r", F.row_number().over(w_m))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("_r") == F.ceil(F.col("_n") / 2.0).cast("int"))
+        .select(F.col("c").alias("_med"))
+    )
+    signed = (
+        series.crossJoin(F.broadcast(med))
+        .filter(F.col("c") != F.col("_med"))
+        .select(
+            "d", (F.col("c") > F.col("_med")).cast("int").alias("s")
+        )
+    )
+    w_d = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_d).isNull()
+            | (F.lag("s").over(w_d) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("s").cast("double").alias("np"),
+        F.sum("new_run").alias("r"),
+    )
+    n, npos = F.col("n"), F.col("np")
+    nneg = n - npos
+    # try_divide: every day at the median leaves the signed frame
+    # empty (n = 0) and ANSI double `/` raises
+    er = F.try_divide(2.0 * npos * nneg, n) + 1.0
+    vr = F.try_divide(
+        2.0 * npos * nneg * (2.0 * npos * nneg - n),
+        n * n * (n - 1.0),
+    )
+    z = F.try_divide(F.col("r") - er, F.sqrt(vr))
+    out = agg.select(
+        n.cast("long").alias("n_days"),
+        npos.cast("long").alias("n_above"),
+        nneg.cast("long").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    return out.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "expected_runs",
+        "z",
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_runs_test_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`runs_test_daily` — same order-statistic
+    median, sign filter, run-boundary lag, moment fold."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, med AS (
+        SELECT c AS _med FROM (
+            SELECT c, row_number() OVER (ORDER BY c) AS _r,
+                count(*) OVER () AS _n
+            FROM series
+        ) WHERE _r = CAST(ceil(_n / 2.0) AS INT)
+    ), signed AS (
+        SELECT series.d,
+            CAST(series.c > med._med AS INT) AS s
+        FROM series CROSS JOIN med
+        WHERE series.c <> med._med
+    ), runs AS (
+        SELECT s,
+            CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                   OR lag(s) OVER (ORDER BY d) <> s
+                 THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(s) AS DOUBLE) AS np,
+            CAST(sum(new_run) AS BIGINT) AS r
+        FROM runs
+    ), stat AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+            CAST(np AS BIGINT) AS n_above,
+            CAST(n - np AS BIGINT) AS n_below,
+            r AS n_runs,
+            2.0 * np * (n - np) / nullif(n, 0.0) + 1.0 AS er,
+            (r - (2.0 * np * (n - np) / nullif(n, 0.0) + 1.0))
+                / nullif(sqrt(
+                    (2.0 * np * (n - np) * (2.0 * np * (n - np) - n))
+                    / nullif(n * n * (n - 1.0), 0.0)), 0.0) AS z
+        FROM agg
+    )
+    SELECT n_days, n_above, n_below, n_runs,
+        round(er, 6) AS expected_runs, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """

@@ -9731,3 +9731,91 @@ def journey_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return journey_distance_matrix(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12j batch: Friedman, Cronbach alpha, Ljung-Box, runs test
+# ---------------------------------------------------------------------------
+
+
+def _friedman_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_friedman_test_daily_types,
+    )
+
+    return sql_friedman_test_daily_types("events")
+
+
+@query("friedman_test_event_types", _friedman_oracle())
+def friedman_test_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test across event types with days as blocks
+    (stats.friedman_test_daily_types): the nonparametric
+    repeated-measures ANOVA — within-day orderings, immune to
+    day-level traffic scale; per-day rank windows, never global."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        friedman_test_daily_types,
+    )
+
+    return friedman_test_daily_types(_t(spark, sf_dir, "events"))
+
+
+def _cronbach_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_cronbach_alpha_daily_types,
+    )
+
+    return sql_cronbach_alpha_daily_types("events")
+
+
+@query("cronbach_alpha_event_types", _cronbach_oracle())
+def cronbach_alpha_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cronbach's α over the types' daily series
+    (stats.cronbach_alpha_daily_types): do the event streams measure
+    one traffic factor — the scalar companion to the pairwise
+    correlation matrix; two moment folds off one spine."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        cronbach_alpha_daily_types,
+    )
+
+    return cronbach_alpha_daily_types(_t(spark, sf_dir, "events"))
+
+
+def _lb_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_ljung_box_daily,
+    )
+
+    return sql_ljung_box_daily("events")
+
+
+@query("ljung_box_daily_events", _lb_oracle())
+def ljung_box_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test, lags 1-7 (stats.ljung_box_daily):
+    the joint any-autocorrelation gate in front of the per-lag
+    ACF/PACF readouts; seven lag windows folded in one aggregate."""
+    from asctb_ct_label_mapper_spark.operators.stats import ljung_box_daily
+
+    return ljung_box_daily(_t(spark, sf_dir, "events"))
+
+
+def _runs_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_runs_test_daily,
+    )
+
+    return sql_runs_test_daily("events")
+
+
+@query("runs_test_daily_events", _runs_oracle())
+def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test vs the median day
+    (stats.runs_test_daily): regime clustering vs oscillation — the
+    sign-only randomness check beside the autocorrelation family;
+    order-statistic median, one lag window, one-row moments."""
+    from asctb_ct_label_mapper_spark.operators.stats import runs_test_daily
+
+    return runs_test_daily(_t(spark, sf_dir, "events"))

@@ -136,6 +136,9 @@ TARGETS = {
     "audience_overlap_weeks": "audience overlap (r12i): (user,week) distinct fold -> shifted self-join -> union identity from week sizes",
     "dispersion_test_event_types": "dispersion test (r12i): (day,type) aggregate -> calendar x types spine -> type-grain moments",
     "journey_distance_events": "journey distance (r12i): one-shuffle path assembly -> top-k rank -> broadcast k^2 levenshtein cross",
+    "friedman_test_event_types": "Friedman (r12j): (day,type) spine -> PER-DAY rank windows -> type fold -> 1-row chi2",
+    "ljung_box_daily_events": "Ljung-Box (r12j): day spine -> 7 lag windows in ONE aggregate -> 1-row Q",
+    "runs_test_daily_events": "runs test (r12j): day-grain order-statistic median -> one lag window -> 1-row moments",
 }
 
 
