@@ -3869,3 +3869,298 @@ def sql_runs_test_daily(
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
     FROM stat
     """
+
+
+# ---------------------------------------------------------------------------
+# r12k: Kruskal-Wallis — the k-group rank test completing the family
+# ---------------------------------------------------------------------------
+
+
+def kruskal_wallis_value_by_type(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Kruskal-Wallis H across event types on the event VALUE — the
+    k-group member of the rank family (Mann-Whitney is its 2-group
+    special case, Friedman its blocked sibling), for the same reason
+    MW exists next to Welch: value distributions are skewed and the
+    parametric :func:`anova_oneway` leans on normality.
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+        H_c = H / (1 − Σ(t³−t)/(N³−N))          (tie correction)
+
+    with average ranks for ties. Ranks are computed at VALUE grain
+    (6dp-rounded): cells (value, group, cnt) → per-value tie totals →
+    avg rank r(v) = below(v) + (t_v+1)/2 — the Mann-Whitney-bucketed
+    insight that a value's rank is a function of cumulative counts, so
+    NOTHING fact-grain is ever sorted; the one ordered window runs
+    over the |distinct values| frame (the bucketed flavor generalizes
+    if that ever dominates). p via the shared Fisher χ²_{k−1}
+    approximation (A&S literals).
+
+    Plan: one (value, group) cell aggregate (the only fact pass),
+    value-grain windows, group-grain fold, one-row H. Returns one row
+    (n_total, k_groups, h_stat, h_corrected, df, z, p_value), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .groupBy(
+            F.round(F.col(value_col), 6).alias("v"),
+            F.col(type_col).alias("g"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_v = (
+        cells.groupBy("v")
+        .agg(F.sum("cnt").alias("t"))
+        .select(
+            "v",
+            "t",
+            (
+                F.sum("t").over(w_cum) - F.col("t")
+            ).cast("double").alias("below"),
+        )
+        .select(
+            "v",
+            "t",
+            (F.col("below") + (F.col("t") + 1.0) / 2.0).alias("r"),
+        )
+    )
+    joined = cells.join(per_v, "v")
+    per_g = joined.groupBy("g").agg(
+        F.sum("cnt").cast("double").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("r")).alias("r_g"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term")
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(
+            F.try_divide(F.col("r_g") * F.col("r_g"), F.col("n_g"))
+        ).alias("srr"),
+    ).crossJoin(F.broadcast(ties))
+    n, k = F.col("n"), F.col("k")
+    h = F.try_divide(12.0 * F.col("srr"), n * (n + 1.0)) - 3.0 * (n + 1.0)
+    corr = 1.0 - F.try_divide(F.col("tie_term"), n * n * n - n)
+    hc = F.try_divide(h, corr)
+    dof = k - 1.0
+    z = F.when(
+        k >= 2.0, F.sqrt(2.0 * hc) - F.sqrt(2.0 * dof - 1.0)
+    )
+    out = agg.select(
+        n.cast("long").alias("n_total"),
+        k.cast("long").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+        dof.cast("long").alias("df"),
+        F.round(z, 6).alias("z"),
+        z.alias("_z"),
+    ).withColumn("_az", F.abs(F.col("_z")))
+    return out.select(
+        "n_total",
+        "k_groups",
+        "h_stat",
+        "h_corrected",
+        "df",
+        "z",
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_kruskal_wallis_value_by_type(
+    table: str = "events",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB replay of :func:`kruskal_wallis_value_by_type` — same
+    value-grain rank construction, tie correction, Fisher χ²."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    return f"""
+    WITH cells AS (
+        SELECT round({value_col}, 6) AS v, {type_col} AS g,
+            count(*) AS cnt
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), per_v AS (
+        SELECT v, t,
+            CAST(sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                AS DOUBLE) + (t + 1.0) / 2.0 AS r
+        FROM (SELECT v, sum(cnt) AS t FROM cells GROUP BY 1)
+    ), per_g AS (
+        SELECT g, CAST(sum(cnt) AS DOUBLE) AS n_g,
+            sum(cnt * r) AS r_g
+        FROM cells JOIN per_v USING (v)
+        GROUP BY 1
+    ), ties AS (
+        SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term FROM per_v
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(n_g) AS n,
+            sum(r_g * r_g / nullif(n_g, 0.0)) AS srr
+        FROM per_g
+    ), stat AS (
+        SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+            12.0 * srr / nullif(n * (n + 1.0), 0.0)
+                - 3.0 * (n + 1.0) AS h,
+            (12.0 * srr / nullif(n * (n + 1.0), 0.0) - 3.0 * (n + 1.0))
+                / nullif(1.0 - tie_term / nullif(n * n * n - n, 0.0),
+                         0.0) AS hc,
+            CAST(k - 1.0 AS BIGINT) AS df, k
+        FROM agg CROSS JOIN ties
+    ), withz AS (
+        SELECT n_total, k_groups, h, hc, df,
+            CASE WHEN k >= 2.0 THEN
+                sqrt(2.0 * hc) - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
+        FROM stat
+    )
+    SELECT n_total, k_groups, round(h, 6) AS h_stat,
+        round(hc, 6) AS h_corrected, df, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM withz
+    """
+
+
+# ---------------------------------------------------------------------------
+# r12k: Brown-Forsythe — are the group variances even comparable
+# ---------------------------------------------------------------------------
+
+
+def brown_forsythe_value_by_type(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Brown-Forsythe test for EQUALITY OF VARIANCES across event
+    types: one-way ANOVA on the absolute deviations from each group's
+    MEDIAN —
+
+        z_ij = |x_ij − median_j|,
+        F = (Σ n_j (z̄_j − z̄)²/(k−1)) / (Σ Σ (z_ij − z̄_j)²/(N−k))
+
+    the robust (median-centered) Levene variant — THE assumption gate
+    in front of :func:`anova_oneway` and the pooled-variance tests
+    (heteroscedastic groups make their F/t readouts lie). Medians are
+    exact percentiles on CENTS-quantized values (the QTE parity
+    discipline — identical interpolation on both engines). F and its
+    dofs are emitted without a p (the F CDF has no closed form shared
+    by both engines; compare to F(k−1, N−k) tables — ≈2.6 at the 5%
+    level for k=5 and large N).
+
+    Plan: one group-grain exact-percentile aggregate (a per-group sort
+    inside the aggregate — the QTE shape), broadcast medians joined
+    back for ONE conditional moment pass, one-row F. Returns one row
+    (n_total, k_groups, f_stat, df1, df2), 6dp."""
+    meds = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .groupBy(F.col(type_col).alias("g"))
+        .agg(
+            F.expr(
+                f"percentile(CAST(round({value_col} * 100) AS BIGINT),"
+                " 0.5)"
+            ).alias("_med_cents")
+        )
+    )
+    z = F.abs(
+        F.col(value_col) - F.col("_med_cents") / 100.0
+    )
+    per_g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .join(
+            F.broadcast(meds),
+            F.col(type_col) == F.col("g"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_g"),
+            F.sum(z).alias("sz"),
+            F.sum(z * z).alias("szz"),
+        )
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("sz").alias("tz"),
+        F.sum("szz").alias("tzz"),
+        F.sum(
+            F.try_divide(F.col("sz") * F.col("sz"), F.col("n_g"))
+        ).alias("sgm"),
+    )
+    n, k = F.col("n"), F.col("k")
+    ssb = F.col("sgm") - F.try_divide(F.col("tz") * F.col("tz"), n)
+    ssw = F.col("tzz") - F.col("sgm")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, k - 1.0), F.try_divide(ssw, n - k)
+    )
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        k.cast("long").alias("k_groups"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (k - 1.0).cast("long").alias("df1"),
+        (n - k).cast("long").alias("df2"),
+    )
+
+
+def sql_brown_forsythe_value_by_type(
+    table: str = "events",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB replay of :func:`brown_forsythe_value_by_type` — same
+    cents-quantized medians, moment algebra, NULLIF degeneracy."""
+    return f"""
+    WITH meds AS (
+        SELECT {type_col} AS g,
+            quantile_cont(CAST(round({value_col} * 100) AS BIGINT), 0.5)
+                AS _med_cents
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1
+    ), per_g AS (
+        SELECT meds.g, CAST(count(*) AS DOUBLE) AS n_g,
+            sum(abs(t.{value_col} - meds._med_cents / 100.0)) AS sz,
+            sum(abs(t.{value_col} - meds._med_cents / 100.0)
+                * abs(t.{value_col} - meds._med_cents / 100.0)) AS szz
+        FROM {table} t JOIN meds ON t.{type_col} = meds.g
+        WHERE t.{value_col} IS NOT NULL
+        GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(n_g) AS n,
+            sum(sz) AS tz, sum(szz) AS tzz,
+            sum(sz * sz / nullif(n_g, 0.0)) AS sgm
+        FROM per_g
+    )
+    SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+        round(((sgm - tz * tz / nullif(n, 0.0)) / nullif(k - 1.0, 0.0))
+              / nullif((tzz - sgm) / nullif(n - k, 0.0), 0.0), 6)
+            AS f_stat,
+        CAST(k - 1.0 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2
+    FROM agg
+    """

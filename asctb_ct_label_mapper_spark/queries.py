@@ -9819,3 +9819,54 @@ def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asctb_ct_label_mapper_spark.operators.stats import runs_test_daily
 
     return runs_test_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r12k batch: Kruskal-Wallis + Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+
+def _kw_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_kruskal_wallis_value_by_type,
+    )
+
+    return sql_kruskal_wallis_value_by_type("events")
+
+
+@query("kruskal_wallis_value_by_type", _kw_oracle())
+def kruskal_wallis_value_by_type_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H across event types on value
+    (stats.kruskal_wallis_value_by_type): the k-group rank test
+    completing the Mann-Whitney/Friedman family — value-grain rank
+    construction, nothing fact-grain sorted."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        kruskal_wallis_value_by_type,
+    )
+
+    return kruskal_wallis_value_by_type(_t(spark, sf_dir, "events"))
+
+
+def _bf_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_brown_forsythe_value_by_type,
+    )
+
+    return sql_brown_forsythe_value_by_type("events")
+
+
+@query("brown_forsythe_value_by_type", _bf_oracle())
+def brown_forsythe_value_by_type_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test across event types
+    (stats.brown_forsythe_value_by_type): ANOVA on |x − group median|
+    with cents-exact medians — the assumption gate in front of the
+    parametric ANOVA/pooled tests."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        brown_forsythe_value_by_type,
+    )
+
+    return brown_forsythe_value_by_type(_t(spark, sf_dir, "events"))

@@ -139,6 +139,8 @@ TARGETS = {
     "friedman_test_event_types": "Friedman (r12j): (day,type) spine -> PER-DAY rank windows -> type fold -> 1-row chi2",
     "ljung_box_daily_events": "Ljung-Box (r12j): day spine -> 7 lag windows in ONE aggregate -> 1-row Q",
     "runs_test_daily_events": "runs test (r12j): day-grain order-statistic median -> one lag window -> 1-row moments",
+    "kruskal_wallis_value_by_type": "Kruskal-Wallis (r12k): (value,group) cells -> value-grain rank-from-counts -> group fold (nothing fact-grain sorted)",
+    "brown_forsythe_value_by_type": "Brown-Forsythe (r12k): group-grain exact-percentile agg -> broadcast medians -> one conditional moment pass",
 }
 
 
