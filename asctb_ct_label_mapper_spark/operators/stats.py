@@ -3162,6 +3162,59 @@ def sql_granger_daily(
 # ---------------------------------------------------------------------------
 
 
+def _day_type_spine(
+    df: DataFrame, ts_col: str, type_col: str
+) -> DataFrame:
+    """THE zero-filled (calendar day × event type) spine shared by
+    :func:`dispersion_test_by_type`, :func:`friedman_test_daily_types`
+    and :func:`cronbach_alpha_daily_types` (r12 third review pass: the
+    block had grown four inline copies — the same drift class the
+    module's `_daily_series` note calls out).  One (day, type)
+    conditional aggregate (the only fact pass), the global calendar
+    crossed with the type list, missing cells = genuine zeros.
+    Returns (d, typ, c bigint); the per-(day,type) counts frame is
+    pooled-persisted (it feeds the bounds aggregate, the type list,
+    and the spine join)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    counts = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(
+            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = counts.select("typ").distinct()
+    return cal.crossJoin(types).join(counts, ["d", "typ"], "left").select(
+        "d", "typ", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+
+def _sql_day_type_spine(
+    table: str, ts_col: str, type_col: str
+) -> str:
+    """DuckDB twin of :func:`_day_type_spine` — emits the ``counts`` +
+    ``cal`` + ``tspine`` CTE bodies (caller wraps in WITH)."""
+    return f"""counts AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
+            count(*) AS c
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), cal AS (
+        SELECT unnest(generate_series(min(d), max(d),
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM counts
+    ), tspine AS (
+        SELECT cal.d, t.typ, coalesce(counts.c, 0) AS c
+        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
+        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    )"""
+
+
 def dispersion_test_by_type(
     df: DataFrame,
     ts_col: str = "ts",
@@ -3188,24 +3241,9 @@ def dispersion_test_by_type(
     from asctb_ct_label_mapper_spark.operators.experiment import (
         _phi_upper_sql,
     )
-    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    counts = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
-        .groupBy(
-            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # spine per type: cross the global calendar with the type list so
-    # zero days count (the corr_matrix construction at cell grain)
-    counts = pooled_persist(counts)
-    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    types = counts.select("typ").distinct()
-    spine = cal.crossJoin(types).join(counts, ["d", "typ"], "left").select(
-        "typ", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    spine = _day_type_spine(df, ts_col, type_col).select(
+        "typ", F.col("c").cast("double").alias("c")
     )
     mom = spine.groupBy("typ").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -3256,20 +3294,8 @@ def sql_dispersion_test_by_type(
     )
 
     return f"""
-    WITH counts AS (
-        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
-            count(*) AS c
-        FROM {table}
-        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
-        GROUP BY 1, 2
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM counts
-    ), spine AS (
-        SELECT t.typ, CAST(coalesce(counts.c, 0) AS DOUBLE) AS c
-        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
-        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    WITH {_sql_day_type_spine(table, ts_col, type_col)}, spine AS (
+        SELECT typ, CAST(c AS DOUBLE) AS c FROM tspine
     ), mom AS (
         SELECT typ, CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
             sum(c * c) AS ss
@@ -3335,22 +3361,8 @@ def friedman_test_daily_types(
     from asctb_ct_label_mapper_spark.operators.experiment import (
         _phi_upper_sql,
     )
-    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    counts = pooled_persist(
-        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
-        .groupBy(
-            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    types = counts.select("typ").distinct()
-    spine = cal.crossJoin(types).join(counts, ["d", "typ"], "left").select(
-        "d", "typ", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    spine = _day_type_spine(df, ts_col, type_col)
     # average rank under ties: rank + (count_of_equal - 1)/2 — the
     # module's shared avg-rank identity, per-day partition
     w_day = Window.partitionBy("d").orderBy("c")
@@ -3383,8 +3395,12 @@ def friedman_test_daily_types(
     # the dispersion-test convention
     chi2 = F.try_divide(12.0 * n, k * (k + 1.0)) * ssq
     dof = k - 1.0
+    # greatest(chi2, 0): the centered-sum difference can cancel a few
+    # ulps negative at chi2 ~ 0 (the KW clamp's sibling)
     z = F.when(
-        k >= 2.0, F.sqrt(2.0 * chi2) - F.sqrt(2.0 * dof - 1.0)
+        k >= 2.0,
+        F.sqrt(2.0 * F.greatest(chi2, F.lit(0.0)))
+        - F.sqrt(2.0 * dof - 1.0),
     )
     out = agg.select(
         n.cast("long").alias("n_days"),
@@ -3418,25 +3434,11 @@ def sql_friedman_test_daily_types(
     )
 
     return f"""
-    WITH counts AS (
-        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
-            count(*) AS c
-        FROM {table}
-        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
-        GROUP BY 1, 2
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM counts
-    ), spine AS (
-        SELECT cal.d, t.typ, coalesce(counts.c, 0) AS c
-        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
-        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
-    ), ranked AS (
+    WITH {_sql_day_type_spine(table, ts_col, type_col)}, ranked AS (
         SELECT d, typ,
             rank() OVER (PARTITION BY d ORDER BY c)
             + (count(*) OVER (PARTITION BY d, c) - 1) / 2.0 AS r
-        FROM spine
+        FROM tspine
     ), per_type AS (
         SELECT typ, avg(r) AS rbar, count(*) AS n FROM ranked GROUP BY 1
     ), agg AS (
@@ -3449,17 +3451,21 @@ def sql_friedman_test_daily_types(
             12.0 * n / nullif(k * (k + 1.0), 0.0)
                 * (srr - k * ((k + 1.0) / 2.0) * ((k + 1.0) / 2.0))
                 AS chi2,
-            CAST(k - 1.0 AS BIGINT) AS df,
-            CASE WHEN k >= 2.0 THEN
-                sqrt(2.0 * 12.0 * n / nullif(k * (k + 1.0), 0.0)
-                     * (srr - k * ((k + 1.0) / 2.0) * ((k + 1.0) / 2.0)))
-                - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
+            CAST(k - 1.0 AS BIGINT) AS df, k
         FROM agg
+    ), withz AS (
+        -- layered over the computed chi2 (single definition) with the
+        -- greatest() clamp — the KW oracle's shape
+        SELECT n_days, k_types, chi2, df,
+            CASE WHEN k >= 2.0 THEN
+                sqrt(2.0 * greatest(chi2, 0.0))
+                - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
+        FROM stat
     )
     SELECT n_days, k_types, round(chi2, 6) AS chi2, df,
         round(z, 6) AS z,
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
-    FROM stat
+    FROM withz
     """
 
 
@@ -3492,22 +3498,9 @@ def cronbach_alpha_daily_types(
     6dp; a single type or zero total variance degrades α to NULL."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
-    counts = pooled_persist(
-        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
-        .groupBy(
-            F.to_date(ts_col).alias("d"), F.col(type_col).alias("typ")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cal = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    types = counts.select("typ").distinct()
     spine = pooled_persist(
-        cal.crossJoin(types)
-        .join(counts, ["d", "typ"], "left")
-        .select(
-            "d", "typ", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+        _day_type_spine(df, ts_col, type_col).select(
+            "d", "typ", F.col("c").cast("double").alias("c")
         )
     )
     per_item = spine.groupBy("typ").agg(
@@ -3548,21 +3541,8 @@ def sql_cronbach_alpha_daily_types(
     """DuckDB replay of :func:`cronbach_alpha_daily_types` — same
     spine, population variances, and NULLIF degeneracy."""
     return f"""
-    WITH counts AS (
-        SELECT CAST({ts_col} AS DATE) AS d, {type_col} AS typ,
-            count(*) AS c
-        FROM {table}
-        WHERE {ts_col} IS NOT NULL AND {type_col} IS NOT NULL
-        GROUP BY 1, 2
-    ), cal AS (
-        SELECT unnest(generate_series(min(d), max(d),
-                                      INTERVAL 1 DAY))::DATE AS d
-        FROM counts
-    ), spine AS (
-        SELECT cal.d, t.typ,
-            CAST(coalesce(counts.c, 0) AS DOUBLE) AS c
-        FROM cal CROSS JOIN (SELECT DISTINCT typ FROM counts) t
-        LEFT JOIN counts ON counts.d = cal.d AND counts.typ = t.typ
+    WITH {_sql_day_type_spine(table, ts_col, type_col)}, spine AS (
+        SELECT d, typ, CAST(c AS DOUBLE) AS c FROM tspine
     ), item_fold AS (
         SELECT CAST(count(*) AS DOUBLE) AS k, sum(v) AS sv FROM (
             SELECT typ, avg(c * c) - avg(c) * avg(c) AS v
@@ -3708,15 +3688,18 @@ def sql_ljung_box_daily(
         FROM lags
     ), stat AS (
         SELECT CAST(n AS BIGINT) AS n_days,
-            n * (n + 2.0) * ({q_terms}) AS q_stat,
-            sqrt(2.0 * n * (n + 2.0) * ({q_terms}))
-                - sqrt(2.0 * {float(max_lag)!r} - 1.0) AS z
+            n * (n + 2.0) * ({q_terms}) AS q_stat
         FROM sums
+    ), withz AS (
+        SELECT n_days, q_stat,
+            sqrt(2.0 * q_stat)
+                - sqrt(2.0 * {float(max_lag)!r} - 1.0) AS z
+        FROM stat
     )
     SELECT n_days, {max_lag} AS max_lag, round(q_stat, 6) AS q_stat,
         {max_lag} AS df, round(z, 6) AS z,
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
-    FROM stat
+    FROM withz
     """
 
 
@@ -3923,7 +3906,9 @@ def kruskal_wallis_value_by_type(
         Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    per_v = (
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist as _pp
+
+    per_v = _pp(
         cells.groupBy("v")
         .agg(F.sum("cnt").alias("t"))
         .select(
@@ -3962,8 +3947,14 @@ def kruskal_wallis_value_by_type(
     corr = 1.0 - F.try_divide(F.col("tie_term"), n * n * n - n)
     hc = F.try_divide(h, corr)
     dof = k - 1.0
+    # greatest(hc, 0): identical-distribution groups drive the true H
+    # to 0 and float cancellation can land a few ulps NEGATIVE — DuckDB
+    # sqrt raises there and Spark returns NaN (r12 third review pass,
+    # reproduced); clamp on BOTH engines
     z = F.when(
-        k >= 2.0, F.sqrt(2.0 * hc) - F.sqrt(2.0 * dof - 1.0)
+        k >= 2.0,
+        F.sqrt(2.0 * F.greatest(hc, F.lit(0.0)))
+        - F.sqrt(2.0 * dof - 1.0),
     )
     out = agg.select(
         n.cast("long").alias("n_total"),
@@ -4034,7 +4025,8 @@ def sql_kruskal_wallis_value_by_type(
     ), withz AS (
         SELECT n_total, k_groups, h, hc, df,
             CASE WHEN k >= 2.0 THEN
-                sqrt(2.0 * hc) - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
+                sqrt(2.0 * greatest(hc, 0.0))
+                - sqrt(2.0 * (k - 1.0) - 1.0) END AS z
         FROM stat
     )
     SELECT n_total, k_groups, round(h, 6) AS h_stat,
