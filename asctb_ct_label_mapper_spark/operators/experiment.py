@@ -2451,7 +2451,13 @@ def mcnemar_conversion_shift(
     )
     conv = F.col(type_col) == metric_type
     per_user = (
-        events.crossJoin(F.broadcast(mid))
+        # NULL-ts events carry no period information: without the filter
+        # a user whose ONLY metric events have NULL ts folds to p1/p2
+        # NULL on Spark (max of all-NULL booleans) but 0 on DuckDB (CASE
+        # ELSE 0) — r13 ADVICE parity gap. Filtered on BOTH engines, so
+        # such users drop from every cell including n_users.
+        events.filter(F.col(ts_col).isNotNull())
+        .crossJoin(F.broadcast(mid))
         .groupBy(F.col(user_col).alias("user"))
         .agg(
             F.max(
@@ -2509,6 +2515,7 @@ def sql_mcnemar_conversion_shift(
             max(CASE WHEN {type_col} = '{metric_type}'
                      AND {ts_col} >= mid._mid THEN 1 ELSE 0 END) AS p2
         FROM {table} CROSS JOIN mid
+        WHERE {ts_col} IS NOT NULL
         GROUP BY 1
     ), cells AS (
         -- CAST: DuckDB sum(INT) is HUGEINT (pandas float64); Spark's
@@ -2636,7 +2643,10 @@ def post_stratified_ab(
         F.col("ts0"), F.col("tn0")
     )
     diff_adj = F.col("wd") / nu
-    se = F.sqrt(F.col("wv")) / nu
+    # clamp: wv can cancel a few ulps negative when within-(stratum, arm)
+    # values are near-constant (r13 ADVICE; KW/Friedman clamp convention —
+    # DuckDB sqrt raises where Spark would degrade to NaN)
+    se = F.sqrt(F.greatest(F.col("wv"), F.lit(0.0))) / nu
     z = F.try_divide(diff_adj, se)
     out = comb.withColumn("_az", F.abs(z))
     return out.select(
@@ -2697,8 +2707,9 @@ def sql_post_stratified_ab(
         SELECT CAST(n_users AS BIGINT) AS n_users, n_strata,
             ts1 / nullif(tn1, 0) - ts0 / nullif(tn0, 0) AS diff_unadj,
             wd / n_users AS diff_adj,
-            sqrt(wv) / n_users AS se_adj,
-            wd / n_users / nullif(sqrt(wv) / n_users, 0.0) AS z
+            sqrt(greatest(wv, 0.0)) / n_users AS se_adj,
+            wd / n_users
+                / nullif(sqrt(greatest(wv, 0.0)) / n_users, 0.0) AS z
         FROM comb
     )
     SELECT n_users, n_strata, round(diff_unadj, 6) AS diff_unadj,

@@ -3141,17 +3141,21 @@ def theta_forecast_daily(
     fold for (a, b, S_n), and a ``horizon``-row broadcast grid join —
     everything past the fact pass is dimension-sized, the conformal/
     Page-Hinkley family contract. Returns (h, trend, ses, forecast)
-    for h = 1..horizon, 6dp."""
+    for h = 1..horizon, 6dp.
+
+    The day frame is the shared zero-filled calendar spine
+    (:func:`~..stats._daily_series`), matching conformal / Page-Hinkley
+    / Hurst — observed-days-only indexing silently shifts the trend
+    slope and the horizon semantics on series with missing days
+    (r13 ADVICE)."""
     from pyspark.sql import Window
 
-    daily = (
-        events.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).cast("double").alias("y"))
-    )
-    w = Window.orderBy("day")
-    idx = daily.select(
-        "y", (F.row_number().over(w) - 1).cast("double").alias("t")
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    w = Window.orderBy("d")
+    idx = _daily_series(events, ts_col).select(
+        F.col("c").cast("double").alias("y"),
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
     )
     t, y = F.col("t"), F.col("y")
     suff = idx.agg(
@@ -3206,17 +3210,18 @@ def sql_theta_forecast_daily(
     alpha: float = 0.2,
     horizon: int = 7,
 ) -> str:
-    """DuckDB replay of :func:`theta_forecast_daily` — same row-index
-    spine, same sufficient statistics, same closed-form SES weights."""
+    """DuckDB replay of :func:`theta_forecast_daily` — same zero-filled
+    calendar spine, same sufficient statistics, same closed-form SES
+    weights."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
     return f"""
-    WITH daily AS (
-        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
-            CAST(count(*) AS DOUBLE) AS y
-        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
-    ), idx AS (
-        SELECT y,
-            CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS t
-        FROM daily
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t
+        FROM series
     ), suff AS (
         SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(y) AS sy,
             sum(t * t) AS stt, sum(t * y) AS sty
@@ -3562,8 +3567,15 @@ def hurst_rs_daily(
     stats = gridded.groupBy("m", "blk").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.avg("y").alias("mu"),
+        # clamp: the moment difference can cancel a few ulps negative on
+        # a near-constant block (daily counts are integers today, but any
+        # real-valued reuse would hit DuckDB sqrt-raises vs Spark NaN —
+        # r12 ADVICE; same convention as neyman_allocation / KW)
         F.sqrt(
-            F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+            F.greatest(
+                F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y"),
+                F.lit(0.0),
+            )
         ).alias("s"),
     )
     w_cum = (
@@ -3634,7 +3646,7 @@ def sql_hurst_rs_daily(
         FROM idx CROSS JOIN (VALUES {vals}) s(m)
     ), stats AS (
         SELECT m, blk, count(*) AS cnt, avg(y) AS mu,
-            sqrt(avg(y * y) - avg(y) * avg(y)) AS s
+            sqrt(greatest(avg(y * y) - avg(y) * avg(y), 0.0)) AS s
         FROM gridded GROUP BY 1, 2
     ), z AS (
         SELECT g.m, g.blk, stats.s,

@@ -50,7 +50,9 @@ def bucket_table_name(sf_dir: str, table: str, n_buckets: int) -> str:
     return f"bkt{n_buckets}_{tag}_{h}_p{os.getpid()}_{table}"
 
 
-def sweep_stale_pid_dirs(root: str, pid_pattern: str) -> int:
+def sweep_stale_pid_dirs(
+    root: str, pid_pattern: str, entry_re: str | None = None
+) -> int:
     """Remove sibling per-process artifact directories whose owning
     process is DEAD — the pid suffix fixes concurrent clobbering
     (bucket_table_name / queries._fixture_dir), but without a sweep
@@ -60,12 +62,22 @@ def sweep_stale_pid_dirs(root: str, pid_pattern: str) -> int:
     ingest time — the moment a new copy is about to be paid for is the
     cheap moment to reclaim the dead ones.  Liveness = kill(pid, 0);
     the CURRENT process's own dirs are never touched.  Returns the
-    number of directories removed."""
+    number of directories removed.
+
+    ``entry_re``: optional anchor the FULL entry name must match before
+    the pid probe runs.  The warehouse directory is shared with every
+    other managed table — without the anchor, an unrelated table whose
+    name coincidentally contains ``_p<digits>_`` would be swept when
+    that number is a dead pid (r13 ADVICE, medium).  Callers sweeping a
+    shared directory must pass the template of THEIR OWN artifacts
+    (bucketed facts pass ``^bkt\\d+_``)."""
     if not os.path.isdir(root):
         return 0
     me = os.getpid()
     removed = 0
     for entry in os.listdir(root):
+        if entry_re is not None and re.match(entry_re, entry) is None:
+            continue
         # LAST match: the sf_dir-derived tag may itself contain a
         # `_p<digits>_` token (an sf_dir named "data_p100_v2"); the
         # real pid suffix is structurally the final occurrence
@@ -131,7 +143,9 @@ def ensure_bucketed_tables(
             wh = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
-            sweep_stale_pid_dirs(wh, r"_p(\d+)_")
+            # anchored to the bucket-table template: the warehouse dir
+            # holds OTHER managed tables too (r13 ADVICE, medium)
+            sweep_stale_pid_dirs(wh, r"_p(\d+)_", entry_re=r"bkt\d+_")
             loc = os.path.join(wh, name.lower())
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
