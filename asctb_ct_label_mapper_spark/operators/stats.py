@@ -729,41 +729,57 @@ def _time_to_event_grain(
     ``event_type`` ON OR AFTER t0, never-converters censored at the
     corpus max date; returns one row per observed duration
     (t, n_events, n_risk) with n_risk the suffix sum of all lifetimes
-    >= t.  Two filtered min-aggregates per key + one broadcast scalar +
-    a suffix window on the tiny duration grain."""
+    >= t.
+
+    Plan (r13 rewrite of the r11/r12 equi+range left join): ONE
+    key-grain aggregate over the start/event rows — ``_t0`` as a
+    conditional min and the candidate conversion days as a
+    ``collect_set`` of event DAYS (bounded by the corpus day count per
+    key, not by event volume — map-side partial aggregation dedupes
+    before the shuffle), then the on-or-after first conversion is
+    ``array_min(filter(days, >= _t0))`` in codegen.  The join
+    formulation planned as a BroadcastHashJoin that broadcast the
+    FACT-side purchase scan (wrong posture at 100 TB: the small side is
+    |users|, but a LeftOuter join can only build right) and read the
+    fact table three times; this shape shuffles each key once with
+    partial aggregation, reads it twice (grain + corpus max date), and
+    keeps a key whose only conversions PRECEDE t0 censored — the array
+    filter empties and array_min degrades to NULL, never dropping the
+    row (the same contract the join condition used to carry)."""
     dated = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(type_col).alias("_y"),
         F.to_date(ts_col).alias("d"),
     )
-    starts = (
-        dated.filter(F.col("_y") == start_type)
-        .groupBy("key")
-        .agg(F.min("d").alias("_t0"))
-    )
-    events = dated.filter(F.col("_y") == event_type).select(
-        F.col("key").alias("_ek"), F.col("d").alias("_ed")
-    )
-    # the on-or-after predicate lives IN the join condition: filtering
-    # after the left join would drop a key whose only conversion events
-    # PRECEDE t0 (its matched rows all filter away and no null row
-    # remains) — such keys are censored, not absent
+    rel = dated.filter(F.col("_y").isin([start_type, event_type]))
     first_after = (
-        starts.join(
-            events,
-            (starts["key"] == events["_ek"])
-            & (events["_ed"] >= starts["_t0"]),
-            "left",
+        rel.groupBy("key")
+        .agg(
+            F.min(
+                F.when(F.col("_y") == start_type, F.col("d"))
+            ).alias("_t0"),
+            F.collect_set(
+                F.when(F.col("_y") == event_type, F.col("d"))
+            ).alias("_eds"),
         )
-        .groupBy("key", "_t0")
-        .agg(F.min("_ed").alias("_conv"))
+        .filter(F.col("_t0").isNotNull())
+        .select(
+            "_t0",
+            F.array_min(
+                F.filter("_eds", lambda x: x >= F.col("_t0"))
+            ).alias("_conv"),
+        )
     )
     maxd = dated.agg(F.max("d").alias("_maxd"))
     lives = first_after.crossJoin(F.broadcast(maxd)).select(
+        # cast: Spark datediff is INT, DuckDB's is BIGINT — the driver's
+        # pandas canonicalizer is dtype-visible even when the strings
+        # agree (r13 driver-sim finding)
         F.when(
             F.col("_conv").isNotNull(), F.datediff("_conv", "_t0")
         )
         .otherwise(F.datediff("_maxd", "_t0"))
+        .cast("long")
         .alias("t"),
         F.col("_conv").isNotNull().alias("churned"),
     )
@@ -1009,7 +1025,8 @@ def sql_nelson_aalen_hazard(
                       AND CURRENT ROW) AS h
         FROM at_risk
     )
-    SELECT t AS duration_days, n_risk, CAST(n_events AS BIGINT) AS n_events,
+    SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(n_events AS BIGINT) AS n_events,
         round(h, 6) AS cum_hazard, round(exp(-h), 6) AS surv_fh
     FROM curve WHERE n_events > 0
     """
