@@ -1347,3 +1347,131 @@ def sql_silhouette_seeded(
     FROM ab
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# r13: impl='auto' — cost-based strategy selection for the top-k ladder
+# ---------------------------------------------------------------------------
+
+# Documented crossover constants (SCALING.md "ANN ladder" + strategy
+# notes above).  REF_BROADCAST_BUDGET: past ~256 MiB of raw float64 the
+# reference no longer ships as a per-executor resident matrix — the
+# exact rungs are off the table and candidate generation must be a
+# bucketed equi-join (IVF).  EXACT_FLOP_BUDGET: q*c*d multiply-adds
+# where the per-pair codegen of the window strategy stops being "free"
+# relative to one BLAS matmul per Arrow batch — the ladder table shows
+# blocked >= join from ~1e8 flops up (2k x 18k x 64 ≈ 2.3e9 already
+# favors blocked), so the window rung is reserved for the small-q,
+# small-c regime where its single-stage plan wins the scheduling floor.
+REF_BROADCAST_BUDGET_BYTES: int = 256 << 20
+EXACT_FLOP_BUDGET: float = 1e8
+
+
+def choose_similarity_impl(
+    n_queries: int,
+    n_refs: int,
+    dim: int,
+    has_payload: bool = False,
+    broadcast_budget_bytes: int = REF_BROADCAST_BUDGET_BYTES,
+    exact_flop_budget: float = EXACT_FLOP_BUDGET,
+) -> str:
+    """Pure decision function behind ``similarity_topk(impl='auto')`` —
+    separated from the dispatch so the boundaries are unit-testable
+    without running jobs.
+
+    Regimes (SCALING.md crossovers):
+
+    - ``ref_bytes = n_refs * dim * 8`` over the broadcast budget →
+      ``'ivf'``: nothing full-width is broadcast; candidates come from
+      a list-id equi-join (the only rung whose contract survives a
+      reference that outgrows executor memory).
+    - under the budget with ``q*c*d`` beyond the flop budget →
+      ``'blocked'``: one resident matrix + BLAS matmul per Arrow batch,
+      zero shuffle, linear in the query count.
+    - otherwise → ``'join'``: the single-stage broadcast cross join —
+      at tiny sizes the window plan's scheduling floor beats shipping
+      numpy batches.
+
+    ``has_payload``: only the join rung gathers reference payload
+    columns in the same plan (J4 fused gather); a payload request
+    pins 'join' and raises if the reference is past broadcast scale
+    (callers at that scale join payloads back by ref_id instead).
+    """
+    ref_bytes = n_refs * dim * 8
+    if has_payload:
+        if ref_bytes > broadcast_budget_bytes:
+            raise ValueError(
+                "ref_payload_cols with a beyond-broadcast reference: "
+                "gather payloads by joining on ref_id after the ANN "
+                f"stage (reference ~{ref_bytes >> 20} MiB > "
+                f"{broadcast_budget_bytes >> 20} MiB budget)"
+            )
+        return "join"
+    if ref_bytes > broadcast_budget_bytes:
+        return "ivf"
+    if float(n_queries) * n_refs * dim > exact_flop_budget:
+        return "blocked"
+    return "join"
+
+
+def similarity_topk(
+    queries: DataFrame,
+    reference: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    ref_id_col: str,
+    query_vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+    ref_payload_cols: Sequence[str] = (),
+    impl: str = "auto",
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """One logical top-k cosine operator, physical strategy selected by
+    cost (verdict r13 #3; the q21 / mann_whitney ``impl=`` precedent).
+
+    ``impl='auto'`` reads two cheap statistics — reference count + dim
+    from one aggregate (count-min fused; the dim probe is
+    ``size(first(vec))``), query count from one count job (parquet
+    count pushdown makes this metadata-cheap on file sources) — and
+    picks the rung via :func:`choose_similarity_impl`.  Every rung
+    stays reachable explicitly (``impl='join'|'blocked'|'ivf'``).
+
+    The exact rungs return identical rows (hash-proven against one
+    oracle); the IVF rung is approximate — auto only reaches it past
+    broadcast scale, where exact is off the table anyway.
+    """
+    if impl == "auto":
+        ref_stats = reference.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first(F.size(ref_vec_col)).alias("d"),
+        ).collect()[0]
+        n_refs, dim = ref_stats["c"], ref_stats["d"] or 0
+        impl = choose_similarity_impl(
+            queries.count(), n_refs, dim, bool(ref_payload_cols)
+        )
+    if impl == "join":
+        return top_k_similarity_join(
+            queries, reference, k, query_id_cols, ref_id_col,
+            query_vec_col=query_vec_col, ref_vec_col=ref_vec_col,
+            ref_payload_cols=ref_payload_cols,
+        )
+    if impl == "blocked":
+        if ref_payload_cols:
+            raise ValueError("payload gather is join-rung only")
+        return top_k_similarity_blocked(
+            queries, reference, k, query_id_cols, ref_id_col,
+            query_vec_col=query_vec_col, ref_vec_col=ref_vec_col,
+        )
+    if impl == "ivf":
+        if ref_payload_cols:
+            raise ValueError("payload gather is join-rung only")
+        return ivf_topk(
+            queries, reference, k, query_id_cols, ref_id_col,
+            query_vec_col=query_vec_col, ref_vec_col=ref_vec_col,
+            n_lists=n_lists, n_probe=n_probe, seed=seed,
+            centroids=centroids,
+        )
+    raise ValueError(f"unknown impl {impl!r}")

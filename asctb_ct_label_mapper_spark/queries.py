@@ -1307,6 +1307,30 @@ def cos_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
 
 
+@query("cos_topk_auto", _COS_TOPK_ORACLE)
+def cos_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical operator behind the r13 cost-based selector
+    (`similarity_topk(impl='auto')`, verdict r13 #3): reads reference
+    count+dim and query count, then picks join/blocked/ivf by the
+    SCALING.md crossovers.  At every test SF the statistics land in the
+    exact small regime (q*c*d < 1e8 flops, ref << broadcast budget), so
+    the chosen rung is the window join and the result hash-matches the
+    shared exact oracle — the selection boundaries themselves are
+    unit-tested in tests/test_round13_auto.py without running jobs."""
+    from asctb_ct_label_mapper_spark.operators.similarity import (
+        similarity_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    reference = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    out = similarity_topk(
+        queries, reference, k=3, query_id_cols=["vec_id"],
+        ref_id_col="vec_id", impl="auto",
+    )
+    return out.select("vec_id", "ref_id", F.round("score", 6).alias("score"), "rank")
+
+
 _COS_TOPK_QUANT_ORACLE = """
     WITH deq AS (
         SELECT vec_id,
