@@ -1201,3 +1201,90 @@ def sql_binned_quantiles(
     FROM cum JOIN quants ON _cum >= (_qn * _n + _qd - 1) // _qd
     GROUP BY q
     """
+
+
+# ---------------------------------------------------------------------------
+# r13 (verdict #4): value gate for the HLL rollup — estimate vs exact
+# ---------------------------------------------------------------------------
+
+
+def distinct_users_gate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_config_k: int = LG_CONFIG_K,
+) -> DataFrame:
+    """The HLL binary is DataSketches-private, but the ESTIMATE is
+    checkable: per rollup period, emit the EXACT distinct count (which
+    a DuckDB oracle reproduces verbatim) plus a boolean asserting the
+    sketch estimate lies within 3x the published relative standard
+    error for the configured lgK (RSE ~= 1.04 / sqrt(2^lgK); lgK=12 ->
+    3sigma ~= 4.88%).  The oracle emits the same exact counts with a
+    constant TRUE, so a hash match value-gates BOTH the exact spine and
+    the estimate's error envelope — graduating the registry entry from
+    rows-only (verdict r13 #4).
+
+    Plan: the sketch path is the production rollup unchanged (one
+    fact pass to daily sketches, unions upward); the exact path is a
+    second fact pass the GATE pays, not the operator (at 100 TB you
+    would never run it — it exists to referee the sketch)."""
+    est = distinct_users_rollup(events, user_col, ts_col, lg_config_k)
+    dated = events.select(
+        F.to_date(ts_col).alias("day"), F.col(user_col).alias("u")
+    )
+    weekly = dated.groupBy(
+        F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias(
+            "period"
+        )
+    ).agg(F.count_distinct("u").alias("exact_users"))
+    total = dated.agg(
+        F.lit("total").alias("period"),
+        F.count_distinct("u").alias("exact_users"),
+    )
+    exact = weekly.unionByName(total)
+    bound = 3.0 * 1.04 / float(2 ** (lg_config_k / 2.0))
+    ok = (
+        (F.col("exact_users") == 0) & (F.col("est_users") == 0.0)
+    ) | (
+        F.abs(
+            F.try_divide(F.col("est_users"), F.col("exact_users")) - 1.0
+        )
+        <= bound
+    )
+    return (
+        est.join(exact, est["period"].eqNullSafe(exact["period"]))
+        .select(
+            est["period"].alias("period"),
+            "n_events",
+            "exact_users",
+            F.coalesce(ok, F.lit(False)).alias("est_within_3rse"),
+        )
+    )
+
+
+def sql_distinct_users_gate(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of the EXACT spine of :func:`distinct_users_gate`
+    (same week truncation, same NULL-day group) with the error-envelope
+    verdict as a constant TRUE — the estimate has no cross-engine
+    replay, so the oracle asserts the envelope by equality."""
+    return f"""
+    WITH dated AS (
+        SELECT CAST({ts_col} AS DATE) AS day, {user_col} AS u
+        FROM {table}
+    ), wk AS (
+        SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS period,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(DISTINCT u) AS BIGINT) AS exact_users
+        FROM dated GROUP BY 1
+    ), tot AS (
+        SELECT 'total' AS period, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(DISTINCT u) AS BIGINT) AS exact_users
+        FROM dated
+    )
+    SELECT period, n_events, exact_users, TRUE AS est_within_3rse
+    FROM (SELECT * FROM wk UNION ALL SELECT * FROM tot)
+    """

@@ -4689,19 +4689,34 @@ def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_users_sketch")
+def _sketch_gate_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        sql_distinct_users_gate,
+    )
+
+    return sql_distinct_users_gate("events")
+
+
+@query("distinct_users_sketch", _sketch_gate_oracle())
 def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count rollup (sketches.distinct_users_rollup):
     raw events -> per-day DataSketches HLL sketches -> weekly + total
     estimates by sketch UNION, never a second scan of the raw stream. The
     pre-aggregation pattern 100 TB distinct-count serving requires.
-    Rows-only BY DESIGN: DataSketches HLL_4 estimates have no DuckDB
-    equivalent (different HLL implementation); the error contract is
-    test-enforced instead (tests/test_sketches.py asserts merged estimates
-    within 5% of exact at sf0.001 and sf0.01)."""
-    from asctb_ct_label_mapper_spark.operators.sketches import distinct_users_rollup
 
-    return distinct_users_rollup(_t(spark, sf_dir, "events"))
+    VALUE-GATED since r13 (verdict #4): the DataSketches HLL_4 binary
+    has no DuckDB replay, but the estimate is checkable — the query
+    emits the exact per-period distinct count (hash-matched against
+    DuckDB's COUNT(DISTINCT)) plus a boolean pinning the estimate
+    inside 3x the lgK=12 relative standard error; the oracle emits
+    constant TRUE, so any estimate outside the envelope hash-fails.
+    tests/test_sketches.py keeps the tighter 5% assertions on the raw
+    rollup."""
+    from asctb_ct_label_mapper_spark.operators.sketches import (
+        distinct_users_gate,
+    )
+
+    return distinct_users_gate(_t(spark, sf_dir, "events"))
 
 
 def _ql_oracle() -> str:
