@@ -1390,6 +1390,162 @@ _TIER_METHODOLOGY = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Load-aware measurement (r13 verdict #1): the committed BENCH_r12 was
+# taken on a loaded box — docs100x read 111.7 s vs 80 s isolated, the
+# streaming ledger 54.4 s vs 29.2 s — so round-over-round diffs showed
+# phantom 2x regressions on unchanged code, and a REAL regression would
+# hide in the same band.  Three mechanisms:
+#   (a) load markers (loadavg, cgroup CPU pressure, and a /proc/stat
+#       foreign-busy sample taken while bench itself is idle) recorded
+#       at tier start/end into the JSON;
+#   (b) a tier is rerun ONCE — fresh session, same methodology — when
+#       the pre-tier foreign-busy fraction exceeds LOAD_BUSY_THRESHOLD
+#       or enough of its medians land above the spread committed in the
+#       repo's latest BENCH_r*.json; the better (smaller-total) pass is
+#       kept and BOTH totals + the reason are recorded;
+#   (c) spreads ride in the JSON for every tier INCLUDING the headline
+#       pass, so the driver's diff carries its own error bars.
+# ---------------------------------------------------------------------------
+
+LOAD_BUSY_THRESHOLD = 0.25  # >8 of 32 cores busy with someone else's work
+DRIFT_RATIO = 1.5           # a median >1.5x its committed spread max ...
+DRIFT_FRACTION = 0.25       # ... on >25% of spread-covered queries
+
+
+def _cpu_times() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return vals[3] + vals[4], sum(vals)  # (idle+iowait, total)
+
+
+def _foreign_busy_frac(sample_sec: float = 1.0):
+    """CPU busy fraction over a short window sampled while bench holds
+    no running session — loadavg decays over minutes and counts OUR
+    just-finished tier, but an instantaneous /proc/stat delta taken
+    between tiers is (almost) all foreign work."""
+    try:
+        i0, t0 = _cpu_times()
+        time.sleep(sample_sec)
+        i1, t1 = _cpu_times()
+        dt = t1 - t0
+        return round(1.0 - (i1 - i0) / dt, 4) if dt > 0 else None
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _load_markers() -> dict:
+    m: dict = {}
+    try:
+        m["loadavg"] = [
+            float(x) for x in open("/proc/loadavg").read().split()[:3]
+        ]
+    except (OSError, ValueError):
+        pass
+    try:
+        for line in open("/proc/pressure/cpu"):
+            if line.startswith("some"):
+                kv = dict(p.split("=") for p in line.split()[1:])
+                m["cpu_pressure_some_avg10"] = float(kv["avg10"])
+    except (OSError, KeyError, ValueError):
+        pass
+    return m
+
+
+def _latest_committed_bench() -> dict | None:
+    """The last committed full bench artifact — this run's medians are
+    judged against ITS spreads, so 'regressed vs last round' and
+    'measured on a loaded box' become distinguishable.  The driver's
+    BENCH_r*.json files hold only the compact totals line (no per-query
+    spreads); the committed ``bench_out.json`` is the full-fidelity
+    twin the repo ships alongside them."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    try:
+        with open(path) as f:
+            committed = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return committed if "queries" in committed else None
+
+
+def _drift_check(med: dict, committed_tier: dict | None) -> tuple[list, int]:
+    """(queries whose median exceeds DRIFT_RATIO x committed spread max,
+    number of queries that HAVE a committed spread)."""
+    if not isinstance(committed_tier, dict):
+        return [], 0
+    spread = committed_tier.get("spread") or {}
+    drifted = [
+        n
+        for n, m in med.items()
+        if n in spread and m > DRIFT_RATIO * spread[n][1]
+    ]
+    return drifted, len([n for n in med if n in spread])
+
+
+def _tier_rerun_reason(
+    busy_pre, med: dict, committed_tier: dict | None
+) -> str | None:
+    if busy_pre is not None and busy_pre > LOAD_BUSY_THRESHOLD:
+        return f"pre-tier foreign busy fraction {busy_pre}"
+    drifted, n_covered = _drift_check(med, committed_tier)
+    if n_covered and len(drifted) > max(1, DRIFT_FRACTION * n_covered):
+        return (
+            f"{len(drifted)}/{n_covered} medians above "
+            f"{DRIFT_RATIO}x committed spread: {sorted(drifted)[:5]}"
+        )
+    return None
+
+
+def _run_tier_load_aware(
+    key: str, run_once, committed: dict | None
+) -> dict:
+    """Run a scale tier with load markers and the one-shot rerun rule.
+    ``run_once()`` must return a fresh tier dict (its own session) with
+    a ``total`` (query tiers) or ``total_wall`` (streaming tiers)."""
+    committed_tier = None
+    if committed:
+        committed_tier = (committed.get("scales") or {}).get(key)
+    busy_pre = _foreign_busy_frac()
+    markers = {"pre": {**_load_markers(), "foreign_busy_frac": busy_pre}}
+    tier = run_once()
+    markers["post"] = {
+        **_load_markers(),
+        "foreign_busy_frac": _foreign_busy_frac(),
+    }
+    reason = _tier_rerun_reason(
+        busy_pre, tier.get("queries", {}), committed_tier
+    )
+    if reason is not None:
+        print(
+            f"[bench/{key}] rerunning tier once: {reason}",
+            file=sys.stderr,
+            flush=True,
+        )
+        second = run_once()
+        markers["post_rerun"] = {
+            **_load_markers(),
+            "foreign_busy_frac": _foreign_busy_frac(),
+        }
+        tot_key = "total" if "total" in tier else "total_wall"
+        first_total, second_total = tier[tot_key], second[tot_key]
+        kept, other = (
+            (second, tier)
+            if second_total < first_total
+            else (tier, second)
+        )
+        kept["rerun"] = {
+            "reason": reason,
+            "first_total": first_total,
+            "second_total": second_total,
+            "kept": "second" if kept is second else "first",
+        }
+        tier = kept
+    tier["load"] = markers
+    return tier
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -1403,7 +1559,11 @@ def main() -> None:
         "l_returnflag"
     ).count().count()
 
+    headline_load = {
+        "pre": {**_load_markers(), "foreign_busy_frac": _foreign_busy_frac()}
+    }
     timings: dict[str, float] = {}
+    headline_spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
         # Isolation: drop cache entries accumulated by PRIOR queries'
@@ -1414,182 +1574,185 @@ def main() -> None:
         fn(spark, sf_dir).count()  # warm-up: JIT, codegen, file listing
         # Min of two timed passes: single-pass local[32] numbers carry
         # multi-second GC/scheduler noise that swamps sub-second queries.
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(runs)
+        headline_spread[name] = [min(runs), max(runs)]
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 4)
+    headline_load["post"] = {
+        **_load_markers(),
+        "foreign_busy_frac": None,  # session still alive here: a /proc
+        # sample would count our own executor threads as foreign
+    }
 
     result = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": headline_spread,
+        "load": headline_load,
         "sf": sf,
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         result["scales"] = {}
-        # EVERY scale tier gets its OWN fresh session (r10, closing the
-        # r9 gap where the 10x tiers shared one session and events100x
-        # ran right after docs100x's 3x history): the headline pass
-        # leaves ~160 queries of executor-memory history behind, and
-        # untouched docs10x operators were observed swinging +40%
-        # (dedup_ngram_jaccard +5.5 s) purely from that session state.
-        try:
-            scale_dir = ensure_docs_scale(sf_dir, 10)
-            spark.stop()
-            spark = get_spark("asctb-bench-docs10x")
-            registry = all_queries()
-            # fresh-JVM warm-up, same reason as the headline's
-            spark.read.parquet(
-                os.path.join(scale_dir, "documents.parquet")
-            ).groupBy("lang").count().count()
-            med, spread = _tier_median3(
-                spark, registry, SCALE_QUERIES, scale_dir, "10x"
-            )
-            result["scales"]["docs10x"] = {
-                "factor": 10,
-                "total": round(sum(med.values()), 4),
-                "queries": med,
-                "spread": spread,
-                "methodology": _TIER_METHODOLOGY,
-            }
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["docs10x"] = {"error": str(e)[:200]}
-        try:
-            ev_dir = ensure_events_scale(sf_dir, 10)
-            spark.stop()
-            spark = get_spark("asctb-bench-events10x")
-            registry = all_queries()
-            spark.read.parquet(
-                os.path.join(ev_dir, "events.parquet")
-            ).groupBy("event_type").count().count()
-            med, spread = _tier_median3(
-                spark, registry, EVENTS_SCALE_QUERIES, ev_dir, "ev10x"
-            )
-            result["scales"]["events10x"] = {
-                "factor": 10,
-                "total": round(sum(med.values()), 4),
-                "queries": med,
-                "spread": spread,
-                "methodology": _TIER_METHODOLOGY,
-            }
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["events10x"] = {"error": str(e)[:200]}
-        try:
-            scale_dir = ensure_docs_scale(sf_dir, 100)
-            spark.stop()
-            spark = get_spark("asctb-bench-docs100x")
-            registry = all_queries()
-            spark.read.parquet(
-                os.path.join(scale_dir, "documents.parquet")
-            ).groupBy("lang").count().count()
-            med, spread = _tier_median3(
-                spark, registry, SCALE100_QUERIES, scale_dir, "100x"
-            )
-            result["scales"]["docs100x"] = {
-                "factor": 100,
-                "total": round(sum(med.values()), 4),
-                "queries": med,
-                "spread": spread,
-                "methodology": _TIER_METHODOLOGY,
-            }
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["docs100x"] = {"error": str(e)[:200]}
-        try:
-            ev_dir = ensure_events_scale(sf_dir, 100)
-            spark.stop()
-            spark = get_spark("asctb-bench-events100x")
-            registry = all_queries()
-            spark.read.parquet(
-                os.path.join(ev_dir, "events.parquet")
-            ).groupBy("event_type").count().count()
-            med, spread = _tier_median3(
-                spark, registry, EVENTS_SCALE_QUERIES, ev_dir, "ev100x"
-            )
-            result["scales"]["events100x"] = {
-                "factor": 100,
-                "total": round(sum(med.values()), 4),
-                "queries": med,
-                "spread": spread,
-                "methodology": _TIER_METHODOLOGY,
-            }
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["events100x"] = {"error": str(e)[:200]}
-        try:
-            rel_dir = ensure_relational_scale(sf_dir, 10)
-            spark.stop()
-            spark = get_spark("asctb-bench-rel10x")
-            registry = all_queries()
+        committed = _latest_committed_bench()
+        sessions: list = [spark]
+
+        def _fresh_session(name: str):
+            # EVERY scale tier (and every load-triggered RERUN) gets its
+            # OWN fresh session (r10, closing the r9 gap where the 10x
+            # tiers shared one session): the headline pass leaves ~160
+            # queries of executor-memory history behind, and untouched
+            # docs10x operators were observed swinging +40% purely from
+            # that session state.
+            sessions[0].stop()
+            s = get_spark(name)
+            sessions[0] = s
+            return s
+
+        def _query_tier(
+            label, names, tier_dir, factor, warm_table, warm_col,
+            extra_setup=None,
+        ):
+            def run_once():
+                s = _fresh_session(f"asctb-bench-{label}")
+                reg = all_queries()
+                # fresh-JVM warm-up, same reason as the headline's
+                s.read.parquet(
+                    os.path.join(tier_dir, f"{warm_table}.parquet")
+                ).groupBy(warm_col).count().count()
+                if extra_setup is not None:
+                    extra_setup(s)
+                med, spread = _tier_median3(s, reg, names, tier_dir, label)
+                return {
+                    "factor": factor,
+                    "total": round(sum(med.values()), 4),
+                    "queries": med,
+                    "spread": spread,
+                    "methodology": _TIER_METHODOLOGY,
+                }
+
+            return run_once
+
+        def _rel_setup(s):
             # ingest-time cost, not query-time: materialize the bucketed
             # fact layout before any timing (write-once per tier)
             from asctb_ct_label_mapper_spark.sources.bucketing import (
                 ensure_bucketed_tables,
+                ensure_clustered_copy,
             )
 
-            bkt = ensure_bucketed_tables(spark, rel_dir)
+            bkt = ensure_bucketed_tables(s, rel_dir)
             for _df in bkt.values():
                 _df.count()  # warm file listing/footers — the plain paths
                 # get this for free from the 20 queries that precede the
                 # bucketed entries; without it the first bucketed read
                 # pays cold I/O that is not part of the layout comparison
-            from asctb_ct_label_mapper_spark.sources.bucketing import (
-                ensure_clustered_copy,
-            )
+            cl_path = ensure_clustered_copy(s, rel_dir)
+            s.read.parquet(cl_path).count()  # warm, same reason
 
-            cl_path = ensure_clustered_copy(spark, rel_dir)
-            spark.read.parquet(cl_path).count()  # warm, same reason
-            med, spread = _tier_median3(
-                spark, registry, REL_SCALE_QUERIES, rel_dir, "rel10x"
+        tier_specs = []
+        try:
+            tier_specs.append(
+                (
+                    "docs10x",
+                    _query_tier(
+                        "10x", SCALE_QUERIES, ensure_docs_scale(sf_dir, 10),
+                        10, "documents", "lang",
+                    ),
+                )
             )
-            result["scales"]["rel10x"] = {
-                "factor": 10,
-                "total": round(sum(med.values()), 4),
-                "queries": med,
-                "spread": spread,
-                "methodology": _TIER_METHODOLOGY,
-            }
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["docs10x"] = {"error": str(e)[:200]}
+        try:
+            tier_specs.append(
+                (
+                    "events10x",
+                    _query_tier(
+                        "ev10x", EVENTS_SCALE_QUERIES,
+                        ensure_events_scale(sf_dir, 10), 10, "events",
+                        "event_type",
+                    ),
+                )
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["events10x"] = {"error": str(e)[:200]}
+        try:
+            tier_specs.append(
+                (
+                    "docs100x",
+                    _query_tier(
+                        "100x", SCALE100_QUERIES,
+                        ensure_docs_scale(sf_dir, 100), 100, "documents",
+                        "lang",
+                    ),
+                )
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["docs100x"] = {"error": str(e)[:200]}
+        try:
+            tier_specs.append(
+                (
+                    "events100x",
+                    _query_tier(
+                        "ev100x", EVENTS_SCALE_QUERIES,
+                        ensure_events_scale(sf_dir, 100), 100, "events",
+                        "event_type",
+                    ),
+                )
+            )
+        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+            result["scales"]["events100x"] = {"error": str(e)[:200]}
+        try:
+            rel_dir = ensure_relational_scale(sf_dir, 10)
+            tier_specs.append(
+                (
+                    "rel10x",
+                    _query_tier(
+                        "rel10x", REL_SCALE_QUERIES, rel_dir, 10,
+                        "lineitem", "l_returnflag", extra_setup=_rel_setup,
+                    ),
+                )
+            )
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["rel10x"] = {"error": str(e)[:200]}
-        try:
-            spark.stop()
-            spark = get_spark("asctb-bench-streaming")
-            spark.catalog.clearCache()
-            result["scales"]["streaming"] = bench_streaming(spark, sf_dir)
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["streaming"] = {"error": str(e)[:200]}
-        try:
-            spark.catalog.clearCache()
-            result["scales"]["streaming_watermark"] = bench_streaming_watermark(
-                spark, sf_dir
-            )
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["streaming_watermark"] = {"error": str(e)[:200]}
-        try:
-            spark.catalog.clearCache()
-            result["scales"]["streaming_session"] = bench_streaming_session(
-                spark, sf_dir
-            )
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["streaming_session"] = {"error": str(e)[:200]}
-        try:
-            spark.catalog.clearCache()
-            result["scales"]["streaming_enrich"] = bench_streaming_enrich(
-                spark, sf_dir
-            )
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["streaming_enrich"] = {"error": str(e)[:200]}
-        try:
-            spark.catalog.clearCache()
-            result["scales"]["streaming_join"] = bench_streaming_join(
-                spark, sf_dir
-            )
-        except Exception as e:  # noqa: BLE001 - scale tiers best-effort
-            result["scales"]["streaming_join"] = {"error": str(e)[:200]}
+
+        for key, run_once in tier_specs:
+            try:
+                result["scales"][key] = _run_tier_load_aware(
+                    key, run_once, committed
+                )
+            except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+                result["scales"][key] = {"error": str(e)[:200]}
+
+        def _stream_tier(key, fn):
+            def run_once():
+                s = _fresh_session(f"asctb-bench-{key}")
+                s.catalog.clearCache()
+                return fn(s, sf_dir)
+
+            return run_once
+
+        for key, fn in (
+            ("streaming", bench_streaming),
+            ("streaming_watermark", bench_streaming_watermark),
+            ("streaming_session", bench_streaming_session),
+            ("streaming_enrich", bench_streaming_enrich),
+            ("streaming_join", bench_streaming_join),
+        ):
+            try:
+                result["scales"][key] = _run_tier_load_aware(
+                    key, _stream_tier(key, fn), committed
+                )
+            except Exception as e:  # noqa: BLE001 - scale tiers best-effort
+                result["scales"][key] = {"error": str(e)[:200]}
+        spark = sessions[0]
 
     print(json.dumps(result))
     # Truncation-proofing (VERDICT r6 #2): the full line above can exceed a
@@ -1611,6 +1774,20 @@ def main() -> None:
         "scale_totals": {
             k: (v.get("total", v.get("total_wall")) if isinstance(v, dict) else None)
             for k, v in result.get("scales", {}).items()
+        },
+        # load accountability (r13 verdict #1): the driver records only
+        # this compact line, so the box-condition evidence must ride in
+        # it — per-tier pre-run foreign-busy fraction plus any rerun
+        # decisions; full markers/spreads live in bench_out.json.
+        "load_pre_busy": {
+            k: (v.get("load", {}).get("pre", {}).get("foreign_busy_frac")
+                if isinstance(v, dict) else None)
+            for k, v in result.get("scales", {}).items()
+        },
+        "reruns": {
+            k: v["rerun"]
+            for k, v in result.get("scales", {}).items()
+            if isinstance(v, dict) and "rerun" in v
         },
     }
     print(json.dumps(compact))
