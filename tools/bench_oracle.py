@@ -27,20 +27,32 @@ from asctb_ct_label_mapper_spark.schemas import TESTDATA_TABLES  # noqa: E402
 # published Spark-vs-DuckDB totals compare like for like (ADVICE r5).
 # Queries whose oracle is structurally non-comparable as a baseline are
 # excluded with a reason:
+# name -> reason; surfaced verbatim in the emitted JSON (r13 verdict
+# #7) so the published head-to-head ratios are self-describing instead
+# of the reasons living only in this comment block.
 _EXCLUDED = {
-    # >580 s recursive-CTE timeout at sf0.1 (measured r5) — reported as a
-    # head-to-head in SCALING.md, not folded into a total it would swamp
-    "pipeline_curate",
-    # same recursive-CTE connected-components core (>8 min at sf0.1,
-    # measured r6) — the Spark side runs these in ~1-2 s
-    "dedup_representatives",
-    "dedup_embedding_groups",
-    # r7: groups recursive CTE again (split over components)
-    "split_leakage_safe",
-    # r7: the QA oracle's truth side is a corpus-wide doc_id< self-join
-    # with list ops — O(n^2) pairs in DuckDB at sf0.1 (~1.25B); the Spark
-    # side's set-similarity join is collision-proportional (3 s)
-    "dedup_minhash_quality",
+    # reported as a head-to-head in SCALING.md, not folded into a total
+    # it would swamp
+    "pipeline_curate": (
+        "recursive-CTE connected components: >580 s timeout at sf0.1 "
+        "(measured r5); Spark side ~3 s"
+    ),
+    "dedup_representatives": (
+        "same recursive-CTE connected-components core (>8 min at "
+        "sf0.1, measured r6); Spark side ~1-2 s"
+    ),
+    "dedup_embedding_groups": (
+        "same recursive-CTE connected-components core (>8 min at "
+        "sf0.1, measured r6); Spark side ~1-2 s"
+    ),
+    "split_leakage_safe": (
+        "groups via the same recursive CTE (split over components)"
+    ),
+    "dedup_minhash_quality": (
+        "truth side is a corpus-wide doc_id< self-join with list ops — "
+        "O(n^2) ~1.25B pairs in DuckDB at sf0.1; Spark's set-similarity "
+        "join is collision-proportional (3 s)"
+    ),
 }
 
 
@@ -77,6 +89,9 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "queries": timings,
                 "total": round(sum(timings.values()), 4),
+                # the published ratio is over the COMMON set; these are
+                # the oracles it deliberately omits, and why
+                "excluded": _EXCLUDED,
             }
         )
     )
