@@ -1146,6 +1146,36 @@ def j_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_view_click_unmatched",
+    """
+    SELECT v.event_id AS view_id, v.user_id,
+        c.event_id AS click_id,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        date_diff('second', v.ts, c.ts) AS lag_seconds,
+        c.event_id IS NOT NULL AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def j_view_click_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER attribution (streaming/events.view_click_outer, batch
+    flavor): every view with its in-window clicks, PLUS the views that
+    never clicked as NULL-extended rows — the denominator half of the
+    attribution pipeline. The same builder with streaming=True is the
+    watermarked left-outer stream-stream join whose unmatched emission
+    on watermark expiry is measured as the sixth streaming bench tier
+    (r13 verdict #5)."""
+    from asctb_ct_label_mapper_spark.streaming.events import (
+        view_click_outer,
+    )
+
+    return view_click_outer(_t(spark, sf_dir, "events"))
+
+
+@query(
     "f18_json_extract",
     """
     SELECT event_id,

@@ -1331,6 +1331,146 @@ def bench_streaming_join(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_outer_join(
+    spark, sf_dir: str, n_batches: int = 10
+) -> dict:
+    """Sixth streaming-tier row (r13 verdict #5): the LEFT-OUTER
+    watermarked stream-stream join (streaming/events.view_click_outer)
+    — views that never clicked, emitted NULL-extended when the
+    watermark passes view_ts + window.  The inner tier measures match
+    emission; this one measures the DEFERRED half: unmatched rows only
+    flush on state expiry, so the state sawtooth (view rows held until
+    expiry) and the late burst of unmatched output are the signals.
+    Same harness: time-ordered micro-batches, two partner-less
+    sentinels 30 days out advancing both watermarks (flushing every
+    real view's state), and a row-for-row gate against the batch
+    compile.  The sentinel VIEW itself stays in state (its own expiry
+    lies past the final watermark) — the batch side never sees
+    sentinels, so the gate filters user_id < 0."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from asctb_ct_label_mapper_spark.streaming.events import (
+        view_click_outer,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    work = tempfile.mkdtemp(prefix="graft_ssouter_bench_")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        us = F.unix_micros("ts")
+        sliced = ev.withColumn(
+            "_slice",
+            ((us - F.lit(lo)) * n_batches / F.lit(span)).cast("long"),
+        )
+
+        def land(df, name):
+            stage = os.path.join(work, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            fs = glob.glob(os.path.join(stage, "*.parquet"))
+            if fs:
+                [f] = fs
+                shutil.copy(f, os.path.join(landing, f"{name}.parquet"))
+
+        for i in range(n_batches):
+            land(
+                sliced.filter(F.col("_slice") == i).drop("_slice"),
+                f"slice_{i:03d}",
+            )
+        far = hi + 30 * 86400 * 1_000_000
+        sentinels = spark.createDataFrame(
+            [
+                (int(-1), int(-999), "view"),
+                (int(-2), int(-998), "click"),
+            ],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.lit(far)).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        land(sentinels, f"slice_{n_batches:03d}_sentinel")
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = os.path.join(work, "out")
+        # same state-store-partition sizing as the inner tier (four
+        # stores per side-pair; 8 partitions cut commit overhead 4x)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        q = (
+            view_click_outer(
+                stream, attribution_window="10 minutes",
+                watermark="1 hour", streaming=True,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise TimeoutError("outer-join tier did not drain in 600s")
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 4)
+            for p in prog
+        ]
+        state_rows = [
+            int(p["stateOperators"][0]["numRowsTotal"])
+            if p["stateOperators"]
+            else None
+            for p in prog
+        ]
+        streamed = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+        got = sorted(map(tuple, streamed.collect()))
+        want = sorted(
+            map(
+                tuple,
+                view_click_outer(
+                    ev, attribution_window="10 minutes", streaming=False
+                ).collect(),
+            )
+        )
+        n_unmatched = streamed.filter(~F.col("matched")).count()
+        return {
+            "loop": "stream_stream_outer_join",
+            "n_batches": len(per_batch),
+            "rows_in": int(sum(p["numInputRows"] for p in prog)),
+            "rows_out": len(got),
+            "unmatched_out": int(n_unmatched),
+            "matches_batch": got == want,
+            "total_wall": round(wall, 4),
+            "per_batch_sec": per_batch,
+            "mean_batch_sec": round(
+                sum(per_batch) / max(len(per_batch), 1), 4
+            ),
+            "state_rows_per_batch": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _tier_median3(spark, registry, names, tier_dir, label):
     """Shared tier methodology (r10, extending the r8/r9 docs100x
     prescription to EVERY scale tier): median-of-3 per query with the
@@ -1745,6 +1885,7 @@ def main() -> None:
             ("streaming_session", bench_streaming_session),
             ("streaming_enrich", bench_streaming_enrich),
             ("streaming_join", bench_streaming_join),
+            ("streaming_outer_join", bench_streaming_outer_join),
         ):
             try:
                 result["scales"][key] = _run_tier_load_aware(
