@@ -1475,3 +1475,255 @@ def similarity_topk(
             centroids=centroids,
         )
     raise ValueError(f"unknown impl {impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# r13 (verdict #6): the HNSW rung — driver-built graph, broadcast probe
+# ---------------------------------------------------------------------------
+#
+# SCALING.md's standing argument holds: HNSW's QUERY path is sequential
+# pointer-chasing through a neighbor graph — the opposite of Spark's
+# bulk-synchronous immutable scans — so there is no distributed-native
+# formulation worth pretending at.  What IS Spark-shaped is the
+# IVF-indexed precedent: build the index ONCE on the driver over a
+# broadcast-sized reference, ship it to executors as a read-only
+# broadcast, and stream queries through mapInPandas.  That is exactly
+# the regime HNSW serves (reference fits one machine, query volume is
+# the scale axis), so the rung ships in that shape: numpy-only
+# construction (no hnswlib in the container), deterministic under
+# (seed, insertion order), recall gauged against the exact rung.
+
+
+def hnsw_build_index(
+    ref_unit: np.ndarray,
+    m: int = 8,
+    ef_construction: int = 64,
+    seed: int = 7,
+) -> dict:
+    """Construct an HNSW graph (Malkov & Yashunin 2016, simplified
+    neighbor selection: top-M by similarity, no diversity heuristic)
+    over L2-NORMALIZED reference rows.  Returns {"layers": [adj0,
+    adj1, ...], "entry": int, "m": int} where adj is a list of int
+    arrays (adj[i] = neighbors of node i on that layer; nodes absent
+    from a layer carry None).  Deterministic: layer draws come from a
+    seeded Generator, and every candidate ordering ties on ascending
+    node id."""
+    rng = np.random.default_rng(seed)
+    n = ref_unit.shape[0]
+    ml = 1.0 / np.log(m)
+    levels = np.minimum(
+        (-np.log(rng.random(n)) * ml).astype(np.int64), 32
+    )
+    max_level = -1
+    entry = -1
+    layers: list[list] = []
+
+    def _search_layer(q, ep, ef, adj):
+        """Beam search on one layer from entry points ``ep`` —
+        returns candidate ids sorted best-first."""
+        visited = set(ep)
+        sims = {c: float(ref_unit[c] @ q) for c in ep}
+        # candidates: max-heap by sim (emulated with sorted list, the
+        # frontier stays <= ef + degree)
+        frontier = sorted(ep, key=lambda c: (-sims[c], c))
+        best = list(frontier[:ef])
+        while frontier:
+            c = frontier.pop(0)
+            worst = min(sims[b] for b in best) if best else -2.0
+            if sims[c] < worst and len(best) >= ef:
+                break
+            for nb in adj[c]:
+                nb = int(nb)
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(ref_unit[nb] @ q)
+                sims[nb] = s
+                if len(best) < ef or s > min(sims[b] for b in best):
+                    frontier.append(nb)
+                    best.append(nb)
+                    best.sort(key=lambda b: (-sims[b], b))
+                    if len(best) > ef:
+                        best.pop()
+            frontier.sort(key=lambda c2: (-sims[c2], c2))
+        return best, sims
+
+    for i in range(n):
+        li = int(levels[i])
+        while len(layers) <= li:
+            layers.append([None] * n)
+        for lvl in range(li + 1):
+            if layers[lvl][i] is None:
+                layers[lvl][i] = []
+        if entry < 0:
+            entry, max_level = i, li
+            continue
+        q = ref_unit[i]
+        ep = [entry]
+        # greedy descent through layers above the node's level
+        for lvl in range(max_level, li, -1):
+            found, _ = _search_layer(q, ep, 1, layers[lvl])
+            ep = found[:1] or ep
+        # connect on each shared layer
+        for lvl in range(min(li, max_level), -1, -1):
+            cand, sims = _search_layer(
+                q, ep, ef_construction, layers[lvl]
+            )
+            m_max = m if lvl > 0 else 2 * m
+            nbrs = cand[:m]
+            layers[lvl][i] = list(nbrs)
+            for nb in nbrs:
+                lst = layers[lvl][nb]
+                lst.append(i)
+                if len(lst) > m_max:
+                    # prune to the m_max most-similar (to nb), id ties asc
+                    ns = ref_unit[lst] @ ref_unit[nb]
+                    order = np.lexsort((np.array(lst), -ns))
+                    layers[lvl][nb] = [lst[j] for j in order[:m_max]]
+            ep = cand[:1] or ep
+        if li > max_level:
+            max_level, entry = li, i
+    packed = [
+        [np.asarray(a, dtype=np.int64) if a is not None else None
+         for a in layer]
+        for layer in layers
+    ]
+    return {"layers": packed, "entry": int(entry), "m": int(m)}
+
+
+def _hnsw_search(index: dict, ref_unit: np.ndarray, q: np.ndarray,
+                 k: int, ef_search: int) -> list[int]:
+    layers = index["layers"]
+    ep = [index["entry"]]
+    sims = {}
+
+    def sim(c):
+        if c not in sims:
+            sims[c] = float(ref_unit[c] @ q)
+        return sims[c]
+
+    for lvl in range(len(layers) - 1, 0, -1):
+        adj = layers[lvl]
+        improved = True
+        cur = ep[0]
+        while improved:
+            improved = False
+            if adj[cur] is None:
+                break
+            for nb in adj[cur]:
+                nb = int(nb)
+                if sim(nb) > sim(cur) or (
+                    sim(nb) == sim(cur) and nb < cur
+                ):
+                    cur, improved = nb, True
+        ep = [cur]
+    adj0 = layers[0]
+    visited = set(ep)
+    best = list(ep)
+    frontier = list(ep)
+    while frontier:
+        frontier.sort(key=lambda c: (-sim(c), c))
+        c = frontier.pop(0)
+        if len(best) >= ef_search and sim(c) < min(sim(b) for b in best):
+            break
+        if adj0[c] is None:
+            continue
+        for nb in adj0[c]:
+            nb = int(nb)
+            if nb in visited:
+                continue
+            visited.add(nb)
+            if len(best) < ef_search or sim(nb) > min(
+                sim(b) for b in best
+            ):
+                frontier.append(nb)
+                best.append(nb)
+                best.sort(key=lambda b: (-sim(b), b))
+                if len(best) > ef_search:
+                    best.pop()
+    return best[:k]
+
+
+def hnsw_topk(
+    queries: DataFrame,
+    reference: DataFrame,
+    k: int,
+    query_id_cols: Sequence[str],
+    ref_id_col: str,
+    query_vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 48,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via the driver-built HNSW graph: collect the
+    reference ONCE (bounded by the broadcast budget — the same contract
+    as the exact blocked rung and IVF's capped centroid training),
+    build the graph on the driver, broadcast (graph + unit matrix), and
+    probe per Arrow batch inside ``mapInPandas`` — zero shuffle, linear
+    in query count, O(ef·log c)-ish distance evaluations per query
+    instead of the blocked rung's O(c) flops.
+
+    Not SQL-replayable (graph construction has no relational replay),
+    so the registry gates it with the recall-envelope pattern
+    (`cos_topk_hnsw`): exact spine hash-matched, recall bound asserted
+    as a boolean — the `distinct_users_sketch` precedent."""
+    ref_rows = reference.select(ref_id_col, ref_vec_col).collect()
+    ref_ids = np.array([r[0] for r in ref_rows])
+    order = np.argsort(ref_ids)  # deterministic insertion order
+    ref_ids = ref_ids[order]
+    ref_mat = np.array(
+        [ref_rows[i][1] for i in order], dtype=np.float64
+    )
+    norms = np.linalg.norm(ref_mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    ref_unit = ref_mat / norms[:, None]
+    index = hnsw_build_index(
+        ref_unit, m=m, ef_construction=ef_construction, seed=seed
+    )
+    sc = queries.sparkSession.sparkContext
+    b_index = sc.broadcast(index)
+    b_ids = sc.broadcast(ref_ids)
+    b_unit = sc.broadcast(ref_unit)
+
+    id_fields = [queries.schema[c] for c in query_id_cols]
+    out_schema = T.StructType(
+        [*id_fields]
+        + [
+            T.StructField("ref_id", reference.schema[ref_id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    narrowed = ensure_min_partitions(
+        queries.select(*query_id_cols, query_vec_col)
+    )
+    kk, efs = k, ef_search
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = b_index.value
+        ids = b_ids.value
+        unit = b_unit.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_rows: dict[str, list] = {c: [] for c in query_id_cols}
+            out_rows.update({"ref_id": [], "score": [], "rank": []})
+            for _, row in pdf.iterrows():
+                q = np.asarray(row[query_vec_col], dtype=np.float64)
+                qn = np.linalg.norm(q)
+                q = q / qn if qn else q
+                found = _hnsw_search(idx, unit, q, kk, efs)
+                # exact rank order within the found set: (-score, id)
+                scs = unit[found] @ q
+                o = np.lexsort((ids[found], -scs))
+                for r, j in enumerate(o[:kk], start=1):
+                    for c in query_id_cols:
+                        out_rows[c].append(row[c])
+                    out_rows["ref_id"].append(ids[found[j]])
+                    out_rows["score"].append(float(scs[j]))
+                    out_rows["rank"].append(r)
+            yield pd.DataFrame(out_rows)
+
+    return narrowed.mapInPandas(probe, schema=out_schema)

@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "cos_topk_ivf_indexed",
     # product quantization: the memory-bound ANN family (8-byte codes)
     "cos_topk_pq",
+    # r13: the HNSW rung (driver-built graph, broadcast probe) — the
+    # timed cost INCLUDES the exact rung it gauges recall against
+    "cos_topk_hnsw",
     # fixed-size per-group eval-slice sampler
     "sample_capped",
     # r7 additions: snapshot reconciliation, ES weighted sampling, epoch

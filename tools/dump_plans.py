@@ -14,6 +14,7 @@ TARGETS = {
     "q5_region_revenue": "star join: one fact shuffle per big join, broadcast dims",
     "cos_topk_join": "broadcast cross join + native cosine + window top-k (strategy 1)",
     "cos_topk_blocked": "blocked matmul via mapInPandas - zero shuffle (strategy 2)",
+    "cos_topk_hnsw": "r13 HNSW rung: driver-built graph broadcast, mapInPandas probe, recall-envelope gate vs the exact rung",
     "cos_topk_auto": "r13 cost-based selector: count+dim stats pick join/blocked/ivf by the SCALING.md crossovers (chose the window join at this scale)",
     "dedup_minhash": "native MinHash signature -> banded LSH bucket self-join",
     "dedup_ngram_jaccard": "set-similarity join: explode -> equi-join -> count",
