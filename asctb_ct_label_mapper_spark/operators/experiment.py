@@ -2837,3 +2837,247 @@ def sql_iv_wald_estimate(
         round((y1 - y0) / nullif(x1 - x0, 0.0), 6) AS beta_iv
     FROM means
     """
+
+
+# ---------------------------------------------------------------------------
+# r13b: stratified and rate-based arm comparisons
+# ---------------------------------------------------------------------------
+
+
+def mantel_haenszel_or(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio + test across activity strata:
+    the 2x2 (arm x converted) table PER STRATUM (the same log2
+    activity-tier strata as :func:`post_stratified_ab`), pooled without
+    assuming a common baseline rate — the classic guard against
+    Simpson's paradox that a single collapsed 2x2 walks straight into.
+
+        OR_MH = sum_s(a_s d_s / n_s) / sum_s(b_s c_s / n_s)
+        chi2  = (|sum a_s - sum E_s| - 0.5)^2 / sum V_s     (CC'd, 1 dof)
+        E_s   = r1_s c1_s / n_s
+        V_s   = r1_s r0_s c1_s c0_s / (n_s^2 (n_s - 1))
+
+    (a = arm1 converted, b = arm1 not, c = arm0 converted, d = arm0
+    not; r = row totals, c = column totals.)  Plan: ONE user-grain fold
+    (arm, stratum, converted), a stratum-grain pivot, a one-row
+    combine.  Returns (n_users, n_strata, or_mh, chi2, p_value),
+    6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        (F.col("u") % 2 == 1).alias("_arm1"),
+        F.least(
+            F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
+            F.lit(max_stratum),
+        ).alias("_stratum"),
+        F.max(
+            (F.col(type_col) == metric_type).cast("int")
+        ).alias("_conv"),
+    )
+    strata = per_user.groupBy("_stratum").agg(
+        F.sum(
+            F.when(F.col("_arm1") & (F.col("_conv") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(F.col("_arm1") & (F.col("_conv") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(~F.col("_arm1") & (F.col("_conv") == 1), 1).otherwise(
+                0
+            )
+        ).alias("c"),
+        F.sum(
+            F.when(~F.col("_arm1") & (F.col("_conv") == 0), 1).otherwise(
+                0
+            )
+        ).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    r0 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    c0 = (F.col("b") + F.col("d")).cast("double")
+    comb = strata.agg(
+        F.sum(n).cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.try_divide(F.col("a") * F.col("d"), n)).alias("_num"),
+        F.sum(F.try_divide(F.col("b") * F.col("c"), n)).alias("_den"),
+        F.sum("a").alias("_sa"),
+        F.sum(F.try_divide(r1 * c1, n)).alias("_se"),
+        F.sum(
+            F.try_divide(r1 * r0 * c1 * c0, n * n * (n - 1.0))
+        ).alias("_sv"),
+    )
+    or_mh = F.try_divide(F.col("_num"), F.col("_den"))
+    num = F.abs(F.col("_sa") - F.col("_se")) - 0.5
+    chi2 = F.try_divide(
+        F.greatest(num, F.lit(0.0)) * F.greatest(num, F.lit(0.0)),
+        F.col("_sv"),
+    )
+    out = comb.withColumn("_z", F.sqrt(chi2))
+    return out.select(
+        "n_users",
+        "n_strata",
+        F.round(or_mh, 6).alias("or_mh"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_z")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_mantel_haenszel_or(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> str:
+    """DuckDB replay of :func:`mantel_haenszel_or` — same strata, same
+    pooled sums, same continuity correction."""
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} % 2 = 1 AS arm1,
+            least(CAST(floor(log2(count(*))) AS INT),
+                  {max_stratum}) AS stratum,
+            max(CASE WHEN {type_col} = '{metric_type}'
+                     THEN 1 ELSE 0 END) AS conv
+        FROM {table} GROUP BY {user_col}
+    ), strata AS (
+        SELECT stratum,
+            sum(CASE WHEN arm1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN arm1 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+            sum(CASE WHEN NOT arm1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+            sum(CASE WHEN NOT arm1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+        FROM per_user GROUP BY 1
+    ), comb AS (
+        SELECT CAST(sum(a + b + c + d) AS BIGINT) AS n_users,
+            count(*) AS n_strata,
+            sum(a * d / nullif(CAST(a + b + c + d AS DOUBLE), 0.0))
+                AS num,
+            sum(b * c / nullif(CAST(a + b + c + d AS DOUBLE), 0.0))
+                AS den,
+            sum(a) AS sa,
+            sum((a + b) * (a + c)
+                / nullif(CAST(a + b + c + d AS DOUBLE), 0.0)) AS se,
+            sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                / nullif(CAST(a + b + c + d AS DOUBLE)
+                         * (a + b + c + d)
+                         * (a + b + c + d - 1.0), 0.0)) AS sv
+        FROM strata
+    ), stat AS (
+        SELECT n_users, n_strata,
+            num / nullif(den, 0.0) AS or_mh,
+            greatest(abs(sa - se) - 0.5, 0.0)
+                * greatest(abs(sa - se) - 0.5, 0.0)
+                / nullif(sv, 0.0) AS chi2
+        FROM comb
+    )
+    SELECT n_users, n_strata, round(or_mh, 6) AS or_mh,
+        round(chi2, 6) AS chi2,
+        round(2.0 * {_phi_upper_sql('sqrt(chi2)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+def poisson_rate_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Two-sample Poisson rate test on per-arm event COUNTS (not
+    per-user conversion flags — the un-collapsed sibling of
+    :func:`two_prop_test`): arm i produces X_i metric events over an
+    exposure of n_i users; under H0 (equal per-user rates) the arm-1
+    count conditioned on the total is Binomial(X0+X1, n1/(n0+n1)):
+
+        z = (X1 - N p0) / sqrt(N p0 (1 - p0)),  N = X0 + X1
+
+    the standard conditional test (exact-Poisson's normal form).  Plan:
+    one user-grain fold (distinct users per arm need the same shuffle
+    the counts do), one-row combine.  Returns (n0, n1, x0, x1,
+    rate_ratio, z, p_value), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        (F.col("u") % 2 == 1).alias("_arm1"),
+        F.sum(
+            (F.col(type_col) == metric_type).cast("long")
+        ).alias("_x"),
+    )
+    comb = per_user.agg(
+        F.sum(F.when(~F.col("_arm1"), 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_arm1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("_arm1"), F.col("_x")).otherwise(0)).alias(
+            "x0"
+        ),
+        F.sum(F.when(F.col("_arm1"), F.col("_x")).otherwise(0)).alias(
+            "x1"
+        ),
+    )
+    nn = (F.col("x0") + F.col("x1")).cast("double")
+    p0 = F.try_divide(
+        F.col("n1").cast("double"), (F.col("n0") + F.col("n1")).cast("double")
+    )
+    z = F.try_divide(
+        F.col("x1") - nn * p0,
+        F.sqrt(F.greatest(nn * p0 * (1.0 - p0), F.lit(0.0))),
+    )
+    rr = F.try_divide(
+        F.try_divide(F.col("x1").cast("double"), F.col("n1")),
+        F.try_divide(F.col("x0").cast("double"), F.col("n0")),
+    )
+    out = comb.withColumn("_az", F.abs(z))
+    return out.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        F.round(rr, 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_poisson_rate_test(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`poisson_rate_test` — same user-grain
+    fold, same conditional-binomial z."""
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} % 2 = 1 AS arm1,
+            sum(CASE WHEN {type_col} = '{metric_type}'
+                     THEN 1 ELSE 0 END) AS x
+        FROM {table} GROUP BY {user_col}
+    ), comb AS (
+        SELECT
+            CAST(sum(CASE WHEN NOT arm1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0,
+            CAST(sum(CASE WHEN arm1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN NOT arm1 THEN x ELSE 0 END) AS BIGINT)
+                AS x0,
+            CAST(sum(CASE WHEN arm1 THEN x ELSE 0 END) AS BIGINT) AS x1
+        FROM per_user
+    ), stat AS (
+        SELECT *,
+            (x1 - (x0 + x1) * (n1 / CAST(n0 + n1 AS DOUBLE)))
+            / nullif(sqrt(greatest(
+                (x0 + x1) * (n1 / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 - n1 / CAST(n0 + n1 AS DOUBLE)), 0.0)), 0.0) AS z,
+            (x1 / CAST(n1 AS DOUBLE))
+                / nullif(x0 / CAST(n0 AS DOUBLE), 0.0) AS rate_ratio
+        FROM comb
+    )
+    SELECT n0, n1, x0, x1, round(rate_ratio, 6) AS rate_ratio,
+        round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """

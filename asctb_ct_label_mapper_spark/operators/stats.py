@@ -715,6 +715,97 @@ def sql_rolling_median_by_key(
     """
 
 
+def _time_to_event_lives(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+) -> DataFrame:
+    """Key-grain survival lifetimes (key, t, churned) — the shared
+    fold under the grain builder AND the r13 arm-comparison family
+    (log-rank, RMST-by-arm): per key, t0 = first ``start_type`` day,
+    t = days to the first ``event_type`` ON OR AFTER t0 (churned) or
+    to the corpus max date (censored).  One key-grain aggregate with
+    map-side partials; see :func:`_time_to_event_grain` for the full
+    plan rationale."""
+    dated = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("_y"),
+        F.to_date(ts_col).alias("d"),
+    )
+    rel = dated.filter(F.col("_y").isin([start_type, event_type]))
+    first_after = (
+        rel.groupBy("key")
+        .agg(
+            F.min(
+                F.when(F.col("_y") == start_type, F.col("d"))
+            ).alias("_t0"),
+            F.collect_set(
+                F.when(F.col("_y") == event_type, F.col("d"))
+            ).alias("_eds"),
+        )
+        .filter(F.col("_t0").isNotNull())
+        .select(
+            "key",
+            "_t0",
+            F.array_min(
+                F.filter("_eds", lambda x: x >= F.col("_t0"))
+            ).alias("_conv"),
+        )
+    )
+    maxd = dated.agg(F.max("d").alias("_maxd"))
+    return first_after.crossJoin(F.broadcast(maxd)).select(
+        "key",
+        # cast: Spark datediff is INT, DuckDB's is BIGINT — the driver's
+        # pandas canonicalizer is dtype-visible even when the strings
+        # agree (r13 driver-sim finding)
+        F.when(
+            F.col("_conv").isNotNull(), F.datediff("_conv", "_t0")
+        )
+        .otherwise(F.datediff("_maxd", "_t0"))
+        .cast("long")
+        .alias("t"),
+        F.col("_conv").isNotNull().alias("churned"),
+    )
+
+
+def _sql_time_to_event_lives(
+    table: str,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    start_type: str,
+    event_type: str,
+) -> str:
+    """DuckDB CTE replay of :func:`_time_to_event_lives` — emits the
+    ``dated``/``starts``/``first_after``/``lives`` CTE bodies (caller
+    wraps in WITH; lives = (key, t, churned)).  Same first-on-or-after
+    conversion and max-date censoring as the KM/NA oracles."""
+    return f"""dated AS (
+        SELECT {key_col} AS key, {type_col} AS y, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE {ts_col} IS NOT NULL
+    ), starts AS (
+        SELECT key, min(d) AS t0 FROM dated
+        WHERE y = '{start_type}' GROUP BY 1
+    ), first_after AS (
+        SELECT s.key, s.t0, min(e.d) AS conv
+        FROM starts s LEFT JOIN (
+            SELECT key, d FROM dated WHERE y = '{event_type}'
+        ) e ON s.key = e.key AND e.d >= s.t0
+        GROUP BY 1, 2
+    ), lives AS (
+        SELECT key,
+            CAST(CASE WHEN conv IS NOT NULL
+                      THEN datediff('day', t0, conv)
+                      ELSE datediff('day', t0, (SELECT max(d) FROM dated))
+                 END AS BIGINT) AS t,
+            conv IS NOT NULL AS churned
+        FROM first_after
+    )"""
+
+
 def _time_to_event_grain(
     df: DataFrame,
     ts_col: str,
@@ -746,42 +837,8 @@ def _time_to_event_grain(
     keeps a key whose only conversions PRECEDE t0 censored — the array
     filter empties and array_min degrades to NULL, never dropping the
     row (the same contract the join condition used to carry)."""
-    dated = df.filter(F.col(ts_col).isNotNull()).select(
-        F.col(key_col).alias("key"),
-        F.col(type_col).alias("_y"),
-        F.to_date(ts_col).alias("d"),
-    )
-    rel = dated.filter(F.col("_y").isin([start_type, event_type]))
-    first_after = (
-        rel.groupBy("key")
-        .agg(
-            F.min(
-                F.when(F.col("_y") == start_type, F.col("d"))
-            ).alias("_t0"),
-            F.collect_set(
-                F.when(F.col("_y") == event_type, F.col("d"))
-            ).alias("_eds"),
-        )
-        .filter(F.col("_t0").isNotNull())
-        .select(
-            "_t0",
-            F.array_min(
-                F.filter("_eds", lambda x: x >= F.col("_t0"))
-            ).alias("_conv"),
-        )
-    )
-    maxd = dated.agg(F.max("d").alias("_maxd"))
-    lives = first_after.crossJoin(F.broadcast(maxd)).select(
-        # cast: Spark datediff is INT, DuckDB's is BIGINT — the driver's
-        # pandas canonicalizer is dtype-visible even when the strings
-        # agree (r13 driver-sim finding)
-        F.when(
-            F.col("_conv").isNotNull(), F.datediff("_conv", "_t0")
-        )
-        .otherwise(F.datediff("_maxd", "_t0"))
-        .cast("long")
-        .alias("t"),
-        F.col("_conv").isNotNull().alias("churned"),
+    lives = _time_to_event_lives(
+        df, ts_col, key_col, type_col, start_type, event_type
     )
     grain = lives.groupBy("t").agg(
         F.count(F.lit(1)).alias("_n_all"),
@@ -1029,6 +1086,503 @@ def sql_nelson_aalen_hazard(
         CAST(n_events AS BIGINT) AS n_events,
         round(h, 6) AS cum_hazard, round(exp(-h), 6) AS surv_fh
     FROM curve WHERE n_events > 0
+    """
+
+
+
+# ---------------------------------------------------------------------------
+# r13b: survival comparison family — log-rank, RMST, competing risks
+# ---------------------------------------------------------------------------
+
+
+def log_rank_arms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the time-to-event curves of
+    the two parity arms (key % 2) — THE standard answer to "are these
+    two survival curves different", which eyeballing the two KM plots
+    cannot give you.  At each observed event time t with d_t total
+    events, n_t total at risk and n1_t at risk in arm 1:
+
+        O1 = sum d1_t                      (observed arm-1 events)
+        E1 = sum d_t * n1_t / n_t          (expected under H0)
+        V  = sum d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)
+        chi2 = (O1 - E1)^2 / V             (1 dof)
+
+    Plan: the shared key-grain lives fold (ONE fact-pass aggregate, the
+    r13 joinless shape), then a duration-grain pivot (conditional sums
+    per arm) and two suffix windows for the at-risk counts — everything
+    past the lives fold is bounded by the observation span.  Ties
+    (multiple events on one duration) use the standard hypergeometric
+    variance; single-key durations guard n_t - 1 = 0 via try_divide.
+    Returns one row (n0, n1, o1, e1, var1, chi2, p_value), 6dp."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    lives = _time_to_event_lives(
+        df, ts_col, key_col, type_col, start_type, event_type
+    ).select(
+        "t", "churned", (F.col("key") % 2 == 1).alias("_arm1")
+    )
+    grain = lives.groupBy("t").agg(
+        F.sum(F.when(F.col("_arm1"), 1).otherwise(0)).alias("all1"),
+        F.sum(F.when(~F.col("_arm1"), 1).otherwise(0)).alias("all0"),
+        F.sum(
+            F.when(F.col("churned") & F.col("_arm1"), 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when(F.col("churned") & ~F.col("_arm1"), 1).otherwise(0)
+        ).alias("d0"),
+    )
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = grain.select(
+        "t",
+        "d0",
+        "d1",
+        F.sum("all0").over(w_suffix).alias("n0t"),
+        F.sum("all1").over(w_suffix).alias("n1t"),
+    ).filter((F.col("d0") + F.col("d1")) > 0)
+    dt = (F.col("d0") + F.col("d1")).cast("double")
+    nt = (F.col("n0t") + F.col("n1t")).cast("double")
+    p1 = F.col("n1t") / nt
+    comb = risk.agg(
+        F.max("n0t").alias("n0"),
+        F.max("n1t").alias("n1"),
+        F.sum("d1").alias("o1"),
+        F.sum(dt * p1).alias("e1"),
+        F.sum(
+            F.try_divide(dt * p1 * (1.0 - p1) * (nt - dt), nt - 1.0)
+        ).alias("var1"),
+    )
+    chi2 = F.try_divide(
+        (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")),
+        F.col("var1"),
+    )
+    out = comb.withColumn("_z", F.sqrt(chi2))
+    return out.select(
+        "n0",
+        "n1",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("var1", 6).alias("var1"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_z")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_log_rank_arms(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`log_rank_arms` — same lives, same
+    duration-grain pivot + suffix risk sets, same hypergeometric
+    variance and A&S tail polynomial."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+
+    lives = _sql_time_to_event_lives(
+        table, ts_col, key_col, type_col, start_type, event_type
+    )
+    return f"""
+    WITH {lives}, armed AS (
+        SELECT t, churned, key % 2 = 1 AS arm1 FROM lives
+    ), grain AS (
+        SELECT t,
+            sum(CASE WHEN arm1 THEN 1 ELSE 0 END) AS all1,
+            sum(CASE WHEN NOT arm1 THEN 1 ELSE 0 END) AS all0,
+            sum(CASE WHEN churned AND arm1 THEN 1 ELSE 0 END) AS d1,
+            sum(CASE WHEN churned AND NOT arm1 THEN 1 ELSE 0 END) AS d0
+        FROM armed GROUP BY 1
+    ), risk AS (
+        SELECT t, d0, d1,
+            sum(all0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n0t,
+            sum(all1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n1t
+        FROM grain
+    ), ev AS (SELECT * FROM risk WHERE d0 + d1 > 0), comb AS (
+        SELECT CAST(max(n0t) AS BIGINT) AS n0,
+            CAST(max(n1t) AS BIGINT) AS n1,
+            CAST(sum(d1) AS BIGINT) AS o1,
+            sum((d0 + d1) * n1t / CAST(n0t + n1t AS DOUBLE)) AS e1,
+            sum((d0 + d1) * (n1t / CAST(n0t + n1t AS DOUBLE))
+                * (1.0 - n1t / CAST(n0t + n1t AS DOUBLE))
+                * (n0t + n1t - d0 - d1)
+                / nullif(CAST(n0t + n1t AS DOUBLE) - 1.0, 0.0)) AS var1
+        FROM ev
+    ), stat AS (
+        SELECT *,
+            (o1 - e1) * (o1 - e1) / nullif(var1, 0.0) AS chi2
+        FROM comb
+    )
+    SELECT n0, n1, o1, round(e1, 6) AS e1, round(var1, 6) AS var1,
+        round(chi2, 6) AS chi2,
+        round(2.0 * {_phi_upper_sql('sqrt(chi2)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+def rmst_restricted_mean(
+    df: DataFrame,
+    tau: int = 14,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Restricted mean survival time: the area under the KM curve up to
+    horizon ``tau`` days — "expected event-free days in the first tau",
+    the distribution-free effect size that stays defined when the
+    median survival never crosses 0.5 (exactly the censoring-heavy
+    regime retention data lives in).
+
+        RMST(tau) = sum_i S(t_{i-1}) * (min(t_i, tau) - t_{i-1})
+                    + S(t_last) * (tau - t_last)        (step integral)
+
+    Plan: the shared duration grain, the KM running product (the
+    absorbing-zero exp-ln guard of the KM operator), a lag window for
+    the step widths, and a 2-row closed-form fold.  Returns one row
+    (tau, n_keys, rmst), 6dp."""
+    at_risk = _time_to_event_grain(
+        df, ts_col, key_col, type_col, start_type, event_type
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lag = Window.orderBy("t")
+    ln_term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_run)
+    curve = (
+        at_risk.withColumn(
+            "s",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(w_run))
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "t",
+            "s",
+            F.lag("t", 1, 0).over(w_lag).alias("_pt"),
+            F.coalesce(F.lag("s", 1).over(w_lag), F.lit(1.0)).alias(
+                "_ps"
+            ),
+        )
+    )
+    n_keys = at_risk.agg(F.max("n_risk").alias("nk"))
+    capped = curve.filter(F.col("t") <= tau)
+    folded = capped.agg(
+        F.coalesce(
+            F.sum(F.col("_ps") * (F.col("t") - F.col("_pt"))), F.lit(0.0)
+        ).alias("_area"),
+        F.coalesce(F.max("t"), F.lit(0)).alias("_lastt"),
+        F.coalesce(F.max_by("s", "t"), F.lit(1.0)).alias("_lasts"),
+    )
+    return folded.crossJoin(F.broadcast(n_keys)).select(
+        F.lit(tau).cast("long").alias("tau"),
+        F.col("nk").alias("n_keys"),
+        F.round(
+            F.col("_area") + F.col("_lasts") * (tau - F.col("_lastt")),
+            6,
+        ).alias("rmst"),
+    )
+
+
+def sql_rmst_restricted_mean(
+    table: str = "events",
+    tau: int = 14,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`rmst_restricted_mean` — same KM product,
+    same lagged step integral and tail extension."""
+    lives = _sql_time_to_event_lives(
+        table, ts_col, key_col, type_col, start_type, event_type
+    )
+    return f"""
+    WITH {lives}, grain AS (
+        SELECT t, count(*) AS n_all,
+            sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+        FROM lives GROUP BY 1
+    ), at_risk AS (
+        SELECT t, n_events,
+            sum(n_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM grain
+    ), curve0 AS (
+        SELECT t, n_events, n_risk,
+            CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN n_events > 0 AND n_events < n_risk
+                              THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                             / n_risk)
+                              ELSE 0.0 END)
+                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW))
+            END AS s
+        FROM at_risk
+    ), curve AS (
+        SELECT t, s,
+            lag(t, 1, 0) OVER (ORDER BY t) AS pt,
+            coalesce(lag(s, 1) OVER (ORDER BY t), 1.0) AS ps
+        FROM curve0 WHERE n_events > 0
+    ), nk AS (
+        SELECT CAST(max(n_risk) AS BIGINT) AS n_keys FROM at_risk
+    ), folded AS (
+        SELECT coalesce(sum(ps * (t - pt)), 0.0) AS area,
+            coalesce(max(t), 0) AS lastt,
+            coalesce(arg_max(s, t), 1.0) AS lasts
+        FROM curve WHERE t <= {tau}
+    )
+    SELECT CAST({tau} AS BIGINT) AS tau, nk.n_keys,
+        round(area + lasts * ({tau} - lastt), 6) AS rmst
+    FROM folded CROSS JOIN nk
+    """
+
+
+def cumulative_incidence_competing(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    cause_a: str = "purchase",
+    cause_b: str = "error",
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under two COMPETING risks:
+    after the first ``start_type``, a key's first ``cause_a`` or
+    ``cause_b`` event (whichever day comes first; same-day ties go to
+    the lexicographically smaller cause name — deterministic on both
+    engines) removes it from risk, so the naive per-cause KM OVERSTATES
+    each incidence (it censors the competitor, double-counting keys).
+    The CIF divides the event hazard by the ANY-cause survival:
+
+        S(t)      = prod_{s<=t} (1 - d_s / n_s)        (d = both causes)
+        CIF_j(t)  = sum_{s<=t} S(s-) * d_js / n_s
+
+    Plan: one key-grain fold (conditional min per cause + least/tie
+    pick), duration-grain windows; everything past the fold is
+    span-bounded.  Returns (duration_days, n_risk, d_a, d_b, cif_a,
+    cif_b) for durations with any event, 6dp."""
+    dated = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("_y"),
+        F.to_date(ts_col).alias("d"),
+    )
+    rel = dated.filter(
+        F.col("_y").isin([start_type, cause_a, cause_b])
+    )
+    per_key = (
+        rel.groupBy("key")
+        .agg(
+            F.min(
+                F.when(F.col("_y") == start_type, F.col("d"))
+            ).alias("_t0"),
+            F.collect_set(
+                F.when(F.col("_y") == cause_a, F.col("d"))
+            ).alias("_eda"),
+            F.collect_set(
+                F.when(F.col("_y") == cause_b, F.col("d"))
+            ).alias("_edb"),
+        )
+        .filter(F.col("_t0").isNotNull())
+        .select(
+            "_t0",
+            F.array_min(
+                F.filter("_eda", lambda x: x >= F.col("_t0"))
+            ).alias("_ca"),
+            F.array_min(
+                F.filter("_edb", lambda x: x >= F.col("_t0"))
+            ).alias("_cb"),
+        )
+    )
+    maxd = dated.agg(F.max("d").alias("_maxd"))
+    first_cause = F.when(
+        F.col("_ca").isNotNull()
+        & (F.col("_cb").isNull() | (F.col("_ca") < F.col("_cb"))),
+        F.lit("a"),
+    ).when(
+        F.col("_cb").isNotNull()
+        & (F.col("_ca").isNull() | (F.col("_cb") < F.col("_ca"))),
+        F.lit("b"),
+    ).when(
+        F.col("_ca").isNotNull(),  # tie day: lexicographic cause name
+        F.lit("a") if cause_a < cause_b else F.lit("b"),
+    )
+    first_day = F.least("_ca", "_cb")
+    lives = per_key.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            first_day.isNotNull(), F.datediff(first_day, F.col("_t0"))
+        )
+        .otherwise(F.datediff("_maxd", "_t0"))
+        .cast("long")
+        .alias("t"),
+        first_cause.alias("cause"),
+    )
+    grain = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum(F.when(F.col("cause") == "a", 1).otherwise(0)).alias("d_a"),
+        F.sum(F.when(F.col("cause") == "b", 1).otherwise(0)).alias("d_b"),
+    )
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lag = Window.orderBy("t")
+    at_risk = grain.select(
+        "t", "d_a", "d_b", F.sum("_n_all").over(w_suffix).alias("n_risk")
+    )
+    d_all = (F.col("d_a") + F.col("d_b")).cast("double")
+    nr = F.col("n_risk").cast("double")
+    ln_term = F.when(
+        (d_all > 0) & (d_all < nr), F.log(1.0 - d_all / nr)
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        F.when(d_all >= nr, 1).otherwise(0)
+    ).over(w_run)
+    curved = at_risk.withColumn(
+        "_s",
+        F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+            F.exp(F.sum(ln_term).over(w_run))
+        ),
+    ).withColumn(
+        "_s_prev", F.coalesce(F.lag("_s", 1).over(w_lag), F.lit(1.0))
+    )
+    out = curved.select(
+        "t",
+        "n_risk",
+        "d_a",
+        "d_b",
+        F.sum(F.col("_s_prev") * F.col("d_a") / nr).over(w_run).alias(
+            "_cif_a"
+        ),
+        F.sum(F.col("_s_prev") * F.col("d_b") / nr).over(w_run).alias(
+            "_cif_b"
+        ),
+    )
+    return out.filter((F.col("d_a") + F.col("d_b")) > 0).select(
+        F.col("t").alias("duration_days"),
+        "n_risk",
+        "d_a",
+        "d_b",
+        F.round("_cif_a", 6).alias("cif_a"),
+        F.round("_cif_b", 6).alias("cif_b"),
+    )
+
+
+def sql_cumulative_incidence_competing(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    cause_a: str = "purchase",
+    cause_b: str = "error",
+) -> str:
+    """DuckDB replay of :func:`cumulative_incidence_competing` — same
+    tie rule, same any-cause KM and lagged CIF accumulation."""
+    tie = "'a'" if cause_a < cause_b else "'b'"
+    return f"""
+    WITH dated AS (
+        SELECT {key_col} AS key, {type_col} AS y, CAST({ts_col} AS DATE) AS d
+        FROM {table} WHERE {ts_col} IS NOT NULL
+    ), starts AS (
+        SELECT key, min(d) AS t0 FROM dated
+        WHERE y = '{start_type}' GROUP BY 1
+    ), fa AS (
+        SELECT s.key, s.t0,
+            min(CASE WHEN e.y = '{cause_a}' THEN e.d END) AS ca,
+            min(CASE WHEN e.y = '{cause_b}' THEN e.d END) AS cb
+        FROM starts s LEFT JOIN (
+            SELECT key, y, d FROM dated
+            WHERE y IN ('{cause_a}', '{cause_b}')
+        ) e ON s.key = e.key AND e.d >= s.t0
+        GROUP BY 1, 2
+    ), lives AS (
+        SELECT
+            CAST(CASE WHEN least(ca, cb) IS NOT NULL
+                      THEN datediff('day', t0, least(ca, cb))
+                      ELSE datediff('day', t0, (SELECT max(d) FROM dated))
+                 END AS BIGINT) AS t,
+            CASE WHEN ca IS NOT NULL AND (cb IS NULL OR ca < cb) THEN 'a'
+                 WHEN cb IS NOT NULL AND (ca IS NULL OR cb < ca) THEN 'b'
+                 WHEN ca IS NOT NULL THEN {tie}
+            END AS cause
+        FROM fa
+    ), grain AS (
+        SELECT t, count(*) AS n_all,
+            sum(CASE WHEN cause = 'a' THEN 1 ELSE 0 END) AS d_a,
+            sum(CASE WHEN cause = 'b' THEN 1 ELSE 0 END) AS d_b
+        FROM lives GROUP BY 1
+    ), at_risk AS (
+        SELECT t, d_a, d_b,
+            sum(n_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM grain
+    ), curved AS (
+        SELECT t, d_a, d_b, n_risk,
+            CASE WHEN max(CASE WHEN d_a + d_b >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d_a + d_b > 0
+                                   AND d_a + d_b < n_risk
+                              THEN ln(1.0 - CAST(d_a + d_b AS DOUBLE)
+                                             / n_risk)
+                              ELSE 0.0 END)
+                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW))
+            END AS s
+        FROM at_risk
+    ), lagged AS (
+        SELECT *, coalesce(lag(s, 1) OVER (ORDER BY t), 1.0) AS s_prev
+        FROM curved
+    ), accum AS (
+        SELECT t, n_risk, d_a, d_b,
+            sum(s_prev * d_a / CAST(n_risk AS DOUBLE))
+                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cif_a,
+            sum(s_prev * d_b / CAST(n_risk AS DOUBLE))
+                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cif_b
+        FROM lagged
+    )
+    SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+        round(cif_a, 6) AS cif_a, round(cif_b, 6) AS cif_b
+    FROM accum WHERE d_a + d_b > 0
     """
 
 

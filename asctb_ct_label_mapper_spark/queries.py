@@ -9996,3 +9996,108 @@ def brown_forsythe_value_by_type_events(
     )
 
     return brown_forsythe_value_by_type(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13b: survival comparison + stratified/rate arm tests
+# ---------------------------------------------------------------------------
+
+
+def _logrank_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import sql_log_rank_arms
+
+    return sql_log_rank_arms("events")
+
+
+@query("log_rank_purchase_arms", _logrank_oracle())
+def log_rank_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) comparison of the parity arms' signup->
+    purchase survival curves (stats.log_rank_arms): the hypothesis test
+    the KM/Nelson-Aalen CURVES need before anyone claims the arms
+    differ."""
+    from asctb_ct_label_mapper_spark.operators.stats import log_rank_arms
+
+    return log_rank_arms(_t(spark, sf_dir, "events"))
+
+
+def _rmst_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_rmst_restricted_mean,
+    )
+
+    return sql_rmst_restricted_mean("events", tau=14)
+
+
+@query("rmst_purchase", _rmst_oracle())
+def rmst_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=14 days
+    (stats.rmst_restricted_mean): area under the KM curve — the
+    censoring-proof effect size for 'expected purchase-free days in
+    the first two weeks'."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        rmst_restricted_mean,
+    )
+
+    return rmst_restricted_mean(_t(spark, sf_dir, "events"), tau=14)
+
+
+def _cif_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_cumulative_incidence_competing,
+    )
+
+    return sql_cumulative_incidence_competing("events")
+
+
+@query("cif_competing_events", _cif_oracle())
+def cif_competing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence with purchase and error as
+    COMPETING first events after signup
+    (stats.cumulative_incidence_competing) — the estimator that does
+    not overstate either incidence by censoring its competitor."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        cumulative_incidence_competing,
+    )
+
+    return cumulative_incidence_competing(_t(spark, sf_dir, "events"))
+
+
+def _mh_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_mantel_haenszel_or,
+    )
+
+    return sql_mantel_haenszel_or("events")
+
+
+@query("mh_odds_ratio_purchase", _mh_oracle())
+def mh_odds_ratio_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across activity strata
+    (experiment.mantel_haenszel_or): the Simpson's-paradox-proof 2x2
+    pool the collapsed contingency table cannot give."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        mantel_haenszel_or,
+    )
+
+    return mantel_haenszel_or(_t(spark, sf_dir, "events"))
+
+
+def _poisson_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_poisson_rate_test,
+    )
+
+    return sql_poisson_rate_test("events")
+
+
+@query("poisson_rate_purchase", _poisson_oracle())
+def poisson_rate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test on per-arm purchase COUNTS
+    (experiment.poisson_rate_test): the un-collapsed sibling of the
+    two-proportion test — sensitive to repeat purchasing, not just
+    conversion."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        poisson_rate_test,
+    )
+
+    return poisson_rate_test(_t(spark, sf_dir, "events"))
