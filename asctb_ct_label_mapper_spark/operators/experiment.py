@@ -3081,3 +3081,340 @@ def sql_poisson_rate_test(
         round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
     FROM stat
     """
+
+
+# ---------------------------------------------------------------------------
+# r13c: distribution-shape arm comparisons on the value grain
+# ---------------------------------------------------------------------------
+
+
+def cramer_von_mises_arms(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test on the per-user metric between
+    the parity arms: T integrates the SQUARED ECDF gap over the pooled
+    sample, so it sees distribution differences the KS sup-norm
+    under-weights (spread across many small gaps) and Mann-Whitney
+    misses entirely (location-free shape shifts):
+
+        T = (n0·n1 / (n0+n1)^2) · Σ_pooled (F0(x) − F1(x))^2
+
+    computed tie-exactly on the VALUE GRAIN (one row per distinct
+    metric, cumulative counts per arm — the mann_whitney bucketed
+    precedent's grain without needing its bucketing: the frame is
+    |distinct metrics| rows).  Decision flags use the limiting-
+    distribution critical values 0.461 / 0.743 (alpha = .10 / .05).
+    Returns one row (n0, n1, t_stat, reject_10, reject_05), 6dp."""
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    val = um.groupBy("m").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("_t1"),
+    )
+    w_cum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = val.select(
+        "_t",
+        F.sum("_t1").over(w_cum).alias("_c1"),
+        F.sum(F.col("_t") - F.col("_t1")).over(w_cum).alias("_c0"),
+    )
+    tot = cum.agg(
+        F.max("_c0").alias("n0"),
+        F.max("_c1").alias("n1"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    gap = (
+        F.col("_c0") / F.col("n0") - F.col("_c1") / F.col("n1")
+    )
+    comb = joined.agg(
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+        F.sum(gap * gap * F.col("_t")).alias("_sum"),
+    )
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    t_stat = (
+        F.col("n0").cast("double") * F.col("n1") / (nn * nn)
+    ) * F.col("_sum")
+    return comb.select(
+        "n0",
+        "n1",
+        F.round(t_stat, 6).alias("t_stat"),
+        (t_stat > 0.461).alias("reject_10"),
+        (t_stat > 0.743).alias("reject_05"),
+    )
+
+
+def sql_cramer_von_mises_arms(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`cramer_von_mises_arms` — same value
+    grain, same ECDF-gap integral and critical values."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY {user_col}
+    ), val AS (
+        SELECT m, count(*) AS t,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS t1
+        FROM um GROUP BY 1
+    ), cum AS (
+        SELECT t,
+            sum(t1) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS c1,
+            sum(t - t1) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS c0
+        FROM val
+    ), tot AS (
+        SELECT CAST(max(c0) AS BIGINT) AS n0,
+            CAST(max(c1) AS BIGINT) AS n1
+        FROM cum
+    ), comb AS (
+        SELECT tot.n0, tot.n1,
+            sum((c0 / CAST(tot.n0 AS DOUBLE)
+                 - c1 / CAST(tot.n1 AS DOUBLE))
+                * (c0 / CAST(tot.n0 AS DOUBLE)
+                   - c1 / CAST(tot.n1 AS DOUBLE)) * t) AS s
+        FROM cum CROSS JOIN tot GROUP BY 1, 2
+    ), stat AS (
+        SELECT n0, n1,
+            (n0 * CAST(n1 AS DOUBLE)
+             / ((n0 + n1) * CAST(n0 + n1 AS DOUBLE))) * s AS t_stat
+        FROM comb
+    )
+    SELECT n0, n1, round(t_stat, 6) AS t_stat,
+        t_stat > 0.461 AS reject_10, t_stat > 0.743 AS reject_05
+    FROM stat
+    """
+
+
+def cliffs_delta_arms(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Cliff's delta effect size between the parity arms on the
+    per-user metric: the probability-of-superiority difference
+
+        delta = (#(x1 > x0) − #(x1 < x0)) / (n1·n0)
+
+    — the EFFECT SIZE the Mann-Whitney p-value needs next to it (a
+    tiny delta can be 'significant' at scale; delta says whether it
+    matters).  Pair counts come off the value grain: for each distinct
+    metric v, arm-1 rows there beat exactly (arm-0 rows strictly
+    below v) — one cumulative window, never an n1×n0 pair join.
+    Magnitude labels at the conventional |d| cuts .147/.33/.474.
+    Returns one row (n0, n1, delta, magnitude), 6dp."""
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    val = um.groupBy("m").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("_t1"),
+    ).withColumn("_t0", F.col("_t") - F.col("_t1"))
+    w_below = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = val.select(
+        "_t1",
+        "_t0",
+        F.coalesce(F.sum("_t0").over(w_below), F.lit(0)).alias("_c0b"),
+        F.coalesce(F.sum("_t1").over(w_below), F.lit(0)).alias("_c1b"),
+    )
+    comb = cum.agg(
+        F.sum("_t0").alias("n0"),
+        F.sum("_t1").alias("n1"),
+        F.sum(F.col("_t1") * F.col("_c0b")).alias("_gt"),
+        F.sum(F.col("_t0") * F.col("_c1b")).alias("_lt"),
+    )
+    delta = F.try_divide(
+        (F.col("_gt") - F.col("_lt")).cast("double"),
+        F.col("n0").cast("double") * F.col("n1"),
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return comb.select(
+        "n0",
+        "n1",
+        F.round(delta, 6).alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def sql_cliffs_delta_arms(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`cliffs_delta_arms` — same value-grain
+    cumulative pair counts and magnitude cuts."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY {user_col}
+    ), val AS (
+        SELECT m, count(*) AS t,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS t1,
+            count(*) - sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS t0
+        FROM um GROUP BY 1
+    ), cum AS (
+        SELECT t1, t0,
+            coalesce(sum(t0) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) AS c0b,
+            coalesce(sum(t1) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) AS c1b
+        FROM val
+    ), comb AS (
+        SELECT CAST(sum(t0) AS BIGINT) AS n0,
+            CAST(sum(t1) AS BIGINT) AS n1,
+            sum(t1 * c0b) AS gt, sum(t0 * c1b) AS lt
+        FROM cum
+    ), stat AS (
+        SELECT n0, n1,
+            (gt - lt) / nullif(CAST(n0 AS DOUBLE) * n1, 0.0) AS delta
+        FROM comb
+    )
+    SELECT n0, n1, round(delta, 6) AS delta,
+        CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+             WHEN abs(delta) < 0.33 THEN 'small'
+             WHEN abs(delta) < 0.474 THEN 'medium'
+             ELSE 'large' END AS magnitude
+    FROM stat
+    """
+
+
+def hodges_lehmann_shift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Hodges-Lehmann location shift between the parity arms: the
+    MEDIAN of all n1×n0 pairwise differences m1 − m0 — the robust
+    'how much more does arm 1 spend' estimate that pairs with the
+    Mann-Whitney test (it inverts it) where the difference of means is
+    outlier-hostage and the difference of medians wastes information.
+
+    Never materializes n1×n0 pairs at USER grain: both arms collapse
+    to cents-quantized VALUE grain (exact on both engines, the
+    rolling-median precedent) and the cross join runs over
+    |V1|×|V0| distinct-value pairs with multiplicity weights c1·c0 —
+    the weighted median then reads two order statistics off one
+    cumulative window (even/odd exact, lower+upper averaged).
+    Returns one row (n0, n1, n_pairs, hl_shift), 2dp (cents)."""
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    cents = F.round(F.col("m") * 100).cast("long")
+    v1 = (
+        um.filter(F.col("arm") == 1)
+        .groupBy(cents.alias("_v1"))
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    v0 = (
+        um.filter(F.col("arm") == 0)
+        .groupBy(cents.alias("_v0"))
+        .agg(F.count(F.lit(1)).alias("_c0"))
+    )
+    pairs = (
+        v1.crossJoin(v0)
+        .groupBy((F.col("_v1") - F.col("_v0")).alias("_d"))
+        .agg(F.sum(F.col("_c1") * F.col("_c0")).alias("_w"))
+    )
+    w_cum = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pairs.select(
+        "_d", F.sum("_w").over(w_cum).alias("_cw")
+    )
+    tot = cum.agg(F.max("_cw").alias("_tw"))
+    both = cum.crossJoin(F.broadcast(tot))
+    lo_rank = F.floor((F.col("_tw") + 1) / 2)
+    hi_rank = F.floor(F.col("_tw") / 2) + 1
+    picks = both.agg(
+        F.min(F.when(F.col("_cw") >= lo_rank, F.col("_d"))).alias("_lo"),
+        F.min(F.when(F.col("_cw") >= hi_rank, F.col("_d"))).alias("_hi"),
+        F.first("_tw").alias("n_pairs"),
+    )
+    counts = um.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    return picks.crossJoin(F.broadcast(counts)).select(
+        "n0",
+        "n1",
+        "n_pairs",
+        F.round(
+            (F.col("_lo") + F.col("_hi")) / 2.0 / 100.0, 2
+        ).alias("hl_shift"),
+    )
+
+
+def sql_hodges_lehmann_shift(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+) -> str:
+    """DuckDB replay of :func:`hodges_lehmann_shift` — same cents
+    grain, same weighted two-order-statistic median."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY {user_col}
+    ), v1 AS (
+        SELECT CAST(round(m * 100) AS BIGINT) AS v, count(*) AS c
+        FROM um WHERE arm = 1 GROUP BY 1
+    ), v0 AS (
+        SELECT CAST(round(m * 100) AS BIGINT) AS v, count(*) AS c
+        FROM um WHERE arm = 0 GROUP BY 1
+    ), pairs AS (
+        SELECT v1.v - v0.v AS d, sum(v1.c * v0.c) AS w
+        FROM v1 CROSS JOIN v0 GROUP BY 1
+    ), cum AS (
+        SELECT d, sum(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS cw
+        FROM pairs
+    ), tot AS (SELECT max(cw) AS tw FROM cum), picks AS (
+        SELECT min(CASE WHEN cw >= floor((tot.tw + 1) / 2)
+                        THEN d END) AS lo,
+            min(CASE WHEN cw >= floor(tot.tw / 2) + 1
+                     THEN d END) AS hi,
+            first(tot.tw) AS n_pairs
+        FROM cum CROSS JOIN tot
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM um
+    )
+    SELECT n0, n1, CAST(n_pairs AS BIGINT) AS n_pairs,
+        round((lo + hi) / 2.0 / 100.0, 2) AS hl_shift
+    FROM picks CROSS JOIN counts
+    """

@@ -4727,3 +4727,99 @@ def sql_brown_forsythe_value_by_type(
         CAST(k - 1.0 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# r13c: Jarque-Bera normality gate
+# ---------------------------------------------------------------------------
+
+
+def jarque_bera_value(
+    df: DataFrame,
+    value_col: str = "value",
+    where: F.Column | None = None,
+) -> DataFrame:
+    """Jarque-Bera normality test on a value column: the moments-based
+    gate in front of every 'assumes normal' procedure downstream
+    (Welch, Bollinger bands, control charts) —
+
+        JB = n/6 · (S^2 + K^2/4),  S = m3/m2^1.5,  K = m4/m2^2 − 3
+
+    with the chi-square(2 dof) tail CLOSED-FORM: p = exp(−JB/2) —
+    no polynomial approximation needed, identical arithmetic on both
+    engines.  Central moments come from ONE pass of raw power sums
+    (m_k = E[x^k] expansions), clamped non-negative where cancellation
+    could go ulp-negative (m2).  Returns one row
+    (n, skewness, ex_kurtosis, jb, p_value), 6dp."""
+    base = df.filter(F.col(value_col).isNotNull())
+    if where is not None:
+        base = base.filter(where)
+    x = F.col(value_col).cast("double")
+    raw = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.greatest(F.col("s2") / n - mu * mu, F.lit(0.0))
+    m3 = F.col("s3") / n - 3.0 * mu * F.col("s2") / n + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * F.col("s3") / n
+        + 6.0 * mu * mu * F.col("s2") / n
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = F.try_divide(m3, F.pow(m2, 1.5))
+    exk = F.try_divide(m4, m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return raw.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 6).alias("jb"),
+        F.round(F.exp(-jb / 2.0), 6).alias("p_value"),
+    )
+
+
+def sql_jarque_bera_value(
+    table: str = "events",
+    value_col: str = "value",
+    where: str = "1=1",
+) -> str:
+    """DuckDB replay of :func:`jarque_bera_value` — same raw power
+    sums, same clamp, same closed-form chi2(2) tail."""
+    return f"""
+    WITH raw AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+            sum({value_col}) AS s1,
+            sum({value_col} * {value_col}) AS s2,
+            sum({value_col} * {value_col} * {value_col}) AS s3,
+            sum({value_col} * {value_col} * {value_col} * {value_col})
+                AS s4
+        FROM {table}
+        WHERE ({where}) AND {value_col} IS NOT NULL
+    ), mom AS (
+        SELECT n,
+            greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS m2,
+            s3 / n - 3.0 * (s1 / n) * s2 / n
+                + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+            s4 / n - 4.0 * (s1 / n) * s3 / n
+                + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM raw
+    ), stat AS (
+        SELECT n,
+            m3 / nullif(power(m2, 1.5), 0.0) AS skew,
+            m4 / nullif(m2 * m2, 0.0) - 3.0 AS exk
+        FROM mom
+    )
+    SELECT n, round(skew, 6) AS skewness,
+        round(exk, 6) AS ex_kurtosis,
+        round(n / 6.0 * (skew * skew + exk * exk / 4.0), 6) AS jb,
+        round(exp(-(n / 6.0 * (skew * skew + exk * exk / 4.0)) / 2.0), 6)
+            AS p_value
+    FROM stat
+    """

@@ -10101,3 +10101,97 @@ def poisson_rate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return poisson_rate_test(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13c: distribution-shape arm comparisons + normality gate
+# ---------------------------------------------------------------------------
+
+
+def _cvm_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cramer_von_mises_arms,
+    )
+
+    return sql_cramer_von_mises_arms("events")
+
+
+@query("cvm_purchase_arms", _cvm_oracle())
+def cvm_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises on the per-user purchase metric
+    (experiment.cramer_von_mises_arms): the integrated-ECDF-gap test
+    that sees shape shifts KS under-weights."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cramer_von_mises_arms,
+    )
+
+    return cramer_von_mises_arms(_t(spark, sf_dir, "events"))
+
+
+def _cliffs_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cliffs_delta_arms,
+    )
+
+    return sql_cliffs_delta_arms("events")
+
+
+@query("cliffs_delta_purchase", _cliffs_oracle())
+def cliffs_delta_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between arms
+    (experiment.cliffs_delta_arms): probability-of-superiority
+    difference off value-grain cumulative pair counts — the effect
+    size the Mann-Whitney p-value needs next to it."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cliffs_delta_arms,
+    )
+
+    return cliffs_delta_arms(_t(spark, sf_dir, "events"))
+
+
+def _hl_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_hodges_lehmann_shift,
+    )
+
+    return sql_hodges_lehmann_shift("events")
+
+
+@query("hodges_lehmann_purchase", _hl_oracle())
+def hodges_lehmann_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location shift between arms
+    (experiment.hodges_lehmann_shift): exact weighted median of all
+    pairwise differences off the cents value grain — never an n1×n0
+    user-pair join."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        hodges_lehmann_shift,
+    )
+
+    return hodges_lehmann_shift(_t(spark, sf_dir, "events"))
+
+
+def _jb_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_jarque_bera_value,
+    )
+
+    return sql_jarque_bera_value(
+        "events", where="event_type = 'purchase'"
+    )
+
+
+@query("jarque_bera_purchase_values", _jb_oracle())
+def jarque_bera_purchase_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera normality test on purchase values
+    (stats.jarque_bera_value): the moments gate with the chi2(2) tail
+    closed-form on both engines."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        jarque_bera_value,
+    )
+
+    return jarque_bera_value(
+        _t(spark, sf_dir, "events"),
+        where=F.col("event_type") == "purchase",
+    )
