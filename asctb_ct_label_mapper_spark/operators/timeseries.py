@@ -3679,3 +3679,639 @@ def sql_hurst_rs_daily(
     FROM per_size CROSS JOIN fit
     ORDER BY block_size
     """
+
+
+# ---------------------------------------------------------------------------
+# r13d: daily-series diagnostics — changepoint, randomness, trend tests
+# ---------------------------------------------------------------------------
+
+
+def pettitt_changepoint_daily(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Pettitt rank-based changepoint test on the daily count series:
+    the non-parametric sibling of the CUSUM/Chow operators — no
+    normality or known-variance assumption, robust to the heavy-tailed
+    counts real traffic has.
+
+        U_t = 2·Σ_{i<=t} r_i − t·(n+1)       (r = midranks)
+        K   = max_t |U_t|,   p ≈ 2·exp(−6K² / (n³ + n²))
+
+    Plan: the shared zero-filled calendar spine, one rank window
+    (day-grain — the spine is span-bounded, so the global window is
+    the documented dimension-grain exception), one cumulative window,
+    one argmax fold.  Returns one row (n, change_day, k_stat,
+    p_value), 6dp; the reported day is the FIRST argmax (deterministic
+    tie rule on both engines)."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _daily_series,
+        avg_rank,
+    )
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    ranked = series.select(
+        "d", "y", avg_rank("y").alias("_r")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_idx = Window.orderBy("d")
+    u = ranked.select(
+        "d",
+        (
+            2.0 * F.sum("_r").over(w_cum)
+            - F.row_number().over(w_idx).cast("double")
+            * (F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ) + 1.0)
+        ).alias("_u"),
+    )
+    folded = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("_u"))).alias("k_stat"),
+        F.min_by("d", F.struct((-F.abs(F.col("_u"))).alias("a"), F.col("d").alias("b"))).alias(
+            "change_day"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = 2.0 * F.exp(
+        F.try_divide(
+            -6.0 * F.col("k_stat") * F.col("k_stat"),
+            n * n * n + n * n,
+        )
+    )
+    return folded.select(
+        "n",
+        F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
+        F.round("k_stat", 6).alias("k_stat"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def sql_pettitt_changepoint_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`pettitt_changepoint_daily` — same spine,
+    midranks, first-argmax tie rule and tail approximation."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+        sql_avg_rank,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, ranked AS (
+        SELECT d, CAST(c AS DOUBLE) AS y,
+            {sql_avg_rank('CAST(c AS DOUBLE)')} AS r
+        FROM series
+    ), u AS (
+        SELECT d,
+            2.0 * sum(r) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)
+            - row_number() OVER (ORDER BY d)
+              * (count(*) OVER () + 1.0) AS uu
+        FROM ranked
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, max(abs(uu)) AS k_stat
+        FROM u
+    ), pick AS (
+        -- first argmax: smallest day whose |U| attains the max (the
+        -- U values are exact halves-arithmetic doubles, so equality
+        -- against the max is safe)
+        SELECT min(d) AS change_day
+        FROM u CROSS JOIN folded WHERE abs(uu) = folded.k_stat
+    ), folded2 AS (
+        SELECT folded.n, folded.k_stat, pick.change_day
+        FROM folded CROSS JOIN pick
+    )
+    SELECT n, strftime(change_day, '%Y-%m-%d') AS change_day,
+        round(k_stat, 6) AS k_stat,
+        round(least(2.0 * exp(-6.0 * k_stat * k_stat
+            / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+            1.0), 6) AS p_value
+    FROM folded2
+    """
+
+
+def buishand_range_daily(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Buishand range homogeneity test on the daily count series:
+    partial sums of deviations from the mean, their range rescaled by
+    the standard deviation —
+
+        S_t = Σ_{i<=t} (y_i − ȳ),  R = (max S − min S) / s,
+        r   = R / sqrt(n)
+
+    r has tabulated critical values (~1.5 at alpha .05 for n >= 50);
+    the CUSUM family's 'did the level drift anywhere' complement to
+    Pettitt's 'where'.  One spine pass, one cumulative window, one-row
+    fold.  Returns (n, range_stat, r_scaled), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    stats_row = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.stddev_samp("y").alias("s"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = series.crossJoin(F.broadcast(stats_row)).select(
+        "n",
+        "s",
+        F.sum(F.col("y") - F.col("mu")).over(w_cum).alias("_S"),
+    )
+    folded = cum.agg(
+        F.first("n").alias("n"),
+        F.try_divide(F.max("_S") - F.min("_S"), F.first("s")).alias(
+            "_R"
+        ),
+    )
+    return folded.select(
+        "n",
+        F.round("_R", 6).alias("range_stat"),
+        F.round(
+            F.col("_R") / F.sqrt(F.col("n").cast("double")), 6
+        ).alias("r_scaled"),
+    )
+
+
+def sql_buishand_range_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`buishand_range_daily`."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(CAST(c AS DOUBLE)) AS mu,
+            stddev_samp(CAST(c AS DOUBLE)) AS s
+        FROM series
+    ), cum AS (
+        SELECT st.n, st.s,
+            sum(CAST(c AS DOUBLE) - st.mu) OVER (ORDER BY d ROWS
+                BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+        FROM series CROSS JOIN st
+    ), folded AS (
+        SELECT first(n) AS n,
+            (max(ps) - min(ps)) / nullif(first(s), 0.0) AS r
+        FROM cum
+    )
+    SELECT n, round(r, 6) AS range_stat,
+        round(r / sqrt(CAST(n AS DOUBLE)), 6) AS r_scaled
+    FROM folded
+    """
+
+
+def von_neumann_ratio_daily(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Von Neumann ratio (mean-square successive difference / variance)
+    on the daily series — the classic serial-independence check:
+
+        VN = Σ (y_{t+1} − y_t)² / Σ (y_t − ȳ)²
+
+    E[VN] = 2 under independence; VN < 2 flags positive
+    autocorrelation (trending), VN > 2 alternation.  The normal
+    approximation z = (VN − 2)·sqrt((n² − 1)/(4·(n − 2))) gives the
+    two-sided p via the shared A&S tail.  One spine pass + a lag
+    window + a one-row fold.  Returns (n, vn_ratio, z, p_value),
+    6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    w_lag = Window.orderBy("d")
+    lagged = series.select(
+        "y", F.lag("y", 1).over(w_lag).alias("_py")
+    )
+    folded = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("y") - F.col("_py")) * (F.col("y") - F.col("_py"))
+        ).alias("_num"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    ss = F.greatest(
+        F.col("_syy") - F.col("_sy") * F.col("_sy") / n, F.lit(0.0)
+    )
+    vn = F.try_divide(F.col("_num"), ss)
+    z = (vn - 2.0) * F.sqrt(
+        F.try_divide(n * n - 1.0, 4.0 * (n - 2.0))
+    )
+    out = folded.withColumn("_az", F.abs(z))
+    return out.select(
+        "n",
+        F.round(vn, 6).alias("vn_ratio"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.expr("2.0 * " + _phi_upper_sql("_az")), 6
+        ).alias("p_value"),
+    )
+
+
+def sql_von_neumann_ratio_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`von_neumann_ratio_daily`."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, lagged AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            lag(CAST(c AS DOUBLE), 1) OVER (ORDER BY d) AS py
+        FROM series
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+            sum((y - py) * (y - py)) AS num,
+            sum(y) AS sy, sum(y * y) AS syy
+        FROM lagged
+    ), stat AS (
+        SELECT n,
+            num / nullif(greatest(syy - sy * sy / CAST(n AS DOUBLE),
+                                  0.0), 0.0) AS vn,
+            (num / nullif(greatest(syy - sy * sy / CAST(n AS DOUBLE),
+                                   0.0), 0.0) - 2.0)
+            * sqrt((CAST(n AS DOUBLE) * n - 1.0)
+                   / nullif(4.0 * (n - 2.0), 0.0)) AS z
+        FROM folded
+    )
+    SELECT n, round(vn, 6) AS vn_ratio, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """
+
+
+def cox_stuart_trend_daily(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Cox-Stuart sign test for monotone trend on the daily series:
+    pair day t with day t + ceil(n/2) (the middle day drops when n is
+    odd), count strictly-increasing pairs among the non-tied ones, and
+    test S+ ~ Binomial(n', 1/2) with the continuity-corrected normal:
+
+        z = (|S+ − n'/2| − 0.5) / sqrt(n'/4)
+
+    The rank-free cousin of Mann-Kendall — O(n) pairs instead of
+    O(n²), the version you run when the spine is long.  One spine
+    pass + a lead window + a one-row fold.  Returns
+    (n_pairs, n_untied, s_plus, z, p_value), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    w_idx = Window.orderBy("d")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = series.select(
+        "y",
+        (F.row_number().over(w_idx) - 1).alias("_t"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    half = F.ceil(F.col("_n") / F.lit(2)).cast("int")
+    # lead with a dynamic offset is not expressible; self-join the
+    # span-bounded spine on the index instead (dimension-grain join)
+    a = idx.select(
+        F.col("_t").alias("_ta"), F.col("y").alias("_ya"), "_n"
+    )
+    b = idx.select(
+        F.col("_t").alias("_tb"), F.col("y").alias("_yb")
+    )
+    paired = a.join(
+        b, a["_ta"] + half == b["_tb"], "inner"
+    )
+    folded = paired.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("_yb") != F.col("_ya"), 1).otherwise(0)
+        ).alias("n_untied"),
+        F.sum(
+            F.when(F.col("_yb") > F.col("_ya"), 1).otherwise(0)
+        ).alias("s_plus"),
+    )
+    np_ = F.col("n_untied").cast("double")
+    num = F.abs(F.col("s_plus") - np_ / 2.0) - 0.5
+    z = F.try_divide(
+        F.greatest(num, F.lit(0.0)), F.sqrt(np_ / 4.0)
+    )
+    out = folded.withColumn("_az", z)
+    return out.select(
+        "n_pairs",
+        "n_untied",
+        "s_plus",
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.expr("2.0 * " + _phi_upper_sql("_az")), 6
+        ).alias("p_value"),
+    )
+
+
+def sql_cox_stuart_trend_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`cox_stuart_trend_daily` — same index
+    pairing, tie exclusion and continuity correction."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            row_number() OVER (ORDER BY d) - 1 AS t,
+            count(*) OVER () AS n
+        FROM series
+    ), paired AS (
+        SELECT a.y AS ya, b.y AS yb
+        FROM idx a JOIN idx b
+          ON a.t + CAST(ceil(a.n / 2.0) AS BIGINT) = b.t
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN yb != ya THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_untied,
+            CAST(sum(CASE WHEN yb > ya THEN 1 ELSE 0 END) AS BIGINT)
+                AS s_plus
+        FROM paired
+    ), stat AS (
+        SELECT *,
+            greatest(abs(s_plus - n_untied / 2.0) - 0.5, 0.0)
+            / nullif(sqrt(n_untied / 4.0), 0.0) AS z
+        FROM folded
+    )
+    SELECT n_pairs, n_untied, s_plus, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('z')}, 6) AS p_value
+    FROM stat
+    """
+
+
+def variance_ratio_daily(
+    events: DataFrame, ts_col: str = "ts", q: int = 5
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on the daily-count INCREMENTS
+    (first differences of the spine): under a random walk the variance
+    of a q-day sum is q times the 1-day variance, so
+
+        VR(q) = Var(Σ_{q consecutive} d) / (q · Var(d))
+        z     = (VR − 1) / sqrt(2(2q−1)(q−1) / (3q·n))
+
+    (overlapping q-sums, homoskedastic asymptotics).  VR < 1 flags
+    mean reversion, VR > 1 momentum — the 'is traffic a random walk or
+    does it trend' diagnostic behind every naive-forecast baseline.
+    One spine pass + two windows (lag + rolling q-sum) + a one-row
+    fold.  Returns (n, q, vr, z, p_value), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    w_lag = Window.orderBy("d")
+    diffs = series.select(
+        "d", (F.col("y") - F.lag("y", 1).over(w_lag)).alias("_dd")
+    ).filter(F.col("_dd").isNotNull())
+    w_q = Window.orderBy("d").rowsBetween(-(q - 1), 0)
+    w_cnt = Window.orderBy("d").rowsBetween(-(q - 1), 0)
+    sums = diffs.select(
+        "_dd",
+        F.sum("_dd").over(w_q).alias("_sq"),
+        F.count(F.lit(1)).over(w_cnt).alias("_k"),
+    )
+    folded = sums.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_dd").alias("_mu"),
+        F.sum(F.col("_dd") * F.col("_dd")).alias("_s2"),
+        F.sum("_dd").alias("_s1"),
+        F.sum(
+            F.when(F.col("_k") == q, F.col("_sq") * F.col("_sq"))
+        ).alias("_sq2"),
+        F.sum(F.when(F.col("_k") == q, F.col("_sq"))).alias("_sq1"),
+        F.sum(F.when(F.col("_k") == q, 1).otherwise(0)).alias("_nq"),
+    )
+    n = F.col("n").cast("double")
+    nq = F.col("_nq").cast("double")
+    var1 = F.greatest(
+        F.col("_s2") / n - (F.col("_s1") / n) * (F.col("_s1") / n),
+        F.lit(0.0),
+    )
+    varq = F.greatest(
+        F.col("_sq2") / nq
+        - (F.col("_sq1") / nq) * (F.col("_sq1") / nq),
+        F.lit(0.0),
+    )
+    vr = F.try_divide(varq, F.lit(float(q)) * var1)
+    z = F.try_divide(
+        vr - 1.0,
+        F.sqrt(
+            F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / n
+        ),
+    )
+    out = folded.withColumn("_az", F.abs(z))
+    return out.select(
+        "n",
+        F.lit(q).cast("long").alias("q"),
+        F.round(vr, 6).alias("vr"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.expr("2.0 * " + _phi_upper_sql("_az")), 6
+        ).alias("p_value"),
+    )
+
+
+def sql_variance_ratio_daily(
+    table: str = "events", ts_col: str = "ts", q: int = 5
+) -> str:
+    """DuckDB replay of :func:`variance_ratio_daily` — same overlapping
+    q-sums and homoskedastic z."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        _phi_upper_sql,
+    )
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, diffs AS (
+        SELECT d, CAST(c AS DOUBLE)
+            - lag(CAST(c AS DOUBLE), 1) OVER (ORDER BY d) AS dd
+        FROM series QUALIFY dd IS NOT NULL
+    ), sums AS (
+        SELECT dd,
+            sum(dd) OVER (ORDER BY d ROWS BETWEEN {q - 1} PRECEDING
+                AND CURRENT ROW) AS sq,
+            count(*) OVER (ORDER BY d ROWS BETWEEN {q - 1} PRECEDING
+                AND CURRENT ROW) AS k
+        FROM diffs
+    ), folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(dd * dd) AS s2, sum(dd) AS s1,
+            sum(CASE WHEN k = {q} THEN sq * sq END) AS sq2,
+            sum(CASE WHEN k = {q} THEN sq END) AS sq1,
+            sum(CASE WHEN k = {q} THEN 1 ELSE 0 END) AS nq
+        FROM sums
+    ), stat AS (
+        SELECT n,
+            (sq2 / nq - (sq1 / nq) * (sq1 / nq))
+            / nullif({q} * greatest(s2 / CAST(n AS DOUBLE)
+                - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+                0.0), 0.0) AS vr
+        FROM folded
+    ), zed AS (
+        SELECT n, vr,
+            (vr - 1.0) / nullif(sqrt(
+                {2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)!r}
+                / CAST(n AS DOUBLE)), 0.0) AS z
+        FROM stat
+    )
+    SELECT n, CAST({q} AS BIGINT) AS q, round(vr, 6) AS vr,
+        round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM zed
+    """
+
+
+def durbin_watson_daily(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily-count OLS
+    trend: DW = Σ(e_t − e_{t−1})² / Σe_t² ∈ [0, 4], ~2 under
+    independence — the standard 'did detrending leave autocorrelation
+    behind' readout that decides whether the OLS trend's standard
+    errors can be believed at all.
+
+    Plan: one spine pass folds the OLS sufficient statistics
+    (the 2-feature closed form), a 1-row broadcast rejoins (a, b) to
+    the spine for residuals, one lag window, one fold.  Returns
+    (n, slope, dw), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(
+        _daily_series(events, ts_col).select(
+            "d", F.col("c").cast("double").alias("y")
+        )
+    )
+    w_idx = Window.orderBy("d")
+    idx = series.select(
+        "d", "y", (F.row_number().over(w_idx) - 1).cast("double").alias("t")
+    )
+    suff = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    b = F.try_divide(
+        F.col("n") * F.col("sty") - F.col("st") * F.col("sy"),
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st"),
+    )
+    a = (F.col("sy") - b * F.col("st")) / F.col("n")
+    params = suff.select(
+        F.col("n").alias("_n"), a.alias("_a"), b.alias("_b")
+    )
+    resid = idx.crossJoin(F.broadcast(params)).select(
+        "d",
+        (F.col("y") - (F.col("_a") + F.col("_b") * F.col("t"))).alias(
+            "_e"
+        ),
+        "_b",
+    )
+    lagged = resid.select(
+        "_e", "_b", F.lag("_e", 1).over(Window.orderBy("d")).alias("_pe")
+    )
+    folded = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_b").alias("_slope"),
+        F.sum(
+            (F.col("_e") - F.col("_pe")) * (F.col("_e") - F.col("_pe"))
+        ).alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+    )
+    return folded.select(
+        "n",
+        F.round("_slope", 6).alias("slope"),
+        F.round(
+            F.try_divide(F.col("_num"), F.col("_den")), 6
+        ).alias("dw"),
+    )
+
+
+def sql_durbin_watson_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`durbin_watson_daily` — same OLS closed
+    form and lagged residual fold."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT d, CAST(c AS DOUBLE) AS y,
+            CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t
+        FROM series
+    ), suff AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(y) AS sy,
+            sum(t * t) AS stt, sum(t * y) AS sty
+        FROM idx
+    ), params AS (
+        SELECT n,
+            (sy - (n * sty - st * sy) / nullif(n * stt - st * st, 0.0)
+                  * st) / n AS a,
+            (n * sty - st * sy) / nullif(n * stt - st * st, 0.0) AS b
+        FROM suff
+    ), resid AS (
+        SELECT d, y - (p.a + p.b * t) AS e, p.b AS slope
+        FROM idx CROSS JOIN params p
+    ), lagged AS (
+        SELECT e, slope, lag(e, 1) OVER (ORDER BY d) AS pe
+        FROM resid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+        round(first(slope), 6) AS slope,
+        round(sum((e - pe) * (e - pe)) / nullif(sum(e * e), 0.0), 6)
+            AS dw
+    FROM lagged
+    """

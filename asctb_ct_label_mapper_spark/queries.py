@@ -10195,3 +10195,133 @@ def jarque_bera_purchase_values(
         _t(spark, sf_dir, "events"),
         where=F.col("event_type") == "purchase",
     )
+
+
+# ---------------------------------------------------------------------------
+# r13d: daily-series diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _pettitt_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_pettitt_changepoint_daily,
+    )
+
+    return sql_pettitt_changepoint_daily("events")
+
+
+@query("pettitt_change_daily", _pettitt_oracle())
+def pettitt_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint on daily counts
+    (timeseries.pettitt_changepoint_daily): the non-parametric 'where
+    did the level shift' next to CUSUM/Chow."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        pettitt_changepoint_daily,
+    )
+
+    return pettitt_changepoint_daily(_t(spark, sf_dir, "events"))
+
+
+def _buishand_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_buishand_range_daily,
+    )
+
+    return sql_buishand_range_daily("events")
+
+
+@query("buishand_range_daily", _buishand_oracle())
+def buishand_range_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Buishand rescaled-range homogeneity test
+    (timeseries.buishand_range_daily)."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        buishand_range_daily,
+    )
+
+    return buishand_range_daily(_t(spark, sf_dir, "events"))
+
+
+def _vn_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_von_neumann_ratio_daily,
+    )
+
+    return sql_von_neumann_ratio_daily("events")
+
+
+@query("von_neumann_daily", _vn_oracle())
+def von_neumann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann successive-difference ratio
+    (timeseries.von_neumann_ratio_daily): the serial-independence
+    check behind every iid assumption downstream."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        von_neumann_ratio_daily,
+    )
+
+    return von_neumann_ratio_daily(_t(spark, sf_dir, "events"))
+
+
+def _coxstuart_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_cox_stuart_trend_daily,
+    )
+
+    return sql_cox_stuart_trend_daily("events")
+
+
+@query("cox_stuart_daily", _coxstuart_oracle())
+def cox_stuart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart paired sign test for monotone trend
+    (timeseries.cox_stuart_trend_daily): Mann-Kendall's O(n)
+    cousin."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        cox_stuart_trend_daily,
+    )
+
+    return cox_stuart_trend_daily(_t(spark, sf_dir, "events"))
+
+
+def _vr_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_variance_ratio_daily,
+    )
+
+    return sql_variance_ratio_daily("events", q=5)
+
+
+@query("variance_ratio_daily", _vr_oracle())
+def variance_ratio_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lo-MacKinlay variance ratio at q=5 on daily increments
+    (timeseries.variance_ratio_daily): random-walk vs
+    momentum/mean-reversion."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        variance_ratio_daily,
+    )
+
+    return variance_ratio_daily(_t(spark, sf_dir, "events"), q=5)
+
+
+def _dw_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_durbin_watson_daily,
+    )
+
+    return sql_durbin_watson_daily("events")
+
+
+@query("durbin_watson_daily", _dw_oracle())
+def durbin_watson_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson on the daily OLS-trend residuals
+    (timeseries.durbin_watson_daily): can the trend's standard errors
+    be believed."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        durbin_watson_daily,
+    )
+
+    return durbin_watson_daily(_t(spark, sf_dir, "events"))
