@@ -19,6 +19,7 @@ posture:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2013,4 +2014,206 @@ def sql_audience_overlap_weekly(
     JOIN sizes sb ON sb.wk = sa.wk + 1
     LEFT JOIN common c ON c.week_a = sa.wk
     ORDER BY week_a
+    """
+
+
+# ---------------------------------------------------------------------------
+# r13e: circular time-of-day statistics + inter-event gap distribution
+# ---------------------------------------------------------------------------
+
+
+def circular_hour_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Circular (directional) statistics of event time-of-day per event
+    type: hour-of-day is an ANGLE (23:00 and 01:00 are 2 h apart, not
+    22), so the mean and concentration must come from the resultant
+    vector, not arithmetic on the hour column —
+
+        C = Σ cos θ, S = Σ sin θ,  θ = 2π·(sec-of-day)/86400
+        R̄ = sqrt(C² + S²)/n                (0 = uniform, 1 = a spike)
+        mean_hour = atan2(S, C)·24/2π  (mod 24)
+        Rayleigh z = n·R̄²,  p ≈ e^{−z}·(1 + (2z − z²)/(4n))
+
+    — the 'is this event type circadian, and when does it peak' readout
+    (Rayleigh's uniformity test).  ONE map-side-combinable aggregate
+    per type; p clamped to [0, 1] (the first-order correction can
+    poke out for tiny n).  Returns (event_type, n, mean_hour,
+    resultant, rayleigh_z, p_value), 6dp."""
+    sec = F.unix_timestamp(ts_col) % 86400
+    theta = sec.cast("double") / 86400.0 * (2.0 * math.pi)
+    per = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.cos(theta)).alias("_c"),
+            F.sum(F.sin(theta)).alias("_s"),
+        )
+    )
+    n = F.col("n").cast("double")
+    rbar = F.sqrt(F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s")) / n
+    mean_h = (
+        F.atan2(F.col("_s"), F.col("_c")) * 24.0 / (2.0 * math.pi)
+    )
+    mean_h24 = ((mean_h % 24.0) + 24.0) % 24.0
+    z = n * rbar * rbar
+    p = F.exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * n))
+    return per.select(
+        "event_type",
+        "n",
+        F.round(mean_h24, 6).alias("mean_hour"),
+        F.round(rbar, 6).alias("resultant"),
+        F.round(z, 6).alias("rayleigh_z"),
+        F.round(F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "p_value"
+        ),
+    ).orderBy("event_type")
+
+
+def sql_circular_hour_stats(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`circular_hour_stats` — same second-of-
+    day angle, resultant arithmetic, Rayleigh correction and clamp."""
+    pi = repr(math.pi)
+    return f"""
+    WITH per AS (
+        SELECT {type_col} AS event_type,
+            CAST(count(*) AS BIGINT) AS n,
+            sum(cos(2.0 * {pi} * (CAST(floor(epoch({ts_col})) AS BIGINT) % 86400)
+                    / 86400.0)) AS c,
+            sum(sin(2.0 * {pi} * (CAST(floor(epoch({ts_col})) AS BIGINT) % 86400)
+                    / 86400.0)) AS s
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ), stat AS (
+        SELECT event_type, n,
+            sqrt(c * c + s * s) / n AS rbar,
+            ((atan2(s, c) * 24.0 / (2.0 * {pi})) % 24.0 + 24.0) % 24.0
+                AS mean_h,
+            n * (sqrt(c * c + s * s) / n)
+              * (sqrt(c * c + s * s) / n) AS z
+        FROM per
+    )
+    SELECT event_type, n, round(mean_h, 6) AS mean_hour,
+        round(rbar, 6) AS resultant, round(z, 6) AS rayleigh_z,
+        round(greatest(least(exp(-z) * (1.0 + (2.0 * z - z * z)
+            / (4.0 * n)), 1.0), 0.0), 6) AS p_value
+    FROM stat ORDER BY event_type
+    """
+
+
+def interevent_exponential_fit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pooled inter-event gap distribution vs the exponential null:
+    per-user consecutive gaps (seconds), MLE rate λ = 1/mean, and the
+    KS distance between the empirical gap CDF and 1 − e^{−λx} —
+    'is arrival Poisson, or bursty' quantified (the burstiness
+    histogram's hypothesis-test sibling).
+
+    The KS sup runs on the GAP VALUE GRAIN: one row per distinct gap
+    with cumulative counts, D = max(F_hi − F_exp, F_exp − F_lo) over
+    grain rows — exact (the sup of a step-vs-continuous comparison is
+    attained at a step), never a per-gap sort at fact grain beyond the
+    keyed lag window.  Decision flag at the asymptotic 5% band
+    1.36/√n.  Returns one row (n_gaps, mean_gap_s, ks_d, reject_05),
+    6dp."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gaps = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            user_col,
+            "event_id",
+            ts_col,
+            (
+                F.unix_timestamp(ts_col)
+                - F.unix_timestamp(F.lag(ts_col, 1).over(w))
+            ).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+    )
+    grain = gaps.groupBy("_g").agg(F.count(F.lit(1)).alias("_t"))
+    w_cum = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grain.select(
+        "_g",
+        F.sum("_t").over(w_cum).alias("_chi"),
+        (F.sum("_t").over(w_cum) - F.col("_t")).alias("_clo"),
+    )
+    tot = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg(F.col("_g").cast("double")).alias("mean_gap_s"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    f_exp = 1.0 - F.exp(
+        -F.col("_g").cast("double") / F.col("mean_gap_s")
+    )
+    n = F.col("n_gaps").cast("double")
+    d_row = F.greatest(
+        F.col("_chi") / n - f_exp, f_exp - F.col("_clo") / n
+    )
+    folded = joined.agg(
+        F.first("n_gaps").alias("n_gaps"),
+        F.first("mean_gap_s").alias("_mg"),
+        F.max(d_row).alias("_d"),
+    )
+    return folded.select(
+        "n_gaps",
+        F.round("_mg", 6).alias("mean_gap_s"),
+        F.round("_d", 6).alias("ks_d"),
+        (
+            F.col("_d")
+            > 1.36 / F.sqrt(F.col("n_gaps").cast("double"))
+        ).alias("reject_05"),
+    )
+
+
+def sql_interevent_exponential_fit(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`interevent_exponential_fit` — same keyed
+    lag, value grain and two-sided KS sup."""
+    return f"""
+    WITH gaps AS (
+        SELECT CAST(floor(epoch({ts_col})) AS BIGINT)
+            - lag(CAST(floor(epoch({ts_col})) AS BIGINT), 1) OVER (
+                PARTITION BY {user_col} ORDER BY {ts_col}, event_id)
+            AS g
+        FROM {table} WHERE {ts_col} IS NOT NULL
+        QUALIFY g IS NOT NULL
+    ), grain AS (
+        SELECT g, count(*) AS t FROM gaps GROUP BY 1
+    ), cum AS (
+        SELECT g,
+            sum(t) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS chi,
+            sum(t) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) - t AS clo
+        FROM grain
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+            avg(CAST(g AS DOUBLE)) AS mg
+        FROM gaps
+    ), folded AS (
+        SELECT first(tot.n_gaps) AS n_gaps, first(tot.mg) AS mg,
+            max(greatest(
+                chi / CAST(tot.n_gaps AS DOUBLE)
+                    - (1.0 - exp(-CAST(g AS DOUBLE) / tot.mg)),
+                (1.0 - exp(-CAST(g AS DOUBLE) / tot.mg))
+                    - clo / CAST(tot.n_gaps AS DOUBLE))) AS d
+        FROM cum CROSS JOIN tot
+    )
+    SELECT n_gaps, round(mg, 6) AS mean_gap_s, round(d, 6) AS ks_d,
+        d > 1.36 / sqrt(CAST(n_gaps AS DOUBLE)) AS reject_05
+    FROM folded
     """

@@ -4315,3 +4315,128 @@ def sql_durbin_watson_daily(
             AS dw
     FROM lagged
     """
+
+
+# ---------------------------------------------------------------------------
+# r13e: Croston's method — intermittent-demand forecasting
+# ---------------------------------------------------------------------------
+
+
+def croston_intermittent_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "error",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's method on an INTERMITTENT daily series (many zero
+    days — error spikes, rare SKU demand): plain SES tracks the zeros
+    and under-forecasts right after every spike, so Croston smooths
+    two series instead — the nonzero demand SIZES z_k and the
+    INTER-DEMAND intervals p_k (in days) — and forecasts their ratio:
+
+        ẑ = SES_α(z_1..z_K),  p̂ = SES_α(p_1..p_K),  ŷ = ẑ / p̂
+
+    Both SES levels use the CLOSED-FORM power-weight sum over the
+    occurrence index k (the Theta/sql_ewma precedent — no recursion,
+    exact replay on both engines).  Plan: one fact pass to the daily
+    spine, a filter to nonzero days + one lag for intervals, a
+    K-row weighted fold.  Returns one row (n_days, n_nonzero, z_hat,
+    p_hat, forecast_per_day), 6dp; an all-zero series degrades to
+    NULLs via try_divide."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+
+    daily = _daily_series(
+        events.filter(F.col(type_col) == metric_type), ts_col
+    )
+    w_idx = Window.orderBy("d")
+    nz = (
+        daily.filter(F.col("c") > 0)
+        .select(
+            "d",
+            F.col("c").cast("double").alias("z"),
+            F.row_number().over(w_idx).alias("k"),
+            F.datediff(
+                "d", F.lag("d", 1).over(w_idx)
+            ).cast("double").alias("p"),
+        )
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    counts = nz.agg(F.count(F.lit(1)).alias("kk"))
+    # SES closed form: S_K = (1-a)^(K-1) x_1 + sum_{k>=2} a(1-a)^(K-k) x_k
+    joined = nz.crossJoin(F.broadcast(counts))
+    wz = F.when(
+        F.col("k") == 1,
+        F.pow(F.lit(1.0 - alpha), F.col("kk") - 1),
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("kk") - F.col("k"))
+    )
+    # intervals start at k=2 (K-1 observations): index j = k-1
+    wp = F.when(
+        F.col("k") == 2,
+        F.pow(F.lit(1.0 - alpha), F.col("kk") - 2),
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0 - alpha), F.col("kk") - F.col("k"))
+    )
+    folded = joined.agg(
+        F.first("kk").alias("n_nonzero"),
+        F.sum(F.col("z") * wz).alias("_zh"),
+        F.sum(
+            F.when(F.col("k") >= 2, F.col("p") * wp)
+        ).alias("_ph"),
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "n_days",
+        "n_nonzero",
+        F.round("_zh", 6).alias("z_hat"),
+        F.round("_ph", 6).alias("p_hat"),
+        F.round(F.try_divide(F.col("_zh"), F.col("_ph")), 6).alias(
+            "forecast_per_day"
+        ),
+    )
+
+
+def sql_croston_intermittent_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "error",
+    alpha: float = 0.1,
+) -> str:
+    """DuckDB replay of :func:`croston_intermittent_daily` — same
+    spine, occurrence indexing and closed-form SES weights."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    a = repr(alpha)
+    return f"""
+    WITH {_sql_daily_series(table, ts_col,
+                            f"{type_col} = '{metric_type}'")}, nz AS (
+        SELECT d, CAST(c AS DOUBLE) AS z,
+            row_number() OVER (ORDER BY d) AS k,
+            CAST(datediff('day', lag(d, 1) OVER (ORDER BY d), d)
+                 AS DOUBLE) AS p
+        FROM series WHERE c > 0
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days FROM series
+    ), kc AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM nz),
+    folded AS (
+        SELECT first(kc.kk) AS n_nonzero,
+            sum(z * CASE WHEN k = 1
+                         THEN power(1.0 - {a}, kc.kk - 1)
+                         ELSE {a} * power(1.0 - {a}, kc.kk - k) END)
+                AS zh,
+            sum(CASE WHEN k >= 2 THEN p *
+                CASE WHEN k = 2 THEN power(1.0 - {a}, kc.kk - 2)
+                     ELSE {a} * power(1.0 - {a}, kc.kk - k) END END)
+                AS ph
+        FROM nz CROSS JOIN kc
+    )
+    SELECT tot.n_days, n_nonzero, round(zh, 6) AS z_hat,
+        round(ph, 6) AS p_hat,
+        round(zh / nullif(ph, 0.0), 6) AS forecast_per_day
+    FROM folded CROSS JOIN tot
+    """

@@ -10325,3 +10325,68 @@ def durbin_watson_daily_events(
     )
 
     return durbin_watson_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13e: circular time-of-day, inter-event distribution, Croston
+# ---------------------------------------------------------------------------
+
+
+def _circ_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_circular_hour_stats,
+    )
+
+    return sql_circular_hour_stats("events")
+
+
+@query("circular_hours_by_type", _circ_oracle())
+def circular_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean hour + Rayleigh uniformity per event type
+    (behavior.circular_hour_stats): time-of-day as an angle, not an
+    arithmetic hour."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        circular_hour_stats,
+    )
+
+    return circular_hour_stats(_t(spark, sf_dir, "events"))
+
+
+def _iet_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        sql_interevent_exponential_fit,
+    )
+
+    return sql_interevent_exponential_fit("events")
+
+
+@query("interevent_exp_fit", _iet_oracle())
+def interevent_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps vs the exponential null with a value-grain KS
+    sup (behavior.interevent_exponential_fit): is arrival Poisson or
+    bursty."""
+    from asctb_ct_label_mapper_spark.operators.behavior import (
+        interevent_exponential_fit,
+    )
+
+    return interevent_exponential_fit(_t(spark, sf_dir, "events"))
+
+
+def _croston_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_croston_intermittent_daily,
+    )
+
+    return sql_croston_intermittent_daily("events")
+
+
+@query("croston_error_daily", _croston_oracle())
+def croston_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast on the sparse error
+    series (timeseries.croston_intermittent_daily): SES on sizes and
+    intervals separately, closed-form weights on both engines."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        croston_intermittent_daily,
+    )
+
+    return croston_intermittent_daily(_t(spark, sf_dir, "events"))
