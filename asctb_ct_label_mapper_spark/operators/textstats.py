@@ -2477,3 +2477,375 @@ def sql_heaps_fit(
             AS r2
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# r13f: stylometry + keyphrase extraction
+# ---------------------------------------------------------------------------
+
+
+def burrows_delta_sources(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 50,
+) -> DataFrame:
+    """Burrows' Delta authorship/style distance between sources: z-score
+    each source's RELATIVE frequency of the corpus's ``top_k`` most
+    frequent words (mean/sd taken ACROSS sources), then
+
+        Delta(a, b) = mean_w |z_a(w) − z_b(w)|
+
+    — the classical stylometric distance (function-word profile), and
+    the drift monitor that catches 'this source changed its voice'
+    before topic-level divergence does.
+
+    Plan: one token-count pass (vocab-bounded), a deterministic top-k
+    cut (count DESC, token ASC), source×token z-scores off a
+    token-grain mean/sd aggregate, and a source-pair join over the
+    |sources|²/2 grid — everything past the first pass is
+    dimension-sized.  Zero-variance tokens (identical share in every
+    source) drop on BOTH engines.  Returns (source_a, source_b,
+    n_tokens_used, delta), 6dp, ordered."""
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    st = toks.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c"))
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    st = pooled_persist(st)
+    top = (
+        st.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w"))
+        .limit(top_k)
+        .select("w")
+    )
+    src_tot = st.groupBy("src").agg(F.sum("c").alias("tot"))
+    n_src = src_tot.count()
+    # dense (source x top-token) grid: absent tokens are f=0, which
+    # MUST enter the mean/sd (a source that never says "the" is signal)
+    grid = src_tot.crossJoin(F.broadcast(top))
+    f = (
+        grid.join(st, ["src", "w"], "left")
+        .select(
+            "src",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("tot")
+            ).alias("f"),
+        )
+    )
+    zstats = f.groupBy("w").agg(
+        F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
+    )
+    z = (
+        f.join(F.broadcast(zstats), "w")
+        .filter(F.col("sd") > 0)
+        .select(
+            "w", "src", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("w").alias("w"), F.col("src").alias("source_a"),
+        F.col("z").alias("za"),
+    )
+    b = z.select(
+        F.col("w").alias("w"), F.col("src").alias("source_b"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(b, "w").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_used"),
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def sql_burrows_delta_sources(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 50,
+) -> str:
+    """DuckDB replay of :func:`burrows_delta_sources` — same top-k tie
+    rule, dense grid with zero fills, sample sd, pair grain."""
+    return f"""
+    WITH toks AS (
+        SELECT {source_col} AS src, unnest(string_split({text_col}, ' '))
+            AS w
+        FROM {table}
+    ), st AS (
+        SELECT src, w, count(*) AS c FROM toks WHERE w != ''
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT w FROM (
+            SELECT w, sum(c) AS tc FROM st GROUP BY 1
+        ) ORDER BY tc DESC, w ASC LIMIT {top_k}
+    ), src_tot AS (
+        SELECT src, sum(c) AS tot FROM st GROUP BY 1
+    ), f AS (
+        SELECT g.src, g.w,
+            coalesce(st.c, 0) / CAST(g.tot AS DOUBLE) AS f
+        FROM (SELECT src, tot, w FROM src_tot CROSS JOIN top) g
+        LEFT JOIN st ON st.src = g.src AND st.w = g.w
+    ), zs AS (
+        SELECT w, avg(f) AS mu, stddev_samp(f) AS sd FROM f GROUP BY 1
+    ), z AS (
+        SELECT f.w, f.src, (f.f - zs.mu) / zs.sd AS z
+        FROM f JOIN zs ON f.w = zs.w WHERE zs.sd > 0
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+        CAST(count(*) AS BIGINT) AS n_tokens_used,
+        round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.src < b.src
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def vocab_concentration_sources(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Yule's K and Simpson's D vocabulary concentration per source:
+    repetitiveness measures that — unlike TTR — are (asymptotically)
+    length-invariant, so sources of different sizes compare fairly:
+
+        K = 10^4 · (Σ_m m²·V_m − N) / N²     (V_m = types seen m times)
+        D = Σ_w c_w(c_w − 1) / (N(N − 1))    (repeat-draw probability)
+
+    High K/D = template-y, low-diversity text — the dedup/quality
+    triage signal at corpus scale.  One token-count pass, per-source
+    fold over the frequency spectrum.  Returns (source, n_tokens,
+    n_types, yule_k, simpson_d), 6dp, ordered."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.col("c")).alias("_m2"),
+        F.sum(F.col("c").cast("double") * (F.col("c") - 1)).alias(
+            "_rep"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(
+            1e4 * F.try_divide(F.col("_m2") - n, n * n), 6
+        ).alias("yule_k"),
+        F.round(
+            F.try_divide(F.col("_rep"), n * (n - 1.0)), 6
+        ).alias("simpson_d"),
+    ).orderBy("source")
+
+
+def sql_vocab_concentration_sources(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB replay of :func:`vocab_concentration_sources`."""
+    return f"""
+    WITH toks AS (
+        SELECT {source_col} AS source,
+            unnest(string_split({text_col}, ' ')) AS w
+        FROM {table}
+    ), tc AS (
+        SELECT source, w, count(*) AS c FROM toks WHERE w != ''
+        GROUP BY 1, 2
+    ), per AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            sum(CAST(c AS DOUBLE) * c) AS m2,
+            sum(CAST(c AS DOUBLE) * (c - 1)) AS rep
+        FROM tc GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types,
+        round(1e4 * (m2 - n_tokens)
+              / nullif(CAST(n_tokens AS DOUBLE) * n_tokens, 0.0), 6)
+            AS yule_k,
+        round(rep / nullif(CAST(n_tokens AS DOUBLE)
+              * (n_tokens - 1.0), 0.0), 6) AS simpson_d
+    FROM per ORDER BY source
+    """
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal stopword-free token runs per
+    document (the shared NLP stopword list as delimiters), words score
+    deg(w)/freq(w) with deg counting co-membership in candidate
+    phrases, and a phrase scores the sum of its words' scores — the
+    classic unsupervised keyphrase extractor next to TextRank (RAKE
+    favors multi-word terms; TextRank favors central unigrams).
+
+    Plan: token stream with a per-doc cumulative stopword-boundary
+    window (segment id), phrase assembly by (doc, segment) group,
+    word statistics on the phrase-token stream (vocab-bounded),
+    broadcast word-score join, top-k by (score DESC, phrase ASC).
+    Phrases longer than ``max_phrase_len`` are dropped (RAKE's stock
+    guard against run-on garbage).  Returns (phrase, n_words, freq,
+    score), 6dp."""
+    from pyspark.sql import Window
+
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS_SORTED])
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    marked = toks.withColumn(
+        "_is_stop",
+        (F.col("w") == "") | F.array_contains(stop, F.col("w")),
+    )
+    w_seg = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = marked.withColumn(
+        "_seg", F.sum(F.col("_is_stop").cast("int")).over(w_seg)
+    ).filter(~F.col("_is_stop"))
+    phrases = (
+        seg.groupBy("doc", "_seg")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ).getField("w"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_phrase_len)
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    phrases = pooled_persist(phrases)
+    pw = phrases.select(
+        "phrase",
+        "n_words",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq_w"),
+        F.sum("n_words").alias("deg_w"),
+    )
+    wscore = wstats.select(
+        "w",
+        (F.col("deg_w").cast("double") / F.col("freq_w")).alias("ws"),
+    )
+    # score each DISTINCT phrase once (its words' scores summed with
+    # multiplicity within the phrase) — scoring instance rows would
+    # multiply the score by corpus frequency
+    upw = (
+        phrases.select("phrase", "n_words")
+        .distinct()
+        .select(
+            "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+        )
+    )
+    pscore = (
+        upw.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.first("n_words").alias("n_words"), F.sum("ws").alias("_s"))
+    )
+    pfreq = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    out = (
+        pscore.join(pfreq, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "freq",
+            F.round("_s", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )
+    return out
+
+
+def sql_rake_keyphrases(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    max_phrase_len: int = 4,
+) -> str:
+    """DuckDB replay of :func:`rake_keyphrases` — same stopword
+    boundaries, segment grouping, deg/freq scores and tie rule."""
+    stop_list = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _STOPWORDS_SORTED
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc, t.pos, t.w
+        FROM {table},
+            LATERAL (SELECT unnest(string_split(lower({text_col}), ' '))
+                        AS w,
+                     generate_subscripts(string_split(lower({text_col}),
+                        ' '), 1) AS pos) t
+    ), marked AS (
+        SELECT doc, pos, w,
+            (w = '' OR w IN ({stop_list})) AS is_stop
+        FROM toks
+    ), seg AS (
+        SELECT doc, pos, w,
+            sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sg
+        FROM marked
+        QUALIFY NOT is_stop
+    ), phrases AS (
+        SELECT doc, sg,
+            string_agg(w, ' ' ORDER BY pos) AS phrase,
+            count(*) AS n_words
+        FROM seg GROUP BY 1, 2
+        HAVING count(*) <= {max_phrase_len}
+    ), pw AS (
+        SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ), wstats AS (
+        SELECT w, count(*) AS freq_w, sum(n_words) AS deg_w
+        FROM pw GROUP BY 1
+    ), upw AS (
+        SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM (SELECT DISTINCT phrase, n_words FROM phrases)
+    ), pscore AS (
+        SELECT upw.phrase, first(upw.n_words) AS n_words,
+            sum(CAST(ws.deg_w AS DOUBLE) / ws.freq_w) AS s
+        FROM upw JOIN wstats ws ON upw.w = ws.w
+        GROUP BY 1
+    ), pfreq AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS freq
+        FROM phrases GROUP BY 1
+    )
+    SELECT ps.phrase, CAST(ps.n_words AS BIGINT) AS n_words, pf.freq,
+        round(ps.s, 6) AS score
+    FROM pscore ps JOIN pfreq pf ON ps.phrase = pf.phrase
+    ORDER BY score DESC, ps.phrase ASC LIMIT {k}
+    """

@@ -10390,3 +10390,72 @@ def croston_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return croston_intermittent_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13f: stylometry + keyphrases
+# ---------------------------------------------------------------------------
+
+
+def _burrows_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_burrows_delta_sources,
+    )
+
+    return sql_burrows_delta_sources("documents")
+
+
+@query("burrows_delta_sources", _burrows_oracle())
+def burrows_delta_sources_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources
+    (textstats.burrows_delta_sources): z-scored function-word profiles
+    over the top-50 corpus words, pairwise mean |z-gap|."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        burrows_delta_sources,
+    )
+
+    return burrows_delta_sources(_t(spark, sf_dir, "documents"))
+
+
+def _yule_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_vocab_concentration_sources,
+    )
+
+    return sql_vocab_concentration_sources("documents")
+
+
+@query("vocab_concentration_sources", _yule_oracle())
+def vocab_concentration_sources_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Yule's K + Simpson's D per source
+    (textstats.vocab_concentration_sources): length-invariant
+    repetitiveness — the template-detection triage signal."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        vocab_concentration_sources,
+    )
+
+    return vocab_concentration_sources(_t(spark, sf_dir, "documents"))
+
+
+def _rake_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        sql_rake_keyphrases,
+    )
+
+    return sql_rake_keyphrases("documents", k=20)
+
+
+@query("rake_keyphrases_docs", _rake_oracle())
+def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (textstats.rake_keyphrases):
+    stopword-delimited candidate phrases scored by deg/freq word
+    statistics — the multi-word-term complement to TextRank."""
+    from asctb_ct_label_mapper_spark.operators.textstats import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"), k=20)
