@@ -30,6 +30,8 @@ shuffle-bounded relational algebra:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -4439,4 +4441,476 @@ def sql_croston_intermittent_daily(
         round(ph, 6) AS p_hat,
         round(zh / nullif(ph, 0.0), 6) AS forecast_per_day
     FROM folded CROSS JOIN tot
+    """
+
+
+# ---------------------------------------------------------------------------
+# r13g: subsequence analytics — matrix-profile discords, entropies
+# ---------------------------------------------------------------------------
+
+
+def matrix_profile_discords(
+    events: DataFrame,
+    ts_col: str = "ts",
+    w: int = 7,
+    top: int = 3,
+) -> DataFrame:
+    """Matrix-profile DISCORDS of the daily count series: for every
+    w-day window, the z-normalized Euclidean distance to its nearest
+    non-overlapping neighbor; the windows whose nearest neighbor is
+    FARTHEST are the series' most anomalous weeks — the
+    shape-anomaly detector (an MAD/ESD spike test sees single days;
+    a discord sees 'this week's PATTERN happened nowhere else').
+
+        dist²(i,j) = 2w·(1 − (QT_ij − w·μ_i·μ_j)/(w·σ_i·σ_j))
+        MP[i] = min_{|i−j| >= w} dist(i,j)
+
+    Plan: the spine is span-bounded, so all-pairs is DIMENSION-grain
+    compute: an exploded (window, offset, value) frame self-joins on
+    the offset (n·w rows a side, n²·w join rows — ~1M at a year of
+    days), one (i, j) aggregate for the dot products, rolling windows
+    for μ/σ, an exclusion-zone filter, a min fold per i.  Constant
+    windows (σ=0) are excluded on both engines (z-normalization is
+    undefined there).  Returns the ``top`` discords
+    (start_day, nn_day, mp_dist), 6dp, ordered dist DESC, day ASC."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = _daily_series(events, ts_col).select(
+        "d", F.col("c").cast("double").alias("y")
+    )
+    w_idx = Window.orderBy("d")
+    idx = series.select(
+        "d", "y", (F.row_number().over(w_idx) - 1).alias("t")
+    )
+    w_roll = Window.orderBy("t").rowsBetween(0, w - 1)
+    stats_f = idx.select(
+        "t",
+        "d",
+        F.count(F.lit(1)).over(w_roll).alias("_k"),
+        F.avg("y").over(w_roll).alias("_mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("y") * F.col("y")).over(w_roll)
+                - F.avg("y").over(w_roll) * F.avg("y").over(w_roll),
+                F.lit(0.0),
+            )
+        ).alias("_sig"),
+    ).filter((F.col("_k") == w) & (F.col("_sig") > 0))
+    stats_f = pooled_persist(stats_f)
+    expl = pooled_persist(
+        idx.crossJoin(
+            F.broadcast(
+                idx.sparkSession.range(w).select(
+                    F.col("id").cast("int").alias("_o")
+                )
+            )
+        )
+        .select((F.col("t") - F.col("_o")).alias("i"), "_o", "y")
+        .filter(F.col("i") >= 0)
+    )
+    b = expl.select(
+        F.col("i").alias("j"), F.col("_o").alias("_o2"), F.col("y").alias("yb")
+    )
+    qt = (
+        expl.join(b, (F.col("_o") == F.col("_o2")))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("y") * F.col("yb")).alias("_qt"))
+        .filter(F.abs(F.col("i") - F.col("j")) >= w)
+    )
+    sa = stats_f.select(
+        F.col("t").alias("i"), F.col("d").alias("di"),
+        F.col("_mu").alias("mi"), F.col("_sig").alias("si"),
+    )
+    sb = stats_f.select(
+        F.col("t").alias("j"), F.col("d").alias("dj"),
+        F.col("_mu").alias("mj"), F.col("_sig").alias("sj"),
+    )
+    dist = (
+        qt.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "di",
+            "dj",
+            F.sqrt(
+                F.greatest(
+                    2.0
+                    * w
+                    * (
+                        1.0
+                        - (F.col("_qt") - w * F.col("mi") * F.col("mj"))
+                        / (w * F.col("si") * F.col("sj"))
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("_dist"),
+        )
+    )
+    mp = dist.groupBy("i", "di").agg(
+        F.min("_dist").alias("mp_dist"),
+        F.min_by("dj", F.struct("_dist", "dj")).alias("nn_day"),
+    )
+    return (
+        mp.orderBy(F.desc("mp_dist"), F.asc("di"))
+        .limit(top)
+        .select(
+            F.date_format("di", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("nn_day", "yyyy-MM-dd").alias("nn_day"),
+            F.round("mp_dist", 6).alias("mp_dist"),
+        )
+    )
+
+
+def sql_matrix_profile_discords(
+    table: str = "events",
+    ts_col: str = "ts",
+    w: int = 7,
+    top: int = 3,
+) -> str:
+    """DuckDB replay of :func:`matrix_profile_discords` — same rolling
+    moments, offset join, exclusion zone and argmin tie rule."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT d, CAST(c AS DOUBLE) AS y,
+            row_number() OVER (ORDER BY d) - 1 AS t
+        FROM series
+    ), st AS (
+        SELECT t, d,
+            count(*) OVER rw AS k,
+            avg(y) OVER rw AS mu,
+            sqrt(greatest(avg(y * y) OVER rw
+                - (avg(y) OVER rw) * (avg(y) OVER rw), 0.0)) AS sig
+        FROM idx
+        WINDOW rw AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING)
+        QUALIFY k = {w} AND sig > 0
+    ), expl AS (
+        SELECT idx.t - o.o AS i, o.o, idx.y
+        FROM idx CROSS JOIN (
+            SELECT unnest(generate_series(0, {w - 1})) AS o) o
+        WHERE idx.t - o.o >= 0
+    ), qt AS (
+        SELECT a.i, b.i AS j, sum(a.y * b.y) AS qt
+        FROM expl a JOIN expl b ON a.o = b.o
+        GROUP BY 1, 2
+        HAVING abs(a.i - b.i) >= {w}
+    ), dist AS (
+        SELECT qt.i, sa.d AS di, sb.d AS dj,
+            sqrt(greatest(2.0 * {w} * (1.0
+                - (qt.qt - {w} * sa.mu * sb.mu)
+                  / ({w} * sa.sig * sb.sig)), 0.0)) AS dd
+        FROM qt
+        JOIN st sa ON qt.i = sa.t
+        JOIN st sb ON qt.j = sb.t
+    ), mp AS (
+        SELECT di, dd AS mp_dist, dj AS nn_day
+        FROM (
+            SELECT di, dj, dd,
+                row_number() OVER (PARTITION BY di
+                    ORDER BY dd ASC, dj ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    )
+    SELECT strftime(di, '%Y-%m-%d') AS start_day,
+        strftime(nn_day, '%Y-%m-%d') AS nn_day,
+        round(mp_dist, 6) AS mp_dist
+    FROM mp
+    ORDER BY mp_dist DESC, start_day ASC LIMIT {top}
+    """
+
+
+def spectral_entropy_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_period: int | None = None,
+) -> DataFrame:
+    """Normalized spectral entropy of the daily count series: the
+    Shannon entropy of the (demeaned) periodogram, scaled to [0, 1] by
+    ln(#frequencies) —
+
+        p_k = a_k² + b_k²,  a_k = Σ ŷ_t cos(2πkt/n),  b_k likewise
+        H   = −Σ (p_k/Σp) ln(p_k/Σp) / ln(m)
+
+    H → 0 for a pure sinusoid (all power in one line), → 1 for white
+    noise — the single-number 'how forecastable is this series'
+    readout that decides whether the seasonal operators are worth
+    running at all.  Frequencies k = 1..⌊(n−1)/2⌋.
+
+    Plan: one spine pass, a (day × frequency) grid aggregate
+    (dimension-sized: 365 × 182), two one-row folds.  Returns
+    (n_days, n_freqs, spectral_entropy), 6dp."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(
+        _daily_series(events, ts_col).select(
+            "d", F.col("c").cast("double").alias("y")
+        )
+    )
+    w_idx = Window.orderBy("d")
+    idx = series.select(
+        "y", (F.row_number().over(w_idx) - 1).cast("double").alias("t")
+    )
+    meta = series.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("y").alias("mu")
+    )
+    spark = events.sparkSession
+    grid = idx.crossJoin(F.broadcast(meta))
+    kmax = F.floor((F.col("n") - 1) / 2).cast("int")
+    freqs = (
+        meta.select(
+            F.explode(F.sequence(F.lit(1), kmax)).alias("k"),
+            F.col("n").alias("_n2"),
+        )
+    )
+    if max_period is not None:
+        freqs = freqs.filter(
+            F.col("_n2") / F.col("k") <= max_period
+        )
+    ang = (
+        2.0
+        * math.pi
+        * F.col("k").cast("double")
+        * F.col("t")
+        / F.col("n").cast("double")
+    )
+    per_k = (
+        grid.join(F.broadcast(freqs.select("k")), F.lit(True))
+        .select(
+            "k",
+            ((F.col("y") - F.col("mu")) * F.cos(ang)).alias("_ca"),
+            ((F.col("y") - F.col("mu")) * F.sin(ang)).alias("_sb"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("_ca").alias("_a"),
+            F.sum("_sb").alias("_b"),
+        )
+        .select(
+            "k",
+            (F.col("_a") * F.col("_a") + F.col("_b") * F.col("_b")).alias(
+                "_p"
+            ),
+        )
+    )
+    tot = per_k.agg(
+        F.count(F.lit(1)).alias("n_freqs"), F.sum("_p").alias("_tp")
+    )
+    ent = (
+        per_k.crossJoin(F.broadcast(tot))
+        .select(
+            "n_freqs",
+            F.when(
+                F.col("_p") > 0,
+                -(F.col("_p") / F.col("_tp"))
+                * F.log(F.col("_p") / F.col("_tp")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_h"),
+        )
+        .groupBy("n_freqs")
+        .agg(F.sum("_h").alias("_hs"))
+    )
+    return ent.crossJoin(F.broadcast(meta.select("n"))).select(
+        F.col("n").alias("n_days"),
+        "n_freqs",
+        F.round(
+            F.try_divide(
+                F.col("_hs"), F.log(F.col("n_freqs").cast("double"))
+            ),
+            6,
+        ).alias("spectral_entropy"),
+    )
+
+
+def sql_spectral_entropy_daily(
+    table: str = "events", ts_col: str = "ts"
+) -> str:
+    """DuckDB replay of :func:`spectral_entropy_daily` — same demeaned
+    periodogram and normalized Shannon fold."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    pi = repr(math.pi)
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS t
+        FROM series
+    ), meta AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS mu FROM idx
+    ), freqs AS (
+        SELECT unnest(generate_series(1,
+            CAST(floor((meta.n - 1) / 2.0) AS BIGINT))) AS k
+        FROM meta
+    ), per_k AS (
+        SELECT f.k,
+            sum((idx.y - meta.mu)
+                * cos(2.0 * {pi} * f.k * idx.t / meta.n)) AS a,
+            sum((idx.y - meta.mu)
+                * sin(2.0 * {pi} * f.k * idx.t / meta.n)) AS b
+        FROM idx CROSS JOIN meta CROSS JOIN freqs f
+        GROUP BY 1
+    ), pk AS (SELECT k, a * a + b * b AS p FROM per_k), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_freqs, sum(p) AS tp FROM pk
+    ), ent AS (
+        SELECT tot.n_freqs,
+            sum(CASE WHEN p > 0
+                     THEN -(p / tot.tp) * ln(p / tot.tp)
+                     ELSE 0.0 END) AS hs
+        FROM pk CROSS JOIN tot GROUP BY 1
+    )
+    SELECT meta.n AS n_days, ent.n_freqs,
+        round(hs / nullif(ln(CAST(ent.n_freqs AS DOUBLE)), 0.0), 6)
+            AS spectral_entropy
+    FROM ent CROSS JOIN meta
+    """
+
+
+def sample_entropy_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    m: int = 2,
+    r_frac: float = 0.2,
+) -> DataFrame:
+    """Sample entropy (Richman-Moorman) of the daily series:
+    −ln(A/B) where B counts pairs of m-day templates within Chebyshev
+    tolerance r = ``r_frac``·σ and A the same for m+1 — LOW SampEn =
+    repetitive, predictable dynamics; HIGH = irregular.  The
+    complexity readout regularity-of-traffic dashboards quote.
+
+    Template indices run over i, j ≤ n − m − 1 (both lengths defined),
+    i ≠ j, unordered pairs counted once.  All-pairs is dimension-grain
+    (spine windows), the matrix-profile join shape re-used with a
+    Chebyshev fold.  Returns (n_days, r_tol, b_pairs, a_pairs,
+    sampen), 6dp; degenerate series (B = 0 or A = 0) degrade to NULL
+    via try_divide/log."""
+    from pyspark.sql import Window
+
+    from asctb_ct_label_mapper_spark.operators.stats import _daily_series
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    series = pooled_persist(
+        _daily_series(events, ts_col).select(
+            "d", F.col("c").cast("double").alias("y")
+        )
+    )
+    w_idx = Window.orderBy("d")
+    idx = series.select(
+        "y", (F.row_number().over(w_idx) - 1).alias("t")
+    )
+    meta = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.stddev_pop("y") * r_frac).alias("r"),
+    )
+    spark = events.sparkSession
+    offs = spark.range(m + 1).select(F.col("id").cast("int").alias("_o"))
+    expl = pooled_persist(
+        idx.crossJoin(F.broadcast(offs))
+        .select((F.col("t") - F.col("_o")).alias("i"), "_o", "y")
+        .filter(F.col("i") >= 0)
+    )
+    b_side = expl.select(
+        F.col("i").alias("j"), F.col("_o").alias("_o2"),
+        F.col("y").alias("yb"),
+    )
+    pairs = (
+        expl.join(b_side, F.col("_o") == F.col("_o2"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.max(
+                F.when(
+                    F.col("_o") < m, F.abs(F.col("y") - F.col("yb"))
+                )
+            ).alias("_chm"),
+            F.max(F.abs(F.col("y") - F.col("yb"))).alias("_chm1"),
+        )
+        .filter(F.col("_k") == m + 1)  # both templates fully defined
+    )
+    folded = pairs.crossJoin(F.broadcast(meta)).agg(
+        F.first("n").alias("n_days"),
+        F.round(F.first("r"), 6).alias("r_tol"),
+        F.sum(
+            F.when(F.col("_chm") <= F.col("r"), 1).otherwise(0)
+        ).alias("b_pairs"),
+        F.sum(
+            F.when(F.col("_chm1") <= F.col("r"), 1).otherwise(0)
+        ).alias("a_pairs"),
+    )
+    return folded.select(
+        "n_days",
+        "r_tol",
+        "b_pairs",
+        "a_pairs",
+        F.round(
+            F.when(
+                (F.col("a_pairs") > 0) & (F.col("b_pairs") > 0),
+                -F.log(
+                    F.col("a_pairs").cast("double")
+                    / F.col("b_pairs").cast("double")
+                ),
+            ),
+            6,
+        ).alias("sampen"),
+    )
+
+
+def sql_sample_entropy_daily(
+    table: str = "events",
+    ts_col: str = "ts",
+    m: int = 2,
+    r_frac: float = 0.2,
+) -> str:
+    """DuckDB replay of :func:`sample_entropy_daily` — same template
+    universe, Chebyshev folds and tolerance."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        _sql_daily_series,
+    )
+
+    return f"""
+    WITH {_sql_daily_series(table, ts_col, '1=1')}, idx AS (
+        SELECT CAST(c AS DOUBLE) AS y,
+            row_number() OVER (ORDER BY d) - 1 AS t
+        FROM series
+    ), meta AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+            stddev_pop(y) * {r_frac!r} AS r
+        FROM idx
+    ), expl AS (
+        SELECT idx.t - o.o AS i, o.o, idx.y
+        FROM idx CROSS JOIN (
+            SELECT unnest(generate_series(0, {m})) AS o) o
+        WHERE idx.t - o.o >= 0
+    ), pairs AS (
+        SELECT a.i, b.i AS j, count(*) AS k,
+            max(CASE WHEN a.o < {m} THEN abs(a.y - b.y) END) AS chm,
+            max(abs(a.y - b.y)) AS chm1
+        FROM expl a JOIN expl b ON a.o = b.o
+        WHERE a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) = {m + 1}
+    ), folded AS (
+        SELECT first(meta.n) AS n_days, round(first(meta.r), 6) AS r_tol,
+            CAST(sum(CASE WHEN chm <= meta.r THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b_pairs,
+            CAST(sum(CASE WHEN chm1 <= meta.r THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a_pairs
+        FROM pairs CROSS JOIN meta
+    )
+    SELECT n_days, r_tol, b_pairs, a_pairs,
+        round(-ln(nullif(a_pairs, 0)
+                  / nullif(CAST(b_pairs AS DOUBLE), 0.0)), 6) AS sampen
+    FROM folded
     """

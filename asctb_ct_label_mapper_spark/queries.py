@@ -10459,3 +10459,73 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rake_keyphrases(_t(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# r13g: subsequence analytics
+# ---------------------------------------------------------------------------
+
+
+def _mp_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_matrix_profile_discords,
+    )
+
+    return sql_matrix_profile_discords("events", w=7, top=3)
+
+
+@query("matrix_profile_discords", _mp_oracle())
+def matrix_profile_discords_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 matrix-profile discords of the daily series
+    (timeseries.matrix_profile_discords): the weeks whose shape
+    happened nowhere else — subsequence anomaly detection."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        matrix_profile_discords,
+    )
+
+    return matrix_profile_discords(_t(spark, sf_dir, "events"), w=7, top=3)
+
+
+def _spec_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_spectral_entropy_daily,
+    )
+
+    return sql_spectral_entropy_daily("events")
+
+
+@query("spectral_entropy_daily", _spec_oracle())
+def spectral_entropy_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized spectral entropy of the daily series
+    (timeseries.spectral_entropy_daily): how forecastable is traffic,
+    in one number."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        spectral_entropy_daily,
+    )
+
+    return spectral_entropy_daily(_t(spark, sf_dir, "events"))
+
+
+def _sampen_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sql_sample_entropy_daily,
+    )
+
+    return sql_sample_entropy_daily("events")
+
+
+@query("sample_entropy_daily", _sampen_oracle())
+def sample_entropy_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample entropy of the daily series
+    (timeseries.sample_entropy_daily): Richman-Moorman regularity."""
+    from asctb_ct_label_mapper_spark.operators.timeseries import (
+        sample_entropy_daily,
+    )
+
+    return sample_entropy_daily(_t(spark, sf_dir, "events"))
