@@ -2125,8 +2125,12 @@ def interevent_exponential_fit(
     keyed lag window.  Decision flag at the asymptotic 5% band
     1.36/√n.  Returns one row (n_gaps, mean_gap_s, ks_d, reject_05),
     6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gaps = (
+    # gaps feeds the value grain AND the n/mean fold: persist or the
+    # keyed lag window over the fact table runs twice (r13 review)
+    gaps = pooled_persist(
         events.filter(F.col(ts_col).isNotNull())
         .select(
             user_col,

@@ -3109,6 +3109,8 @@ def cramer_von_mises_arms(
     |distinct metrics| rows).  Decision flags use the limiting-
     distribution critical values 0.461 / 0.743 (alpha = .10 / .05).
     Returns one row (n0, n1, t_stat, reject_10, reject_05), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
     um = _user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
     )
@@ -3119,11 +3121,13 @@ def cramer_von_mises_arms(
     w_cum = Window.orderBy("m").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = val.select(
+    # cum feeds BOTH the tot fold and the gap aggregate: persist the
+    # value-grain frame or pay the fact scan twice (r13 review)
+    cum = pooled_persist(val.select(
         "_t",
         F.sum("_t1").over(w_cum).alias("_c1"),
         F.sum(F.col("_t") - F.col("_t1")).over(w_cum).alias("_c0"),
-    )
+    ))
     tot = cum.agg(
         F.max("_c0").alias("n0"),
         F.max("_c1").alias("n1"),
@@ -3324,9 +3328,13 @@ def hodges_lehmann_shift(
     the weighted median then reads two order statistics off one
     cumulative window (even/odd exact, lower+upper averaged).
     Returns one row (n0, n1, n_pairs, hl_shift), 2dp (cents)."""
-    um = _user_metric(
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # um feeds v1, v0 AND the n0/n1 counts fold: one user-grain
+    # aggregate, persisted, instead of three fact scans (r13 review)
+    um = pooled_persist(_user_metric(
         events, user_col, value_col, F.col(type_col) == metric_type
-    )
+    ))
     cents = F.round(F.col("m") * 100).cast("long")
     v1 = (
         um.filter(F.col("arm") == 1)
@@ -3346,9 +3354,9 @@ def hodges_lehmann_shift(
     w_cum = Window.orderBy("_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = pairs.select(
+    cum = pooled_persist(pairs.select(
         "_d", F.sum("_w").over(w_cum).alias("_cw")
-    )
+    ))
     tot = cum.agg(F.max("_cw").alias("_tw"))
     both = cum.crossJoin(F.broadcast(tot))
     lo_rank = F.floor((F.col("_tw") + 1) / 2)

@@ -854,6 +854,43 @@ def _time_to_event_grain(
     )
 
 
+
+def km_survival_expr(d_col, n_col, w_run):
+    """The Kaplan-Meier running product S(t) = prod(1 - d/n) as a
+    window expression, with the ABSORBING-ZERO guard shared by every
+    consumer (KM curve, RMST, the competing-risks any-cause survival,
+    r13 review dedup): at a duration where d == n, ln(1 - d/n) is
+    undefined (DuckDB errors on ln(0), Spark NULLs it) — a hit-zero
+    flag carried through the running window pins survival to exactly
+    0.0 from that point on instead.  ``w_run`` must be the running
+    (unbounded-preceding..current) window over the duration order."""
+    d = d_col.cast("double")
+    n = n_col.cast("double")
+    ln_term = F.when(
+        (d > 0) & (d < n), F.log(F.lit(1.0) - d / n)
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(F.when(d >= n, 1).otherwise(0)).over(w_run)
+    return F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(w_run))
+    )
+
+
+def sql_km_survival(d: str, n: str, order_col: str) -> str:
+    """DuckDB twin of :func:`km_survival_expr` — the full CASE
+    expression with inline running windows ordered by ``order_col``.
+    ``d``/``n`` are SQL expressions (e.g. ``'d_a + d_b'``)."""
+    run = (f"OVER (ORDER BY {order_col} ROWS BETWEEN UNBOUNDED "
+           "PRECEDING AND CURRENT ROW)")
+    return f"""CASE WHEN max(CASE WHEN ({d}) >= ({n}) THEN 1 ELSE 0 END)
+                     {run} = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN ({d}) > 0 AND ({d}) < ({n})
+                              THEN ln(1.0 - CAST(({d}) AS DOUBLE)
+                                             / ({n}))
+                              ELSE 0.0 END) {run})
+            END"""
+
+
 def kaplan_meier_survival(
     df: DataFrame,
     ts_col: str = "ts",
@@ -887,29 +924,14 @@ def kaplan_meier_survival(
     w_run = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # the absorbing zero: at the last observed duration every
-    # remaining at-risk key can convert (d == n), where ln(1-d/n) is
-    # undefined — DuckDB errors on ln(0), Spark NULLs it. Carry a
-    # hit-zero flag through the running window instead and pin survival
-    # to exactly 0.0 from that point on.
-    ln_term = F.when(
-        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
-        F.log(
-            F.lit(1.0)
-            - F.col("n_events").cast("double")
-            / F.col("n_risk").cast("double")
-        ),
-    ).otherwise(F.lit(0.0))
-    hit_zero = F.max(
-        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
-    ).over(w_run)
     curve = at_risk.select(
         "t",
         "n_risk",
         "n_events",
-        F.when(hit_zero == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.sum(ln_term).over(w_run)), 6))
-        .alias("survival"),
+        F.round(
+            km_survival_expr(F.col("n_events"), F.col("n_risk"), w_run),
+            6,
+        ).alias("survival"),
     )
     return curve.filter(F.col("n_events") > 0).select(
         F.col("t").alias("duration_days"), "n_risk", "n_events", "survival"
@@ -959,17 +981,8 @@ def sql_kaplan_meier_survival(
         FROM grain
     ), curve AS (
         SELECT t, n_risk, n_events,
-            CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
-                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) = 1
-                 THEN 0.0
-                 ELSE round(exp(sum(CASE WHEN n_events > 0
-                          AND n_events < n_risk
-                     THEN ln(1.0 - CAST(n_events AS DOUBLE)
-                                   / CAST(n_risk AS DOUBLE))
-                     ELSE 0.0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-                         PRECEDING AND CURRENT ROW)), 6)
-            END AS survival
+            round({sql_km_survival('n_events', 'n_risk', 't')}, 6)
+                AS survival
         FROM at_risk
     )
     SELECT t AS duration_days, n_risk, CAST(n_events AS BIGINT) AS n_events,
@@ -1153,15 +1166,19 @@ def log_rank_arms(
     dt = (F.col("d0") + F.col("d1")).cast("double")
     nt = (F.col("n0t") + F.col("n1t")).cast("double")
     p1 = F.col("n1t") / nt
+    # arm sizes come from the LIVES fold, not max(n_at_risk) over
+    # event rows: a key censored before the first event duration is in
+    # the arm but never in an event row's risk set (r13 review)
+    sizes = grain.agg(
+        F.sum("all0").alias("n0"), F.sum("all1").alias("n1")
+    )
     comb = risk.agg(
-        F.max("n0t").alias("n0"),
-        F.max("n1t").alias("n1"),
         F.sum("d1").alias("o1"),
         F.sum(dt * p1).alias("e1"),
         F.sum(
             F.try_divide(dt * p1 * (1.0 - p1) * (nt - dt), nt - 1.0)
         ).alias("var1"),
-    )
+    ).crossJoin(F.broadcast(sizes))
     chi2 = F.try_divide(
         (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")),
         F.col("var1"),
@@ -1215,10 +1232,12 @@ def sql_log_rank_arms(
             sum(all1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
                 AND UNBOUNDED FOLLOWING) AS n1t
         FROM grain
-    ), ev AS (SELECT * FROM risk WHERE d0 + d1 > 0), comb AS (
-        SELECT CAST(max(n0t) AS BIGINT) AS n0,
-            CAST(max(n1t) AS BIGINT) AS n1,
-            CAST(sum(d1) AS BIGINT) AS o1,
+    ), ev AS (SELECT * FROM risk WHERE d0 + d1 > 0), sizes AS (
+        SELECT CAST(sum(all0) AS BIGINT) AS n0,
+            CAST(sum(all1) AS BIGINT) AS n1
+        FROM grain
+    ), comb AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
             sum((d0 + d1) * n1t / CAST(n0t + n1t AS DOUBLE)) AS e1,
             sum((d0 + d1) * (n1t / CAST(n0t + n1t AS DOUBLE))
                 * (1.0 - n1t / CAST(n0t + n1t AS DOUBLE))
@@ -1226,9 +1245,9 @@ def sql_log_rank_arms(
                 / nullif(CAST(n0t + n1t AS DOUBLE) - 1.0, 0.0)) AS var1
         FROM ev
     ), stat AS (
-        SELECT *,
+        SELECT sizes.n0, sizes.n1, comb.o1, comb.e1, comb.var1,
             (o1 - e1) * (o1 - e1) / nullif(var1, 0.0) AS chi2
-        FROM comb
+        FROM comb CROSS JOIN sizes
     )
     SELECT n0, n1, o1, round(e1, 6) AS e1, round(var1, 6) AS var1,
         round(chi2, 6) AS chi2,
@@ -1266,23 +1285,10 @@ def rmst_restricted_mean(
         Window.unboundedPreceding, Window.currentRow
     )
     w_lag = Window.orderBy("t")
-    ln_term = F.when(
-        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
-        F.log(
-            F.lit(1.0)
-            - F.col("n_events").cast("double")
-            / F.col("n_risk").cast("double")
-        ),
-    ).otherwise(F.lit(0.0))
-    hit_zero = F.max(
-        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
-    ).over(w_run)
     curve = (
         at_risk.withColumn(
             "s",
-            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
-                F.exp(F.sum(ln_term).over(w_run))
-            ),
+            km_survival_expr(F.col("n_events"), F.col("n_risk"), w_run),
         )
         .filter(F.col("n_events") > 0)
         .select(
@@ -1339,17 +1345,7 @@ def sql_rmst_restricted_mean(
         FROM grain
     ), curve0 AS (
         SELECT t, n_events, n_risk,
-            CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
-                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) = 1
-                 THEN 0.0
-                 ELSE exp(sum(CASE WHEN n_events > 0 AND n_events < n_risk
-                              THEN ln(1.0 - CAST(n_events AS DOUBLE)
-                                             / n_risk)
-                              ELSE 0.0 END)
-                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-                                PRECEDING AND CURRENT ROW))
-            END AS s
+            {sql_km_survival('n_events', 'n_risk', 't')} AS s
         FROM at_risk
     ), curve AS (
         SELECT t, s,
@@ -1466,17 +1462,9 @@ def cumulative_incidence_competing(
     )
     d_all = (F.col("d_a") + F.col("d_b")).cast("double")
     nr = F.col("n_risk").cast("double")
-    ln_term = F.when(
-        (d_all > 0) & (d_all < nr), F.log(1.0 - d_all / nr)
-    ).otherwise(F.lit(0.0))
-    hit_zero = F.max(
-        F.when(d_all >= nr, 1).otherwise(0)
-    ).over(w_run)
     curved = at_risk.withColumn(
         "_s",
-        F.when(hit_zero == 1, F.lit(0.0)).otherwise(
-            F.exp(F.sum(ln_term).over(w_run))
-        ),
+        km_survival_expr(F.col("d_a") + F.col("d_b"), F.col("n_risk"), w_run),
     ).withColumn(
         "_s_prev", F.coalesce(F.lag("_s", 1).over(w_lag), F.lit(1.0))
     )
@@ -1553,18 +1541,7 @@ def sql_cumulative_incidence_competing(
         FROM grain
     ), curved AS (
         SELECT t, d_a, d_b, n_risk,
-            CASE WHEN max(CASE WHEN d_a + d_b >= n_risk THEN 1 ELSE 0 END)
-                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) = 1
-                 THEN 0.0
-                 ELSE exp(sum(CASE WHEN d_a + d_b > 0
-                                   AND d_a + d_b < n_risk
-                              THEN ln(1.0 - CAST(d_a + d_b AS DOUBLE)
-                                             / n_risk)
-                              ELSE 0.0 END)
-                          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-                                PRECEDING AND CURRENT ROW))
-            END AS s
+            {sql_km_survival('d_a + d_b', 'n_risk', 't')} AS s
         FROM at_risk
     ), lagged AS (
         SELECT *, coalesce(lag(s, 1) OVER (ORDER BY t), 1.0) AS s_prev

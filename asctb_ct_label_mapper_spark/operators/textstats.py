@@ -2523,7 +2523,6 @@ def burrows_delta_sources(
         .select("w")
     )
     src_tot = st.groupBy("src").agg(F.sum("c").alias("tot"))
-    n_src = src_tot.count()
     # dense (source x top-token) grid: absent tokens are f=0, which
     # MUST enter the mean/sd (a source that never says "the" is signal)
     grid = src_tot.crossJoin(F.broadcast(top))

@@ -4120,7 +4120,6 @@ def variance_ratio_daily(
     )
     folded = sums.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("_dd").alias("_mu"),
         F.sum(F.col("_dd") * F.col("_dd")).alias("_s2"),
         F.sum("_dd").alias("_s1"),
         F.sum(
@@ -4610,7 +4609,7 @@ def sql_matrix_profile_discords(
         JOIN st sa ON qt.i = sa.t
         JOIN st sb ON qt.j = sb.t
     ), mp AS (
-        SELECT di, dd AS mp_dist, dj AS nn_day
+        SELECT di, dd AS mpd_raw, dj AS nn_day
         FROM (
             SELECT di, dj, dd,
                 row_number() OVER (PARTITION BY di
@@ -4618,11 +4617,15 @@ def sql_matrix_profile_discords(
             FROM dist
         ) WHERE rn = 1
     )
+    -- ORDER BY the RAW distance: DuckDB binds an ORDER BY name to the
+    -- SELECT alias, and ordering by the 6dp-rounded alias while Spark
+    -- orders unrounded would let near-ties flip the top-N membership
+    -- (r13 review)
     SELECT strftime(di, '%Y-%m-%d') AS start_day,
         strftime(nn_day, '%Y-%m-%d') AS nn_day,
-        round(mp_dist, 6) AS mp_dist
+        round(mpd_raw, 6) AS mp_dist
     FROM mp
-    ORDER BY mp_dist DESC, start_day ASC LIMIT {top}
+    ORDER BY mpd_raw DESC, start_day ASC LIMIT {top}
     """
 
 
@@ -4663,7 +4666,6 @@ def spectral_entropy_daily(
     meta = series.agg(
         F.count(F.lit(1)).alias("n"), F.avg("y").alias("mu")
     )
-    spark = events.sparkSession
     grid = idx.crossJoin(F.broadcast(meta))
     kmax = F.floor((F.col("n") - 1) / 2).cast("int")
     freqs = (

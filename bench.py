@@ -1642,21 +1642,25 @@ def _tier_rerun_reason(
 
 
 def _run_tier_load_aware(
-    key: str, run_once, committed: dict | None
+    key: str, run_once, committed: dict | None, quiesce=None
 ) -> dict:
     """Run a scale tier with load markers and the one-shot rerun rule.
     ``run_once()`` must return a fresh tier dict (its own session) with
-    a ``total`` (query tiers) or ``total_wall`` (streaming tiers)."""
+    a ``total`` (query tiers) or ``total_wall`` (streaming tiers).
+    ``quiesce()`` stops any live session BEFORE the pre-tier busy
+    sample — a still-running JVM's GC/housekeeping threads would count
+    as foreign CPU and could trip a phantom rerun (r13 review); for
+    the same reason the post markers record loadavg/pressure only
+    (the tier's own session is alive at that point)."""
     committed_tier = None
     if committed:
         committed_tier = (committed.get("scales") or {}).get(key)
+    if quiesce is not None:
+        quiesce()
     busy_pre = _foreign_busy_frac()
     markers = {"pre": {**_load_markers(), "foreign_busy_frac": busy_pre}}
     tier = run_once()
-    markers["post"] = {
-        **_load_markers(),
-        "foreign_busy_frac": _foreign_busy_frac(),
-    }
+    markers["post"] = {**_load_markers(), "foreign_busy_frac": None}
     reason = _tier_rerun_reason(
         busy_pre, tier.get("queries", {}), committed_tier
     )
@@ -1669,7 +1673,7 @@ def _run_tier_load_aware(
         second = run_once()
         markers["post_rerun"] = {
             **_load_markers(),
-            "foreign_busy_frac": _foreign_busy_frac(),
+            "foreign_busy_frac": None,
         }
         tot_key = "total" if "total" in tier else "total_wall"
         first_total, second_total = tier[tot_key], second[tot_key]
@@ -1866,10 +1870,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - scale tiers best-effort
             result["scales"]["rel10x"] = {"error": str(e)[:200]}
 
+        def _quiesce():
+            sessions[0].stop()
+
         for key, run_once in tier_specs:
             try:
                 result["scales"][key] = _run_tier_load_aware(
-                    key, run_once, committed
+                    key, run_once, committed, quiesce=_quiesce
                 )
             except Exception as e:  # noqa: BLE001 - scale tiers best-effort
                 result["scales"][key] = {"error": str(e)[:200]}
@@ -1892,7 +1899,8 @@ def main() -> None:
         ):
             try:
                 result["scales"][key] = _run_tier_load_aware(
-                    key, _stream_tier(key, fn), committed
+                    key, _stream_tier(key, fn), committed,
+                    quiesce=_quiesce,
                 )
             except Exception as e:  # noqa: BLE001 - scale tiers best-effort
                 result["scales"][key] = {"error": str(e)[:200]}
