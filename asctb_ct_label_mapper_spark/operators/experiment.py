@@ -3426,3 +3426,550 @@ def sql_hodges_lehmann_shift(
         round((lo + hi) / 2.0 / 100.0, 2) AS hl_shift
     FROM picks CROSS JOIN counts
     """
+
+
+# ---------------------------------------------------------------------------
+# r13h: robust / exactish / paired-categorical arm tests
+# ---------------------------------------------------------------------------
+
+
+def yuen_trimmed_t(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test between the parity arms: Welch on
+    20%-trimmed means with winsorized variances — the robust middle
+    ground between Welch (outlier-hostage) and Mann-Whitney (ignores
+    magnitudes):
+
+        t  = (x̄t1 − x̄t0) / sqrt(d0 + d1)
+        dᵢ = s²wᵢ·(nᵢ−1) / (hᵢ·(hᵢ−1)),  hᵢ = nᵢ − 2gᵢ, gᵢ = ⌊trim·nᵢ⌋
+
+    Both the trimmed mean (partial weights where a tied value straddles
+    the cut) and the winsorized moments (values clamped to the g+1-th /
+    n−g-th order statistics) come EXACTLY off the per-arm value grain
+    with cumulative counts — no per-user sort, no approximation.  The
+    normal tail approximates the t reference (the repo's Welch
+    convention).  Returns one row (n0, n1, h0, h1, tmean0, tmean1,
+    t_stat, p_value), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    um = _user_metric(
+        events, user_col, value_col, F.col(type_col) == metric_type
+    )
+    val = pooled_persist(
+        um.groupBy("arm", "m").agg(F.count(F.lit(1)).alias("_t"))
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = val.select(
+        "arm",
+        "m",
+        "_t",
+        F.sum("_t").over(w_cum).alias("_chi"),
+        (F.sum("_t").over(w_cum) - F.col("_t")).alias("_clo"),
+    )
+    sizes = val.groupBy("arm").agg(F.sum("_t").alias("_n"))
+    g = F.floor(F.lit(trim) * F.col("_n")).cast("long")
+    both = cum.join(F.broadcast(sizes), "arm").withColumn("_g", g)
+    lo_pos = F.col("_g") + 1
+    hi_pos = F.col("_n") - F.col("_g")
+    # winsor bounds: the value at order-statistic positions g+1 / n-g
+    bounds = both.groupBy("arm").agg(
+        F.min(
+            F.when(F.col("_chi") >= lo_pos, F.col("m"))
+        ).alias("_L"),
+        F.min(
+            F.when(F.col("_chi") >= hi_pos, F.col("m"))
+        ).alias("_U"),
+    )
+    withb = both.join(F.broadcast(bounds), "arm")
+    # trimmed mean: positions strictly inside (g, n-g]
+    overlap = F.greatest(
+        F.least(F.col("_chi"), hi_pos)
+        - F.greatest(F.col("_clo"), F.col("_g")),
+        F.lit(0),
+    ).cast("double")
+    wins_val = F.least(
+        F.greatest(F.col("m"), F.col("_L")), F.col("_U")
+    )
+    per_arm = withb.groupBy("arm").agg(
+        F.first("_n").alias("n"),
+        F.first("_g").alias("g"),
+        F.sum(overlap * F.col("m")).alias("_ts"),
+        F.sum(F.col("_t") * wins_val).alias("_ws"),
+        F.sum(F.col("_t") * wins_val * wins_val).alias("_wss"),
+    )
+    h = (F.col("n") - 2 * F.col("g")).cast("double")
+    nn = F.col("n").cast("double")
+    tmean = F.col("_ts") / h
+    wmean = F.col("_ws") / nn
+    swv = F.greatest(
+        (F.col("_wss") - nn * wmean * wmean) / (nn - 1.0), F.lit(0.0)
+    )
+    d = F.try_divide(swv * (nn - 1.0), h * (h - 1.0))
+    arms = per_arm.select(
+        "arm",
+        F.col("n"),
+        h.cast("long").alias("h"),
+        tmean.alias("_tm"),
+        d.alias("_d"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("h").alias("h0"),
+        F.col("_tm").alias("tm0"), F.col("_d").alias("d0"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("h").alias("h1"),
+        F.col("_tm").alias("tm1"), F.col("_d").alias("d1"),
+    )
+    comb = a0.crossJoin(a1)
+    t_stat = F.try_divide(
+        F.col("tm1") - F.col("tm0"),
+        F.sqrt(F.col("d0") + F.col("d1")),
+    )
+    out = comb.withColumn("_az", F.abs(t_stat))
+    return out.select(
+        "n0",
+        "n1",
+        "h0",
+        "h1",
+        F.round("tm0", 6).alias("tmean0"),
+        F.round("tm1", 6).alias("tmean1"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_yuen_trimmed_t(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    trim: float = 0.2,
+) -> str:
+    """DuckDB replay of :func:`yuen_trimmed_t` — same value grain,
+    order-statistic bounds, partial-weight trim and winsorized
+    moments."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY {user_col}
+    ), val AS (
+        SELECT arm, m, count(*) AS t FROM um GROUP BY 1, 2
+    ), cum AS (
+        SELECT arm, m, t,
+            sum(t) OVER (PARTITION BY arm ORDER BY m ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS chi,
+            sum(t) OVER (PARTITION BY arm ORDER BY m ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) - t AS clo
+        FROM val
+    ), sizes AS (
+        SELECT arm, sum(t) AS n,
+            CAST(floor({trim!r} * sum(t)) AS BIGINT) AS g
+        FROM val GROUP BY 1
+    ), bounds AS (
+        SELECT c.arm,
+            min(CASE WHEN c.chi >= s.g + 1 THEN c.m END) AS L,
+            min(CASE WHEN c.chi >= s.n - s.g THEN c.m END) AS U
+        FROM cum c JOIN sizes s ON c.arm = s.arm
+        GROUP BY 1
+    ), per_arm AS (
+        SELECT c.arm, first(s.n) AS n, first(s.g) AS g,
+            sum(greatest(least(c.chi, s.n - s.g)
+                - greatest(c.clo, s.g), 0) * c.m) AS ts,
+            sum(c.t * least(greatest(c.m, b.L), b.U)) AS ws,
+            sum(c.t * least(greatest(c.m, b.L), b.U)
+                    * least(greatest(c.m, b.L), b.U)) AS wss
+        FROM cum c
+        JOIN sizes s ON c.arm = s.arm
+        JOIN bounds b ON c.arm = b.arm
+        GROUP BY 1
+    ), arms AS (
+        SELECT arm, n, n - 2 * g AS h,
+            ts / CAST(n - 2 * g AS DOUBLE) AS tm,
+            greatest((wss - n * (ws / CAST(n AS DOUBLE))
+                             * (ws / CAST(n AS DOUBLE)))
+                     / (n - 1.0), 0.0)
+                * (n - 1.0)
+                / nullif(CAST(n - 2 * g AS DOUBLE)
+                         * (n - 2 * g - 1.0), 0.0) AS d
+        FROM per_arm
+    ), comb AS (
+        SELECT
+            CAST(a0.n AS BIGINT) AS n0, CAST(a1.n AS BIGINT) AS n1,
+            CAST(a0.h AS BIGINT) AS h0, CAST(a1.h AS BIGINT) AS h1,
+            a0.tm AS tm0, a1.tm AS tm1,
+            (a1.tm - a0.tm) / nullif(sqrt(a0.d + a1.d), 0.0) AS t_stat
+        FROM (SELECT * FROM arms WHERE arm = 0) a0
+        CROSS JOIN (SELECT * FROM arms WHERE arm = 1) a1
+    )
+    SELECT n0, n1, h0, h1, round(tm0, 6) AS tmean0,
+        round(tm1, 6) AS tmean1, round(t_stat, 6) AS t_stat,
+        round(2.0 * {_phi_upper_sql('abs(t_stat)')}, 6) AS p_value
+    FROM comb
+    """
+
+
+def permutation_test_mean(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    n_perms: int = 200,
+) -> DataFrame:
+    """Seeded permutation test of the arm mean difference: re-assign
+    every user to a pseudo-arm by the parity of md5(user || '_' || b)
+    for b = 1..``n_perms`` (the SAME hex arithmetic on both engines —
+    fully deterministic, no RNG state), recompute the mean gap per
+    permutation, and report
+
+        p = (1 + #{|T_b| >= |T_obs|}) / (B + 1)
+
+    — the assumption-free significance readout that stays valid when
+    neither normality (Welch) nor pure rank information (MW) is the
+    right model.  Plan: ONE user-grain fold, then a (users × B)
+    broadcast-grid aggregate with map-side partials (B bounded;
+    sufficient statistics per permutation are 4 doubles).  Returns one
+    row (n_users, t_obs, n_extreme, p_value), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    um = pooled_persist(
+        _user_metric(
+            events, user_col, value_col, F.col(type_col) == metric_type
+        )
+    )
+    obs = um.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.avg(F.when(F.col("arm") == 1, F.col("m")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("m")))
+        ).alias("t_obs"),
+    )
+    spark = events.sparkSession
+    grid = spark.range(1, n_perms + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user").cast("string"), F.lit("_"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    perms = (
+        um.crossJoin(F.broadcast(grid))
+        .select("b", "m", (h % 2 == 1).alias("_p1"))
+        .groupBy("b")
+        .agg(
+            (
+                F.avg(F.when(F.col("_p1"), F.col("m")))
+                - F.avg(F.when(~F.col("_p1"), F.col("m")))
+            ).alias("_tb")
+        )
+    )
+    folded = perms.crossJoin(F.broadcast(obs)).agg(
+        F.first("n_users").alias("n_users"),
+        F.round(F.first("t_obs"), 6).alias("t_obs"),
+        F.sum(
+            F.when(
+                F.abs(F.col("_tb")) >= F.abs(F.col("t_obs")), 1
+            ).otherwise(0)
+        ).alias("n_extreme"),
+    )
+    return folded.select(
+        "n_users",
+        "t_obs",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1.0) / (n_perms + 1.0), 6
+        ).alias("p_value"),
+    )
+
+
+def sql_permutation_test_mean(
+    table: str = "events",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    n_perms: int = 200,
+) -> str:
+    """DuckDB replay of :func:`permutation_test_mean` — same md5
+    pseudo-arms, same extreme-count estimator."""
+    return f"""
+    WITH um AS (
+        SELECT {user_col} AS u, {user_col} % 2 AS arm,
+            coalesce(sum(CASE WHEN {type_col} = '{metric_type}'
+                              THEN {value_col} END), 0.0) AS m
+        FROM {table} GROUP BY 1, 2
+    ), obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+            avg(CASE WHEN arm = 1 THEN m END)
+            - avg(CASE WHEN arm = 0 THEN m END) AS t_obs
+        FROM um
+    ), perms AS (
+        SELECT b.b,
+            avg(CASE WHEN CAST(('0x' || substr(md5(u || '_' || b.b), 1, 8))
+                          AS UBIGINT) % 2 = 1 THEN m END)
+            - avg(CASE WHEN CAST(('0x' || substr(md5(u || '_' || b.b), 1, 8))
+                            AS UBIGINT) % 2 = 0 THEN m END) AS tb
+        FROM um CROSS JOIN (
+            SELECT unnest(generate_series(1, {n_perms})) AS b) b
+        GROUP BY 1
+    ), folded AS (
+        SELECT first(obs.n_users) AS n_users,
+            round(first(obs.t_obs), 6) AS t_obs,
+            CAST(sum(CASE WHEN abs(tb) >= abs(obs.t_obs)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM perms CROSS JOIN obs
+    )
+    SELECT n_users, t_obs, n_extreme,
+        round((n_extreme + 1.0) / ({n_perms} + 1.0), 6) AS p_value
+    FROM folded
+    """
+
+
+def cochran_q_periods(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    k: int = 3,
+) -> DataFrame:
+    """Cochran's Q on PAIRED per-user conversion across ``k`` equal
+    time slices of the observation window — the k-period extension of
+    :func:`mcnemar_conversion_shift` (did the population's propensity
+    move ANYWHERE across the periods, each user their own control):
+
+        Q = k(k−1)·Σ_j (C_j − C̄)² / (k·ΣR_i − ΣR_i²)
+
+    (C_j = period column totals, R_i = per-user row totals; users with
+    R_i = 0 or k drop out of the denominator naturally).  For k = 3
+    the chi-square(2) tail is CLOSED-FORM: p = exp(−Q/2).  Plan: one
+    fact pass to (user, period) flags via integer slice arithmetic on
+    epoch micros, a user-grain fold, a one-row combine.  NULL-ts rows
+    are filtered on both engines (the McNemar r13 parity rule).
+    Returns one row (n_users, c1..ck as a joined string, q_stat,
+    p_value), 6dp."""
+    if k != 3:
+        raise ValueError("closed-form chi2 tail shipped for k=3 only")
+    span = events.filter(F.col(ts_col).isNotNull()).agg(
+        F.min(F.unix_micros(ts_col)).alias("_lo"),
+        (F.max(F.unix_micros(ts_col)) + 1).alias("_hi"),
+    )
+    base = events.filter(F.col(ts_col).isNotNull()).crossJoin(
+        F.broadcast(span)
+    )
+    slice_i = F.least(
+        F.floor(
+            (F.unix_micros(F.col(ts_col)) - F.col("_lo"))
+            * k
+            / (F.col("_hi") - F.col("_lo"))
+        ).cast("int"),
+        F.lit(k - 1),
+    )
+    conv = F.col(type_col) == metric_type
+    per_user = base.groupBy(F.col(user_col).alias("u")).agg(
+        *[
+            F.max(
+                F.when(conv & (slice_i == j), 1).otherwise(0)
+            ).alias(f"_x{j}")
+            for j in range(k)
+        ]
+    )
+    r = sum(F.col(f"_x{j}") for j in range(k))
+    comb = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[F.sum(f"_x{j}").alias(f"c{j + 1}") for j in range(k)],
+        F.sum(r).alias("_sr"),
+        F.sum(r * r).alias("_sr2"),
+    )
+    cbar = F.col("_sr").cast("double") / k
+    num = sum(
+        (F.col(f"c{j + 1}") - cbar) * (F.col(f"c{j + 1}") - cbar)
+        for j in range(k)
+    )
+    q = F.try_divide(
+        F.lit(float(k * (k - 1))) * num,
+        (k * F.col("_sr") - F.col("_sr2")).cast("double"),
+    )
+    return comb.select(
+        "n_users",
+        *[f"c{j + 1}" for j in range(k)],
+        F.round(q, 6).alias("q_stat"),
+        F.round(F.exp(-q / 2.0), 6).alias("p_value"),
+    )
+
+
+def sql_cochran_q_periods(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    k: int = 3,
+) -> str:
+    """DuckDB replay of :func:`cochran_q_periods` — same integer slice
+    arithmetic, same closed-form chi2(2) tail."""
+    xs = ", ".join(
+        f"max(CASE WHEN {type_col} = '{metric_type}' AND "
+        f"least(CAST(floor((epoch_us({ts_col}) - sp.lo) * {k}"
+        f" / CAST(sp.hi - sp.lo AS DOUBLE)) AS INT), {k - 1}) = {j}"
+        f" THEN 1 ELSE 0 END) AS x{j}"
+        for j in range(k)
+    )
+    cs = ", ".join(
+        f"CAST(sum(x{j}) AS BIGINT) AS c{j + 1}" for j in range(k)
+    )
+    r = " + ".join(f"x{j}" for j in range(k))
+    num = " + ".join(
+        f"(c{j + 1} - sr / {float(k)!r}) * (c{j + 1} - sr / {float(k)!r})"
+        for j in range(k)
+    )
+    c_cols = ", ".join(f"c{j + 1}" for j in range(k))
+    return f"""
+    WITH sp AS (
+        SELECT min(epoch_us({ts_col})) AS lo,
+            max(epoch_us({ts_col})) + 1 AS hi
+        FROM {table} WHERE {ts_col} IS NOT NULL
+    ), per_user AS (
+        SELECT {user_col} AS u, {xs}
+        FROM {table} CROSS JOIN sp
+        WHERE {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), comb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users, {cs},
+            sum({r}) AS sr,
+            sum(({r}) * ({r})) AS sr2
+        FROM per_user
+    ), stat AS (
+        SELECT n_users, {c_cols},
+            {float(k * (k - 1))!r} * ({num})
+                / nullif(CAST({k} * sr - sr2 AS DOUBLE), 0.0) AS q
+        FROM comb
+    )
+    SELECT n_users, {c_cols}, round(q, 6) AS q_stat,
+        round(exp(-q / 2.0), 6) AS p_value
+    FROM stat
+    """
+
+
+def cochran_armitage_trend(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> DataFrame:
+    """Cochran-Armitage trend test: does per-user conversion rise (or
+    fall) MONOTONICALLY with the ordered activity tier (the log2
+    stratum) — the dose-response question a plain r×2 chi-square
+    wastes power on by ignoring the ordering:
+
+        T = Σ s_i·(a_i − n_i·p̄),   s_i = tier score (0..max)
+        z = T / sqrt(p̄(1−p̄)·(Σ s_i²n_i − (Σ s_i n_i)²/n))
+
+    Plan: one user-grain fold (tier, converted), a tier-grain pivot,
+    a one-row combine.  Returns one row (n_users, n_tiers, t_stat, z,
+    p_value), 6dp."""
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.least(
+            F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
+            F.lit(max_stratum),
+        ).alias("_s"),
+        F.max(
+            (F.col(type_col) == metric_type).cast("int")
+        ).alias("_conv"),
+    )
+    tiers = per_user.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_conv").alias("_a")
+    )
+    s = F.col("_s").cast("double")
+    comb = tiers.agg(
+        F.sum("_n").alias("n_users"),
+        F.count(F.lit(1)).alias("n_tiers"),
+        F.sum("_a").alias("_A"),
+        F.sum(s * F.col("_a")).alias("_sa"),
+        F.sum(s * F.col("_n")).alias("_sn"),
+        F.sum(s * s * F.col("_n")).alias("_ssn"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("_A") / n
+    t = F.col("_sa") - p * F.col("_sn")
+    var = p * (1.0 - p) * (
+        F.col("_ssn") - F.col("_sn") * F.col("_sn") / n
+    )
+    z = F.try_divide(t, F.sqrt(F.greatest(var, F.lit(0.0))))
+    out = comb.withColumn("_az", F.abs(z))
+    return out.select(
+        "n_users",
+        "n_tiers",
+        F.round(t, 6).alias("t_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(F.expr("2.0 * " + _phi_upper_sql("_az")), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def sql_cochran_armitage_trend(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> str:
+    """DuckDB replay of :func:`cochran_armitage_trend`."""
+    return f"""
+    WITH per_user AS (
+        SELECT least(CAST(floor(log2(count(*))) AS INT),
+                     {max_stratum}) AS s,
+            max(CASE WHEN {type_col} = '{metric_type}'
+                     THEN 1 ELSE 0 END) AS conv
+        FROM {table} GROUP BY {user_col}
+    ), tiers AS (
+        SELECT s, count(*) AS n, sum(conv) AS a
+        FROM per_user GROUP BY 1
+    ), comb AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_users,
+            count(*) AS n_tiers,
+            sum(a) AS A, sum(s * a) AS sa, sum(s * n) AS sn,
+            sum(CAST(s AS DOUBLE) * s * n) AS ssn
+        FROM tiers
+    ), stat AS (
+        SELECT n_users, n_tiers,
+            sa - (A / CAST(n_users AS DOUBLE)) * sn AS t,
+            (sa - (A / CAST(n_users AS DOUBLE)) * sn)
+            / nullif(sqrt(greatest(
+                (A / CAST(n_users AS DOUBLE))
+                * (1.0 - A / CAST(n_users AS DOUBLE))
+                * (ssn - sn * CAST(sn AS DOUBLE) / n_users), 0.0)),
+                0.0) AS z
+        FROM comb
+    )
+    SELECT n_users, n_tiers, round(t, 6) AS t_stat, round(z, 6) AS z,
+        round(2.0 * {_phi_upper_sql('abs(z)')}, 6) AS p_value
+    FROM stat
+    """

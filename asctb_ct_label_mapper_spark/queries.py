@@ -10529,3 +10529,88 @@ def sample_entropy_daily_events(
     )
 
     return sample_entropy_daily(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13h: robust / permutation / paired-categorical arm tests
+# ---------------------------------------------------------------------------
+
+
+def _yuen_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_yuen_trimmed_t,
+    )
+
+    return sql_yuen_trimmed_t("events")
+
+
+@query("yuen_trimmed_purchase", _yuen_oracle())
+def yuen_trimmed_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen 20%-trimmed Welch between arms (experiment.yuen_trimmed_t):
+    exact order-statistic trim + winsorized moments off the value
+    grain."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        yuen_trimmed_t,
+    )
+
+    return yuen_trimmed_t(_t(spark, sf_dir, "events"))
+
+
+def _perm_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_permutation_test_mean,
+    )
+
+    return sql_permutation_test_mean("events", n_perms=200)
+
+
+@query("perm_test_purchase", _perm_oracle())
+def perm_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded (md5) permutation test of the arm mean gap
+    (experiment.permutation_test_mean): 200 deterministic pseudo-arm
+    reassignments, assumption-free p."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        permutation_test_mean,
+    )
+
+    return permutation_test_mean(_t(spark, sf_dir, "events"), n_perms=200)
+
+
+def _cq_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cochran_q_periods,
+    )
+
+    return sql_cochran_q_periods("events")
+
+
+@query("cochran_q_purchase", _cq_oracle())
+def cochran_q_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three window thirds
+    (experiment.cochran_q_periods): the k-period McNemar with the
+    chi2(2) closed-form tail."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cochran_q_periods,
+    )
+
+    return cochran_q_periods(_t(spark, sf_dir, "events"))
+
+
+def _ca_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cochran_armitage_trend,
+    )
+
+    return sql_cochran_armitage_trend("events")
+
+
+@query("cochran_armitage_tiers", _ca_oracle())
+def cochran_armitage_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage conversion trend across ordered activity tiers
+    (experiment.cochran_armitage_trend): the dose-response test the
+    unordered chi-square wastes power on."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        cochran_armitage_trend,
+    )
+
+    return cochran_armitage_trend(_t(spark, sf_dir, "events"))
