@@ -10614,3 +10614,82 @@ def cochran_armitage_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cochran_armitage_trend(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r13i: local clustering, eccentricity, resource-allocation links
+# ---------------------------------------------------------------------------
+
+
+def _lcc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_local_clustering_topk,
+    )
+
+    return (
+        f"WITH {_sql_trade_edges_filtered()}, "
+        f"{sql_local_clustering_topk(topk=25)}"
+    )
+
+
+@query("local_clustering_trade", _lcc_oracle())
+def local_clustering_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient on the strong-trade subgraph
+    (graph.local_clustering_topk): which markets sit in cliques vs
+    stars — the local readout the global coefficient averages away."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        local_clustering_topk,
+    )
+
+    return local_clustering_topk(
+        _trade_edges_filtered(spark, sf_dir), topk=25
+    )
+
+
+def _ecc_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_graph_eccentricity,
+    )
+
+    return (
+        f"WITH {_sql_trade_edges_filtered()}, "
+        f"{sql_graph_eccentricity()}"
+    )
+
+
+@query("eccentricity_trade", _ecc_oracle())
+def eccentricity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity + reach on the strong-trade subgraph
+    (graph.graph_eccentricity): diameter/radius read straight off the
+    rows; driver-local BFS under the bounded-collect guard, replayed
+    by a recursive-CTE BFS on DuckDB."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        graph_eccentricity,
+    )
+
+    return graph_eccentricity(_trade_edges_filtered(spark, sf_dir))
+
+
+def _ra_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        sql_resource_allocation_topk,
+    )
+
+    return (
+        f"WITH {_sql_trade_edges_filtered()}, "
+        f"{sql_resource_allocation_topk(topk=15)}"
+    )
+
+
+@query("resource_alloc_trade", _ra_oracle())
+def resource_alloc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation + preferential-attachment link scores on
+    the strong-trade subgraph (graph.resource_allocation_topk):
+    AA's hub-hostile sibling with the null-model baseline column."""
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        resource_allocation_topk,
+    )
+
+    return resource_allocation_topk(
+        _trade_edges_filtered(spark, sf_dir), topk=15
+    )
