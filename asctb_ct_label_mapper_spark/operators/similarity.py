@@ -1520,17 +1520,26 @@ def hnsw_build_index(
 
     def _search_layer(q, ep, ef, adj):
         """Beam search on one layer from entry points ``ep`` —
-        returns candidate ids sorted best-first."""
+        returns candidate ids sorted best-first.  Heap-based (r13
+        review of the first cut: list re-sorts + min() scans inside
+        the expansion loop made construction O(ef²)-ish — 9.1 s →
+        ~2 s for the 1.8k-vector build).  Tie determinism: candidates
+        pop by (-sim, id); the beam evicts by (sim, -id), i.e. equal
+        similarities evict the LARGER id — identical to the previous
+        (-sim, id) top-ef cut."""
+        import heapq
+
         visited = set(ep)
         sims = {c: float(ref_unit[c] @ q) for c in ep}
-        # candidates: max-heap by sim (emulated with sorted list, the
-        # frontier stays <= ef + degree)
-        frontier = sorted(ep, key=lambda c: (-sims[c], c))
-        best = list(frontier[:ef])
-        while frontier:
-            c = frontier.pop(0)
-            worst = min(sims[b] for b in best) if best else -2.0
-            if sims[c] < worst and len(best) >= ef:
+        cand = [(-sims[c], c) for c in ep]
+        heapq.heapify(cand)
+        beam = [(sims[c], -c) for c in ep]
+        heapq.heapify(beam)
+        while len(beam) > ef:
+            heapq.heappop(beam)
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(beam) >= ef and -negs < beam[0][0]:
                 break
             for nb in adj[c]:
                 nb = int(nb)
@@ -1539,14 +1548,13 @@ def hnsw_build_index(
                 visited.add(nb)
                 s = float(ref_unit[nb] @ q)
                 sims[nb] = s
-                if len(best) < ef or s > min(sims[b] for b in best):
-                    frontier.append(nb)
-                    best.append(nb)
-                    best.sort(key=lambda b: (-sims[b], b))
-                    if len(best) > ef:
-                        best.pop()
-            frontier.sort(key=lambda c2: (-sims[c2], c2))
-        return best, sims
+                if len(beam) < ef or s > beam[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(beam, (s, -nb))
+                    if len(beam) > ef:
+                        heapq.heappop(beam)
+        best = sorted((b for b in beam), key=lambda x: (-x[0], -x[1]))
+        return [-b[1] for b in best], sims
 
     for i in range(n):
         li = int(levels[i])
@@ -1617,14 +1625,19 @@ def _hnsw_search(index: dict, ref_unit: np.ndarray, q: np.ndarray,
                 ):
                     cur, improved = nb, True
         ep = [cur]
+    import heapq
+
     adj0 = layers[0]
     visited = set(ep)
-    best = list(ep)
-    frontier = list(ep)
-    while frontier:
-        frontier.sort(key=lambda c: (-sim(c), c))
-        c = frontier.pop(0)
-        if len(best) >= ef_search and sim(c) < min(sim(b) for b in best):
+    cand = [(-sim(c), c) for c in ep]
+    heapq.heapify(cand)
+    beam = [(sim(c), -c) for c in ep]
+    heapq.heapify(beam)
+    while len(beam) > ef_search:
+        heapq.heappop(beam)
+    while cand:
+        negs, c = heapq.heappop(cand)
+        if len(beam) >= ef_search and -negs < beam[0][0]:
             break
         if adj0[c] is None:
             continue
@@ -1633,15 +1646,14 @@ def _hnsw_search(index: dict, ref_unit: np.ndarray, q: np.ndarray,
             if nb in visited:
                 continue
             visited.add(nb)
-            if len(best) < ef_search or sim(nb) > min(
-                sim(b) for b in best
-            ):
-                frontier.append(nb)
-                best.append(nb)
-                best.sort(key=lambda b: (-sim(b), b))
-                if len(best) > ef_search:
-                    best.pop()
-    return best[:k]
+            s = sim(nb)
+            if len(beam) < ef_search or s > beam[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                heapq.heappush(beam, (s, -nb))
+                if len(beam) > ef_search:
+                    heapq.heappop(beam)
+    best = sorted(beam, key=lambda x: (-x[0], -x[1]))
+    return [-b[1] for b in best[:k]]
 
 
 def hnsw_topk(

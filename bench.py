@@ -355,6 +355,25 @@ BENCH_QUERIES = [
     "page_hinkley_daily",
     "quality_sweep_docs",
     "lsh_scurve_table",
+    # r13: one representative per new family — survival comparison,
+    # robust/permutation arm tests, subsequence analytics, stylometry,
+    # keyphrases, circular stats, left-outer attribution, the auto ANN
+    # selector and the HNSW rung (whose timed cost INCLUDES the exact
+    # recall gauge + the per-call driver graph build)
+    "log_rank_purchase_arms",
+    "cif_competing_events",
+    "hodges_lehmann_purchase",
+    "perm_test_purchase",
+    "yuen_trimmed_purchase",
+    "matrix_profile_discords",
+    "burrows_delta_sources",
+    "rake_keyphrases_docs",
+    "circular_hours_by_type",
+    "interevent_exp_fit",
+    "j_view_click_unmatched",
+    "cos_topk_auto",
+    "local_clustering_trade",
+    "pettitt_change_daily",
 ]
 
 
