@@ -4800,3 +4800,445 @@ def sql_jarque_bera_value(
             AS p_value
     FROM stat
     """
+
+
+# ---------------------------------------------------------------------------
+# r13j: categorical distribution distances + feature ranking
+# ---------------------------------------------------------------------------
+
+
+def hellinger_dow_pairs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise Hellinger distance + Bhattacharyya coefficient between
+    event types over their DAY-OF-WEEK distributions: do two event
+    types live on the same weekly rhythm?
+
+        BC(p, q) = Σ_d sqrt(p_d·q_d),   H = sqrt(1 − BC)
+
+    H is a PROPER METRIC on distributions (unlike KL) and bounded
+    [0, 1], so the pairwise matrix is directly comparable across
+    pairs.  The dow marginals are exact categorical distributions —
+    no binning decisions.  Plan: ONE (type, dow) contingency pass,
+    a dense 7-cell grid per type (missing dows are genuine zeros),
+    a |types|²/2 pair join on dow.  Returns (type_a, type_b,
+    bhattacharyya, hellinger), 6dp, ordered."""
+    cells = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("ty"),
+            F.dayofweek(ts_col).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(cells)
+    tot = cells.groupBy("ty").agg(F.sum("c").alias("n"))
+    spark = df.sparkSession
+    dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    dense = (
+        tot.crossJoin(F.broadcast(dows))
+        .join(cells, ["ty", "dow"], "left")
+        .select(
+            "ty",
+            "dow",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n")
+            ).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("ty").alias("type_a"), "dow", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("ty").alias("type_b"), "dow", F.col("p").alias("pb")
+    )
+    pairs = (
+        a.join(b, "dow")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.sqrt(F.col("pa") * F.col("pb"))).alias("_bc")
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round("_bc", 6).alias("bhattacharyya"),
+        F.round(
+            F.sqrt(F.greatest(1.0 - F.col("_bc"), F.lit(0.0))), 6
+        ).alias("hellinger"),
+    ).orderBy("type_a", "type_b")
+
+
+def sql_hellinger_dow_pairs(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`hellinger_dow_pairs` — same dense
+    7-cell grid and pair fold.  Spark ``dayofweek`` is 1=Sunday;
+    DuckDB mirrors via ``dayofweek(d) + 1`` (0=Sunday there)."""
+    return f"""
+    WITH cells AS (
+        SELECT {type_col} AS ty, dayofweek({ts_col}) + 1 AS dow,
+            count(*) AS c
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT ty, sum(c) AS n FROM cells GROUP BY 1
+    ), dense AS (
+        SELECT t.ty, d.dow,
+            coalesce(cells.c, 0) / CAST(t.n AS DOUBLE) AS p
+        FROM tot t CROSS JOIN (
+            SELECT unnest(generate_series(1, 7)) AS dow) d
+        LEFT JOIN cells ON cells.ty = t.ty AND cells.dow = d.dow
+    ), pairs AS (
+        SELECT a.ty AS type_a, b.ty AS type_b,
+            sum(sqrt(a.p * b.p)) AS bc
+        FROM dense a JOIN dense b
+          ON a.dow = b.dow AND a.ty < b.ty
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, round(bc, 6) AS bhattacharyya,
+        round(sqrt(greatest(1.0 - bc, 0.0)), 6) AS hellinger
+    FROM pairs ORDER BY 1, 2
+    """
+
+
+def mutual_info_type_dow(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mutual information between event type and day-of-week (nats),
+    with the normalized variant NMI = I/sqrt(H_x·H_y) — the
+    'how much does WHICH event happen tell you about WHEN' readout
+    on an interpretable [0,1] scale, where chi²/Cramér's V (already
+    shipped) answer a significance-shaped question instead:
+
+        I = Σ_cells p·ln(p / (p_x·p_y))
+
+    ONE contingency pass, marginals re-derived from the persisted
+    cells (the contingency_effects plan), zero cells contribute 0.
+    Returns one row (n, h_type, h_dow, mi, nmi), 6dp."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    cells = pooled_persist(
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("x"),
+            F.dayofweek(ts_col).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("o").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("o").alias("ny"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    n = F.col("n").cast("double")
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("o") / n
+    mi_term = p * F.log(
+        F.col("o") * n / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    folded = joined.agg(
+        F.first("n").alias("n"),
+        F.sum(mi_term).alias("_mi"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("nx") / n) * F.log(F.col("nx") / n)
+        ).alias("_hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("ny") / n) * F.log(F.col("ny") / n)
+        ).alias("_hy")
+    )
+    return (
+        folded.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            F.round("_hx", 6).alias("h_type"),
+            F.round("_hy", 6).alias("h_dow"),
+            F.round("_mi", 6).alias("mi"),
+            F.round(
+                F.try_divide(
+                    F.col("_mi"),
+                    F.sqrt(
+                        F.greatest(
+                            F.col("_hx") * F.col("_hy"), F.lit(0.0)
+                        )
+                    ),
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def sql_mutual_info_type_dow(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`mutual_info_type_dow`."""
+    return f"""
+    WITH cells AS (
+        SELECT {type_col} AS x, dayofweek({ts_col}) + 1 AS y,
+            count(*) AS o
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
+    ), mx AS (SELECT x, sum(o) AS nx FROM cells GROUP BY 1),
+    my AS (SELECT y, sum(o) AS ny FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    folded AS (
+        SELECT first(tot.n) AS n,
+            sum((o / CAST(tot.n AS DOUBLE))
+                * ln(o * CAST(tot.n AS DOUBLE)
+                     / (CAST(mx.nx AS DOUBLE) * my.ny))) AS mi
+        FROM cells
+        JOIN mx ON cells.x = mx.x
+        JOIN my ON cells.y = my.y
+        CROSS JOIN tot
+    ), hx AS (
+        SELECT sum(-(nx / CAST(tot.n AS DOUBLE))
+                   * ln(nx / CAST(tot.n AS DOUBLE))) AS hx
+        FROM mx CROSS JOIN tot
+    ), hy AS (
+        SELECT sum(-(ny / CAST(tot.n AS DOUBLE))
+                   * ln(ny / CAST(tot.n AS DOUBLE))) AS hy
+        FROM my CROSS JOIN tot
+    )
+    SELECT n, round(hx.hx, 6) AS h_type, round(hy.hy, 6) AS h_dow,
+        round(mi, 6) AS mi,
+        round(mi / nullif(sqrt(greatest(hx.hx * hy.hy, 0.0)), 0.0), 6)
+            AS nmi
+    FROM folded CROSS JOIN hx CROSS JOIN hy
+    """
+
+
+def info_gain_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> DataFrame:
+    """Information-gain ranking of three categorical USER features
+    against conversion — the feature-selection triage every
+    propensity model starts with:
+
+        IG(f) = H(conv) − Σ_v p(v)·H(conv | f = v)
+        gain_ratio = IG / H(f)        (Quinlan's split-info correction)
+
+    Features (all engine-derivable, no free-form config): activity
+    tier (log2 event count, the post-strat strata), modal day-of-week
+    of the user's events (ties to the smaller dow), and weekend share
+    bucketed to quartiles.  Plan: ONE user-grain fold builds all
+    features + the label, one (feature, level, label) unpivoted
+    contingency per feature via a stack, entropy folds at level grain.
+    Returns (feature, n_levels, info_gain, gain_ratio), 6dp, ordered
+    by info_gain DESC, feature ASC."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    dow = F.dayofweek(ts_col)
+    per_user = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.least(
+                F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
+                F.lit(max_stratum),
+            ).alias("tier"),
+            F.max(
+                (F.col(type_col) == metric_type).cast("int")
+            ).alias("label"),
+            *[
+                F.sum((dow == d).cast("int")).alias(f"_d{d}")
+                for d in range(1, 8)
+            ],
+            F.avg(dow.isin([1, 7]).cast("double")).alias("_we"),
+        )
+    )
+    # modal dow: 1-based first argmax over the 1=Sunday count array —
+    # ties resolve to the smaller dow on both engines
+    modal = F.expr(
+        "array_position(array(_d1,_d2,_d3,_d4,_d5,_d6,_d7), "
+        "array_max(array(_d1,_d2,_d3,_d4,_d5,_d6,_d7)))"
+    )
+    feat = per_user.select(
+        "label",
+        F.col("tier").cast("string").alias("f_tier"),
+        modal.cast("string").alias("f_modal_dow"),
+        F.least(
+            F.floor(F.col("_we") * 4).cast("int"), F.lit(3)
+        ).cast("string").alias("f_weekend_q"),
+    )
+    long = pooled_persist(
+        feat.select(
+            "label",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("tier"),
+                        F.lit("modal_dow"),
+                        F.lit("weekend_q"),
+                    ),
+                    F.array("f_tier", "f_modal_dow", "f_weekend_q"),
+                )
+            ).alias("feature", "level"),
+        )
+        .groupBy("feature", "level", "label")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    n_tot = long.filter(F.col("feature") == "tier").agg(
+        F.sum("o").alias("n")
+    )
+    # H(conv): from any one feature's marginal over labels
+    lab = (
+        long.filter(F.col("feature") == "tier")
+        .groupBy("label")
+        .agg(F.sum("o").alias("nl"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.sum(
+                -(F.col("nl") / F.col("n"))
+                * F.log(F.col("nl") / F.col("n"))
+            ).alias("_hc")
+        )
+    )
+    lev = long.groupBy("feature", "level").agg(
+        F.sum("o").alias("nv")
+    )
+    cond = (
+        long.join(lev, ["feature", "level"])
+        .select(
+            "feature",
+            "level",
+            "nv",
+            (
+                -(F.col("o") / F.col("nv"))
+                * F.log(F.col("o") / F.col("nv"))
+            ).alias("_t"),
+        )
+        .groupBy("feature", "level")
+        .agg(F.first("nv").alias("nv"), F.sum("_t").alias("_hv"))
+    )
+    per_feat = (
+        cond.crossJoin(F.broadcast(n_tot))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_levels"),
+            F.sum(
+                (F.col("nv") / F.col("n")) * F.col("_hv")
+            ).alias("_hcond"),
+            F.sum(
+                -(F.col("nv") / F.col("n"))
+                * F.log(F.col("nv") / F.col("n"))
+            ).alias("_hf"),
+        )
+    )
+    return (
+        per_feat.crossJoin(F.broadcast(lab))
+        .select(
+            "feature",
+            "n_levels",
+            F.round(F.col("_hc") - F.col("_hcond"), 6).alias(
+                "info_gain"
+            ),
+            F.round(
+                F.try_divide(
+                    F.col("_hc") - F.col("_hcond"), F.col("_hf")
+                ),
+                6,
+            ).alias("gain_ratio"),
+        )
+        .orderBy(F.desc("info_gain"), F.asc("feature"))
+    )
+
+
+def sql_info_gain_features(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    metric_type: str = "purchase",
+    max_stratum: int = 5,
+) -> str:
+    """DuckDB replay of :func:`info_gain_features` — same features
+    (1-based modal position over the same 1=Sunday dow array), same
+    entropy folds."""
+    ds = ", ".join(
+        f"sum(CASE WHEN dayofweek({ts_col}) + 1 = {d} THEN 1 ELSE 0 END)"
+        f" AS d{d}"
+        for d in range(1, 8)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT {user_col} AS u,
+            least(CAST(floor(log2(count(*))) AS INT),
+                  {max_stratum}) AS tier,
+            max(CASE WHEN {type_col} = '{metric_type}'
+                     THEN 1 ELSE 0 END) AS label,
+            {ds},
+            avg(CASE WHEN dayofweek({ts_col}) + 1 IN (1, 7)
+                     THEN 1.0 ELSE 0.0 END) AS we
+        FROM {table} WHERE {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), feat AS (
+        SELECT label,
+            CAST(tier AS VARCHAR) AS f_tier,
+            CAST(list_position([d1,d2,d3,d4,d5,d6,d7],
+                 list_max([d1,d2,d3,d4,d5,d6,d7])) AS VARCHAR)
+                AS f_modal_dow,
+            CAST(least(CAST(floor(we * 4) AS INT), 3) AS VARCHAR)
+                AS f_weekend_q
+        FROM per_user
+    ), long AS (
+        SELECT feature, level, label, count(*) AS o FROM (
+            SELECT label, 'tier' AS feature, f_tier AS level FROM feat
+            UNION ALL
+            SELECT label, 'modal_dow', f_modal_dow FROM feat
+            UNION ALL
+            SELECT label, 'weekend_q', f_weekend_q FROM feat
+        ) GROUP BY 1, 2, 3
+    ), n_tot AS (
+        SELECT sum(o) AS n FROM long WHERE feature = 'tier'
+    ), lab AS (
+        SELECT sum(-(nl / CAST(n_tot.n AS DOUBLE))
+                   * ln(nl / CAST(n_tot.n AS DOUBLE))) AS hc
+        FROM (
+            SELECT label, sum(o) AS nl FROM long
+            WHERE feature = 'tier' GROUP BY 1
+        ) CROSS JOIN n_tot
+    ), lev AS (
+        SELECT feature, level, sum(o) AS nv FROM long GROUP BY 1, 2
+    ), cond AS (
+        SELECT long.feature, long.level, first(lev.nv) AS nv,
+            sum(-(long.o / CAST(lev.nv AS DOUBLE))
+                * ln(long.o / CAST(lev.nv AS DOUBLE))) AS hv
+        FROM long JOIN lev
+          ON long.feature = lev.feature AND long.level = lev.level
+        GROUP BY 1, 2
+    ), per_feat AS (
+        SELECT feature, count(*) AS n_levels,
+            sum((nv / CAST(n_tot.n AS DOUBLE)) * hv) AS hcond,
+            sum(-(nv / CAST(n_tot.n AS DOUBLE))
+                * ln(nv / CAST(n_tot.n AS DOUBLE))) AS hf
+        FROM cond CROSS JOIN n_tot GROUP BY 1
+    )
+    SELECT feature, n_levels,
+        round(lab.hc - hcond, 6) AS info_gain,
+        round((lab.hc - hcond) / nullif(hf, 0.0), 6) AS gain_ratio
+    FROM per_feat CROSS JOIN lab
+    ORDER BY info_gain DESC, feature ASC
+    """

@@ -10693,3 +10693,74 @@ def resource_alloc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resource_allocation_topk(
         _trade_edges_filtered(spark, sf_dir), topk=15
     )
+
+
+# ---------------------------------------------------------------------------
+# r13j: distribution distances + feature ranking
+# ---------------------------------------------------------------------------
+
+
+def _hell_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_hellinger_dow_pairs,
+    )
+
+    return sql_hellinger_dow_pairs("events")
+
+
+@query("hellinger_dow_pairs", _hell_oracle())
+def hellinger_dow_pairs_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Hellinger / Bhattacharyya between event types over
+    day-of-week distributions (stats.hellinger_dow_pairs): a bounded
+    metric on weekly rhythms."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        hellinger_dow_pairs,
+    )
+
+    return hellinger_dow_pairs(_t(spark, sf_dir, "events"))
+
+
+def _mi_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_mutual_info_type_dow,
+    )
+
+    return sql_mutual_info_type_dow("events")
+
+
+@query("mutual_info_type_dow", _mi_oracle())
+def mutual_info_type_dow_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information + NMI between event type and day-of-week
+    (stats.mutual_info_type_dow): the information-theoretic readout
+    next to chi2/Cramér's V."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        mutual_info_type_dow,
+    )
+
+    return mutual_info_type_dow(_t(spark, sf_dir, "events"))
+
+
+def _ig_oracle() -> str:
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        sql_info_gain_features,
+    )
+
+    return sql_info_gain_features("events")
+
+
+@query("info_gain_features", _ig_oracle())
+def info_gain_features_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Information-gain ranking of engine-derived user features vs
+    conversion (stats.info_gain_features): the propensity-model
+    feature triage with Quinlan's gain-ratio correction."""
+    from asctb_ct_label_mapper_spark.operators.stats import (
+        info_gain_features,
+    )
+
+    return info_gain_features(_t(spark, sf_dir, "events"))
