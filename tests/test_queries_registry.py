@@ -24,10 +24,12 @@ EXPECTED_ROWS_ONLY = {
     # spherical centroid literals), dedup_minhash (md5-affine family
     # literals), dedup_simhash / winnowing_docs (md5-prefix token hash).
     "viz_projection",
-    # distinct_users_sketch -> DataSketches HLL_4 estimates; DuckDB's
-    # approx_count_distinct is a different HLL implementation and cannot
-    # hash-match. Error contract test-enforced in tests/test_sketches.py.
-    "distinct_users_sketch",
+    # distinct_users_sketch GRADUATED in r13: the DataSketches HLL_4
+    # binary still has no DuckDB replay, but the registry entry now
+    # emits the exact per-period distinct count (hash-matched) plus a
+    # 3·RSE envelope boolean on the estimate — value-gated, not
+    # rows-only (verdict r13 #4); cos_topk_hnsw reuses the pattern for
+    # its recall gauge.
 }
 
 
