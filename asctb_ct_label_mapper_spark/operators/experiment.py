@@ -99,6 +99,27 @@ def _user_metric(
     ).select("user", _arm("user").alias("arm"), "m")
 
 
+def user_activity_tier(max_stratum: int = 5):
+    """AGG-context expression for the log2 activity tier
+    ``least(floor(log2(count(*))), max_stratum)`` — ONE definition for
+    every stratified operator (post-stratification, Mantel-Haenszel,
+    Cochran-Armitage, info-gain features; r13 second review: the rule
+    was inlined four times per engine).  Deterministic and
+    engine-exact: log2 of a positive long is integral only at exact
+    powers of two, where IEEE log2 is exact."""
+    return F.least(
+        F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
+        F.lit(max_stratum),
+    )
+
+
+def sql_user_activity_tier(max_stratum: int = 5) -> str:
+    """DuckDB twin of :func:`user_activity_tier` (same clamp)."""
+    return (
+        f"least(CAST(floor(log2(count(*))) AS INT), {max_stratum})"
+    )
+
+
 def _arm_stats(um: DataFrame) -> DataFrame:
     """ONE-row per-arm statistics off the zero-filled user-metric frame
     — the shared aggregate behind ab_welch_ttest AND ab_mde (r11
@@ -2677,8 +2698,7 @@ def sql_post_stratified_ab(
         SELECT {user_col} % 2 AS arm,
             sum(CASE WHEN {type_col} = '{metric_type}'
                      THEN {value_col} ELSE 0.0 END) AS y,
-            least(CAST(floor(log2(count(*))) AS INT),
-                  {max_stratum}) AS stratum
+            {sql_user_activity_tier(max_stratum)} AS stratum
         FROM {table} GROUP BY {user_col}
     ), strata AS (
         SELECT stratum,
@@ -2869,10 +2889,7 @@ def mantel_haenszel_or(
     6dp."""
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         (F.col("u") % 2 == 1).alias("_arm1"),
-        F.least(
-            F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
-            F.lit(max_stratum),
-        ).alias("_stratum"),
+        user_activity_tier(max_stratum).alias("_stratum"),
         F.max(
             (F.col(type_col) == metric_type).cast("int")
         ).alias("_conv"),
@@ -2941,8 +2958,7 @@ def sql_mantel_haenszel_or(
     return f"""
     WITH per_user AS (
         SELECT {user_col} % 2 = 1 AS arm1,
-            least(CAST(floor(log2(count(*))) AS INT),
-                  {max_stratum}) AS stratum,
+            {sql_user_activity_tier(max_stratum)} AS stratum,
             max(CASE WHEN {type_col} = '{metric_type}'
                      THEN 1 ELSE 0 END) AS conv
         FROM {table} GROUP BY {user_col}
@@ -3692,8 +3708,15 @@ def permutation_test_mean(
         F.first("n_users").alias("n_users"),
         F.round(F.first("t_obs"), 6).alias("t_obs"),
         F.sum(
+            # 6dp-rounded comparands: raw-double gaps differ across
+            # engines/partition orders at the last ulp, and an exact
+            # rational tie (cents-lattice metric sums) would flip the
+            # >= on one engine only (r13 second review; the
+            # _trade_edges_filtered banding convention)
             F.when(
-                F.abs(F.col("_tb")) >= F.abs(F.col("t_obs")), 1
+                F.round(F.abs(F.col("_tb")), 6)
+                >= F.round(F.abs(F.col("t_obs")), 6),
+                1,
             ).otherwise(0)
         ).alias("n_extreme"),
     )
@@ -3740,7 +3763,7 @@ def sql_permutation_test_mean(
     ), folded AS (
         SELECT first(obs.n_users) AS n_users,
             round(first(obs.t_obs), 6) AS t_obs,
-            CAST(sum(CASE WHEN abs(tb) >= abs(obs.t_obs)
+            CAST(sum(CASE WHEN round(abs(tb), 6) >= round(abs(obs.t_obs), 6)
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
         FROM perms CROSS JOIN obs
     )
@@ -3833,6 +3856,8 @@ def sql_cochran_q_periods(
 ) -> str:
     """DuckDB replay of :func:`cochran_q_periods` — same integer slice
     arithmetic, same closed-form chi2(2) tail."""
+    if k != 3:  # the Spark twin raises too: exp(-q/2) is the df=2 tail
+        raise ValueError("closed-form chi2 tail shipped for k=3 only")
     xs = ", ".join(
         f"max(CASE WHEN {type_col} = '{metric_type}' AND "
         f"least(CAST(floor((epoch_us({ts_col}) - sp.lo) * {k}"
@@ -3895,10 +3920,7 @@ def cochran_armitage_trend(
     a one-row combine.  Returns one row (n_users, n_tiers, t_stat, z,
     p_value), 6dp."""
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.least(
-            F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
-            F.lit(max_stratum),
-        ).alias("_s"),
+        user_activity_tier(max_stratum).alias("_s"),
         F.max(
             (F.col(type_col) == metric_type).cast("int")
         ).alias("_conv"),
@@ -3944,8 +3966,7 @@ def sql_cochran_armitage_trend(
     """DuckDB replay of :func:`cochran_armitage_trend`."""
     return f"""
     WITH per_user AS (
-        SELECT least(CAST(floor(log2(count(*))) AS INT),
-                     {max_stratum}) AS s,
+        SELECT {sql_user_activity_tier(max_stratum)} AS s,
             max(CASE WHEN {type_col} = '{metric_type}'
                      THEN 1 ELSE 0 END) AS conv
         FROM {table} GROUP BY {user_col}

@@ -4807,6 +4807,35 @@ def sql_jarque_bera_value(
 # ---------------------------------------------------------------------------
 
 
+def _type_dow_cells(
+    df: DataFrame, ts_col: str, type_col: str
+) -> DataFrame:
+    """Shared (event_type, day-of-week) contingency frame (ty, dow, c),
+    pooled-persisted — ONE alias scheme so :func:`hellinger_dow_pairs`
+    and :func:`mutual_info_type_dow` hit the same cache entry instead
+    of scanning the fact table twice (r13 second review)."""
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    return pooled_persist(
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("ty"),
+            F.dayofweek(ts_col).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _sql_type_dow_cells(table: str, ts_col: str, type_col: str) -> str:
+    """DuckDB twin of :func:`_type_dow_cells` (CTE body ``cells``;
+    Spark dayofweek is 1=Sunday, DuckDB's 0=Sunday — hence +1)."""
+    return f"""cells AS (
+        SELECT {type_col} AS ty, dayofweek({ts_col}) + 1 AS dow,
+            count(*) AS c
+        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
+    )"""
+
+
 def hellinger_dow_pairs(
     df: DataFrame,
     ts_col: str = "ts",
@@ -4825,17 +4854,7 @@ def hellinger_dow_pairs(
     a dense 7-cell grid per type (missing dows are genuine zeros),
     a |types|²/2 pair join on dow.  Returns (type_a, type_b,
     bhattacharyya, hellinger), 6dp, ordered."""
-    cells = (
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(
-            F.col(type_col).alias("ty"),
-            F.dayofweek(ts_col).alias("dow"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
-
-    cells = pooled_persist(cells)
+    cells = _type_dow_cells(df, ts_col, type_col)
     tot = cells.groupBy("ty").agg(F.sum("c").alias("n"))
     spark = df.sparkSession
     dows = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
@@ -4884,11 +4903,7 @@ def sql_hellinger_dow_pairs(
     7-cell grid and pair fold.  Spark ``dayofweek`` is 1=Sunday;
     DuckDB mirrors via ``dayofweek(d) + 1`` (0=Sunday there)."""
     return f"""
-    WITH cells AS (
-        SELECT {type_col} AS ty, dayofweek({ts_col}) + 1 AS dow,
-            count(*) AS c
-        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
-    ), tot AS (
+    WITH {_sql_type_dow_cells(table, ts_col, type_col)}, tot AS (
         SELECT ty, sum(c) AS n FROM cells GROUP BY 1
     ), dense AS (
         SELECT t.ty, d.dow,
@@ -4925,15 +4940,9 @@ def mutual_info_type_dow(
     ONE contingency pass, marginals re-derived from the persisted
     cells (the contingency_effects plan), zero cells contribute 0.
     Returns one row (n, h_type, h_dow, mi, nmi), 6dp."""
-    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
-
-    cells = pooled_persist(
-        df.filter(F.col(ts_col).isNotNull())
-        .groupBy(
-            F.col(type_col).alias("x"),
-            F.dayofweek(ts_col).alias("y"),
-        )
-        .agg(F.count(F.lit(1)).alias("o"))
+    cells = _type_dow_cells(df, ts_col, type_col).select(
+        F.col("ty").alias("x"), F.col("dow").alias("y"),
+        F.col("c").alias("o"),
     )
     mx = cells.groupBy("x").agg(F.sum("o").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("o").alias("ny"))
@@ -4992,21 +5001,19 @@ def sql_mutual_info_type_dow(
 ) -> str:
     """DuckDB replay of :func:`mutual_info_type_dow`."""
     return f"""
-    WITH cells AS (
-        SELECT {type_col} AS x, dayofweek({ts_col}) + 1 AS y,
-            count(*) AS o
-        FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1, 2
-    ), mx AS (SELECT x, sum(o) AS nx FROM cells GROUP BY 1),
-    my AS (SELECT y, sum(o) AS ny FROM cells GROUP BY 1),
-    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    WITH {_sql_type_dow_cells(table, ts_col, type_col)},
+    cx AS (SELECT ty AS x, dow AS y, c AS o FROM cells),
+    mx AS (SELECT x, sum(o) AS nx FROM cx GROUP BY 1),
+    my AS (SELECT y, sum(o) AS ny FROM cx GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cx),
     folded AS (
         SELECT first(tot.n) AS n,
             sum((o / CAST(tot.n AS DOUBLE))
                 * ln(o * CAST(tot.n AS DOUBLE)
                      / (CAST(mx.nx AS DOUBLE) * my.ny))) AS mi
-        FROM cells
-        JOIN mx ON cells.x = mx.x
-        JOIN my ON cells.y = my.y
+        FROM cx
+        JOIN mx ON cx.x = mx.x
+        JOIN my ON cx.y = my.y
         CROSS JOIN tot
     ), hx AS (
         SELECT sum(-(nx / CAST(tot.n AS DOUBLE))
@@ -5048,6 +5055,9 @@ def info_gain_features(
     contingency per feature via a stack, entropy folds at level grain.
     Returns (feature, n_levels, info_gain, gain_ratio), 6dp, ordered
     by info_gain DESC, feature ASC."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        user_activity_tier,
+    )
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
     dow = F.dayofweek(ts_col)
@@ -5055,10 +5065,7 @@ def info_gain_features(
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(F.col(user_col).alias("u"))
         .agg(
-            F.least(
-                F.floor(F.log2(F.count(F.lit(1)))).cast("int"),
-                F.lit(max_stratum),
-            ).alias("tier"),
+            user_activity_tier(max_stratum).alias("tier"),
             F.max(
                 (F.col(type_col) == metric_type).cast("int")
             ).alias("label"),
@@ -5177,6 +5184,10 @@ def sql_info_gain_features(
     """DuckDB replay of :func:`info_gain_features` — same features
     (1-based modal position over the same 1=Sunday dow array), same
     entropy folds."""
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_user_activity_tier,
+    )
+
     ds = ", ".join(
         f"sum(CASE WHEN dayofweek({ts_col}) + 1 = {d} THEN 1 ELSE 0 END)"
         f" AS d{d}"
@@ -5185,8 +5196,7 @@ def sql_info_gain_features(
     return f"""
     WITH per_user AS (
         SELECT {user_col} AS u,
-            least(CAST(floor(log2(count(*))) AS INT),
-                  {max_stratum}) AS tier,
+            {sql_user_activity_tier(max_stratum)} AS tier,
             max(CASE WHEN {type_col} = '{metric_type}'
                      THEN 1 ELSE 0 END) AS label,
             {ds},

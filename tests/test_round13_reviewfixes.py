@@ -67,3 +67,57 @@ def test_mp_sql_orders_on_raw_distance():
 
     sql = sql_matrix_profile_discords("events")
     assert "ORDER BY mpd_raw DESC" in sql
+
+
+def test_perm_test_rounds_extreme_comparands():
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_permutation_test_mean,
+    )
+
+    sql = sql_permutation_test_mean("events")
+    assert "round(abs(tb), 6) >= round(abs(obs.t_obs), 6)" in sql
+
+
+def test_sql_cochran_q_guards_k():
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.experiment import (
+        sql_cochran_q_periods,
+    )
+
+    with pytest.raises(ValueError, match="k=3"):
+        sql_cochran_q_periods(k=4)
+
+
+def test_eccentricity_raises_past_hop_cap(spark):
+    """A chain deeper than max_hops must RAISE (matching the oracle's
+    recursive bound) instead of silently reporting a capped value."""
+    import pytest
+
+    from asctb_ct_label_mapper_spark.operators.graph import (
+        graph_eccentricity,
+    )
+    from pyspark.sql import functions as F
+
+    chain = spark.range(10).select(
+        F.col("id").cast("string").alias("src"),
+        (F.col("id") + 1).cast("string").alias("dst"),
+    )
+    with pytest.raises(ValueError, match="max_hops"):
+        graph_eccentricity(chain, max_hops=5)
+    # and succeeds when the cap covers the diameter
+    out = graph_eccentricity(chain, max_hops=15).collect()
+    assert max(r["eccentricity"] for r in out) == 10
+
+
+def test_shared_tier_expression_single_definition():
+    """The log2 activity tier has ONE Spark and ONE SQL definition."""
+    import inspect
+
+    from asctb_ct_label_mapper_spark.operators import experiment, stats
+
+    src = inspect.getsource(experiment) + inspect.getsource(stats)
+    # the tier formula must appear exactly once per engine: the helper
+    # bodies (the docstring spells it without the CAST)
+    assert src.count("F.floor(F.log2(F.count(F.lit(1))))") == 1
+    assert src.count("least(CAST(floor(log2(count(*))) AS INT)") == 1
