@@ -2665,9 +2665,13 @@ def post_stratified_ab(
     )
     diff_adj = F.col("wd") / nu
     # clamp: wv can cancel a few ulps negative when within-(stratum, arm)
-    # values are near-constant (r13 ADVICE; KW/Friedman clamp convention —
-    # DuckDB sqrt raises where Spark would degrade to NaN)
-    se = F.sqrt(F.greatest(F.col("wv"), F.lit(0.0))) / nu
+    # values are near-constant (r13 ADVICE — DuckDB sqrt raises where
+    # Spark would degrade to NaN).  NULL-PRESERVING form: greatest()
+    # swallows NULL on both engines, and a NULL wv (single-user arms,
+    # sample variance undefined) must stay NULL, not become se=0
+    # (r13 full-suite regression catch).
+    wv_c = F.when(F.col("wv") < 0, F.lit(0.0)).otherwise(F.col("wv"))
+    se = F.sqrt(wv_c) / nu
     z = F.try_divide(diff_adj, se)
     out = comb.withColumn("_az", F.abs(z))
     return out.select(
@@ -2727,9 +2731,11 @@ def sql_post_stratified_ab(
         SELECT CAST(n_users AS BIGINT) AS n_users, n_strata,
             ts1 / nullif(tn1, 0) - ts0 / nullif(tn0, 0) AS diff_unadj,
             wd / n_users AS diff_adj,
-            sqrt(greatest(wv, 0.0)) / n_users AS se_adj,
+            sqrt(CASE WHEN wv < 0 THEN 0.0 ELSE wv END) / n_users
+                AS se_adj,
             wd / n_users
-                / nullif(sqrt(greatest(wv, 0.0)) / n_users, 0.0) AS z
+                / nullif(sqrt(CASE WHEN wv < 0 THEN 0.0 ELSE wv END)
+                         / n_users, 0.0) AS z
         FROM comb
     )
     SELECT n_users, n_strata, round(diff_unadj, 6) AS diff_unadj,
