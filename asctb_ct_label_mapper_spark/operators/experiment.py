@@ -3155,8 +3155,12 @@ def cramer_von_mises_arms(
         F.max("_c1").alias("n1"),
     )
     joined = cum.crossJoin(F.broadcast(tot))
+    # try_divide: an empty parity arm (n0 or n1 = 0) must degrade to
+    # NULL like the DuckDB twin (x/0 -> NULL), not raise ANSI
+    # DIVIDE_BY_ZERO (r13 ADVICE)
     gap = (
-        F.col("_c0") / F.col("n0") - F.col("_c1") / F.col("n1")
+        F.try_divide(F.col("_c0"), F.col("n0"))
+        - F.try_divide(F.col("_c1"), F.col("n1"))
     )
     comb = joined.agg(
         F.first("n0").alias("n0"),
@@ -3533,8 +3537,13 @@ def yuen_trimmed_t(
     nn = F.col("n").cast("double")
     tmean = F.col("_ts") / h
     wmean = F.col("_ws") / nn
+    # try_divide: a single-user arm (n = 1) must degrade like the
+    # DuckDB twin (x/0 -> NULL, greatest(NULL,0) -> 0, then the
+    # h*(h-1) denominator restores NULL), not raise ANSI
+    # DIVIDE_BY_ZERO (r13 ADVICE)
     swv = F.greatest(
-        (F.col("_wss") - nn * wmean * wmean) / (nn - 1.0), F.lit(0.0)
+        F.try_divide(F.col("_wss") - nn * wmean * wmean, nn - 1.0),
+        F.lit(0.0),
     )
     d = F.try_divide(swv * (nn - 1.0), h * (h - 1.0))
     arms = per_arm.select(

@@ -87,6 +87,30 @@ def top_k_similarity_join(
     )
 
 
+def _guard_ref_collect(
+    reference: DataFrame, vec_col: str, rung: str
+) -> None:
+    """Enforce the broadcast-budget contract BEFORE a driver collect of
+    the reference: rungs whose shape is driver-resident (blocked, HNSW)
+    must fail with the documented remediation instead of OOMing the
+    driver when handed a beyond-broadcast reference (r13 ADVICE —
+    ``choose_similarity_impl`` never routes such a reference here, but
+    explicit callers hit the collect directly)."""
+    n_refs = reference.count()
+    probe = reference.select(F.size(vec_col).alias("d")).first()
+    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 0
+    ref_bytes = n_refs * dim * 8
+    if ref_bytes > REF_BROADCAST_BUDGET_BYTES:
+        raise ValueError(
+            f"{rung}: reference exceeds the broadcast budget "
+            f"(~{ref_bytes >> 20} MiB > "
+            f"{REF_BROADCAST_BUDGET_BYTES >> 20} MiB). Use "
+            "similarity_topk(impl='ivf') — its bucketed candidate "
+            "equi-join is the rung whose contract survives a "
+            "reference that outgrows executor memory."
+        )
+
+
 def top_k_similarity_blocked(
     queries: DataFrame,
     reference: DataFrame,
@@ -105,6 +129,7 @@ def top_k_similarity_blocked(
     gone, so the plan is scan -> mapInPandas -> done, and it scales linearly
     in the query count with the reference resident in executor memory.
     """
+    _guard_ref_collect(reference, ref_vec_col, "top_k_similarity_blocked")
     ref_rows = reference.select(ref_id_col, ref_vec_col).collect()
     ref_ids = np.array([r[0] for r in ref_rows])
     ref_mat = np.array([r[1] for r in ref_rows], dtype=np.float64)
@@ -1681,6 +1706,7 @@ def hnsw_topk(
     so the registry gates it with the recall-envelope pattern
     (`cos_topk_hnsw`): exact spine hash-matched, recall bound asserted
     as a boolean — the `distinct_users_sketch` precedent."""
+    _guard_ref_collect(reference, ref_vec_col, "hnsw_topk")
     ref_rows = reference.select(ref_id_col, ref_vec_col).collect()
     ref_ids = np.array([r[0] for r in ref_rows])
     order = np.argsort(ref_ids)  # deterministic insertion order

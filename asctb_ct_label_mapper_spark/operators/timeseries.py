@@ -4191,7 +4191,7 @@ def sql_variance_ratio_daily(
         FROM sums
     ), stat AS (
         SELECT n,
-            (sq2 / nq - (sq1 / nq) * (sq1 / nq))
+            greatest(sq2 / nq - (sq1 / nq) * (sq1 / nq), 0.0)
             / nullif({q} * greatest(s2 / CAST(n AS DOUBLE)
                 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
                 0.0), 0.0) AS vr
