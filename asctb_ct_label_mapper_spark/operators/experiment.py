@@ -640,6 +640,12 @@ _PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
 _PHI_T = 0.2316419
 _INV_SQRT_2PI = 0.3989422804014327
 
+# Cap on |V1|*|V0| distinct-value pair grids (hodges_lehmann_shift):
+# ~1e8 weighted pairs shuffle comfortably at 32 partitions; past that
+# the caller must quantize coarser — raising beats silently launching
+# a quadratic census (r13 verdict #3).
+VALUE_PAIR_GRID_BUDGET: int = 100_000_000
+
 
 def _phi_upper_sql(x: str) -> str:
     """SQL text for the upper-tail normal probability P(Z > x), x >= 0
@@ -3353,6 +3359,14 @@ def hodges_lehmann_shift(
     |V1|×|V0| distinct-value pairs with multiplicity weights c1·c0 —
     the weighted median then reads two order statistics off one
     cumulative window (even/odd exact, lower+upper averaged).
+
+    The grid is quadratic at DISTINCT-VALUE grain: safe while values
+    are cents-rounded purchase amounts (|V| ~ thousands), hostile if a
+    caller feeds a high-cardinality double column.  A cheap probe over
+    the persisted user-grain frame enforces
+    ``VALUE_PAIR_GRID_BUDGET`` before the cross join and names the
+    coarser-quantization fallback in the error (r13 verdict #3, the
+    ``containment_pairs`` validate-don't-diverge precedent).
     Returns one row (n0, n1, n_pairs, hl_shift), 2dp (cents)."""
     from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
 
@@ -3362,6 +3376,25 @@ def hodges_lehmann_shift(
         events, user_col, value_col, F.col(type_col) == metric_type
     ))
     cents = F.round(F.col("m") * 100).cast("long")
+    card = um.agg(
+        F.countDistinct(
+            F.when(F.col("arm") == 1, cents)
+        ).alias("_k1"),
+        F.countDistinct(
+            F.when(F.col("arm") == 0, cents)
+        ).alias("_k0"),
+    ).first()
+    grid = int(card["_k1"]) * int(card["_k0"])
+    if grid > VALUE_PAIR_GRID_BUDGET:
+        raise ValueError(
+            "hodges_lehmann_shift: distinct-value pair grid "
+            f"{card['_k1']} x {card['_k0']} = {grid} exceeds "
+            f"VALUE_PAIR_GRID_BUDGET ({VALUE_PAIR_GRID_BUDGET}). "
+            "The pairwise-difference census is quadratic at distinct-"
+            "value grain: quantize the metric to a coarser grain "
+            "first (e.g. round to whole units or bin into quantile "
+            "buckets) so |V1|*|V0| fits the budget."
+        )
     v1 = (
         um.filter(F.col("arm") == 1)
         .groupBy(cents.alias("_v1"))
