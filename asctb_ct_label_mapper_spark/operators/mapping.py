@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 from asctb_ct_label_mapper_spark.functions.nlp import clean_text_full_udf
 from asctb_ct_label_mapper_spark.functions.vector import stub_encode_udf
 from asctb_ct_label_mapper_spark.operators.similarity import (
-    top_k_similarity_blocked,
+    REF_BROADCAST_BUDGET_BYTES,
+    choose_similarity_impl,
+    similarity_topk,
     top_k_similarity_join,
 )
 
@@ -80,7 +82,7 @@ def map_labels_to_reference(
     k: int = 2,
     encoder: Encoder = stub_encode_udf,
     clean: Callable[[Column], Column] = clean_text_full_udf,
-    strategy: str = "blocked",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Translate ``labels(source, raw_input_label)`` against
     ``reference(CT_ID, CT_NAME, definition, all_text, ct_name_cleaned,
@@ -93,13 +95,18 @@ def map_labels_to_reference(
     SentenceTransformer slots in as an iterator pandas UDF loading the model
     once per worker — same plan, different F12 expression.
 
-    ``strategy`` picks the physical top-k: "blocked" (default) streams
-    queries through the blocked-matmul ``mapInPandas`` with the reference
-    matrix broadcast once — zero shuffle, linear in query count, the 100 TB
-    shape — then broadcast-joins CT_NAME/all_text back by CT_ID (the
-    reference is broadcast-sized by construction here). "join" keeps the
-    cross-join + window plan (payload fused, no collect; use it when the
-    reference must stay distributed). Both are hash-identical (proven by
+    ``strategy`` picks the physical top-k. "auto" (default, r13 verdict
+    #5) reads reference count+dim and query count (three cheap jobs on
+    already-persisted/seed frames) and routes via
+    :func:`choose_similarity_impl` — at golden-reference scale that
+    lands on the fused cross-join + window rung; a reference past the
+    flop budget streams through the blocked matmul; past the BROADCAST
+    budget it routes to IVF, where the old hard-coded broadcast would
+    have OOMed. Explicit "join" / "blocked" / "ivf" pin a rung. For
+    every non-fused rung the CT_NAME/all_text payload joins back by
+    CT_ID afterward — broadcast while the reference fits the budget, a
+    plain equi-join past it — and the exact-overwrite aggregate obeys
+    the same budget flag. Exact rungs are hash-identical (proven by
     cos_topk_join / cos_topk_blocked sharing one oracle).
     """
     seed = labels.select("source", "raw_input_label").dropDuplicates()
@@ -121,19 +128,21 @@ def map_labels_to_reference(
     ):
         reference = reference.select(*_REF_PROJ_COLS).persist()
 
-    if strategy == "blocked":
-        topk = top_k_similarity_blocked(
-            encoded,
-            reference,
-            k=k,
-            query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
-            ref_id_col="CT_ID",
-        )
-        payload = reference.select("CT_ID", "CT_NAME", "all_text")
-        topk = topk.join(
-            F.broadcast(payload), topk["ref_id"] == payload["CT_ID"], "left"
-        ).drop("CT_ID")
+    if strategy == "auto":
+        # route on cheap statistics: ref count+dim off the persisted
+        # projection, query count off the pre-encode seed (same row
+        # count as `encoded`, skips running the encoder UDF chain)
+        ref_stats = reference.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first(F.size("embedding")).alias("d"),
+        ).collect()[0]
+        n_refs, dim = ref_stats["c"], ref_stats["d"] or 0
+        rung = choose_similarity_impl(seed.count(), n_refs, dim)
+        ref_in_budget = n_refs * dim * 8 <= REF_BROADCAST_BUDGET_BYTES
     else:
+        rung, ref_in_budget = strategy, True
+
+    if rung == "join":
         topk = top_k_similarity_join(
             encoded,
             reference,
@@ -142,6 +151,21 @@ def map_labels_to_reference(
             ref_id_col="CT_ID",
             ref_payload_cols=["CT_NAME", "all_text"],
         )
+    else:
+        topk = similarity_topk(
+            encoded,
+            reference,
+            k=k,
+            query_id_cols=["source", "raw_input_label", "cleaned_input_label"],
+            ref_id_col="CT_ID",
+            impl=rung,
+        )
+        payload = reference.select("CT_ID", "CT_NAME", "all_text")
+        if ref_in_budget:
+            payload = F.broadcast(payload)
+        topk = topk.join(
+            payload, topk["ref_id"] == payload["CT_ID"], "left"
+        ).drop("CT_ID")
 
     # A2: rank -> columns. first() per (group, rank) is deterministic because
     # row_number makes (group, rank) unique.
@@ -165,16 +189,27 @@ def map_labels_to_reference(
         ):
             wide = wide.withColumnRenamed(f"{i}_{src}", tgt)
 
-    return overwrite_exact_matches(wide, reference, k=k)
+    return overwrite_exact_matches(
+        wide, reference, k=k, broadcast_exact=ref_in_budget
+    )
 
 
-def overwrite_exact_matches(report: DataFrame, reference: DataFrame, k: int) -> DataFrame:
+def overwrite_exact_matches(
+    report: DataFrame,
+    reference: DataFrame,
+    k: int,
+    broadcast_exact: bool = True,
+) -> DataFrame:
     """J1+J2 as one broadcast left join (replaces main.py:126-166's
     4x isin-mask + per-row lookup).
 
     Exact rows get rank-1 columns overwritten with the reference's values
     and score 1.0; ranks >= 2 are nulled. Collisions on ``ct_name_cleaned``
     resolve to the min CT_ID row (deterministic; see module docstring).
+
+    ``broadcast_exact``: the exact-match aggregate is reference-grain;
+    past the broadcast budget the flagship passes False and the
+    overwrite becomes a plain equi-join (same rows, shuffled build).
     """
     exact = (
         reference.groupBy("ct_name_cleaned")
@@ -191,8 +226,10 @@ def overwrite_exact_matches(report: DataFrame, reference: DataFrame, k: int) -> 
         .select("ct_name_cleaned", "x.x_id", "x.x_label", "x.x_text")
     )
 
+    if broadcast_exact:
+        exact = F.broadcast(exact)
     joined = report.join(
-        F.broadcast(exact),
+        exact,
         report["cleaned_input_label"] == exact["ct_name_cleaned"],
         "left",
     )
