@@ -105,6 +105,81 @@ def embedding_projection_2d(
     )
 
 
+def _ordinal_ranks(v: np.ndarray) -> np.ndarray:
+    """Ordinal (stable-sort) ranks — ties broken by position, which is
+    deterministic under kind='stable'; the rank-correlation bound below
+    carries enough margin that ordinal-vs-average tie handling cannot
+    flip it."""
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty_like(order)
+    ranks[order] = np.arange(len(v))
+    return ranks.astype(np.float64)
+
+
+def projection_invariants(
+    reference: DataFrame,
+    vec_col: str = "embedding",
+    min_rank_corr: float = 0.1,
+) -> DataFrame:
+    """Value-ORACLED readout of the PCA projection (r13 verdict #4 —
+    graduating ``viz_projection`` off the rows-only whitelist): the SVD
+    itself has no relational replay, so the gate splits into
+
+    - an EXACT spine DuckDB replays bit-for-bit: per-point CT_ID /
+      CT_NAME / hover_text plus ``dist_sum`` — the point's summed
+      full-dimension Euclidean distance to every other point (the
+      quadratic census is 200 points — driver-bounded by construction),
+      proving the collected matrix IS the table's content; and
+    - INVARIANT booleans the oracle pins TRUE: Spearman rank
+      correlation between 2-d and full-dim pairwise distances >= the
+      bound (measured ~0.22 across all SFs on the near-isotropic
+      synthetic embeddings; a broken projection lands near 0),
+      centering (PCA removes the mean exactly), and PC-variance
+      ordering (var(x) >= var(y)).
+
+    Rows are sorted by CT_ID before the fold so float summation order
+    is deterministic across partitionings."""
+    prepared = prepare_projection_input(reference, vec_col)
+    rows = sorted(prepared.collect(), key=lambda r: r["CT_ID"])
+    spark = prepared.sparkSession
+    schema = (
+        "CT_ID string, CT_NAME string, hover_text string, "
+        "dist_sum double, rank_corr_ok boolean, centered_ok boolean, "
+        "var_ordered_ok boolean"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xy = pca_2d(mat)
+    d_full = np.sqrt(((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1))
+    d_2d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    iu = np.triu_indices(len(rows), 1)
+    rho = float(
+        np.corrcoef(_ordinal_ranks(d_full[iu]), _ordinal_ranks(d_2d[iu]))[0, 1]
+    )
+    scale = float(np.abs(xy).max()) or 1.0
+    rank_ok = bool(rho >= min_rank_corr)
+    centered_ok = bool(
+        abs(float(xy[:, 0].mean())) < 1e-9 * scale
+        and abs(float(xy[:, 1].mean())) < 1e-9 * scale
+    )
+    var_ordered_ok = bool(xy[:, 0].var() >= xy[:, 1].var() - 1e-12)
+    dist_sums = d_full.sum(axis=1)
+    out = [
+        (
+            r["CT_ID"],
+            r["CT_NAME"],
+            r["hover_text"],
+            round(float(s), 6),
+            rank_ok,
+            centered_ok,
+            var_ordered_ok,
+        )
+        for r, s in zip(rows, dist_sums)
+    ]
+    return spark.createDataFrame(out, schema)
+
+
 def random_projection_2d(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -14,23 +14,23 @@ from asctb_ct_label_mapper_spark.plans.audit import (
 )
 from asctb_ct_label_mapper_spark.queries import all_oracles, all_queries
 
-EXPECTED_ROWS_ONLY = {
-    # non-SQL-expressible by nature; everything else must carry an oracle.
-    # viz_projection -> driver-side SVD (eigendecomposition has no SQL
-    # replay). Everything else graduated to value oracles over the rounds:
-    # mapping_report (hex-chained sha256 stub replayed in SQL),
-    # multimodal_features (sha256 over payload bytes), cos_topk_lsh /
-    # dedup_embedding (seeded hyperplane literals), cos_topk_ivf (seeded
-    # spherical centroid literals), dedup_minhash (md5-affine family
-    # literals), dedup_simhash / winnowing_docs (md5-prefix token hash).
-    "viz_projection",
-    # distinct_users_sketch GRADUATED in r13: the DataSketches HLL_4
-    # binary still has no DuckDB replay, but the registry entry now
-    # emits the exact per-period distinct count (hash-matched) plus a
-    # 3·RSE envelope boolean on the estimate — value-gated, not
-    # rows-only (verdict r13 #4); cos_topk_hnsw reuses the pattern for
-    # its recall gauge.
-}
+EXPECTED_ROWS_ONLY: set[str] = set()
+_GRADUATION_HISTORY = """
+    # EMPTY since r14: every registry query carries a value oracle.
+    # The graduation history: mapping_report (hex-chained sha256 stub
+    # replayed in SQL), multimodal_features (sha256 over payload
+    # bytes), cos_topk_lsh / dedup_embedding (seeded hyperplane
+    # literals), cos_topk_ivf (seeded spherical centroid literals),
+    # dedup_minhash (md5-affine family literals), dedup_simhash /
+    # winnowing_docs (md5-prefix token hash); distinct_users_sketch
+    # (r13: exact spine + 3·RSE envelope boolean) and cos_topk_hnsw
+    # (r13: exact spine + recall-bound boolean) set the value-gated
+    # pattern; viz_projection (r14, the last holdout): the SVD still
+    # has no SQL replay, so its gate is the exact per-point distance
+    # spine (DuckDB's quadratic census hash-matches) + oracle-pinned
+    # projection-invariant booleans (rank correlation, centering,
+    # PC-variance ordering).
+"""
 
 
 def test_every_query_has_oracle_or_is_whitelisted():
