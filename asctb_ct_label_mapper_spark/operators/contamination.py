@@ -286,10 +286,27 @@ def bigram_logppl(
         .groupBy("prefix")
         .agg(F.sum("c12").alias("c1"))
     )
+    # Vocabulary WITHOUT a second corpus explode (r14, guide §2.3/§2.4):
+    # every token of every doc is either the PREFIX of one of the doc's
+    # bigrams (positions 0..L-2) or the doc's LAST token (position L-1 —
+    # which for a 1-token doc is its only token). So
+    # distinct(tokens) == distinct(prefix(bigram)) ∪ distinct(last_token),
+    # where the prefix side re-aggregates the persisted vocabulary-sized
+    # bigram model and the last-token side is a narrow doc-grain
+    # substring_index — no explode, no token-stream distinct shuffle.
+    # Exactly equal on ANY input (single-space split keeps empties on
+    # both paths), so the oracle is untouched.
     vocab = int(
-        train_df.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("token")
-        ).agg(F.countDistinct("token").alias("v")).first()["v"]
+        bg_counts.select(
+            F.substring_index(F.col("bigram"), " ", 1).alias("token")
+        )
+        .unionAll(
+            train_df.select(
+                F.substring_index(F.col(text_col), " ", -1).alias("token")
+            )
+        )
+        .agg(F.countDistinct("token").alias("v"))
+        .first()["v"]
     )
     if vocab == 0:
         raise ValueError("bigram_logppl: train corpus is empty (no tokens)")

@@ -454,12 +454,17 @@ def kmv_sketch_by(
         # COLUMN PRUNING, so a 205 MB events file projected to
         # (day, user) estimates at ~92 MB — an earlier 128 MB threshold
         # therefore disabled the prefilter at the very 100x tier it was
-        # built for (11.4 s vs 4.9 s engaged). 16 MB leaves margin both
-        # ways on the PRUNED width: sf0.1 estimates ~0.9 MB (17x under,
-        # zero-job skip), events100x ~92 MB (5.8x over, falls through
-        # to the est-based gate below, which decides on real per-group
-        # cardinalities). prefilter_min_pairs=0 bypasses both gates
-        # (tests / forced engagement).
+        # built for (11.4 s vs 4.9 s engaged). r14 recalibration: the
+        # docs10x (doc_id, text) scan estimates at 3.9 MB, so the old
+        # 16 MB gate ALSO disabled the prefilter exactly where it pays
+        # (vocab_growth_sketch then ran the full distinct + 10-partition
+        # window over the 2.4M-row gram-hash stream — 16.9 s committed
+        # at docs10x vs 15.9 s at docs100x WITH the prefilter on 10x
+        # the data). 2 MB keeps the margin on the small side (sf0.1
+        # docs estimate 0.24 MB, 8x under) and hands every tier-scale
+        # input to the est-based gate below, which decides on real
+        # per-group cardinalities. prefilter_min_pairs=0 bypasses both
+        # gates (tests / forced engagement).
         try:
             size = (
                 df._jdf.queryExecution()
@@ -469,7 +474,7 @@ def kmv_sketch_by(
             )
             # py4j maps scala BigInt to Python int; older bridges hand
             # back the object — normalize through str
-            if int(str(size)) < 16 * 1024 * 1024:
+            if int(str(size)) < 2 * 1024 * 1024:
                 safety = None
         except Exception:
             pass  # unknown stats -> fall through to the est-based gate

@@ -1159,6 +1159,16 @@ def vocab_growth(
     prefix's distinct count in a single pass. The only ordered step runs
     over ``n_shards`` rows. Shard id is ``id % n_shards`` (deterministic
     round-robin ingest batches at any scale)."""
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # The interpreted transform+slice gram HOF is the CPU-dense stage;
+    # a docs file scanning as 1-2 splits serializes it onto 1-2 cores
+    # (r14 probe: the docs10x explode alone cost 7.3 s on a 1-split
+    # scan). Widen before the explode; no-op at real-table scale
+    # (guide §2.5 input parallelism).
+    df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams_arr = F.when(
@@ -1283,7 +1293,14 @@ def vocab_growth_sketch(
         _KMV_DOMAIN,
         kmv_sketch_by,
     )
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
 
+    # Same widening as the exact flavor (r14): the sketch build, the
+    # narrow token-volume aggregate and the gate sample all pay the
+    # interpreted gram HOF; a 1-2-split docs scan serializes them.
+    df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams_arr = F.when(

@@ -40,12 +40,34 @@ def test_rerun_reason_drift_needs_more_than_one():
     committed = {
         "spread": {f"q{i}": [1.0, 1.0] for i in range(8)}
     }
-    one_bad = {f"q{i}": (9.0 if i == 0 else 1.0) for i in range(8)}
+    one_bad = {
+        "queries": {f"q{i}": (9.0 if i == 0 else 1.0) for i in range(8)}
+    }
     # 1 of 8 drifted: below max(1, 2) -> no rerun (single-query swings
     # are normal variance, not box load)
     assert bench._tier_rerun_reason(0.0, one_bad, committed) is None
-    three_bad = {f"q{i}": (9.0 if i < 3 else 1.0) for i in range(8)}
+    three_bad = {
+        "queries": {f"q{i}": (9.0 if i < 3 else 1.0) for i in range(8)}
+    }
     assert bench._tier_rerun_reason(0.0, three_bad, committed)
+
+
+def test_rerun_reason_streaming_mean_batch(  # r14: verdict #1 coverage gap
+):
+    committed = {"mean_batch_sec": 1.0}
+    ok = {"mean_batch_sec": 1.2, "queries": {}}
+    drifted = {"mean_batch_sec": 1.8, "queries": {}}
+    assert bench._tier_rerun_reason(0.0, ok, committed) is None
+    assert bench._tier_rerun_reason(0.0, drifted, committed)
+    # no committed value -> never a phantom rerun
+    assert bench._tier_rerun_reason(0.0, drifted, None) is None
+    assert bench._tier_rerun_reason(0.0, drifted, {}) is None
+
+
+def test_disk_fsync_marker_recorded():  # r14: verdict #2 disk-day marker
+    m = bench._load_markers()
+    assert "disk_fsync_ms" in m
+    assert m["disk_fsync_ms"] is None or m["disk_fsync_ms"] >= 0.0
 
 
 def test_run_tier_load_aware_keeps_better_total(monkeypatch):
