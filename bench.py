@@ -1245,8 +1245,28 @@ def bench_streaming_enrich(spark, sf_dir: str, n_batches: int = 10) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _state_partitions_default() -> int:
+    """Stream-stream state-store partition count (r13 verdict #6 matrix).
+
+    The r14 {4,8,16,32} x {hdfs,rocksdb} x {inner,outer} sweep
+    (plans/r14/streaming_matrix_r14.jsonl, one session per cell) shows
+    per-batch state-commit time scaling superlinearly with partition
+    count at this arrival rate (~10k rows/batch): outer-join
+    mean_batch_sec 0.82 / 1.34 / 4.19 / 6.30 s at 4/8/16/32 partitions,
+    inner 1.22 / 1.18 / 2.02 / 3.54 — commit overhead, not compute
+    (state_commit_ms_per_batch rises ~30x from 4 to 32 partitions while
+    update ms stays flat).  RocksDB is strictly worse than the default
+    HDFS-backed store at this state size (memory-resident, commit =
+    snapshot upload dominates).  Local default is therefore 4;
+    production (100x+ arrival rate) raises it via
+    SPARK_GRAFT_STATE_PARTITIONS so state per store stays bounded —
+    the right count tracks arrival-rate x (watermark + window), not
+    core count."""
+    return int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
+
+
 def bench_streaming_join(
-    spark, sf_dir: str, n_batches: int = 10, state_partitions: int = 8
+    spark, sf_dir: str, n_batches: int = 10, state_partitions: int = None
 ) -> dict:
     """Fifth streaming-tier row (r12 verdict #4): stream-STREAM
     watermarked interval join (streaming/events.view_click_pairs) —
@@ -1321,12 +1341,13 @@ def bench_streaming_join(
         out = os.path.join(work, "out")
         # State-partition sizing: the interval join keeps FOUR state
         # stores per side-pair (keyToNumValues + keyWithIndexToValue,
-        # each side), so at the session's 32 shuffle partitions every
-        # micro-batch pays ~128 store commits for ~10k rows — measured
-        # 4.4 s/batch, store overhead not data.  8 partitions keeps the
-        # 32 cores busy (file-source batches are one file) and cuts the
-        # commit count 4x; the stream pins its own partitioning at
-        # start, so restore the session value right after .start().
+        # each side), so every shuffle partition costs 4 store commits
+        # per micro-batch regardless of data volume.  The r14 sweep
+        # (see _state_partitions_default) pins the local default at 4;
+        # the stream pins its own partitioning at start, so restore the
+        # session value right after .start().
+        if state_partitions is None:
+            state_partitions = _state_partitions_default()
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         t0 = time.perf_counter()
@@ -1388,7 +1409,7 @@ def bench_streaming_join(
 
 
 def bench_streaming_outer_join(
-    spark, sf_dir: str, n_batches: int = 10, state_partitions: int = 8
+    spark, sf_dir: str, n_batches: int = 10, state_partitions: int = None
 ) -> dict:
     """Sixth streaming-tier row (r13 verdict #5): the LEFT-OUTER
     watermarked stream-stream join (streaming/events.view_click_outer)
@@ -1465,7 +1486,10 @@ def bench_streaming_outer_join(
         )
         out = os.path.join(work, "out")
         # same state-store-partition sizing as the inner tier (four
-        # stores per side-pair; 8 partitions cut commit overhead 4x)
+        # stores per side-pair; r14 matrix pins the local default at 4
+        # — see _state_partitions_default)
+        if state_partitions is None:
+            state_partitions = _state_partitions_default()
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         t0 = time.perf_counter()
