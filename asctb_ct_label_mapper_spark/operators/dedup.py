@@ -259,6 +259,138 @@ def minhash_signature_udf(n_hashes: int = 32, shingle_n: int = 3):
     return _sig
 
 
+def _minhash_sig_matrix(
+    texts: list, n_hashes: int, shingle_n: int, family: str
+) -> np.ndarray:
+    """Shared numpy body of both signature families: list of texts ->
+    (len(texts), n_hashes) int64 matrix. Values are bit-identical to the
+    pandas-UDF flavors (pinned by tests): md5affine = one md5 per UNIQUE
+    shingle (pd.factorize dedups; int.from_bytes(digest[:4]) ==
+    int(hexdigest[:8], 16)) then the exact mod-P affine family; siphash =
+    pd.util.hash_array base with the uint64-wraparound chunked affine.
+    Per-doc shingle dedup is skipped on purpose — minima are
+    multiset-invariant, and factorize collapses repeats for the md5 cost."""
+    import hashlib
+
+    if family == "md5affine":
+        p = _MINHASH_P
+        a = _MINHASH_AFF_A[:n_hashes][:, None]
+        b = _MINHASH_AFF_B[:n_hashes][:, None]
+        sentinel = p
+    else:
+        a_u = _MINHASH_A[:n_hashes]
+        b_u = _MINHASH_B[:n_hashes]
+        sentinel = _EMPTY_SENTINEL
+    shingle_lists = []
+    for t in texts:
+        toks = t.split(" ") if t is not None else []
+        if len(toks) < shingle_n:
+            shingle_lists.append([])
+        else:
+            shingle_lists.append(
+                [
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                ]
+            )
+    lengths = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+    out = np.full((len(texts), n_hashes), sentinel, dtype=np.int64)
+    nonempty = np.flatnonzero(lengths)
+    if not len(nonempty):
+        return out
+    flat = np.concatenate(
+        [np.asarray(shingle_lists[i], dtype=object) for i in nonempty]
+    )
+    cum = np.cumsum(lengths[nonempty])
+    offsets = np.concatenate(([0], cum[:-1]))
+    chunk = 4096
+    if family == "md5affine":
+        codes, uniques = pd.factorize(flat)
+        md5 = hashlib.md5
+        ubase = np.fromiter(
+            (
+                int.from_bytes(md5(u.encode("utf-8")).digest()[:4], "big") % p
+                for u in uniques
+            ),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        base = ubase[codes]
+        mins = np.empty((len(nonempty), n_hashes), dtype=np.int64)
+        for lo in range(0, len(nonempty), chunk):
+            hi = min(lo + chunk, len(nonempty))
+            seg = base[offsets[lo] : cum[hi - 1]]
+            fam = (a * seg[None, :] + b) % p
+            mins[lo:hi] = np.minimum.reduceat(
+                fam, offsets[lo:hi] - offsets[lo], axis=1
+            ).T
+        out[nonempty] = mins
+    else:
+        base = pd.util.hash_array(flat)  # uint64 SipHash, fixed key
+        mins = np.empty((len(nonempty), n_hashes), dtype=np.uint64)
+        for lo in range(0, len(nonempty), chunk):
+            hi = min(lo + chunk, len(nonempty))
+            seg = base[offsets[lo] : cum[hi - 1]]
+            fam = a_u[:, None] * seg[None, :]
+            fam += b_u[:, None]  # uint64 wraps per element (see UDF note)
+            mins[lo:hi] = np.minimum.reduceat(
+                fam, offsets[lo:hi] - offsets[lo], axis=1
+            ).T
+        out[nonempty] = mins.view(np.int64)
+    return out
+
+
+def minhash_signatures_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    family: str = "md5affine",
+    id_out: str = "_id",
+    sig_out: str = "_sig",
+) -> DataFrame:
+    """(id, sig) signature frame via ``mapInArrow`` — the hot-path
+    signature producer. Signature VALUES are identical to the pandas-UDF
+    flavors; the difference is the Python boundary (guide §4): the output
+    ListArray is built zero-copy from the flat (n_docs × n_hashes) matrix
+    (``pa.ListArray.from_arrays``) instead of pandas' row-at-a-time
+    object-Series → Arrow conversion. Measured at docs100x (500k docs,
+    26M shingles): signature stage 8.0 s → 6.1 s; the conversion, not the
+    hashing, was the difference."""
+    assert family in ("siphash", "md5affine")
+    assert n_hashes <= _MINHASH_MAX_FAMILY
+    import pyarrow as pa
+
+    id_t = dict(df.dtypes)[id_col]
+    nh, sn, fam = n_hashes, shingle_n, family
+
+    def _fn(batches):
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            texts = tb.column("_mtext").to_pylist()
+            mat = _minhash_sig_matrix(texts, nh, sn, fam)
+            n = mat.shape[0]
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * nh, nh, dtype=np.int64),
+                    type=pa.int32(),
+                ),
+                pa.array(mat.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [tb.column("_mid").combine_chunks(), sig], ["_mid", "_msig"]
+            )
+
+    wide = ensure_min_partitions(df)
+    out = wide.select(
+        F.col(id_col).alias("_mid"), F.col(text_col).alias("_mtext")
+    ).mapInArrow(_fn, f"_mid {id_t}, _msig array<bigint>")
+    return out.select(
+        F.col("_mid").alias(id_out), F.col("_msig").alias(sig_out)
+    )
+
+
 # --- MinHash + banded LSH ----------------------------------------------------
 
 
@@ -313,14 +445,8 @@ def minhash_lsh_candidates(
     # scans so the dense stage uses the whole box (no-op on real-scale scans).
     df = ensure_min_partitions(df)
     if fused:
-        sig_udf = (
-            minhash_signature_md5affine_udf
-            if family == "md5affine"
-            else minhash_signature_udf
-        )(n_hashes, shingle_n)
-        sig = df.select(
-            F.col(id_col).alias("_id"),
-            sig_udf(F.col(text_col)).alias("_sig"),
+        sig = minhash_signatures_frame(
+            df, text_col, id_col, n_hashes, shingle_n, family
         )
     else:
         assert family == "siphash", "native flavor has no md5-affine variant"
@@ -336,15 +462,21 @@ def minhash_lsh_candidates(
             "_id", minhash_signature_expr(F.col("_shingles"), n_hashes).alias("_sig")
         )
     if family == "md5affine":
-        # md5 of the '|'-joined decimal band slice — byte-identical to the
-        # oracle's md5(array_to_string([CAST(x AS VARCHAR) ...], '|')).
+        # md5 of the '|'-joined decimal band slice — the oracle replays
+        # md5(array_to_string([CAST(x AS VARCHAR) ...], '|')). unhex packs
+        # the digest to binary(16): equality (the only use) is unchanged,
+        # and the self-join shuffles/compares 16-byte keys instead of
+        # 32-char strings.
         def band_hash(band):
-            return F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice("_sig", band * r + 1, r), lambda x: x.cast("string")
-                    ),
-                    "|",
+            return F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("_sig", band * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
                 )
             )
     else:
@@ -372,7 +504,11 @@ def minhash_lsh_candidates(
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(b, ["band", "bhash"])
+        # Shuffled-hash, not sort-merge (guide §3): band hashes are
+        # uniform, neither side's sort order is reusable downstream, and
+        # SMJ would sort 4M+ banded rows per side just to discard the
+        # order at the distinct.
+        a.join(b.hint("shuffle_hash"), ["band", "bhash"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
@@ -880,9 +1016,9 @@ def minhash_signatures(
     incremental-dedup query then reads the signatures table instead of
     re-deriving n_hashes minhashes from 100 TB of text. Raw signatures
     (not bands) are stored so ``bands`` stays a query-time knob."""
-    sig_udf = minhash_signature_md5affine_udf(n_hashes, shingle_n)
-    return ensure_min_partitions(df).select(
-        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    return minhash_signatures_frame(
+        df, text_col, id_col, n_hashes, shingle_n, "md5affine",
+        id_out=id_col, sig_out="sig",
     )
 
 
@@ -890,7 +1026,9 @@ def _band_signatures(
     sig_df: DataFrame, id_col: str, out_id: str, bands: int, r: int
 ) -> DataFrame:
     """(id, sig) -> exploded (id, band, bhash): native slice/md5 over the
-    signature array, no text and no Python anywhere."""
+    signature array, no text and no Python anywhere. bhash is the packed
+    binary(16) digest (unhex) — equality-only key, half the shuffle bytes
+    of the hex string."""
     return sig_df.select(
         F.col(id_col).alias(out_id),
         F.explode(
@@ -898,13 +1036,15 @@ def _band_signatures(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            "|",
+                    F.unhex(
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "|",
+                            )
                         )
                     ).alias("bhash"),
                 ),

@@ -575,3 +575,38 @@ def test_fuzzy_name_matches_blocked_and_thresholded(spark):
     # anvil' and 'old anvil' (cold->shiny = 4 subs + 1 insert)
     assert fuzzy_name_matches(df, "p_name", max_dist=4).count() == 1
     assert fuzzy_name_matches(df, "p_name", max_dist=5).count() == 3
+
+
+def test_signatures_frame_matches_pandas_udf_flavors(docs, spark):
+    """r14: the mapInArrow signature frame (zero-copy ListArray output)
+    must be bit-identical to both pandas-UDF families — it replaced them
+    in every hot path, and the md5affine oracle replays these exact
+    values. Covers empty/None docs (sentinel rows survive the Arrow
+    boundary) via an extra frame."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        minhash_signature_md5affine_udf,
+        minhash_signatures_frame,
+    )
+
+    edge = spark.createDataFrame(
+        [(100, "ab"), (101, None), (102, "x y z w")],
+        "doc_id long, text string",
+    )
+    for frame in (docs, edge):
+        for family, udf in (
+            ("md5affine", minhash_signature_md5affine_udf(16)),
+            ("siphash", minhash_signature_udf(16)),
+        ):
+            got = {
+                r["_id"]: r["_sig"]
+                for r in minhash_signatures_frame(
+                    frame, "text", "doc_id", 16, 3, family
+                ).collect()
+            }
+            want = {
+                r["doc_id"]: r["sig"]
+                for r in frame.select(
+                    "doc_id", udf(F.col("text")).alias("sig")
+                ).collect()
+            }
+            assert got == want, family
