@@ -1160,33 +1160,32 @@ def new_vs_returning_daily(
     growth-accounting readout under every DAU chart (is the line new
     acquisition or retention?).
 
-    Plan: distinct (day, key) pairs (one Exchange), the key-grain
-    first-day fold off that SAME deduplicated frame (persisted — the
-    fact table is scanned once), a key-keyed join (co-partitioned with
-    the dedup shuffle), then a day-grain fold. Returns
+    Plan (r14, guide §2.4 joinless fold — the KM/Nelson-Aalen shape):
+    ONE key-grain ``collect_set(day)`` aggregate off the raw scan
+    (map-side partial dedup), then the first day is ``array_min`` and
+    the day decomposition an in-row explode — no distinct pass, no
+    first-day join, no persist. Two Exchanges total (key fold, day
+    fold) where the join formulation paid four. Returns
     (d, active_users, new_users, returning_users) for active days."""
-    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
-
-    pairs = pooled_persist(
+    per_key = (
         df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .select(
-            F.to_date(ts_col).alias("d"), F.col(key_col).alias("key")
+            F.col(key_col).alias("key"), F.to_date(ts_col).alias("d")
         )
-        .distinct()
+        .groupBy("key")
+        .agg(F.collect_set("d").alias("_ds"))
     )
-    first = pairs.groupBy("key").agg(F.min("d").alias("d0"))
-    return (
-        pairs.join(first, "key")
-        .groupBy("d")
-        .agg(
-            F.count(F.lit(1)).alias("active_users"),
-            F.sum((F.col("d") == F.col("d0")).cast("long")).alias(
-                "new_users"
-            ),
-            F.sum((F.col("d") != F.col("d0")).cast("long")).alias(
-                "returning_users"
-            ),
-        )
+    exploded = per_key.select(
+        F.array_min("_ds").alias("d0"), F.explode("_ds").alias("d")
+    )
+    return exploded.groupBy("d").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum((F.col("d") == F.col("d0")).cast("long")).alias(
+            "new_users"
+        ),
+        F.sum((F.col("d") != F.col("d0")).cast("long")).alias(
+            "returning_users"
+        ),
     )
 
 
