@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from asctb_ct_label_mapper_spark.operators.dedup import (
-    shingles_udf,
+    grams_frame,
     word_shingles_expr,
 )
 
@@ -55,14 +55,20 @@ def ngram_contamination(
     O(tokens^2) per doc; the dedup module's documented pitfall) — with
     identical shingle SETS, so oracle hashes are unchanged.
     """
-    sh = (
-        shingles_udf(n)(F.col(text_col))
-        if fused
-        else word_shingles_expr(F.col(text_col), n)
-    )
-    # explode_outer: zero-shingle docs survive as one null-gram row
-    ev = eval_df.select(F.col(id_col), F.explode_outer(sh).alias("gram"))
-    vocab = train_df.select(F.explode(sh).alias("gram")).distinct()
+    if fused:
+        # explode_outer: zero-shingle docs survive as one null-gram row
+        ev = grams_frame(
+            eval_df.select(F.col(id_col), F.col(text_col)), text_col, n, "_sh"
+        ).select(F.col(id_col), F.explode_outer("_sh").alias("gram"))
+        vocab = (
+            grams_frame(train_df.select(F.col(text_col)), text_col, n, "_sh")
+            .select(F.explode("_sh").alias("gram"))
+            .distinct()
+        )
+    else:
+        sh = word_shingles_expr(F.col(text_col), n)
+        ev = eval_df.select(F.col(id_col), F.explode_outer(sh).alias("gram"))
+        vocab = train_df.select(F.explode(sh).alias("gram")).distinct()
     if hash_join_key:
         ev = ev.withColumn("gk", F.xxhash64("gram"))
         vocab = vocab.select(F.xxhash64("gram").alias("gk")).distinct()
@@ -259,19 +265,20 @@ def bigram_logppl(
 
     from pyspark import StorageLevel
 
-    from asctb_ct_label_mapper_spark.operators.dedup import ngrams_all_udf
     from asctb_ct_label_mapper_spark.plans.partitioning import (
         ensure_min_partitions,
     )
 
     if fused:
-        bigrams = ngrams_all_udf(2)
         train_df = ensure_min_partitions(train_df)
         eval_df = ensure_min_partitions(eval_df)
+        train_bg = grams_frame(
+            train_df.select(F.col(text_col)), text_col, 2, "_bg", dedup=False
+        ).select(F.explode("_bg").alias("bigram"))
     else:
-        bigrams = bigrams_native
-
-    train_bg = train_df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+        train_bg = train_df.select(
+            F.explode(bigrams_native(F.col(text_col))).alias("bigram")
+        )
     bg_counts = (
         train_bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -310,9 +317,19 @@ def bigram_logppl(
     )
     if vocab == 0:
         raise ValueError("bigram_logppl: train corpus is empty (no tokens)")
-    ev = eval_df.select(
-        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bigram")
-    ).withColumn("prefix", F.substring_index(F.col("bigram"), " ", 1))
+    if fused:
+        ev = grams_frame(
+            eval_df.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            2,
+            "_bg",
+            dedup=False,
+        ).select(F.col(id_col), F.explode("_bg").alias("bigram"))
+    else:
+        ev = eval_df.select(
+            F.col(id_col), F.explode(bigrams_native(F.col(text_col))).alias("bigram")
+        )
+    ev = ev.withColumn("prefix", F.substring_index(F.col("bigram"), " ", 1))
     scored = (
         ev.join(bg_counts, "bigram", "left")
         .join(prefix_counts, "prefix", "left")

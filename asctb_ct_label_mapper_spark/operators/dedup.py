@@ -104,6 +104,17 @@ def shingles_udf(n: int = 3):
     return _sh
 
 
+def _gram_list(text: str | None, n: int) -> list[str]:
+    """Python mirror of the native transform+slice gram HOF — every
+    n-gram, keeping MULTIPLICITY and order (``_shingle_list`` dedups)."""
+    if text is None:
+        return []
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
 def ngrams_all_udf(n: int = 2):
     """Arrow-vectorized n-gram producer keeping MULTIPLICITY and order
     (``shingles_udf`` dedups — right for set similarity, wrong for
@@ -113,15 +124,59 @@ def ngrams_all_udf(n: int = 2):
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _ng(texts: pd.Series) -> pd.Series:
-        def go(t):
-            toks = t.split(" ")
-            if len(toks) < n:
-                return []
-            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-
-        return texts.map(go)
+        return texts.map(lambda t: _gram_list(t, n))
 
     return _ng
+
+
+def grams_frame(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    out_col: str,
+    dedup: bool = True,
+    drop_text: bool = True,
+) -> DataFrame:
+    """Frame-level n-gram producer via ``mapInArrow`` (guide §4.2) —
+    per-doc values identical to ``shingles_udf`` (``dedup=True``) /
+    ``ngrams_all_udf`` (``dedup=False``; shared Python bodies), but the
+    output list column is built zero-copy with
+    ``pa.ListArray.from_arrays`` over one flat string buffer per batch
+    instead of a pandas object-Series of Python lists (the same boundary
+    move as ``minhash_signatures_frame``; measured 3.1 s → 1.6 s for the
+    50k-doc tier's shingle+explode stage). Every input column except
+    (optionally) ``text_col`` passes through untouched; ``out_col`` is
+    appended. Null texts yield empty gram lists on both bodies."""
+    import pyarrow as pa
+
+    make = _shingle_list if dedup else _gram_list
+    keep = [c for c in df.columns if c != text_col]
+    src = df.select(*keep, text_col)
+    ti = len(keep)
+    n_keep = ti + (0 if drop_text else 1)
+    names = src.columns[:n_keep] + [out_col]
+    out_schema = T.StructType(
+        [src.schema[c] for c in names[:-1]]
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def _fn(batches):
+        for batch in batches:
+            texts = batch.column(ti).to_pylist()
+            offsets = [0]
+            flat: list[str] = []
+            for t in texts:
+                flat.extend(make(t, n))
+                offsets.append(len(flat))
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.string()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_keep)] + [arr], names
+            )
+
+    return src.mapInArrow(_fn, out_schema)
 
 
 # Fixed affine family over uint64 (odd multipliers; wraparound is the mod):
@@ -580,7 +635,7 @@ def minhash_md5_dedup_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
-        a.join(b, ["band", "bhash"])
+        a.join(b.hint("shuffle_hash"), ["band", "bhash"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
@@ -641,15 +696,20 @@ def minhash_dedup_pairs(
     )
     if n_cand <= 2_000_000:
         ids = F.broadcast(ids)
-    shingle_col = (
-        shingles_udf(shingle_n)(F.col(text_col))
-        if fused
-        else word_shingles_expr(F.col(text_col), shingle_n)
-    )
     needed = df.join(ids, df[id_col] == ids["_sid"], "inner")
-    sh = needed.select(F.col("_sid"), shingle_col.alias("_shingles")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = (
+        grams_frame(
+            needed.select(F.col("_sid"), F.col(text_col)),
+            text_col,
+            shingle_n,
+            "_shingles",
+        )
+        if fused
+        else needed.select(
+            F.col("_sid"),
+            word_shingles_expr(F.col(text_col), shingle_n).alias("_shingles"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()  # eager: consumed by both verify joins
     return (
         cands.join(sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("_shingles", "_sh_a"), "id_a")
@@ -689,15 +749,21 @@ def ngram_jaccard_pairs(
     so it is persisted: shingling runs once, not per branch (measured 3x
     ~14 s at 50k docs before the hoist).
     """
-    shingle_col = (
-        shingles_udf(shingle_n)(F.col(text_col))
-        if fused
-        else word_shingles_expr(F.col(text_col), shingle_n)
+    narrow = ensure_min_partitions(
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col),
+        )
     )
-    sh = ensure_min_partitions(df).select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("_id"),
-        shingle_col.alias("_sh"),
+    sh = (
+        grams_frame(narrow, text_col, shingle_n, "_sh")
+        if fused
+        else narrow.select(
+            "_blk",
+            "_id",
+            word_shingles_expr(F.col(text_col), shingle_n).alias("_sh"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Eager: the 2-3 consumer branches are concurrent shuffle-map stages —
     # a lazy persist lets each recompute the shingling before any caches.
@@ -723,7 +789,15 @@ def ngram_jaccard_pairs(
     a = tok.alias("a")
     b = tok.alias("b")
     common = (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._s") == F.col("b._s")))
+        a.join(
+            # shuffle_hash (guide §3.2): the exploded token stream is a
+            # multi-million-row relation — broadcasting it builds the hash
+            # table once per task on the driver's copy; gram keys are
+            # uniform and nothing downstream reuses a sort order
+            # (measured 5.9-7.5 s -> 2.3-2.6 s for the census at docs10x).
+            b.hint("shuffle_hash"),
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._s") == F.col("b._s")),
+        )
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(
             F.col("a._blk").alias("_blk"),
@@ -1187,13 +1261,19 @@ def minhash_dedup_incremental(
             .select("batch_id", "match_id", "jaccard")
         )
 
-    bsh = batch.select(
-        F.col(id_col).alias("batch_id"),
-        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_b"),
+    bsh = grams_frame(
+        batch.select(F.col(id_col).alias("batch_id"), F.col(text_col)),
+        text_col,
+        shingle_n,
+        "_sh_b",
     )
-    msh = corpus.join(match_ids, corpus[id_col] == match_ids["_mid"]).select(
-        F.col("_mid").alias("match_id"),
-        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh_m"),
+    msh = grams_frame(
+        corpus.join(match_ids, corpus[id_col] == match_ids["_mid"]).select(
+            F.col("_mid").alias("match_id"), F.col(text_col)
+        ),
+        text_col,
+        shingle_n,
+        "_sh_m",
     )
     return (
         cands.join(F.broadcast(bsh), "batch_id")
@@ -1241,7 +1321,13 @@ def dup_ngram_spans(
     space, empties kept — the module-wide convention."""
     if fused:
         df = ensure_min_partitions(df)
-        grams_col = ngrams_all_udf(n)(F.col(text_col))
+        grams = grams_frame(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            n,
+            "_g",
+            dedup=False,
+        ).select(F.col(id_col), F.explode("_g").alias("gram"))
     else:
         toks = F.split(F.col(text_col), " ")
         grams_col = F.when(
@@ -1251,9 +1337,7 @@ def dup_ngram_spans(
                 lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
-    )
+        grams = df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
     per_gram = grams.groupBy("gram").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
@@ -1348,7 +1432,13 @@ def remove_dup_ngrams(
     """
     if fused:
         df = ensure_min_partitions(df)
-        grams_col = ngrams_all_udf(n)(F.col(text_col))
+        pos_src = grams_frame(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            n,
+            "_g",
+            dedup=False,
+        ).select(F.col(id_col), F.posexplode("_g").alias("pos0", "gram"))
     else:
         toks0 = F.split(F.col(text_col), " ")
         grams_col = F.when(
@@ -1358,8 +1448,11 @@ def remove_dup_ngrams(
                 lambda i: F.concat_ws(" ", F.slice(toks0, i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
+        pos_src = df.select(
+            F.col(id_col), F.posexplode(grams_col).alias("pos0", "gram")
+        )
     pos_grams = (
-        df.select(F.col(id_col), F.posexplode(grams_col).alias("pos0", "gram"))
+        pos_src
         .select(F.col(id_col), (F.col("pos0") + 1).alias("start"), "gram")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1875,11 +1968,17 @@ def containment_pairs(
             "containment_pairs requires threshold > 0 (zero-overlap "
             "pairs never enter the shared-shingle census)"
         )
-    shingle_col = shingles_udf(shingle_n)(F.col(text_col))
-    sh = ensure_min_partitions(df).select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("_id"),
-        shingle_col.alias("_sh"),
+    sh = grams_frame(
+        ensure_min_partitions(
+            df.select(
+                F.col(block_col).alias("_blk"),
+                F.col(id_col).alias("_id"),
+                F.col(text_col),
+            )
+        ),
+        text_col,
+        shingle_n,
+        "_sh",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     sizes = sh.select("_blk", "_id", F.size("_sh").alias("_sz"))
@@ -1888,7 +1987,8 @@ def containment_pairs(
     b = tok.alias("b")
     common = (
         a.join(
-            b,
+            # shuffle_hash: same shape and rationale as the Jaccard census
+            b.hint("shuffle_hash"),
             (F.col("a._blk") == F.col("b._blk"))
             & (F.col("a._s") == F.col("b._s")),
         )

@@ -794,12 +794,14 @@ def inverted_index(
     collect_list in the same aggregate; the df filter bounds output row
     width by construction.
     """
-    from asctb_ct_label_mapper_spark.operators.dedup import shingles_udf
+    from asctb_ct_label_mapper_spark.operators.dedup import grams_frame
 
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles_udf(ngram)(F.col(text_col))).alias("gram"),
-    )
+    grams = grams_frame(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        text_col,
+        ngram,
+        "_sh",
+    ).select("_id", F.explode("_sh").alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(

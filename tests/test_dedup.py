@@ -610,3 +610,47 @@ def test_signatures_frame_matches_pandas_udf_flavors(docs, spark):
                 ).collect()
             }
             assert got == want, family
+
+
+def test_grams_frame_matches_udf_flavors(docs, spark):
+    """r14: the mapInArrow gram frame (zero-copy ListArray output) must be
+    value-identical to both pandas-UDF flavors it replaced in the hot
+    paths (shingles_udf for dedup=True, ngrams_all_udf for dedup=False),
+    including None/empty/short-doc edges and pass-through columns."""
+    from asctb_ct_label_mapper_spark.operators.dedup import (
+        grams_frame,
+        ngrams_all_udf,
+        shingles_udf,
+    )
+
+    edge = spark.createDataFrame(
+        [(100, "ab", "s9"), (101, None, "s9"), (102, "x y z w x y", "s8"),
+         (103, "", "s8"), (104, "a  b", "s8")],
+        "doc_id long, text string, source string",
+    )
+    for frame in (docs, edge):
+        for dedup, udf in ((True, shingles_udf(3)), (False, ngrams_all_udf(3))):
+            out = grams_frame(
+                frame.select("source", "doc_id", "text"), "text", 3, "_g",
+                dedup=dedup,
+            )
+            assert out.columns == ["source", "doc_id", "_g"]
+            got = {
+                (r["source"], r["doc_id"]): r["_g"] for r in out.collect()
+            }
+            want = {
+                (r["source"], r["doc_id"]): r["_g"]
+                for r in frame.select(
+                    "source", "doc_id", udf(F.col("text")).alias("_g")
+                ).collect()
+            }
+            assert got == want, dedup
+    # drop_text=False keeps the text column ahead of the gram list
+    kept = grams_frame(
+        edge.select("doc_id", "text"), "text", 2, "_g", drop_text=False
+    )
+    assert kept.columns == ["doc_id", "text", "_g"]
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert rows[102]["text"] == "x y z w x y"
+    assert rows[102]["_g"] == ["x y", "y z", "z w", "w x"]
+    assert rows[101]["_g"] == [] and rows[101]["text"] is None
