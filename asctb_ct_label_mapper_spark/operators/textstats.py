@@ -1207,35 +1207,41 @@ def vocab_growth(
         ensure_min_partitions,
     )
 
-    # The interpreted transform+slice gram HOF is the CPU-dense stage;
-    # a docs file scanning as 1-2 splits serializes it onto 1-2 cores
-    # (r14 probe: the docs10x explode alone cost 7.3 s on a 1-split
-    # scan). Widen before the explode; no-op at real-table scale
-    # (guide §2.5 input parallelism).
+    from asctb_ct_label_mapper_spark.operators.dedup import grams_frame
+
+    # The gram stage is CPU-dense; a docs file scanning as 1-2 splits
+    # serializes it onto 1-2 cores (r14 probe: the docs10x explode alone
+    # cost 7.3 s on a 1-split scan). Widen before the explode; no-op at
+    # real-table scale (guide §2.5 input parallelism). Grams come from
+    # the zero-copy mapInArrow frame (guide §4.2) — the interpreted
+    # transform+slice HOF this replaced was 12x slower at 50k docs.
     df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        (F.col(id_col) % n_shards).alias("shard"),
-        F.explode(grams_arr).alias("gram"),
-    )
-    # `grams` (the exploded corpus) feeds BOTH aggregates below, i.e. the
-    # explode subtree is recomputed once per consumer. Deliberate: at
-    # 100 TB a grams-sized persist would spill far worse than a second
-    # columnar scan of (id, text), and each consumer collapses the
-    # exploded rows map-side immediately. Small-corpus callers that want
-    # the single-pass flavor can pooled_persist(grams) themselves.
+    grams = grams_frame(
+        df.select((F.col(id_col) % n_shards).alias("shard"), F.col(text_col)),
+        text_col,
+        n,
+        "_g",
+        dedup=False,
+    ).select("shard", F.explode("_g").alias("gram"))
     first_seen = grams.groupBy("gram").agg(F.min("shard").alias("shard"))
     new_per_shard = first_seen.groupBy("shard").agg(
         F.count(F.lit(1)).alias("new_grams")
     )
-    tok_per_shard = grams.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
+    # token volume WITHOUT any gram materialization (guide §2.3): the
+    # exploded-gram count per doc is exactly max(L - n + 1, 0) for
+    # L = size(split(text)) — a null text yields no exploded rows and a
+    # NULL size, which the otherwise(0) maps to the same 0 contribution.
+    tok_per_shard = df.select(
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.when(F.size(toks) >= n, F.size(toks) - (n - 1))
+        .otherwise(F.lit(0))
+        .alias("_ng"),
+    ).groupBy("shard").agg(F.sum("_ng").alias("n_grams"))
+    # exact parity with the exploded-count formulation: a shard whose
+    # docs ALL have zero grams produced no exploded rows, hence no row
+    # in the original aggregate — not a 0-row
+    tok_per_shard = tok_per_shard.filter(F.col("n_grams") > 0)
     w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
     return (
         tok_per_shard.join(new_per_shard, "shard", "left")
@@ -1341,30 +1347,33 @@ def vocab_growth_sketch(
         ensure_min_partitions,
     )
 
-    # Same widening as the exact flavor (r14): the sketch build, the
-    # narrow token-volume aggregate and the gate sample all pay the
-    # interpreted gram HOF; a 1-2-split docs scan serializes them.
+    from asctb_ct_label_mapper_spark.operators.dedup import grams_frame
+
+    # Same widening as the exact flavor (r14): the sketch build and the
+    # gate sample are the CPU-dense gram stages; a 1-2-split docs scan
+    # serializes them. Grams come from the zero-copy mapInArrow frame
+    # (guide §4.2) — this replaced the interpreted transform+slice HOF.
     df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        (F.col(id_col) % n_shards).alias("shard"),
-        F.explode(grams_arr).alias("gram"),
+    sharded = df.select(
+        (F.col(id_col) % n_shards).alias("shard"), F.col(text_col)
     )
-    # token volume WITHOUT the explode: sum of per-doc gram-array sizes
-    # equals the exploded row count exactly (empty arrays contribute 0
-    # rows either way), but runs as a narrow doc-grain aggregate — the
-    # explode otherwise materializes a second time just to be counted
-    # (measured 49 s at docs100x with the double explode; the sketch
-    # build is the only remaining gram-stream consumer)
+    grams = grams_frame(sharded, text_col, n, "_g", dedup=False).select(
+        "shard", F.explode("_g").alias("gram")
+    )
+    # token volume WITHOUT the explode or any gram materialization
+    # (guide §2.3): the per-doc gram count is exactly max(L - n + 1, 0)
+    # for L = size(split(text)) — same 0 for null/short texts as
+    # size(empty gram array). The explode otherwise materializes a
+    # second time just to be counted (measured 49 s at docs100x with
+    # the double explode; the sketch build is the only remaining
+    # gram-stream consumer).
     tok_per_shard = (
         df.select(
             (F.col(id_col) % n_shards).alias("shard"),
-            F.size(grams_arr).alias("_ng"),
+            F.when(F.size(toks) >= n, F.size(toks) - (n - 1))
+            .otherwise(F.lit(0))
+            .alias("_ng"),
         )
         .groupBy("shard")
         .agg(F.sum("_ng").alias("n_grams"))
@@ -1372,10 +1381,13 @@ def vocab_growth_sketch(
     gate_df = None
     gate_scale = 1.0
     if gate_fraction is not None and 0.0 < gate_fraction < 1.0:
-        gate_df = df.sample(fraction=gate_fraction, seed=7).select(
-            (F.col(id_col) % n_shards).alias("shard"),
-            F.explode(grams_arr).alias("gram"),
-        )
+        gate_df = grams_frame(
+            sharded.sample(fraction=gate_fraction, seed=7),
+            text_col,
+            n,
+            "_g",
+            dedup=False,
+        ).select("shard", F.explode("_g").alias("gram"))
         gate_scale = 1.0 / gate_fraction
     sk = kmv_sketch_by(
         grams, ["shard"], "gram", k=k,
