@@ -8,7 +8,6 @@ Python workers. Every operator has a matching DuckDB-SQL formulation (the
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -614,69 +613,28 @@ def tfidf_topk(
 
         @F.pandas_udf(out_schema)
         def _topk(texts: pd.Series) -> pd.Series:
-            # Vectorized batch scorer (r14, guide §4.2): the previous
-            # per-doc Counter + sort ran row-at-a-time Python inside the
-            # pandas UDF. Same arithmetic, same order: tf counts from one
-            # factorized flat token stream, score = tf * precomputed idf
-            # (identical float op order to the dict path), top-k by one
-            # lexsort on (doc, -raw score, token ascending) — the exact
-            # (-score, token) tie-break the per-doc sort applied. Tokens
-            # outside the (possibly pruned) model are not score candidates,
-            # matching the relational strategy's inner join against dfreq.
+            from collections import Counter
+
             m = b_model.value
-            n = len(texts)
-            token_lists = [("" if t is None else t).split(" ") for t in texts]
-            lens = np.fromiter(
-                (len(t) for t in token_lists), dtype=np.int64, count=n
-            )
-            out: list = [[] for _ in range(n)]
-            if n == 0:
-                return pd.Series(out)
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in token_lists]
-            )
-            codes, uniques = pd.factorize(flat)
-            u = len(uniques)
-            u_df = np.zeros(u, dtype=np.int64)
-            u_idf = np.zeros(u, dtype=np.float64)
-            u_in = np.zeros(u, dtype=bool)
-            for i, tok in enumerate(uniques):
-                e = m.get(tok)
-                if e is not None:
-                    u_in[i] = True
-                    u_df[i] = e[0]
-                    u_idf[i] = e[1]
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-            uk, tf_counts = np.unique(doc_idx * u + codes, return_counts=True)
-            d, c = uk // u, uk % u
-            keep = u_in[c]
-            d, c, tf_counts = d[keep], c[keep], tf_counts[keep]
-            if not len(d):
-                return pd.Series(out)
-            scores = tf_counts * u_idf[c]
-            # rank of each unique token in ascending string order (the
-            # tie-break); argsort over the batch-local vocabulary only
-            u_rank = np.empty(u, dtype=np.int64)
-            u_rank[np.argsort(uniques)] = np.arange(u)
-            order = np.lexsort((u_rank[c], -scores, d))
-            d, c, tf_counts, scores = (
-                d[order], c[order], tf_counts[order], scores[order]
-            )
-            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-            grp_len = np.diff(np.r_[starts, len(d)])
-            pos = np.arange(len(d)) - np.repeat(starts, grp_len)
-            top = pos < kk
-            for di, ci, tfv, sv, pv in zip(
-                d[top].tolist(),
-                c[top].tolist(),
-                tf_counts[top].tolist(),
-                scores[top].tolist(),
-                pos[top].tolist(),
-            ):
-                out[di].append(
-                    (uniques[ci], tfv, int(u_df[ci]), round(sv, 6), pv + 1)
-                )
-            return pd.Series(out)
+
+            def one(t):
+                counts = Counter(("" if t is None else t).split(" "))
+                # tokens outside the (possibly pruned) model are not score
+                # candidates — matches the relational strategy's inner join
+                # against the pruned dfreq, and keeps a nondeterministically
+                # re-evaluated input from KeyError-ing the executor
+                scored = [
+                    (tok, tf, m[tok][0], tf * m[tok][1])
+                    for tok, tf in counts.items()
+                    if tok in m
+                ]
+                scored.sort(key=lambda r: (-r[3], r[0]))
+                return [
+                    (tok, tf, dfq, round(sc_, 6), i + 1)
+                    for i, (tok, tf, dfq, sc_) in enumerate(scored[:kk])
+                ]
+
+            return texts.map(one)
 
         return (
             df.select(F.col(id_col), _topk(F.col(text_col)).alias("_top"))
