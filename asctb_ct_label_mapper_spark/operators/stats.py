@@ -2180,39 +2180,32 @@ def burstiness_histogram(
     (hence the same gap multiset) under any tiebreak, so the statistic
     is deterministic without an injective order.
 
-    Plan (r14, guide §2.4 — the KM-style joinless fold): ONE key-grain
-    ``sort_array(collect_list(ts))`` aggregate (hash agg, no per-
-    partition sort), gaps and their sufficient statistics as in-row
-    array folds. The previous window-lag formulation paid the same
-    Exchange plus a full per-partition SORT for the lag window
-    (measured 6.4 s vs 1.7 s for this stage at events100x). Float op
-    order is preserved exactly: the window flavor's per-key sums ran
-    left-to-right over ts-sorted gap rows (all of a key's rows sit in
-    one window partition), and ``F.aggregate`` folds the sorted gap
-    array in the same left-to-right order — bit-identical sums, oracle
-    untouched. Output (bin_lo, n_keys, avg_b), 6dp; bins clamp to
-    [−1, 1]."""
-    arr = (
+    Plan: one keyed window (the only shuffle — by key), a per-key
+    sufficient-statistic aggregate, then a bin-sized histogram fold.
+    Output (bin_lo, n_keys, avg_b), 6dp; bins clamp to [−1, 1]."""
+    gaps = (
         df.filter(F.col(ts_col).isNotNull())
         .select(
             F.col(key_col).alias("key"),
-            F.col(ts_col).cast("timestamp").cast("double").alias("t"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
         )
-        .groupBy("key")
-        .agg(F.sort_array(F.collect_list("t")).alias("_ts"))
-        # >=3 events == >=2 gaps, the same keys the window flavor kept
-        .filter(F.size("_ts") >= 3)
+        .withColumn(
+            "gap",
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(
+                Window.partitionBy("key").orderBy("ts")
+            ),
+        )
+        .filter(F.col("gap").isNotNull())
     )
-    g = F.zip_with(
-        F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
-        F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
-        lambda x, y: x - y,
-    )
-    per = arr.select(
-        "key",
-        (F.size("_ts") - 1).cast("long").alias("ng"),
-        F.aggregate(g, F.lit(0.0), lambda acc, x: acc + x).alias("sg"),
-        F.aggregate(g, F.lit(0.0), lambda acc, x: acc + x * x).alias("sgg"),
+    per = (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        )
+        .filter(F.col("ng") >= 2)
     )
     mu = F.col("sg") / F.col("ng")
     sigma = F.sqrt(
