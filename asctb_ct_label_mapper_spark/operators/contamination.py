@@ -421,22 +421,65 @@ def importance_select(
 
     Scale shape: two vocabulary-sized unigram models (map-side-combinable
     token counts — the target model is tiny by definition, the pool model
-    is the same aggregate the perplexity filter already pays), two hash
-    equi-joins of the exploded pool stream against those models, one
-    per-doc average each, a doc-level join, then a global top-n
-    (TakeOrderedAndProject — per-partition heaps, no sort shuffle).
+    is the same aggregate the perplexity filter already pays), then ONE
+    exploded pool stream scored against BOTH models in the same pass (two
+    vocabulary-sized hash joins, one per-doc average computing both NLLs)
+    and a global top-n (TakeOrderedAndProject — per-partition heaps, no
+    sort shuffle). r14: the earlier formulation called unigram_logppl
+    twice, exploding the pool corpus once per model plus once for the
+    pool model build and re-joining the two doc-grain results — the fused
+    pass removes a full corpus explode, a per-doc aggregate Exchange and
+    the doc-level join; per-model 6dp NLL rounding is replayed exactly,
+    so values are unchanged.
 
     Returns (id_col, importance) for the selected docs, importance
     rounded 6dp, ties broken by ascending id.
     """
-    nll_target = unigram_logppl(pool, target, text_col, id_col).select(
-        F.col(id_col), F.col("avg_neg_logp").alias("_nll_t")
+    from pyspark import StorageLevel
+
+    def _model(train: DataFrame, tag: str):
+        counts = (
+            train.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"_cnt_{tag}"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        totals = counts.agg(
+            F.sum(f"_cnt_{tag}").alias("total"),
+            F.count(F.lit(1)).alias("vocab"),
+        ).first()
+        if totals["total"] is None:
+            raise ValueError(
+                "unigram_logppl: train corpus is empty (no tokens)"
+            )
+        return counts, float(int(totals["total"]) + int(totals["vocab"]))
+
+    counts_t, denom_t = _model(target, "t")
+    counts_p, denom_p = _model(pool, "p")
+
+    def _neg_logp(tag: str, denom: float):
+        return -F.log(
+            (F.coalesce(F.col(f"_cnt_{tag}"), F.lit(0)) + 1).cast("double")
+            / denom
+        )
+
+    ev = pool.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
-    nll_pool = unigram_logppl(pool, pool, text_col, id_col).select(
-        F.col(id_col), F.col("avg_neg_logp").alias("_nll_p")
-    )
-    scored = nll_target.join(nll_pool, id_col).withColumn(
-        "importance", F.round(F.col("_nll_p") - F.col("_nll_t"), 6)
+    scored = (
+        ev.join(counts_t, "token", "left")
+        .join(counts_p, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(_neg_logp("t", denom_t)), 6).alias("_nll_t"),
+            F.round(F.avg(_neg_logp("p", denom_p)), 6).alias("_nll_p"),
+        )
+        .withColumn(
+            "importance", F.round(F.col("_nll_p") - F.col("_nll_t"), 6)
+        )
     )
     return (
         scored.orderBy(F.desc("importance"), F.asc(id_col))

@@ -1724,6 +1724,14 @@ def bloom_prefilter_dedup(
         mat = np.stack(pos.to_numpy())  # (rows, k) int64
         return pd.Series(bb[mat].all(axis=1).astype("int32"))
 
+    # NOTE (r14, examined + rejected): the union's verify/negatives
+    # branches each re-run the batch scan and the bloom-membership UDF
+    # (plan shows two ArrowEvalPython nodes). Persisting this frame to
+    # share the UDF pass was A/B'd at sf0.1 / docs10x / docs100x and
+    # was flat-to-slower at every scale (docs100x min-of-3: 2.85-3.33 s
+    # unpersisted vs 3.46-8.36 s persisted) — materializing the
+    # batch-sized (id, md5, maybe) frame costs more than the second
+    # cheap vectorized pass. Left unpersisted on measurement.
     tested = batch.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("_h"),
@@ -2007,20 +2015,32 @@ def containment_pairs(
         F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b")
     )
     counted = common.join(sa, ["_blk", "id_a"]).join(sb, ["_blk", "id_b"])
-    fwd = counted.select(
+    # r14 melt (same fix as graph_family_report / daily_max_concurrency):
+    # the fwd/rev directions used to be a two-leg union whose legs EACH
+    # re-ran the collision self-join + pair aggregate (the shingle frame
+    # was cached, the census itself was not — the plan showed two
+    # ShuffledHashJoin/HashAggregate census subtrees). Both directions now
+    # project from ONE counted row via an inline 2-element array explode.
+    # Same rows, same values; order is irrelevant (unordered pair set).
+    both = counted.select(
         "_blk",
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        (F.col("_common") / F.col("_sz_a")).alias("_c"),
-    )
-    rev = counted.select(
-        "_blk",
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        (F.col("_common") / F.col("_sz_b")).alias("_c"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    (F.col("_common") / F.col("_sz_a")).alias("_c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    (F.col("_common") / F.col("_sz_b")).alias("_c"),
+                ),
+            )
+        ).alias("_e"),
     )
     return (
-        fwd.unionAll(rev)
+        both.select("_blk", "_e.id_src", "_e.id_dst", F.col("_e._c").alias("_c"))
         .filter(F.col("_c") >= threshold)
         .select(
             F.col("_blk").alias(block_col),

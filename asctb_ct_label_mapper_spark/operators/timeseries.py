@@ -150,9 +150,22 @@ def daily_max_concurrency(
 
     sess = session_intervals(df, gap_minutes, ts_col, key_col)
     end_excl = F.timestamp_micros(F.unix_micros(F.col("session_end")) + 1)
+    # r14 melt (same fix as graph_family_report): the (start,+1)/(end,-1)
+    # deltas used to come from a two-leg union whose legs EACH evaluated
+    # the full sessionization subtree (events scan + per-user window);
+    # emitting both deltas from one inline 2-element array keeps a single
+    # sessionization pass with a narrow Generate on top. Same rows, same
+    # values — order is irrelevant under the per-timestamp sum below.
     pts = sess.select(
-        F.col("session_start").alias("pt"), F.lit(1).alias("d")
-    ).unionAll(sess.select(end_excl.alias("pt"), F.lit(-1).alias("d")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("pt"), F.lit(1).alias("d")
+                ),
+                F.struct(end_excl.alias("pt"), F.lit(-1).alias("d")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.pt").alias("pt"), F.col("_e.d").alias("d"))
     # pooled: per_ts feeds BOTH the within-day prefix branch and the
     # day-total carry branch — without the persist the whole two-window
     # sessionization subtree evaluates once per consumer per union leg

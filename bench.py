@@ -936,6 +936,15 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
+        # State-partition sizing (r14 sweep, same evidence as the
+        # stream-stream tiers — see _state_partitions_default): at 32
+        # partitions the dedup state store pays ~13 s commit ms per
+        # batch vs ~0.25 s at 4 (mean_batch_sec 1.17 -> 0.47, identical
+        # state rows). The stream pins its own partitioning at start,
+        # so restore the session value right after .start().
+        state_partitions = _state_partitions_default()
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         t0 = time.perf_counter()
         q = start_watermarked_exact_dedup_stream(
             stream,
@@ -944,6 +953,7 @@ def bench_streaming_watermark(spark, sf_dir: str, n_batches: int = 10) -> dict:
             delay="7 days",
             available_now=True,
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         drained = q.awaitTermination(600)
         if not drained:
             q.stop()
@@ -1054,6 +1064,13 @@ def bench_streaming_session(spark, sf_dir: str, n_batches: int = 10) -> dict:
             .parquet(landing)
         )
         out = os.path.join(work, "out")
+        # State-partition sizing (r14 sweep — see
+        # _state_partitions_default): session-window state at 32
+        # partitions pays ~15-39 s commit ms per batch vs ~0.2 s at 4
+        # (mean_batch_sec 1.58 -> 0.60, matches_batch true both ways).
+        state_partitions = _state_partitions_default()
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         t0 = time.perf_counter()
         q = (
             sessionize(stream, gap="30 minutes", watermark="2 hours",
@@ -1065,6 +1082,7 @@ def bench_streaming_session(spark, sf_dir: str, n_batches: int = 10) -> dict:
             .trigger(availableNow=True)
             .start()
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         drained = q.awaitTermination(600)
         if not drained:
             q.stop()
@@ -1188,6 +1206,13 @@ def bench_streaming_enrich(spark, sf_dir: str, n_batches: int = 10) -> dict:
             .parquet(landing)
         )
         out = os.path.join(work, "out")
+        # State-partition sizing (r14 sweep — see
+        # _state_partitions_default): the windowed-aggregate state at 32
+        # partitions pays ~13 s commit ms per batch vs ~0.17 s at 4
+        # (mean_batch_sec 1.24 -> 0.47, matches_batch true both ways).
+        state_partitions = _state_partitions_default()
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         t0 = time.perf_counter()
         q = (
             enriched_tumbling_counts(
@@ -1201,6 +1226,7 @@ def bench_streaming_enrich(spark, sf_dir: str, n_batches: int = 10) -> dict:
             .trigger(availableNow=True)
             .start()
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         drained = q.awaitTermination(600)
         if not drained:
             q.stop()
