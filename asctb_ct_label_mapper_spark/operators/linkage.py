@@ -273,6 +273,16 @@ def fs_linkage_weights(
     6dp, id_a < id_b."""
     if len(fields) != len(m_probs):
         raise ValueError("fields and m_probs must align")
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # The block self-join fans each probe-side row out to its whole block
+    # (Σ block² pairs through the codegen scorer); a sub-split dimension
+    # file scans as ONE partition, serializing that fan-out onto 1 core
+    # (guide §2.5). Widening the record table spreads the pair stream;
+    # no-op at real-table scale.
+    df = ensure_min_partitions(df)
     recs = df.select(
         F.col(id_col).alias("_id"),
         F.array_join(

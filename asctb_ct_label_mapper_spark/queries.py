@@ -5486,7 +5486,15 @@ def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays by building the (pos, gram) struct list directly —
     with a one-element (-1, NULL) sentinel list for short docs — and
     unnesting it (DuckDB has no LATERAL ... WITH ORDINALITY)."""
-    docs = _t(spark, sf_dir, "documents")
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # The interpreted transform+slice trigram HOF inside the Generate is
+    # CPU-dense, and a sub-maxPartitionBytes docs file scans as ONE split —
+    # the whole explode serialized onto 1 core of 32 (guide §2.5; same
+    # class as the r14 vocab_growth fix). No-op at real-table scale.
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - 2)
     grams = F.when(
