@@ -1732,6 +1732,13 @@ def bloom_prefilter_dedup(
     # unpersisted vs 3.46-8.36 s persisted) — materializing the
     # batch-sized (id, md5, maybe) frame costs more than the second
     # cheap vectorized pass. Left unpersisted on measurement.
+    #
+    # What IS free to remove (guide §4.4): within EACH branch the
+    # bloom_maybe filter was pushed BELOW the UDF's projection, so every
+    # branch evaluated _maybe twice (plan: two ArrowEvalPython per scan,
+    # five total). The UDF is pure; non-deterministic marking only
+    # forbids the optimizer's duplication — one eval per branch.
+    _maybe = _maybe.asNondeterministic()
     tested = batch.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("_h"),

@@ -636,6 +636,16 @@ def tfidf_topk(
 
             return texts.map(one)
 
+        # Catalyst infers a non-empty-array constraint from the explode
+        # below and pushes it down as `size(udf(text)) > 0` — duplicating
+        # the scorer into a SECOND ArrowEvalPython below the widening
+        # Exchange, so every doc paid the Counter pass twice and the first
+        # copy ran on the 1-split scan (guide §4.4). Marking the UDF
+        # non-deterministic forbids the duplication; values are unchanged
+        # (the function is pure — the marker only blocks optimizer
+        # reordering/copying).
+        _topk = _topk.asNondeterministic()
+
         return (
             df.select(F.col(id_col), _topk(F.col(text_col)).alias("_top"))
             .select(F.col(id_col), F.explode("_top").alias("_r"))
