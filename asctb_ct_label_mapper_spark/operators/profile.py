@@ -674,6 +674,14 @@ def psi_drift(
     the two scans is bins-sized arithmetic. Returns one row per
     occupied bin (bucket, p_base, p_new, psi_term) plus the total as
     bucket = -1."""
+    # NOTE (r14, examined + rejected): the two <= n_bins+2-row histograms
+    # are each consumed twice and the union's total leg re-embeds the
+    # terms subtree, so the plan shows 8 table scans. Persisting hb/hn was
+    # A/B'd at sf0.1 and REGRESSED (0.62 -> 1.14 s min-of-3): the persist
+    # jobs + stage boundaries cost more than re-running combinable
+    # histogram aggregates over a page-cached scan. Left duplicated on
+    # measurement (the scans are pruned to one column and map-side-fold
+    # to <= 12 rows — cheap at any scale relative to a materialization).
     hb = equi_width_histogram(df_base, value_col, lo, hi, n_bins)
     hn = equi_width_histogram(df_new, value_col, lo, hi, n_bins)
     tb = hb.agg(F.sum("n_rows").alias("_tb"))
@@ -1289,10 +1297,19 @@ def woe_iv_binning(
             .alias("bin"),
             target.cast("int").alias("_g"),
         )
-    per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_g").alias("n_good"),
-        (F.count(F.lit(1)) - F.sum("_g")).alias("n_bad"),
+    from asctb_ct_label_mapper_spark.plans.cache import pooled_persist
+
+    # n_bins rows, FOUR consumers (with_woe, its tots broadcast, the iv
+    # broadcast, and iv's own tots) — unpersisted, each broadcast subtree
+    # re-embedded the whole upstream binning chain, so the corpus scan +
+    # rank window ran up to 4x per action (guide §2.4 duplicated
+    # subtrees; the bucketed flavor's plan showed 12 parquet scans).
+    per_bin = pooled_persist(
+        binned.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_g").alias("n_good"),
+            (F.count(F.lit(1)) - F.sum("_g")).alias("n_bad"),
+        )
     )
     tots = per_bin.agg(
         F.sum("n_good").alias("_gt"), F.sum("n_bad").alias("_bt")
