@@ -273,16 +273,6 @@ def fs_linkage_weights(
     6dp, id_a < id_b."""
     if len(fields) != len(m_probs):
         raise ValueError("fields and m_probs must align")
-    from asctb_ct_label_mapper_spark.plans.partitioning import (
-        ensure_min_partitions,
-    )
-
-    # The block self-join fans each probe-side row out to its whole block
-    # (Σ block² pairs through the codegen scorer); a sub-split dimension
-    # file scans as ONE partition, serializing that fan-out onto 1 core
-    # (guide §2.5). Widening the record table spreads the pair stream;
-    # no-op at real-table scale.
-    df = ensure_min_partitions(df)
     recs = df.select(
         F.col(id_col).alias("_id"),
         F.array_join(
@@ -305,12 +295,24 @@ def fs_linkage_weights(
     u_row = u_aggs[0]
     for other in u_aggs[1:]:
         u_row = u_row.crossJoin(other)
-    a = recs.select(
+    from asctb_ct_label_mapper_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # The block self-join fans each probe-side row out to its whole block
+    # (Σ block² pairs through the codegen scorer); a sub-split dimension
+    # file scans as ONE partition, serializing that fan-out onto 1 core
+    # (guide §2.5). Widen ONLY the pair sides — the three u-probability
+    # legs are plain combinable aggregates, exactly the shape the round's
+    # widening A/Bs showed a round-robin shuffle does not pay for.
+    # No-op at real-table scale.
+    recs_w = ensure_min_partitions(recs)
+    a = recs_w.select(
         F.col("_blk"),
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"_a_{c}") for c in fields],
     )
-    b = recs.select(
+    b = recs_w.select(
         F.col("_blk"),
         F.col("_id").alias("id_b"),
         *[F.col(c).alias(f"_b_{c}") for c in fields],

@@ -5482,7 +5482,8 @@ def p_explode_outer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short for a word trigram emit ONE row with (pos=-1, gram=NULL)
     instead of vanishing, the row-preservation contract audits rely on
     (every input id appears in the exploded output exactly
-    max(1, n_grams) times). Narrow Generate node, zero shuffle; the
+    max(1, n_grams) times). Narrow Generate node over ONE round-robin
+    widening Exchange (sub-split inputs only — see below); the
     oracle replays by building the (pos, gram) struct list directly —
     with a one-element (-1, NULL) sentinel list for short docs — and
     unnesting it (DuckDB has no LATERAL ... WITH ORDINALITY)."""
