@@ -1578,6 +1578,39 @@ def bench_streaming_outer_join(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _jvm_counters(spark) -> dict:
+    """Cumulative JVM process-CPU and GC-collection time via the public
+    JMX management beans (r14 third pass): in-tier timings were observed
+    3x an isolated min-of-3 on identical code (dedup_minhash 23.6 s
+    in-tier vs 7.0 s isolated) with box-level load markers idle — the
+    per-query DELTAS of these counters let the artifact separate
+    session-state stalls (wall >> cpu) and GC debt (gc_ms spike) from
+    genuine compute, the same role the load markers play for foreign
+    work. Local mode only needs the one JVM; on a cluster these would be
+    per-executor metrics (the status API exposes them)."""
+    cpu_ms = gc_ms = None
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        gc_ms = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            t = it.next().getCollectionTime()
+            if t > 0:
+                gc_ms += int(t)
+        # process CPU from /proc (utime+stime, ticks -> ms): the
+        # com.sun OperatingSystemMXBean getProcessCpuTime is reflection-
+        # blocked through py4j on JDK 17; RuntimeMXBean.getPid() is the
+        # public-interface route to the JVM pid
+        pid = int(mf.getRuntimeMXBean().getPid())
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(") ", 1)[1].split()
+        tick_hz = os.sysconf("SC_CLK_TCK") or 100
+        cpu_ms = int((int(parts[11]) + int(parts[12])) * 1000 / tick_hz)
+    except Exception:  # noqa: BLE001 - marker is best-effort
+        pass
+    return {"cpu_ms": cpu_ms, "gc_ms": gc_ms}
+
+
 def _tier_median3(spark, registry, names, tier_dir, label):
     """Shared tier methodology (r10, extending the r8/r9 docs100x
     prescription to EVERY scale tier): median-of-3 per query with the
@@ -1587,6 +1620,7 @@ def _tier_median3(spark, registry, names, tier_dir, label):
     median + spread makes drift distinguishable from noise."""
     med: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    jvm: dict[str, dict] = {}
     for name in names:
         fn = registry[name]
         # IN-TIER session scrub (r12 verdict #2): the r11 driver run
@@ -1614,11 +1648,20 @@ def _tier_median3(spark, registry, names, tier_dir, label):
         spark.catalog.clearCache()
         fn(spark, tier_dir).count()
         runs = []
+        c0 = _jvm_counters(spark)
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, tier_dir).count()
             runs.append(round(time.perf_counter() - t0, 4))
+        c1 = _jvm_counters(spark)
+        if c0["cpu_ms"] is not None and c1["cpu_ms"] is not None:
+            # deltas over the 3 TIMED runs (warm-up excluded): wall much
+            # larger than cpu/32 = stall; gc_ms spike = heap-state debt
+            jvm[name] = {
+                "cpu_ms": c1["cpu_ms"] - c0["cpu_ms"],
+                "gc_ms": c1["gc_ms"] - c0["gc_ms"],
+            }
         runs.sort()
         med[name] = runs[1]
         spread[name] = [runs[0], runs[2]]
@@ -1628,7 +1671,7 @@ def _tier_median3(spark, registry, names, tier_dir, label):
             file=sys.stderr,
             flush=True,
         )
-    return med, spread
+    return med, spread, jvm
 
 
 _TIER_METHODOLOGY = (
@@ -1966,12 +2009,15 @@ def main() -> None:
                 ).groupBy(warm_col).count().count()
                 if extra_setup is not None:
                     extra_setup(s)
-                med, spread = _tier_median3(s, reg, names, tier_dir, label)
+                med, spread, jvm = _tier_median3(
+                    s, reg, names, tier_dir, label
+                )
                 return {
                     "factor": factor,
                     "total": round(sum(med.values()), 4),
                     "queries": med,
                     "spread": spread,
+                    "jvm_per_query": jvm,
                     "methodology": _TIER_METHODOLOGY,
                 }
 
