@@ -1591,21 +1591,60 @@ def _jvm_counters(spark) -> dict:
     cpu_ms = gc_ms = None
     try:
         mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
-        gc_ms = 0
+        g = 0
         it = mf.getGarbageCollectorMXBeans().iterator()
         while it.hasNext():
             t = it.next().getCollectionTime()
             if t > 0:
-                gc_ms += int(t)
-        # process CPU from /proc (utime+stime, ticks -> ms): the
+                g += int(t)
+        gc_ms = g
+    except Exception:  # noqa: BLE001 - marker is best-effort
+        pass
+    try:
+        # process CPU from /proc (utime+stime, ticks -> ms) summed over
+        # the JVM pid AND its live descendants — the pyspark.daemon /
+        # Python-worker tree, whose CPU the JVM's own counters never see
+        # (a pandas-UDF-heavy query burning Python CPU would otherwise
+        # read as wall >> cpu and be misdiagnosed as a stall). The
         # com.sun OperatingSystemMXBean getProcessCpuTime is reflection-
         # blocked through py4j on JDK 17; RuntimeMXBean.getPid() is the
-        # public-interface route to the JVM pid
-        pid = int(mf.getRuntimeMXBean().getPid())
-        with open(f"/proc/{pid}/stat") as fh:
-            parts = fh.read().rsplit(") ", 1)[1].split()
+        # public-interface route to the JVM pid.
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        root = int(mf.getRuntimeMXBean().getPid())
         tick_hz = os.sysconf("SC_CLK_TCK") or 100
-        cpu_ms = int((int(parts[11]) + int(parts[12])) * 1000 / tick_hz)
+
+        def _pid_cpu_ticks(pid: int) -> int:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().rsplit(") ", 1)[1].split()
+            return int(parts[11]) + int(parts[12])
+
+        def _children(pid: int) -> list[int]:
+            kids: list[int] = []
+            try:
+                for tid in os.listdir(f"/proc/{pid}/task"):
+                    try:
+                        with open(
+                            f"/proc/{pid}/task/{tid}/children"
+                        ) as fh:
+                            kids += [int(c) for c in fh.read().split()]
+                    except OSError:
+                        pass
+            except OSError:
+                pass
+            return kids
+
+        ticks, todo, seen = 0, [root], set()
+        while todo:
+            pid = todo.pop()
+            if pid in seen:
+                continue
+            seen.add(pid)
+            try:
+                ticks += _pid_cpu_ticks(pid)
+            except OSError:
+                continue  # raced a worker exit; skip it
+            todo += _children(pid)
+        cpu_ms = int(ticks * 1000 / tick_hz)
     except Exception:  # noqa: BLE001 - marker is best-effort
         pass
     return {"cpu_ms": cpu_ms, "gc_ms": gc_ms}
@@ -1655,13 +1694,17 @@ def _tier_median3(spark, registry, names, tier_dir, label):
             fn(spark, tier_dir).count()
             runs.append(round(time.perf_counter() - t0, 4))
         c1 = _jvm_counters(spark)
+        # deltas over the 3 TIMED runs (warm-up excluded): wall much
+        # larger than cpu/32 = stall; gc_ms spike = heap-state debt.
+        # Each half records under its own None-guard so a /proc-less
+        # platform still ships the JMX GC half.
+        ent = {}
         if c0["cpu_ms"] is not None and c1["cpu_ms"] is not None:
-            # deltas over the 3 TIMED runs (warm-up excluded): wall much
-            # larger than cpu/32 = stall; gc_ms spike = heap-state debt
-            jvm[name] = {
-                "cpu_ms": c1["cpu_ms"] - c0["cpu_ms"],
-                "gc_ms": c1["gc_ms"] - c0["gc_ms"],
-            }
+            ent["cpu_ms"] = c1["cpu_ms"] - c0["cpu_ms"]
+        if c0["gc_ms"] is not None and c1["gc_ms"] is not None:
+            ent["gc_ms"] = c1["gc_ms"] - c0["gc_ms"]
+        if ent:
+            jvm[name] = ent
         runs.sort()
         med[name] = runs[1]
         spread[name] = [runs[0], runs[2]]
