@@ -24,6 +24,15 @@ from asctb_ct_label_mapper_spark.session import get_spark  # noqa: E402
 
 # Headline set: the flagship pipeline, both exact similarity strategies, the
 # shuffle-heavy relational queries, and the LLM-pipeline operators.
+# r15 verdict #5: queries whose per-call cost is an index BUILD phase
+# (driver-side, during the query-function call) plus a PROBE phase (the
+# cluster job) get their published min-run split into the two phases —
+# published as ADDITIVE `<name>_build` / `<name>_probe` entries so the
+# probe regime is visible without erasing the build cost.  The original
+# `<name>` entry and the headline total are unchanged (same timed action,
+# same min-of-2; the split is two extra perf_counter reads).
+PHASE_SPLIT_QUERIES = {"cos_topk_hnsw"}
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_revenue_topn",
@@ -1925,6 +1934,93 @@ def _run_tier_load_aware(
     return tier
 
 
+# ---------------------------------------------------------------------------
+# The LAST stdout line is the driver contract (r14 verdict #1): the driver
+# captures only the final ~2000 chars of stdout and parses the last JSON
+# line from that tail — proven by BENCH_r06.json, whose >2000-char full-
+# result last line broke parsing outright (parsed: {}), which is why r6
+# introduced the compact last line in the first place.  Since r7 that
+# compact line carried NO per-query timings, so PERF per_query / geomean /
+# scaling.per_query have been empty for two optimization rounds.  The full
+# 283-entry map is ~8 KB and can NEVER fit the tail, so this line ships the
+# slowest headline queries by COMMITTED time (deterministic across the
+# driver's 32- and 8-core runs — both read the same committed
+# bench_out.json) under a hard length budget; the FULL per-query map, tier
+# medians, spreads and load markers live in bench_out.json (also printed in
+# full on the line above, for captures wider than the tail).
+# ---------------------------------------------------------------------------
+
+COMPACT_LINE_BUDGET = 1900  # chars; tail capture is 2000, leave margin
+
+
+def _compact_line(result: dict, committed: dict | None) -> str:
+    """Serialize the driver-facing final line: headline total, per-tier
+    totals, rerun evidence, a one-number load marker, and as many of the
+    slowest per-query timings as fit the tail budget."""
+    timings = result.get("queries") or {}
+    scales = result.get("scales") or {}
+    base = {
+        "metric": "headline_queries_wall",
+        "value": result.get("value"),
+        "unit": "sec",
+        "sf": result.get("sf"),
+        "n_queries": result.get("n_queries", len(timings)),
+        "queries": {},
+        # subset declaration so no reader mistakes the map for the full
+        # registry; full map in bench_out.json / the full line above
+        "queries_subset": "slowest-by-committed-time",
+        "scale_totals": {
+            k: (v.get("total", v.get("total_wall")) if isinstance(v, dict) else None)
+            for k, v in scales.items()
+        },
+        # load accountability (r13 verdict #1) compressed to one number:
+        # the max pre-tier foreign-busy fraction across headline + tiers;
+        # per-tier markers live in bench_out.json.
+        "load_pre_busy_max": max(
+            (
+                v.get("load", {}).get("pre", {}).get("foreign_busy_frac")
+                for v in [result, *scales.values()]
+                if isinstance(v, dict)
+                and v.get("load", {}).get("pre", {}).get("foreign_busy_frac")
+                is not None
+            ),
+            default=None,
+        ),
+        # rerun decisions compressed to [first_total, second_total] per
+        # rerun key; reasons + per-query detail in bench_out.json.
+        "reruns": {
+            **(
+                {"headline": [result["rerun"]["first_total"],
+                              result["rerun"]["second_total"]]}
+                if "rerun" in result
+                else {}
+            ),
+            **{
+                k: [v["rerun"]["first_total"], v["rerun"]["second_total"]]
+                for k, v in scales.items()
+                if isinstance(v, dict) and "rerun" in v
+            },
+        },
+    }
+    # Deterministic subset: order by committed time (falling back to this
+    # run's time for queries the committed artifact has not seen), name as
+    # tie-break, then greedily add entries while the serialized line stays
+    # under budget.  Values at 3dp (r14 verdict #1 spec).
+    committed_q = (committed or {}).get("queries") or {}
+    order = sorted(
+        timings, key=lambda n: (-committed_q.get(n, timings[n]), n)
+    )
+    line = json.dumps(base, separators=(",", ":"))
+    for name in order:
+        candidate = dict(base)
+        candidate["queries"] = {**base["queries"], name: round(timings[name], 3)}
+        s = json.dumps(candidate, separators=(",", ":"))
+        if len(s) > COMPACT_LINE_BUDGET:
+            break
+        base, line = candidate, s
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -1944,9 +2040,11 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     headline_spread: dict[str, list[float]] = {}
+    phase_split: dict[str, dict] = {}
 
     def _time_headline(name: str) -> tuple[float, list[float]]:
         fn = registry[name]
+        split = name in PHASE_SPLIT_QUERIES
         # Isolation: drop cache entries accumulated by PRIOR queries'
         # internal persists so no query is timed against another query's
         # warm cache (or its executor-memory pressure). The warm-up pass
@@ -1957,9 +2055,26 @@ def main() -> None:
         # multi-second GC/scheduler noise that swamps sub-second queries.
         runs = []
         for _ in range(2):
+            if split:
+                spark.sparkContext.setJobDescription(f"{name}: build")
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - t0, 4))
+            df = fn(spark, sf_dir)
+            t_build = time.perf_counter() - t0
+            if split:
+                spark.sparkContext.setJobDescription(f"{name}: probe")
+            df.count()
+            t_total = time.perf_counter() - t0
+            if split:
+                spark.sparkContext.setJobDescription(None)
+            runs.append(round(t_total, 4))
+            if split and (not phase_split.get(name)
+                          or t_total < phase_split[name]["_total"]):
+                # keep the split of the published (min) run
+                phase_split[name] = {
+                    "build": round(t_build, 4),
+                    "probe": round(t_total - t_build, 4),
+                    "_total": round(t_total, 4),
+                }
         return min(runs), [min(runs), max(runs)]
 
     for name in BENCH_QUERIES:
@@ -2015,7 +2130,18 @@ def main() -> None:
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # additive build/probe entries (r15 verdict #5) ride in the map;
+        # `value` and `n_queries` count ONLY the real queries, so the
+        # headline total never double-counts a split query's phases.
+        "queries": {
+            **timings,
+            **{
+                f"{n}_{ph}": v[ph]
+                for n, v in phase_split.items()
+                for ph in ("build", "probe")
+            },
+        },
+        "n_queries": len(timings),
         "spread": headline_spread,
         "load": headline_load,
         "sf": sf,
@@ -2196,45 +2322,7 @@ def main() -> None:
             json.dump(result, f)
     except OSError as e:
         print(f"[bench] bench_out.json not written: {e}", file=sys.stderr)
-    compact = {
-        "metric": "headline_queries_wall",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "scale_totals": {
-            k: (v.get("total", v.get("total_wall")) if isinstance(v, dict) else None)
-            for k, v in result.get("scales", {}).items()
-        },
-        # load accountability (r13 verdict #1): the driver records only
-        # this compact line, so the box-condition evidence must ride in
-        # it — per-tier pre-run foreign-busy fraction plus any rerun
-        # decisions; full markers/spreads live in bench_out.json.
-        "load_pre_busy": {
-            k: (v.get("load", {}).get("pre", {}).get("foreign_busy_frac")
-                if isinstance(v, dict) else None)
-            for k, v in result.get("scales", {}).items()
-        },
-        "reruns": {
-            **(
-                {
-                    "headline": {
-                        k: v
-                        for k, v in result["rerun"].items()
-                        if k != "queries_before"  # full detail in bench_out.json
-                    }
-                }
-                if "rerun" in result
-                else {}
-            ),
-            **{
-                k: v["rerun"]
-                for k, v in result.get("scales", {}).items()
-                if isinstance(v, dict) and "rerun" in v
-            },
-        },
-    }
-    print(json.dumps(compact))
+    print(_compact_line(result, committed))
     spark.stop()
 
 

@@ -9,7 +9,15 @@ from compute.
 
 Usage:
     python tools/bench_streaming_matrix.py [sf_dir] \
-        [--parts 4,8,16,32] [--providers hdfs,rocksdb] [--loops inner,outer]
+        [--parts 4,8,16,32] [--providers hdfs,rocksdb] [--loops inner,outer] \
+        [--rate 1]
+
+``--rate N`` (r15 verdict #7) replays the matrix at N x the arrival rate:
+the events table is replaced by its ``ensure_events_scale`` N x copy
+(same timestamp span, N x rows per micro-batch), so the sweep measures
+where the local 4-partition default stops being right as state per batch
+grows — the crossover that turns SPARK_GRAFT_STATE_PARTITIONS guidance
+from asserted into measured.
 
 Each cell runs in its OWN SparkSession (provider is a session conf read
 at query start).  Prints one JSON line per cell with mean_batch_sec and
@@ -43,6 +51,9 @@ def main() -> None:
     parts = [int(p) for p in opts.get("parts", "4,8,16,32").split(",")]
     providers = opts.get("providers", "hdfs,rocksdb").split(",")
     loops = opts.get("loops", "inner,outer").split(",")
+    rate = int(opts.get("rate", "1"))
+    if rate != 1:
+        sf_dir = bench.ensure_events_scale(sf_dir, rate)
 
     fns = {
         "inner": bench.bench_streaming_join,
@@ -66,6 +77,8 @@ def main() -> None:
                         "provider": provider,
                         "loop": loop,
                         "state_partitions": n_parts,
+                        "rate_factor": rate,
+                        "rows_in": tier.get("rows_in"),
                         "mean_batch_sec": tier["mean_batch_sec"],
                         "total_wall": tier["total_wall"],
                         "matches_batch": tier["matches_batch"],
