@@ -1818,6 +1818,27 @@ def _load_markers() -> dict:
     except (OSError, KeyError, ValueError):
         pass
     m["disk_fsync_ms"] = _disk_fsync_ms()
+    # r15 verdict #2 diagnosis markers: the docs100x "roulette" is kernel
+    # CPU in the Python workers (anon-THP page zeroing + allocator churn;
+    # /proc stacks show folio_zero_user under vma_alloc_anon_folio_pmd),
+    # varying with box-day state — NOT session history, GC, code cache,
+    # steal or worker churn (all ruled out by tools/probe_runvar.py /
+    # probe_codecache.py).  Recording the cumulative THP-fault and
+    # system-CPU counters pre/post tier makes a zeroing-storm day visible
+    # in the committed artifact the way fsync markers expose disk days.
+    try:
+        for line in open("/proc/vmstat"):
+            k, _, val = line.partition(" ")
+            if k in ("thp_fault_alloc", "pgfault"):
+                m[k] = int(val)
+    except (OSError, ValueError):
+        pass
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        m["cpu_system_sec"] = round((v[2] + v[5] + v[6]) / hz, 1)
+    except (OSError, IndexError, ValueError):
+        pass
     return m
 
 
