@@ -1292,11 +1292,20 @@ def _state_partitions_default() -> int:
     (state_commit_ms_per_batch rises ~30x from 4 to 32 partitions while
     update ms stays flat).  RocksDB is strictly worse than the default
     HDFS-backed store at this state size (memory-resident, commit =
-    snapshot upload dominates).  Local default is therefore 4;
-    production (100x+ arrival rate) raises it via
-    SPARK_GRAFT_STATE_PARTITIONS so state per store stays bounded —
-    the right count tracks arrival-rate x (watermark + window), not
-    core count."""
+    snapshot upload dominates).  Local default is therefore 4.
+
+    Cross-rate proof (r15 verdict #7,
+    plans/r15/streaming_matrix_rate{10,100}_r15.jsonl): the same matrix
+    replayed at 10x and 100x the arrival rate (2M / 20M input rows, all
+    cells oracle-matched) still ranks 4 first — inner mean_batch_sec
+    1.17/1.46/1.46/2.89 at 4/8/16/32 partitions under 10x, 1.59/1.67/3.13
+    at 4/16/32 under 100x (outer analogous).  The commit-count overhead
+    dominates per-partition state pressure up to at least 100x on this
+    box, so the crossover is NOT a rate threshold: raise
+    SPARK_GRAFT_STATE_PARTITIONS only when per-store state
+    (arrival-rate x (watermark + window) / partitions) approaches the
+    store's memory or snapshot-size bound — the right count tracks state
+    VOLUME, never core count."""
     return int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
