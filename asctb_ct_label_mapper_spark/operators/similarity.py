@@ -1748,8 +1748,13 @@ def hnsw_topk(
                 continue
             out_rows: dict[str, list] = {c: [] for c in query_id_cols}
             out_rows.update({"ref_id": [], "score": [], "rank": []})
-            for _, row in pdf.iterrows():
-                q = np.asarray(row[query_vec_col], dtype=np.float64)
+            # column-wise access (guide §4.2): iterrows allocated a pandas
+            # Series per query row, which dominated the per-row cost around
+            # the O(ef·log c) graph walk; same values, same order.
+            id_vals = {c: pdf[c].to_numpy() for c in query_id_cols}
+            vecs = pdf[query_vec_col].to_numpy()
+            for i in range(len(pdf)):
+                q = np.asarray(vecs[i], dtype=np.float64)
                 qn = np.linalg.norm(q)
                 q = q / qn if qn else q
                 found = _hnsw_search(idx, unit, q, kk, efs)
@@ -1758,7 +1763,7 @@ def hnsw_topk(
                 o = np.lexsort((ids[found], -scs))
                 for r, j in enumerate(o[:kk], start=1):
                     for c in query_id_cols:
-                        out_rows[c].append(row[c])
+                        out_rows[c].append(id_vals[c][i])
                     out_rows["ref_id"].append(ids[found[j]])
                     out_rows["score"].append(float(scs[j]))
                     out_rows["rank"].append(r)
